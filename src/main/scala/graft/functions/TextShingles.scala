@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text tokenization / shingling column builders used by the
+  * dedup and text-analysis operators. All pure `functions._` column
+  * expressions — codegen'd, no UDFs, identical semantics to the DuckDB
+  * oracle spellings (string_split_regex / list slicing).
+  */
+object TextShingles {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles as an array of space-joined strings.
+    * For texts shorter than n tokens, the whole text is one shingle. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Exploded DISTINCT (doc_id, shingle) pairs for a documents frame. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"))
+      .distinct()
+}

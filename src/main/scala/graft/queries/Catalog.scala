@@ -1,0 +1,17 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The full query inventory: every operator from SURVEY.md §2 plus the
+  * north-star LLM-data-pipeline operators, each as a (name → builder)
+  * with, where SQL-expressible, a DuckDB oracle statement. */
+object Catalog {
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    PipelineQueries.defs ++ BatchSqlQueries.defs ++ DedupQueries.defs ++
+      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+
+  def oracles: Map[String, String] =
+    PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      TextQueries.oracles ++ MultimodalQueries.oracles
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` table — the LLM-data
+  * pipeline core. All candidate generation is bucket-local (hash
+  * groupBy / LSH band join / shared-shingle join), never an O(n²)
+  * cross join, so each scales to 100 TB: the shuffle key is the hash /
+  * band signature / shingle, and AQE handles band-bucket skew.
+  *
+  * Hashing uses md5 (identical lowercase-hex semantics in Spark and
+  * DuckDB) so every query is oracle-verifiable.
+  */
+object DedupQueries {
+
+  private val N = 5 // word-shingle width
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * Equivalent of dropDuplicates(text) but emits the dedup decision
+    * (hash → survivor + multiplicity) so it is sink-agnostic. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |       COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  /** N-gram Jaccard set-similarity self-join: candidate pairs share at
+    * least one 5-gram shingle (the scalable candidate filter — join on
+    * the shingle, not all-pairs), then exact Jaccard >= 0.8. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+    j.filter(col("jaccard") >= 0.8)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') sh FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, i*1.0/(sa.n + sb.n - i) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE i*1.0/(sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  /** MinHash + LSH candidate pairs: 8 seeded min-hashes over the shingle
+    * set, banded 4×2; pairs sharing any band bucket. The band join is
+    * the scale path — state per bucket, no all-pairs comparison. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
+    val seeds = 0 until 8
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit(seeds.head.toString), lit("|"), col("sh")))).as("h0"),
+        seeds.tail.map(i =>
+          min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"h$i")): _*)
+    val bands = (0 until 4).map { b =>
+      mh.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig"))
+    }.reduce(_ unionAll _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val minhashLshSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') sh FROM idx),
+      |mh AS (SELECT doc_id,
+      |  min(md5('0|' || sh)) h0, min(md5('1|' || sh)) h1,
+      |  min(md5('2|' || sh)) h2, min(md5('3|' || sh)) h3,
+      |  min(md5('4|' || sh)) h4, min(md5('5|' || sh)) h5,
+      |  min(md5('6|' || sh)) h6, min(md5('7|' || sh)) h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 band, h0 || ',' || h1 sig FROM mh
+      |  UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM mh
+      |  UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM mh
+      |  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM mh)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a
+      |JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+
+  /** SimHash signatures: 16-bit sign-of-weighted-bits over the distinct
+    * token set (bit source: first 4 hex chars of md5(token)). Near-dup
+    * detection then joins on signature prefix + hamming distance — see
+    * simhashPairs. */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextShingles.tokens(col("text")))).as("t"))
+      .distinct()
+      .withColumn("v", conv(substring(md5(col("t")), 1, 4), 16, 10).cast(IntegerType))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        s.range(0, 16).select(col("id").cast(IntegerType).as("b"))))
+      .select(col("doc_id"), col("b"),
+        expr("CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END").as("contrib"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("contrib")).as("sc"))
+      .select(col("doc_id"), col("b"),
+        when(col("sc") > 0, 1L).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, b)")).cast(LongType).as("simhash"))
+
+  val simhashSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) t FROM documents),
+      |tv AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT v FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END bt
+      |  FROM tv, (SELECT unnest(generate_series(0, 15)) b) bs
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id, CAST(SUM(bt << b) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhash _)
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql)
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata extracted by a partition-level decode
+  * pass (`mapPartitions` over an iterator of byte arrays — the Scala
+  * analog of a batched decode UDF; one codec init per partition, not
+  * per row).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (dimensions derived from an MD5 of
+  * the payload); everything Spark-side — binary schema, partition
+  * batching, typed output Encoder — is real and oracle-verified.
+  * At 100 TB this shape is the right one: payloads never shuffle (all
+  * transforms are narrow), and metadata extraction is embarrassingly
+  * parallel over input splits.
+  */
+object MultimodalQueries {
+
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+                       height: Long, format: String)
+
+  /** STUB decode: a real implementation would parse the image header
+    * here (e.g. PNG IHDR). Deterministic fake: dims from the payload's
+    * MD5, format from length mod 3. */
+  private def decodeStub(id: Long, payload: Array[Byte]): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    val w = 64 + Integer.parseInt(hex.substring(0, 3), 16) % 960
+    val h = 64 + Integer.parseInt(hex.substring(3, 6), 16) % 960
+    val fmt = (payload.length % 3) match {
+      case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
+    }
+    MediaMeta(id, payload.length.toLong, w.toLong, h.toLong, fmt)
+  }
+
+  /** Binary ingest + partition-batched metadata extraction. The text
+    * column stands in for a media payload (UTF-8 bytes). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .toDF()
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST(64 + (('0x' || substr(md5(text), 1, 3))::INT % 960) AS BIGINT) AS width,
+      |  CAST(64 + (('0x' || substr(md5(text), 4, 3))::INT % 960) AS BIGINT) AS height,
+      |  CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'png'
+      |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |FROM documents""".stripMargin
+
+  /** Frame-sampling plumbing: treat every 1 KiB slice of the payload as
+    * a "frame", sample every 4th — pure column ops on binary
+    * (substring on bytes), no shuffle. Output is (doc_id, frame_no,
+    * frame_bytes-length) — the schema a video pipeline hands to a
+    * feature extractor. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest(floor((length(col("payload")) - 1) / 256).cast(IntegerType),
+              lit(0)), lit(4)),
+          off => substring(col("payload"), (off * 256 + 1).cast(IntegerType),
+            lit(256))))
+          .as(Seq("frame_no", "frame")))
+      .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
+        length(col("frame")).cast(LongType).as("frame_bytes"))
+
+  val frameSampleSql: String =
+    """WITH p AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) n FROM documents),
+      |f AS (
+      |  SELECT doc_id, n,
+      |         unnest(generate_series(0, CAST((n-1)/256 AS BIGINT), 4)) o
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY o) - 1 AS BIGINT) AS frame_no,
+      |  CAST(least(256, n - o*256) AS BIGINT) AS frame_bytes
+      |FROM f""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_media_meta" -> mediaMeta _,
+    "mm_frame_sample" -> frameSample _)
+
+  def oracles: Map[String, String] = Map(
+    "mm_media_meta" -> mediaMetaSql,
+    "mm_frame_sample" -> frameSampleSql)
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents`: token counting, quality
+  * scoring, n-gram-heuristic language ID, fingerprinting. All pure
+  * column expressions (codegen'd, partition-parallel, no UDFs) — the
+  * shapes a 100 TB pretraining-data pipeline runs per document with no
+  * shuffle at all (narrow transforms only).
+  */
+object TextQueries {
+
+  private def toks: Column = TextShingles.tokens(col("text"))
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(w => w: Any): _*)))
+      .cast(LongType)
+
+  /** Whitespace + BPE-ish token counting. `n_tokens_bpe` approximates a
+    * subword count: ceil(chars-without-spaces / 4) — the standard
+    * ~4-chars-per-token heuristic, exact integer arithmetic. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      ceil(length(regexp_replace(col("text"), "\\s", "")) / lit(4.0))
+        .cast(LongType).as("n_tokens_bpe"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_bpe
+      |FROM documents""".stripMargin
+
+  private val enStop = Seq("the", "and", "of", "to", "a", "in", "is")
+
+  /** Quality scoring: token/char stats, stopword ratio, and a banded
+    * quality score. Ratios are integer-derived doubles (deterministic
+    * cross-engine); the score uses only threshold comparisons. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val n = size(toks).cast(LongType)
+    val chars = length(col("text")).cast(LongType)
+    val noSpace = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+    val stopN = hitCount(toks, enStop)
+    val stopRatio = stopN * 1.0 / n
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      chars.as("n_chars"),
+      (noSpace * 1.0 / n).as("avg_token_len"),
+      stopRatio.as("stop_ratio"),
+      (when(n.between(50, 500), 0.5).otherwise(0.25) +
+        when(stopRatio > 0.02, 0.5).otherwise(0.0)).as("quality_score"))
+  }
+
+  val qualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n,
+      |    CAST(length(text) AS BIGINT) chars,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) nospace,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) stopn
+      |  FROM documents)
+      |SELECT doc_id, n AS n_tokens, chars AS n_chars,
+      |  nospace*1.0/n AS avg_token_len,
+      |  stopn*1.0/n AS stop_ratio,
+      |  CAST(CASE WHEN n BETWEEN 50 AND 500 THEN 0.5 ELSE 0.25 END AS DOUBLE) +
+      |   CAST(CASE WHEN stopn*1.0/n > 0.02 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality_score
+      |FROM t""".stripMargin
+
+  private val esStop = Seq("el", "la", "de", "que", "y", "en", "los")
+  private val frStop = Seq("le", "la", "de", "et", "les", "des", "un")
+  private val deStop = Seq("der", "die", "und", "das", "ist", "ein")
+
+  /** Language ID via stopword-hit heuristic with a fixed tie-break
+    * order (en ≥ es ≥ fr ≥ de). Also reports agreement with the
+    * labeled lang column. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val en = hitCount(toks, enStop)
+    val es = hitCount(toks, esStop)
+    val fr = hitCount(toks, frStop)
+    val de = hitCount(toks, deStop)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        en.as("en_hits"), es.as("es_hits"), fr.as("fr_hits"), de.as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("es_hits") &&
+             col("en_hits") >= col("fr_hits") &&
+             col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("fr_hits") &&
+                col("es_hits") >= col("de_hits"), "es")
+          .when(col("fr_hits") >= col("de_hits"), "fr")
+          .otherwise("de"))
+      .withColumn("is_match", (col("pred_lang") === col("lang")).cast(LongType))
+  }
+
+  val langIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') w
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','and','of','to','a','in','is'], x))) AS BIGINT) en_hits,
+      |    CAST(len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','los'], x))) AS BIGINT) es_hits,
+      |    CAST(len(list_filter(w, x -> list_contains(['le','la','de','et','les','des','un'], x))) AS BIGINT) fr_hits,
+      |    CAST(len(list_filter(w, x -> list_contains(['der','die','und','das','ist','ein'], x))) AS BIGINT) de_hits
+      |  FROM t)
+      |SELECT doc_id, lang, en_hits, es_hits, fr_hits, de_hits,
+      |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+      |       WHEN fr_hits >= de_hits THEN 'fr'
+      |       ELSE 'de' END AS pred_lang,
+      |  CAST(CASE WHEN (CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+      |       WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+      |       WHEN fr_hits >= de_hits THEN 'fr'
+      |       ELSE 'de' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS is_match
+      |FROM h""".stripMargin
+
+  /** Document fingerprinting: whole-document content hash over
+    * whitespace-normalized text, plus a min-shingle fingerprint (the
+    * k=1 winnowing hash — robust to local edits). */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val minShingle =
+      array_min(transform(TextShingles.shingles(TextShingles.tokens(col("text")), 5),
+        sh => md5(sh)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("content_fp"),
+      minShingle.as("min_shingle_fp"))
+  }
+
+  val fingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') words
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, text, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM t),
+      |sh AS (
+      |  SELECT doc_id, min(md5(array_to_string(words[i:i+4], ' '))) msf
+      |  FROM idx GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  md5(trim(regexp_replace(lower(t.text), '\s+', ' ', 'g'))) AS content_fp,
+      |  sh.msf AS min_shingle_fp
+      |FROM t JOIN sh ON t.doc_id = sh.doc_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> tokenCount _,
+    "text_quality" -> quality _,
+    "text_langid" -> langId _,
+    "text_fingerprint" -> fingerprint _)
+
+  def oracles: Map[String, String] = Map(
+    "text_token_count" -> tokenCountSql,
+    "text_quality" -> qualitySql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fingerprintSql)
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Batch table loader over the driver-generated parquet testdata
+  * (TESTDATA.md). One parquet file per table under `sfDir`.
+  *
+  * Scale notes (100 TB design): `spark.read.parquet` gives Catalyst a
+  * `FileSourceScanExec` with predicate pushdown + column pruning; at
+  * cluster scale the same call reads a partitioned directory tree and
+  * prunes partitions. Callers should always `.select`/`.filter` early
+  * so pruning reaches the scan — never cache whole tables.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
+    * LongType (spark.sql.legacy.parquet.nanosAsLong=true, set in the
+    * session builders). Convert to a microsecond timestamp with exact
+    * integer division — same truncation DuckDB applies reading nanos. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

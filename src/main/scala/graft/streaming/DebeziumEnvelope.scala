@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S2/S3: Debezium change-event envelope unwrap (SURVEY.md §1.5, §2.1).
+  *
+  * Re-expresses the reference's Single-Message Transforms
+  * (`ExtractNewRecordState` with `delete.handling.mode=rewrite` for
+  * Postgres, reference README.md:361-364; `ExtractNewDocumentState` with
+  * `delete.handling.mode=drop`, README.md:379-383) as plain Spark column
+  * expressions — fully codegen'd, no UDFs, works identically on batch and
+  * streaming DataFrames.
+  *
+  * Envelope shape: {before, after, op, ts_ms} where op ∈ c|u|d|r.
+  *  - Rewrite: deletes surface the `before` image plus __deleted='true';
+  *    upserts surface `after` plus __deleted='false'.
+  *  - Drop: delete events are filtered out; upserts surface `after` and
+  *    the op code is kept as metadata column __op (the reference records
+  *    it in a Kafka header, `operation.header=true`).
+  */
+object DebeziumEnvelope {
+
+  sealed trait DeleteMode
+  case object Rewrite extends DeleteMode
+  case object Drop extends DeleteMode
+
+  def envelopeSchema(after: StructType): StructType = StructType(Seq(
+    StructField("before", after), StructField("after", after),
+    StructField("op", StringType), StructField("ts_ms", LongType)))
+
+  def unwrap(df: DataFrame, valueCol: Column, afterSchema: StructType,
+             mode: DeleteMode): DataFrame = {
+    val parsed = df.withColumn("__env",
+      from_json(valueCol, envelopeSchema(afterSchema)))
+    mode match {
+      case Rewrite =>
+        val cols = afterSchema.fields.map { f =>
+          when(col("__env.op") === "d", col(s"__env.before.${f.name}"))
+            .otherwise(col(s"__env.after.${f.name}")).as(f.name)
+        }
+        val deleted = when(col("__env.op") === "d", lit("true"))
+          .otherwise(lit("false")).as("__deleted")
+        parsed.select(cols.toSeq :+ deleted: _*)
+      case Drop =>
+        parsed
+          .filter(col("__env.op").isNull || col("__env.op") =!= "d")
+          .select(afterSchema.fields.map(f =>
+            col(s"__env.after.${f.name}").as(f.name)).toSeq :+
+            col("__env.op").as("__op"): _*)
+    }
+  }
+}
