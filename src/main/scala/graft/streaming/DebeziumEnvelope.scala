@@ -30,10 +30,13 @@ object DebeziumEnvelope {
     StructField("before", after), StructField("after", after),
     StructField("op", StringType), StructField("ts_ms", LongType)))
 
+  /** @param passthrough source columns (e.g. `offset`, `ts`) to carry
+    *                     through alongside the unwrapped fields. */
   def unwrap(df: DataFrame, valueCol: Column, afterSchema: StructType,
-             mode: DeleteMode): DataFrame = {
+             mode: DeleteMode, passthrough: Seq[String] = Nil): DataFrame = {
     val parsed = df.withColumn("__env",
       from_json(valueCol, envelopeSchema(afterSchema)))
+    val extra = passthrough.map(col)
     mode match {
       case Rewrite =>
         val cols = afterSchema.fields.map { f =>
@@ -42,13 +45,13 @@ object DebeziumEnvelope {
         }
         val deleted = when(col("__env.op") === "d", lit("true"))
           .otherwise(lit("false")).as("__deleted")
-        parsed.select(cols.toSeq :+ deleted: _*)
+        parsed.select(cols.toSeq ++ Seq(deleted) ++ extra: _*)
       case Drop =>
         parsed
           .filter(col("__env.op").isNull || col("__env.op") =!= "d")
           .select(afterSchema.fields.map(f =>
-            col(s"__env.after.${f.name}").as(f.name)).toSeq :+
-            col("__env.op").as("__op"): _*)
+            col(s"__env.after.${f.name}").as(f.name)).toSeq ++
+            Seq(col("__env.op").as("__op")) ++ extra: _*)
     }
   }
 }

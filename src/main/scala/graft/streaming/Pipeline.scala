@@ -1,0 +1,175 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** The reference pipeline as three chained Spark Structured Streaming
+  * queries — the ksqlDB persistent-query graph of
+  * reference README.md:434-493 re-expressed Spark-first:
+  *
+  * {{{
+  * customersFeed (Debezium JSON) ─S2 unwrap─ A2 latest_by_offset ─► SnapshotStore      (q1, update mode)
+  * ordersFeed ─S5 event time─ J1 left join snapshot (per micro-batch) ─► enrichedFeed  (q2, foreachBatch)
+  * enrichedFeed ⋈ shipmentsFeed WITHIN ±band on order_id ─► KeyedUpsertStore           (q3, append mode)
+  * }}}
+  *
+  * Design decisions (SURVEY.md §7):
+  *  - J1 is the `foreachBatch` snapshot join (form (a)): each orders
+  *    micro-batch looks up the *current* customer state — ksqlDB's
+  *    lookup-at-processing-time semantics. The enriched rows feed the
+  *    next query through a MemoryStream, the offline analog of the
+  *    intermediate topic ksqlDB writes (`enriched_orders`,
+  *    README.md:448). In production both hops are Kafka topics / Delta
+  *    tables; the operator graph is identical.
+  *  - J2 is Spark-native: `StreamingSymmetricHashJoinExec` from
+  *    watermarks + an equi-key plus symmetric time-band condition
+  *    (`WITHIN 7 DAYS`, README.md:477). State eviction follows the
+  *    watermark; out-of-order arrival is handled by symmetric
+  *    buffering.
+  *  - K2: the sink upserts by join key (order_id) — at-least-once
+  *    delivery collapses to exactly-once-per-key visible rows, matching
+  *    the Elasticsearch `_id`-from-key contract (README.md:555-568).
+  *
+  * Scale: per-key streaming state shards over
+  * `spark.sql.shuffle.partitions`; the snapshot side is bounded by the
+  * broadcast-dimension assumption; use RocksDBStateStoreProvider for
+  * large J2 state.
+  */
+class Pipeline(spark: SparkSession, checkpointRoot: String,
+               band: String = "7 days", watermarkDelay: String = "7 days") {
+  import spark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss"
+
+  val customersFeed = new ChangeFeed(spark)
+  val ordersFeed = new ChangeFeed(spark)
+  val shipmentsFeed = new ChangeFeed(spark)
+
+  val customerSchema: StructType = StructType(Seq(
+    StructField("id", StringType), StructField("name", StringType),
+    StructField("age", IntegerType)))
+  private val orderSchema = StructType(Seq(
+    StructField("customer_id", StringType), StructField("order_id", StringType),
+    StructField("price", DoubleType), StructField("currency", StringType),
+    StructField("ts", StringType)))
+  private val shipmentSchema = StructType(Seq(
+    StructField("order_id", StringType), StructField("shipment_id", StringType),
+    StructField("origin", StringType), StructField("ts", StringType)))
+
+  /** customers_by_key materialized state (A3). */
+  val customersByKey = new SnapshotStore(
+    StructType(customerSchema.fields :+ StructField("__deleted", StringType)),
+    keyField = "id")
+
+  /** Intermediate "topic": enriched_orders. */
+  val enrichedFeed: MemoryStream[EnrichedOrder] = MemoryStream[EnrichedOrder]
+
+  /** Final sink keyed by order_id (K2). */
+  val shippedOrders = new KeyedUpsertStore[ShippedOrder]
+
+  // ---- q1: CREATE TABLE customers_by_key (README.md:434-441) ----
+  private val q1: StreamingQuery = {
+    val unwrapped = DebeziumEnvelope.unwrap(customersFeed.df, col("value"),
+      customerSchema, DebeziumEnvelope.Rewrite, passthrough = Seq("offset"))
+    val table = LatestByKey.table(unwrapped, "id", "offset",
+      Seq("name", "age", "__deleted"))
+    table.writeStream
+      .outputMode("update")
+      .queryName("customers_by_key")
+      .option("checkpointLocation", s"$checkpointRoot/customers_by_key")
+      .foreachBatch { (batch: DataFrame, _: Long) => customersByKey.upsert(batch) }
+      .start()
+  }
+
+  // ---- q2: CREATE STREAM enriched_orders (README.md:448-459) ----
+  private val q2: StreamingQuery = {
+    val orders = ordersFeed.df
+      .select(from_json(col("value"), orderSchema).as("o")).select("o.*")
+      .withColumn("o_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
+    orders.writeStream
+      .queryName("enriched_orders")
+      .option("checkpointLocation", s"$checkpointRoot/enriched_orders")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cust = customersByKey.df(spark).drop("__deleted")
+        val enriched = batch.as("o")
+          .join(broadcast(cust.as("c")), col("o.customer_id") === col("c.id"), "left")
+          .select(col("o.order_id"), col("o.price"), col("o.currency"),
+            col("o.customer_id"), col("c.name").as("customer_name"),
+            col("c.age").as("customer_age"), col("o.o_ts"))
+        enrichedFeed.addData(enriched.as[EnrichedOrder].collect().toIndexedSeq)
+        ()
+      }
+      .start()
+  }
+
+  // ---- q3: CREATE STREAM shipped_orders (README.md:464-480) ----
+  private val q3: StreamingQuery = {
+    val enriched = enrichedFeed.toDF()
+      .withWatermark("o_ts", watermarkDelay).as("o")
+    val shipments = shipmentsFeed.df
+      .select(from_json(col("value"), shipmentSchema).as("s")).select("s.*")
+      .withColumn("s_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
+      .withWatermark("s_ts", watermarkDelay).as("s")
+    val joined = enriched.join(shipments,
+      expr(s"""s.order_id = o.order_id AND
+               s_ts >= o_ts - INTERVAL $band AND
+               s_ts <= o_ts + INTERVAL $band"""), "inner")
+      .select(col("o.order_id"), col("s.shipment_id"), col("o.customer_id"),
+        col("o.customer_name"), col("o.customer_age"), col("s.origin"),
+        col("o.price"), col("o.currency"))
+    joined.writeStream
+      .outputMode("append")
+      .queryName("shipped_orders")
+      .option("checkpointLocation", s"$checkpointRoot/shipped_orders")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.as[ShippedOrder].collect()
+          .foreach(r => shippedOrders.put(r.order_id, r))
+      }
+      .start()
+  }
+
+  /** Drain all pending input through the three queries in dataflow
+    * order (table update before orders lookup, enrichment before the
+    * interval join) — one deterministic "step" for tests/demos. Each
+    * feed is flushed only after its upstream query drained, which
+    * pins the arrival order the reference demo produces by hand. */
+  def step(): Unit = {
+    customersFeed.flush()
+    q1.processAllAvailable()
+    ordersFeed.flush()
+    q2.processAllAvailable()
+    shipmentsFeed.flush()
+    q3.processAllAvailable()
+  }
+
+  def stop(): Unit = Seq(q3, q2, q1).foreach(_.stop())
+}
+
+case class EnrichedOrder(order_id: String, price: Double, currency: String,
+                         customer_id: String, customer_name: Option[String],
+                         customer_age: Option[Int], o_ts: Timestamp)
+
+case class ShippedOrder(order_id: String, shipment_id: String,
+                        customer_id: String, customer_name: Option[String],
+                        customer_age: Option[Int], origin: String,
+                        price: Double, currency: String)
+
+/** K2: keyed idempotent upsert sink (the Elasticsearch-analog contract:
+  * document id = record key, so redelivery upserts instead of
+  * duplicating — reference README.md:487-493,555-568). */
+class KeyedUpsertStore[V] {
+  private val rows = new java.util.concurrent.ConcurrentHashMap[String, V]()
+  def put(k: String, v: V): Unit = rows.put(k, v)
+  def values: Seq[V] = {
+    import scala.jdk.CollectionConverters._
+    rows.values().asScala.toSeq
+  }
+  def get(k: String): Option[V] = Option(rows.get(k))
+  def size: Int = rows.size()
+}
