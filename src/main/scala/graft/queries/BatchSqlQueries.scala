@@ -173,6 +173,17 @@ object BatchSqlQueries {
       |       SUM(CAST(floor("value"*1000000) AS BIGINT))/1000000.0 AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  /** Session windows (30 min inactivity gap) per user — batch form of
+    * the streaming session aggregation; oracle = gaps-and-islands. */
+  def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n"))
+
   /** Distinct aggregation (Spark expands to a two-phase agg). */
   def distinctAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -341,6 +352,7 @@ object BatchSqlQueries {
     "q_intersect" -> intersectOp _,
     "q_window_functions" -> windowFunctions _,
     "q_tumbling_agg" -> tumblingAgg _,
+    "q_session_window" -> sessionWindowAgg _,
     "q_distinct_agg" -> distinctAgg _,
     "q_rollup" -> rollupAgg _,
     "q_cube" -> cubeAgg _,
@@ -360,6 +372,7 @@ object BatchSqlQueries {
     "q_intersect" -> intersectSql,
     "q_window_functions" -> windowFunctionsSql,
     "q_tumbling_agg" -> tumblingAggSql,
+    "q_session_window" -> StreamingQueries.sessionAggSql,
     "q_distinct_agg" -> distinctAggSql,
     "q_rollup" -> rollupSql,
     "q_cube" -> cubeSql,

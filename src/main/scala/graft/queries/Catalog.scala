@@ -8,10 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.defs ++ BatchSqlQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++ MultimodalQueries.defs
+      SimilarityQueries.defs ++ TextQueries.defs ++
+      MultimodalQueries.defs ++ StreamingQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ MultimodalQueries.oracles
+      TextQueries.oracles ++ MultimodalQueries.oracles ++
+      StreamingQueries.oracles
 }

@@ -1,0 +1,159 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.streaming.{DebeziumJson, Pipeline}
+
+/** Structured Streaming operators surfaced as driver-verifiable
+  * queries: each runs a real streaming query (file source or the full
+  * chained pipeline) to completion against the testdata and returns
+  * the result table. Because the inputs are finite, the streaming
+  * result must equal the batch/DuckDB-oracle result — which makes the
+  * streaming engine itself hash-verified, not just smoke-tested.
+  */
+object StreamingQueries {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Streaming read of the events table with the same nanos→micros
+    * normalization as the batch loader. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/events.parquet").schema
+    // testdata tables are single files; the file-stream source needs a
+    // directory basePath, so address the file through a glob
+    val st = s.readStream.schema(raw).parquet(s"$d/{events}.parquet")
+    raw("ts").dataType match {
+      case LongType => st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => st
+    }
+  }
+
+  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+    val name = s"stream_q_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1 h event-time window aggregation, streaming complete
+    * mode — the streaming twin of q_tumbling_agg (same oracle SQL). */
+  def tumblingAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
+    runToTable(agg, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Session windows (30 min gap) per user, streaming complete mode;
+    * oracle is the classic gaps-and-islands SQL. */
+  def sessionAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, "complete")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n"))
+  }
+
+  val sessionAggSql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) sid
+      |  FROM x)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |       COUNT(*) AS n
+      |FROM y GROUP BY user_id, sid""".stripMargin
+
+  /** Streaming stateful deduplication (dropDuplicates with per-key
+    * state), append mode. event_id is unique so the deduped stream
+    * must equal the input relation — state behavior is what's tested. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .dropDuplicates("event_id")
+    runToTable(deduped, "append")
+  }
+
+  val streamDedupSql: String =
+    "SELECT event_id, user_id, event_type FROM events"
+
+  /** The full chained streaming pipeline on the reference's golden
+    * seed (reference README.md:502-527 + live insert 654-672); the
+    * oracle is the expected output as a VALUES literal — the strongest
+    * possible check: the streaming engine must reproduce the
+    * reference's published Elasticsearch documents bit-for-bit. */
+  def pipelineGolden(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = new Pipeline(s, Files.createTempDirectory("graft-q-ckpt-").toString)
+    try {
+      p.customersFeed.add(
+        "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34),
+        "7" -> DebeziumJson.insert("id" -> "7", "name" -> "sue", "age" -> 25),
+        "2" -> DebeziumJson.insert("id" -> "2", "name" -> "bill", "age" -> 51))
+      p.ordersFeed.add(
+        "13" -> """{"customer_id":"2","order_id":"13","price":50.50,"currency":"usd","ts":"2020-04-03T11:20:00"}""",
+        "29" -> """{"customer_id":"7","order_id":"29","price":15.00,"currency":"aud","ts":"2020-04-02T12:36:00"}""",
+        "17" -> """{"customer_id":"5","order_id":"17","price":25.25,"currency":"eur","ts":"2020-04-02T17:22:00"}""",
+        "15" -> """{"customer_id":"5","order_id":"15","price":13.75,"currency":"usd","ts":"2020-04-03T02:55:00"}""",
+        "22" -> """{"customer_id":"7","order_id":"22","price":29.71,"currency":"aud","ts":"2020-04-04T00:12:00"}""")
+      p.shipmentsFeed.add(
+        "17" -> """{"order_id":"17","shipment_id":"75","origin":"texas","ts":"2020-04-04T19:20:00"}""",
+        "22" -> """{"order_id":"22","shipment_id":"71","origin":"iowa","ts":"2020-04-04T12:25:00"}""",
+        "29" -> """{"order_id":"29","shipment_id":"89","origin":"california","ts":"2020-04-05T13:21:00"}""",
+        "13" -> """{"order_id":"13","shipment_id":"92","origin":"maine","ts":"2020-04-04T06:13:00"}""",
+        "15" -> """{"order_id":"15","shipment_id":"95","origin":"florida","ts":"2020-04-04T01:13:00"}""")
+      p.step()
+      p.customersFeed.add(
+        "9" -> DebeziumJson.insert("id" -> "9", "name" -> "victor", "age" -> 23))
+      p.ordersFeed.add(
+        "31" -> """{"customer_id":"9","order_id":"31","price":525.50,"currency":"usd","ts":"2020-04-03T11:20:00"}""")
+      p.shipmentsFeed.add(
+        "31" -> """{"order_id":"31","shipment_id":"97","origin":"new jersey","ts":"2020-04-04T19:20:00"}""")
+      p.step()
+      s.createDataset(p.shippedOrders.values).toDF()
+    } finally p.stop()
+  }
+
+  val pipelineGoldenSql: String =
+    """SELECT * FROM (VALUES
+      |  ('13', '92', '2', 'bill', CAST(51 AS INT), 'maine', CAST(50.50 AS DOUBLE), 'usd'),
+      |  ('15', '95', '5', 'fred', CAST(34 AS INT), 'florida', CAST(13.75 AS DOUBLE), 'usd'),
+      |  ('17', '75', '5', 'fred', CAST(34 AS INT), 'texas', CAST(25.25 AS DOUBLE), 'eur'),
+      |  ('22', '71', '7', 'sue', CAST(25 AS INT), 'iowa', CAST(29.71 AS DOUBLE), 'aud'),
+      |  ('29', '89', '7', 'sue', CAST(25 AS INT), 'california', CAST(15.00 AS DOUBLE), 'aud'),
+      |  ('31', '97', '9', 'victor', CAST(23 AS INT), 'new jersey', CAST(525.50 AS DOUBLE), 'usd'))
+      |  AS t(order_id, shipment_id, customer_id, customer_name,
+      |       customer_age, origin, price, currency)""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_agg" -> tumblingAgg _,
+    "stream_session_agg" -> sessionAgg _,
+    "stream_dedup" -> streamDedup _,
+    "stream_pipeline_golden" -> pipelineGolden _)
+
+  def oracles: Map[String, String] = Map(
+    "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
+    "stream_session_agg" -> sessionAggSql,
+    "stream_dedup" -> streamDedupSql,
+    "stream_pipeline_golden" -> pipelineGoldenSql)
+}
