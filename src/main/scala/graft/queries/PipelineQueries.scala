@@ -71,6 +71,19 @@ object PipelineQueries {
       |       arg_max("value", event_id) AS latest_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** A2 via the exact-semantics custom Aggregator (tie-break + null
+    * handling pinned to Kafka offset order) — same oracle as max_by. */
+  def latestByKeyUdaf(s: SparkSession, d: String): DataFrame = {
+    val latest = udaf(new graft.functions.LatestByOffsetAgg)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(latest(col("event_id"), col("event_type")).as("latest_type"))
+  }
+
+  val latestByKeyUdafSql: String =
+    """SELECT user_id, arg_max(event_type, event_id) AS latest_type
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** J1: enrichment lookup join, dimension broadcast. */
   def enrichLeftJoin(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
@@ -206,6 +219,7 @@ object PipelineQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shipped_orders" -> shippedOrders _,
     "a2_latest_by_key" -> latestByKey _,
+    "a2_latest_udaf" -> latestByKeyUdaf _,
     "j1_enrich_left_join" -> enrichLeftJoin _,
     "j2_interval_join" -> intervalJoin _,
     "s2_envelope_unwrap" -> envelopeUnwrap _,
@@ -217,6 +231,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "pipeline_shipped_orders" -> shippedOrdersSql,
     "a2_latest_by_key" -> latestByKeySql,
+    "a2_latest_udaf" -> latestByKeyUdafSql,
     "j1_enrich_left_join" -> enrichLeftJoinSql,
     "j2_interval_join" -> intervalJoinSql,
     "s2_envelope_unwrap" -> envelopeUnwrapSql,

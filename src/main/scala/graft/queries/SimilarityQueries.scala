@@ -96,6 +96,22 @@ object SimilarityQueries {
       |SELECT vec_id, label, round(dot/(en*qn), 6) AS cos_sim
       |FROM sims ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Brute-force top-k through the native fused CosineSimilarity
+    * Catalyst expression (codegen'd, zero-allocation inner loop) —
+    * must produce bit-identical results to the composable form, so it
+    * shares that oracle's semantics. */
+  def bruteForceTopKNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.GraftFunctions.cosineSim(s,
+          col("embedding"), col("qemb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Per-label centroids: distributed vector averaging (the building
     * block of IVF coarse quantization). Vectors explode to
     * (label, dim, value) rows on an exact 1e-6 integer grid so the
@@ -123,11 +139,13 @@ object SimilarityQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteForceTopK _,
+    "sim_topk_native" -> bruteForceTopKNative _,
     "sim_ann_sign_lsh" -> annSignLsh _,
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceTopKSql,
+    "sim_topk_native" -> bruteForceTopKSql,
     "sim_ann_sign_lsh" -> annSignLshSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (seeded random trials) for the custom Catalyst
+  * pieces:
+  *  - latest_by_offset: for ANY interleaving of (offset, value)
+  *    records, the aggregate equals the value at the max offset
+  *    (SURVEY.md §5 property-test item).
+  *  - cosine_sim: the native codegen'd expression is bit-identical to
+  *    the composable zip_with/aggregate form.
+  */
+class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("functions-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("latest_by_offset aggregator: result == value at max offset under any interleaving") {
+    import spark.implicits._
+    val latest = udaf(new LatestByOffsetAgg)
+    val rnd = new Random(42)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val offsets = rnd.shuffle((0L until 100L).toList).take(n)
+      val records = offsets.map(o => (o, rnd.alphanumeric.take(5).mkString))
+      val df = records.toDF("offset", "value")
+        .withColumn("k", lit(1))
+        .repartition(4) // force multi-partition partial aggregation + merge
+      val got = df.groupBy($"k")
+        .agg(latest($"offset", $"value").as("latest"))
+        .collect()(0).getString(1)
+      val expected = records.maxBy(_._1)._2
+      assert(got == expected, s"records=$records")
+    }
+  }
+
+  test("latest_by_offset aggregator: null value at max offset is returned as null (tombstone)") {
+    import spark.implicits._
+    val latest = udaf(new LatestByOffsetAgg)
+    val df = Seq((0L, "a"), (1L, "b"), (2L, null.asInstanceOf[String]))
+      .toDF("offset", "value").withColumn("k", lit(1))
+    val got = df.groupBy($"k").agg(latest($"offset", $"value")).collect()(0)
+    assert(got.isNullAt(1))
+  }
+
+  test("cosine_sim native expression matches the composable form bit-for-bit") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (1 to 25).foreach { _ =>
+      val a = Seq.fill(16)(rnd.nextFloat() * 20f - 10f)
+      val b = Seq.fill(16)(rnd.nextFloat() * 20f - 10f)
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(
+        GraftFunctions.cosineSim(spark, $"a", $"b")).collect()(0).getDouble(0)
+      val composed = df.select(
+        aggregate(zip_with($"a".cast("array<double>"), $"b".cast("array<double>"),
+          (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+          (sqrt(aggregate(transform($"a".cast("array<double>"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)) *
+           sqrt(aggregate(transform($"b".cast("array<double>"), x => x * x),
+             lit(0.0), (acc, x) => acc + x)))).collect()(0).getDouble(0)
+      assert(java.lang.Double.compare(native, composed) == 0,
+        s"native=$native composed=$composed")
+    }
+  }
+
+  test("cosine_sim rejects non-float-array inputs") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(GraftFunctions.cosineSim(spark, $"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+}
