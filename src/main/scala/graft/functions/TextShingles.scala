@@ -14,16 +14,24 @@ object TextShingles {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram shingles as an array of space-joined strings.
-    * For texts shorter than n tokens, the whole text is one shingle. */
+    * For texts shorter than n tokens, the whole text is one shingle.
+    *
+    * IMPORTANT: pass a *materialized column reference* (project the
+    * token array first), not `tokens(col(...))` inline — an expression
+    * inside the transform lambda is re-evaluated per shingle position,
+    * turning one regex split per row into one per shingle (measured
+    * >10× slower on the documents corpus). */
   def shingles(toks: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
-  /** Exploded DISTINCT (doc_id, shingle) pairs for a documents frame. */
+  /** Exploded DISTINCT (doc_id, shingle) pairs for a documents frame.
+    * Tokenizes once per row into a projected column, then shingles. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("sh"))
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(shingles(col("__toks"), n))).as("sh"))
       .distinct()
 }

@@ -37,7 +37,12 @@ object DedupQueries {
     * least one 5-gram shingle (the scalable candidate filter — join on
     * the shingle, not all-pairs), then exact Jaccard >= 0.8. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // The shingle relation feeds 4 plan branches (two join sides +
+    // two size lookups); without persist Spark re-tokenizes the corpus
+    // 4×. At 100 TB the same move is materializing the shingle table
+    // once (parquet/checkpoint) before the self-join.
     val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -75,10 +80,13 @@ object DedupQueries {
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
     val seeds = 0 until 8
+    // persist: the signature relation feeds 4 band projections × 2
+    // join sides — 8 recomputations of the shingle scan without it
     val mh = sh.groupBy(col("doc_id"))
       .agg(min(md5(concat(lit(seeds.head.toString), lit("|"), col("sh")))).as("h0"),
         seeds.tail.map(i =>
           min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"h$i")): _*)
+      .persist()
     val bands = (0 until 4).map { b =>
       mh.select(col("doc_id"), lit(b).as("band"),
         concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig"))

@@ -104,7 +104,19 @@ object StreamingQueries {
     * reference's published Elasticsearch documents bit-for-bit. */
   def pipelineGolden(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val p = new Pipeline(s, Files.createTempDirectory("graft-q-ckpt-").toString)
+    // The fixture is 11 rows: streaming state sharded over the
+    // session's shuffle partitions is pure per-micro-batch overhead
+    // here. Pin a tiny partition count for these queries (stream
+    // confs are captured at query start) and checkpoint to shm.
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, "2")
+    val ckptBase = if (Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Paths.get("/dev/shm") else null
+    val ckpt = if (ckptBase != null)
+      Files.createTempDirectory(ckptBase, "graft-q-ckpt-").toString
+    else Files.createTempDirectory("graft-q-ckpt-").toString
+    val p = try new Pipeline(s, ckpt) finally s.conf.set(shufKey, oldShuf)
     try {
       p.customersFeed.add(
         "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34),

@@ -127,13 +127,12 @@ object TextQueries {
     * k=1 winnowing hash — robust to local edits). */
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    val minShingle =
-      array_min(transform(TextShingles.shingles(TextShingles.tokens(col("text")), 5),
-        sh => md5(sh)))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      md5(norm).as("content_fp"),
-      minShingle.as("min_shingle_fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(norm).as("content_fp"),
+        TextShingles.tokens(col("text")).as("__toks")) // tokenize once per row
+      .select(col("doc_id"), col("content_fp"),
+        array_min(transform(TextShingles.shingles(col("__toks"), 5), sh => md5(sh)))
+          .as("min_shingle_fp"))
   }
 
   val fingerprintSql: String =
