@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Second tranche of batch-SQL surface: JSON extraction, exact
+  * percentiles, pivot, ntile/first/last analytics, and subquery forms
+  * exercised through the `spark.sql` entry point (temp views →
+  * Catalyst's subquery decorrelation), each with a DuckDB oracle. */
+object BatchSqlQueries2 {
+
+  /** JSON field extraction from the events.props column. */
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  /** Exact percentiles (linear interpolation — Spark `percentile` ==
+    * DuckDB `quantile_cont`). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.5) AS p50,
+      |       quantile_cont(l_quantity, 0.9) AS p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Pivot (wide conditional aggregation). */
+  def pivotAgg(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  val pivotAggSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** ntile / first_value / last_value over explicit frames. */
+  def ntileFirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("custkey"),
+      ntile(4).over(w).cast(LongType).as("quartile"),
+      first_value(col("o_orderkey")).over(full).as("first_order"),
+      last_value(col("o_orderkey")).over(full).as("last_order"))
+  }
+
+  val ntileFirstLastSql: String =
+    """SELECT o_orderkey AS order_id, o_custkey AS custkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(o_orderkey) OVER wf AS first_order,
+      |  last_value(o_orderkey) OVER wf AS last_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  private def withViews(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
+
+  /** Correlated scalar subquery through the SQL entry point (temp view
+    * → parser → Catalyst decorrelation). The per-customer average uses
+    * the exact integer-cents grid so both engines compare identical
+    * doubles. */
+  def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql(
+      """SELECT o.o_orderkey AS order_id
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT SUM(CAST(round(o2.o_totalprice*100) AS BIGINT)) / (100.0 * COUNT(*))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val scalarSubquerySql: String =
+    """SELECT o.o_orderkey AS order_id
+      |FROM orders o
+      |WHERE o.o_totalprice > 1.5 * (
+      |  SELECT SUM(CAST(round(o2.o_totalprice*100) AS BIGINT)) / (100.0 * COUNT(*))
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** IN-subquery form (planned as a left-semi join after rewrite). */
+  def inSubquery(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "customer", "nation")
+    s.sql(
+      """SELECT o_orderkey AS order_id, o_totalprice AS price
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))""".stripMargin)
+  }
+
+  val inSubquerySql: String =
+    """SELECT o_orderkey AS order_id, o_totalprice AS price
+      |FROM orders
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_funcs" -> jsonFuncs _,
+    "q_percentiles" -> percentiles _,
+    "q_pivot" -> pivotAgg _,
+    "q_ntile_first_last" -> ntileFirstLast _,
+    "q_scalar_subquery" -> scalarSubquery _,
+    "q_in_subquery" -> inSubquery _)
+
+  def oracles: Map[String, String] = Map(
+    "q_json_funcs" -> jsonFuncsSql,
+    "q_percentiles" -> percentilesSql,
+    "q_pivot" -> pivotAggSql,
+    "q_ntile_first_last" -> ntileFirstLastSql,
+    "q_scalar_subquery" -> scalarSubquerySql,
+    "q_in_subquery" -> inSubquerySql)
+}

@@ -7,13 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with, where SQL-expressible, a DuckDB oracle statement. */
 object Catalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.defs ++ BatchSqlQueries.defs ++ DedupQueries.defs ++
-      SimilarityQueries.defs ++ TextQueries.defs ++
+    PipelineQueries.defs ++ BatchSqlQueries.defs ++ BatchSqlQueries2.defs ++
+      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
       MultimodalQueries.defs ++ StreamingQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ MultimodalQueries.oracles ++
-      StreamingQueries.oracles
+      BatchSqlQueries2.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ TextQueries.oracles ++
+      MultimodalQueries.oracles ++ StreamingQueries.oracles
 }

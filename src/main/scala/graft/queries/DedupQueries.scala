@@ -155,15 +155,51 @@ object DedupQueries {
       |SELECT doc_id, CAST(SUM(bt << b) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin
 
+  /** SimHash near-dup candidate pairs: join only within a signature
+    * bucket (high byte) — the scale move that avoids all-pairs — then
+    * exact hamming ≤ 3 via bit_count(xor). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash(s, d).persist()
+    val hamming =
+      bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
+    sig.as("a").join(sig.as("b"),
+        expr("shiftright(a.simhash, 8) = shiftright(b.simhash, 8)") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
+  val simhashPairsSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) t FROM documents),
+      |tv AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::INT v FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END bt
+      |  FROM tv, (SELECT unnest(generate_series(0, 15)) b) bs
+      |  GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id, CAST(SUM(bt << b) AS BIGINT) simhash
+      |        FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sig a
+      |JOIN sig b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
-    "dedup_simhash" -> simhash _)
+    "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _)
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
-    "dedup_simhash" -> simhashSql)
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql)
 }

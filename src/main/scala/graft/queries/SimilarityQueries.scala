@@ -137,15 +137,122 @@ object SimilarityQueries {
       |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
       |FROM g GROUP BY label, dim""".stripMargin
 
+  /** Embedding-cosine near-dup pairs: candidates restricted to the
+    * same sign-LSH bucket (no all-pairs), exact cosine ≥ 0.9 via the
+    * native fused expression. */
+  def cosNearDup(s: SparkSession, d: String): DataFrame = {
+    val bucketF = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketF.as("bucket"))
+      .persist()
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(graft.functions.GraftFunctions.cosineSim(s,
+          col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9)
+  }
+
+  val cosNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] emb,
+      |    concat(
+      |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) bucket
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id va, b.vec_id vb, a.emb ea, b.emb eb
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT va AS vec_a, vb AS vec_b,
+      |  round(
+      |    list_sum(list_transform(generate_series(1, 64), i -> ea[i]*eb[i])) /
+      |    (sqrt(list_sum(list_transform(ea, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(eb, x -> x*x)))), 6) AS cos_sim
+      |FROM pairs
+      |WHERE round(
+      |    list_sum(list_transform(generate_series(1, 64), i -> ea[i]*eb[i])) /
+      |    (sqrt(list_sum(list_transform(ea, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(eb, x -> x*x)))), 6) >= 0.9""".stripMargin
+
+  /** IVF-style ANN: coarse cells = per-label centroids (computed
+    * distributively, no driver collection); the query probes its
+    * nearest cell only, then exact-re-ranks within it — the 100 TB
+    * shape where the corpus scan prunes to one cell. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withEmb(s, d)
+    val cent = labelCentroids(s, d)
+    val centArr = cent.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cemb"))
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+    val best = centArr.crossJoin(broadcast(q))
+      .select(col("label"),
+        round(dot(col("cemb"), col("qemb")) /
+          (norm(col("cemb")) * norm(col("qemb"))), 6).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(1)
+      .select(col("label").as("best_label"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(best), col("label") === col("best_label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb"))), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  val annIvfSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+      |g AS (
+      |  SELECT label, CAST(t.i AS BIGINT) dim,
+      |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
+      |  FROM e, (SELECT unnest(generate_series(1, 64)) i) t),
+      |c AS (
+      |  SELECT label, dim,
+      |         CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
+      |  FROM g GROUP BY label, dim),
+      |carr AS (SELECT label, list(centroid ORDER BY dim) cemb FROM c GROUP BY label),
+      |q AS (SELECT emb qemb FROM e WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT label,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, 64), i -> cemb[i]*qemb[i])) /
+      |      (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) csim
+      |  FROM carr, q),
+      |best AS (SELECT label FROM scored ORDER BY csim DESC, label LIMIT 1),
+      |cand AS (
+      |  SELECT e.vec_id, e.label, e.emb FROM e
+      |  JOIN best ON e.label = best.label WHERE e.vec_id <> 0)
+      |SELECT vec_id, label,
+      |  round(
+      |    list_sum(list_transform(generate_series(1, 64), i -> emb[i]*qemb[i])) /
+      |    (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+      |     sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) AS cos_sim
+      |FROM cand, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
     "sim_ann_sign_lsh" -> annSignLsh _,
+    "sim_ann_ivf" -> annIvf _,
+    "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_ann_sign_lsh" -> annSignLshSql,
+    "sim_ann_ivf" -> annIvfSql,
+    "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }

@@ -97,6 +97,35 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_id, user_id, event_type FROM events"
 
+  /** Watermarked stream–stream interval join (J2 streaming form) over
+    * the testdata: orders and lineitem as file streams, equi-key + ±3
+    * day band — finite input, so it must equal the batch
+    * j2_interval_join oracle exactly. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    def fileStream(name: String): DataFrame = {
+      val raw = s.read.parquet(s"$d/$name.parquet").schema
+      s.readStream.schema(raw).parquet(s"$d/{$name}.parquet")
+    }
+    // parquet timestamps infer as NTZ; watermarks need TIMESTAMP —
+    // identical wall values under the UTC session
+    val o = fileStream("orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"))
+      .withWatermark("o_orderdate", "30 days").as("o")
+    val l = fileStream("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("l_shipdate"))
+      .withWatermark("l_shipdate", "30 days").as("l")
+    val joined = o.join(l,
+      expr("""l.l_orderkey = o.o_orderkey AND
+              l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
+              l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), "inner")
+      .select(col("o.o_orderkey").as("order_id"),
+        col("l.l_linenumber").as("line_no"),
+        date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    runToTable(joined, "append")
+  }
+
   /** The full chained streaming pipeline on the reference's golden
     * seed (reference README.md:502-527 + live insert 654-672); the
     * oracle is the expected output as a VALUES literal — the strongest
@@ -161,11 +190,13 @@ object StreamingQueries {
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
+    "stream_interval_join" -> streamIntervalJoin _,
     "stream_pipeline_golden" -> pipelineGolden _)
 
   def oracles: Map[String, String] = Map(
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
 }
