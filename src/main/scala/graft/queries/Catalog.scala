@@ -9,11 +9,12 @@ object Catalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.defs ++ BatchSqlQueries.defs ++ BatchSqlQueries2.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs
+      MultimodalQueries.defs ++ StreamingQueries.defs ++ SourceQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
       BatchSqlQueries2.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles ++ StreamingQueries.oracles
+      MultimodalQueries.oracles ++ StreamingQueries.oracles ++
+      SourceQueries.oracles
 }
