@@ -126,7 +126,76 @@ object BatchSqlQueries2 {
       |  SELECT c_custkey FROM customer
       |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))""".stripMargin
 
+  /** As-of lookup within a stream: for each event, the same user's
+    * most recent signup time at-or-before it (running conditional max
+    * over an ordered frame — the windowed form of an as-of join). */
+  def asofPrevSignup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("user_id"),
+      date_format(max(when(col("event_type") === "signup", col("ts"))).over(w),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("asof_signup_ts"))
+  }
+
+  val asofPrevSignupSql: String =
+    """SELECT event_id, user_id,
+      |  strftime(MAX(CASE WHEN event_type = 'signup' THEN ts END)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    '%Y-%m-%d %H:%M:%S.%f') AS asof_signup_ts
+      |FROM events""".stripMargin
+
+  /** Explicit GROUPING SETS through the SQL entry point. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** Array function surface over the token arrays. */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextShingles.tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast(LongType).as("n"),
+        element_at(col("t"), 1).as("first_tok"),
+        array_contains(col("t"), "data").cast(LongType).as("has_data"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+        array_join(slice(col("t"), 1, 3), "_").as("first3"),
+        array_max(transform(col("t"), x => length(x))).cast(LongType).as("max_tok_len"))
+
+  val arrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n,
+      |  t[1] AS first_tok,
+      |  CAST(CASE WHEN list_contains(t, 'data') THEN 1 ELSE 0 END AS BIGINT) AS has_data,
+      |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |  array_to_string(t[1:3], '_') AS first3,
+      |  CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_tok_len
+      |FROM t""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_prev_signup" -> asofPrevSignup _,
+    "q_grouping_sets" -> groupingSets _,
+    "q_array_funcs" -> arrayFuncs _,
     "q_json_funcs" -> jsonFuncs _,
     "q_percentiles" -> percentiles _,
     "q_pivot" -> pivotAgg _,
@@ -135,6 +204,9 @@ object BatchSqlQueries2 {
     "q_in_subquery" -> inSubquery _)
 
   def oracles: Map[String, String] = Map(
+    "q_asof_prev_signup" -> asofPrevSignupSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_array_funcs" -> arrayFuncsSql,
     "q_json_funcs" -> jsonFuncsSql,
     "q_percentiles" -> percentilesSql,
     "q_pivot" -> pivotAggSql,

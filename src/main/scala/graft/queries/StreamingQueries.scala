@@ -97,6 +97,29 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_id, user_id, event_type FROM events"
 
+  /** A2/A3 streaming form: update-mode latest-by-offset aggregation
+    * materialized into a SnapshotStore via foreachBatch — the final
+    * table state must equal the batch arg_max oracle. */
+  def streamLatestByKey(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("latest_type", StringType),
+      StructField("latest_value", DoubleType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "user_id")
+    val table = graft.streaming.LatestByKey.table(
+      eventsStream(s, d)
+        .select(col("user_id"), col("event_id").as("offset"),
+          col("event_type").as("latest_type"), col("value").as("latest_value")),
+      "user_id", "offset", Seq("latest_type", "latest_value"))
+    val q = table.writeStream.outputMode("update")
+      .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    store.df(s)
+  }
+
   /** Watermarked stream–stream interval join (J2 streaming form) over
     * the testdata: orders and lineitem as file streams, equi-key + ±3
     * day band — finite input, so it must equal the batch
@@ -190,6 +213,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
+    "stream_latest_by_key" -> streamLatestByKey _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_pipeline_golden" -> pipelineGolden _)
 
@@ -197,6 +221,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
 }

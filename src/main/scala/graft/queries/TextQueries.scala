@@ -150,13 +150,31 @@ object TextQueries {
       |  sh.msf AS min_shingle_fp
       |FROM t JOIN sh ON t.doc_id = sh.doc_id""".stripMargin
 
+  /** Corpus-level term frequency: explode + grouped count + top-k
+    * (the vocabulary/stopword-mining primitive; two-phase agg, top-k
+    * merge — no global sort). */
+  def topTerms(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+
+  val topTermsSql: String =
+    """SELECT t AS term, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+      |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_terms" -> topTerms _,
     "text_token_count" -> tokenCount _,
     "text_quality" -> quality _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_top_terms" -> topTermsSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,
