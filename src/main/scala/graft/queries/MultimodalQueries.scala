@@ -57,6 +57,36 @@ object MultimodalQueries {
       |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
       |FROM documents""".stripMargin
 
+  case class DocEmbed(doc_id: Long, embedding: Seq[Double])
+
+  /** Feature-extraction plumbing: payload bytes → embedding vector via
+    * a partition-batched extractor (one "model" per partition, the
+    * mapInPandas shape). The extractor is a DETERMINISTIC STUB
+    * (md5-derived 8-dim vector in [0,1]); the Spark plumbing — binary
+    * in, typed vector column out, no shuffle — is the real path an
+    * image/audio embedder runs at 100 TB. */
+  def embedStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per partition
+        it.map { case (id, bytes) =>
+          md.reset()
+          val dg = md.digest(bytes)
+          DocEmbed(id, (0 until 8).map(i => (dg(i) & 0xff) / 255.0))
+        }
+      }
+      .toDF()
+  }
+
+  val embedStubSql: String =
+    """SELECT doc_id,
+      |  list_transform(generate_series(1, 8),
+      |    i -> (('0x' || substr(md5(text), 2*i-1, 2))::INT) / 255.0) AS embedding
+      |FROM documents""".stripMargin
+
   /** Frame-sampling plumbing: treat every 1 KiB slice of the payload as
     * a "frame", sample every 4th — pure column ops on binary
     * (substring on bytes), no shuffle. Output is (doc_id, frame_no,
@@ -89,9 +119,11 @@ object MultimodalQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_meta" -> mediaMeta _,
+    "mm_embed_stub" -> embedStub _,
     "mm_frame_sample" -> frameSample _)
 
   def oracles: Map[String, String] = Map(
     "mm_media_meta" -> mediaMetaSql,
+    "mm_embed_stub" -> embedStubSql,
     "mm_frame_sample" -> frameSampleSql)
 }

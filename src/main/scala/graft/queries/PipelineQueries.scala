@@ -154,6 +154,31 @@ object PipelineQueries {
       |       c_mktsegment AS segment, 'false' AS __deleted
       |FROM customer""".stripMargin
 
+  /** S3: MongoDB-style envelope unwrap with delete.handling.mode=drop
+    * (reference README.md:379-383): deletes filtered out, op code kept
+    * as the __op metadata column (the operation.header analog).
+    * Customers in nations 0-2 are marked as delete events. */
+  def envelopeUnwrapDrop(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val envelope = c.select(
+      to_json(struct(
+        struct(
+          col("c_custkey").as("customer_id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment")).as("after"),
+        when(col("c_nationkey") < 3, "d").otherwise("u").as("op"))).as("value"))
+    val afterSchema = StructType(Seq(
+      StructField("customer_id", LongType), StructField("name", StringType),
+      StructField("segment", StringType)))
+    graft.streaming.DebeziumEnvelope
+      .unwrap(envelope, col("value"), afterSchema,
+        graft.streaming.DebeziumEnvelope.Drop)
+  }
+
+  val envelopeUnwrapDropSql: String =
+    """SELECT c_custkey AS customer_id, c_name AS name,
+      |       c_mktsegment AS segment, 'u' AS __op
+      |FROM customer WHERE c_nationkey >= 3""".stripMargin
+
   /** S5: event-time extraction — format then re-parse with the reference's
     * timestamp_format, proving the parse path; also derives the hour. */
   def eventTime(s: SparkSession, d: String): DataFrame =
@@ -223,6 +248,7 @@ object PipelineQueries {
     "j1_enrich_left_join" -> enrichLeftJoin _,
     "j2_interval_join" -> intervalJoin _,
     "s2_envelope_unwrap" -> envelopeUnwrap _,
+    "s3_envelope_unwrap_drop" -> envelopeUnwrapDrop _,
     "s5_event_time" -> eventTime _,
     "p1_projection" -> projection _,
     "p3_filter_pushdown" -> filterPushdown _,
@@ -235,6 +261,7 @@ object PipelineQueries {
     "j1_enrich_left_join" -> enrichLeftJoinSql,
     "j2_interval_join" -> intervalJoinSql,
     "s2_envelope_unwrap" -> envelopeUnwrapSql,
+    "s3_envelope_unwrap_drop" -> envelopeUnwrapDropSql,
     "s5_event_time" -> eventTimeSql,
     "p1_projection" -> projectionSql,
     "p3_filter_pushdown" -> filterPushdownSql,

@@ -156,6 +156,30 @@ class PipelineGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.stop()
   }
 
+  test("late data: shipment below the advanced watermark is dropped (state eviction)") {
+    val p = newPipeline()
+    try {
+      p.customersFeed.add(
+        "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34))
+      p.ordersFeed.add(
+        "17" -> orderJson("5", "17", 25.25, "eur", "2020-04-02T17:22:00"))
+      p.step()
+      // advance both watermarks ~2 months: an unrelated matched pair
+      p.ordersFeed.add(
+        "70" -> orderJson("5", "70", 1.00, "usd", "2020-06-01T00:00:00"))
+      p.shipmentsFeed.add(
+        "70" -> shipmentJson("70", "80", "texas", "2020-06-01T01:00:00"))
+      p.step()
+      assert(p.shippedOrders.get("70").isDefined)
+      // in-band for order 17, but far below watermark (≈2020-05-25):
+      // the join state for April was evicted — row must NOT appear
+      p.shipmentsFeed.add(
+        "17" -> shipmentJson("17", "75", "texas", "2020-04-03T00:00:00"))
+      p.step()
+      assert(p.shippedOrders.get("17").isEmpty)
+    } finally p.stop()
+  }
+
   test("out-of-order arrival: shipment before its order still joins (symmetric buffering)") {
     val p = newPipeline()
     try {
