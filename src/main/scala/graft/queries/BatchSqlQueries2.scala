@@ -126,6 +126,33 @@ object BatchSqlQueries2 {
       |  SELECT c_custkey FROM customer
       |  WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2))""".stripMargin
 
+  /** Per-key top-k via the bounded TopKByScore aggregator (map-side
+    * k-bounded partials — no full window sort-shuffle); the
+    * row_number window form is the oracle. Top-3 orders per customer
+    * by price. */
+  def topkPerKey(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("custkey"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("custkey"),
+        col("z.ids").as("order_id"),
+        col("z.scores").as("price"),
+        (col("pos") + 1).cast(LongType).as("rn"))
+  }
+
+  val topkPerKeySql: String =
+    """SELECT custkey, order_id, price, rn FROM (
+      |  SELECT o_custkey AS custkey, o_orderkey AS order_id,
+      |         o_totalprice AS price,
+      |         CAST(row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
   /** As-of lookup within a stream: for each event, the same user's
     * most recent signup time at-or-before it (running conditional max
     * over an ordered frame — the windowed form of an as-of join). */
@@ -193,6 +220,7 @@ object BatchSqlQueries2 {
       |FROM t""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_key" -> topkPerKey _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -204,6 +232,7 @@ object BatchSqlQueries2 {
     "q_in_subquery" -> inSubquery _)
 
   def oracles: Map[String, String] = Map(
+    "q_topk_per_key" -> topkPerKeySql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

@@ -75,6 +75,27 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top-k aggregator == sort-take under any partitioning") {
+    import spark.implicits._
+    val topk = udaf(new TopKByScore(5))
+    val rnd = new Random(11)
+    (1 to 15).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // duplicate scores on purpose to exercise the id tie-break
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(8).toDouble, i.toLong))
+      val got = rows.toDF("score", "id")
+        .withColumn("k", lit(1)).repartition(4)
+        .groupBy($"k").agg(topk($"score", $"id").as("top"))
+        .select($"top.scores", $"top.ids")
+        .collect()(0)
+      val (gs, gi) = (got.getSeq[Double](0), got.getSeq[Long](1))
+      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(5)
+      assert(gs.zip(gi) == expected.map { case (s, i) => (s, i) },
+        s"rows=$rows")
+    }
+  }
+
   test("cosine_sim rejects non-float-array inputs") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("a", "b")
