@@ -34,9 +34,19 @@ object StreamingQueries {
     }
   }
 
+  /** Checkpoint to shared memory when available: these finite-input
+    * runs don't need durable recovery, and stateful joins/aggs write
+    * state per micro-batch. */
+  private def shmCheckpoint(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isWritable(shm)) Files.createTempDirectory(shm, "graft-sq-").toString
+    else Files.createTempDirectory("graft-sq-").toString
+  }
+
   private def runToTable(df: DataFrame, mode: String): DataFrame = {
     val name = s"stream_q_${nameCounter.incrementAndGet()}"
     val q = df.writeStream.outputMode(mode).format("memory")
+      .option("checkpointLocation", shmCheckpoint())
       .queryName(name).start()
     q.processAllAvailable()
     q.stop()
@@ -113,6 +123,7 @@ object StreamingQueries {
           col("event_type").as("latest_type"), col("value").as("latest_value")),
       "user_id", "offset", Seq("latest_type", "latest_value"))
     val q = table.writeStream.outputMode("update")
+      .option("checkpointLocation", shmCheckpoint())
       .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
       .start()
     q.processAllAvailable()
@@ -146,7 +157,12 @@ object StreamingQueries {
       .select(col("o.o_orderkey").as("order_id"),
         col("l.l_linenumber").as("line_no"),
         date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-    runToTable(joined, "append")
+    // fewer state partitions: 2 store instances per partition per side
+    // are written every micro-batch — at this volume 8 beats 32
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, "8")
+    try runToTable(joined, "append") finally s.conf.set(shufKey, oldShuf)
   }
 
   /** The full chained streaming pipeline on the reference's golden
