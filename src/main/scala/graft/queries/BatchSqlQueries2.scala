@@ -153,6 +153,42 @@ object BatchSqlQueries2 {
       |  FROM orders)
       |WHERE rn <= 3""".stripMargin
 
+  /** The custom AS-OF JOIN operator (graft.plans.AsOfJoin: LogicalPlan
+    * + Strategy + sort-merge SparkPlan): every purchase event matched
+    * to the same user's latest signup at-or-before it. Oracle = the
+    * correlated-max spelling. AQE is pinned off for this plan: the
+    * operator zips co-partitioned children, which AQE's independent
+    * shuffle coalescing would break. */
+  def asofJoinCustom(s: SparkSession, d: String): DataFrame = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val oldAqe = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try {
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val out = graft.plans.AsOf.join(purchases, signups,
+          purchases("user_id"), signups("s_user"),
+          purchases("ts"), signups("s_ts"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
+      out.cache()
+      out.count() // execute (and cache) while the conf pin is active
+      out
+    } finally s.conf.set(aqeKey, oldAqe)
+  }
+
+  val asofJoinCustomSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime((SELECT max(s.ts) FROM events s
+      |            WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+      |              AND s.ts <= p.ts),
+      |           '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
   /** As-of lookup within a stream: for each event, the same user's
     * most recent signup time at-or-before it (running conditional max
     * over an ordered frame — the windowed form of an as-of join). */
@@ -221,6 +257,7 @@ object BatchSqlQueries2 {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_per_key" -> topkPerKey _,
+    "q_asof_join_custom" -> asofJoinCustom _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -233,6 +270,7 @@ object BatchSqlQueries2 {
 
   def oracles: Map[String, String] = Map(
     "q_topk_per_key" -> topkPerKeySql,
+    "q_asof_join_custom" -> asofJoinCustomSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,
