@@ -255,7 +255,23 @@ object BatchSqlQueries2 {
       |  CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT) AS max_tok_len
       |FROM t""".stripMargin
 
+  /** Sketch aggregates (HLL distinct-count, approximate quantiles).
+    * Approximation algorithms differ across engines, so there is no
+    * SQL oracle — the driver records the weaker rows-only check; the
+    * point is the engine surface (mergeable sketches are the 100 TB
+    * substitute for exact distinct/percentile when error is
+    * acceptable). */
+  def sketchAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_agg" -> sketchAgg _,
     "q_topk_per_key" -> topkPerKey _,
     "q_asof_join_custom" -> asofJoinCustom _,
     "q_asof_prev_signup" -> asofPrevSignup _,
