@@ -57,6 +57,24 @@ object Relational {
         rightTime <= leftTime + expr(s"INTERVAL $band"),
       "inner")
 
+  /** Skew-mitigating salted join: the skewed (fact) side gets a
+    * deterministic salt derived from a high-cardinality column, and the
+    * build side is replicated across all salt values, so one hot key
+    * spreads over `salts` shuffle partitions. Semantically identical to
+    * the plain join (verified by oracle). AQE's skew-join handles most
+    * cases at runtime; explicit salting is the fallback when a single
+    * key exceeds what one task can hold. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, factKey: Column,
+                 buildKey: Column, saltSource: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(saltSource), lit(salts)))
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedBuild,
+        factKey === buildKey && saltedFact("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+
   /** Batch form of the table materialization used by oracle verification:
     * row_number desc = 1. Kept for tests that need exact tie-inspection. */
   def latestByKeyWindowed(df: DataFrame, keys: Seq[Column],

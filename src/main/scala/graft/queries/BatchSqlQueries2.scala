@@ -270,7 +270,28 @@ object BatchSqlQueries2 {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"))
 
+  /** Salted join == plain join (skew mitigation is a physical rewrite,
+    * not a semantic change). */
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    graft.operators.Relational.saltedJoin(
+        l, o, l("l_orderkey"), o("o_orderkey"),
+        saltSource = l("l_linenumber"), salts = 8)
+      .select(col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_extendedprice").as("price"),
+        col("o_orderstatus").as("status"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT l.l_orderkey AS order_id, l.l_linenumber AS line_no,
+      |       l.l_extendedprice AS price, o.o_orderstatus AS status
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join" -> saltedJoin _,
     "q_sketch_agg" -> sketchAgg _,
     "q_topk_per_key" -> topkPerKey _,
     "q_asof_join_custom" -> asofJoinCustom _,
@@ -285,6 +306,7 @@ object BatchSqlQueries2 {
     "q_in_subquery" -> inSubquery _)
 
   def oracles: Map[String, String] = Map(
+    "q_salted_join" -> saltedJoinSql,
     "q_topk_per_key" -> topkPerKeySql,
     "q_asof_join_custom" -> asofJoinCustomSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
