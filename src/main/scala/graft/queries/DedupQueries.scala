@@ -37,13 +37,16 @@ object DedupQueries {
     * least one 5-gram shingle (the scalable candidate filter — join on
     * the shingle, not all-pairs), then exact Jaccard >= 0.8. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // The shingle relation feeds 4 plan branches (two join sides +
-    // two size lookups); without persist Spark re-tokenizes the corpus
-    // 4×. At 100 TB the same move is materializing the shingle table
-    // once (parquet/checkpoint) before the self-join.
+    // Per-doc set sizes are computed narrow (size(array_distinct)) —
+    // no shuffle; only the intersection join needs the exploded
+    // shingle relation, which feeds 2 branches (persist, or at 100 TB
+    // materialize once to parquet before the self-join).
     val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
       .persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizes = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(array_distinct(TextShingles.shingles(col("__toks"), N))).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -78,14 +81,23 @@ object DedupQueries {
     * set, banded 4×2; pairs sharing any band bucket. The band join is
     * the scale path — state per bucket, no all-pairs comparison. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
     val seeds = 0 until 8
-    // persist: the signature relation feeds 4 band projections × 2
-    // join sides — 8 recomputations of the shingle scan without it
-    val mh = sh.groupBy(col("doc_id"))
-      .agg(min(md5(concat(lit(seeds.head.toString), lit("|"), col("sh")))).as("h0"),
-        seeds.tail.map(i =>
-          min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"h$i")): _*)
+    // min over shingles is multiset-invariant, so each signature is a
+    // narrow per-row array_min over the shingle array: NO explode, NO
+    // distinct, NO shuffle to build signatures — the corpus scan stays
+    // embarrassingly parallel and only the (tiny) signature relation
+    // shuffles for the band join. Hashing is shared: two md5s per
+    // shingle sliced into eight 32-bit hashes (vs one md5 per seed).
+    // persist: it feeds 4 band projections × 2 join sides.
+    val mh = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        transform(TextShingles.shingles(col("__toks"), N),
+          sh => concat(md5(concat(lit("0|"), sh)),
+            md5(concat(lit("1|"), sh)))).as("__h64"))
+      .select(col("doc_id") +: seeds.map(i =>
+        array_min(transform(col("__h64"),
+          h => substring(h, 8 * i + 1, 8))).as(s"h$i")): _*)
       .persist()
     val bands = (0 until 4).map { b =>
       mh.select(col("doc_id"), lit(b).as("band"),
@@ -101,16 +113,22 @@ object DedupQueries {
   val minhashLshSql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
-      |idx AS (
-      |  SELECT doc_id, words,
-      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') sh FROM idx),
+      |sharr AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-4, 1)),
+      |           i -> array_to_string(words[i:i+4], ' ')) shl FROM tok),
+      |h AS (SELECT doc_id,
+      |        list_transform(shl, sh -> md5('0|' || sh) || md5('1|' || sh)) h64
+      |      FROM sharr),
       |mh AS (SELECT doc_id,
-      |  min(md5('0|' || sh)) h0, min(md5('1|' || sh)) h1,
-      |  min(md5('2|' || sh)) h2, min(md5('3|' || sh)) h3,
-      |  min(md5('4|' || sh)) h4, min(md5('5|' || sh)) h5,
-      |  min(md5('6|' || sh)) h6, min(md5('7|' || sh)) h7
-      |  FROM sh GROUP BY doc_id),
+      |  list_min(list_transform(h64, x -> substr(x, 1, 8))) h0,
+      |  list_min(list_transform(h64, x -> substr(x, 9, 8))) h1,
+      |  list_min(list_transform(h64, x -> substr(x, 17, 8))) h2,
+      |  list_min(list_transform(h64, x -> substr(x, 25, 8))) h3,
+      |  list_min(list_transform(h64, x -> substr(x, 33, 8))) h4,
+      |  list_min(list_transform(h64, x -> substr(x, 41, 8))) h5,
+      |  list_min(list_transform(h64, x -> substr(x, 49, 8))) h6,
+      |  list_min(list_transform(h64, x -> substr(x, 57, 8))) h7
+      |  FROM h),
       |bands AS (
       |  SELECT doc_id, 0 band, h0 || ',' || h1 sig FROM mh
       |  UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM mh
