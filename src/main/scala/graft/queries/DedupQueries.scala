@@ -92,12 +92,9 @@ object DedupQueries {
     val mh = Tables.documents(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        transform(TextShingles.shingles(col("__toks"), N),
-          sh => concat(md5(concat(lit("0|"), sh)),
-            md5(concat(lit("1|"), sh)))).as("__h64"))
+        graft.functions.MinHashSlices(s, col("__toks")).as("__mh"))
       .select(col("doc_id") +: seeds.map(i =>
-        array_min(transform(col("__h64"),
-          h => substring(h, 8 * i + 1, 8))).as(s"h$i")): _*)
+        element_at(col("__mh"), i + 1).as(s"h$i")): _*)
       .persist()
     val bands = (0 until 4).map { b =>
       mh.select(col("doc_id"), lit(b).as("band"),
@@ -144,20 +141,9 @@ object DedupQueries {
     * simhashPairs. */
   def simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextShingles.tokens(col("text")))).as("t"))
-      .distinct()
-      .withColumn("v", conv(substring(md5(col("t")), 1, 4), 16, 10).cast(IntegerType))
-      .crossJoin(org.apache.spark.sql.functions.broadcast(
-        s.range(0, 16).select(col("id").cast(IntegerType).as("b"))))
-      .select(col("doc_id"), col("b"),
-        expr("CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END").as("contrib"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("contrib")).as("sc"))
-      .select(col("doc_id"), col("b"),
-        when(col("sc") > 0, 1L).otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, b)")).cast(LongType).as("simhash"))
+        graft.functions.SimHash16(s, col("__toks")).as("simhash"))
 
   val simhashSql: String =
     """WITH tok AS (
