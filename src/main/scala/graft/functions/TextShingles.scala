@@ -34,4 +34,17 @@ object TextShingles {
       .select(col(idCol),
         explode(array_distinct(shingles(col("__toks"), n))).as("sh"))
       .distinct()
+
+  /** Like shingleSet but with shingles replaced by a 64-bit md5 prefix
+    * — same set cardinalities (collisions negligible at this width),
+    * half the shuffle bytes for set-similarity self-joins. The hash is
+    * applied inside array_distinct's input so dedup happens on the
+    * compact key too. */
+  def shingleHashSet(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(transform(shingles(col("__toks"), n),
+          sh => substring(md5(sh), 1, 16)))).as("sh"))
+      .distinct()
 }

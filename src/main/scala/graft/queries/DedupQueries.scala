@@ -41,7 +41,7 @@ object DedupQueries {
     // no shuffle; only the intersection join needs the exploded
     // shingle relation, which feeds 2 branches (persist, or at 100 TB
     // materialize once to parquet before the self-join).
-    val sh = TextShingles.shingleSet(Tables.documents(s, d), "doc_id", "text", N)
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d), "doc_id", "text", N)
       .persist()
     val sizes = Tables.documents(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
@@ -65,7 +65,8 @@ object DedupQueries {
       |idx AS (
       |  SELECT doc_id, words,
       |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') sh FROM idx),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
