@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog integrity: the driver contract requires every oracle key to
+  * name a query, stable unique names, and (engine policy) every query
+  * to carry an oracle unless explicitly rows-only. */
+class CatalogSpec extends AnyFunSuite {
+
+  private val rowsOnly = Set("q_sketch_agg") // approximations differ per engine
+
+  test("every oracle key has a query") {
+    val missing = Catalog.oracles.keySet -- Catalog.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("every query has an oracle unless documented rows-only") {
+    val missing = Catalog.queries.keySet -- Catalog.oracles.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
+  test("no duplicate names across query groups") {
+    val all = Seq(PipelineQueries.defs, BatchSqlQueries.defs,
+      BatchSqlQueries2.defs, DedupQueries.defs, SimilarityQueries.defs,
+      TextQueries.defs, MultimodalQueries.defs, StreamingQueries.defs,
+      SourceQueries.defs)
+    val names = all.flatMap(_.keys)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size == Catalog.queries.size)
+  }
+}
