@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Third tranche of SQL-surface closure: bag-semantics UNION ALL,
+  * explicit cross join, null-handling scalars, LIKE, regexp
+  * extraction, string padding/translation. */
+object BatchSqlQueries3 {
+
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      .select(col("o_orderkey").as("order_id"), lit("high").as("tier"))
+    val lo = Tables.orders(s, d).filter(col("o_totalprice") < 2000)
+      .select(col("o_orderkey").as("order_id"), lit("low").as("tier"))
+    hi.unionAll(lo)
+  }
+
+  val unionAllSql: String =
+    """SELECT o_orderkey AS order_id, 'high' AS tier FROM orders WHERE o_totalprice > 250000
+      |UNION ALL
+      |SELECT o_orderkey AS order_id, 'low' AS tier FROM orders WHERE o_totalprice < 2000""".stripMargin
+
+  /** Explicit small cross join (cartesian surface). */
+  def crossJoinSmall(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name").as("region"))
+      .crossJoin(Tables.nation(s, d).select(col("n_name").as("nation")))
+
+  val crossJoinSql: String =
+    """SELECT r.r_name AS region, n.n_name AS nation
+      |FROM region r CROSS JOIN nation n""".stripMargin
+
+  /** Null-handling scalar surface: nullif/coalesce/isnull arithmetic. */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("__default"))
+        .as("seg_or_default"),
+      isnull(nullif(col("c_nationkey"), lit(0))).cast(LongType).as("is_nation0"),
+      when(col("c_acctbal") < 0, null).otherwise(col("c_acctbal")).as("pos_bal"))
+
+  val nullHandlingSql: String =
+    """SELECT c_custkey AS custkey,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '__default') AS seg_or_default,
+      |  CAST(NULLIF(c_nationkey, 0) IS NULL AS BIGINT) AS is_nation0,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS pos_bal
+      |FROM customer""".stripMargin
+
+  /** LIKE / pattern matching. */
+  def likePatterns(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("%BRUSHED%") || col("p_name").like("g%n%"))
+      .select(col("p_partkey").as("partkey"), col("p_type"), col("p_name"))
+
+  val likePatternsSql: String =
+    """SELECT p_partkey AS partkey, p_type, p_name FROM part
+      |WHERE p_type LIKE '%BRUSHED%' OR p_name LIKE 'g%n%'""".stripMargin
+
+  /** Regexp extraction + string padding/translate (identical regex
+    * semantics for these simple patterns across engines). */
+  def regexpStrings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey").as("partkey"),
+      regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+      lpad(col("p_brand"), 12, "_").as("brand_pad"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"),
+      rtrim(concat(col("p_brand"), lit("  "))).as("brand_rtrim"))
+
+  val regexpStringsSql: String =
+    """SELECT p_partkey AS partkey,
+      |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+      |  lpad(p_brand, 12, '_') AS brand_pad,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+      |  rtrim(p_brand || '  ') AS brand_rtrim
+      |FROM part""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> unionAll _,
+    "q_cross_join" -> crossJoinSmall _,
+    "q_null_handling" -> nullHandling _,
+    "q_like_patterns" -> likePatterns _,
+    "q_regexp_strings" -> regexpStrings _)
+
+  def oracles: Map[String, String] = Map(
+    "q_union_all" -> unionAllSql,
+    "q_cross_join" -> crossJoinSql,
+    "q_null_handling" -> nullHandlingSql,
+    "q_like_patterns" -> likePatternsSql,
+    "q_regexp_strings" -> regexpStringsSql)
+}

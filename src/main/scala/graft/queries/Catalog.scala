@@ -8,13 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Catalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.defs ++ BatchSqlQueries.defs ++ BatchSqlQueries2.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ TextQueries.defs ++
-      MultimodalQueries.defs ++ StreamingQueries.defs ++ SourceQueries.defs
+      BatchSqlQueries3.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
+      TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
+      SourceQueries.defs ++ CleaningQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
-      BatchSqlQueries2.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles ++ StreamingQueries.oracles ++
-      SourceQueries.oracles
+      BatchSqlQueries2.oracles ++ BatchSqlQueries3.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      TextQueries.oracles ++ MultimodalQueries.oracles ++
+      StreamingQueries.oracles ++ SourceQueries.oracles ++
+      CleaningQueries.oracles
 }

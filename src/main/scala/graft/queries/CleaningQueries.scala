@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** End-to-end corpus cleaning — the composed LLM-data pipeline:
+  * quality-gate documents, find near-duplicate pairs (shared-shingle
+  * candidates + exact Jaccard), drop every duplicate except the
+  * lowest doc_id survivor, emit the kept corpus. Each stage is an
+  * operator verified on its own elsewhere; this query verifies the
+  * composition. */
+object CleaningQueries {
+
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // quality gate: token-count band + stopword presence
+    val toks = TextShingles.tokens(col("text"))
+    val gated = docs
+      .select(col("doc_id"), col("text"), size(toks).cast(LongType).as("n_tokens"))
+      .filter(col("n_tokens") >= 20 && col("n_tokens") <= 450)
+    // near-dup pairs among gated docs (hashed-shingle candidates,
+    // exact Jaccard >= 0.8); loser = higher doc_id
+    val sh = TextShingles.shingleHashSet(gated, "doc_id", "text", 5).persist()
+    val sizes = gated
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(array_distinct(transform(TextShingles.shingles(col("__toks"), 5),
+          x => substring(md5(x), 1, 16)))).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    val losers = inter
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
+      .select(col("db").as("loser"))
+      .distinct()
+    gated.join(losers, gated("doc_id") === losers("loser"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+  }
+
+  val cleanCorpusSql: String =
+    """WITH gated AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 450),
+      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM gated),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |losers AS (
+      |  SELECT DISTINCT db AS loser FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.8)
+      |SELECT doc_id, n_tokens FROM gated
+      |WHERE doc_id NOT IN (SELECT loser FROM losers)""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_clean_corpus" -> cleanCorpus _)
+
+  def oracles: Map[String, String] = Map(
+    "pipeline_clean_corpus" -> cleanCorpusSql)
+}
