@@ -194,7 +194,68 @@ object DedupQueries {
       |JOIN sig b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** Duplicate-cluster connected components over the verified Jaccard
+    * pairs via iterative min-label propagation — the standard
+    * distributed CC (each iteration: one join + one grouped min;
+    * converges in graph-diameter rounds; at 100 TB this is exactly how
+    * dedup clusters are built, no driver-side graph). Oracle: a
+    * recursive-CTE transitive closure. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b")).persist()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "doc_id")
+        .filter(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  val componentsSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+      |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.8),
+      |edges AS (SELECT da a, db b FROM pairs UNION SELECT db, da FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+      |         FROM reach GROUP BY a)
+      |SELECT doc_id, CAST(component AS BIGINT) AS component FROM comp""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> components _,
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
@@ -202,6 +263,7 @@ object DedupQueries {
     "dedup_simhash_pairs" -> simhashPairs _)
 
   def oracles: Map[String, String] = Map(
+    "dedup_components" -> componentsSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
