@@ -202,29 +202,40 @@ object DedupQueries {
     * recursive-CTE transitive closure. */
   def components(s: SparkSession, d: String): DataFrame = {
     val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b")).persist()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("component")).persist()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 30) {
-      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-        .select(labels("doc_id"),
-          least(col("component"), coalesce(col("nbr"), col("component")))
-            .as("component"))
+    pairs.count() // materialize the pair mining at full parallelism
+    // the propagation loop runs over the (tiny) node/edge relations:
+    // wide shuffles per iteration are pure overhead, so pin them small
+    // (at larger cluster scale: size to the edge relation, not the
+    // corpus)
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, "4")
+    try {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("component")).persist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+          .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+          .select(labels("doc_id"),
+            least(col("component"), coalesce(col("nbr"), col("component")))
+              .as("component"))
+          .persist()
+        val changed = next
+          .join(labels.withColumnRenamed("component", "old"), "doc_id")
+          .filter(col("component") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally s.conf.set(shufKey, oldShuf)
   }
 
   val componentsSql: String =
