@@ -40,6 +40,11 @@ case class MinHashSlices(child: Expression, shingleWidth: Int)
 
   @transient private lazy val hexChars = "0123456789abcdef".toCharArray
 
+  // one digest per task (expression instances are single-threaded);
+  // getInstance per row was measurable on the 250k-shingle corpus
+  @transient private lazy val digest: MessageDigest =
+    MessageDigest.getInstance("MD5")
+
   private def md5Hex(md: MessageDigest, s: String): String = {
     md.reset()
     val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -57,7 +62,7 @@ case class MinHashSlices(child: Expression, shingleWidth: Int)
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest
     val mins = new Array[String](8)
     val nShingles = math.max(n - (shingleWidth - 1), 1)
     val sb = new java.lang.StringBuilder(64)

@@ -34,11 +34,14 @@ case class SimHash16(child: Expression)
           s"simhash16 expects array<string>, got ${other.simpleString}")
     }
 
+  @transient private lazy val digest: MessageDigest =
+    MessageDigest.getInstance("MD5")
+
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     val seen = new java.util.HashSet[String]()
-    val md = MessageDigest.getInstance("MD5")
+    val md = digest
     val counts = new Array[Int](16)
     var i = 0
     while (i < n) {

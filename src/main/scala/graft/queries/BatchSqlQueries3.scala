@@ -77,7 +77,33 @@ object BatchSqlQueries3 {
       |  rtrim(p_brand || '  ') AS brand_rtrim
       |FROM part""".stripMargin
 
+  /** RANGE window frame: per-customer 30-day trailing spend, on an
+    * integer day grid so both engines share exact frame semantics. */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayN = datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("__day"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("__day", dayN.cast(LongType))
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("custkey"),
+        col("__day").as("day_n"),
+        (sum(round(col("o_totalprice") * 100).cast(LongType)).over(w) / 100.0)
+          .as("trailing_30d_spend"))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_orderkey AS order_id, o_custkey AS custkey,
+      |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day_n,
+      |  SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)/100.0 AS trailing_30d_spend
+      |FROM orders""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_frame" -> rangeFrame _,
     "q_union_all" -> unionAll _,
     "q_cross_join" -> crossJoinSmall _,
     "q_null_handling" -> nullHandling _,
@@ -85,6 +111,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_range_frame" -> rangeFrameSql,
     "q_union_all" -> unionAllSql,
     "q_cross_join" -> crossJoinSql,
     "q_null_handling" -> nullHandlingSql,
