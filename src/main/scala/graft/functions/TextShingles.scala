@@ -27,24 +27,25 @@ object TextShingles {
       i => concat_ws(" ", slice(toks, i, lit(n))))
 
   /** Exploded DISTINCT (doc_id, shingle) pairs for a documents frame.
-    * Tokenizes once per row into a projected column, then shingles. */
+    * Tokenizes once per row into a projected column, then shingles.
+    * Per-row array_distinct is the only dedup needed — (doc_id, sh)
+    * rows are already unique per document, so no global distinct
+    * shuffle. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(array_distinct(shingles(col("__toks"), n))).as("sh"))
-      .distinct()
 
   /** Like shingleSet but with shingles replaced by a 64-bit md5 prefix
     * — same set cardinalities (collisions negligible at this width),
-    * half the shuffle bytes for set-similarity self-joins. The hash is
-    * applied inside array_distinct's input so dedup happens on the
-    * compact key too. */
+    * half the shuffle bytes for set-similarity self-joins. Uses the
+    * native one-pass HashedShingles expression (the interpreted HOF
+    * chain was the measured cost of candidate mining); shuffle-free
+    * until the self-join. */
   def shingleHashSet(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(array_distinct(transform(shingles(col("__toks"), n),
-          sh => substring(md5(sh), 1, 16)))).as("sh"))
-      .distinct()
+        explode(HashedShingles(docs.sparkSession, col("__toks"))).as("sh"))
 }

@@ -28,8 +28,7 @@ object CleaningQueries {
     val sizes = gated
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        size(array_distinct(transform(TextShingles.shingles(col("__toks"), 5),
-          x => substring(md5(x), 1, 16)))).as("n"))
+        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))

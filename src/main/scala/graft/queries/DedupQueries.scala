@@ -46,7 +46,7 @@ object DedupQueries {
     val sizes = Tables.documents(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        size(array_distinct(TextShingles.shingles(col("__toks"), N))).as("n"))
+        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -221,16 +221,16 @@ object DedupQueries {
       while (!converged && iter < 30) {
         val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
           .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
-          .select(labels("doc_id"),
+        // carry the old label through the propagation join so change
+        // detection reuses the same materialization (one job/round)
+        val step = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+          .select(labels("doc_id"), col("component").as("old"),
             least(col("component"), coalesce(col("nbr"), col("component")))
               .as("component"))
           .persist()
-        val changed = next
-          .join(labels.withColumnRenamed("component", "old"), "doc_id")
-          .filter(col("component") =!= col("old")).count()
+        val changed = step.filter(col("component") =!= col("old")).count()
         labels.unpersist()
-        labels = next
+        labels = step.drop("old")
         converged = changed == 0
         iter += 1
       }
