@@ -43,14 +43,25 @@ object StreamingQueries {
     else Files.createTempDirectory("graft-sq-").toString
   }
 
-  private def runToTable(df: DataFrame, mode: String): DataFrame = {
+  /** Stateful operators over these testdata volumes want few state
+    * partitions: each partition writes a store snapshot per
+    * micro-batch, so 32 is pure overhead (stream confs are captured
+    * at query start; restored right after). */
+  private def runToTable(df: DataFrame, mode: String,
+                         statePartitions: Int = 8): DataFrame = {
+    val s = df.sparkSession
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, statePartitions.toString)
     val name = s"stream_q_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .option("checkpointLocation", shmCheckpoint())
-      .queryName(name).start()
+    val q = try {
+      df.writeStream.outputMode(mode).format("memory")
+        .option("checkpointLocation", shmCheckpoint())
+        .queryName(name).start()
+    } finally s.conf.set(shufKey, oldShuf)
     q.processAllAvailable()
     q.stop()
-    df.sparkSession.table(name)
+    s.table(name)
   }
 
   /** Tumbling 1 h event-time window aggregation, streaming complete
@@ -122,14 +133,42 @@ object StreamingQueries {
         .select(col("user_id"), col("event_id").as("offset"),
           col("event_type").as("latest_type"), col("value").as("latest_value")),
       "user_id", "offset", Seq("latest_type", "latest_value"))
-    val q = table.writeStream.outputMode("update")
-      .option("checkpointLocation", shmCheckpoint())
-      .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
-      .start()
+    val shufKey = "spark.sql.shuffle.partitions"
+    val oldShuf = s.conf.get(shufKey)
+    s.conf.set(shufKey, "8")
+    val q = try {
+      table.writeStream.outputMode("update")
+        .option("checkpointLocation", shmCheckpoint())
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    } finally s.conf.set(shufKey, oldShuf)
     q.processAllAvailable()
     q.stop()
     store.df(s)
   }
+
+  /** Native stream–static join (Spark's built-in J1 shape: the static
+    * side re-resolves per micro-batch): the events stream enriched
+    * against a static latest-event-per-user dimension derived from the
+    * same table — equals the batch join oracle on finite input. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.operators.Relational.latestByKey(Tables.events(s, d),
+        col("user_id"), col("event_id"), "latest_type" -> col("event_type"))
+      .withColumnRenamed("user_id", "dim_user")
+    val joined = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(broadcast(dim), col("user_id") === col("dim_user"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("latest_type"))
+    runToTable(joined, "append")
+  }
+
+  val streamStaticJoinSql: String =
+    """SELECT e.event_id, e.user_id, e.event_type, l.latest_type
+      |FROM events e
+      |LEFT JOIN (SELECT user_id, arg_max(event_type, event_id) latest_type
+      |           FROM events GROUP BY user_id) l
+      |  ON e.user_id = l.user_id""".stripMargin
 
   /** Watermarked stream–stream interval join (J2 streaming form) over
     * the testdata: orders and lineitem as file streams, equi-key + ±3
@@ -157,12 +196,7 @@ object StreamingQueries {
       .select(col("o.o_orderkey").as("order_id"),
         col("l.l_linenumber").as("line_no"),
         date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-    // fewer state partitions: 2 store instances per partition per side
-    // are written every micro-batch — at this volume 8 beats 32
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = s.conf.get(shufKey)
-    s.conf.set(shufKey, "8")
-    try runToTable(joined, "append") finally s.conf.set(shufKey, oldShuf)
+    runToTable(joined, "append")
   }
 
   /** The full chained streaming pipeline on the reference's golden
@@ -230,6 +264,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_latest_by_key" -> streamLatestByKey _,
+    "stream_static_join" -> streamStaticJoin _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_pipeline_golden" -> pipelineGolden _)
 
@@ -238,6 +273,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
+    "stream_static_join" -> streamStaticJoinSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
 }
