@@ -27,6 +27,32 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("golden pipeline produces the 5 reference rows under RocksDB state") {
+    val p = new Pipeline(spark,
+      java.nio.file.Files.createTempDirectory("graft-rocks-ckpt-").toString)
+    try {
+      p.customersFeed.add(
+        "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34),
+        "7" -> DebeziumJson.insert("id" -> "7", "name" -> "sue", "age" -> 25),
+        "2" -> DebeziumJson.insert("id" -> "2", "name" -> "bill", "age" -> 51))
+      p.ordersFeed.add(
+        "13" -> """{"customer_id":"2","order_id":"13","price":50.50,"currency":"usd","ts":"2020-04-03T11:20:00"}""",
+        "17" -> """{"customer_id":"5","order_id":"17","price":25.25,"currency":"eur","ts":"2020-04-02T17:22:00"}""",
+        "15" -> """{"customer_id":"5","order_id":"15","price":13.75,"currency":"usd","ts":"2020-04-03T02:55:00"}""",
+        "29" -> """{"customer_id":"7","order_id":"29","price":15.00,"currency":"aud","ts":"2020-04-02T12:36:00"}""",
+        "22" -> """{"customer_id":"7","order_id":"22","price":29.71,"currency":"aud","ts":"2020-04-04T00:12:00"}""")
+      p.shipmentsFeed.add(
+        "17" -> """{"order_id":"17","shipment_id":"75","origin":"texas","ts":"2020-04-04T19:20:00"}""",
+        "22" -> """{"order_id":"22","shipment_id":"71","origin":"iowa","ts":"2020-04-04T12:25:00"}""",
+        "29" -> """{"order_id":"29","shipment_id":"89","origin":"california","ts":"2020-04-05T13:21:00"}""",
+        "13" -> """{"order_id":"13","shipment_id":"92","origin":"maine","ts":"2020-04-04T06:13:00"}""",
+        "15" -> """{"order_id":"15","shipment_id":"95","origin":"florida","ts":"2020-04-04T01:13:00"}""")
+      p.step()
+      assert(p.shippedOrders.size == 5)
+      assert(p.shippedOrders.get("22").map(_.origin).contains("iowa"))
+    } finally p.stop()
+  }
+
   test("latest-by-key update-mode agg works on RocksDB state across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
