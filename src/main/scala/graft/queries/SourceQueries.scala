@@ -41,6 +41,17 @@ object SourceQueries {
   val jsonRoundtripSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** ORC sink + source round-trip (second columnar format). */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft-orc-")
+    val p = Tables.supplier(s, d)
+    p.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+  }
+
+  val orcRoundtripSql: String =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   /** Hive-style partitioned parquet write, then a filtered read that
     * prunes to one partition directory. */
   def partitionedParquet(s: SparkSession, d: String): DataFrame = {
@@ -60,10 +71,12 @@ object SourceQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_roundtrip" -> csvRoundtrip _,
     "src_json_roundtrip" -> jsonRoundtrip _,
+    "src_orc_roundtrip" -> orcRoundtrip _,
     "src_partitioned_parquet" -> partitionedParquet _)
 
   def oracles: Map[String, String] = Map(
     "src_csv_roundtrip" -> csvRoundtripSql,
     "src_json_roundtrip" -> jsonRoundtripSql,
+    "src_orc_roundtrip" -> orcRoundtripSql,
     "src_partitioned_parquet" -> partitionedParquetSql)
 }
