@@ -240,7 +240,58 @@ object SimilarityQueries {
       |FROM cand, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** One Lloyd iteration of k-means (k=8, seeds = vectors 0..7) — the
+    * IVF coarse-quantizer training step as a distributed primitive:
+    * broadcast the centroids, assign each vector by max cosine (min angular
+    * distance) with a deterministic tie-break, recompute centroids as
+    * per-dimension integer-grid means. No driver-side data path. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame = {
+    val e = withEmb(s, d)
+    val seeds = e.filter(col("vec_id") <= 7)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("emb"), col("cid"),
+        round(dot(col("emb"), col("cemb")) / (norm(col("emb")) * norm(col("cemb"))), 6)
+          .as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("emb"))
+    assigned
+      .select(col("cid"), posexplode(col("emb")).as(Seq("dim0", "x")))
+      .select(col("cid"), (col("dim0") + 1).cast("long").as("dim"),
+        floor(col("x") * 1000000).cast("long").as("gx"))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(col("gx")).cast("double") / (count(lit(1)) * 1000000.0))
+        .as("centroid"))
+  }
+
+  val kmeansStepSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      |seeds AS (SELECT vec_id cid, emb cemb FROM e WHERE vec_id <= 7),
+      |scored AS (
+      |  SELECT e.vec_id, e.emb, s.cid,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, 64), i -> emb[i]*cemb[i])) /
+      |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) csim
+      |  FROM e CROSS JOIN seeds s),
+      |assigned AS (
+      |  SELECT vec_id, cid, emb FROM (
+      |    SELECT vec_id, cid, emb,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+      |    FROM scored) WHERE rn = 1),
+      |g AS (
+      |  SELECT cid, CAST(t.i AS BIGINT) dim,
+      |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
+      |  FROM assigned, (SELECT unnest(generate_series(1, 64)) i) t)
+      |SELECT cid, dim,
+      |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
+      |FROM g GROUP BY cid, dim""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
     "sim_ann_sign_lsh" -> annSignLsh _,
@@ -249,6 +300,7 @@ object SimilarityQueries {
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
+    "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_ann_sign_lsh" -> annSignLshSql,
