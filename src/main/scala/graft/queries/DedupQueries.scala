@@ -201,7 +201,29 @@ object DedupQueries {
     * dedup clusters are built, no driver-side graph). Oracle: a
     * recursive-CTE transitive closure. */
   def components(s: SparkSession, d: String): DataFrame = {
-    val pairs = ngramJaccard(s, d).select(col("doc_a"), col("doc_b")).persist()
+    // Production dedup-cluster pipeline: LSH band candidates first
+    // (narrow signature pass + tiny join), exact Jaccard verification
+    // only on the candidates, then cluster. Avoids mining all
+    // shared-shingle pairs.
+    val candidates = minhashLsh(s, d)
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", N).persist()
+    val sizes = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
+    val inter = candidates
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("b.sh") === col("a.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val pairs = inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
     pairs.count() // materialize the pair mining at full parallelism
     // the propagation loop runs over the (tiny) node/edge relations:
     // wide shuffles per iteration are pure overhead, so pin them small
@@ -241,6 +263,31 @@ object DedupQueries {
   val componentsSql: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |sharr AS (
+      |  SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-4, 1)),
+      |           i -> array_to_string(words[i:i+4], ' ')) shl FROM tok),
+      |h AS (SELECT doc_id,
+      |        list_transform(shl, sh -> md5('0|' || sh) || md5('1|' || sh)) h64
+      |      FROM sharr),
+      |mh AS (SELECT doc_id,
+      |  list_min(list_transform(h64, x -> substr(x, 1, 8))) h0,
+      |  list_min(list_transform(h64, x -> substr(x, 9, 8))) h1,
+      |  list_min(list_transform(h64, x -> substr(x, 17, 8))) h2,
+      |  list_min(list_transform(h64, x -> substr(x, 25, 8))) h3,
+      |  list_min(list_transform(h64, x -> substr(x, 33, 8))) h4,
+      |  list_min(list_transform(h64, x -> substr(x, 41, 8))) h5,
+      |  list_min(list_transform(h64, x -> substr(x, 49, 8))) h6,
+      |  list_min(list_transform(h64, x -> substr(x, 57, 8))) h7
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, 0 band, h0 || ',' || h1 sig FROM mh
+      |  UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM mh
+      |  UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM mh
+      |  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM mh),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
       |idx AS (
       |  SELECT doc_id, words,
       |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
@@ -248,9 +295,11 @@ object DedupQueries {
       |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       |inter AS (
-      |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY a.doc_id, b.doc_id),
+      |  SELECT c.da, c.db, COUNT(*) i
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.da
+      |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+      |  GROUP BY c.da, c.db),
       |pairs AS (
       |  SELECT da, db FROM inter
       |  JOIN sizes sa ON sa.doc_id = da
