@@ -166,7 +166,39 @@ object TextQueries {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** PII scrubbing: emails, long digit runs (phone/account numbers),
+    * and IPv4 literals masked with typed placeholders — the
+    * pretraining-corpus hygiene pass. Narrow, codegen'd regexes; same
+    * RE2-compatible patterns in the oracle. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+        "\\b\\d{7,}\\b", "<NUM>")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(scrubbed).as("scrubbed_hash"),
+      (length(col("text")) - length(scrubbed)).cast(LongType).as("chars_removed"))
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{7,}\b', '<NUM>', 'g')) AS scrubbed_hash,
+      |  CAST(length(text) - length(
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{7,}\b', '<NUM>', 'g')) AS BIGINT) AS chars_removed
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
     "text_token_count" -> tokenCount _,
     "text_quality" -> quality _,
@@ -174,6 +206,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,
