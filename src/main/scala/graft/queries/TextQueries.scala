@@ -166,36 +166,40 @@ object TextQueries {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
-  /** PII scrubbing: emails, long digit runs (phone/account numbers),
-    * and IPv4 literals masked with typed placeholders — the
-    * pretraining-corpus hygiene pass. Narrow, codegen'd regexes; same
-    * RE2-compatible patterns in the oracle. */
+  /** PII scrubbing: emails, IPv4 literals, and 7+ digit runs masked
+    * with typed placeholders — the pretraining-corpus hygiene pass.
+    * Deliberately NO `\b` boundaries: Java's `\b` is Unicode-aware
+    * while RE2's (the oracle's) is ASCII-only, so boundary patterns
+    * diverge on non-ASCII-adjacent matches; boundary-free patterns
+    * behave identically in both engines (and mask letter-adjacent
+    * digit runs too). Separator-delimited numbers (555-123-4567) are
+    * out of scope for this pass. `scrub_delta` is the signed length
+    * change (placeholders can be longer than short matches). */
   def piiScrub(s: SparkSession, d: String): DataFrame = {
     val scrubbed =
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"),
             "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
-        "\\b\\d{7,}\\b", "<NUM>")
+          "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+        "\\d{7,}", "<NUM>")
     Tables.documents(s, d).select(
       col("doc_id"),
       md5(scrubbed).as("scrubbed_hash"),
-      (length(col("text")) - length(scrubbed)).cast(LongType).as("chars_removed"))
+      (length(col("text")) - length(scrubbed)).cast(LongType).as("scrub_delta"))
   }
 
   val piiScrubSql: String =
-    """SELECT doc_id,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\b\d{7,}\b', '<NUM>', 'g')) AS scrubbed_hash,
-      |  CAST(length(text) - length(
+    """WITH s AS (
+      |  SELECT doc_id, text,
       |    regexp_replace(regexp_replace(regexp_replace(text,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |      '\b\d{7,}\b', '<NUM>', 'g')) AS BIGINT) AS chars_removed
-      |FROM documents""".stripMargin
+      |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+      |      '\d{7,}', '<NUM>', 'g') scrubbed
+      |  FROM documents)
+      |SELECT doc_id, md5(scrubbed) AS scrubbed_hash,
+      |       CAST(length(text) - length(scrubbed) AS BIGINT) AS scrub_delta
+      |FROM s""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub" -> piiScrub _,
