@@ -37,8 +37,11 @@ case class HashedShingles(child: Expression, shingleWidth: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    // null elements are skipped (split() never yields them; SQL
+    // callers may pass containsNull arrays)
+    val words = (0 until toks.numElements())
+      .filterNot(toks.isNullAt).map(toks.getUTF8String(_).toString).toArray
+    val n = words.length
     val nShingles = math.max(n - (shingleWidth - 1), 1)
     // insertion-ordered distinct == array_distinct semantics
     val seen = new java.util.LinkedHashSet[String]()
@@ -78,12 +81,15 @@ case class HashedShingles(child: Expression, shingleWidth: Int)
 }
 
 object HashedShingles {
-  def register(spark: SparkSession): Unit =
+  /** Width-specific registration so the Column API can't silently
+    * diverge from a caller-requested width. */
+  def register(spark: SparkSession, width: Int): String = {
+    val name = s"hashed_shingles_$width"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hashed_shingles", exprs => HashedShingles(exprs.head, 5), "scala_udf")
-
-  def apply(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    call_function("hashed_shingles", tokens)
+      name, exprs => HashedShingles(exprs.head, width), "scala_udf")
+    name
   }
+
+  def apply(spark: SparkSession, tokens: Column, width: Int = 5): Column =
+    call_function(register(spark, width), tokens)
 }

@@ -7,10 +7,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * a typed Aggregator (SURVEY.md §7 custom-work item #1).
   *
   * `max_by(value, offset)` covers the common case; this Aggregator
-  * pins the tie-break the way Kafka does: on equal offsets the later
-  * arrival in reduce order wins (`>=`), and — unlike max_by — a null
-  * value at the greatest offset is returned as null rather than being
-  * skipped, which is what a Debezium tombstone requires.
+  * differs in that — unlike max_by — a null value at the greatest
+  * offset is returned as null rather than being skipped, which is
+  * what a Debezium tombstone requires.
+  *
+  * Offsets are unique within a Kafka partition, so equal offsets only
+  * arise from replay/compaction artifacts; the tie-break must then be
+  * COMMUTATIVE or the winner would depend on Spark's nondeterministic
+  * partial-merge order. We break ties by the greater value (nulls
+  * last) — deterministic under any partitioning.
   *
   * Commutative-associative merge ⇒ map-side partial aggregation: each
   * map partition collapses to one (offset, value) candidate before the
@@ -19,11 +24,17 @@ import org.apache.spark.sql.expressions.Aggregator
 case class OffsetValue(offset: Long, value: String)
 
 class LatestByOffsetAgg extends Aggregator[OffsetValue, OffsetValue, String] {
+  private def pick(x: OffsetValue, y: OffsetValue): OffsetValue =
+    if (x.offset > y.offset) x
+    else if (y.offset > x.offset) y
+    else if (x.value == null) y
+    else if (y.value == null) x
+    else if (x.value.compareTo(y.value) >= 0) x
+    else y
+
   override def zero: OffsetValue = OffsetValue(Long.MinValue, null)
-  override def reduce(b: OffsetValue, a: OffsetValue): OffsetValue =
-    if (a.offset >= b.offset) a else b
-  override def merge(x: OffsetValue, y: OffsetValue): OffsetValue =
-    if (x.offset >= y.offset) x else y
+  override def reduce(b: OffsetValue, a: OffsetValue): OffsetValue = pick(b, a)
+  override def merge(x: OffsetValue, y: OffsetValue): OffsetValue = pick(x, y)
   override def finish(r: OffsetValue): String = r.value
   override def bufferEncoder: Encoder[OffsetValue] = Encoders.product[OffsetValue]
   override def outputEncoder: Encoder[String] = Encoders.STRING

@@ -60,8 +60,10 @@ case class MinHashSlices(child: Expression, shingleWidth: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val words = Array.tabulate(n)(i => toks.getUTF8String(i).toString)
+    // null elements are skipped (split() never yields them)
+    val words = (0 until toks.numElements())
+      .filterNot(toks.isNullAt).map(toks.getUTF8String(_).toString).toArray
+    val n = words.length
     val md = digest
     val mins = new Array[String](8)
     val nShingles = math.max(n - (shingleWidth - 1), 1)
@@ -94,13 +96,13 @@ case class MinHashSlices(child: Expression, shingleWidth: Int)
 }
 
 object MinHashSlices {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession, width: Int): String = {
+    val name = s"minhash_slices_$width"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_slices",
-      exprs => MinHashSlices(exprs.head, 5), "scala_udf")
-
-  def apply(spark: SparkSession, tokens: Column): Column = {
-    register(spark)
-    call_function("minhash_slices", tokens)
+      name, exprs => MinHashSlices(exprs.head, width), "scala_udf")
+    name
   }
+
+  def apply(spark: SparkSession, tokens: Column, width: Int = 5): Column =
+    call_function(register(spark, width), tokens)
 }

@@ -45,16 +45,19 @@ case class SimHash16(child: Expression)
     val counts = new Array[Int](16)
     var i = 0
     while (i < n) {
-      val t = toks.getUTF8String(i).toString
-      if (seen.add(t)) {
-        md.reset()
-        val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 4 hex chars == first 2 digest bytes
-        val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
-        var b = 0
-        while (b < 16) {
-          if (((v >> b) & 1) == 1) counts(b) += 1 else counts(b) -= 1
-          b += 1
+      // null elements are skipped (split() never yields them)
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i).toString
+        if (seen.add(t)) {
+          md.reset()
+          val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 4 hex chars == first 2 digest bytes
+          val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
+          var b = 0
+          while (b < 16) {
+            if (((v >> b) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
         }
       }
       i += 1

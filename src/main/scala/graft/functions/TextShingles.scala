@@ -47,5 +47,5 @@ object TextShingles {
                      n: Int): DataFrame =
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(HashedShingles(docs.sparkSession, col("__toks"))).as("sh"))
+        explode(HashedShingles(docs.sparkSession, col("__toks"), n)).as("sh"))
 }

@@ -18,6 +18,7 @@ case class ScoredId(score: Double, id: Long)
 case class TopKBuf(scores: Seq[Double], ids: Seq[Long])
 
 class TopKByScore(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+  require(k > 0, s"top-k requires k > 0, got $k")
 
   private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
     s1 > s2 || (s1 == s2 && i1 < i2)

@@ -56,8 +56,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
-  override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+  /** Both children must land on the SAME partition count for
+    * zipPartitions: pinning requiredNumPartitions makes
+    * EnsureRequirements produce exactly-N shuffles on both sides and
+    * stops AQE from coalescing them independently (which would
+    * mispair or fail to zip). */
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = Some(n)),
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = Some(n)))
+  }
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),

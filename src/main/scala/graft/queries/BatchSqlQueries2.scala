@@ -156,29 +156,20 @@ object BatchSqlQueries2 {
   /** The custom AS-OF JOIN operator (graft.plans.AsOfJoin: LogicalPlan
     * + Strategy + sort-merge SparkPlan): every purchase event matched
     * to the same user's latest signup at-or-before it. Oracle = the
-    * correlated-max spelling. AQE is pinned off for this plan: the
-    * operator zips co-partitioned children, which AQE's independent
-    * shuffle coalescing would break. */
+    * correlated-max spelling. Safe on default (AQE-enabled) sessions:
+    * the exec pins its children's partition counts. */
   def asofJoinCustom(s: SparkSession, d: String): DataFrame = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val oldAqe = s.conf.get(aqeKey)
-    s.conf.set(aqeKey, "false")
-    try {
-      val purchases = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val signups = Tables.events(s, d)
-        .filter(col("event_type") === "signup")
-        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-      val out = graft.plans.AsOf.join(purchases, signups,
-          purchases("user_id"), signups("s_user"),
-          purchases("ts"), signups("s_ts"))
-        .select(col("event_id"), col("user_id"),
-          date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
-      out.cache()
-      out.count() // execute (and cache) while the conf pin is active
-      out
-    } finally s.conf.set(aqeKey, oldAqe)
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    graft.plans.AsOf.join(purchases, signups,
+        purchases("user_id"), signups("s_user"),
+        purchases("ts"), signups("s_ts"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("s_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_ts"))
   }
 
   val asofJoinCustomSql: String =

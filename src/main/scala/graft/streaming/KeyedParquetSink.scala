@@ -31,8 +31,12 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String) {
   /** Current visible state (empty schema-less reads return None). */
   def df: Option[DataFrame] = currentPath.map(p => spark.read.parquet(p))
 
-  /** Merge a micro-batch: batch rows win over current rows per key. */
+  /** Merge a micro-batch: batch rows win over current rows per key.
+    * Replay-idempotent: if the pointer already names this batch's
+    * version, the batch was fully committed before a crash — skip
+    * (also avoids overwriting the directory being read). */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
+    if (currentPath.contains(s"$root/v$batchId")) return
     val merged = currentPath match {
       case None => batch.dropDuplicates(keyCol)
       case Some(p) =>

@@ -92,6 +92,13 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     val orders = ordersFeed.df
       .select(from_json(col("value"), orderSchema).as("o")).select("o.*")
       .withColumn("o_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
+      // poison-record guard: malformed/field-missing JSON parses to
+      // nulls, which would kill the typed deserializer and crash-loop
+      // the query on checkpoint replay — drop bad records instead
+      // (ksqlDB likewise skips deserialization failures)
+      .filter(col("order_id").isNotNull && col("customer_id").isNotNull &&
+        col("price").isNotNull && col("currency").isNotNull &&
+        col("o_ts").isNotNull)
     orders.writeStream
       .queryName("enriched_orders")
       .option("checkpointLocation", s"$checkpointRoot/enriched_orders")
@@ -115,6 +122,8 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     val shipments = shipmentsFeed.df
       .select(from_json(col("value"), shipmentSchema).as("s")).select("s.*")
       .withColumn("s_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
+      .filter(col("order_id").isNotNull && col("shipment_id").isNotNull &&
+        col("origin").isNotNull && col("s_ts").isNotNull) // poison guard
       .withWatermark("s_ts", watermarkDelay).as("s")
     val joined = enriched.join(shipments,
       expr(s"""s.order_id = o.order_id AND

@@ -18,6 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * would: the order sees the table as of its own offset, not the
   * batch-end state.
   *
+  * OFFSET CONTRACT: the two inputs' offsets must come from one shared
+  * sequence (a single CDC topic, a log-sequence-number, or an ingest
+  * sequencer) — per-topic offsets from independent topics are not
+  * comparable, and interleaving by them is arbitrary (ksqlDB has the
+  * same caveat: its cross-stream ordering uses record timestamps).
+  * On equal offsets the customer update is applied first
+  * (deterministic tie-break favoring table consistency).
+  *
   * State per key is one customer image (latest offset wins, deletes
   * tombstone it) — the same bound as ksqlDB's RocksDB table. Orders
   * look up at processing time and emit immediately (LEFT join: absent
@@ -64,7 +72,10 @@ object StatefulEnrichJoin {
         (key: String, events: Iterator[CdcIn], state: GroupState[CustState]) =>
           var cust = state.getOption.getOrElse(CustState(Long.MinValue, None, None, present = false))
           val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedOrder]
-          events.toSeq.sortBy(_.offset).foreach { e =>
+          // deterministic order: by offset, customer updates first on ties
+          events.toSeq
+            .sortBy(e => (e.offset, if (e.kind == "cust") 0 else 1))
+            .foreach { e =>
             if (e.kind == "cust") {
               if (e.offset >= cust.offset) {
                 cust =

@@ -16,7 +16,9 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .appName("asof-join")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "false")
+      // AQE deliberately ON: the operator must be safe under adaptive
+      // re-planning (it pins its children's partition counts)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
