@@ -22,22 +22,12 @@ object CleaningQueries {
     val gated = docs
       .select(col("doc_id"), col("text"), size(toks).cast(LongType).as("n_tokens"))
       .filter(col("n_tokens") >= 20 && col("n_tokens") <= 450)
-    // near-dup pairs among gated docs (hashed-shingle candidates,
-    // exact Jaccard >= 0.8); loser = higher doc_id
-    val sh = TextShingles.shingleHashSet(gated, "doc_id", "text", 5).persist()
-    val sizes = gated
-      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    val losers = inter
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
-      .select(col("db").as("loser"))
+    // near-dup pairs among gated docs (shared-shingle candidates,
+    // exact Jaccard >= 0.8 — the shared DedupQueries pipeline);
+    // loser = higher doc_id
+    val losers = DedupQueries.jaccardPairs(gated, candidates = None,
+        threshold = 0.8)
+      .select(col("doc_b").as("loser"))
       .distinct()
     gated.join(losers, gated("doc_id") === losers("loser"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))

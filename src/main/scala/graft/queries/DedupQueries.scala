@@ -20,6 +20,45 @@ object DedupQueries {
 
   private val N = 5 // word-shingle width
 
+  /** Shared Jaccard-verified pair mining (one definition for
+    * ngramJaccard, components, and the cleaning pipeline — keeping the
+    * threshold/hashing in a single place alongside the oracle
+    * spellings).
+    *
+    * @param docs       (doc_id, text, ...) relation to mine
+    * @param candidates optional (doc_a, doc_b) pre-filter (e.g. LSH
+    *                   bands); None = all pairs sharing a shingle
+    * @return (doc_a, doc_b, jaccard) with jaccard >= threshold
+    */
+  def jaccardPairs(docs: DataFrame, candidates: Option[DataFrame],
+                   threshold: Double): DataFrame = {
+    val s = docs.sparkSession
+    val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", N).persist()
+    val sizes = docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+    val inter = candidates match {
+      case None =>
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+      case Some(cand) =>
+        cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sh.as("b"),
+            col("doc_b") === col("b.doc_id") && col("b.sh") === col("a.sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("i"))
+    }
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact dedup: group by content hash, keep the lowest doc_id.
     * Equivalent of dropDuplicates(text) but emits the dedup decision
     * (hash → survivor + multiplicity) so it is sink-agnostic. */
@@ -36,28 +75,8 @@ object DedupQueries {
   /** N-gram Jaccard set-similarity self-join: candidate pairs share at
     * least one 5-gram shingle (the scalable candidate filter — join on
     * the shingle, not all-pairs), then exact Jaccard >= 0.8. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Per-doc set sizes are computed narrow (size(array_distinct)) —
-    // no shuffle; only the intersection join needs the exploded
-    // shingle relation, which feeds 2 branches (persist, or at 100 TB
-    // materialize once to parquet before the self-join).
-    val sh = TextShingles.shingleHashSet(Tables.documents(s, d), "doc_id", "text", N)
-      .persist()
-    val sizes = Tables.documents(s, d)
-      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val j = inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
-    j.filter(col("jaccard") >= 0.8)
-  }
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Tables.documents(s, d), candidates = None, threshold = 0.8)
 
   val ngramJaccardSql: String =
     """WITH tok AS (
@@ -205,23 +224,8 @@ object DedupQueries {
     // (narrow signature pass + tiny join), exact Jaccard verification
     // only on the candidates, then cluster. Avoids mining all
     // shared-shingle pairs.
-    val candidates = minhashLsh(s, d)
-    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
-      "doc_id", "text", N).persist()
-    val sizes = Tables.documents(s, d)
-      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(graft.functions.HashedShingles(s, col("__toks"))).as("n"))
-    val inter = candidates
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("b.sh") === col("a.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    val pairs = inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
+    val pairs = jaccardPairs(Tables.documents(s, d),
+        candidates = Some(minhashLsh(s, d)), threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     pairs.count() // materialize the pair mining at full parallelism
@@ -229,10 +233,7 @@ object DedupQueries {
     // wide shuffles per iteration are pure overhead, so pin them small
     // (at larger cluster scale: size to the edge relation, not the
     // corpus)
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = s.conf.get(shufKey)
-    s.conf.set(shufKey, "4")
-    try {
+    graft.util.Confs.withShufflePartitions(s, 4) {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .persist()
@@ -240,7 +241,10 @@ object DedupQueries {
         .select(col("doc_id"), col("doc_id").as("component")).persist()
       var converged = false
       var iter = 0
-      while (!converged && iter < 30) {
+      // min-label propagation strictly decreases labels until fixpoint,
+      // so it always converges (≤ graph-diameter rounds); the bound is
+      // only a runaway backstop far above any real diameter
+      while (!converged && iter < 10000) {
         val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
           .groupBy(col("dst")).agg(min(col("component")).as("nbr"))
         // carry the old label through the propagation join so change
@@ -256,8 +260,12 @@ object DedupQueries {
         converged = changed == 0
         iter += 1
       }
+      // labels is materialized (last round's count); drop the
+      // intermediates from cache
+      pairs.unpersist()
+      edges.unpersist()
       labels
-    } finally s.conf.set(shufKey, oldShuf)
+    }
   }
 
   val componentsSql: String =

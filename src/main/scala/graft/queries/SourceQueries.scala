@@ -17,8 +17,15 @@ import graft.sources.Tables
   * directories). */
 object SourceQueries {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Fixed per-name scratch dirs + overwrite mode: repeated harness
+    * runs reuse the same paths instead of accumulating abandoned
+    * table copies in /tmp. */
+  private def tmp(prefix: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-roundtrips", prefix)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
 
   /** CSV sink + schema-ful CSV source round-trip. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {

@@ -27,11 +27,8 @@ object StreamingQueries {
     val raw = s.read.parquet(s"$d/events.parquet").schema
     // testdata tables are single files; the file-stream source needs a
     // directory basePath, so address the file through a glob
-    val st = s.readStream.schema(raw).parquet(s"$d/{events}.parquet")
-    raw("ts").dataType match {
-      case LongType => st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => st
-    }
+    Tables.normalizeEventsTs(
+      s.readStream.schema(raw).parquet(s"$d/{events}.parquet"))
   }
 
   /** Checkpoint to shared memory when available: these finite-input
@@ -46,23 +43,36 @@ object StreamingQueries {
   /** Stateful operators over these testdata volumes want few state
     * partitions: each partition writes a store snapshot per
     * micro-batch, so 32 is pure overhead (stream confs are captured
-    * at query start; restored right after). */
+    * at query start; restored right after). The query is always
+    * stopped (finally) and its throwaway checkpoint deleted — a
+    * failed processAllAvailable must not leak a running query. */
   private def runToTable(df: DataFrame, mode: String,
                          statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = s.conf.get(shufKey)
-    s.conf.set(shufKey, statePartitions.toString)
     val name = s"stream_q_${nameCounter.incrementAndGet()}"
-    val q = try {
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, statePartitions) {
       df.writeStream.outputMode(mode).format("memory")
-        .option("checkpointLocation", shmCheckpoint())
+        .option("checkpointLocation", ckpt)
         .queryName(name).start()
-    } finally s.conf.set(shufKey, oldShuf)
-    q.processAllAvailable()
-    q.stop()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     s.table(name)
   }
+
+  private def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (Files.exists(root)) {
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    } catch { case _: Throwable => () } // best-effort cleanup
 
   /** Tumbling 1 h event-time window aggregation, streaming complete
     * mode — the streaming twin of q_tumbling_agg (same oracle SQL). */
@@ -133,17 +143,18 @@ object StreamingQueries {
         .select(col("user_id"), col("event_id").as("offset"),
           col("event_type").as("latest_type"), col("value").as("latest_value")),
       "user_id", "offset", Seq("latest_type", "latest_value"))
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = s.conf.get(shufKey)
-    s.conf.set(shufKey, "8")
-    val q = try {
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
       table.writeStream.outputMode("update")
-        .option("checkpointLocation", shmCheckpoint())
+        .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
         .start()
-    } finally s.conf.set(shufKey, oldShuf)
-    q.processAllAvailable()
-    q.stop()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      deleteRecursively(ckpt)
+    }
     store.df(s)
   }
 
@@ -210,15 +221,8 @@ object StreamingQueries {
     // session's shuffle partitions is pure per-micro-batch overhead
     // here. Pin a tiny partition count for these queries (stream
     // confs are captured at query start) and checkpoint to shm.
-    val shufKey = "spark.sql.shuffle.partitions"
-    val oldShuf = s.conf.get(shufKey)
-    s.conf.set(shufKey, "2")
-    val ckptBase = if (Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-      java.nio.file.Paths.get("/dev/shm") else null
-    val ckpt = if (ckptBase != null)
-      Files.createTempDirectory(ckptBase, "graft-q-ckpt-").toString
-    else Files.createTempDirectory("graft-q-ckpt-").toString
-    val p = try new Pipeline(s, ckpt) finally s.conf.set(shufKey, oldShuf)
+    val ckpt = shmCheckpoint()
+    val p = graft.util.Confs.withShufflePartitions(s, 2)(new Pipeline(s, ckpt))
     try {
       p.customersFeed.add(
         "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34),
@@ -245,7 +249,10 @@ object StreamingQueries {
         "31" -> """{"order_id":"31","shipment_id":"97","origin":"new jersey","ts":"2020-04-04T19:20:00"}""")
       p.step()
       s.createDataset(p.shippedOrders.values).toDF()
-    } finally p.stop()
+    } finally {
+      p.stop()
+      deleteRecursively(ckpt)
+    }
   }
 
   val pipelineGoldenSql: String =

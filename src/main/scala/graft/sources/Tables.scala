@@ -31,15 +31,18 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
     * LongType (spark.sql.legacy.parquet.nanosAsLong=true, set in the
     * session builders). Convert to a microsecond timestamp with exact
-    * integer division — same truncation DuckDB applies reading nanos. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = apply(s, d, "events")
+    * integer division — same truncation DuckDB applies reading nanos.
+    * Shared by the batch loader and the streaming reader so the
+    * truncation rule lives in exactly one place. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
-  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }
