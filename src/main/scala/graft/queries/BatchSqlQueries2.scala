@@ -71,14 +71,16 @@ object BatchSqlQueries2 {
       col("o_custkey").as("custkey"),
       ntile(4).over(w).cast(LongType).as("quartile"),
       first_value(col("o_orderkey")).over(full).as("first_order"),
-      last_value(col("o_orderkey")).over(full).as("last_order"))
+      last_value(col("o_orderkey")).over(full).as("last_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"))
   }
 
   val ntileFirstLastSql: String =
     """SELECT o_orderkey AS order_id, o_custkey AS custkey,
       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
       |  first_value(o_orderkey) OVER wf AS first_order,
-      |  last_value(o_orderkey) OVER wf AS last_order
+      |  last_value(o_orderkey) OVER wf AS last_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
       |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -281,7 +283,23 @@ object BatchSqlQueries2 {
       |       l.l_extendedprice AS price, o.o_orderstatus AS status
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
 
+  /** Pull-query analog (ksqlDB point lookup): a keyed point read that
+    * must plan as a pushed-down single-key scan, not a full read. */
+  def pointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") === 7)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("custkey"),
+        col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+
+  val pointLookupSql: String =
+    """SELECT o_orderkey AS order_id, o_custkey AS custkey,
+      |       o_totalprice AS price, o_orderstatus AS status
+      |FROM orders WHERE o_orderkey = 7""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_point_lookup" -> pointLookup _,
     "q_salted_join" -> saltedJoin _,
     "q_sketch_agg" -> sketchAgg _,
     "q_topk_per_key" -> topkPerKey _,
@@ -297,6 +315,7 @@ object BatchSqlQueries2 {
     "q_in_subquery" -> inSubquery _)
 
   def oracles: Map[String, String] = Map(
+    "q_point_lookup" -> pointLookupSql,
     "q_salted_join" -> saltedJoinSql,
     "q_topk_per_key" -> topkPerKeySql,
     "q_asof_join_custom" -> asofJoinCustomSql,
