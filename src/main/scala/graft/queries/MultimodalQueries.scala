@@ -64,7 +64,13 @@ object MultimodalQueries {
     * mapInPandas shape). The extractor is a DETERMINISTIC STUB
     * (md5-derived 8-dim vector in [0,1]); the Spark plumbing — binary
     * in, typed vector column out, no shuffle — is the real path an
-    * image/audio embedder runs at 100 TB. */
+    * image/audio embedder runs at 100 TB.
+    *
+    * The verified output is the vector in long form (doc_id, dim, val):
+    * the oracle gate hashes rows after a column sort, so the final
+    * projection must be scalar columns (a raw array column is not
+    * sortable driver-side); the vector itself still flows through the
+    * plan as one typed column. */
   def embedStub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.sources.Tables.documents(s, d)
@@ -79,13 +85,17 @@ object MultimodalQueries {
         }
       }
       .toDF()
+      .select(col("doc_id"),
+        posexplode(col("embedding")).as(Seq("dim", "val")))
+      .select(col("doc_id"), col("dim").cast(LongType).as("dim"),
+        round(col("val"), 6).as("val"))
   }
 
   val embedStubSql: String =
-    """SELECT doc_id,
-      |  list_transform(generate_series(1, 8),
-      |    i -> (('0x' || substr(md5(text), 2*i-1, 2))::INT) / 255.0) AS embedding
-      |FROM documents""".stripMargin
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS dim,
+      |  round((('0x' || substr(md5(text), 2*i-1, 2))::INT) / 255.0, 6) AS val
+      |FROM documents
+      |CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) dims""".stripMargin
 
   /** Frame-sampling plumbing: treat every 1 KiB slice of the payload as
     * a "frame", sample every 4th — pure column ops on binary
