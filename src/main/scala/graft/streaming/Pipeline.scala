@@ -3,7 +3,6 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -14,36 +13,37 @@ import org.apache.spark.sql.types._
   *
   * {{{
   * customersFeed (Debezium JSON) ─S2 unwrap─ A2 latest_by_offset ─► SnapshotStore      (q1, update mode)
-  * ordersFeed ─S5 event time─ J1 left join snapshot (per micro-batch) ─► enrichedFeed  (q2, foreachBatch)
-  * enrichedFeed ⋈ shipmentsFeed WITHIN ±band on order_id ─► KeyedUpsertStore           (q3, append mode)
+  * ordersFeed ─S5 event time─ J1 left join snapshot (per micro-batch) ─► enrichedChannel (q2, foreachBatch)
+  * enrichedChannel ⋈ shipmentsFeed WITHIN ±band on order_id ─► KeyedParquetSink        (q3, append mode)
   * }}}
   *
   * Design decisions (SURVEY.md §7):
   *  - J1 is the `foreachBatch` snapshot join (form (a)): each orders
   *    micro-batch looks up the *current* customer state — ksqlDB's
   *    lookup-at-processing-time semantics. The enriched rows feed the
-  *    next query through a MemoryStream, the offline analog of the
-  *    intermediate topic ksqlDB writes (`enriched_orders`,
-  *    README.md:448). In production both hops are Kafka topics / Delta
-  *    tables; the operator graph is identical.
+  *    next query through a disk-backed [[FileChannel]] (parquet dir +
+  *    file-source stream), the offline analog of the intermediate topic
+  *    ksqlDB writes (`enriched_orders`, README.md:448): executors write
+  *    and read the hop directly, nothing funnels through the driver.
   *  - J2 is Spark-native: `StreamingSymmetricHashJoinExec` from
   *    watermarks + an equi-key plus symmetric time-band condition
   *    (`WITHIN 7 DAYS`, README.md:477). State eviction follows the
   *    watermark; out-of-order arrival is handled by symmetric
   *    buffering.
-  *  - K2: the sink upserts by join key (order_id) — at-least-once
-  *    delivery collapses to exactly-once-per-key visible rows, matching
-  *    the Elasticsearch `_id`-from-key contract (README.md:555-568).
+  *  - K2: the sink is the durable [[KeyedParquetSink]] — copy-on-write
+  *    keyed snapshots, upsert by order_id, so at-least-once delivery
+  *    collapses to exactly-once-per-key visible rows, matching the
+  *    Elasticsearch `_id`-from-key contract (README.md:555-568).
   *
   * Scale: per-key streaming state shards over
-  * `spark.sql.shuffle.partitions`; the snapshot side is bounded by the
-  * broadcast-dimension assumption; use RocksDBStateStoreProvider for
-  * large J2 state.
+  * `spark.sql.shuffle.partitions`; every inter-query hop is files on
+  * shared storage (executor-side I/O); the snapshot side is bounded by
+  * the broadcast-dimension assumption; use RocksDBStateStoreProvider
+  * for large J2 state. No `collect()` anywhere in the q1→q3 dataflow.
   */
 class Pipeline(spark: SparkSession, checkpointRoot: String,
                band: String = "7 days", watermarkDelay: String = "7 days") {
   import spark.implicits._
-  implicit private val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss"
 
@@ -61,17 +61,34 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
   private val shipmentSchema = StructType(Seq(
     StructField("order_id", StringType), StructField("shipment_id", StringType),
     StructField("origin", StringType), StructField("ts", StringType)))
+  private val enrichedSchema = StructType(Seq(
+    StructField("order_id", StringType), StructField("price", DoubleType),
+    StructField("currency", StringType), StructField("customer_id", StringType),
+    StructField("customer_name", StringType),
+    StructField("customer_age", IntegerType),
+    StructField("o_ts", TimestampType)))
 
   /** customers_by_key materialized state (A3). */
   val customersByKey = new SnapshotStore(
     StructType(customerSchema.fields :+ StructField("__deleted", StringType)),
     keyField = "id")
 
-  /** Intermediate "topic": enriched_orders. */
-  val enrichedFeed: MemoryStream[EnrichedOrder] = MemoryStream[EnrichedOrder]
+  /** Intermediate "topic": enriched_orders — disk-backed, executor I/O. */
+  val enrichedChannel =
+    new FileChannel(spark, s"$checkpointRoot/topics/enriched_orders", enrichedSchema)
 
-  /** Final sink keyed by order_id (K2). */
-  val shippedOrders = new KeyedUpsertStore[ShippedOrder]
+  /** Final sink keyed by order_id (K2) — durable copy-on-write upserts. */
+  val shippedSink =
+    new KeyedParquetSink(spark, s"$checkpointRoot/stores/shipped_orders", "order_id")
+
+  /** Read view over the sink's current snapshot (tests/demos). */
+  object shippedOrders {
+    def df: Option[DataFrame] = shippedSink.df
+    def values: Seq[ShippedOrder] =
+      df.map(_.as[ShippedOrder].collect().toSeq).getOrElse(Nil)
+    def get(k: String): Option[ShippedOrder] = values.find(_.order_id == k)
+    def size: Long = df.map(_.count()).getOrElse(0L)
+  }
 
   // ---- q1: CREATE TABLE customers_by_key (README.md:434-441) ----
   private val q1: StreamingQuery = {
@@ -102,22 +119,21 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     orders.writeStream
       .queryName("enriched_orders")
       .option("checkpointLocation", s"$checkpointRoot/enriched_orders")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cust = customersByKey.df(spark).drop("__deleted")
         val enriched = batch.as("o")
           .join(broadcast(cust.as("c")), col("o.customer_id") === col("c.id"), "left")
           .select(col("o.order_id"), col("o.price"), col("o.currency"),
             col("o.customer_id"), col("c.name").as("customer_name"),
             col("c.age").as("customer_age"), col("o.o_ts"))
-        enrichedFeed.addData(enriched.as[EnrichedOrder].collect().toIndexedSeq)
-        ()
+        enrichedChannel.write(enriched, batchId)
       }
       .start()
   }
 
   // ---- q3: CREATE STREAM shipped_orders (README.md:464-480) ----
   private val q3: StreamingQuery = {
-    val enriched = enrichedFeed.toDF()
+    val enriched = enrichedChannel.readStream
       .withWatermark("o_ts", watermarkDelay).as("o")
     val shipments = shipmentsFeed.df
       .select(from_json(col("value"), shipmentSchema).as("s")).select("s.*")
@@ -136,9 +152,8 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
       .outputMode("append")
       .queryName("shipped_orders")
       .option("checkpointLocation", s"$checkpointRoot/shipped_orders")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.as[ShippedOrder].collect()
-          .foreach(r => shippedOrders.put(r.order_id, r))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shippedSink.upsert(batch, batchId)
       }
       .start()
   }
@@ -168,17 +183,3 @@ case class ShippedOrder(order_id: String, shipment_id: String,
                         customer_id: String, customer_name: Option[String],
                         customer_age: Option[Int], origin: String,
                         price: Double, currency: String)
-
-/** K2: keyed idempotent upsert sink (the Elasticsearch-analog contract:
-  * document id = record key, so redelivery upserts instead of
-  * duplicating — reference README.md:487-493,555-568). */
-class KeyedUpsertStore[V] {
-  private val rows = new java.util.concurrent.ConcurrentHashMap[String, V]()
-  def put(k: String, v: V): Unit = rows.put(k, v)
-  def values: Seq[V] = {
-    import scala.jdk.CollectionConverters._
-    rows.values().asScala.toSeq
-  }
-  def get(k: String): Option[V] = Option(rows.get(k))
-  def size: Int = rows.size()
-}
