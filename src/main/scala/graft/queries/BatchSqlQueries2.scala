@@ -249,19 +249,48 @@ object BatchSqlQueries2 {
       |FROM t""".stripMargin
 
   /** Sketch aggregates (HLL distinct-count, approximate quantiles).
-    * Approximation algorithms differ across engines, so there is no
-    * SQL oracle — the driver records the weaker rows-only check; the
-    * point is the engine surface (mergeable sketches are the 100 TB
-    * substitute for exact distinct/percentile when error is
-    * acceptable). */
+    * Approximation results differ across engines, so the sketch values
+    * themselves can't hash-compare — instead the query emits the EXACT
+    * aggregates plus `*_within_tol` booleans asserting the sketch is
+    * within 5% relative error of the exact answer, all computed inside
+    * the same Spark job. The DuckDB oracle produces the exact values
+    * and literal TRUEs, so the row hash-matches and the sketch surface
+    * is correctness-gated like every other query (mergeable sketches
+    * are the 100 TB substitute for exact distinct/percentile when
+    * error is acceptable). Tolerances are ~3σ of each sketch's
+    * configured accuracy (HLL default rsd 0.05 → 0.15; rsd 0.02 →
+    * 0.06), so the gate is deterministic-data-tight without being
+    * flaky. */
   def sketchAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("a_parts"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median_price"))
+          .as("a_median"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_med_raw"))
+      .select(col("l_returnflag"),
+        col("exact_orders"), col("exact_parts"),
+        round(col("exact_med_raw"), 6).as("exact_median_price"),
+        (abs(col("a_orders") - col("exact_orders")) / col("exact_orders") < 0.15)
+          .as("orders_within_tol"),
+        (abs(col("a_parts") - col("exact_parts")) / col("exact_parts") < 0.06)
+          .as("parts_within_tol"),
+        (abs(col("a_median") - col("exact_med_raw")) / col("exact_med_raw") < 0.05)
+          .as("median_within_tol"))
+
+  val sketchAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  ROUND(quantile_cont(l_extendedprice, CAST(0.5 AS DOUBLE)), 6) AS exact_median_price,
+      |  TRUE AS orders_within_tol,
+      |  TRUE AS parts_within_tol,
+      |  TRUE AS median_within_tol
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Salted join == plain join (skew mitigation is a physical rewrite,
     * not a semantic change). */
@@ -316,6 +345,7 @@ object BatchSqlQueries2 {
 
   def oracles: Map[String, String] = Map(
     "q_point_lookup" -> pointLookupSql,
+    "q_sketch_agg" -> sketchAggSql,
     "q_salted_join" -> saltedJoinSql,
     "q_topk_per_key" -> topkPerKeySql,
     "q_asof_join_custom" -> asofJoinCustomSql,

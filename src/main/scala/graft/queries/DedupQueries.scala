@@ -33,30 +33,37 @@ object DedupQueries {
   def jaccardPairs(docs: DataFrame, candidates: Option[DataFrame],
                    threshold: Double): DataFrame = {
     val s = docs.sparkSession
+    // persist: sh feeds both sides of the candidate join. The cache is
+    // released before returning — the (tiny) pair result is eagerly
+    // localCheckpoint'ed off it, so no InMemoryRelation outlives the
+    // query (cache hygiene across an 83-query session).
     val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", N).persist()
-    val sizes = docs
-      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
-    val inter = candidates match {
-      case None =>
-        sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("i"))
-      case Some(cand) =>
-        cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(sh.as("b"),
-            col("doc_b") === col("b.doc_id") && col("b.sh") === col("a.sh"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("i"))
-    }
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    try {
+      val sizes = docs
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+      val inter = candidates match {
+        case None =>
+          sh.as("a").join(sh.as("b"),
+              col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .agg(count(lit(1)).as("i"))
+        case Some(cand) =>
+          cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+            .join(sh.as("b"),
+              col("doc_b") === col("b.doc_id") && col("b.sh") === col("a.sh"))
+            .groupBy(col("doc_a"), col("doc_b"))
+            .agg(count(lit(1)).as("i"))
+      }
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint()
+    } finally { sh.unpersist(blocking = false); () }
   }
 
   /** Exact dedup: group by content hash, keep the lowest doc_id.
@@ -116,15 +123,18 @@ object DedupQueries {
       .select(col("doc_id") +: seeds.map(i =>
         element_at(col("__mh"), i + 1).as(s"h$i")): _*)
       .persist()
-    val bands = (0 until 4).map { b =>
-      mh.select(col("doc_id"), lit(b).as("band"),
-        concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig"))
-    }.reduce(_ unionAll _)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    try {
+      val bands = (0 until 4).map { b =>
+        mh.select(col("doc_id"), lit(b).as("band"),
+          concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}")).as("sig"))
+      }.reduce(_ unionAll _)
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint() // eager: pairs materialize, then the cache drops
+    } finally { mh.unpersist(blocking = false); () }
   }
 
   val minhashLshSql: String =
@@ -179,19 +189,38 @@ object DedupQueries {
       |SELECT doc_id, CAST(SUM(bt << b) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin
 
-  /** SimHash near-dup candidate pairs: join only within a signature
-    * bucket (high byte) — the scale move that avoids all-pairs — then
-    * exact hamming ≤ 3 via bit_count(xor). */
+  /** SimHash near-dup candidate pairs: equi-join within each of four
+    * 4-bit signature bands — the scale move that avoids all-pairs —
+    * then exact hamming ≤ 3 via bit_count(xor).
+    *
+    * Recall is COMPLETE by pigeonhole: 3 differing bits cannot touch
+    * all 4 disjoint bands, so every hamming-≤3 pair shares at least one
+    * band exactly (the k+1-bands-for-distance-k rule). The oracle is
+    * therefore the brute-force all-pairs hamming filter — the banded
+    * plan must reproduce it verbatim. On a production 64-bit simhash
+    * the same structure uses 4×16-bit bands. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = simhash(s, d).persist()
+    try simhashBandPairs(sig).localCheckpoint()
+    finally { sig.unpersist(blocking = false); () }
+  }
+
+  /** Banded hamming-≤3 pair mining over a (doc_id, simhash) relation —
+    * factored out so the band-recall guarantee is unit-testable on
+    * synthetic signatures. */
+  def simhashBandPairs(sig: DataFrame): DataFrame = {
     val hamming =
       bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
-    sig.as("a").join(sig.as("b"),
-        expr("shiftright(a.simhash, 8) = shiftright(b.simhash, 8)") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
+    (0 until 4).map { b =>
+      sig.as("a").join(sig.as("b"),
+          expr(s"(shiftright(a.simhash, ${4 * b}) & 15) = " +
+               s"(shiftright(b.simhash, ${4 * b}) & 15)") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          hamming.as("hamming"))
+    }.reduce(_ unionAll _)
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   val simhashPairsSql: String =
@@ -210,7 +239,7 @@ object DedupQueries {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM sig a
-      |JOIN sig b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+      |JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
   /** Duplicate-cluster connected components over the verified Jaccard
@@ -224,11 +253,12 @@ object DedupQueries {
     // (narrow signature pass + tiny join), exact Jaccard verification
     // only on the candidates, then cluster. Avoids mining all
     // shared-shingle pairs.
+    // jaccardPairs returns an eagerly localCheckpoint'ed relation, so
+    // the pair mining already ran at full parallelism and carries no
+    // lineage back to the corpus scan.
     val pairs = jaccardPairs(Tables.documents(s, d),
         candidates = Some(minhashLsh(s, d)), threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
-    pairs.count() // materialize the pair mining at full parallelism
     // the propagation loop runs over the (tiny) node/edge relations:
     // wide shuffles per iteration are pure overhead, so pin them small
     // (at larger cluster scale: size to the edge relation, not the
@@ -239,6 +269,11 @@ object DedupQueries {
         .persist()
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .select(col("doc_id"), col("doc_id").as("component")).persist()
+      // handle on the EXACT persisted plan: unpersist matches cache
+      // entries by sameResult, so calling it on a derived projection
+      // (labels = step.drop(...)) would silently leak one
+      // InMemoryRelation per round
+      var labelsCache: DataFrame = labels
       var converged = false
       var iter = 0
       // min-label propagation strictly decreases labels until fixpoint,
@@ -255,16 +290,19 @@ object DedupQueries {
               .as("component"))
           .persist()
         val changed = step.filter(col("component") =!= col("old")).count()
-        labels.unpersist()
-        labels = step.drop("old")
+        labelsCache.unpersist(blocking = false)
+        labelsCache = step
+        labels = step.drop("old") // projection over the cached step
         converged = changed == 0
         iter += 1
       }
-      // labels is materialized (last round's count); drop the
-      // intermediates from cache
-      pairs.unpersist()
-      edges.unpersist()
-      labels
+      // detach the (small) final labeling from every cached
+      // intermediate, then release them — no InMemoryRelation outlives
+      // the query
+      val out = labels.localCheckpoint()
+      labelsCache.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+      out
     }
   }
 

@@ -143,15 +143,20 @@ object SimilarityQueries {
   def cosNearDup(s: SparkSession, d: String): DataFrame = {
     val bucketF = concat((1 to 8).map(i =>
       when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    // persist feeds both join sides; released before return, with the
+    // (small) pair result eagerly checkpointed off the cache
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), bucketF.as("bucket"))
       .persist()
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(graft.functions.GraftFunctions.cosineSim(s,
-          col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.9)
+    try {
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(graft.functions.GraftFunctions.cosineSim(s,
+            col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.9)
+        .localCheckpoint()
+    } finally { e.unpersist(blocking = false); () }
   }
 
   val cosNearDupSql: String =

@@ -7,15 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * to carry an oracle unless explicitly rows-only. */
 class CatalogSpec extends AnyFunSuite {
 
-  private val rowsOnly = Set("q_sketch_agg") // approximations differ per engine
-
   test("every oracle key has a query") {
     val missing = Catalog.oracles.keySet -- Catalog.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query has an oracle unless documented rows-only") {
-    val missing = Catalog.queries.keySet -- Catalog.oracles.keySet -- rowsOnly
+  test("every query has an oracle — no rows-only exemptions") {
+    // q_sketch_agg is gated too: it emits exact aggregates plus
+    // within-tolerance booleans, so the sketch surface hash-compares
+    val missing = Catalog.queries.keySet -- Catalog.oracles.keySet
     assert(missing.isEmpty, s"queries without oracles: $missing")
   }
 
