@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udaf
+
+import graft.sources.Tables
+
+/** Full-surface SQL entry point. The reference's user interface is SQL
+  * (ksqlDB statements, reference README.md:346-493); this makes the
+  * whole graft surface reachable from `spark.sql(...)` strings:
+  *
+  *  - every testdata table as a temp view (`lineitem`, `documents`, …),
+  *  - every native Catalyst expression as a SQL function
+  *    (`cosine_sim`, `hashed_shingles`, `minhash_slices`, `simhash16`),
+  *  - the typed Aggregators as SQL aggregate functions
+  *    (`latest_by_offset`, `topk_by_score`).
+  *
+  * Natives are also injected session-wide by [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.GraftExtensions`) — the deployment path
+  * on a cluster; `registerFunctions` is the per-session equivalent for
+  * sessions built without the extension.
+  */
+object GraftSql {
+
+  /** Views + functions: after this, a ksqlDB user ports statements 1:1
+    * as `spark.sql("SELECT ... FROM <table> ...")`. */
+  def init(spark: SparkSession, sfDir: String): Unit = {
+    initViews(spark, sfDir)
+    registerFunctions(spark)
+  }
+
+  /** Temp views only (natives may already come from the extension). */
+  def initViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.names.foreach { n =>
+      // events goes through the shared nanos→micros normalization so
+      // SQL users see a timestamp, not a raw long
+      val df =
+        if (n == "events") Tables.events(spark, sfDir)
+        else Tables(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  /** Register every engine function on an extension-less session. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    graft.functions.GraftFunctions.register(spark) // cosine_sim
+    graft.functions.HashedShingles.register(spark, 5)
+    graft.functions.MinHashSlices.register(spark, 5)
+    graft.functions.SimHash16.register(spark)
+    spark.udf.register("latest_by_offset",
+      udaf(new graft.functions.LatestByOffsetAgg))
+    spark.udf.register("topk_by_score",
+      udaf(new graft.functions.TopKByScore(3)))
+    ()
+  }
+}

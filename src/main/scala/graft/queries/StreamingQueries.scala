@@ -210,6 +210,65 @@ object StreamingQueries {
     runToTable(joined, "append")
   }
 
+  /** Stream–stream LEFT OUTER interval join (ksqlDB `LEFT JOIN …
+    * WITHIN`, which the reference's demo doesn't exercise but ksqlDB
+    * supports): unmatched left rows emit with nulls once the combined
+    * watermark passes their join window. Because the inputs are finite,
+    * a far-future flush row is injected on EACH side (key -1/-2,
+    * matching nothing) to push both watermarks past all real data so
+    * every pending left row's null-emission actually fires — the
+    * streaming result then equals the batch LEFT JOIN oracle exactly.
+    * At 100 TB the flush row is unnecessary: a live stream's watermark
+    * advances on its own. */
+  def streamIntervalLeft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def fileStream(name: String): DataFrame = {
+      val raw = s.read.parquet(s"$d/$name.parquet").schema
+      s.readStream.schema(raw).parquet(s"$d/{$name}.parquet")
+    }
+    val flushTs = java.sql.Timestamp.valueOf("2099-01-01 00:00:00")
+    val flushO =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val flushL =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, java.sql.Timestamp)]
+    flushO.addData((-1L, flushTs))
+    flushL.addData((-2L, 0, flushTs))
+    val o = fileStream("orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast(TimestampType).as("o_orderdate"))
+      .unionByName(flushO.toDF().toDF("o_orderkey", "o_orderdate"))
+      .withWatermark("o_orderdate", "30 days").as("o")
+    val l = fileStream("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(TimestampType).as("l_shipdate"))
+      .unionByName(flushL.toDF().toDF("l_orderkey", "l_linenumber", "l_shipdate"))
+      .withWatermark("l_shipdate", "30 days").as("l")
+    val joined = o.join(l,
+      expr("""l.l_orderkey = o.o_orderkey AND
+              l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
+              l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), "leftOuter")
+      .select(col("o.o_orderkey").as("order_id"),
+        col("l.l_linenumber").as("line_no"),
+        date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    // the sentinel filter must run on the MATERIALIZED result, not
+    // inside the streaming plan: Catalyst pushes a deterministic
+    // filter below EventTimeWatermark into the union branch, which
+    // would drop the flush row before it registers event-time stats
+    // and silently freeze the watermark (observed: 32 missing
+    // null-emissions). The left sentinel can't emit anyway — it IS the
+    // max event, so the watermark never passes its own window — but
+    // filter defensively.
+    runToTable(joined, "append").filter(col("order_id") >= 0)
+  }
+
+  val streamIntervalLeftSql: String =
+    """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
+      |       strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      | AND l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAY
+      | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY""".stripMargin
+
   /** The full chained streaming pipeline on the reference's golden
     * seed (reference README.md:502-527 + live insert 654-672); the
     * oracle is the expected output as a VALUES literal — the strongest
@@ -273,6 +332,7 @@ object StreamingQueries {
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_interval_join" -> streamIntervalJoin _,
+    "stream_interval_left" -> streamIntervalLeft _,
     "stream_pipeline_golden" -> pipelineGolden _)
 
   def oracles: Map[String, String] = Map(
@@ -282,5 +342,6 @@ object StreamingQueries {
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
+    "stream_interval_left" -> streamIntervalLeftSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
 }

@@ -30,25 +30,46 @@ object DebeziumEnvelope {
     StructField("before", after), StructField("after", after),
     StructField("op", StringType), StructField("ts_ms", LongType)))
 
-  /** @param passthrough source columns (e.g. `offset`, `ts`) to carry
-    *                     through alongside the unwrapped fields. */
+  /** @param passthrough  source columns (e.g. `offset`, `ts`) to carry
+    *                      through alongside the unwrapped fields.
+    * @param tombstoneKey  Kafka tombstone handling: a record whose raw
+    *                      value IS NULL (no JSON at all — the compaction
+    *                      marker Debezium emits after a delete when
+    *                      `drop.tombstones=false`, reference
+    *                      README.md:363). `Some(srcKeyCol -> targetField)`
+    *                      surfaces it in Rewrite mode as a delete row
+    *                      whose `targetField` is the topic key and
+    *                      `__deleted='true'` — exactly how ksqlDB drops
+    *                      the table row for a tombstone. In Drop mode
+    *                      tombstones are always filtered out (the Mongo
+    *                      SMT's `drop.tombstones=true` default,
+    *                      README.md:379-383). */
   def unwrap(df: DataFrame, valueCol: Column, afterSchema: StructType,
-             mode: DeleteMode, passthrough: Seq[String] = Nil): DataFrame = {
+             mode: DeleteMode, passthrough: Seq[String] = Nil,
+             tombstoneKey: Option[(String, String)] = None): DataFrame = {
     val parsed = df.withColumn("__env",
       from_json(valueCol, envelopeSchema(afterSchema)))
     val extra = passthrough.map(col)
+    val isTomb = valueCol.isNull
     mode match {
       case Rewrite =>
         val cols = afterSchema.fields.map { f =>
-          when(col("__env.op") === "d", col(s"__env.before.${f.name}"))
-            .otherwise(col(s"__env.after.${f.name}")).as(f.name)
+          val unwrapped = when(col("__env.op") === "d",
+              col(s"__env.before.${f.name}"))
+            .otherwise(col(s"__env.after.${f.name}"))
+          (tombstoneKey match {
+            case Some((src, target)) if target == f.name =>
+              when(isTomb, col(src).cast(f.dataType)).otherwise(unwrapped)
+            case _ => unwrapped
+          }).as(f.name)
         }
-        val deleted = when(col("__env.op") === "d", lit("true"))
+        val deleted = when(isTomb || col("__env.op") === "d", lit("true"))
           .otherwise(lit("false")).as("__deleted")
         parsed.select(cols.toSeq ++ Seq(deleted) ++ extra: _*)
       case Drop =>
         parsed
-          .filter(col("__env.op").isNull || col("__env.op") =!= "d")
+          .filter(!isTomb &&
+            (col("__env.op").isNull || col("__env.op") =!= "d"))
           .select(afterSchema.fields.map(f =>
             col(s"__env.after.${f.name}").as(f.name)).toSeq ++
             Seq(col("__env.op").as("__op")) ++ extra: _*)

@@ -92,8 +92,12 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
 
   // ---- q1: CREATE TABLE customers_by_key (README.md:434-441) ----
   private val q1: StreamingQuery = {
+    // tombstoneKey: a null-value Kafka record (compaction marker kept
+    // by drop.tombstones=false) deletes its key from the table, as in
+    // ksqlDB
     val unwrapped = DebeziumEnvelope.unwrap(customersFeed.df, col("value"),
-      customerSchema, DebeziumEnvelope.Rewrite, passthrough = Seq("offset"))
+      customerSchema, DebeziumEnvelope.Rewrite, passthrough = Seq("offset"),
+      tombstoneKey = Some("key" -> "id"))
     val table = LatestByKey.table(unwrapped, "id", "offset",
       Seq("name", "age", "__deleted"))
     table.writeStream

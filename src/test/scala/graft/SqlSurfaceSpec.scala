@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's user interface is SQL (ksqlDB statements, reference
+  * README.md:346-493). This spec proves the whole graft surface is
+  * reachable through plain `spark.sql(...)` strings on a session built
+  * with [[GraftExtensions]] + [[GraftSql]] views: relational queries,
+  * the native Catalyst expressions (injected session-wide, no manual
+  * registration), and the Aggregator-backed SQL aggregates — each
+  * checked against its DataFrame-DSL spelling. */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sql-surface")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    GraftSql.initViews(spark, sf)
+    ()
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def sameRows(sql: DataFrame, dsl: DataFrame): Unit = {
+    val a = sql.collect().toSet
+    val b = dsl.collect().toSet
+    assert(a.nonEmpty, "SQL result is empty")
+    assert(a == b, s"SQL vs DSL mismatch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
+
+  test("extension-injected natives resolve in SQL with no per-session registration") {
+    // runs BEFORE GraftSql.registerFunctions is ever called: the only
+    // way these names resolve is the GraftExtensions injection
+    val row = spark.sql(
+      """SELECT round(cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                        CAST(array(1.0, 1.0) AS ARRAY<FLOAT>)), 6) c,
+        |       simhash16(array('a','b')) s,
+        |       size(hashed_shingles(array('a','b','c','d','e','f'), 5)) nsh,
+        |       size(minhash_slices(array('a','b','c','d','e'))) nmh
+        |""".stripMargin).collect()(0)
+    assert(math.abs(row.getDouble(0) - 0.707107) < 1e-6)
+    assert(row.getLong(1) >= 0 && row.getLong(1) < (1 << 16))
+    assert(row.getInt(2) == 2) // 6 tokens, width 5 → 2 shingles
+    assert(row.getInt(3) == 8) // 8 minhash slices
+  }
+
+  test("relational SQL over views matches the DSL: agg + join + window") {
+    sameRows(
+      spark.sql(
+        """SELECT o.o_orderpriority AS priority,
+          |       CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o.o_orderpriority""".stripMargin),
+      {
+        import org.apache.spark.sql.functions._
+        sources.Tables.lineitem(spark, sf).as("l")
+          .join(sources.Tables.orders(spark, sf).as("o"),
+            col("l.l_orderkey") === col("o.o_orderkey"))
+          .groupBy(col("o.o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l.l_extendedprice") * 100).cast("long")).as("cents"))
+      })
+  }
+
+  test("window-function SQL matches the DSL") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    sameRows(
+      spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |         rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) rk
+          |  FROM orders) WHERE rk <= 2""".stripMargin),
+      sources.Tables.orders(spark, sf)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_totalprice").desc)).as("rk"))
+        .filter(col("rk") <= 2))
+  }
+
+  test("cosine top-k over the embeddings view — the ksqlDB-style similarity query") {
+    import org.apache.spark.sql.functions._
+    val q = sources.Tables.embeddings(spark, sf)
+      .orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val qLit = q.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+    val sql = spark.sql(
+      s"""SELECT vec_id, round(cosine_sim(embedding, $qLit), 6) AS sim
+         |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
+    val dsl = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(spark,
+          col("embedding"), lit(q.toArray)), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+    assert(sql.collect().toSeq == dsl.collect().toSeq)
+  }
+
+  test("dedup signatures via SQL: simhash16 + hashed_shingles over documents") {
+    import org.apache.spark.sql.functions._
+    sameRows(
+      spark.sql(
+        """SELECT doc_id,
+          |       simhash16(split(trim(text), '\\s+')) AS simhash,
+          |       CAST(size(hashed_shingles(split(trim(text), '\\s+'), 5)) AS BIGINT) AS n_shingles
+          |FROM documents""".stripMargin),
+      sources.Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.functions.TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          graft.functions.SimHash16(spark, col("__toks")).as("simhash"),
+          size(graft.functions.HashedShingles(spark, col("__toks"), 5))
+            .cast("long").as("n_shingles")))
+  }
+
+  test("aggregator-backed SQL aggregates: latest_by_offset + topk_by_score") {
+    GraftSql.registerFunctions(spark)
+    sameRows(
+      spark.sql(
+        """SELECT user_id, latest_by_offset(event_id, event_type) AS latest_type
+          |FROM events GROUP BY user_id""".stripMargin),
+      queries.PipelineQueries.latestByKeyUdaf(spark, sf))
+  }
+
+  test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {
+    GraftSql.init(spark, sf)
+    val out = spark.sql(
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin).collect()
+    assert(out.nonEmpty && out.forall(!_.isNullAt(1)))
+  }
+}

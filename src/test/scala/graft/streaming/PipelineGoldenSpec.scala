@@ -156,6 +156,29 @@ class PipelineGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.stop()
   }
 
+  test("Kafka tombstone: null-value record deletes the customer key (drop.tombstones=false)") {
+    val p = newPipeline()
+    try {
+      p.customersFeed.add(
+        "5" -> DebeziumJson.insert("id" -> "5", "name" -> "fred", "age" -> 34))
+      p.step()
+      assert(p.customersByKey.size == 1)
+      // the literal null value — no Debezium JSON at all, just the
+      // compaction marker the reference keeps with drop.tombstones=false
+      p.customersFeed.add("5" -> null)
+      p.step()
+      assert(p.customersByKey.size == 0)
+      // a later order for the tombstoned customer must no longer enrich
+      p.ordersFeed.add(
+        "65" -> orderJson("5", "65", 3.00, "usd", "2020-04-03T11:20:00"))
+      p.shipmentsFeed.add(
+        "65" -> shipmentJson("65", "93", "ohio", "2020-04-03T12:00:00"))
+      p.step()
+      assert(p.shippedOrders.get("65").contains(ShippedOrder(
+        "65", "93", "5", None, None, "ohio", 3.00, "usd")))
+    } finally p.stop()
+  }
+
   test("late data: shipment below the advanced watermark is dropped (state eviction)") {
     val p = newPipeline()
     try {
