@@ -207,18 +207,30 @@ object DedupQueries {
 
   /** Banded hamming-≤3 pair mining over a (doc_id, simhash) relation —
     * factored out so the band-recall guarantee is unit-testable on
-    * synthetic signatures. */
+    * synthetic signatures. One explode into (band, nibble) rows + one
+    * equi-join on the band key (the minhash-LSH plan shape) instead of
+    * four self-joins union'd: a single shuffle, and the hamming filter
+    * runs before the distinct so the dedup shuffle only carries
+    * near-dup pairs. */
   def simhashBandPairs(sig: DataFrame): DataFrame = {
-    val hamming =
-      bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast(LongType)
-    (0 until 4).map { b =>
-      sig.as("a").join(sig.as("b"),
-          expr(s"(shiftright(a.simhash, ${4 * b}) & 15) = " +
-               s"(shiftright(b.simhash, ${4 * b}) & 15)") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          hamming.as("hamming"))
-    }.reduce(_ unionAll _)
+    // simhash bits are biased by common tokens, so nibble buckets are
+    // heavily skewed (one bucket can hold >half the corpus): the
+    // broadcast self-join's cost is the probe side's candidate
+    // explosion, so spread the probe rows across the full shuffle
+    // width — otherwise the 10M+ pair evaluations land on however few
+    // partitions the signature scan produced
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        expr(s"shiftright(simhash, ${4 * b}) & 15").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .repartition(col("doc_id"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(LongType).as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
   }
