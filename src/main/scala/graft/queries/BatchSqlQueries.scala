@@ -173,6 +173,31 @@ object BatchSqlQueries {
       |       SUM(CAST(floor("value"*1000000) AS BIGINT))/1000000.0 AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
 
+  /** Hopping windows (1 h size, 15 min hop — ksqlDB `WINDOW HOPPING`):
+    * every event lands in size/hop = 4 overlapping windows. Spark's
+    * `window(ts, size, slide)` generates them inline (a projection,
+    * not a join); both engines align buckets to the epoch so the
+    * window starts agree exactly. */
+  def hoppingAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  val hoppingAggSql: String =
+    """WITH e AS (
+      |  SELECT time_bucket(INTERVAL '15 minutes', ts) tb, event_type, "value"
+      |  FROM events),
+      |w AS (
+      |  SELECT tb - k.k * INTERVAL '15 minutes' AS ws, event_type, "value"
+      |  FROM e, (SELECT unnest(generate_series(0, 3)) k) k)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |       COUNT(*) AS n,
+      |       SUM(CAST(floor("value"*1000000) AS BIGINT))/1000000.0 AS sum_value
+      |FROM w GROUP BY ws, event_type""".stripMargin
+
   /** Session windows (30 min inactivity gap) per user — batch form of
     * the streaming session aggregation; oracle = gaps-and-islands. */
   def sessionWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -352,6 +377,7 @@ object BatchSqlQueries {
     "q_intersect" -> intersectOp _,
     "q_window_functions" -> windowFunctions _,
     "q_tumbling_agg" -> tumblingAgg _,
+    "q_hopping_agg" -> hoppingAgg _,
     "q_session_window" -> sessionWindowAgg _,
     "q_distinct_agg" -> distinctAgg _,
     "q_rollup" -> rollupAgg _,
@@ -372,6 +398,7 @@ object BatchSqlQueries {
     "q_intersect" -> intersectSql,
     "q_window_functions" -> windowFunctionsSql,
     "q_tumbling_agg" -> tumblingAggSql,
+    "q_hopping_agg" -> hoppingAggSql,
     "q_session_window" -> StreamingQueries.sessionAggSql,
     "q_distinct_agg" -> distinctAggSql,
     "q_rollup" -> rollupSql,

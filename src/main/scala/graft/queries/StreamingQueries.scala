@@ -86,6 +86,50 @@ object StreamingQueries {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Hopping windows (1 h / 15 min) — streaming twin of q_hopping_agg,
+    * same oracle: each event expands to 4 overlapping windows before
+    * the stateful agg (ksqlDB `WINDOW HOPPING (SIZE 1 HOUR, ADVANCE BY
+    * 15 MINUTES)`). */
+  def hoppingAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
+    runToTable(agg, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** EMIT FINAL analog (ksqlDB emits a window's single final result
+    * instead of per-change updates): append-mode watermarked windowed
+    * agg — Spark only emits a window once the watermark closes it, so
+    * each window appears exactly once with its final value. A
+    * far-future flush sentinel pushes the watermark past all real
+    * data so every window actually closes on this finite input (a live
+    * stream's watermark advances on its own); the sentinel's own
+    * window is filtered AFTER materialization (a filter inside the
+    * streaming plan would be pushed below the watermark operator and
+    * kill the flush — see streamIntervalLeft). Same oracle as the
+    * batch tumbling agg: final emission must equal the batch answer. */
+  def tumblingFinal(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val flush =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "__flush", 0.0))
+    val agg = eventsStream(s, d)
+      .select(col("ts").cast(TimestampType).as("ts"), col("event_type"), col("value"))
+      .unionByName(flush.toDF().toDF("ts", "event_type", "value"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
+    runToTable(agg, "append")
+      .filter(col("event_type") =!= "__flush")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Session windows (30 min gap) per user, streaming complete mode;
     * oracle is the classic gaps-and-islands SQL. */
   def sessionAgg(s: SparkSession, d: String): DataFrame = {
@@ -331,6 +375,8 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_static_join" -> streamStaticJoin _,
+    "stream_hopping_agg" -> hoppingAgg _,
+    "stream_tumbling_final" -> tumblingFinal _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_left" -> streamIntervalLeft _,
     "stream_pipeline_golden" -> pipelineGolden _)
@@ -341,6 +387,8 @@ object StreamingQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_static_join" -> streamStaticJoinSql,
+    "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
+    "stream_tumbling_final" -> BatchSqlQueries.tumblingAggSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_interval_left" -> streamIntervalLeftSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
