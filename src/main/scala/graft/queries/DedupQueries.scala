@@ -199,11 +199,13 @@ object DedupQueries {
     * therefore the brute-force all-pairs hamming filter — the banded
     * plan must reproduce it verbatim. On a production 64-bit simhash
     * the same structure uses 4×16-bit bands. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = simhash(s, d).persist()
-    try simhashBandPairs(sig).localCheckpoint()
-    finally { sig.unpersist(blocking = false); () }
-  }
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    // no persist/checkpoint here: the 16-bit signature pass is a cheap
+    // narrow scan, so recomputing it on each join side costs far less
+    // than materializing the multi-million-row pair result that an
+    // eager localCheckpoint would store (near-dup density is high at
+    // this signature width). Nothing is cached, so nothing can leak.
+    simhashBandPairs(simhash(s, d))
 
   /** Banded hamming-≤3 pair mining over a (doc_id, simhash) relation —
     * factored out so the band-recall guarantee is unit-testable on
@@ -225,14 +227,26 @@ object DedupQueries {
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
       .repartition(col("doc_id"))
+    // first-matching-band dedup: a pair sharing k bands would surface
+    // k times, so keep it only where no EARLIER band also matches —
+    // pure bitwise arithmetic on the xor, evaluated inside the join's
+    // codegen stage. Each pair is then unique by construction and the
+    // multi-million-row distinct shuffle disappears.
+    val xorCol = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def bandDiffers(b: Int) =
+      shiftright(xorCol, 4 * b).bitwiseAND(lit(15L)) =!= 0L
+    val noEarlierBandMatches = (0 until 4).map { b =>
+      (0 until b).map(bandDiffers)
+        .foldLeft(col("a.band") === b)(_ && _)
+    }.reduce(_ || _)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast(LongType).as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
+        bit_count(xorCol).cast(LongType).as("hamming"),
+        noEarlierBandMatches.as("__first"))
+      .filter(col("hamming") <= 3 && col("__first"))
+      .drop("__first")
   }
 
   val simhashPairsSql: String =
