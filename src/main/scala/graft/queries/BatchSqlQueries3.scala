@@ -102,7 +102,50 @@ object BatchSqlQueries3 {
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)/100.0 AS trailing_30d_spend
       |FROM orders""".stripMargin
 
+  /** ksqlDB `EARLIEST_BY_OFFSET` + `LATEST_BY_OFFSET` side by side:
+    * first/last value per key in offset order — both are single-pass
+    * declarative aggregates (`min_by`/`max_by`) with map-side
+    * partials, so each map partition ships one candidate per key. */
+  def earliestByOffset(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), col("event_id")).as("earliest_type"),
+        max_by(col("event_type"), col("event_id")).as("latest_type"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+
+  val earliestByOffsetSql: String =
+    """SELECT user_id,
+      |       arg_min(event_type, event_id) AS earliest_type,
+      |       arg_max(event_type, event_id) AS latest_type,
+      |       min(event_id) AS first_offset,
+      |       max(event_id) AS last_offset
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** ksqlDB `COLLECT_LIST` / `COLLECT_SET`: per-key value collection.
+    * Collection order is nondeterministic under parallelism, so both
+    * engines sort before joining to a string — the deterministic
+    * spelling of an unordered bag (and the hash-comparable one). */
+  def collectAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("type_set"),
+        array_join(sort_array(collect_list(col("event_type"))), ",")
+          .as("type_bag"),
+        count(lit(1)).as("n"))
+
+  val collectAggSql: String =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS type_set,
+      |  array_to_string(list_sort(list(event_type)), ',') AS type_bag,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_earliest_by_offset" -> earliestByOffset _,
+    "q_collect_agg" -> collectAgg _,
     "q_range_frame" -> rangeFrame _,
     "q_union_all" -> unionAll _,
     "q_cross_join" -> crossJoinSmall _,
@@ -111,6 +154,8 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_earliest_by_offset" -> earliestByOffsetSql,
+    "q_collect_agg" -> collectAggSql,
     "q_range_frame" -> rangeFrameSql,
     "q_union_all" -> unionAllSql,
     "q_cross_join" -> crossJoinSql,
