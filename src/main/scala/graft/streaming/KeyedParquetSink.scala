@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * log); at 100 TB you'd partition the snapshot by key ranges and
   * rewrite only affected partitions.
   */
-class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String) {
+/** @param deletedCol when set, a merged row whose latest version has
+  *                    this column = 'true' is a deletion: the key
+  *                    disappears from the visible snapshot (ksqlDB
+  *                    tombstone semantics for a durable table). */
+class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
+                       deletedCol: Option[String] = None) {
   Files.createDirectories(Paths.get(root))
   private val pointer = Paths.get(root, "_CURRENT")
 
@@ -37,7 +42,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String) {
     * (also avoids overwriting the directory being read). */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (currentPath.contains(s"$root/v$batchId")) return
-    val merged = currentPath match {
+    val mergedAll = currentPath match {
       case None => batch.dropDuplicates(keyCol)
       case Some(p) =>
         val cur = spark.read.parquet(p).withColumn("__pri", lit(0))
@@ -47,6 +52,14 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String) {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .drop("__pri", "__rn")
+    }
+    // tombstone semantics: if the key's LATEST version is a delete
+    // marker, the key leaves the snapshot (rather than surviving as a
+    // marked row)
+    val merged = deletedCol match {
+      case Some(c) if mergedAll.schema.fieldNames.contains(c) =>
+        mergedAll.filter(col(c).isNull || col(c) =!= "true")
+      case _ => mergedAll
     }
     val target = s"$root/v$batchId"
     merged.write.mode("overwrite").parquet(target)

@@ -24,23 +24,29 @@ object LatestByKey {
       .select(col(keyCol) +: valueCols.map(c => col(s"__latest.$c").as(c)): _*)
 }
 
-/** A3 + J1's table side: a continuously upserted dimension snapshot.
-  *
-  * The update-mode table stream feeds `upsert` per micro-batch
-  * (`foreachBatch`); readers get a consistent static DataFrame of the
-  * current state via `df`. A `__deleted='true'` row (S2 rewrite mode)
-  * removes its key — the ksqlDB tombstone (SURVEY.md §7 "what is hard"
-  * #2).
+/** A3 + J1's table side: a continuously upserted dimension snapshot,
+  * fed per micro-batch by the update-mode table stream and re-read by
+  * the enrichment join (lookup-at-processing-time semantics). A
+  * `__deleted='true'` row (S2 rewrite mode / Kafka tombstone) removes
+  * its key — the ksqlDB tombstone behavior. Two implementations:
+  * [[SnapshotStore]] (in-memory, broadcast-dimension-bounded) and
+  * [[DurableSnapshotStore]] (parquet copy-on-write, unbounded). */
+trait DimensionStore {
+  def upsert(batch: DataFrame, batchId: Long): Unit
+  def df(spark: SparkSession): DataFrame
+  def size: Long
+}
+
+/** In-memory dimension snapshot.
   *
   * Scale contract: this store backs the *broadcast side* of the
   * enrichment join, so it is bounded by the same "dimension fits in an
-  * executor" assumption a broadcast join makes. At 100 TB fact scale the
-  * production analog is an upserted Delta/parquet table maintained by
-  * the same foreachBatch; the in-memory form keeps the offline engine
-  * dependency-free.
+  * executor" assumption a broadcast join makes — and it keeps the
+  * offline engine dependency-free. Past that bound, use
+  * [[DurableSnapshotStore]].
   */
 class SnapshotStore(val schema: StructType, keyField: String,
-                    deletedField: String = "__deleted") {
+                    deletedField: String = "__deleted") extends DimensionStore {
   private val rows = new java.util.concurrent.ConcurrentHashMap[String, Row]()
 
   def upsert(batch: DataFrame): Unit = {
@@ -53,12 +59,40 @@ class SnapshotStore(val schema: StructType, keyField: String,
     }
   }
 
+  override def upsert(batch: DataFrame, batchId: Long): Unit = upsert(batch)
+
   /** Current state as a static DataFrame (re-read per micro-batch by
     * the enrichment join — lookup-at-processing-time semantics). */
-  def df(spark: SparkSession): DataFrame = {
+  override def df(spark: SparkSession): DataFrame = {
     val list = new java.util.ArrayList[Row](rows.values())
     spark.createDataFrame(list, schema)
   }
 
-  def size: Int = rows.size()
+  override def size: Long = rows.size().toLong
+}
+
+/** Unbounded dimension snapshot over [[KeyedParquetSink]]: the 100 TB
+  * path, where the dimension no longer fits driver/executor memory.
+  * Each micro-batch merges into a new copy-on-write parquet version
+  * (executor-side I/O, replay-idempotent); `__deleted='true'` rows
+  * delete their key from the visible snapshot. In production this is
+  * the Delta/Iceberg-upserted dimension table, and the enrichment join
+  * downgrades from broadcast to sort-merge automatically when the
+  * snapshot outgrows `autoBroadcastJoinThreshold`.
+  */
+class DurableSnapshotStore(spark: SparkSession, root: String,
+                           val schema: StructType, keyField: String,
+                           deletedField: String = "__deleted")
+    extends DimensionStore {
+  private val sink =
+    new KeyedParquetSink(spark, root, keyField, deletedCol = Some(deletedField))
+
+  override def upsert(batch: DataFrame, batchId: Long): Unit =
+    sink.upsert(batch, batchId)
+
+  override def df(spark: SparkSession): DataFrame =
+    sink.df.getOrElse(
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+
+  override def size: Long = sink.df.map(_.count()).getOrElse(0L)
 }

@@ -42,7 +42,8 @@ import org.apache.spark.sql.types._
   * for large J2 state. No `collect()` anywhere in the q1→q3 dataflow.
   */
 class Pipeline(spark: SparkSession, checkpointRoot: String,
-               band: String = "7 days", watermarkDelay: String = "7 days") {
+               band: String = "7 days", watermarkDelay: String = "7 days",
+               durableDimension: Boolean = false) {
   import spark.implicits._
 
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss"
@@ -68,10 +69,18 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     StructField("customer_age", IntegerType),
     StructField("o_ts", TimestampType)))
 
-  /** customers_by_key materialized state (A3). */
-  val customersByKey = new SnapshotStore(
-    StructType(customerSchema.fields :+ StructField("__deleted", StringType)),
-    keyField = "id")
+  /** customers_by_key materialized state (A3): in-memory by default
+    * (broadcast-dimension bound), parquet copy-on-write when the
+    * dimension is unbounded (`durableDimension = true` — the 100 TB
+    * path; identical semantics incl. tombstone key removal). */
+  val customersByKey: DimensionStore = {
+    val snapshotSchema =
+      StructType(customerSchema.fields :+ StructField("__deleted", StringType))
+    if (durableDimension)
+      new DurableSnapshotStore(spark, s"$checkpointRoot/stores/customers_by_key",
+        snapshotSchema, keyField = "id")
+    else new SnapshotStore(snapshotSchema, keyField = "id")
+  }
 
   /** Intermediate "topic": enriched_orders — disk-backed, executor I/O. */
   val enrichedChannel =
@@ -104,7 +113,9 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
       .outputMode("update")
       .queryName("customers_by_key")
       .option("checkpointLocation", s"$checkpointRoot/customers_by_key")
-      .foreachBatch { (batch: DataFrame, _: Long) => customersByKey.upsert(batch) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        customersByKey.upsert(batch, batchId)
+      }
       .start()
   }
 

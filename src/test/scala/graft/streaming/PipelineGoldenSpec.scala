@@ -179,6 +179,34 @@ class PipelineGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.stop()
   }
 
+  test("durable dimension store: golden output and tombstone removal, no driver-memory dimension") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val p = new Pipeline(spark, ckpt, durableDimension = true)
+    try {
+      assert(p.customersByKey.isInstanceOf[DurableSnapshotStore])
+      seed(p)
+      p.step()
+      val got = p.shippedOrders.values
+        .map(r => (r.order_id, r.shipment_id, r.customer_name)).sorted
+      assert(got == Seq(
+        ("13", "92", Some("bill")), ("15", "95", Some("fred")),
+        ("17", "75", Some("fred")), ("22", "71", Some("sue")),
+        ("29", "89", Some("sue"))))
+      // tombstone deletes the key from the durable snapshot too
+      assert(p.customersByKey.size == 3)
+      p.customersFeed.add("5" -> null)
+      p.step()
+      assert(p.customersByKey.size == 2)
+      p.ordersFeed.add(
+        "80" -> orderJson("5", "80", 4.00, "usd", "2020-04-03T11:20:00"))
+      p.shipmentsFeed.add(
+        "80" -> shipmentJson("80", "96", "utah", "2020-04-03T12:00:00"))
+      p.step()
+      assert(p.shippedOrders.get("80").contains(ShippedOrder(
+        "80", "96", "5", None, None, "utah", 4.00, "usd")))
+    } finally p.stop()
+  }
+
   test("late data: shipment below the advanced watermark is dropped (state eviction)") {
     val p = newPipeline()
     try {
