@@ -28,19 +28,22 @@ object Bench {
     // runs is the contention-immune estimate of the query's cost
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val results = selected.map { case (name, fn) =>
+    // a query failing EVERY run is omitted from the timings map (its
+    // name is in `failed`) — recording 0.0 would read as "instant";
+    // a query that succeeded at least once reports its min and is NOT
+    // in `failed`, so the two lists stay unambiguous
+    val results = selected.flatMap { case (name, fn) =>
+      var err: Throwable = null
       val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) {
-            failed += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          None
-        }
+        catch { case e: Throwable => err = e; None }
       }
-      name -> (if (times.isEmpty) 0.0 else times.min)
+      if (times.isEmpty) {
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${err.getMessage}")
+        None
+      } else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

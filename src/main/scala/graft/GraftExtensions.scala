@@ -17,6 +17,22 @@ import graft.functions.{CosineSimilarity, HashedShingles, MinHashSlices, SimHash
   * manual registration. (The Aggregator-backed SQL aggregates are
   * per-session — see [[GraftSql.registerFunctions]].) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftNativeFunctions.builders.foreach { case (name, className, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
+}
+
+/** The native SQL function surface, shared between the session
+  * extension (cluster path) and [[GraftSql.registerFunctions]]
+  * (per-session path) so both register identical names and argument
+  * handling. */
+object GraftNativeFunctions {
 
   /** Shingle width: optional trailing integer literal, default 5. */
   private def widthArg(name: String, exprs: Seq[Expression]): Int =
@@ -27,23 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name: shingle width must be an integer literal, got $other")
     }
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      exprs => CosineSimilarity(exprs(0), exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("hashed_shingles"),
-      new ExpressionInfo(classOf[HashedShingles].getName, "hashed_shingles"),
-      exprs => HashedShingles(exprs.head, widthArg("hashed_shingles", exprs))))
-    e.injectFunction((
-      FunctionIdentifier("minhash_slices"),
-      new ExpressionInfo(classOf[MinHashSlices].getName, "minhash_slices"),
-      exprs => MinHashSlices(exprs.head, widthArg("minhash_slices", exprs))))
-    e.injectFunction((
-      FunctionIdentifier("simhash16"),
-      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity].getName,
+      exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("hashed_shingles", classOf[HashedShingles].getName,
+      exprs => HashedShingles(exprs.head, widthArg("hashed_shingles", exprs))),
+    ("minhash_slices", classOf[MinHashSlices].getName,
+      exprs => MinHashSlices(exprs.head, widthArg("minhash_slices", exprs))),
+    ("simhash16", classOf[SimHash16].getName,
       exprs => SimHash16(exprs.head)))
-    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-  }
 }

@@ -13,7 +13,7 @@ import graft.sources.Tables
   *  - every native Catalyst expression as a SQL function
   *    (`cosine_sim`, `hashed_shingles`, `minhash_slices`, `simhash16`),
   *  - the typed Aggregators as SQL aggregate functions
-  *    (`latest_by_offset`, `topk_by_score`).
+  *    (`latest_by_offset`, `topk_by_score_3`).
   *
   * Natives are also injected session-wide by [[GraftExtensions]]
   * (`spark.sql.extensions=graft.GraftExtensions`) — the deployment path
@@ -30,7 +30,13 @@ object GraftSql {
   }
 
   /** Temp views only (natives may already come from the extension). */
-  def initViews(spark: SparkSession, sfDir: String): Unit =
+  def initViews(spark: SparkSession, sfDir: String): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads
+    // with this legacy conf (runtime-settable); a vanilla session
+    // would otherwise throw "Illegal Parquet type" before any view
+    // exists. The repo's own builders set it too — this makes the
+    // one-call SQL entry self-sufficient.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach { n =>
       // events goes through the shared nanos→micros normalization so
       // SQL users see a timestamp, not a raw long
@@ -39,16 +45,22 @@ object GraftSql {
         else Tables(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
+  }
 
-  /** Register every engine function on an extension-less session. */
+  /** Register every engine function on an extension-less session —
+    * the SAME names and argument handling the extension injects
+    * (shared builders), plus the Aggregator-backed aggregates. The
+    * top-k aggregate carries its k in the name (`topk_by_score_3`),
+    * matching the width-suffix policy of the native registrations, so
+    * SQL callers can't silently assume a configurable k. */
   def registerFunctions(spark: SparkSession): Unit = {
-    graft.functions.GraftFunctions.register(spark) // cosine_sim
-    graft.functions.HashedShingles.register(spark, 5)
-    graft.functions.MinHashSlices.register(spark, 5)
-    graft.functions.SimHash16.register(spark)
+    GraftNativeFunctions.builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     spark.udf.register("latest_by_offset",
       udaf(new graft.functions.LatestByOffsetAgg))
-    spark.udf.register("topk_by_score",
+    spark.udf.register("topk_by_score_3",
       udaf(new graft.functions.TopKByScore(3)))
     ()
   }

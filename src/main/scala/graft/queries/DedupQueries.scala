@@ -36,7 +36,7 @@ object DedupQueries {
     // persist: sh feeds both sides of the candidate join. The cache is
     // released before returning — the (tiny) pair result is eagerly
     // localCheckpoint'ed off it, so no InMemoryRelation outlives the
-    // query (cache hygiene across an 83-query session).
+    // query (cache hygiene across a multi-query Verify/Bench session).
     val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", N).persist()
     try {
       val sizes = docs

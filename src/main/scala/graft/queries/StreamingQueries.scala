@@ -225,86 +225,75 @@ object StreamingQueries {
       |           FROM events GROUP BY user_id) l
       |  ON e.user_id = l.user_id""".stripMargin
 
-  /** Watermarked stream–stream interval join (J2 streaming form) over
-    * the testdata: orders and lineitem as file streams, equi-key + ±3
-    * day band — finite input, so it must equal the batch
-    * j2_interval_join oracle exactly. */
-  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
-    def fileStream(name: String): DataFrame = {
-      val raw = s.read.parquet(s"$d/$name.parquet").schema
-      s.readStream.schema(raw).parquet(s"$d/{$name}.parquet")
-    }
-    // parquet timestamps infer as NTZ; watermarks need TIMESTAMP —
-    // identical wall values under the UTC session
-    val o = fileStream("orders")
-      .select(col("o_orderkey"),
-        col("o_orderdate").cast(TimestampType).as("o_orderdate"))
-      .withWatermark("o_orderdate", "30 days").as("o")
-    val l = fileStream("lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate").cast(TimestampType).as("l_shipdate"))
-      .withWatermark("l_shipdate", "30 days").as("l")
-    val joined = o.join(l,
-      expr("""l.l_orderkey = o.o_orderkey AND
-              l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
-              l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), "inner")
-      .select(col("o.o_orderkey").as("order_id"),
-        col("l.l_linenumber").as("line_no"),
-        date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-    runToTable(joined, "append")
-  }
-
-  /** Stream–stream LEFT OUTER interval join (ksqlDB `LEFT JOIN …
-    * WITHIN`, which the reference's demo doesn't exercise but ksqlDB
-    * supports): unmatched left rows emit with nulls once the combined
-    * watermark passes their join window. Because the inputs are finite,
-    * a far-future flush row is injected on EACH side (key -1/-2,
-    * matching nothing) to push both watermarks past all real data so
-    * every pending left row's null-emission actually fires — the
-    * streaming result then equals the batch LEFT JOIN oracle exactly.
-    * At 100 TB the flush row is unnecessary: a live stream's watermark
-    * advances on its own. */
-  def streamIntervalLeft(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Shared builder for the stream–stream interval joins: orders ⋈
+    * lineitem as file streams, equi-key + ±3 day band, 30-day
+    * watermarks. `withFlush` injects a far-future sentinel row on EACH
+    * side (key -1/-2, matching nothing) to push both watermarks past
+    * all real data — needed by the outer variant so every pending
+    * null-emission fires on finite input (a live stream's watermark
+    * advances on its own). One definition so the inner and left-outer
+    * spellings can never desynchronize from each other or the shared
+    * oracle band. */
+  private def intervalJoinStream(s: SparkSession, d: String,
+                                 joinType: String,
+                                 withFlush: Boolean): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
     def fileStream(name: String): DataFrame = {
       val raw = s.read.parquet(s"$d/$name.parquet").schema
       s.readStream.schema(raw).parquet(s"$d/{$name}.parquet")
     }
     val flushTs = java.sql.Timestamp.valueOf("2099-01-01 00:00:00")
-    val flushO =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
-    val flushL =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, java.sql.Timestamp)]
-    flushO.addData((-1L, flushTs))
-    flushL.addData((-2L, 0, flushTs))
-    val o = fileStream("orders")
+    // parquet timestamps infer as NTZ; watermarks need TIMESTAMP —
+    // identical wall values under the UTC session
+    var o = fileStream("orders")
       .select(col("o_orderkey"),
         col("o_orderdate").cast(TimestampType).as("o_orderdate"))
-      .unionByName(flushO.toDF().toDF("o_orderkey", "o_orderdate"))
-      .withWatermark("o_orderdate", "30 days").as("o")
-    val l = fileStream("lineitem")
+    var l = fileStream("lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate").cast(TimestampType).as("l_shipdate"))
-      .unionByName(flushL.toDF().toDF("l_orderkey", "l_linenumber", "l_shipdate"))
-      .withWatermark("l_shipdate", "30 days").as("l")
-    val joined = o.join(l,
-      expr("""l.l_orderkey = o.o_orderkey AND
-              l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
-              l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), "leftOuter")
+    if (withFlush) {
+      val flushO =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+      val flushL =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, java.sql.Timestamp)]
+      flushO.addData((-1L, flushTs))
+      flushL.addData((-2L, 0, flushTs))
+      o = o.unionByName(flushO.toDF().toDF("o_orderkey", "o_orderdate"))
+      l = l.unionByName(flushL.toDF().toDF("l_orderkey", "l_linenumber", "l_shipdate"))
+    }
+    o.withWatermark("o_orderdate", "30 days").as("o")
+      .join(l.withWatermark("l_shipdate", "30 days").as("l"),
+        expr("""l.l_orderkey = o.o_orderkey AND
+                l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
+                l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), joinType)
       .select(col("o.o_orderkey").as("order_id"),
         col("l.l_linenumber").as("line_no"),
         date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-    // the sentinel filter must run on the MATERIALIZED result, not
-    // inside the streaming plan: Catalyst pushes a deterministic
-    // filter below EventTimeWatermark into the union branch, which
-    // would drop the flush row before it registers event-time stats
-    // and silently freeze the watermark (observed: 32 missing
-    // null-emissions). The left sentinel can't emit anyway — it IS the
-    // max event, so the watermark never passes its own window — but
-    // filter defensively.
-    runToTable(joined, "append").filter(col("order_id") >= 0)
   }
+
+  /** Watermarked stream–stream interval join (J2 streaming form) —
+    * finite input, so it must equal the batch j2_interval_join oracle
+    * exactly. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame =
+    runToTable(intervalJoinStream(s, d, "inner", withFlush = false), "append")
+
+  /** Stream–stream LEFT OUTER interval join (ksqlDB `LEFT JOIN …
+    * WITHIN`, which the reference's demo doesn't exercise but ksqlDB
+    * supports): unmatched left rows emit with nulls once the combined
+    * watermark passes their join window; flush sentinels close all
+    * windows on finite input so the result equals the batch LEFT JOIN
+    * oracle. The sentinel filter must run on the MATERIALIZED result,
+    * not inside the streaming plan: Catalyst pushes a deterministic
+    * filter below EventTimeWatermark into the union branch, which
+    * would drop the flush row before it registers event-time stats and
+    * silently freeze the watermark (observed: 32 missing
+    * null-emissions). The left sentinel can't emit anyway — it IS the
+    * max event, so the watermark never passes its own window — but
+    * filter defensively. */
+  def streamIntervalLeft(s: SparkSession, d: String): DataFrame =
+    runToTable(intervalJoinStream(s, d, "leftOuter", withFlush = true), "append")
+      .filter(col("order_id") >= 0)
 
   val streamIntervalLeftSql: String =
     """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,

@@ -50,7 +50,13 @@ object DebeziumEnvelope {
     val parsed = df.withColumn("__env",
       from_json(valueCol, envelopeSchema(afterSchema)))
     val extra = passthrough.map(col)
-    val isTomb = valueCol.isNull
+    // only a caller that opted into tombstone handling (and told us
+    // which field carries the key) treats null values as deletions;
+    // otherwise a null value stays an inert __deleted='false' row with
+    // null fields — marking it deleted without a key would emit a
+    // keyless delete that removes a key literally named "null"
+    val isTomb =
+      if (tombstoneKey.isDefined) valueCol.isNull else lit(false)
     mode match {
       case Rewrite =>
         val cols = afterSchema.fields.map { f =>
@@ -67,8 +73,10 @@ object DebeziumEnvelope {
           .otherwise(lit("false")).as("__deleted")
         parsed.select(cols.toSeq ++ Seq(deleted) ++ extra: _*)
       case Drop =>
+        // tombstones always dropped here (the Mongo SMT's
+        // drop.tombstones=true default), independent of tombstoneKey
         parsed
-          .filter(!isTomb &&
+          .filter(valueCol.isNotNull &&
             (col("__env.op").isNull || col("__env.op") =!= "d"))
           .select(afterSchema.fields.map(f =>
             col(s"__env.after.${f.name}").as(f.name)).toSeq ++

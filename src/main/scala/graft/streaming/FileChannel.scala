@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.StructType
   * topic or a Delta table; the operator graph is identical).
   *
   * Replay idempotence: a `_committed_<batchId>` marker is written after
-  * a batch's files land; a replayed batch id is skipped, so crash-replay
-  * cannot duplicate records. `_`-prefixed files are invisible to the
+  * a batch's files land; a replayed batch id whose marker exists is
+  * skipped. A crash in the narrow window between the append and the
+  * marker re-appends that batch once — at-least-once across crashes,
+  * which the KEYED sink downstream collapses to exactly-once-per-key
+  * visible state (the same delivery contract Kafka + an idempotent
+  * sink gives the reference). `_`-prefixed files are invisible to the
   * parquet reader, so markers never pollute the stream.
   */
 class FileChannel(spark: SparkSession, dir: String, schema: StructType) {

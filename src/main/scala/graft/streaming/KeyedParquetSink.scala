@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
 /** @param deletedCol when set, a merged row whose latest version has
   *                    this column = 'true' is a deletion: the key
   *                    disappears from the visible snapshot (ksqlDB
-  *                    tombstone semantics for a durable table). */
+  *                    tombstone semantics for a durable table).
+  * @param orderCol   when set, ties WITHIN a batch resolve to the
+  *                    greatest value of this column (e.g. the Kafka
+  *                    offset) — the ES `_id`-sink contract keeps the
+  *                    LAST record per key, and without an explicit
+  *                    order two same-key rows in one micro-batch would
+  *                    pick a shuffle-dependent, replay-unstable winner. */
 class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
-                       deletedCol: Option[String] = None) {
+                       deletedCol: Option[String] = None,
+                       orderCol: Option[String] = None) {
   Files.createDirectories(Paths.get(root))
   private val pointer = Paths.get(root, "_CURRENT")
 
@@ -42,16 +49,22 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     * (also avoids overwriting the directory being read). */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (currentPath.contains(s"$root/v$batchId")) return
+    val tiebreak = orderCol.map(c => col(c).desc).toSeq
+    def latestPerKey(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("__pri").desc +: tiebreak: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__pri", "__rn")
+    }
     val mergedAll = currentPath match {
-      case None => batch.dropDuplicates(keyCol)
+      case None =>
+        if (orderCol.isEmpty) batch.dropDuplicates(keyCol)
+        else latestPerKey(batch.withColumn("__pri", lit(1)))
       case Some(p) =>
         val cur = spark.read.parquet(p).withColumn("__pri", lit(0))
         val nw = batch.withColumn("__pri", lit(1))
-        val w = Window.partitionBy(col(keyCol)).orderBy(col("__pri").desc)
-        cur.unionByName(nw)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__pri", "__rn")
+        latestPerKey(cur.unionByName(nw))
     }
     // tombstone semantics: if the key's LATEST version is a delete
     // marker, the key leaves the snapshot (rather than surviving as a
@@ -62,10 +75,31 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       case _ => mergedAll
     }
     val target = s"$root/v$batchId"
+    val previous = currentPath
     merged.write.mode("overwrite").parquet(target)
     val tmp = Paths.get(root, s"_CURRENT.tmp$batchId")
     Files.writeString(tmp, target)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // retention: a long-running stream would otherwise accumulate one
+    // full snapshot per micro-batch. Keep the new version plus the
+    // immediately-previous one (in-flight readers may still hold it);
+    // everything older is unreachable and deleted.
+    prune(keep = Set(target) ++ previous)
+  }
+
+  private def prune(keep: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stream = Files.list(Paths.get(root))
+    try {
+      stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("v"))
+        .filterNot(p => keep.contains(p.toString))
+        .toSeq
+        .foreach { dir =>
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        }
+    } finally stream.close()
   }
 }

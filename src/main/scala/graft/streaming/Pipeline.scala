@@ -86,9 +86,12 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
   val enrichedChannel =
     new FileChannel(spark, s"$checkpointRoot/topics/enriched_orders", enrichedSchema)
 
-  /** Final sink keyed by order_id (K2) — durable copy-on-write upserts. */
+  /** Final sink keyed by order_id (K2) — durable copy-on-write upserts;
+    * within-batch ties resolve by the shipment's Kafka offset (the ES
+    * sink keeps the LAST record per key, not a shuffle-order one). */
   val shippedSink =
-    new KeyedParquetSink(spark, s"$checkpointRoot/stores/shipped_orders", "order_id")
+    new KeyedParquetSink(spark, s"$checkpointRoot/stores/shipped_orders",
+      "order_id", orderCol = Some("__s_offset"))
 
   /** Read view over the sink's current snapshot (tests/demos). */
   object shippedOrders {
@@ -151,7 +154,9 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     val enriched = enrichedChannel.readStream
       .withWatermark("o_ts", watermarkDelay).as("o")
     val shipments = shipmentsFeed.df
-      .select(from_json(col("value"), shipmentSchema).as("s")).select("s.*")
+      .select(col("offset").as("__s_offset"),
+        from_json(col("value"), shipmentSchema).as("s"))
+      .select(col("__s_offset"), col("s.*"))
       .withColumn("s_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
       .filter(col("order_id").isNotNull && col("shipment_id").isNotNull &&
         col("origin").isNotNull && col("s_ts").isNotNull) // poison guard
@@ -162,7 +167,7 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
                s_ts <= o_ts + INTERVAL $band"""), "inner")
       .select(col("o.order_id"), col("s.shipment_id"), col("o.customer_id"),
         col("o.customer_name"), col("o.customer_age"), col("s.origin"),
-        col("o.price"), col("o.currency"))
+        col("o.price"), col("o.currency"), col("s.__s_offset"))
     joined.writeStream
       .outputMode("append")
       .queryName("shipped_orders")

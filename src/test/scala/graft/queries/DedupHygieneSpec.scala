@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   *     all in the top byte, which a single high-byte band misses.
   *  2. Cache hygiene: catalog queries may persist intermediates while
   *     they run, but no InMemoryRelation may outlive a query's return
-  *     (Verify/Bench run all 83 queries in one session — leaked caches
+  *     (Verify/Bench run the whole catalog in one session — leaked caches
   *     accumulate in executor memory and distort later timings).
   */
 class DedupHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
