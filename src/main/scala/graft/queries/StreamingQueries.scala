@@ -225,6 +225,36 @@ object StreamingQueries {
       |           FROM events GROUP BY user_id) l
       |  ON e.user_id = l.user_id""".stripMargin
 
+  /** ksqlDB `INSERT INTO`: a second persistent query appends into an
+    * already-declared stream, so one sink consumes several sources.
+    * Spark-side this is a union of streaming sources feeding one
+    * query — each branch keeps its own scan/pushdown, the union is a
+    * no-shuffle narrow op, and the downstream agg sees one logical
+    * stream. Verified by a per-source rollup against a batch UNION ALL
+    * oracle. */
+  def streamInsertInto(s: SparkSession, d: String): DataFrame = {
+    def fileStream(name: String): DataFrame = {
+      val raw = s.read.parquet(s"$d/$name.parquet").schema
+      s.readStream.schema(raw).parquet(s"$d/{$name}.parquet")
+    }
+    val orders = fileStream("orders")
+      .select(lit("orders").as("src"), col("o_orderkey").as("id"))
+    val lineitem = fileStream("lineitem")
+      .select(lit("lineitem").as("src"), col("l_orderkey").as("id"))
+    val agg = orders.unionByName(lineitem)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+    runToTable(agg, "complete")
+  }
+
+  val streamInsertIntoSql: String =
+    """SELECT src, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum
+      |FROM (
+      |  SELECT 'orders' AS src, o_orderkey AS id FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem' AS src, l_orderkey AS id FROM lineitem)
+      |GROUP BY src""".stripMargin
+
   /** Shared builder for the stream–stream interval joins: orders ⋈
     * lineitem as file streams, equi-key + ±3 day band, 30-day
     * watermarks. `withFlush` injects a far-future sentinel row on EACH
@@ -365,6 +395,7 @@ object StreamingQueries {
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
+    "stream_insert_into" -> streamInsertInto _,
     "stream_tumbling_final" -> tumblingFinal _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_left" -> streamIntervalLeft _,
@@ -377,6 +408,7 @@ object StreamingQueries {
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
+    "stream_insert_into" -> streamInsertIntoSql,
     "stream_tumbling_final" -> BatchSqlQueries.tumblingAggSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_interval_left" -> streamIntervalLeftSql,
