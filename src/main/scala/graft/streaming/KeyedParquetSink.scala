@@ -1,25 +1,33 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-/** Durable K2: keyed upsert sink over parquet with snapshot
-  * compaction — the offline stand-in for the reference's
+/** Durable K2: keyed upsert sink over parquet with BUCKETED
+  * copy-on-write snapshots — the offline stand-in for the reference's
   * Elasticsearch `_id`-from-key sink (reference README.md:487-493),
   * holding the same contract: at-least-once delivery collapses to
   * exactly-once-per-key visible state.
   *
-  * Mechanics: each micro-batch merges into a NEW versioned snapshot
-  * directory (`v<batchId>`), then a pointer file is atomically moved
-  * onto `_CURRENT` — readers always see a complete snapshot, a
-  * replayed batch id simply rewrites the same version (idempotent),
-  * and failures leave the previous pointer intact. This is the
-  * copy-on-write table pattern (what Delta/Iceberg formalize with a
-  * log); at 100 TB you'd partition the snapshot by key ranges and
-  * rewrite only affected partitions.
+  * Mechanics: the visible snapshot is partitioned into `numBuckets`
+  * hash buckets of the key (`pmod(hash(key), n)`). Each micro-batch
+  * merges ONLY the buckets containing batch keys into a new version
+  * directory (`v<batchId>/__gbkt=<b>`), then a bucket→path manifest is
+  * atomically moved onto `_CURRENT` — untouched buckets keep pointing
+  * at their previous files (not rewritten, not even read), readers
+  * always see a complete consistent snapshot, a replayed batch id is a
+  * no-op, and failures leave the previous manifest intact.
+  *
+  * This is the Delta/Iceberg merge pattern: cost per micro-batch is
+  * O(size of touched buckets), not O(total sink state) — the property
+  * that keeps a long-running stream's write amplification flat when
+  * the keyed state is 100× the batch. Bucket count is the scale knob:
+  * size buckets so one bucket ≈ one comfortable executor write
+  * (state / numBuckets ≲ a few hundred MB at the target scale).
   */
 /** @param deletedCol when set, a merged row whose latest version has
   *                    this column = 'true' is a deletion: the key
@@ -30,25 +38,91 @@ import org.apache.spark.sql.functions._
   *                    offset) — the ES `_id`-sink contract keeps the
   *                    LAST record per key, and without an explicit
   *                    order two same-key rows in one micro-batch would
-  *                    pick a shuffle-dependent, replay-unstable winner. */
+  *                    pick a shuffle-dependent, replay-unstable winner.
+  * @param numBuckets number of hash buckets the snapshot is split into;
+  *                    per batch only buckets containing batch keys are
+  *                    rewritten.
+  * @param retainVersions how many of the most recent version
+  *                    directories survive pruning even when no longer
+  *                    referenced by the current manifest (≥2 so a
+  *                    concurrent reader holding a slightly-stale
+  *                    manifest never loses its files mid-query;
+  *                    versions still referenced by the current manifest
+  *                    are always kept regardless of age). */
 class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
                        deletedCol: Option[String] = None,
-                       orderCol: Option[String] = None) {
-  Files.createDirectories(Paths.get(root))
-  private val pointer = Paths.get(root, "_CURRENT")
+                       orderCol: Option[String] = None,
+                       numBuckets: Int = 16,
+                       retainVersions: Int = 3) {
+  require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 (current + grace for lagging readers), got $retainVersions")
 
-  private def currentPath: Option[String] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+  private val rootPath = Paths.get(root).toAbsolutePath.normalize
+  Files.createDirectories(rootPath)
+  private val pointer = rootPath.resolve("_CURRENT")
 
-  /** Current visible state (empty schema-less reads return None). */
-  def df: Option[DataFrame] = currentPath.map(p => spark.read.parquet(p))
+  /** Committed snapshot manifest: bucket id → version-relative path
+    * (e.g. `v12/__gbkt=3`), plus the schema for empty snapshots and the
+    * recent version roots kept for lagging readers. */
+  private case class Manifest(batch: Long, schemaDdl: String,
+                              recent: Seq[String], buckets: Map[Int, String])
 
-  /** Merge a micro-batch: batch rows win over current rows per key.
-    * Replay-idempotent: if the pointer already names this batch's
-    * version, the batch was fully committed before a crash — skip
-    * (also avoids overwriting the directory being read). */
+  private def readManifest(): Option[Manifest] =
+    if (!Files.exists(pointer)) None
+    else {
+      val lines = Files.readAllLines(pointer)
+      import scala.jdk.CollectionConverters._
+      val kv = lines.asScala.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toSeq
+      val m = kv.toMap
+      Some(Manifest(
+        m("batch").toLong,
+        m.getOrElse("schema", ""),
+        m.get("recent").filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil),
+        kv.collect { case (k, v) if k.startsWith("bucket.") =>
+          k.stripPrefix("bucket.").toInt -> v
+        }.toMap))
+    }
+
+  private def writeManifest(m: Manifest): Unit = {
+    val body = new StringBuilder
+    body ++= s"batch=${m.batch}\n"
+    body ++= s"schema=${m.schemaDdl}\n"
+    body ++= s"recent=${m.recent.mkString(",")}\n"
+    m.buckets.toSeq.sortBy(_._1).foreach { case (b, p) =>
+      body ++= s"bucket.$b=$p\n"
+    }
+    val tmp = rootPath.resolve(s"_CURRENT.tmp${m.batch}")
+    Files.writeString(tmp, body.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketExpr = pmod(hash(col(keyCol)), lit(numBuckets))
+
+  /** Current visible state (None before the first commit). All bucket
+    * leaf directories are read directly — no partition discovery, so
+    * readers see exactly the data columns. */
+  def df: Option[DataFrame] = readManifest().map { m =>
+    if (m.buckets.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL(m.schemaDdl))
+    else {
+      val paths = m.buckets.values.toSeq.sorted.map(rel => rootPath.resolve(rel).toString)
+      spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Merge a micro-batch: batch rows win over current rows per key;
+    * only the hash buckets containing batch keys are read and
+    * rewritten. Replay-idempotent: if the manifest already names this
+    * batch id, the batch was fully committed before a crash — skip. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
-    if (currentPath.contains(s"$root/v$batchId")) return
+    val manifest = readManifest()
+    if (manifest.exists(_.batch == batchId)) return
+
     val tiebreak = orderCol.map(c => col(c).desc).toSeq
     def latestPerKey(df: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(keyCol))
@@ -57,15 +131,27 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         .filter(col("__rn") === 1)
         .drop("__pri", "__rn")
     }
-    val mergedAll = currentPath match {
-      case None =>
+
+    // which buckets does this batch touch? ≤ numBuckets tiny rows —
+    // the one driver-side read, and it carries bucket IDs, not data
+    val touched = batch.select(bucketExpr.as("__gbkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { // empty batch: commit the id, nothing moves
+      manifest.foreach(m => writeManifest(m.copy(batch = batchId)))
+      return
+    }
+
+    // current rows of ONLY the touched buckets participate in the merge
+    val curTouchedPaths = manifest.toSeq.flatMap(m =>
+      touched.toSeq.sorted.flatMap(m.buckets.get)).map(rel => rootPath.resolve(rel).toString)
+    val mergedAll =
+      if (curTouchedPaths.isEmpty) {
         if (orderCol.isEmpty) batch.dropDuplicates(keyCol)
         else latestPerKey(batch.withColumn("__pri", lit(1)))
-      case Some(p) =>
-        val cur = spark.read.parquet(p).withColumn("__pri", lit(0))
-        val nw = batch.withColumn("__pri", lit(1))
-        latestPerKey(cur.unionByName(nw))
-    }
+      } else {
+        val cur = spark.read.parquet(curTouchedPaths: _*).withColumn("__pri", lit(0))
+        latestPerKey(cur.unionByName(batch.withColumn("__pri", lit(1))))
+      }
     // tombstone semantics: if the key's LATEST version is a delete
     // marker, the key leaves the snapshot (rather than surviving as a
     // marked row)
@@ -74,32 +160,51 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         mergedAll.filter(col(c).isNull || col(c) =!= "true")
       case _ => mergedAll
     }
-    val target = s"$root/v$batchId"
-    val previous = currentPath
-    merged.write.mode("overwrite").parquet(target)
-    val tmp = Paths.get(root, s"_CURRENT.tmp$batchId")
-    Files.writeString(tmp, target)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // retention: a long-running stream would otherwise accumulate one
-    // full snapshot per micro-batch. Keep the new version plus the
-    // immediately-previous one (in-flight readers may still hold it);
-    // everything older is unreachable and deleted.
-    prune(keep = Set(target) ++ previous)
+
+    val versionName = s"v$batchId"
+    val target = rootPath.resolve(versionName)
+    merged.withColumn("__gbkt", bucketExpr)
+      .write.mode("overwrite").partitionBy("__gbkt").parquet(target.toString)
+
+    // buckets that actually materialized (a bucket whose keys all
+    // deleted writes no directory and leaves the manifest)
+    val written: Map[Int, String] = listDirs(target)
+      .flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("__gbkt=")) Some(n.stripPrefix("__gbkt=").toInt -> s"$versionName/$n")
+        else None
+      }.toMap
+    val newBuckets =
+      manifest.map(_.buckets).getOrElse(Map.empty[Int, String]) -- touched ++ written
+    val schemaDdl = merged.schema.toDDL
+    val recent = (versionName +: manifest.map(_.recent).getOrElse(Nil))
+      .distinct.take(retainVersions)
+    writeManifest(Manifest(batchId, schemaDdl, recent, newBuckets))
+
+    // retention: delete version directories neither referenced by the
+    // committed manifest nor among the retainVersions most recent —
+    // comparison is on directory NAMES (never interpolated absolute
+    // paths), so root spelling can't desynchronize the keep set.
+    val live = newBuckets.values.map(_.split('/').head).toSet ++ recent
+    prune(live)
   }
 
-  private def prune(keep: Set[String]): Unit = {
+  private def listDirs(dir: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
-    val stream = Files.list(Paths.get(root))
-    try {
-      stream.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("v"))
-        .filterNot(p => keep.contains(p.toString))
-        .toSeq
-        .foreach { dir =>
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        }
-    } finally stream.close()
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala.toSeq finally stream.close()
+    }
   }
+
+  private def prune(keepNames: Set[String]): Unit =
+    listDirs(rootPath)
+      .filter(p => p.getFileName.toString.startsWith("v") && Files.isDirectory(p))
+      .filterNot(p => keepNames.contains(p.getFileName.toString))
+      .foreach { dir =>
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
 }

@@ -37,13 +37,16 @@ import org.apache.spark.sql.types._
   *
   * Scale: per-key streaming state shards over
   * `spark.sql.shuffle.partitions`; every inter-query hop is files on
-  * shared storage (executor-side I/O); the snapshot side is bounded by
-  * the broadcast-dimension assumption; use RocksDBStateStoreProvider
-  * for large J2 state. No `collect()` anywhere in the q1→q3 dataflow.
+  * shared storage (executor-side I/O); the snapshot side defaults to
+  * the unbounded durable store (bucketed copy-on-write parquet, join
+  * strategy left to the planner) — the in-memory broadcast-hinted
+  * store is an opt-in for known-small dimensions; use
+  * RocksDBStateStoreProvider for large J2 state. No `collect()`
+  * anywhere in the q1→q3 dataflow.
   */
 class Pipeline(spark: SparkSession, checkpointRoot: String,
                band: String = "7 days", watermarkDelay: String = "7 days",
-               durableDimension: Boolean = false) {
+               durableDimension: Boolean = true) {
   import spark.implicits._
 
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss"
@@ -69,10 +72,12 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     StructField("customer_age", IntegerType),
     StructField("o_ts", TimestampType)))
 
-  /** customers_by_key materialized state (A3): in-memory by default
-    * (broadcast-dimension bound), parquet copy-on-write when the
-    * dimension is unbounded (`durableDimension = true` — the 100 TB
-    * path; identical semantics incl. tombstone key removal). */
+  /** customers_by_key materialized state (A3): parquet copy-on-write
+    * by default — unbounded, the 100 TB path — with the in-memory
+    * store (`durableDimension = false`) as the opt-in small-dimension
+    * fast path (identical semantics incl. tombstone key removal).
+    * Scale-safe out of the box: a default `new Pipeline(...)` never
+    * funnels the dimension through the driver. */
   val customersByKey: DimensionStore = {
     val snapshotSchema =
       StructType(customerSchema.fields :+ StructField("__deleted", StringType))
@@ -138,9 +143,15 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
       .queryName("enriched_orders")
       .option("checkpointLocation", s"$checkpointRoot/enriched_orders")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the in-memory store is broadcast-bounded BY CONTRACT, so the
+        // hint is always right there; the durable store is unbounded —
+        // let the planner pick broadcast vs sort-merge from the
+        // snapshot's actual size (autoBroadcastJoinThreshold), so a
+        // dimension that outgrows an executor can't be force-broadcast
         val cust = customersByKey.df(spark).drop("__deleted")
+        val custSide = if (durableDimension) cust.as("c") else broadcast(cust.as("c"))
         val enriched = batch.as("o")
-          .join(broadcast(cust.as("c")), col("o.customer_id") === col("c.id"), "left")
+          .join(custSide, col("o.customer_id") === col("c.id"), "left")
           .select(col("o.order_id"), col("o.price"), col("o.currency"),
             col("o.customer_id"), col("c.name").as("customer_name"),
             col("c.age").as("customer_age"), col("o.o_ts"))

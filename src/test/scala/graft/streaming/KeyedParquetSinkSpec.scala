@@ -44,4 +44,86 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(replayed == got)
     } finally q.stop()
   }
+
+  /** The incremental-merge contract: a micro-batch rewrites ONLY the
+    * hash buckets its keys fall into — untouched buckets' parquet files
+    * stay byte-identical (same paths, same bytes), so write
+    * amplification is O(touched buckets), not O(total sink state). */
+  test("upsert rewrites only touched buckets; untouched bucket files are byte-identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-bkt-").toString
+    val sink = new KeyedParquetSink(spark, root, "k", numBuckets = 8)
+    // 64 keys spread over all 8 buckets
+    val keys = (0 until 64).map(i => s"key$i")
+    sink.upsert(keys.map(k => (k, "v0")).toDF("k", "v"), 0L)
+
+    def bucketFiles(): Map[String, Seq[(String, Long, Array[Byte])]] = {
+      import scala.jdk.CollectionConverters._
+      val manifest = Files.readAllLines(java.nio.file.Paths.get(root, "_CURRENT"))
+        .asScala.filter(_.startsWith("bucket."))
+        .map { l => val Array(b, p) = l.split("=", 2); (b.stripPrefix("bucket."), p) }
+      manifest.map { case (b, rel) =>
+        val dir = java.nio.file.Paths.get(root).resolve(rel)
+        val files = Files.walk(dir).iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.toString)
+          .map(p => (p.toString, Files.size(p), Files.readAllBytes(p)))
+        b -> files
+      }.toMap
+    }
+
+    val before = bucketFiles()
+    assert(before.size == 8, s"expected 8 populated buckets, got ${before.size}")
+
+    // touch exactly one key → exactly one bucket
+    sink.upsert(Seq(("key0", "v1")).toDF("k", "v"), 1L)
+    val after = bucketFiles()
+    assert(after.size == 8)
+
+    val touched = after.filter { case (b, fs) => before(b).map(_._1) != fs.map(_._1) }
+    assert(touched.size == 1,
+      s"exactly one bucket should be rewritten, got ${touched.keys}")
+    // all other buckets: identical file paths AND identical bytes
+    (after.keySet - touched.keys.head).foreach { b =>
+      val (bf, af) = (before(b), after(b))
+      assert(bf.map(_._1) == af.map(_._1), s"bucket $b file set changed")
+      bf.zip(af).foreach { case ((p, sz, bytes), (_, sz2, bytes2)) =>
+        assert(sz == sz2 && java.util.Arrays.equals(bytes, bytes2),
+          s"bucket $b file $p was rewritten")
+      }
+    }
+    // and the merged state is still right
+    val got = sink.df.get.as[(String, String)].collect().toMap
+    assert(got("key0") == "v1" && got("key1") == "v0" && got.size == 64)
+  }
+
+  test("tombstone deletes its key; a bucket emptied of keys leaves the manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-del-").toString
+    val sink = new KeyedParquetSink(spark, root, "k",
+      deletedCol = Some("__deleted"), numBuckets = 4)
+    sink.upsert(Seq(("a", "v1", null.asInstanceOf[String])).toDF("k", "v", "__deleted"), 0L)
+    assert(sink.df.get.count() == 1)
+    sink.upsert(Seq(("a", "v1", "true")).toDF("k", "v", "__deleted"), 1L)
+    // key gone, snapshot readable (empty, schema preserved)
+    val cur = sink.df.get
+    assert(cur.count() == 0)
+    assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "__deleted"))
+  }
+
+  test("old versions are pruned but the retention window keeps lagging readers alive") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-ret-").toString
+    val sink = new KeyedParquetSink(spark, root, "k", numBuckets = 2,
+      retainVersions = 3)
+    // one key upserted repeatedly: every version rewrites the same
+    // bucket, so only the newest is referenced and the rest age out
+    (0 until 6).foreach(i => sink.upsert(Seq(("k", s"v$i")).toDF("k", "v"), i.toLong))
+    import scala.jdk.CollectionConverters._
+    val versions = Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+    // live = referenced by manifest ∪ 3 most recent (v5,v4,v3)
+    assert(versions == Set("v3", "v4", "v5"), s"got $versions")
+    assert(sink.df.get.as[(String, String)].collect().toSeq == Seq(("k", "v5")))
+  }
 }
