@@ -1,0 +1,178 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.{BulkUpsertSink, ChangeFeed, DebeziumEnvelope,
+  HttpBulkEndpoint, KafkaChangeFeed}
+
+/** Connector DDL: the reference declares its sources and sinks INSIDE
+  * the query language (`CREATE SOURCE CONNECTOR customers_reader WITH
+  * (...)`, reference README.md:352-385; `CREATE SINK CONNECTOR
+  * enriched_writer WITH (...)`, README.md:487-493 — first-class
+  * statements per SURVEY §1.1). This makes those statements portable
+  * 1:1: [[GraftSql.sql]] routes `CREATE/DROP SOURCE|SINK CONNECTOR`
+  * and `SHOW CONNECTORS` here; everything else stays `spark.sql`.
+  *
+  * A CREATE registers the connector's properties in the session
+  * catalog and returns a one-row status frame (what ksqlDB prints).
+  * Materialization is deliberately LAZY — exactly like Connect, where
+  * the statement provisions a job and the data flows later:
+  *
+  *  - a SOURCE connector yields its change feed on demand:
+  *    [[ConnectorSpec.sourceFeed]] is the production door
+  *    (`spark.readStream.format("kafka")` via [[KafkaChangeFeed]],
+  *    fail-fast without the connector jar) and
+  *    [[ConnectorSpec.offlineFeed]] the in-process [[ChangeFeed]]
+  *    analog with the identical column contract. The Debezium SMT
+  *    properties map onto the engine's unwrap knobs:
+  *    `delete.handling.mode` → [[ConnectorSpec.deleteMode]],
+  *    `drop.tombstones` → [[ConnectorSpec.dropTombstones]].
+  *  - a SINK connector yields a keyed bulk upsert sink
+  *    ([[ConnectorSpec.bulkSink]] → [[BulkUpsertSink]] over
+  *    [[HttpBulkEndpoint]] at the spec's `connection.url`) — the ES
+  *    sink's `_id`-from-key contract.
+  *
+  * Grammar (the reference's exact spelling; case-insensitive):
+  * {{{
+  * CREATE (SOURCE|SINK) CONNECTOR [IF NOT EXISTS] <name> WITH (
+  *   '<prop>' = '<value>' [, ...] );
+  * DROP CONNECTOR [IF EXISTS] <name>;
+  * SHOW CONNECTORS;
+  * }}} */
+object ConnectorDdl {
+
+  sealed trait Kind
+  case object Source extends Kind
+  case object Sink extends Kind
+
+  case class ConnectorSpec(kind: Kind, name: String,
+                           props: Map[String, String]) {
+
+    def connectorClass: String = props.getOrElse("connector.class", "")
+
+    /** Debezium `ExtractNewRecordState` SMT: `rewrite` surfaces deletes
+      * with a __deleted marker, `drop` filters them (reference
+      * README.md:361-364, 379-383). */
+    def deleteMode: DebeziumEnvelope.DeleteMode =
+      props.get("transforms.unwrap.delete.handling.mode") match {
+        case Some("drop") => DebeziumEnvelope.Drop
+        case _ => DebeziumEnvelope.Rewrite
+      }
+
+    /** Debezium's default is to DROP tombstones; the reference sets
+      * 'false' so compaction markers reach the table (README.md:363). */
+    def dropTombstones: Boolean =
+      props.get("transforms.unwrap.drop.tombstones").forall(_ != "false")
+
+    /** Production change feed for one of this source's topics —
+      * requires the Kafka connector jar ([[KafkaChangeFeed]] column
+      * contract; fails fast with Spark's standard missing-source error
+      * without it). Bootstrap servers come from the connector's
+      * `bootstrap.servers`/`kafka.bootstrap.servers` property or the
+      * argument. */
+    def sourceFeed(spark: SparkSession, topic: String,
+                   bootstrapServers: String = null): DataFrame = {
+      require(kind == Source, s"$name is a $kind connector, not SOURCE")
+      val servers = Option(bootstrapServers)
+        .orElse(props.get("kafka.bootstrap.servers"))
+        .orElse(props.get("bootstrap.servers"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"connector $name: no bootstrap servers in properties or arguments"))
+      KafkaChangeFeed.df(spark, servers, topic)
+    }
+
+    /** Offline feed with the identical (key, value, offset, ts)
+      * contract — the in-process topic analog for environments without
+      * the Kafka jar (this sandbox) and for tests. */
+    def offlineFeed(spark: SparkSession): ChangeFeed = {
+      require(kind == Source, s"$name is a $kind connector, not SOURCE")
+      new ChangeFeed(spark)
+    }
+
+    /** Keyed bulk-upsert sink for a SINK connector: ships to the
+      * spec's `connection.url`, index = the `topics` property (the ES
+      * sink connector maps topic → index 1:1), `_id` = `keyCol` — the
+      * reference's `key.ignore=false` contract (README.md:487-493). */
+    def bulkSink(keyCol: String, deletedCol: Option[String] = None,
+                 orderCol: Option[String] = None): BulkUpsertSink = {
+      require(kind == Sink, s"$name is a $kind connector, not SINK")
+      val url = props.getOrElse("connection.url",
+        throw new IllegalArgumentException(
+          s"connector $name: missing 'connection.url'"))
+      val index = props.getOrElse("topics",
+        throw new IllegalArgumentException(
+          s"connector $name: missing 'topics'"))
+      new BulkUpsertSink(keyCol, new HttpBulkEndpoint(url, index),
+        deletedCol, orderCol)
+    }
+  }
+
+  // ---- catalog (per-session, so parallel test sessions don't bleed) --
+
+  private val catalogs =
+    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, ConnectorSpec]]()
+
+  private def catalog(spark: SparkSession) =
+    catalogs.computeIfAbsent(spark, _ => new ConcurrentHashMap())
+
+  def connector(spark: SparkSession, name: String): Option[ConnectorSpec] =
+    Option(catalog(spark).get(name.toLowerCase))
+
+  def connectors(spark: SparkSession): Seq[ConnectorSpec] = {
+    import scala.jdk.CollectionConverters._
+    catalog(spark).values.asScala.toSeq.sortBy(_.name)
+  }
+
+  // ---- parser -------------------------------------------------------
+
+  private val createRe =
+    """(?is)\s*CREATE\s+(SOURCE|SINK)\s+CONNECTOR\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+WITH\s*\((.*)\)\s*;?\s*""".r
+  private val dropRe =
+    """(?is)\s*DROP\s+CONNECTOR\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
+  private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
+  // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value'
+  private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'""".r
+
+  /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
+  def handles(statement: String): Boolean = statement match {
+    case createRe(_*) | dropRe(_*) | showRe(_*) => true
+    case _ => false
+  }
+
+  /** Execute one connector statement; returns the ksqlDB-style status
+    * frame. Throws IllegalArgumentException on duplicate CREATE (unless
+    * IF NOT EXISTS) or missing DROP target (unless IF EXISTS). */
+  def sql(spark: SparkSession, statement: String): DataFrame = {
+    import spark.implicits._
+    statement match {
+      case createRe(kindStr, ifNotExists, name, body) =>
+        val spec = ConnectorSpec(
+          if (kindStr.equalsIgnoreCase("SOURCE")) Source else Sink,
+          name.toLowerCase,
+          propRe.findAllMatchIn(body).map { m =>
+            Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+          }.toMap)
+        val prev = catalog(spark).putIfAbsent(spec.name, spec)
+        if (prev != null && ifNotExists == null)
+          throw new IllegalArgumentException(
+            s"connector ${spec.name} already exists (use IF NOT EXISTS)")
+        Seq((spec.name, kindStr.toUpperCase, spec.connectorClass, "CREATED"))
+          .toDF("name", "kind", "class", "status")
+      case dropRe(ifExists, name) =>
+        val removed = catalog(spark).remove(name.toLowerCase)
+        if (removed == null && ifExists == null)
+          throw new IllegalArgumentException(s"connector $name does not exist")
+        Seq((name.toLowerCase, "DROPPED")).toDF("name", "status")
+      case showRe() =>
+        connectors(spark).map(s => (s.name,
+            s.kind match { case Source => "SOURCE"; case Sink => "SINK" },
+            s.connectorClass))
+          .toDF("name", "kind", "class")
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a connector statement: ${other.take(80)}")
+    }
+  }
+}

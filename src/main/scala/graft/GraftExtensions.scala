@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSlices, SimHash16}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashSlices, SimHash16, SimHash64}
 
 /** Session extension registering the engine's native functions at
   * session build — enable with
@@ -34,22 +34,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * handling. */
 object GraftNativeFunctions {
 
-  /** Shingle width: optional trailing integer literal, default 5. */
+  /** Arity gate: SQL calls with the wrong argument count get an
+    * analysis-style error naming the function and its signature, not a
+    * raw IndexOutOfBoundsException from the builder. */
+  private def arity(name: String, usage: String, exprs: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected " +
+          s"$usage, got ${exprs.length} argument(s)")
+
+  /** Shingle width: optional trailing positive integer literal, default 5. */
   private def widthArg(name: String, exprs: Seq[Expression]): Int =
     exprs.lift(1) match {
       case None => 5
-      case Some(Literal(w: Int, IntegerType)) => w
+      case Some(Literal(w: Int, IntegerType)) if w > 0 => w
+      case Some(Literal(w: Int, IntegerType)) => throw new IllegalArgumentException(
+        s"$name: shingle width must be positive, got $w")
       case Some(other) => throw new IllegalArgumentException(
         s"$name: shingle width must be an integer literal, got $other")
     }
 
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", classOf[CosineSimilarity].getName,
-      exprs => CosineSimilarity(exprs(0), exprs(1))),
+      exprs => {
+        arity("cosine_sim", "cosine_sim(vec1, vec2)", exprs, 2, 2)
+        CosineSimilarity(exprs(0), exprs(1))
+      }),
     ("hashed_shingles", classOf[HashedShingles].getName,
-      exprs => HashedShingles(exprs.head, widthArg("hashed_shingles", exprs))),
+      exprs => {
+        arity("hashed_shingles", "hashed_shingles(tokens[, width])", exprs, 1, 2)
+        HashedShingles(exprs.head, widthArg("hashed_shingles", exprs))
+      }),
     ("minhash_slices", classOf[MinHashSlices].getName,
-      exprs => MinHashSlices(exprs.head, widthArg("minhash_slices", exprs))),
+      exprs => {
+        arity("minhash_slices", "minhash_slices(tokens[, width])", exprs, 1, 2)
+        MinHashSlices(exprs.head, widthArg("minhash_slices", exprs))
+      }),
     ("simhash16", classOf[SimHash16].getName,
-      exprs => SimHash16(exprs.head)))
+      exprs => {
+        arity("simhash16", "simhash16(tokens)", exprs, 1, 1)
+        SimHash16(exprs.head)
+      }),
+    ("simhash64", classOf[SimHash64].getName,
+      exprs => {
+        arity("simhash64", "simhash64(tokens)", exprs, 1, 1)
+        SimHash64(exprs.head)
+      }))
 }

@@ -29,6 +29,15 @@ object GraftSql {
     registerFunctions(spark)
   }
 
+  /** Statement entry point covering the reference's FULL statement
+    * surface: connector DDL (`CREATE SOURCE/SINK CONNECTOR`,
+    * `DROP CONNECTOR`, `SHOW CONNECTORS` — reference README.md:352-385,
+    * 487-493) executes through [[ConnectorDdl]]; every other statement
+    * is plain Spark SQL. */
+  def sql(spark: SparkSession, statement: String): org.apache.spark.sql.DataFrame =
+    if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
+    else spark.sql(statement)
+
   /** Temp views only (natives may already come from the extension). */
   def initViews(spark: SparkSession, sfDir: String): Unit = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark only reads

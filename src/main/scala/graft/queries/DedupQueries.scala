@@ -197,8 +197,8 @@ object DedupQueries {
     * all 4 disjoint bands, so every hamming-≤3 pair shares at least one
     * band exactly (the k+1-bands-for-distance-k rule). The oracle is
     * therefore the brute-force all-pairs hamming filter — the banded
-    * plan must reproduce it verbatim. On a production 64-bit simhash
-    * the same structure uses 4×16-bit bands. */
+    * plan must reproduce it verbatim. The production 64-bit form is
+    * simhash64Pairs below (4×16-bit bands, same recall rule). */
   def simhashPairs(s: SparkSession, d: String): DataFrame =
     // no persist/checkpoint here: the 16-bit signature pass is a cheap
     // narrow scan, so recomputing it on each join side costs far less
@@ -209,12 +209,18 @@ object DedupQueries {
 
   /** Banded hamming-≤3 pair mining over a (doc_id, simhash) relation —
     * factored out so the band-recall guarantee is unit-testable on
-    * synthetic signatures. One explode into (band, nibble) rows + one
+    * synthetic signatures. One explode into (band, slice) rows + one
     * equi-join on the band key (the minhash-LSH plan shape) instead of
     * four self-joins union'd: a single shuffle, and the hamming filter
     * runs before the distinct so the dedup shuffle only carries
-    * near-dup pairs. */
-  def simhashBandPairs(sig: DataFrame): DataFrame = {
+    * near-dup pairs.
+    *
+    * `bandBits` sets the slice width: 4 for the 16-bit demo signature,
+    * 16 for the production 64-bit one. Either way there are four
+    * disjoint bands, so the pigeonhole recall rule (3 differing bits
+    * can't touch all 4 bands) is width-independent. */
+  def simhashBandPairs(sig: DataFrame, bandBits: Int = 4): DataFrame = {
+    val mask = (1L << bandBits) - 1
     // simhash bits are biased by common tokens, so nibble buckets are
     // heavily skewed (one bucket can hold >half the corpus): the
     // broadcast self-join's cost is the probe side's candidate
@@ -223,7 +229,7 @@ object DedupQueries {
     // partitions the signature scan produced
     val bands = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        expr(s"shiftright(simhash, ${4 * b}) & 15").as("sig"))): _*)).as("bs"))
+        expr(s"shiftright(simhash, ${bandBits * b}) & $mask").as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"),
         col("bs.band").as("band"), col("bs.sig").as("sig"))
       .repartition(col("doc_id"))
@@ -234,7 +240,7 @@ object DedupQueries {
     // multi-million-row distinct shuffle disappears.
     val xorCol = col("a.simhash").bitwiseXOR(col("b.simhash"))
     def bandDiffers(b: Int) =
-      shiftright(xorCol, 4 * b).bitwiseAND(lit(15L)) =!= 0L
+      shiftright(xorCol, bandBits * b).bitwiseAND(lit(mask)) =!= 0L
     val noEarlierBandMatches = (0 until 4).map { b =>
       (0 until b).map(bandDiffers)
         .foldLeft(col("a.band") === b)(_ && _)
@@ -267,6 +273,51 @@ object DedupQueries {
       |FROM sig a
       |JOIN sig b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** Production-width SimHash near-dup pairs: 64-bit signatures
+    * ([[graft.functions.SimHash64]]), banded 4×16 bits — the same
+    * single-shuffle band-join plan and the same pigeonhole-complete
+    * hamming-≤3 recall as the 16-bit demo, at the width where corpus-
+    * scale signatures stop colliding. Oracle: brute-force all-pairs
+    * hamming over hi/lo 32-bit halves (DuckDB hex→BIGINT is 32-bit
+    * safe; the banded plan must reproduce the exhaustive answer
+    * verbatim). */
+  def simhash64Pairs(s: SparkSession, d: String): DataFrame =
+    simhashBandPairs(
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          graft.functions.SimHash64(s, col("__toks")).as("simhash")),
+      bandBits = 16)
+
+  val simhash64PairsSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(string_split_regex(trim(text), '\s+')) t FROM documents),
+      |tv AS (SELECT doc_id,
+      |         ('0x' || substr(md5(t), 1, 8))::BIGINT hi,
+      |         ('0x' || substr(md5(t), 9, 8))::BIGINT lo FROM tok),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN SUM(CASE WHEN
+      |           (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END) & 1 = 1
+      |         THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END bt
+      |  FROM tv, (SELECT unnest(generate_series(0, 63)) b) bs
+      |  GROUP BY doc_id, b),
+      |sig AS (SELECT doc_id,
+      |  CAST(SUM(CASE WHEN b < 16 THEN bt << b ELSE 0 END) AS BIGINT) s0,
+      |  CAST(SUM(CASE WHEN b BETWEEN 16 AND 31 THEN bt << (b - 16) ELSE 0 END) AS BIGINT) s1,
+      |  CAST(SUM(CASE WHEN b BETWEEN 32 AND 47 THEN bt << (b - 32) ELSE 0 END) AS BIGINT) s2,
+      |  CAST(SUM(CASE WHEN b >= 48 THEN bt << (b - 48) ELSE 0 END) AS BIGINT) s3
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+      |          + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3))
+      |            AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+      |    + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 3""".stripMargin
 
   /** Duplicate-cluster connected components over the verified Jaccard
     * pairs via iterative min-label propagation — the standard
@@ -392,7 +443,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
-    "dedup_simhash_pairs" -> simhashPairs _)
+    "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_simhash64_pairs" -> simhash64Pairs _)
 
   def oracles: Map[String, String] = Map(
     "dedup_components" -> componentsSql,
@@ -400,5 +452,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_simhash_pairs" -> simhashPairsSql)
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_simhash64_pairs" -> simhash64PairsSql)
 }

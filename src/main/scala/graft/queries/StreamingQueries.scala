@@ -266,7 +266,8 @@ object StreamingQueries {
     * oracle band. */
   private def intervalJoinStream(s: SparkSession, d: String,
                                  joinType: String,
-                                 withFlush: Boolean): DataFrame = {
+                                 withFlush: Boolean,
+                                 projectLineKey: Boolean = false): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     def fileStream(name: String): DataFrame = {
@@ -292,14 +293,19 @@ object StreamingQueries {
       o = o.unionByName(flushO.toDF().toDF("o_orderkey", "o_orderdate"))
       l = l.unionByName(flushL.toDF().toDF("l_orderkey", "l_linenumber", "l_shipdate"))
     }
-    o.withWatermark("o_orderdate", "30 days").as("o")
+    val joined = o.withWatermark("o_orderdate", "30 days").as("o")
       .join(l.withWatermark("l_shipdate", "30 days").as("l"),
         expr("""l.l_orderkey = o.o_orderkey AND
                 l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAYS AND
                 l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAYS"""), joinType)
-      .select(col("o.o_orderkey").as("order_id"),
-        col("l.l_linenumber").as("line_no"),
-        date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+    // the full-outer variant also projects the line-side key: a
+    // right-unmatched row has a NULL order_id, so the line key is both
+    // its identity in the output and the sentinel-filter handle
+    val lineKey =
+      if (projectLineKey) Seq(col("l.l_orderkey").as("line_order_id")) else Nil
+    joined.select(col("o.o_orderkey").as("order_id") +: lineKey ++: Seq(
+      col("l.l_linenumber").as("line_no"),
+      date_format(col("l.l_shipdate"), "yyyy-MM-dd").as("ship_date")): _*)
   }
 
   /** Watermarked stream–stream interval join (J2 streaming form) —
@@ -329,6 +335,27 @@ object StreamingQueries {
     """SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
       |       strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
       |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      | AND l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAY
+      | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY""".stripMargin
+
+  /** Stream–stream FULL OUTER interval join (ksqlDB `FULL JOIN …
+    * WITHIN`): unmatched rows on EITHER side emit with nulls once the
+    * combined watermark passes their join window. Both flush sentinels
+    * (keys -1/-2) push both watermarks past all real data so every
+    * pending emission fires on finite input; each sentinel is filtered
+    * on the MATERIALIZED result via whichever side's key it carries
+    * (the pushdown trap — see streamIntervalLeft). Must equal the
+    * batch FULL JOIN oracle. */
+  def streamIntervalFull(s: SparkSession, d: String): DataFrame =
+    runToTable(intervalJoinStream(s, d, "fullOuter", withFlush = true,
+        projectLineKey = true), "append")
+      .filter(coalesce(col("order_id"), col("line_order_id")) >= 0)
+
+  val streamIntervalFullSql: String =
+    """SELECT o.o_orderkey AS order_id, l.l_orderkey AS line_order_id,
+      |       l.l_linenumber AS line_no,
+      |       strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM orders o FULL JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       | AND l.l_shipdate >= o.o_orderdate - INTERVAL 3 DAY
       | AND l.l_shipdate <= o.o_orderdate + INTERVAL 3 DAY""".stripMargin
 
@@ -399,6 +426,7 @@ object StreamingQueries {
     "stream_tumbling_final" -> tumblingFinal _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_left" -> streamIntervalLeft _,
+    "stream_interval_full" -> streamIntervalFull _,
     "stream_pipeline_golden" -> pipelineGolden _)
 
   def oracles: Map[String, String] = Map(
@@ -412,5 +440,6 @@ object StreamingQueries {
     "stream_tumbling_final" -> BatchSqlQueries.tumblingAggSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_interval_left" -> streamIntervalLeftSql,
+    "stream_interval_full" -> streamIntervalFullSql,
     "stream_pipeline_golden" -> pipelineGoldenSql)
 }

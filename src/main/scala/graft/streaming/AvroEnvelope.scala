@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, udf}
+
+/** Production ingress decode façade for Avro-encoded topics — the
+  * reference's actual wire format (every connector sets
+  * `value.converter=io.confluent.connect.avro.AvroConverter` with a
+  * Schema Registry URL; reference docker-compose.yml:102-103,
+  * README.md:389). Mirrors [[KafkaChangeFeed]]'s guard pattern:
+  * compiles and loads without `spark-avro` on the classpath, fails
+  * fast with a clear error when the production path is requested
+  * without the jar, and offers an offline core-Avro fallback so the
+  * wiring is testable in this sandbox (which ships `avro-*.jar` but
+  * not `spark-avro`).
+  *
+  * Production wiring ([[fromAvro]], reflection over
+  * `org.apache.spark.sql.avro.functions.from_avro`):
+  *  - Confluent wire format prefixes each payload with a magic byte +
+  *    4-byte schema id; strip it with `expr("substring(value, 6,
+  *    length(value)-5)")` before decoding, and fetch the writer schema
+  *    from the registry (`GET /schemas/ids/<id>`) at startup — Spark's
+  *    `from_avro` takes the schema as a STRING, so registry lookup
+  *    happens outside the plan, once, not per row.
+  *  - The decoded struct then feeds [[DebeziumEnvelope.unwrap]]
+  *    unchanged: the engine's operators are payload-format-agnostic —
+  *    only this column expression differs between JSON and Avro topics.
+  *
+  * Offline fallback ([[binaryToJson]]): core-Avro `GenericDatumReader`
+  * per partition task (one schema parse per decoder instance, not per
+  * row), rendering records as JSON text that the existing
+  * `from_json`-based unwrap consumes. This is the documented-shape
+  * fallback, not the fast path: `from_avro` is a native Catalyst
+  * expression; use it wherever the jar exists.
+  */
+object AvroEnvelope {
+
+  /** True when the spark-avro module is on the classpath. Probes the
+    * module's codec expression, NOT `sql.avro.functions` — Spark 4
+    * ships that object in spark-sql-api as a stub whose analysis fails
+    * with AVRO_NOT_LOADED when the module is missing, so its presence
+    * proves nothing. `AvroDataToCatalyst` only exists in the real
+    * module (it is the class `from_avro`'s replacement resolves to). */
+  def isAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Native decode: `from_avro(value, jsonFormatSchema)` — resolved by
+    * reflection so this module loads without the jar. The returned
+    * column is a struct of the schema's fields (codegen'd decode, the
+    * production hot path). */
+  def fromAvro(value: Column, jsonFormatSchema: String): Column = {
+    if (!isAvailable)
+      throw new IllegalStateException(
+        "spark-avro is not on the classpath: add the spark-avro module " +
+          "matching your Spark version to decode Avro topics natively, " +
+          "or use AvroEnvelope.binaryToJson for the core-Avro fallback")
+    val fns = Class.forName("org.apache.spark.sql.avro.functions$")
+    val module = fns.getField("MODULE$").get(null)
+    fns.getMethod("from_avro", classOf[Column], classOf[String])
+      .invoke(module, value, jsonFormatSchema)
+      .asInstanceOf[Column]
+  }
+
+  /** Offline decoder: binary Avro (no Confluent prefix) → JSON text via
+    * core Avro, which is always on a Spark classpath. Serializable
+    * holder with per-instance lazy init: the schema is parsed and the
+    * reader built once per deserialized task, never per row. Union
+    * types render in Avro's plain-JSON form (nulls as null); for
+    * registry-governed envelopes prefer [[fromAvro]]. */
+  class JsonDecoder(jsonFormatSchema: String) extends Serializable {
+    @transient private lazy val schema =
+      new org.apache.avro.Schema.Parser().parse(jsonFormatSchema)
+    @transient private lazy val reader =
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](schema)
+
+    def decode(bytes: Array[Byte]): String =
+      if (bytes == null) null // Kafka tombstone stays a null value
+      else {
+        val dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(bytes, null)
+        String.valueOf(reader.read(null, dec))
+      }
+  }
+
+  /** Replace a binary Avro `valueCol` with its JSON rendering, keeping
+    * every other column — the [[ChangeFeed]]/[[KafkaChangeFeed]] value
+    * contract, so `DebeziumEnvelope.unwrap(..., from_json ...)`
+    * downstream works unchanged. */
+  def binaryToJson(df: DataFrame, valueCol: String,
+                   jsonFormatSchema: String): DataFrame = {
+    val decoder = new JsonDecoder(jsonFormatSchema)
+    val decode = udf((b: Array[Byte]) => decoder.decode(b))
+    df.withColumn(valueCol, decode(col(valueCol)))
+  }
+}

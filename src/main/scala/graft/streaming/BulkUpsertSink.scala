@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One keyed action against an external document store: ES-style
+  * `_id`-addressed upsert or delete, carrying an external version so
+  * the endpoint (not the pipeline) arbitrates replay ordering. */
+case class BulkDoc(id: String, json: String, version: Long, deleted: Boolean)
+
+/** Transport contract for [[BulkUpsertSink]]: receives one partition's
+  * already-deduplicated actions. Implementations must be idempotent
+  * under external-gte versioning — apply an action iff its version ≥
+  * the stored version for that id (Elasticsearch
+  * `version_type=external_gte`), which makes at-least-once delivery
+  * collapse to exactly-once-per-key visible state without any
+  * coordination between the pipeline and the store. */
+trait BulkEndpoint extends Serializable {
+  def bulk(partitionId: Int, docs: Iterator[BulkDoc]): Unit
+}
+
+/** Production egress façade: the reference sinks its final table to
+  * Elasticsearch through a sink connector whose `_id` is the record
+  * key (reference README.md:487-493 — `key.ignore=false`, so an
+  * at-least-once stream becomes an exactly-once-per-key index). This
+  * is the engine's Spark-side counterpart, symmetric with the
+  * [[KafkaChangeFeed]] ingress façade: a `foreachBatch` adapter that
+  * holds the same contract as the offline [[KeyedParquetSink]] —
+  *
+  *  1. **dedup-by-key per batch**: each micro-batch sends at most ONE
+  *     action per key (the last one, by `orderCol` — e.g. the Kafka
+  *     offset), never the intermediate versions;
+  *  2. **idempotent replay**: actions carry an external version
+  *     (`orderCol` when set — globally monotonic like an offset — else
+  *     the batch id), so a replayed or out-of-order batch can never
+  *     regress a key the endpoint already advanced past
+  *     (`version_type=external_gte` semantics);
+  *  3. **tombstones delete**: a row whose `deletedCol` is 'true' (the
+  *     [[DebeziumEnvelope]] rewrite marker) becomes a versioned DELETE
+  *     of the key, removing the document (ksqlDB tombstone semantics).
+  *
+  * Scale shape: the dedup is one hash shuffle of the BATCH only
+  * (never the sink's total state — the endpoint owns that); document
+  * rendering is codegen'd `to_json`; transport runs executor-side
+  * per partition with chunked requests — the driver never touches a
+  * row. Against a real cluster, partitions×chunks parallel bulk calls
+  * are exactly how the reference's connector ships (its
+  * `tasks.max`/batch.size knobs map to numPartitions/`chunkSize`).
+  *
+  * @param keyCol     document identity (the ES `_id`).
+  * @param endpoint   transport; see [[HttpBulkEndpoint]] for the REST
+  *                    production path and the spec's in-memory mock for
+  *                    the contract tests.
+  * @param deletedCol when set, rows with this column = 'true' delete.
+  * @param orderCol   within-batch winner + external version source;
+  *                    MUST be globally monotonic per key (Kafka offset,
+  *                    CDC LSN) for cross-batch replay safety — else
+  *                    versions fall back to the batch id.
+  * @param chunkSize  max actions per bulk request. */
+class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
+                     deletedCol: Option[String] = None,
+                     orderCol: Option[String] = None,
+                     chunkSize: Int = 500) extends Serializable {
+  require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+
+  /** `foreachBatch` body: dedup the batch per key, render, ship. */
+  def upsert(batch: DataFrame, batchId: Long): Unit = {
+    val tiebreak = orderCol.map(c => col(c).desc).toSeq
+    val lastPerKey =
+      if (tiebreak.isEmpty) batch.dropDuplicates(keyCol)
+      else {
+        val w = Window.partitionBy(col(keyCol)).orderBy(tiebreak: _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val version = orderCol.map(col(_).cast("long")).getOrElse(lit(batchId))
+    val isDelete = deletedCol
+      .filter(lastPerKey.schema.fieldNames.contains)
+      .map(c => coalesce(col(c) === "true", lit(false)))
+      .getOrElse(lit(false))
+    val payloadCols = lastPerKey.schema.fieldNames
+      .filterNot(n => deletedCol.contains(n)).map(col)
+    val actions = lastPerKey.select(
+      col(keyCol).cast("string").as("__id"),
+      to_json(struct(payloadCols.toSeq: _*)).as("__doc"),
+      version.as("__version"),
+      isDelete.as("__deleted"))
+
+    val ep = endpoint
+    val chunk = chunkSize
+    actions.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      rows.map(r => BulkDoc(r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3)))
+        .grouped(chunk)
+        .foreach(g => ep.bulk(pid, g.iterator))
+    }
+  }
+
+  /** Attach to a streaming writer:
+    * `df.writeStream.foreachBatch(sink.forEachBatch).start()`. */
+  def forEachBatch: (DataFrame, Long) => Unit = upsert
+}
+
+/** REST transport for [[BulkUpsertSink]] over the Elasticsearch bulk
+  * wire format — JDK HttpClient only, so the production path needs no
+  * extra jar (URL-guarded: an unreachable endpoint fails the batch,
+  * and Spark's foreachBatch retry re-ships it — safe under the
+  * external-gte contract). One client per executor JVM (lazy val on a
+  * deserialized instance), one POST per chunk.
+  *
+  * Wire shape per action (reference sink connector README.md:487-493):
+  * {{{
+  * {"index":{"_id":"<key>","version":<v>,"version_type":"external_gte"}}
+  * {...document json...}
+  * {"delete":{"_id":"<key>","version":<v>,"version_type":"external_gte"}}
+  * }}} */
+class HttpBulkEndpoint(baseUrl: String, index: String)
+    extends BulkEndpoint {
+
+  @transient private lazy val client: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
+
+  override def bulk(partitionId: Int, docs: Iterator[BulkDoc]): Unit = {
+    val body = new StringBuilder
+    docs.foreach { d =>
+      val op = if (d.deleted) "delete" else "index"
+      body ++= s"""{"$op":{"_id":${jsonStr(d.id)},"version":${d.version},"version_type":"external_gte"}}""" += '\n'
+      if (!d.deleted) body ++= d.json += '\n'
+    }
+    if (body.nonEmpty) {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"$baseUrl/$index/_bulk"))
+        .header("Content-Type", "application/x-ndjson")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body.toString))
+        .build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"bulk to $baseUrl/$index failed: HTTP ${resp.statusCode()} ${resp.body().take(500)}")
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

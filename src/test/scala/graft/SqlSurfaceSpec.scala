@@ -31,11 +31,15 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
   override def afterAll(): Unit = spark.stop()
 
+  // multiset compare (row → count), so a duplicate-multiplicity skew
+  // between the SQL and DSL spellings can't pass silently
   private def sameRows(sql: DataFrame, dsl: DataFrame): Unit = {
-    val a = sql.collect().toSet
-    val b = dsl.collect().toSet
+    val a = sql.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val b = dsl.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
     assert(a.nonEmpty, "SQL result is empty")
-    assert(a == b, s"SQL vs DSL mismatch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    val onlyA = a.collect { case (r, n) if b.getOrElse(r, 0) != n => r -> n }
+    val onlyB = b.collect { case (r, n) if a.getOrElse(r, 0) != n => r -> n }
+    assert(a == b, s"SQL vs DSL mismatch: ${onlyA.take(3)} / ${onlyB.take(3)}")
   }
 
   test("extension-injected natives resolve in SQL with no per-session registration") {
@@ -52,6 +56,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) >= 0 && row.getLong(1) < (1 << 16))
     assert(row.getInt(2) == 2) // 6 tokens, width 5 → 2 shingles
     assert(row.getInt(3) == 8) // 8 minhash slices
+  }
+
+  test("wrong arity / bad width surface as clear errors naming the function") {
+    def analysisMessage(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(analysisMessage("SELECT cosine_sim(array(1.0))")
+      .contains("cosine_sim(vec1, vec2)"))
+    assert(analysisMessage("SELECT simhash64(array('a'), 2)")
+      .contains("simhash64(tokens)"))
+    assert(analysisMessage("SELECT hashed_shingles(array('a','b'), 0)")
+      .contains("width must be positive"))
   }
 
   test("relational SQL over views matches the DSL: agg + join + window") {
@@ -130,6 +145,93 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         """SELECT user_id, latest_by_offset(event_id, event_type) AS latest_type
           |FROM events GROUP BY user_id""".stripMargin),
       queries.PipelineQueries.latestByKeyUdaf(spark, sf))
+  }
+
+  test("connector DDL: the reference's CREATE SOURCE CONNECTOR statements run 1:1") {
+    // reference README.md:352-366 verbatim (minus the Connect-internal
+    // credentials, which parse the same way)
+    val status = GraftSql.sql(spark,
+      """CREATE SOURCE CONNECTOR customers_reader WITH (
+        |    'connector.class' = 'io.debezium.connector.postgresql.PostgresConnector',
+        |    'database.hostname' = 'postgres',
+        |    'table.whitelist' = 'public.customers',
+        |    'transforms' = 'unwrap',
+        |    'transforms.unwrap.type' = 'io.debezium.transforms.ExtractNewRecordState',
+        |    'transforms.unwrap.drop.tombstones' = 'false',
+        |    'transforms.unwrap.delete.handling.mode' = 'rewrite'
+        |);""".stripMargin).collect()
+    assert(status.head.getString(3) == "CREATED")
+    GraftSql.sql(spark,
+      """CREATE SOURCE CONNECTOR logistics_reader WITH (
+        |    'connector.class' = 'io.debezium.connector.mongodb.MongoDbConnector',
+        |    'transforms.unwrap.delete.handling.mode' = 'drop',
+        |    'transforms.unwrap.operation.header' = 'true'
+        |);""".stripMargin)
+
+    // the Debezium SMT properties became the engine's unwrap knobs
+    val cust = ConnectorDdl.connector(spark, "customers_reader").get
+    assert(cust.deleteMode == streaming.DebeziumEnvelope.Rewrite)
+    assert(!cust.dropTombstones)
+    val logi = ConnectorDdl.connector(spark, "logistics_reader").get
+    assert(logi.deleteMode == streaming.DebeziumEnvelope.Drop)
+    assert(logi.dropTombstones) // debezium default: drop them
+
+    val shown = GraftSql.sql(spark, "SHOW CONNECTORS").collect()
+    assert(shown.map(_.getString(0)).toSet
+      .intersect(Set("customers_reader", "logistics_reader")).size == 2)
+
+    // duplicate CREATE fails; IF NOT EXISTS doesn't
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE SOURCE CONNECTOR customers_reader WITH ('a'='b')")
+    }
+    GraftSql.sql(spark,
+      "CREATE SOURCE CONNECTOR IF NOT EXISTS customers_reader WITH ('a'='b')")
+    assert(ConnectorDdl.connector(spark, "customers_reader").get
+      .props.contains("connector.class")) // original spec kept
+  }
+
+  test("connector DDL: a feed created via DDL carries the topic column contract end-to-end") {
+    if (ConnectorDdl.connector(spark, "customers_reader").isEmpty)
+      GraftSql.sql(spark,
+        """CREATE SOURCE CONNECTOR customers_reader WITH (
+          |  'transforms.unwrap.delete.handling.mode' = 'rewrite')""".stripMargin)
+    val spec = ConnectorDdl.connector(spark, "customers_reader").get
+    val feed = spec.offlineFeed(spark)
+    assert(feed.df.columns.toSeq == Seq("key", "value", "offset", "ts"))
+    val q = feed.df.writeStream.format("memory")
+      .queryName("ddl_feed_probe").outputMode("append").start()
+    try {
+      feed.add("c1" -> streaming.DebeziumJson.insert("id" -> 1, "name" -> "x"))
+      feed.flush()
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, offset FROM ddl_feed_probe").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("c1", 0L)))
+    } finally q.stop()
+  }
+
+  test("connector DDL: CREATE SINK CONNECTOR yields the keyed bulk-upsert sink") {
+    // reference README.md:487-493 verbatim
+    GraftSql.sql(spark,
+      """CREATE SINK CONNECTOR enriched_writer WITH (
+        |    'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+        |    'connection.url' = 'http://elastic:9200',
+        |    'type.name' = 'kafka-connect',
+        |    'topics' = 'shipped_orders'
+        |);""".stripMargin)
+    val sink = ConnectorDdl.connector(spark, "enriched_writer").get
+      .bulkSink(keyCol = "order_id")
+    assert(sink != null) // construction wires HttpBulkEndpoint to the URL
+    // a SOURCE-only operation on a SINK connector fails with a clear error
+    intercept[IllegalArgumentException] {
+      ConnectorDdl.connector(spark, "enriched_writer").get.offlineFeed(spark)
+    }
+    GraftSql.sql(spark, "DROP CONNECTOR enriched_writer")
+    assert(ConnectorDdl.connector(spark, "enriched_writer").isEmpty)
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "DROP CONNECTOR enriched_writer")
+    }
+    GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS enriched_writer") // no-op ok
   }
 
   test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {

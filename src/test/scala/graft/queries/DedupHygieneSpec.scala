@@ -42,6 +42,31 @@ class DedupHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 2L, 3L)))
   }
 
+  test("64-bit banding: hamming-3 pairs found in every band position, incl. the sign band") {
+    import spark.implicits._
+    // three hamming-≤3 pairs with differing bits concentrated in one
+    // 16-bit band each — including the TOP band (bits 48-63, crossing
+    // the sign bit) — plus a hamming-4 pair touching all four bands
+    // (never a candidate, and over threshold anyway)
+    val base = 0x0123456789abcdefL
+    val sig = Seq(
+      1L -> base, 2L -> (base ^ 0x7L),                   // band 0, hamming 3
+      3L -> base, 4L -> (base ^ 0x0003000000000000L),    // band 3, hamming 2
+      5L -> base, 6L -> (base ^ 0x8000000000000000L),    // sign bit, hamming 1
+      10L -> 0L, 11L -> 0x1000100010001L                 // hamming 4, all bands
+    ).map { case (id, s) => (id * 100, s) } // distinct ids per row
+      .toDF("doc_id", "simhash")
+    val got = DedupQueries.simhashBandPairs(sig, bandBits = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the same signatures
+    val rows = sig.as[(Long, Long)].collect()
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(got == expected && expected.size >= 3, s"got $got, expected $expected")
+  }
+
   test("no InMemoryRelation survives a catalog query's return") {
     val leakyProne = Seq("dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash_pairs", "dedup_components", "sim_cos_neardup")

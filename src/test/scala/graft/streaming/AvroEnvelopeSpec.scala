@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.EncoderFactory
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Avro ingress façade must decode real binary Avro offline (core
+  * Avro is always on a Spark classpath) and feed the existing
+  * JSON-envelope unwrap unchanged — so the engine ingests the
+  * reference's actual wire format (Avro everywhere,
+  * docker-compose.yml:102-103) with only the value-decode column
+  * differing from the JSON path. The native `from_avro` door must
+  * degrade predictably where spark-avro is absent (this sandbox). */
+class AvroEnvelopeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("avro-envelope")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val rowSchemaJson =
+    """{"type":"record","name":"row","fields":[
+      |  {"name":"id","type":"long"},
+      |  {"name":"name","type":"string"}]}""".stripMargin
+
+  /** Debezium envelope as Avro: nullable before/after record branches. */
+  private val envSchemaJson =
+    s"""{"type":"record","name":"env","fields":[
+       |  {"name":"before","type":["null",$rowSchemaJson],"default":null},
+       |  {"name":"after","type":["null","row"],"default":null},
+       |  {"name":"op","type":"string"},
+       |  {"name":"ts_ms","type":"long"}]}""".stripMargin
+
+  private def encode(schema: Schema, rec: GenericRecord): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  private def envBytes(op: String, id: Long, name: String): Array[Byte] = {
+    val envSchema = new Schema.Parser().parse(envSchemaJson)
+    val rowSchema = envSchema.getField("before").schema().getTypes.get(1)
+    val row = new GenericData.Record(rowSchema)
+    row.put("id", id)
+    row.put("name", name)
+    val env = new GenericData.Record(envSchema)
+    if (op == "d") env.put("before", row) else env.put("after", row)
+    env.put("op", op)
+    env.put("ts_ms", 1700000000000L)
+    encode(envSchema, env)
+  }
+
+  test("binary Avro envelopes decode offline and unwrap through the JSON path unchanged") {
+    import spark.implicits._
+    val df = Seq(
+      ("k1", envBytes("c", 1L, "alice")),
+      ("k2", envBytes("u", 2L, "bob")),
+      ("k3", envBytes("d", 3L, "carol")),
+      ("k3", null.asInstanceOf[Array[Byte]]) // Kafka tombstone
+    ).toDF("key", "value")
+
+    val jsonized = AvroEnvelope.binaryToJson(df, "value", envSchemaJson)
+    assert(jsonized.schema("value").dataType == StringType)
+
+    val afterSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val out = DebeziumEnvelope.unwrap(jsonized, col("value"), afterSchema,
+        DebeziumEnvelope.Rewrite, tombstoneKey = Some("key" -> "name"))
+      .select("id", "name", "__deleted")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2))).toSet
+
+    assert(out == Set(
+      (Some(1L), "alice", "false"),
+      (Some(2L), "bob", "false"),
+      (Some(3L), "carol", "true"), // delete rewrites the before image
+      (None, "k3", "true")))       // tombstone surfaces the topic key
+  }
+
+  test("null payloads survive decode as nulls (tombstones stay tombstones)") {
+    import spark.implicits._
+    val df = Seq(("k", null.asInstanceOf[Array[Byte]])).toDF("key", "value")
+    val jsonized = AvroEnvelope.binaryToJson(df, "value", rowSchemaJson)
+    assert(jsonized.filter(col("value").isNull).count() == 1)
+  }
+
+  test("decoder init is per-instance, not per-row: many rows, one schema parse each task") {
+    import spark.implicits._
+    val rowSchema = new Schema.Parser().parse(rowSchemaJson)
+    val rows = (1 to 200).map { i =>
+      val r = new GenericData.Record(rowSchema)
+      r.put("id", i.toLong)
+      r.put("name", s"doc$i")
+      encode(rowSchema, r)
+    }
+    val decoded = AvroEnvelope.binaryToJson(
+        rows.toDF("value").repartition(4), "value", rowSchemaJson)
+      .select(from_json(col("value"),
+        StructType(Seq(StructField("id", LongType),
+          StructField("name", StringType)))).as("r"))
+      .select("r.id").as[Long].collect().toSet
+    assert(decoded == (1 to 200).map(_.toLong).toSet)
+  }
+
+  test("native from_avro door: available ⇒ decodes; absent ⇒ fails fast naming the jar") {
+    if (AvroEnvelope.isAvailable) {
+      import spark.implicits._
+      val rowSchema = new Schema.Parser().parse(rowSchemaJson)
+      val r = new GenericData.Record(rowSchema)
+      r.put("id", 7L)
+      r.put("name", "x")
+      val got = Seq(encode(rowSchema, r)).toDF("value")
+        .select(AvroEnvelope.fromAvro(col("value"), rowSchemaJson).as("r"))
+        .select("r.id").collect().head.getLong(0)
+      assert(got == 7L)
+    } else {
+      val e = intercept[IllegalStateException] {
+        AvroEnvelope.fromAvro(lit(Array[Byte]()), rowSchemaJson)
+      }
+      assert(e.getMessage.contains("spark-avro"))
+    }
+  }
+}

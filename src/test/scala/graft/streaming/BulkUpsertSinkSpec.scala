@@ -1,0 +1,147 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The egress façade's contract (the reference ES sink's
+  * `key.ignore=false` semantics, README.md:487-493): per batch at most
+  * one action per key; external-gte versioning makes replayed and
+  * out-of-order batches converge instead of regressing; tombstone rows
+  * delete their document. Verified against an in-memory mock endpoint
+  * that implements exactly the ES `version_type=external_gte` rule. */
+class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("bulk-upsert-sink")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import BulkUpsertSinkSpec._
+
+  test("per-batch dedup: one action per key, winner by orderCol") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      orderCol = Some("off"))
+    import spark.implicits._
+    sink.upsert(Seq(
+      ("a", "v1", 1L), ("a", "v2", 2L), ("a", "v3", 3L),
+      ("b", "w1", 4L)).toDF("id", "payload", "off"), batchId = 0)
+
+    val actions = store.log.toArray(Array.empty[BulkDoc])
+    assert(actions.length == 2, s"expected 1 action per key, got ${actions.toSeq}")
+    assert(actions.map(_.id).toSet == Set("a", "b"))
+    assert(doc(store, "a").exists(_.contains("v3"))) // last by offset, not first
+    assert(doc(store, "b").exists(_.contains("w1")))
+  }
+
+  test("replaying the same batch is a no-op on visible state") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      orderCol = Some("off"))
+    import spark.implicits._
+    val batch = Seq(("a", "v1", 10L), ("b", "w1", 11L)).toDF("id", "payload", "off")
+    sink.upsert(batch, batchId = 3)
+    val after1 = snapshot(store)
+    sink.upsert(batch, batchId = 3) // foreachBatch retry / restart replay
+    assert(snapshot(store) == after1)
+  }
+
+  test("out-of-order replay cannot regress a key the endpoint advanced past") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      orderCol = Some("off"))
+    import spark.implicits._
+    val early = Seq(("a", "old", 5L)).toDF("id", "payload", "off")
+    val late = Seq(("a", "new", 9L)).toDF("id", "payload", "off")
+    sink.upsert(early, 0)
+    sink.upsert(late, 1)
+    sink.upsert(early, 0) // redelivered stale batch
+    assert(doc(store, "a").exists(_.contains("new")))
+  }
+
+  test("tombstone rows delete the document, and a stale upsert cannot resurrect it") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      deletedCol = Some("__deleted"), orderCol = Some("off"))
+    import spark.implicits._
+    sink.upsert(Seq(("a", "v1", "false", 1L), ("b", "w1", "false", 2L))
+      .toDF("id", "payload", "__deleted", "off"), 0)
+    sink.upsert(Seq(("a", null, "true", 3L))
+      .toDF("id", "payload", "__deleted", "off"), 1)
+    assert(doc(store, "a").isEmpty && doc(store, "b").nonEmpty)
+    // replayed pre-delete upsert: version 1 < deletion version 3 → dead stays dead
+    sink.upsert(Seq(("a", "v1", "false", 1L))
+      .toDF("id", "payload", "__deleted", "off"), 0)
+    assert(doc(store, "a").isEmpty)
+    // the delete action itself must not carry the __deleted marker as payload
+    assert(!store.log.toArray(Array.empty[BulkDoc])
+      .exists(d => !d.deleted && d.json.contains("__deleted")))
+  }
+
+  test("streaming attach: foreachBatch wiring converges to latest-by-key") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      orderCol = Some("off"))
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(String, String, Long)]
+    val q = feed.toDF().toDF("id", "payload", "off")
+      .writeStream.outputMode("append")
+      .foreachBatch(sink.forEachBatch)
+      .start()
+    try {
+      feed.addData(("a", "v1", 1L), ("b", "w1", 2L))
+      q.processAllAvailable()
+      feed.addData(("a", "v2", 3L))
+      q.processAllAvailable()
+      assert(doc(store, "a").exists(_.contains("v2")))
+      assert(doc(store, "b").exists(_.contains("w1")))
+    } finally q.stop()
+  }
+}
+
+object BulkUpsertSinkSpec {
+  /** Shared-JVM mock document store (local-mode executors see the same
+    * statics). Keyed state + full action log, external-gte applied. */
+  class Store(val name: String) extends Serializable {
+    def state: ConcurrentHashMap[String, (String, Long)] =
+      stores.computeIfAbsent(name, _ => new ConcurrentHashMap())
+    def log: ConcurrentLinkedQueue[BulkDoc] =
+      logs.computeIfAbsent(name, _ => new ConcurrentLinkedQueue())
+  }
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, (String, Long)]]()
+  private val logs =
+    new ConcurrentHashMap[String, ConcurrentLinkedQueue[BulkDoc]]()
+  private val nextId = new java.util.concurrent.atomic.AtomicInteger()
+
+  def newStore(): Store = new Store(s"s${nextId.incrementAndGet()}")
+
+  /** ES `version_type=external_gte`: apply iff version ≥ stored;
+    * deletes store a versioned tombstone so stale upserts stay dead. */
+  class MockEndpoint(store: Store) extends BulkEndpoint {
+    override def bulk(partitionId: Int, docs: Iterator[BulkDoc]): Unit =
+      docs.foreach { d =>
+        store.log.add(d)
+        store.state.merge(d.id,
+          (if (d.deleted) null else d.json, d.version),
+          (cur, nw) => if (nw._2 >= cur._2) nw else cur)
+      }
+  }
+
+  def doc(store: Store, id: String): Option[String] =
+    Option(store.state.get(id)).flatMap(v => Option(v._1))
+
+  def snapshot(store: Store): Map[String, (String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    store.state.asScala.toMap
+  }
+}
