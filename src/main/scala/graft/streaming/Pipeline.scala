@@ -189,11 +189,29 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
       .start()
   }
 
+  /** Query handles by reference stream name — for tests that drive
+    * NON-lockstep arrival orders (PipelineConcurrencySpec); the golden
+    * specs use [[step]]. */
+  def queryHandles: Map[String, StreamingQuery] =
+    Map("customers_by_key" -> q1, "enriched_orders" -> q2,
+      "shipped_orders" -> q3)
+
   /** Drain all pending input through the three queries in dataflow
     * order (table update before orders lookup, enrichment before the
     * interval join) — one deterministic "step" for tests/demos. Each
     * feed is flushed only after its upstream query drained, which
-    * pins the arrival order the reference demo produces by hand. */
+    * pins the arrival order the reference demo produces by hand.
+    *
+    * Without this pinning the contract is ksqlDB's (observed semantics,
+    * asserted by PipelineConcurrencySpec): the enrichment is a lookup
+    * at PROCESSING time — an order whose micro-batch runs before its
+    * customer's CDC insert commits enriches with null customer fields
+    * and is NEVER retroactively re-enriched when the customer lands
+    * (a stream-table join is not an equi-join over histories). When
+    * feeds race (all flushed before any query drains), either outcome
+    * is legal per order; what always holds is the delivery invariant —
+    * exactly one visible sink row per order key, and once the
+    * dimension update is committed every LATER order sees it. */
   def step(): Unit = {
     customersFeed.flush()
     q1.processAllAvailable()
