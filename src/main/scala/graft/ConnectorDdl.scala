@@ -34,12 +34,20 @@ import graft.streaming.{BulkUpsertSink, ChangeFeed, DebeziumEnvelope,
   *    [[HttpBulkEndpoint]] at the spec's `connection.url`) — the ES
   *    sink's `_id`-from-key contract.
   *
+  * ksqlDB persistent queries (CSAS/CTAS, reference README.md:434-480)
+  * are also accepted: `CREATE STREAM|TABLE <name> [WITH (props)] AS
+  * <select> [EMIT CHANGES|FINAL]` registers the SELECT as a view —
+  * batch evaluation of the statement, which this engine's stream_*
+  * oracle queries prove equal to the streaming result on finite input.
+  * Plain Spark `CREATE TABLE … AS` (no EMIT clause) is NOT intercepted.
+  *
   * Grammar (the reference's exact spelling; case-insensitive):
   * {{{
   * CREATE (SOURCE|SINK) CONNECTOR [IF NOT EXISTS] <name> WITH (
   *   '<prop>' = '<value>' [, ...] );
   * DROP CONNECTOR [IF EXISTS] <name>;
   * SHOW CONNECTORS;
+  * CREATE (STREAM|TABLE) <name> [WITH (<props>)] AS <select> [EMIT CHANGES];
   * }}} */
 object ConnectorDdl {
 
@@ -132,12 +140,24 @@ object ConnectorDdl {
   private val dropRe =
     """(?is)\s*DROP\s+CONNECTOR\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
   private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
+  // ksqlDB persistent queries (reference README.md:434-480): CREATE
+  // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
+  private val csasRe =
+    """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_]\w*)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(.*?)\s*(EMIT\s+(?:CHANGES|FINAL)\s*)?;?\s*""".r
   // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value'
   private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'""".r
+
+  /** ksqlDB-marked CSAS/CTAS only: `CREATE STREAM` is always ksql
+    * syntax (Spark has no STREAM object); `CREATE TABLE … AS` routes
+    * here only with an EMIT clause — a plain Spark CTAS (no EMIT)
+    * stays `spark.sql` and creates a real table. */
+  private def isKsqlCsas(kindStr: String, emit: String): Boolean =
+    kindStr.equalsIgnoreCase("STREAM") || emit != null
 
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | showRe(_*) => true
+    case csasRe(kindStr, _, _, _, emit) => isKsqlCsas(kindStr, emit)
     case _ => false
   }
 
@@ -170,6 +190,25 @@ object ConnectorDdl {
             s.kind match { case Source => "SOURCE"; case Sink => "SINK" },
             s.connectorClass))
           .toDF("name", "kind", "class")
+      case csasRe(kindStr, name, withProps, select, emit)
+          if isKsqlCsas(kindStr, emit) =>
+        // ksqlDB CSAS/CTAS: the EMIT clause is stripped — on the finite
+        // inputs this engine is verified against, the batch evaluation
+        // of the SELECT equals the streaming result (every stream_*
+        // query is hash-checked against its batch oracle), and the
+        // continuously-updating runtime forms are the Pipeline /
+        // StreamingQueries operators. WITH-properties (kafka_topic,
+        // value_format, timestamp hints) are accepted and recorded on
+        // the status row; the WITHIN interval-join clause is ksql-only
+        // syntax — use the DSL interval-join operators for that shape.
+        val props = Option(withProps).map(b =>
+          propRe.findAllMatchIn(b).map { m =>
+            Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+          }.toMap).getOrElse(Map.empty)
+        spark.sql(select).createOrReplaceTempView(name)
+        Seq((name.toLowerCase, kindStr.toUpperCase,
+            props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
+          .toDF("name", "kind", "properties", "status")
       case other =>
         throw new IllegalArgumentException(
           s"not a connector statement: ${other.take(80)}")

@@ -47,6 +47,18 @@ object AvroEnvelope {
       true
     } catch { case _: ClassNotFoundException => false }
 
+  /** Strip the Confluent wire-format prefix (magic byte 0x0 + 4-byte
+    * big-endian schema id) from a binary value column, null-preserving
+    * (a Kafka tombstone stays null). Registry-published payloads carry
+    * this prefix; both [[fromAvro]] and [[binaryToJson]] expect plain
+    * binary Avro, so registry topics decode as
+    * `fromAvro(stripConfluentPrefix(col("value")), schema)`. Pure
+    * codegen'd column expression — no UDF. */
+  def stripConfluentPrefix(value: Column): Column = {
+    import org.apache.spark.sql.functions.{length, lit}
+    value.substr(lit(6), length(value) - 5)
+  }
+
   /** Native decode: `from_avro(value, jsonFormatSchema)` — resolved by
     * reflection so this module loads without the jar. The returned
     * column is a struct of the schema's fields (codegen'd decode, the

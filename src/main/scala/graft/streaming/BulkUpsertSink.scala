@@ -123,12 +123,7 @@ class HttpBulkEndpoint(baseUrl: String, index: String)
     java.net.http.HttpClient.newHttpClient()
 
   override def bulk(partitionId: Int, docs: Iterator[BulkDoc]): Unit = {
-    val body = new StringBuilder
-    docs.foreach { d =>
-      val op = if (d.deleted) "delete" else "index"
-      body ++= s"""{"$op":{"_id":${jsonStr(d.id)},"version":${d.version},"version_type":"external_gte"}}""" += '\n'
-      if (!d.deleted) body ++= d.json += '\n'
-    }
+    val body = HttpBulkEndpoint.render(docs)
     if (body.nonEmpty) {
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(s"$baseUrl/$index/_bulk"))
@@ -141,6 +136,22 @@ class HttpBulkEndpoint(baseUrl: String, index: String)
         throw new java.io.IOException(
           s"bulk to $baseUrl/$index failed: HTTP ${resp.statusCode()} ${resp.body().take(500)}")
     }
+  }
+}
+
+object HttpBulkEndpoint {
+
+  /** Render actions to the NDJSON bulk body (factored out so the wire
+    * format — action lines, id escaping, delete shape — is testable
+    * without a live endpoint). */
+  def render(docs: Iterator[BulkDoc]): String = {
+    val body = new StringBuilder
+    docs.foreach { d =>
+      val op = if (d.deleted) "delete" else "index"
+      body ++= s"""{"$op":{"_id":${jsonStr(d.id)},"version":${d.version},"version_type":"external_gte"}}""" += '\n'
+      if (!d.deleted) body ++= d.json += '\n'
+    }
+    body.toString
   }
 
   private def jsonStr(s: String): String =

@@ -234,6 +234,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS enriched_writer") // no-op ok
   }
 
+  test("ksqlDB persistent queries: CSAS/CTAS with EMIT register views; plain CTAS passes through") {
+    // the reference's CTAS shape (README.md:434-441) over our views
+    GraftSql.sql(spark,
+      """CREATE TABLE nation_counts AS
+        |    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n
+        |    FROM nation GROUP BY n_regionkey
+        |    EMIT CHANGES;""".stripMargin)
+    sameRows(
+      spark.sql("SELECT * FROM nation_counts"),
+      spark.sql("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey"))
+
+    // the CSAS-with-props shape (README.md:464-480): props accepted and
+    // echoed, view registered
+    val st = GraftSql.sql(spark,
+      """CREATE STREAM big_lines WITH (
+        |    kafka_topic = 'big_lines'
+        |)   AS
+        |    SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+        |    EMIT CHANGES;""".stripMargin).collect().head
+    assert(st.getString(3) == "CREATED" &&
+      st.getString(2).contains("kafka_topic=big_lines"))
+    assert(spark.table("big_lines").columns.toSeq == Seq("l_orderkey", "l_quantity"))
+
+    // a plain Spark CTAS (no EMIT) is NOT intercepted — it must reach
+    // spark.sql and create a real (session-catalog) table
+    assert(!ConnectorDdl.handles("CREATE TABLE t AS SELECT 1 AS x"))
+    // CREATE STREAM is always ksql syntax, EMIT or not
+    assert(ConnectorDdl.handles(
+      "CREATE STREAM s AS SELECT l_orderkey FROM lineitem"))
+  }
+
   test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {
     GraftSql.init(spark, sf)
     val out = spark.sql(

@@ -114,6 +114,30 @@ class AvroEnvelopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decoded == (1 to 200).map(_.toLong).toSet)
   }
 
+  test("Confluent wire prefix strips to plain binary Avro, null-preserving") {
+    import spark.implicits._
+    val rowSchema = new Schema.Parser().parse(rowSchemaJson)
+    val r = new GenericData.Record(rowSchema)
+    r.put("id", 42L)
+    r.put("name", "pfx")
+    val plain = encode(rowSchema, r)
+    val framed = Array[Byte](0, 0, 0, 0, 1) ++ plain // magic + schema id 1
+    val df = Seq(("k", framed), ("tomb", null.asInstanceOf[Array[Byte]]))
+      .toDF("key", "value")
+      .withColumn("value", AvroEnvelope.stripConfluentPrefix(col("value")))
+    val stripped = df.filter(col("key") === "k")
+      .select("value").collect().head.getAs[Array[Byte]](0)
+    assert(stripped.sameElements(plain))
+    assert(df.filter(col("key") === "tomb" && col("value").isNull).count() == 1)
+    // and the stripped bytes decode
+    val got = AvroEnvelope.binaryToJson(df.filter(col("key") === "k"),
+        "value", rowSchemaJson)
+      .select(from_json(col("value"), StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))).as("r"))
+      .select("r.id").collect().head.getLong(0)
+    assert(got == 42L)
+  }
+
   test("native from_avro door: available ⇒ decodes; absent ⇒ fails fast naming the jar") {
     if (AvroEnvelope.isAvailable) {
       import spark.implicits._

@@ -86,6 +86,23 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(d => !d.deleted && d.json.contains("__deleted")))
   }
 
+  test("HTTP bulk wire format: action lines, id escaping, versioned deletes") {
+    val body = HttpBulkEndpoint.render(Iterator(
+      BulkDoc("plain", """{"a":1}""", 7L, deleted = false),
+      BulkDoc("we\"ird\\id", """{"b":2}""", 8L, deleted = false),
+      BulkDoc("gone", null, 9L, deleted = true)))
+    val lines = body.split('\n')
+    assert(lines.length == 5) // 2 index pairs + 1 delete line
+    assert(lines(0) ==
+      """{"index":{"_id":"plain","version":7,"version_type":"external_gte"}}""")
+    assert(lines(1) == """{"a":1}""")
+    assert(lines(2) ==
+      """{"index":{"_id":"we\"ird\\id","version":8,"version_type":"external_gte"}}""")
+    assert(lines(4) ==
+      """{"delete":{"_id":"gone","version":9,"version_type":"external_gte"}}""")
+    assert(body.endsWith("\n")) // the bulk API requires a trailing newline
+  }
+
   test("streaming attach: foreachBatch wiring converges to latest-by-key") {
     val store = newStore()
     val sink = new BulkUpsertSink("id", new MockEndpoint(store),
