@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** Corpus-curation operators — the decision layer of a training-data
+  * pipeline, composed from the dedup/quality primitives: reproducible
+  * sampling, canonical-document election per duplicate cluster, and
+  * benchmark decontamination. Each is oracle-verified and built from
+  * bucket-local joins / narrow scans only, so the shapes hold at
+  * 100 TB (no sample(), no all-pairs, no driver-side data).
+  */
+object CurationQueries {
+
+  /** Deterministic stratified sampling: per-language rates applied via
+    * an md5-derived bucket of the doc id — NOT `DataFrame.sample()`,
+    * which is partition-order-dependent and unreproducible across
+    * re-planning/AQE. The hash bucket makes the sample a pure function
+    * of the row: stable across runs, engines (DuckDB agrees
+    * bit-for-bit), cluster sizes, and re-partitioning — the property a
+    * 100 TB corpus rebuild needs. Rates: high-resource English is
+    * downsampled to 25%; every other language is kept whole (the
+    * standard low-resource upweighting move). */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
+      16, 10).cast(LongType) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < when(col("lang") === "en", 25).otherwise(100))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang,
+      |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |      < CASE WHEN lang = 'en' THEN 25 ELSE 100 END""".stripMargin
+
+  /** Canonical-document election: one survivor per duplicate cluster,
+    * chosen by quality. Composes the LSH→Jaccard→connected-components
+    * clustering with the quality score: every document lands in a
+    * cluster (singletons are their own), the cluster's best quality
+    * wins, ties break to the smallest doc id (deterministic under any
+    * partitioning). This is the actual OUTPUT of a dedup pipeline —
+    * the keep-list — where dedup_components only labels.
+    *
+    * Scale shape: clustering is the existing distributed CC over the
+    * (tiny) verified-pair edge relation; the quality join is a narrow
+    * per-row scan; the election is one shuffle on the cluster key plus
+    * a broadcast-sized join of per-cluster maxima. The quality score's
+    * discrete grid (sums of 0.25/0.5 — exactly representable doubles)
+    * makes the max-equality join deterministic cross-engine. */
+  def canonicalDocs(s: SparkSession, d: String): DataFrame = {
+    val comp = DedupQueries.components(s, d)
+    val full = Tables.documents(s, d).select(col("doc_id")).as("d")
+      .join(comp.as("c"), col("d.doc_id") === col("c.doc_id"), "left")
+      .select(col("d.doc_id"),
+        coalesce(col("c.component"), col("d.doc_id")).as("component"))
+    val scored = full.join(
+      TextQueries.quality(s, d).select(col("doc_id"), col("quality_score")),
+      "doc_id")
+    val best = scored.groupBy(col("component"))
+      .agg(max(col("quality_score")).as("__mq"),
+        count(lit(1)).cast(LongType).as("n_members"))
+    best.as("b")
+      .join(scored.as("s"), col("s.component") === col("b.component") &&
+        col("s.quality_score") === col("b.__mq"))
+      .groupBy(col("b.component"), col("b.n_members"))
+      .agg(min(col("s.doc_id")).as("canonical_id"))
+      .select(col("component"), col("canonical_id"), col("n_members"))
+  }
+
+  val canonicalDocsSql: String = {
+    val componentsSub = DedupQueries.componentsSql
+    s"""WITH cc AS (SELECT * FROM ($componentsSub) x),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n BETWEEN 50 AND 500 THEN 0.5 ELSE 0.25 END AS DOUBLE) +
+       |     CAST(CASE WHEN stopn*1.0/n > 0.02 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) n,
+       |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        y -> list_contains(['the','and','of','to','a','in','is'], y))) AS BIGINT) stopn
+       |    FROM documents) t),
+       |f AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |sc AS (SELECT f.doc_id, f.component, q.quality_score
+       |       FROM f JOIN q ON q.doc_id = f.doc_id),
+       |b AS (SELECT component, max(quality_score) mq,
+       |             CAST(COUNT(*) AS BIGINT) n_members
+       |      FROM sc GROUP BY component)
+       |SELECT CAST(b.component AS BIGINT) AS component,
+       |       CAST(min(sc.doc_id) AS BIGINT) AS canonical_id, b.n_members
+       |FROM b JOIN sc ON sc.component = b.component AND sc.quality_score = b.mq
+       |GROUP BY b.component, b.n_members""".stripMargin
+  }
+
+  /** Benchmark decontamination: find training documents sharing any
+    * 5-gram shingle with the (deterministic `doc_id % 20 = 0`) eval
+    * holdout — the contamination check every pretraining pipeline runs
+    * before training (real deployments use 13-grams; these synthetic
+    * docs are short). Candidates come from the shared-shingle
+    * equi-join — the shuffle key is the shingle hash, never a doc×doc
+    * cross product — and the output is per-doc contamination evidence
+    * (how many distinct shingles leaked, from how many eval docs). */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", 5)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+    val train = sh.filter(col("doc_id") % 20 =!= 0)
+    train.as("t").join(bench.as("b"), col("t.sh") === col("b.sh"))
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(countDistinct(col("t.sh")).cast(LongType).as("n_shared_shingles"),
+        countDistinct(col("b.doc_id")).cast(LongType).as("n_bench_docs"))
+  }
+
+  val decontaminateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+      |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+      |train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
+      |SELECT t.doc_id,
+      |       CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
+      |       CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+      |FROM train t JOIN bench b ON t.sh = b.sh
+      |GROUP BY t.doc_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_stratified_sample" -> stratifiedSample _,
+    "curate_canonical_docs" -> canonicalDocs _,
+    "curate_decontaminate" -> decontaminate _)
+
+  def oracles: Map[String, String] = Map(
+    "curate_stratified_sample" -> stratifiedSampleSql,
+    "curate_canonical_docs" -> canonicalDocsSql,
+    "curate_decontaminate" -> decontaminateSql)
+}
