@@ -119,11 +119,15 @@ object ConnectorDdl {
 
   // ---- catalog (per-session, so parallel test sessions don't bleed) --
 
+  // weak keys: a stopped-and-dropped SparkSession must not be pinned
+  // forever by its connector registrations (long-lived JVMs build and
+  // discard many sessions); all access synchronizes on the map
   private val catalogs =
-    new ConcurrentHashMap[SparkSession, ConcurrentHashMap[String, ConnectorSpec]]()
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, ConnectorSpec]]()
 
-  private def catalog(spark: SparkSession) =
+  private def catalog(spark: SparkSession) = catalogs.synchronized {
     catalogs.computeIfAbsent(spark, _ => new ConcurrentHashMap())
+  }
 
   def connector(spark: SparkSession, name: String): Option[ConnectorSpec] =
     Option(catalog(spark).get(name.toLowerCase))
@@ -135,10 +139,13 @@ object ConnectorDdl {
 
   // ---- parser -------------------------------------------------------
 
+  // connector names: bare identifiers incl. Connect-idiomatic hyphens
+  // (customers-reader), or backquoted for anything else
+  private val nameRe = """(?:`([^`]+)`|([A-Za-z_][\w-]*))"""
   private val createRe =
-    """(?is)\s*CREATE\s+(SOURCE|SINK)\s+CONNECTOR\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s+WITH\s*\((.*)\)\s*;?\s*""".r
+    (s"""(?is)\\s*CREATE\\s+(SOURCE|SINK)\\s+CONNECTOR\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$nameRe\\s+WITH\\s*\\((.*)\\)\\s*;?\\s*""").r
   private val dropRe =
-    """(?is)\s*DROP\s+CONNECTOR\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
+    (s"""(?is)\\s*DROP\\s+CONNECTOR\\s+(IF\\s+EXISTS\\s+)?$nameRe\\s*;?\\s*""").r
   private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
@@ -147,17 +154,28 @@ object ConnectorDdl {
   // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value'
   private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'""".r
 
+  private def pick(quoted: String, bare: String): String =
+    Option(quoted).getOrElse(bare)
+
+  private def parseProps(body: String): Map[String, String] =
+    propRe.findAllMatchIn(body).map { m =>
+      Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+    }.toMap
+
   /** ksqlDB-marked CSAS/CTAS only: `CREATE STREAM` is always ksql
     * syntax (Spark has no STREAM object); `CREATE TABLE … AS` routes
-    * here only with an EMIT clause — a plain Spark CTAS (no EMIT)
-    * stays `spark.sql` and creates a real table. */
-  private def isKsqlCsas(kindStr: String, emit: String): Boolean =
-    kindStr.equalsIgnoreCase("STREAM") || emit != null
+    * here with an EMIT clause or a ksql `WITH (…)` property block
+    * (Spark spells that TBLPROPERTIES/OPTIONS, never WITH) — a plain
+    * Spark CTAS stays `spark.sql` and creates a real table. */
+  private def isKsqlCsas(kindStr: String, withProps: String,
+                         emit: String): Boolean =
+    kindStr.equalsIgnoreCase("STREAM") || emit != null || withProps != null
 
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | showRe(_*) => true
-    case csasRe(kindStr, _, _, _, emit) => isKsqlCsas(kindStr, emit)
+    case csasRe(kindStr, _, withProps, _, emit) =>
+      isKsqlCsas(kindStr, withProps, emit)
     case _ => false
   }
 
@@ -167,20 +185,19 @@ object ConnectorDdl {
   def sql(spark: SparkSession, statement: String): DataFrame = {
     import spark.implicits._
     statement match {
-      case createRe(kindStr, ifNotExists, name, body) =>
+      case createRe(kindStr, ifNotExists, quotedName, bareName, body) =>
         val spec = ConnectorSpec(
           if (kindStr.equalsIgnoreCase("SOURCE")) Source else Sink,
-          name.toLowerCase,
-          propRe.findAllMatchIn(body).map { m =>
-            Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
-          }.toMap)
+          pick(quotedName, bareName).toLowerCase,
+          parseProps(body))
         val prev = catalog(spark).putIfAbsent(spec.name, spec)
         if (prev != null && ifNotExists == null)
           throw new IllegalArgumentException(
             s"connector ${spec.name} already exists (use IF NOT EXISTS)")
         Seq((spec.name, kindStr.toUpperCase, spec.connectorClass, "CREATED"))
           .toDF("name", "kind", "class", "status")
-      case dropRe(ifExists, name) =>
+      case dropRe(ifExists, quotedName, bareName) =>
+        val name = pick(quotedName, bareName)
         val removed = catalog(spark).remove(name.toLowerCase)
         if (removed == null && ifExists == null)
           throw new IllegalArgumentException(s"connector $name does not exist")
@@ -191,7 +208,7 @@ object ConnectorDdl {
             s.connectorClass))
           .toDF("name", "kind", "class")
       case csasRe(kindStr, name, withProps, select, emit)
-          if isKsqlCsas(kindStr, emit) =>
+          if isKsqlCsas(kindStr, withProps, emit) =>
         // ksqlDB CSAS/CTAS: the EMIT clause is stripped — on the finite
         // inputs this engine is verified against, the batch evaluation
         // of the SELECT equals the streaming result (every stream_*
@@ -201,10 +218,7 @@ object ConnectorDdl {
         // value_format, timestamp hints) are accepted and recorded on
         // the status row; the WITHIN interval-join clause is ksql-only
         // syntax — use the DSL interval-join operators for that shape.
-        val props = Option(withProps).map(b =>
-          propRe.findAllMatchIn(b).map { m =>
-            Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
-          }.toMap).getOrElse(Map.empty)
+        val props = Option(withProps).map(parseProps).getOrElse(Map.empty)
         spark.sql(select).createOrReplaceTempView(name)
         Seq((name.toLowerCase, kindStr.toUpperCase,
             props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))

@@ -66,6 +66,14 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
 
   /** `foreachBatch` body: dedup the batch per key, render, ship. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
+    // a configured delete marker missing from the batch would silently
+    // ship deletions as ordinary rows — fail loudly instead
+    deletedCol.filterNot(batch.schema.fieldNames.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"sink configured with deletedCol='$c' but the batch schema is " +
+          s"[${batch.schema.fieldNames.mkString(", ")}] — project the marker " +
+          "column or drop the deletedCol setting")
+    }
     val tiebreak = orderCol.map(c => col(c).desc).toSeq
     val lastPerKey =
       if (tiebreak.isEmpty) batch.dropDuplicates(keyCol)
@@ -74,9 +82,12 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-    val version = orderCol.map(col(_).cast("long")).getOrElse(lit(batchId))
+    // a NULL order value (or one that fails the long cast) falls back
+    // to the batch id instead of NPE-ing the executor task; desc
+    // ordering puts nulls last, so real offsets still win the dedup
+    val version = orderCol.map(c => coalesce(col(c).cast("long"), lit(batchId)))
+      .getOrElse(lit(batchId))
     val isDelete = deletedCol
-      .filter(lastPerKey.schema.fieldNames.contains)
       .map(c => coalesce(col(c) === "true", lit(false)))
       .getOrElse(lit(false))
     val payloadCols = lastPerKey.schema.fieldNames

@@ -63,8 +63,9 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   private val pointer = rootPath.resolve("_CURRENT")
 
   /** Committed snapshot manifest: bucket id → version-relative path
-    * (e.g. `v12/__gbkt=3`), plus the schema for empty snapshots and the
-    * recent version roots kept for lagging readers. */
+    * (e.g. `v12/__gbkt=3`), plus the schema for empty snapshots, the
+    * recent version roots kept for lagging readers, and the bucket
+    * count the snapshot was written with. */
   private case class Manifest(batch: Long, schemaDdl: String,
                               recent: Seq[String], buckets: Map[Int, String])
 
@@ -77,6 +78,20 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
       }.toSeq
       val m = kv.toMap
+      if (!m.contains("batch"))
+        throw new IllegalStateException(
+          s"$pointer is not a bucketed-sink manifest (no 'batch=' entry) — " +
+            "this root was written by an incompatible/older sink format; " +
+            "point the sink at a fresh root or migrate the snapshot")
+      // the bucket count is part of the on-disk layout: reopening with a
+      // different count would look up keys in the wrong buckets and
+      // silently violate exactly-once-per-key — refuse instead
+      m.get("numBuckets").map(_.toInt).filter(_ != numBuckets).foreach { n =>
+        throw new IllegalStateException(
+          s"$rootPath was written with numBuckets=$n but the sink was " +
+            s"constructed with numBuckets=$numBuckets; reuse the original " +
+            "count or rewrite the snapshot into the new bucketing")
+      }
       Some(Manifest(
         m("batch").toLong,
         m.getOrElse("schema", ""),
@@ -89,6 +104,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   private def writeManifest(m: Manifest): Unit = {
     val body = new StringBuilder
     body ++= s"batch=${m.batch}\n"
+    body ++= s"numBuckets=$numBuckets\n"
     body ++= s"schema=${m.schemaDdl}\n"
     body ++= s"recent=${m.recent.mkString(",")}\n"
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, p) =>
@@ -122,6 +138,14 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val manifest = readManifest()
     if (manifest.exists(_.batch == batchId)) return
+    // a configured delete marker that the batch doesn't carry would
+    // silently ship deletions as ordinary rows — fail loudly instead
+    deletedCol.filterNot(batch.schema.fieldNames.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"sink configured with deletedCol='$c' but the batch schema is " +
+          s"[${batch.schema.fieldNames.mkString(", ")}] — project the marker " +
+          "column or drop the deletedCol setting")
+    }
 
     val tiebreak = orderCol.map(c => col(c).desc).toSeq
     def latestPerKey(df: DataFrame): DataFrame = {
@@ -132,12 +156,20 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         .drop("__pri", "__rn")
     }
 
+    // the batch lineage is read twice (touched-bucket scan + merge
+    // write) — pin it so the upstream micro-batch isn't recomputed
+    val pinned = batch.persist()
+    try {
     // which buckets does this batch touch? ≤ numBuckets tiny rows —
     // the one driver-side read, and it carries bucket IDs, not data
-    val touched = batch.select(bucketExpr.as("__gbkt")).distinct()
+    val touched = pinned.select(bucketExpr.as("__gbkt")).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { // empty batch: commit the id, nothing moves
-      manifest.foreach(m => writeManifest(m.copy(batch = batchId)))
+    if (touched.isEmpty) {
+      // empty batch: commit the id (and, on a fresh root, the schema —
+      // so df is an empty-but-readable snapshot and the batch-0 replay
+      // guard engages) without moving any data
+      writeManifest(manifest.map(_.copy(batch = batchId)).getOrElse(
+        Manifest(batchId, pinned.schema.toDDL, Nil, Map.empty)))
       return
     }
 
@@ -146,11 +178,11 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       touched.toSeq.sorted.flatMap(m.buckets.get)).map(rel => rootPath.resolve(rel).toString)
     val mergedAll =
       if (curTouchedPaths.isEmpty) {
-        if (orderCol.isEmpty) batch.dropDuplicates(keyCol)
-        else latestPerKey(batch.withColumn("__pri", lit(1)))
+        if (orderCol.isEmpty) pinned.dropDuplicates(keyCol)
+        else latestPerKey(pinned.withColumn("__pri", lit(1)))
       } else {
         val cur = spark.read.parquet(curTouchedPaths: _*).withColumn("__pri", lit(0))
-        latestPerKey(cur.unionByName(batch.withColumn("__pri", lit(1))))
+        latestPerKey(cur.unionByName(pinned.withColumn("__pri", lit(1))))
       }
     // tombstone semantics: if the key's LATEST version is a delete
     // marker, the key leaves the snapshot (rather than surviving as a
@@ -187,6 +219,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     // paths), so root spelling can't desynchronize the keep set.
     val live = newBuckets.values.map(_.split('/').head).toSet ++ recent
     prune(live)
+    } finally { pinned.unpersist(blocking = false); () }
   }
 
   private def listDirs(dir: Path): Seq[Path] = {

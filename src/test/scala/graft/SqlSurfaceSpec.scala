@@ -263,6 +263,22 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CREATE STREAM is always ksql syntax, EMIT or not
     assert(ConnectorDdl.handles(
       "CREATE STREAM s AS SELECT l_orderkey FROM lineitem"))
+    // a ksql WITH-property block marks a CTAS as ksql even without EMIT
+    // (Spark spells properties TBLPROPERTIES/OPTIONS, never WITH)
+    assert(ConnectorDdl.handles(
+      "CREATE TABLE t WITH (kafka_topic = 't') AS SELECT 1 AS x"))
+  }
+
+  test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
+    GraftSql.sql(spark,
+      "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
+    assert(ConnectorDdl.connector(spark, "customers-reader-2").isDefined)
+    GraftSql.sql(spark, "DROP CONNECTOR customers-reader-2")
+    assert(ConnectorDdl.connector(spark, "customers-reader-2").isEmpty)
+    GraftSql.sql(spark,
+      "CREATE SINK CONNECTOR `weird name.sink` WITH ('connection.url' = 'http://x')")
+    assert(ConnectorDdl.connector(spark, "weird name.sink").isDefined)
+    GraftSql.sql(spark, "DROP CONNECTOR `weird name.sink`")
   }
 
   test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {

@@ -86,6 +86,30 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(d => !d.deleted && d.json.contains("__deleted")))
   }
 
+  test("null order value falls back to the batch id instead of an executor NPE") {
+    val store = newStore()
+    val sink = new BulkUpsertSink("id", new MockEndpoint(store),
+      orderCol = Some("off"))
+    import spark.implicits._
+    sink.upsert(Seq(("a", "v1", Some(5L)), ("b", "w1", Option.empty[Long]))
+      .toDF("id", "payload", "off"), batchId = 2)
+    assert(doc(store, "a").exists(_.contains("v1")))
+    assert(doc(store, "b").exists(_.contains("w1")))
+    // the null-offset action carries the batch id as its version
+    assert(store.log.toArray(Array.empty[BulkDoc])
+      .find(_.id == "b").exists(_.version == 2L))
+  }
+
+  test("configured deletedCol missing from the batch fails loudly") {
+    val sink = new BulkUpsertSink("id", new MockEndpoint(newStore()),
+      deletedCol = Some("__deleted"))
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      sink.upsert(Seq(("a", "v1")).toDF("id", "payload"), 0)
+    }
+    assert(e.getMessage.contains("__deleted"))
+  }
+
   test("HTTP bulk wire format: action lines, id escaping, versioned deletes") {
     val body = HttpBulkEndpoint.render(Iterator(
       BulkDoc("plain", """{"a":1}""", 7L, deleted = false),

@@ -45,6 +45,53 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("reopening a root with a different numBuckets is refused, not silently corrupted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-nb-").toString
+    new KeyedParquetSink(spark, root, "k", numBuckets = 16)
+      .upsert(Seq(("a", "v1")).toDF("k", "v"), 0L)
+    val e = intercept[IllegalStateException] {
+      new KeyedParquetSink(spark, root, "k", numBuckets = 8).df
+    }
+    assert(e.getMessage.contains("numBuckets=16") &&
+      e.getMessage.contains("numBuckets=8"))
+  }
+
+  test("a non-manifest _CURRENT (older sink format) fails with a clear error") {
+    val root = Files.createTempDirectory("graft-kps-legacy-")
+    Files.writeString(root.resolve("_CURRENT"), s"$root/v5\n")
+    val e = intercept[IllegalStateException] {
+      new KeyedParquetSink(spark, root.toString, "k").df
+    }
+    assert(e.getMessage.contains("incompatible"))
+  }
+
+  test("empty first batch commits id + schema: snapshot is empty-but-readable, replay guarded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-empty-").toString
+    val sink = new KeyedParquetSink(spark, root, "k")
+    sink.upsert(Seq.empty[(String, String)].toDF("k", "v"), 0L)
+    val snap = sink.df
+    assert(snap.isDefined && snap.get.count() == 0 &&
+      snap.get.columns.toSeq == Seq("k", "v"))
+    // batch 0 is committed: its replay is a no-op even with data now
+    sink.upsert(Seq(("a", "late")).toDF("k", "v"), 0L)
+    assert(sink.df.get.count() == 0)
+    sink.upsert(Seq(("a", "v1")).toDF("k", "v"), 1L)
+    assert(sink.df.get.as[(String, String)].collect().toMap == Map("a" -> "v1"))
+  }
+
+  test("configured deletedCol missing from the batch fails loudly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-delcol-").toString
+    val sink = new KeyedParquetSink(spark, root, "k",
+      deletedCol = Some("__deleted"))
+    val e = intercept[IllegalArgumentException] {
+      sink.upsert(Seq(("a", "v1")).toDF("k", "v"), 0L)
+    }
+    assert(e.getMessage.contains("__deleted"))
+  }
+
   /** The incremental-merge contract: a micro-batch rewrites ONLY the
     * hash buckets its keys fall into — untouched buckets' parquet files
     * stay byte-identical (same paths, same bytes), so write
