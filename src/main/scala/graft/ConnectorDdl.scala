@@ -3,6 +3,7 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.{BulkUpsertSink, ChangeFeed, DebeziumEnvelope,
   HttpBulkEndpoint, KafkaChangeFeed}
@@ -48,6 +49,8 @@ import graft.streaming.{BulkUpsertSink, ChangeFeed, DebeziumEnvelope,
   * DROP CONNECTOR [IF EXISTS] <name>;
   * SHOW CONNECTORS;
   * CREATE (STREAM|TABLE) <name> [WITH (<props>)] AS <select> [EMIT CHANGES];
+  * SET '<property>' = '<value>';
+  * SHOW STREAMS;
   * }}} */
 object ConnectorDdl {
 
@@ -147,6 +150,13 @@ object ConnectorDdl {
   private val dropRe =
     (s"""(?is)\\s*DROP\\s+CONNECTOR\\s+(IF\\s+EXISTS\\s+)?$nameRe\\s*;?\\s*""").r
   private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
+  // ksql admin forms Spark lacks: quoted-key SET (the reference's FIRST
+  // statement, README.md:346 — Spark's native SET would store the
+  // quotes as part of the key) and SHOW STREAMS (ksql-only; Spark's
+  // native SHOW TABLES / DESCRIBE already cover the rest)
+  private val setRe =
+    """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
+  private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
   private val csasRe =
@@ -173,7 +183,8 @@ object ConnectorDdl {
 
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
-    case createRe(_*) | dropRe(_*) | showRe(_*) => true
+    case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
+       | showStreamsRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -207,6 +218,17 @@ object ConnectorDdl {
             s.kind match { case Source => "SOURCE"; case Sink => "SINK" },
             s.connectorClass))
           .toDF("name", "kind", "class")
+      case setRe(key, value) =>
+        // session-scoped property, quotes stripped; the reference's
+        // `SET 'auto.offset.reset' = 'earliest'` lands here (the Kafka
+        // source reads it back as its startingOffsets default)
+        spark.conf.set(key, value)
+        Seq((key, value)).toDF("property", "value")
+      case showStreamsRe() =>
+        // ksql SHOW STREAMS ≈ the session's registered (temp) views
+        spark.catalog.listTables()
+          .filter(col("isTemporary"))
+          .select(col("name")).orderBy("name")
       case csasRe(kindStr, name, withProps, select, emit)
           if isKsqlCsas(kindStr, withProps, emit) =>
         // ksqlDB CSAS/CTAS: the EMIT clause is stripped — on the finite

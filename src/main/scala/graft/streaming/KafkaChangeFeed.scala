@@ -36,13 +36,18 @@ object KafkaChangeFeed {
     } catch { case _: ClassNotFoundException => false }
 
   /** Kafka-topic change feed with [[ChangeFeed]]'s column contract:
-    * (key string, value string nullable, offset long, ts timestamp). */
+    * (key string, value string nullable, offset long, ts timestamp).
+    * When the caller doesn't pass `startingOffsets`, the ksql-ported
+    * session property `auto.offset.reset` (set via
+    * `GraftSql.sql(spark, "SET 'auto.offset.reset' = '...'")`, op S0)
+    * decides, defaulting to earliest as the reference does. */
   def df(spark: SparkSession, bootstrapServers: String, topic: String,
-         startingOffsets: String = "earliest"): DataFrame =
+         startingOffsets: String = null): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .option("startingOffsets", Option(startingOffsets)
+        .getOrElse(spark.conf.get("auto.offset.reset", "earliest")))
       .load()
       .select(
         col("key").cast("string").as("key"),

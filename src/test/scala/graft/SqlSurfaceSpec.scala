@@ -269,6 +269,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CREATE TABLE t WITH (kafka_topic = 't') AS SELECT 1 AS x"))
   }
 
+  test("ksql admin forms: quoted SET stores the unquoted key; SHOW STREAMS lists views") {
+    // the reference's first statement, README.md:346 — Spark's native
+    // SET would have stored the key WITH its quotes
+    val st = GraftSql.sql(spark, "SET 'auto.offset.reset' = 'earliest';")
+      .collect().head
+    assert(st.getString(0) == "auto.offset.reset" &&
+      st.getString(1) == "earliest")
+    assert(spark.conf.get("auto.offset.reset") == "earliest")
+    val streams = GraftSql.sql(spark, "SHOW STREAMS;")
+      .collect().map(_.getString(0)).toSet
+    assert(streams.contains("lineitem") && streams.contains("documents"))
+  }
+
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
     GraftSql.sql(spark,
       "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
