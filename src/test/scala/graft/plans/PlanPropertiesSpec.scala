@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the plan properties the README promises
+  * (the "Designed for 100 TB" section): these are the physical-plan
+  * shapes that keep the operators scalable, and an innocent-looking
+  * refactor can silently lose any of them — a filter that stops
+  * reaching the scan, a dimension join that degrades to sort-merge +
+  * full shuffle, a top-k that becomes a global sort. Asserting on the
+  * formatted explain output pins them. */
+class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-properties")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(query: String): String =
+    plan(graft.queries.Catalog.queries(query)(spark, sf))
+
+  test("filters and projection reach the parquet scan (P3)") {
+    val p = planOf("p3_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate") &&
+      p.contains("GreaterThan(l_quantity,45.0)"), p.take(2000))
+    // pruned read: the scan schema must not carry the full 16-column table
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("the enrichment join broadcasts the dimension, never shuffles the fact (J1)") {
+    val p = planOf("j1_enrich_left_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("ORDER BY ... LIMIT plans as TakeOrderedAndProject, not a global sort (q3)") {
+    val p = planOf("q3_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("grouped aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = planOf("q1_pricing_summary")
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("Exchange"), p.take(2000))
+  }
+
+  test("similarity top-k: broadcast query vector + native expression + heap top-k") {
+    val p = planOf("sim_topk_native")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the 1-row query vector broadcasts; the corpus scan never shuffles
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.toLowerCase.contains("cosinesimilarity") ||
+      p.contains("cosine_sim"), p.take(3000))
+  }
+
+  test("LSH candidate mining joins on the band key — no cartesian product") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+}
