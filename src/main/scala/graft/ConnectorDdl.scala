@@ -132,6 +132,15 @@ object ConnectorDdl {
     catalogs.computeIfAbsent(spark, _ => new ConcurrentHashMap())
   }
 
+  // ksql view kinds per session (STREAM vs TABLE from CSAS/CTAS), so
+  // SHOW STREAMS can exclude tables — same weak-key lifecycle
+  private val viewKinds =
+    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
+
+  private def kinds(spark: SparkSession) = viewKinds.synchronized {
+    viewKinds.computeIfAbsent(spark, _ => new ConcurrentHashMap())
+  }
+
   def connector(spark: SparkSession, name: String): Option[ConnectorSpec] =
     Option(catalog(spark).get(name.toLowerCase))
 
@@ -155,21 +164,24 @@ object ConnectorDdl {
   // quotes as part of the key) and SHOW STREAMS (ksql-only; Spark's
   // native SHOW TABLES / DESCRIBE already cover the rest)
   private val setRe =
-    """(?is)\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*""".r
+    """(?is)\s*SET\s+'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
   private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
   private val csasRe =
     """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_]\w*)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(.*?)\s*(EMIT\s+(?:CHANGES|FINAL)\s*)?;?\s*""".r
-  // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value'
-  private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'([^']*)'""".r
+  // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value';
+  // values may escape a quote by doubling it (ksql `''`)
+  private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'((?:[^']|'')*)'""".r
 
   private def pick(quoted: String, bare: String): String =
     Option(quoted).getOrElse(bare)
 
+  private def unescape(v: String): String = v.replace("''", "'")
+
   private def parseProps(body: String): Map[String, String] =
     propRe.findAllMatchIn(body).map { m =>
-      Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+      Option(m.group(1)).getOrElse(m.group(2)) -> unescape(m.group(3))
     }.toMap
 
   /** ksqlDB-marked CSAS/CTAS only: `CREATE STREAM` is always ksql
@@ -222,13 +234,23 @@ object ConnectorDdl {
         // session-scoped property, quotes stripped; the reference's
         // `SET 'auto.offset.reset' = 'earliest'` lands here (the Kafka
         // source reads it back as its startingOffsets default)
-        spark.conf.set(key, value)
-        Seq((key, value)).toDF("property", "value")
+        spark.conf.set(key, unescape(value))
+        Seq((key, unescape(value))).toDF("property", "value")
       case showStreamsRe() =>
-        // ksql SHOW STREAMS ≈ the session's registered (temp) views
+        // ksql SHOW STREAMS ≈ the session's registered (temp) views,
+        // minus views a CTAS declared as TABLEs (ksql lists those only
+        // under its native SHOW TABLES)
+        val tables = {
+          import scala.jdk.CollectionConverters._
+          kinds(spark).asScala.collect {
+            case (n, "TABLE") => n
+          }.toSet
+        }
         spark.catalog.listTables()
           .filter(col("isTemporary"))
-          .select(col("name")).orderBy("name")
+          .select(col("name"))
+          .filter(!col("name").isin(tables.toSeq: _*))
+          .orderBy("name")
       case csasRe(kindStr, name, withProps, select, emit)
           if isKsqlCsas(kindStr, withProps, emit) =>
         // ksqlDB CSAS/CTAS: the EMIT clause is stripped — on the finite
@@ -242,6 +264,7 @@ object ConnectorDdl {
         // syntax — use the DSL interval-join operators for that shape.
         val props = Option(withProps).map(parseProps).getOrElse(Map.empty)
         spark.sql(select).createOrReplaceTempView(name)
+        kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
         Seq((name.toLowerCase, kindStr.toUpperCase,
             props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
           .toDF("name", "kind", "properties", "status")

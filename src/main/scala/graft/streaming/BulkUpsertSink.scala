@@ -82,11 +82,7 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
         batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-    // a NULL order value (or one that fails the long cast) falls back
-    // to the batch id instead of NPE-ing the executor task; desc
-    // ordering puts nulls last, so real offsets still win the dedup
-    val version = orderCol.map(c => coalesce(col(c).cast("long"), lit(batchId)))
-      .getOrElse(lit(batchId))
+    val version = orderCol.map(col(_).cast("long")).getOrElse(lit(batchId))
     val isDelete = deletedCol
       .map(c => coalesce(col(c) === "true", lit(false)))
       .getOrElse(lit(false))
@@ -100,10 +96,21 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
 
     val ep = endpoint
     val chunk = chunkSize
+    val orderName = orderCol
     actions.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      rows.map(r => BulkDoc(r.getString(0), r.getString(1), r.getLong(2),
-          r.getBoolean(3)))
+      rows.map { r =>
+        // a NULL external version must fail LOUDLY: versions from
+        // orderCol live in the offset domain — substituting the (small)
+        // batch id would make external_gte silently discard the action
+        // against any previously-shipped offset-versioned state
+        if (r.isNullAt(2))
+          throw new IllegalStateException(
+            s"null/uncastable order value in column '${orderName.getOrElse("?")}' " +
+              s"for key '${r.getString(0)}': every row needs a long-castable " +
+              "order value (e.g. the Kafka offset) when orderCol is configured")
+        BulkDoc(r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))
+      }
         .grouped(chunk)
         .foreach(g => ep.bulk(pid, g.iterator))
     }

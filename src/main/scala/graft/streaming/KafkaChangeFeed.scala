@@ -42,16 +42,29 @@ object KafkaChangeFeed {
     * `GraftSql.sql(spark, "SET 'auto.offset.reset' = '...'")`, op S0)
     * decides, defaulting to earliest as the reference does. */
   def df(spark: SparkSession, bootstrapServers: String, topic: String,
-         startingOffsets: String = null): DataFrame =
+         startingOffsets: String = null): DataFrame = {
+    val offsets = Option(startingOffsets).getOrElse {
+      val v = spark.conf.get("auto.offset.reset", "earliest")
+      // validate conf-sourced values HERE, where the property name is
+      // known — an invalid value failing later inside the Kafka source
+      // would blame startingOffsets and point at neither SET statement
+      // nor property
+      if (v != "earliest" && v != "latest")
+        throw new IllegalArgumentException(
+          s"session property auto.offset.reset='$v' is not portable to a " +
+            "Spark Kafka source: use 'earliest' or 'latest' (ksql 'none' " +
+            "has no Spark equivalent), or pass startingOffsets explicitly")
+      v
+    }
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
-      .option("startingOffsets", Option(startingOffsets)
-        .getOrElse(spark.conf.get("auto.offset.reset", "earliest")))
+      .option("startingOffsets", offsets)
       .load()
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("offset"),
         col("timestamp").as("ts"))
+  }
 }

@@ -85,12 +85,22 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
             "point the sink at a fresh root or migrate the snapshot")
       // the bucket count is part of the on-disk layout: reopening with a
       // different count would look up keys in the wrong buckets and
-      // silently violate exactly-once-per-key — refuse instead
-      m.get("numBuckets").map(_.toInt).filter(_ != numBuckets).foreach { n =>
-        throw new IllegalStateException(
-          s"$rootPath was written with numBuckets=$n but the sink was " +
-            s"constructed with numBuckets=$numBuckets; reuse the original " +
-            "count or rewrite the snapshot into the new bucketing")
+      // silently violate exactly-once-per-key — refuse instead. A
+      // manifest WITHOUT the entry predates this check and its layout
+      // count is unknowable: refuse that too rather than stamping the
+      // constructor's count onto possibly-mismatched data.
+      m.get("numBuckets") match {
+        case None =>
+          throw new IllegalStateException(
+            s"$pointer has no 'numBuckets=' entry (written by an older sink " +
+              "version); its bucket layout cannot be validated — point the " +
+              "sink at a fresh root or migrate the snapshot")
+        case Some(n) if n.toInt != numBuckets =>
+          throw new IllegalStateException(
+            s"$rootPath was written with numBuckets=$n but the sink was " +
+              s"constructed with numBuckets=$numBuckets; reuse the original " +
+              "count or rewrite the snapshot into the new bucketing")
+        case _ => ()
       }
       Some(Manifest(
         m("batch").toLong,
@@ -186,12 +196,10 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       }
     // tombstone semantics: if the key's LATEST version is a delete
     // marker, the key leaves the snapshot (rather than surviving as a
-    // marked row)
-    val merged = deletedCol match {
-      case Some(c) if mergedAll.schema.fieldNames.contains(c) =>
-        mergedAll.filter(col(c).isNull || col(c) =!= "true")
-      case _ => mergedAll
-    }
+    // marked row); the entry check above guarantees the column exists
+    val merged = deletedCol
+      .map(c => mergedAll.filter(col(c).isNull || col(c) =!= "true"))
+      .getOrElse(mergedAll)
 
     val versionName = s"v$batchId"
     val target = rootPath.resolve(versionName)

@@ -280,6 +280,15 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streams = GraftSql.sql(spark, "SHOW STREAMS;")
       .collect().map(_.getString(0)).toSet
     assert(streams.contains("lineitem") && streams.contains("documents"))
+    // a CTAS-declared TABLE is not a stream (ksql lists it under SHOW
+    // TABLES only)
+    GraftSql.sql(spark,
+      "CREATE TABLE show_streams_tbl AS SELECT 1 AS x EMIT CHANGES")
+    assert(!GraftSql.sql(spark, "SHOW STREAMS;")
+      .collect().map(_.getString(0)).contains("show_streams_tbl"))
+    // ksql '' escaping in SET values round-trips to a single quote
+    GraftSql.sql(spark, "SET 'graft.test.quoted' = 'it''s';")
+    assert(spark.conf.get("graft.test.quoted") == "it's")
   }
 
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {

@@ -86,18 +86,22 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .exists(d => !d.deleted && d.json.contains("__deleted")))
   }
 
-  test("null order value falls back to the batch id instead of an executor NPE") {
+  test("null order value fails the batch loudly — never a silent version-domain mix") {
     val store = newStore()
     val sink = new BulkUpsertSink("id", new MockEndpoint(store),
       orderCol = Some("off"))
     import spark.implicits._
-    sink.upsert(Seq(("a", "v1", Some(5L)), ("b", "w1", Option.empty[Long]))
-      .toDF("id", "payload", "off"), batchId = 2)
-    assert(doc(store, "a").exists(_.contains("v1")))
-    assert(doc(store, "b").exists(_.contains("w1")))
-    // the null-offset action carries the batch id as its version
-    assert(store.log.toArray(Array.empty[BulkDoc])
-      .find(_.id == "b").exists(_.version == 2L))
+    // substituting e.g. the batch id for a null offset would make
+    // external_gte silently discard the action against offset-versioned
+    // state, so the batch must fail with the column named
+    val e = intercept[Exception] {
+      sink.upsert(Seq(("a", "v1", Some(5L)), ("b", "w1", Option.empty[Long]))
+        .toDF("id", "payload", "off"), batchId = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("off") && m.contains("order")),
+      messages(e).mkString(" | "))
   }
 
   test("configured deletedCol missing from the batch fails loudly") {

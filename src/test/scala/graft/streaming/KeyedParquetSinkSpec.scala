@@ -66,6 +66,18 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("incompatible"))
   }
 
+  test("a manifest without numBuckets (pre-validation format) is refused, not stamped over") {
+    val root = Files.createTempDirectory("graft-kps-nonb-")
+    // shape of the first bucketed format: batch/schema lines but no
+    // numBuckets entry — its layout count is unknowable
+    Files.writeString(root.resolve("_CURRENT"),
+      "batch=3\nschema=k STRING,v STRING\nrecent=v3\nbucket.0=v3/__gbkt=0\n")
+    val e = intercept[IllegalStateException] {
+      new KeyedParquetSink(spark, root.toString, "k").df
+    }
+    assert(e.getMessage.contains("numBuckets"))
+  }
+
   test("empty first batch commits id + schema: snapshot is empty-but-readable, replay guarded") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-kps-empty-").toString
