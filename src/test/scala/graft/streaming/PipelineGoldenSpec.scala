@@ -207,6 +207,30 @@ class PipelineGoldenSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally p.stop()
   }
 
+  test("egress parity: the golden rows bulk-upsert into the ES-analog endpoint") {
+    // the reference's full topology ends at the Elasticsearch sink
+    // connector (README.md:487-493) — run the golden fixture and ship
+    // the final table through BulkUpsertSink with the same key, then
+    // assert the endpoint holds exactly the 5 golden documents
+    import BulkUpsertSinkSpec.{MockEndpoint, newStore, snapshot}
+    val p = newPipeline()
+    try {
+      seed(p)
+      p.step()
+      val store = newStore()
+      val sink = new BulkUpsertSink("order_id", new MockEndpoint(store))
+      sink.upsert(p.shippedOrders.df.get, batchId = 0)
+      val docs = snapshot(store)
+      assert(docs.keySet == Set("13", "15", "17", "22", "29"))
+      assert(docs("13")._1.contains("\"customer_name\":\"bill\"") &&
+        docs("13")._1.contains("\"origin\":\"maine\""))
+      // replay of the same table converges (the connector's
+      // at-least-once → exactly-once-per-key contract)
+      sink.upsert(p.shippedOrders.df.get, batchId = 0)
+      assert(snapshot(store) == docs)
+    } finally p.stop()
+  }
+
   test("late data: shipment below the advanced watermark is dropped (state eviction)") {
     val p = newPipeline()
     try {
