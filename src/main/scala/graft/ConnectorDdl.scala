@@ -122,24 +122,26 @@ object ConnectorDdl {
 
   // ---- catalog (per-session, so parallel test sessions don't bleed) --
 
+  /** Per-session DDL state: registered connectors plus the ksql kind
+    * (STREAM vs TABLE) of each CSAS/CTAS-created view, so SHOW STREAMS
+    * can exclude tables. */
+  private class SessionDdl {
+    val connectors = new ConcurrentHashMap[String, ConnectorSpec]()
+    val viewKinds = new ConcurrentHashMap[String, String]()
+  }
+
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
-  // forever by its connector registrations (long-lived JVMs build and
-  // discard many sessions); all access synchronizes on the map
-  private val catalogs =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, ConnectorSpec]]()
+  // forever by its registrations (long-lived JVMs build and discard
+  // many sessions); all access synchronizes on the map
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, SessionDdl]()
 
-  private def catalog(spark: SparkSession) = catalogs.synchronized {
-    catalogs.computeIfAbsent(spark, _ => new ConcurrentHashMap())
+  private def state(spark: SparkSession): SessionDdl = sessions.synchronized {
+    sessions.computeIfAbsent(spark, _ => new SessionDdl)
   }
 
-  // ksql view kinds per session (STREAM vs TABLE from CSAS/CTAS), so
-  // SHOW STREAMS can exclude tables — same weak-key lifecycle
-  private val viewKinds =
-    new java.util.WeakHashMap[SparkSession, ConcurrentHashMap[String, String]]()
-
-  private def kinds(spark: SparkSession) = viewKinds.synchronized {
-    viewKinds.computeIfAbsent(spark, _ => new ConcurrentHashMap())
-  }
+  private def catalog(spark: SparkSession) = state(spark).connectors
+  private def kinds(spark: SparkSession) = state(spark).viewKinds
 
   def connector(spark: SparkSession, name: String): Option[ConnectorSpec] =
     Option(catalog(spark).get(name.toLowerCase))

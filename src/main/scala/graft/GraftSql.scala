@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.udaf
 
 import graft.sources.Tables
@@ -34,7 +34,7 @@ object GraftSql {
     * `DROP CONNECTOR`, `SHOW CONNECTORS` — reference README.md:352-385,
     * 487-493) executes through [[ConnectorDdl]]; every other statement
     * is plain Spark SQL. */
-  def sql(spark: SparkSession, statement: String): org.apache.spark.sql.DataFrame =
+  def sql(spark: SparkSession, statement: String): DataFrame =
     if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
     else spark.sql(statement)
 

@@ -37,12 +37,26 @@ case class SimHash16(child: Expression)
   @transient private lazy val digest: MessageDigest =
     MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHashEval.signature(input.asInstanceOf[ArrayData], digest, bits = 16))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Shared SimHash evaluation: ±1 per bit over the first `bits/8` md5
+  * bytes (big-endian) of each DISTINCT token, sign taken — one
+  * definition so the 16-bit demo and 64-bit production widths can
+  * never drift from each other or their DuckDB oracle spellings
+  * (first-N-hex-chars == first-N/2-bytes big-endian for both). */
+private[functions] object SimHashEval {
+
+  def signature(toks: ArrayData, md: MessageDigest, bits: Int): Long = {
+    val nBytes = bits / 8
     val n = toks.numElements()
     val seen = new java.util.HashSet[String]()
-    val md = digest
-    val counts = new Array[Int](16)
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       // null elements are skipped (split() never yields them)
@@ -51,11 +65,12 @@ case class SimHash16(child: Expression)
         if (seen.add(t)) {
           md.reset()
           val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 4 hex chars == first 2 digest bytes
-          val v = ((dg(0) & 0xff) << 8) | (dg(1) & 0xff)
+          var v = 0L
+          var j = 0
+          while (j < nBytes) { v = (v << 8) | (dg(j) & 0xffL); j += 1 }
           var b = 0
-          while (b < 16) {
-            if (((v >> b) & 1) == 1) counts(b) += 1 else counts(b) -= 1
+          while (b < bits) {
+            if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
             b += 1
           }
         }
@@ -64,15 +79,12 @@ case class SimHash16(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 16) {
+    while (b < bits) {
       if (counts(b) > 0) sig |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 object SimHash16 {

@@ -37,40 +37,9 @@ case class SimHash64(child: Expression)
   @transient private lazy val digest: MessageDigest =
     MessageDigest.getInstance("MD5")
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val n = toks.numElements()
-    val seen = new java.util.HashSet[String]()
-    val md = digest
-    val counts = new Array[Int](64)
-    var i = 0
-    while (i < n) {
-      if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i).toString
-        if (seen.add(t)) {
-          md.reset()
-          val dg = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 16 hex chars == first 8 digest bytes, big-endian
-          var v = 0L
-          var j = 0
-          while (j < 8) { v = (v << 8) | (dg(j) & 0xffL); j += 1 }
-          var b = 0
-          while (b < 64) {
-            if (((v >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) {
-      if (counts(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SimHashEval.signature(input.asInstanceOf[ArrayData], digest, bits = 64))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

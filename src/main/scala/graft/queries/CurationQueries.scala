@@ -63,30 +63,25 @@ object CurationQueries {
     val scored = full.join(
       TextQueries.quality(s, d).select(col("doc_id"), col("quality_score")),
       "doc_id")
-    val best = scored.groupBy(col("component"))
-      .agg(max(col("quality_score")).as("__mq"),
-        count(lit(1)).cast(LongType).as("n_members"))
-    best.as("b")
-      .join(scored.as("s"), col("s.component") === col("b.component") &&
-        col("s.quality_score") === col("b.__mq"))
-      .groupBy(col("b.component"), col("b.n_members"))
-      .agg(min(col("s.doc_id")).as("canonical_id"))
-      .select(col("component"), col("canonical_id"), col("n_members"))
+    // one shuffle on the cluster key: the election (quality argmax,
+    // min-id tiebreak) and the member count are both window functions
+    // over the same partitioning — no groupBy + join-back rescan
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    scored
+      .withColumn("n_members", count(lit(1)).over(byCluster).cast(LongType))
+      .withColumn("__rn", row_number().over(
+        byCluster.orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"),
+        col("n_members"))
   }
 
-  val canonicalDocsSql: String = {
-    val componentsSub = DedupQueries.componentsSql
-    s"""WITH cc AS (SELECT * FROM ($componentsSub) x),
-       |q AS (
-       |  SELECT doc_id,
-       |    CAST(CASE WHEN n BETWEEN 50 AND 500 THEN 0.5 ELSE 0.25 END AS DOUBLE) +
-       |     CAST(CASE WHEN stopn*1.0/n > 0.02 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality_score
-       |  FROM (
-       |    SELECT doc_id,
-       |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) n,
-       |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |        y -> list_contains(['the','and','of','to','a','in','is'], y))) AS BIGINT) stopn
-       |    FROM documents) t),
+  /** Embeds the components and quality oracles as derived tables (the
+    * same reuse as the Spark side), so neither spelling can drift. */
+  val canonicalDocsSql: String =
+    s"""WITH cc AS (SELECT * FROM (${DedupQueries.componentsSql}) x),
+       |q AS (SELECT doc_id, quality_score FROM (${TextQueries.qualitySql}) y),
        |f AS (
        |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
@@ -99,7 +94,6 @@ object CurationQueries {
        |       CAST(min(sc.doc_id) AS BIGINT) AS canonical_id, b.n_members
        |FROM b JOIN sc ON sc.component = b.component AND sc.quality_score = b.mq
        |GROUP BY b.component, b.n_members""".stripMargin
-  }
 
   /** Benchmark decontamination: find training documents sharing any
     * 5-gram shingle with the (deterministic `doc_id % 20 = 0`) eval

@@ -66,14 +66,7 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
 
   /** `foreachBatch` body: dedup the batch per key, render, ship. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
-    // a configured delete marker missing from the batch would silently
-    // ship deletions as ordinary rows — fail loudly instead
-    deletedCol.filterNot(batch.schema.fieldNames.contains).foreach { c =>
-      throw new IllegalArgumentException(
-        s"sink configured with deletedCol='$c' but the batch schema is " +
-          s"[${batch.schema.fieldNames.mkString(", ")}] — project the marker " +
-          "column or drop the deletedCol setting")
-    }
+    SinkChecks.requireDeletedCol(batch, deletedCol)
     val tiebreak = orderCol.map(c => col(c).desc).toSeq
     val lastPerKey =
       if (tiebreak.isEmpty) batch.dropDuplicates(keyCol)

@@ -148,14 +148,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     val manifest = readManifest()
     if (manifest.exists(_.batch == batchId)) return
-    // a configured delete marker that the batch doesn't carry would
-    // silently ship deletions as ordinary rows — fail loudly instead
-    deletedCol.filterNot(batch.schema.fieldNames.contains).foreach { c =>
-      throw new IllegalArgumentException(
-        s"sink configured with deletedCol='$c' but the batch schema is " +
-          s"[${batch.schema.fieldNames.mkString(", ")}] — project the marker " +
-          "column or drop the deletedCol setting")
-    }
+    SinkChecks.requireDeletedCol(batch, deletedCol)
 
     val tiebreak = orderCol.map(c => col(c).desc).toSeq
     def latestPerKey(df: DataFrame): DataFrame = {
@@ -248,4 +241,19 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         Files.walk(dir).iterator().asScala.toSeq.reverse
           .foreach(p => Files.deleteIfExists(p))
       }
+}
+
+/** Contract checks shared by the keyed sinks ([[KeyedParquetSink]],
+  * [[BulkUpsertSink]]) — one definition, one error message. */
+private[streaming] object SinkChecks {
+
+  /** A configured delete marker the batch doesn't carry would silently
+    * ship deletions as ordinary rows — fail loudly instead. */
+  def requireDeletedCol(batch: DataFrame, deletedCol: Option[String]): Unit =
+    deletedCol.filterNot(batch.schema.fieldNames.contains).foreach { c =>
+      throw new IllegalArgumentException(
+        s"sink configured with deletedCol='$c' but the batch schema is " +
+          s"[${batch.schema.fieldNames.mkString(", ")}] — project the marker " +
+          "column or drop the deletedCol setting")
+    }
 }
