@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * analog of a batched decode UDF; one codec init per partition, not
   * per row).
   *
-  * The container has no image/audio codecs, so the decode step is a
+  * The synthetic corpus has no real media bytes (and the DuckDB oracle
+  * must reproduce the decode), so the CATALOG queries use a
   * clearly-marked DETERMINISTIC STUB (dimensions derived from an MD5 of
-  * the payload); everything Spark-side — binary schema, partition
-  * batching, typed output Encoder — is real and oracle-verified.
-  * At 100 TB this shape is the right one: payloads never shuffle (all
-  * transforms are narrow), and metadata extraction is embarrassingly
-  * parallel over input splits.
+  * the payload). The real decode exists alongside it: [[imageMeta]]
+  * extracts true header metadata via JDK ImageIO through the identical
+  * partition-batched plumbing, proven on real PNG/BMP payloads by
+  * MultimodalCodecSpec. At 100 TB this shape is the right one:
+  * payloads never shuffle (all transforms are narrow), header-only
+  * reads skip pixel decoding, and metadata extraction is
+  * embarrassingly parallel over input splits.
   */
 object MultimodalQueries {
 
@@ -35,6 +38,42 @@ object MultimodalQueries {
       case 0 => "png"; case 1 => "jpeg"; case _ => "webp"
     }
     MediaMeta(id, payload.length.toLong, w.toLong, h.toLong, fmt)
+  }
+
+  /** REAL decode path: JDK ImageIO, whose PNG/GIF/BMP/JPEG readers
+    * ship with every JVM — no external codec needed. Identical
+    * partition-batched `mapPartitions` shape as the catalog query, but
+    * the metadata comes from the actual image header: the reader is
+    * asked only for format/width/height, which parses the header
+    * without decoding pixels (the cheap pass a 100 TB media crawl runs
+    * first). Payloads no installed reader understands yield a null
+    * format and -1 dims rather than failing the partition. The catalog
+    * entry stays on the deterministic stub because the synthetic corpus
+    * has no real media bytes and the DuckDB oracle must reproduce the
+    * decode — this is the production function, exercised by
+    * MultimodalCodecSpec against real in-memory PNG/BMP payloads. */
+  def imageMeta(images: DataFrame, idCol: String,
+                payloadCol: String): DataFrame = {
+    val s = images.sparkSession
+    import s.implicits._
+    images.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              MediaMeta(id, bytes.length.toLong, r.getWidth(0).toLong,
+                r.getHeight(0).toLong, r.getFormatName.toLowerCase)
+            } finally r.dispose()
+          } else MediaMeta(id, bytes.length.toLong, -1L, -1L, null)
+        } finally in.close()
+      })
+      .toDF()
   }
 
   /** Binary ingest + partition-batched metadata extraction. The text

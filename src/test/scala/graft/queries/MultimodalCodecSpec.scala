@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL media-decode path: the catalog's mm_media_meta stubs the
+  * decode (the synthetic corpus has no media bytes and the oracle must
+  * reproduce it), but the production function must extract true
+  * header metadata through the same partition-batched plumbing. JDK
+  * ImageIO is a real codec that ships with every JVM, so this is an
+  * honest end-to-end decode test: render images in memory, ship them
+  * through a binary column, and get their actual dimensions back. */
+class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("multimodal-codec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def render(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(java.awt.Color.ORANGE)
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"no JVM writer for $format")
+    out.toByteArray
+  }
+
+  test("real image payloads decode to their true dimensions and format") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, render(640, 480, "png")),
+      (2L, render(32, 64, "png")),
+      (3L, render(100, 50, "bmp")),
+      (4L, "not an image at all".getBytes("UTF-8")))
+    val got = MultimodalQueries
+      .imageMeta(rows.toDF("doc_id", "payload").repartition(3),
+        "doc_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), Option(r.getString(4))))
+      .toMap
+
+    assert(got(1L) == ((640L, 480L, Some("png"))))
+    assert(got(2L) == ((32L, 64L, Some("png"))))
+    assert(got(3L) == ((100L, 50L, Some("bmp"))))
+    // non-image payloads degrade to null-format rows, not task failures
+    assert(got(4L) == ((-1L, -1L, None)))
+    // n_bytes is the raw payload size for every row
+    val sizes = MultimodalQueries
+      .imageMeta(rows.toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, bytes) => assert(sizes(id) == bytes.length) }
+  }
+}
