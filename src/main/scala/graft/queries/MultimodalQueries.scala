@@ -76,6 +76,38 @@ object MultimodalQueries {
       .toDF()
   }
 
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Double,
+                       channels: Long, frames: Long, duration_sec: Double)
+
+  /** REAL audio decode path, mirroring [[imageMeta]]: JDK
+    * `javax.sound.sampled` parses WAV/AIFF/AU headers in every JVM.
+    * Header-only (frame count, rate, channels — no sample decode);
+    * unreadable payloads degrade to -1/null rows. Exercised on real
+    * in-memory WAV payloads by MultimodalCodecSpec. */
+  def audioMeta(audio: DataFrame, idCol: String,
+                payloadCol: String): DataFrame = {
+    val s = audio.sparkSession
+    import s.implicits._
+    audio.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val af = fmt.getFormat
+          val frames = fmt.getFrameLength.toLong
+          AudioMeta(id, bytes.length.toLong, af.getSampleRate.toDouble,
+            af.getChannels.toLong, frames,
+            if (af.getFrameRate > 0) frames / af.getFrameRate.toDouble else -1.0)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            AudioMeta(id, bytes.length.toLong, -1.0, -1L, -1L, -1.0)
+        }
+      })
+      .toDF()
+  }
+
   /** Binary ingest + partition-batched metadata extraction. The text
     * column stands in for a media payload (UTF-8 bytes). */
   def mediaMeta(s: SparkSession, d: String): DataFrame = {

@@ -64,4 +64,35 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { case (id, bytes) => assert(sizes(id) == bytes.length) }
   }
+
+  private def renderWav(sampleRate: Float, channels: Int,
+                        nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio payloads decode to their true rate, channels, and duration") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, renderWav(16000f, 1, 16000)), // 1.0 s mono
+      (2L, renderWav(44100f, 2, 22050)), // 0.5 s stereo
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val got = MultimodalQueries
+      .audioMeta(rows.toDF("doc_id", "payload").repartition(2),
+        "doc_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+
+    assert(got(1L) == ((16000.0, 1L, 16000L, 1.0)))
+    assert(got(2L) == ((44100.0, 2L, 22050L, 0.5)))
+    assert(got(3L) == ((-1.0, -1L, -1L, -1.0))) // degrades, not fails
+  }
 }
