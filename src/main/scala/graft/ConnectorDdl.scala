@@ -102,19 +102,43 @@ object ConnectorDdl {
       new ChangeFeed(spark)
     }
 
+    /** The sink spec's topic list: Kafka Connect `topics` is
+      * comma-separated (one ES index per topic, mapped 1:1). */
+    def topics: Seq[String] =
+      props.get("topics").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
     /** Keyed bulk-upsert sink for a SINK connector: ships to the
       * spec's `connection.url`, index = the `topics` property (the ES
       * sink connector maps topic → index 1:1), `_id` = `keyCol` — the
-      * reference's `key.ignore=false` contract (README.md:487-493). */
+      * reference's `key.ignore=false` contract (README.md:487-493).
+      *
+      * `topics` may list several comma-separated topics; each gets its
+      * own index, so a multi-topic spec needs `topic` to say which
+      * stream this sink instance carries (one sink per topic — the
+      * connector's tasks are per-topic-partition too). */
     def bulkSink(keyCol: String, deletedCol: Option[String] = None,
-                 orderCol: Option[String] = None): BulkUpsertSink = {
+                 orderCol: Option[String] = None,
+                 topic: String = null): BulkUpsertSink = {
       require(kind == Sink, s"$name is a $kind connector, not SINK")
       val url = props.getOrElse("connection.url",
         throw new IllegalArgumentException(
           s"connector $name: missing 'connection.url'"))
-      val index = props.getOrElse("topics",
-        throw new IllegalArgumentException(
-          s"connector $name: missing 'topics'"))
+      val ts = topics
+      if (ts.isEmpty) throw new IllegalArgumentException(
+        s"connector $name: missing 'topics'")
+      val index = Option(topic) match {
+        case Some(t) =>
+          if (!ts.contains(t)) throw new IllegalArgumentException(
+            s"connector $name: topic '$t' not in 'topics' ${ts.mkString("[", ", ", "]")}")
+          t
+        case None =>
+          if (ts.size > 1) throw new IllegalArgumentException(
+            s"connector $name: 'topics' lists ${ts.size} topics " +
+              s"${ts.mkString("[", ", ", "]")} — pass topic=... to pick " +
+              "the index this sink writes (one sink per topic)")
+          ts.head
+      }
       new BulkUpsertSink(keyCol, new HttpBulkEndpoint(url, index),
         deletedCol, orderCol)
     }
@@ -170,8 +194,11 @@ object ConnectorDdl {
   private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
+  // the WITH block reuses propRe's quoted-value grammar so a ')'
+  // inside a quoted property value (e.g. a URL with parentheses)
+  // can't truncate the match and fall through to spark.sql
   private val csasRe =
-    """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_]\w*)\s*(?:WITH\s*\(([^)]*)\)\s*)?AS\s+(.*?)\s*(EMIT\s+(?:CHANGES|FINAL)\s*)?;?\s*""".r
+    """(?is)\s*CREATE\s+(STREAM|TABLE)\s+([A-Za-z_]\w*)\s*(?:WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*)?AS\s+(.*?)\s*(EMIT\s+(?:CHANGES|FINAL)\s*)?;?\s*""".r
   // 'key' = 'value' (ksqlDB quotes both) or bare-word key = 'value';
   // values may escape a quote by doubling it (ksql `''`)
   private val propRe = """(?s)(?:'([^']+)'|([\w.]+))\s*=\s*'((?:[^']|'')*)'""".r

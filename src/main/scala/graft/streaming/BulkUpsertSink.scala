@@ -56,7 +56,10 @@ trait BulkEndpoint extends Serializable {
   * @param orderCol   within-batch winner + external version source;
   *                    MUST be globally monotonic per key (Kafka offset,
   *                    CDC LSN) for cross-batch replay safety — else
-  *                    versions fall back to the batch id.
+  *                    versions fall back to the batch id and the
+  *                    within-batch winner is elected by a deterministic
+  *                    all-column tiebreak (so a foreachBatch retry of
+  *                    the same batch re-elects the same row).
   * @param chunkSize  max actions per bulk request. */
 class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
                      deletedCol: Option[String] = None,
@@ -67,9 +70,21 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
   /** `foreachBatch` body: dedup the batch per key, render, ship. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     SinkChecks.requireDeletedCol(batch, deletedCol)
-    val tiebreak = orderCol.map(c => col(c).desc).toSeq
+    // without orderCol the version is the batch id and external_gte
+    // treats a retried batch as EQUAL — so the retry's winner must be
+    // the SAME row, or replay flips a multi-row key's document. A bare
+    // dropDuplicates picks a shuffle-dependent winner; instead break
+    // ties over every non-key column (value-deterministic, so any
+    // re-execution elects the same row)
+    val tiebreak: Seq[org.apache.spark.sql.Column] = orderCol match {
+      case Some(c) => Seq(col(c).desc)
+      case None => batch.schema.fields.toSeq
+        .filterNot(_.name == keyCol)
+        .map(f => if (BulkUpsertSink.orderable(f.dataType)) col(f.name).desc
+                  else to_json(struct(col(f.name))).desc)
+    }
     val lastPerKey =
-      if (tiebreak.isEmpty) batch.dropDuplicates(keyCol)
+      if (tiebreak.isEmpty) batch.dropDuplicates(keyCol) // key-only rows: all identical
       else {
         val w = Window.partitionBy(col(keyCol)).orderBy(tiebreak: _*)
         batch.withColumn("__rn", row_number().over(w))
@@ -114,6 +129,20 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
   def forEachBatch: (DataFrame, Long) => Unit = upsert
 }
 
+object BulkUpsertSink {
+  /** Whether Spark can ORDER BY this type (maps can't; arrays/structs
+    * can iff their element/field types can). Unorderable columns fall
+    * back to their JSON rendering for the deterministic tiebreak. */
+  private[streaming] def orderable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.forall(f => orderable(f.dataType))
+    case _ => true
+  }
+}
+
 /** REST transport for [[BulkUpsertSink]] over the Elasticsearch bulk
   * wire format — JDK HttpClient only, so the production path needs no
   * extra jar (URL-guarded: an unreachable endpoint fails the batch,
@@ -143,14 +172,53 @@ class HttpBulkEndpoint(baseUrl: String, index: String)
         .build()
       val resp = client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(
-          s"bulk to $baseUrl/$index failed: HTTP ${resp.statusCode()} ${resp.body().take(500)}")
+      HttpBulkEndpoint.checkResponse(s"$baseUrl/$index",
+        resp.statusCode(), resp.body())
     }
   }
 }
 
 object HttpBulkEndpoint {
+
+  /** Validate one `_bulk` response. Elasticsearch reports per-item
+    * failures inside a 2xx envelope (`"errors": true` + an `items`
+    * array), so checking the HTTP status alone would silently drop
+    * failed actions (e.g. mapping errors) and break the sink's
+    * exactly-once-per-key contract. The ONE per-item status that is
+    * expected and safe to ignore is 409: under `external_gte` a
+    * version conflict means the store already holds this key at a
+    * newer version — exactly what a replayed/out-of-order batch
+    * produces, and the contract says the endpoint wins. Anything else
+    * fails the batch so Spark's foreachBatch retry re-ships it. */
+  def checkResponse(target: String, status: Int, body: String): Unit = {
+    if (status / 100 != 2)
+      throw new java.io.IOException(
+        s"bulk to $target failed: HTTP $status ${body.take(500)}")
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch {
+        case e: Exception => throw new java.io.IOException(
+          s"bulk to $target: unparseable response body " +
+            s"(cannot verify per-item results): ${body.take(200)}", e)
+      }
+    if (root != null && root.path("errors").asBoolean(false)) {
+      import scala.jdk.CollectionConverters._
+      val failed = root.path("items").elements().asScala.flatMap { item =>
+        // each item is {"<op>": {"_id":…,"status":…,"error":{…}}}
+        item.elements().asScala.take(1).flatMap { r =>
+          val st = r.path("status").asInt(0)
+          if (st / 100 == 2 || st == 409) None
+          else Some(s"_id=${r.path("_id").asText("?")} status=$st " +
+            r.path("error").path("type").asText("") + ": " +
+            r.path("error").path("reason").asText("").take(120))
+        }
+      }.toSeq
+      if (failed.nonEmpty)
+        throw new java.io.IOException(
+          s"bulk to $target: ${failed.size} item(s) failed " +
+            s"(non-409): ${failed.take(3).mkString("; ")}")
+    }
+  }
 
   /** Render actions to the NDJSON bulk body (factored out so the wire
     * format — action lines, id escaping, delete shape — is testable

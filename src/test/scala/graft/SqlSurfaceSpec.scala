@@ -234,6 +234,41 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS enriched_writer") // no-op ok
   }
 
+  test("connector DDL: multi-topic sink specs need an explicit topic, one index each") {
+    GraftSql.sql(spark,
+      """CREATE SINK CONNECTOR multi_writer WITH (
+        |    'connection.url' = 'http://elastic:9200',
+        |    'topics' = 'shipped_orders, returned_orders'
+        |);""".stripMargin)
+    val spec = ConnectorDdl.connector(spark, "multi_writer").get
+    assert(spec.topics == Seq("shipped_orders", "returned_orders"))
+    // ambiguous: two topics, no selection — must NOT silently build an
+    // index literally named "shipped_orders, returned_orders"
+    val e = intercept[IllegalArgumentException] { spec.bulkSink("id") }
+    assert(e.getMessage.contains("shipped_orders") &&
+      e.getMessage.contains("returned_orders"))
+    // explicit per-topic sinks construct fine; unknown topics are refused
+    assert(spec.bulkSink("id", topic = "returned_orders") != null)
+    intercept[IllegalArgumentException] { spec.bulkSink("id", topic = "nope") }
+    GraftSql.sql(spark, "DROP CONNECTOR multi_writer")
+  }
+
+  test("CSAS WITH-properties may contain ')' inside quoted values") {
+    // a paren-free character class would truncate the WITH block here
+    // and fall through to spark.sql with a confusing parse error
+    val stmt =
+      """CREATE STREAM paren_props WITH (
+        |    'note' = 'a (parenthesized) value', url = 'http://x/(y)'
+        |) AS SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+        |EMIT CHANGES;""".stripMargin
+    assert(ConnectorDdl.handles(stmt))
+    val st = GraftSql.sql(spark, stmt).collect().head
+    assert(st.getString(3) == "CREATED" &&
+      st.getString(2).contains("url=http://x/(y)") &&
+      st.getString(2).contains("a (parenthesized) value"))
+    assert(spark.table("paren_props").columns.toSeq == Seq("l_orderkey"))
+  }
+
   test("ksqlDB persistent queries: CSAS/CTAS with EMIT register views; plain CTAS passes through") {
     // the reference's CTAS shape (README.md:434-441) over our views
     GraftSql.sql(spark,

@@ -131,6 +131,54 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body.endsWith("\n")) // the bulk API requires a trailing newline
   }
 
+  test("no orderCol: the per-key winner is value-deterministic, so a batch-id retry converges") {
+    // without orderCol, versions are the batch id and external_gte treats
+    // a retry as EQUAL version — the retry MUST elect the same winner or
+    // replay flips the document
+    import spark.implicits._
+    val batch = Seq(("a", "v1"), ("a", "v3"), ("a", "v2"), ("b", "w1"))
+      .toDF("id", "payload")
+    for (_ <- 1 to 3) { // re-runs across fresh shuffles elect the same row
+      val store = newStore()
+      new BulkUpsertSink("id", new MockEndpoint(store))
+        .upsert(batch.repartition(4), batchId = 7)
+      assert(doc(store, "a").exists(_.contains("v3")), // max over non-key cols
+        doc(store, "a").toString)
+      assert(doc(store, "b").exists(_.contains("w1")))
+    }
+  }
+
+  test("bulk response: 2xx with per-item failures fails the batch; 409 conflicts don't") {
+    // ES returns HTTP 200 with "errors":true and per-item statuses —
+    // status-only checking would silently drop failed actions
+    def item(op: String, id: String, status: Int, reason: String = null) = {
+      val err = if (reason == null) ""
+        else s""","error":{"type":"mapper_parsing_exception","reason":"$reason"}"""
+      s"""{"$op":{"_id":"$id","status":$status$err}}"""
+    }
+    def body(errors: Boolean, items: String*) =
+      s"""{"took":3,"errors":$errors,"items":[${items.mkString(",")}]}"""
+
+    // clean response and expected external_gte conflicts (replay) pass
+    HttpBulkEndpoint.checkResponse("t", 200, body(false, item("index", "a", 201)))
+    HttpBulkEndpoint.checkResponse("t", 200,
+      body(true, item("index", "a", 409), item("delete", "b", 409)))
+    // a real per-item failure inside a 2xx envelope fails loudly
+    val e = intercept[java.io.IOException] {
+      HttpBulkEndpoint.checkResponse("t", 200,
+        body(true, item("index", "a", 201), item("index", "bad", 400, "boom")))
+    }
+    assert(e.getMessage.contains("bad") && e.getMessage.contains("400")
+      && e.getMessage.contains("boom"))
+    // non-2xx HTTP and an unverifiable body still fail
+    intercept[java.io.IOException] {
+      HttpBulkEndpoint.checkResponse("t", 503, "unavailable")
+    }
+    intercept[java.io.IOException] {
+      HttpBulkEndpoint.checkResponse("t", 200, "<html>not json</html>")
+    }
+  }
+
   test("streaming attach: foreachBatch wiring converges to latest-by-key") {
     val store = newStore()
     val sink = new BulkUpsertSink("id", new MockEndpoint(store),
