@@ -130,13 +130,107 @@ object CurationQueries {
       |FROM train t JOIN bench b ON t.sh = b.sh
       |GROUP BY t.doc_id""".stripMargin
 
+  /** Tokens per training shard for [[packShards]]. */
+  private val ShardTokens = 8192L
+
+  /** Token-budget shard packing: assign documents (in doc_id order) to
+    * contiguous fixed-token-budget shards — the "concatenate the corpus,
+    * cut every N tokens" layout every pretraining data loader consumes.
+    * Each doc gets its global token start offset and the shard that
+    * offset falls in.
+    *
+    * The global running sum is a DISTRIBUTED two-pass prefix sum, not a
+    * single-partition window: range-repartition on doc_id (range
+    * partition i holds keys below range i+1, so `spark_partition_id()`
+    * ascends with the sort key), a per-partition window for the local
+    * prefix, and a broadcast join of per-partition offsets (one tiny
+    * row per partition — the only single-partition window runs over
+    * THAT, never the data). At 100 TB this is two narrow passes plus
+    * one broadcast; a naive `Window.orderBy(doc_id)` would pull the
+    * whole corpus through one task. */
+  def packShards(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val parts = docs.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__before",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // per-partition totals: numPartitions rows — broadcast-sized by
+    // construction, so the unpartitioned window is over ~32 rows
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__psum"))
+      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__offset") + col("__before")).as("start_offset"),
+        floor((col("__offset") + col("__before")) / lit(ShardTokens.toDouble))
+          .cast(LongType).as("shard_id"))
+  }
+
+  val packShardsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_offset,
+       |       CAST(floor(start_offset / $ShardTokens.0) AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
+  /** Weighted source mixing: per-source keep rates (the data-mixture
+    * knob of every pretraining run — upweight curated sources, thin
+    * the crawl) applied via the same md5-bucket trick as
+    * [[stratifiedSample]], hashed on (source, doc_id) so each source's
+    * decisions are independent draws. A pure per-row filter: stable
+    * across runs, engines, partitioning — and composable with the
+    * quality/dedup gates upstream. Rates here: sources 0-4 keep 100%,
+    * 5-9 keep 60%, 10-14 keep 30%, 15-19 keep 10%. */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "\\d+", 0).cast(IntegerType)
+    val keepPct = when(srcNum < 5, 100L).when(srcNum < 10, 60L)
+      .when(srcNum < 15, 30L).otherwise(10L)
+    val bucket = conv(substring(md5(concat(col("source"), lit(":"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), keepPct.as("keep_pct"),
+        bucket.as("bucket"))
+      .filter(col("bucket") < col("keep_pct"))
+  }
+
+  val mixSourcesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN regexp_extract(source, '[0-9]+')::INT < 5 THEN 100
+      |         WHEN regexp_extract(source, '[0-9]+')::INT < 10 THEN 60
+      |         WHEN regexp_extract(source, '[0-9]+')::INT < 15 THEN 30
+      |         ELSE 10 END::BIGINT AS keep_pct,
+      |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, source, keep_pct, bucket
+      |FROM m WHERE bucket < keep_pct""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
-    "curate_decontaminate" -> decontaminate _)
+    "curate_decontaminate" -> decontaminate _,
+    "curate_pack_shards" -> packShards _,
+    "curate_mix_sources" -> mixSources _)
 
   def oracles: Map[String, String] = Map(
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,
-    "curate_decontaminate" -> decontaminateSql)
+    "curate_decontaminate" -> decontaminateSql,
+    "curate_pack_shards" -> packShardsSql,
+    "curate_mix_sources" -> mixSourcesSql)
 }

@@ -295,7 +295,62 @@ object SimilarityQueries {
       |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
       |FROM g GROUP BY cid, dim""".stripMargin
 
+  /** Int8 embedding quantization + quantized-cosine top-k: per-vector
+    * symmetric quantization (scale = max|x|/127, the standard int8
+    * scheme) and re-ranking in the QUANTIZED domain. The int8 dot
+    * product is pure integer arithmetic — exactly reproducible on any
+    * engine, unlike float dots — which is why the oracle can hash-match
+    * it. Scale story: int8 is the production memory/bandwidth format
+    * for billion-vector ANN (4× smaller than f32, SIMD-friendly
+    * integer dots); this op proves the engine computes the same
+    * quantized index a vector store would build. One narrow pass to
+    * quantize, one broadcast of the query vector, TakeOrdered top-k —
+    * the corpus never shuffles. */
+  def quantizeInt8TopK(s: SparkSession, d: String): DataFrame = {
+    val maxAbs = aggregate(transform(col("emb"), x => abs(x)), lit(0.0),
+      (a, x) => greatest(a, x))
+    val base = withEmb(s, d)
+      .select(col("vec_id"), col("label"), col("emb"),
+        (greatest(maxAbs, lit(1e-12)) / 127.0).as("qscale"))
+    val q = base.select(col("vec_id"), col("label"), col("qscale"),
+      transform(col("emb"), x => round(x / col("qscale"), 0).cast("long"))
+        .as("qemb"))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val qv = q.filter(col("vec_id") === 0).select(col("qemb").as("q2"))
+    q.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        round(col("qscale"), 6).as("qscale"),
+        round(idot(col("qemb"), col("q2")).cast("double") /
+          (sqrt(idot(col("qemb"), col("qemb"))) * sqrt(idot(col("q2"), col("q2")))), 6)
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val quantizeInt8TopKSql: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, label, emb,
+      |    greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 AS qscale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id, label, qscale,
+      |    list_transform(emb, x -> CAST(round(x / qscale, 0) AS BIGINT)) qemb
+      |  FROM m),
+      |qv AS (SELECT qemb q2 FROM q WHERE vec_id = 0),
+      |sims AS (
+      |  SELECT vec_id, label, qscale,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), i -> qemb[i]*q2[i])) AS DOUBLE) dot,
+      |    sqrt(CAST(list_sum(list_transform(qemb, x -> x*x)) AS DOUBLE)) en,
+      |    sqrt(CAST(list_sum(list_transform(q2, x -> x*x)) AS DOUBLE)) qn
+      |  FROM q, qv WHERE vec_id <> 0)
+      |SELECT vec_id, label, round(qscale, 6) AS qscale, round(dot/(en*qn), 6) AS qcos
+      |FROM sims ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8" -> quantizeInt8TopK _,
     "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
@@ -305,6 +360,7 @@ object SimilarityQueries {
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
+    "sim_quantize_int8" -> quantizeInt8TopKSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

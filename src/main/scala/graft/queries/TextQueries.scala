@@ -201,7 +201,46 @@ object TextQueries {
       |       CAST(length(text) - length(scrubbed) AS BIGINT) AS scrub_delta
       |FROM s""".stripMargin
 
+  /** Intra-document repetition scoring: repeated-token and
+    * repeated-bigram ratios — the standard "degenerate text" filter
+    * (boilerplate, keyword stuffing, decoding loops) run per document
+    * before training. Ratios are integer-derived doubles (counts
+    * divided once), so both engines perform the identical IEEE ops.
+    * Scale shape: a narrow per-row pass — tokenize once into a
+    * projected column, per-row array_distinct; zero shuffle. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        TextShingles.shingles(col("__toks"), 2).as("__bg"))
+    val n = size(col("__toks")).cast(LongType)
+    val nDup = n - size(array_distinct(col("__toks"))).cast(LongType)
+    val nBg = size(col("__bg")).cast(LongType)
+    val nDupBg = nBg - size(array_distinct(col("__bg"))).cast(LongType)
+    t.select(col("doc_id"),
+      n.as("n_tokens"),
+      nDup.as("n_dup_tokens"),
+      (nDup * 1.0 / n).as("dup_token_ratio"),
+      (nDupBg * 1.0 / nBg).as("dup_bigram_ratio"))
+  }
+
+  val repetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |b AS (
+      |  SELECT doc_id, w,
+      |    list_transform(generate_series(1, greatest(len(w)-1, 1)),
+      |                   i -> array_to_string(w[i:i+1], ' ')) bg
+      |  FROM tok)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS n_dup_tokens,
+      |  (len(w) - len(list_distinct(w))) * 1.0 / len(w) AS dup_token_ratio,
+      |  (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) AS dup_bigram_ratio
+      |FROM b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> repetition _,
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
     "text_token_count" -> tokenCount _,
@@ -210,6 +249,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
     "text_token_count" -> tokenCountSql,
