@@ -76,4 +76,25 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("shard packing: per-partition offsets broadcast; no sort-merge join") {
+    val p = planOf("curate_pack_shards")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
+  test("source mixing and repetition scoring are shuffle-free narrow scans") {
+    for (q <- Seq("curate_mix_sources", "text_repetition")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("int8 quantized top-k: broadcast query vector + heap top-k, no shuffle of the corpus") {
+    val p = planOf("sim_quantize_int8")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
 }
