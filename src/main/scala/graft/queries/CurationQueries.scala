@@ -133,41 +133,49 @@ object CurationQueries {
   /** Tokens per training shard for [[packShards]]. */
   private val ShardTokens = 8192L
 
+  /** Docs per prefix-sum bucket in [[packShards]] — bounds the rows any
+    * one local window task holds, independent of corpus size. */
+  private val PackBucketDocs = 4096L
+
   /** Token-budget shard packing: assign documents (in doc_id order) to
     * contiguous fixed-token-budget shards — the "concatenate the corpus,
     * cut every N tokens" layout every pretraining data loader consumes.
     * Each doc gets its global token start offset and the shard that
     * offset falls in.
     *
-    * The global running sum is a DISTRIBUTED two-pass prefix sum, not a
-    * single-partition window: range-repartition on doc_id (range
-    * partition i holds keys below range i+1, so `spark_partition_id()`
-    * ascends with the sort key), a per-partition window for the local
-    * prefix, and a broadcast join of per-partition offsets (one tiny
-    * row per partition — the only single-partition window runs over
-    * THAT, never the data). At 100 TB this is two narrow passes plus
-    * one broadcast; a naive `Window.orderBy(doc_id)` would pull the
-    * whole corpus through one task. */
+    * The global running sum is a DISTRIBUTED two-level prefix sum, not
+    * a single-partition window. The bucket key is `floor(doc_id / W)` —
+    * a pure function of the row that ascends with doc_id — so the local
+    * window (per-bucket prefix) and the offsets branch (per-bucket
+    * totals) are independently deterministic: unlike a
+    * `spark_partition_id()` over a sampled range shuffle, correctness
+    * never depends on Catalyst materializing one exchange and reusing
+    * it on both sides of the join. Cost at 100 TB: ONE wide hash
+    * shuffle of (doc_id, n_tokens) for the local windows, a map-side
+    * partially-aggregated shuffle of corpus/W tiny rows for the bucket
+    * totals (the only unpartitioned window runs over THOSE), and a
+    * broadcast join back. A naive `Window.orderBy(doc_id)` would pull
+    * the whole corpus through one task. For sparse or non-numeric key
+    * domains, substitute any bucket function monotone in the sort key
+    * with bounded occupancy — that monotonicity is the sole
+    * correctness requirement. */
   def packShards(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"),
       size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val parts = docs.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    val bucketed = docs.withColumn("__bkt",
+      floor(col("doc_id") / lit(PackBucketDocs.toDouble)).cast(LongType))
+    val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("__before",
+    val local = bucketed.withColumn("__before",
       coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-    // per-partition totals: numPartitions rows — broadcast-sized by
-    // construction, so the unpartitioned window is over ~32 rows
-    val wOff = Window.orderBy(col("__pid"))
+    val wOff = Window.orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"))
-      .agg(sum(col("n_tokens")).as("__psum"))
-      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    local.join(broadcast(offsets), "__pid")
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__offset", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__offset"))
+    local.join(broadcast(offsets), "__bkt")
       .select(col("doc_id"), col("n_tokens"),
         (col("__offset") + col("__before")).as("start_offset"),
         floor((col("__offset") + col("__before")) / lit(ShardTokens.toDouble))
@@ -181,8 +189,8 @@ object CurationQueries {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, n_tokens,
-       |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        |  FROM t)
        |SELECT doc_id, n_tokens, start_offset,
        |       CAST(floor(start_offset / $ShardTokens.0) AS BIGINT) AS shard_id
@@ -211,9 +219,9 @@ object CurationQueries {
   val mixSourcesSql: String =
     """WITH m AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN regexp_extract(source, '[0-9]+')::INT < 5 THEN 100
-      |         WHEN regexp_extract(source, '[0-9]+')::INT < 10 THEN 60
-      |         WHEN regexp_extract(source, '[0-9]+')::INT < 15 THEN 30
+      |    CASE WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 5 THEN 100
+      |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 10 THEN 60
+      |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 15 THEN 30
       |         ELSE 10 END::BIGINT AS keep_pct,
       |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
       |  FROM documents)

@@ -78,10 +78,18 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
     // re-execution elects the same row)
     val tiebreak: Seq[org.apache.spark.sql.Column] = orderCol match {
       case Some(c) => Seq(col(c).desc)
-      case None => batch.schema.fields.toSeq
-        .filterNot(_.name == keyCol)
-        .map(f => if (BulkUpsertSink.orderable(f.dataType)) col(f.name).desc
-                  else to_json(struct(col(f.name))).desc)
+      case None =>
+        val payload = batch.schema.fields.toSeq.filterNot(_.name == keyCol)
+        val perCol = payload
+          .map(f => if (BulkUpsertSink.orderable(f.dataType)) col(f.name).desc
+                    else to_json(struct(col(f.name))).desc)
+        // Spark's sort order treats -0.0 == 0.0 (floats are compared,
+        // not normalized), so value-equal-but-differently-RENDERED rows
+        // would still tie and leave the winner shuffle-dependent while
+        // to_json ships different documents. A final byte-level
+        // tiebreak over the whole payload's rendering closes that hole.
+        if (payload.isEmpty) perCol
+        else perCol :+ to_json(struct(payload.map(f => col(f.name)): _*)).desc
     }
     val lastPerKey =
       if (tiebreak.isEmpty) batch.dropDuplicates(keyCol) // key-only rows: all identical
@@ -130,17 +138,13 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
 }
 
 object BulkUpsertSink {
-  /** Whether Spark can ORDER BY this type (maps can't; arrays/structs
-    * can iff their element/field types can). Unorderable columns fall
-    * back to their JSON rendering for the deterministic tiebreak. */
+  /** Whether Spark can ORDER BY this type — Catalyst's own rule
+    * (NullType/AtomicType, arrays/structs recursively; maps, intervals
+    * and variants can't). Unorderable columns fall back to their JSON
+    * rendering for the deterministic tiebreak. */
   private[streaming] def orderable(
-      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.MapType => false
-    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
-    case s: org.apache.spark.sql.types.StructType =>
-      s.fields.forall(f => orderable(f.dataType))
-    case _ => true
-  }
+      dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
 }
 
 /** REST transport for [[BulkUpsertSink]] over the Elasticsearch bulk
@@ -180,6 +184,10 @@ class HttpBulkEndpoint(baseUrl: String, index: String)
 
 object HttpBulkEndpoint {
 
+  // one shared mapper — construction is Jackson's expensive operation,
+  // and readTree on a configured mapper is thread-safe
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Validate one `_bulk` response. Elasticsearch reports per-item
     * failures inside a 2xx envelope (`"errors": true` + an `items`
     * array), so checking the HTTP status alone would silently drop
@@ -195,7 +203,7 @@ object HttpBulkEndpoint {
       throw new java.io.IOException(
         s"bulk to $target failed: HTTP $status ${body.take(500)}")
     val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      try mapper.readTree(body)
       catch {
         case e: Exception => throw new java.io.IOException(
           s"bulk to $target: unparseable response body " +

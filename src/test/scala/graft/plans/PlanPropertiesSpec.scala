@@ -77,10 +77,14 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
-  test("shard packing: per-partition offsets broadcast; no sort-merge join") {
+  test("shard packing: bucket offsets broadcast; deterministic hash bucket, no range sampling") {
     val p = planOf("curate_pack_shards")
     assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
       p.take(3000))
+    // the bucket key is a pure function of doc_id: no sampled range
+    // exchange whose bounds could diverge between the window branch and
+    // the offsets branch if Catalyst skipped exchange reuse
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
 
   test("source mixing and repetition scoring are shuffle-free narrow scans") {

@@ -148,6 +148,37 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("no orderCol: value-EQUAL rows with different renderings still elect one winner") {
+    // Spark's float ordering treats -0.0 == 0.0, but to_json renders
+    // them differently — without the byte-level rendering tiebreak a
+    // retry could ship either document
+    import spark.implicits._
+    val batch = Seq(("a", 0.0), ("a", -0.0)).toDF("id", "x")
+    val elected = (1 to 3).map { _ =>
+      val store = newStore()
+      new BulkUpsertSink("id", new MockEndpoint(store))
+        .upsert(batch.repartition(4), batchId = 1)
+      doc(store, "a").get
+    }
+    assert(elected.distinct.size == 1, elected.toString)
+  }
+
+  test("no orderCol: unorderable column types (interval, map) don't crash the dedup") {
+    // Catalyst can't ORDER BY CalendarIntervalType — a hand-rolled
+    // orderability check that misses it makes Window.orderBy throw and
+    // kills the stream on an otherwise-valid batch
+    assert(!BulkUpsertSink.orderable(
+      org.apache.spark.sql.types.CalendarIntervalType))
+    import spark.implicits._
+    val batch = Seq(("a", "p1", 1), ("a", "p2", 2)).toDF("id", "payload", "m")
+      .withColumn("m", org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("k"),
+        org.apache.spark.sql.functions.col("m")))
+    val store = newStore()
+    new BulkUpsertSink("id", new MockEndpoint(store)).upsert(batch, 0)
+    assert(doc(store, "a").nonEmpty)
+  }
+
   test("bulk response: 2xx with per-item failures fails the batch; 409 conflicts don't") {
     // ES returns HTTP 200 with "errors":true and per-item statuses —
     // status-only checking would silently drop failed actions
