@@ -48,4 +48,17 @@ object TextShingles {
     docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         explode(HashedShingles(docs.sparkSession, col("__toks"), n)).as("sh"))
+
+  /** DuckDB spelling of [[shingleHashSet]] over `documents` (5-gram,
+    * 16-hex md5 prefix) as WITH clauses yielding relation
+    * `sh(doc_id, sh)` — every shingle-mining oracle embeds THIS string
+    * so the two spellings cannot drift. */
+  val shingleCte5Sql: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+      |idx AS (
+      |  SELECT doc_id, words,
+      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx)""".stripMargin
 }

@@ -115,13 +115,7 @@ object CurationQueries {
   }
 
   val decontaminateSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
-      |idx AS (
-      |  SELECT doc_id, words,
-      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+    s"""WITH ${TextShingles.shingleCte5Sql},
       |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
       |train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
       |SELECT t.doc_id,
@@ -228,17 +222,57 @@ object CurationQueries {
       |SELECT doc_id, source, keep_pct, bucket
       |FROM m WHERE bucket < keep_pct""".stripMargin
 
+  /** Shards for [[trainOrder]]'s deterministic global shuffle. */
+  private val ShuffleShards = 1024L
+
+  /** Deterministic training-order shuffle: give every document a
+    * reproducible pseudorandom position — the global example shuffle a
+    * training run needs, WITHOUT `orderBy(rand())` (unreproducible and
+    * a full sort) or a single global `row_number` (one task holds the
+    * corpus). The md5 hash of the doc id is the shuffle key: its low
+    * bits pick one of [[ShuffleShards]] shards (hash-uniform, so shard
+    * occupancy is corpus/1024 regardless of id distribution) and the
+    * within-shard position is a window over just that shard. Readers
+    * consume shards in order — shard-major order IS the shuffled
+    * order, and any subset of shards is itself an unbiased sample.
+    * Everything is a pure function of doc_id: rebuilding the corpus on
+    * a different cluster yields byte-identical shard assignments. */
+  def trainOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = conv(substring(md5(concat(lit("shuffle:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val w = Window.partitionBy(col("shuffle_shard"))
+      .orderBy(col("__hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), hk.as("__hk"),
+        (hk % ShuffleShards).as("shuffle_shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shuffle_shard"), col("pos"))
+  }
+
+  val trainOrderSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+       |  FROM documents)
+       |SELECT doc_id, hk % $ShuffleShards AS shuffle_shard,
+       |       CAST(row_number() OVER (PARTITION BY hk % $ShuffleShards
+       |                               ORDER BY hk, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
     "curate_pack_shards" -> packShards _,
-    "curate_mix_sources" -> mixSources _)
+    "curate_mix_sources" -> mixSources _,
+    "curate_train_order" -> trainOrder _)
 
   def oracles: Map[String, String] = Map(
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
-    "curate_mix_sources" -> mixSourcesSql)
+    "curate_mix_sources" -> mixSourcesSql,
+    "curate_train_order" -> trainOrderSql)
 }

@@ -172,6 +172,26 @@ object StreamingQueries {
   val streamDedupSql: String =
     "SELECT event_id, user_id, event_type FROM events"
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark`
+    * keeps a key's state only until the watermark passes its event
+    * time + the 1 h tolerance, so state size tracks the dedup horizon
+    * instead of the stream's full key history — the scale-safe form of
+    * [[streamDedup]] (whose per-key state never evicts). Output is the
+    * key columns ONLY: within the horizon every (user_id, event_type)
+    * emits once, and projecting away the non-key columns makes the
+    * emitted row independent of which duplicate arrived first. */
+  def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(deduped, "append")
+  }
+
+  val streamDedupBoundedSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   /** A2/A3 streaming form: update-mode latest-by-offset aggregation
     * materialized into a SnapshotStore via foreachBatch — the final
     * table state must equal the batch arg_max oracle. */
@@ -419,6 +439,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
+    "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
@@ -433,6 +454,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,

@@ -239,7 +239,112 @@ object TextQueries {
       |  (len(bg) - len(list_distinct(bg))) * 1.0 / len(bg) AS dup_bigram_ratio
       |FROM b""".stripMargin
 
+  /** A shingle is "boilerplate" when this many distinct docs share it. */
+  private val BoilerDocs = 3
+
+  /** Sub-document boilerplate scoring — the shingle-level complement
+    * of whole-document dedup: the fraction (ppm) of a document's
+    * distinct 5-gram shingles that also occur in ≥ [[BoilerDocs]]
+    * distinct documents. High-ratio docs are templated/boilerplate
+    * even when no whole-document near-duplicate exists (the signal
+    * line-level dedup pipelines act on). Scale shape: the shingle
+    * relation is the same narrow per-row pass the dedup family uses;
+    * document frequencies are one hash-shuffled agg on the shingle
+    * key (map-side partials); the flag join is an equi-join on that
+    * same key; never doc×doc. */
+  def boilerplate(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", 5)
+    // (doc_id, sh) is distinct by construction → count(*) is the
+    // document frequency, no countDistinct shuffle needed
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(when(col("df") >= BoilerDocs, 1L).otherwise(0L))
+          .cast(LongType).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        floor(col("n_boiler") * lit(1000000.0) / col("n_shingles"))
+          .cast(LongType).as("boiler_ppm"))
+  }
+
+  val boilerplateSql: String =
+    s"""WITH ${TextShingles.shingleCte5Sql},
+       |freq AS (SELECT sh, COUNT(*) df FROM sh GROUP BY sh)
+       |SELECT s.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.df >= $BoilerDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(floor(SUM(CASE WHEN f.df >= $BoilerDocs THEN 1 ELSE 0 END) * 1000000.0
+       |             / COUNT(*)) AS BIGINT) AS boiler_ppm
+       |FROM sh s JOIN freq f ON f.sh = s.sh
+       |GROUP BY s.doc_id""".stripMargin
+
+  /** Term-rarity scoring: each document's mean corpus document
+    * frequency over its distinct terms (ppm-scaled integer) — low
+    * mean-DF docs are vocabulary-rare (jargon, other languages,
+    * gibberish), high mean-DF docs are made of corpus-common words.
+    * The unigram-LM quality-filter signal, in exact integer arithmetic
+    * (a log-prob spelling would hang cross-engine parity on libm).
+    * Two-pass shape like [[boilerplate]]: DF agg on the term key, then
+    * an equi-join + per-doc agg — shuffles only on term and doc_id. */
+  def termRarity(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+    val freq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    terms.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_terms"),
+        sum(col("df")).cast(LongType).as("df_sum"))
+      .select(col("doc_id"), col("n_terms"), col("df_sum"),
+        floor(col("df_sum") * lit(1000000.0) / col("n_terms"))
+          .cast(LongType).as("mean_df_ppm"))
+  }
+
+  val termRaritySql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) df FROM t GROUP BY tok)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(f.df) AS BIGINT) AS df_sum,
+      |  CAST(floor(SUM(f.df) * 1000000.0 / COUNT(*)) AS BIGINT) AS mean_df_ppm
+      |FROM t JOIN freq f ON f.tok = t.tok
+      |GROUP BY t.doc_id""".stripMargin
+
+  /** Per-language corpus statistics — the dataset card every corpus
+    * build publishes: document counts, token totals, and token-length
+    * percentiles by language. Exact `percentile` matches DuckDB's
+    * `quantile_cont` bit-for-bit (linear interpolation over integer
+    * token counts); it buffers per-group values, which is fine when
+    * groups are languages — for percentile over high-cardinality
+    * groups at 100 TB, swap in `approx_percentile` and a tolerance
+    * gate like the sketch query's. */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), size(toks).cast(LongType).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n")).cast(LongType).as("total_tokens"),
+        expr("percentile(n, 0.5)").as("p50_tokens"),
+        expr("percentile(n, 0.9)").as("p90_tokens"))
+
+  val corpusStatsSql: String =
+    """SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  quantile_cont(n, 0.5) AS p50_tokens,
+      |  quantile_cont(n, 0.9) AS p90_tokens
+      |FROM (SELECT lang,
+      |        len(string_split_regex(trim(text), '\s+')) AS n
+      |      FROM documents)
+      |GROUP BY lang""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> boilerplate _,
+    "text_term_rarity" -> termRarity _,
+    "text_corpus_stats" -> corpusStats _,
     "text_repetition" -> repetition _,
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
@@ -249,6 +354,9 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateSql,
+    "text_term_rarity" -> termRaritySql,
+    "text_corpus_stats" -> corpusStatsSql,
     "text_repetition" -> repetitionSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
