@@ -222,6 +222,42 @@ object CurationQueries {
       |SELECT doc_id, source, keep_pct, bucket
       |FROM m WHERE bucket < keep_pct""".stripMargin
 
+  /** Overflow-splitting sequence packing: [[packShards]] assigns each
+    * document to the shard its START offset falls in; real loaders
+    * split a document that crosses a shard boundary across BOTH shards
+    * (the training run reads exactly [[ShardTokens]] tokens per shard,
+    * no padding). One row per (document, shard it overlaps) with the
+    * token count that lands in that shard — `sum(tokens_in_shard)`
+    * grouped by shard is exactly [[ShardTokens]] for every full shard.
+    * Pure narrow post-processing on top of the distributed prefix sum:
+    * the explode emits `ceil(n_tokens / ShardTokens)` ≈ 1 rows per doc,
+    * no new shuffle. */
+  def packOverflow(s: SparkSession, d: String): DataFrame = {
+    val endOff = col("start_offset") + col("n_tokens")
+    val lastShard = floor((endOff - 1) / lit(ShardTokens.toDouble)).cast(LongType)
+    packShards(s, d)
+      .select(col("doc_id"), col("start_offset"), col("n_tokens"),
+        explode(sequence(col("shard_id"), lastShard)).as("shard_id"))
+      .select(col("doc_id"), col("shard_id"),
+        (least(col("start_offset") + col("n_tokens"),
+            (col("shard_id") + 1) * lit(ShardTokens)) -
+          greatest(col("start_offset"), col("shard_id") * lit(ShardTokens)))
+          .cast(LongType).as("tokens_in_shard"))
+  }
+
+  /** Embeds [[packShardsSql]] so the offset spellings cannot drift. */
+  val packOverflowSql: String =
+    s"""WITH p AS (SELECT * FROM ($packShardsSql) q),
+       |x AS (
+       |  SELECT doc_id, n_tokens, start_offset,
+       |    unnest(generate_series(shard_id,
+       |      CAST(floor((start_offset + n_tokens - 1) / $ShardTokens.0) AS BIGINT))) AS sid
+       |  FROM p)
+       |SELECT doc_id, sid AS shard_id,
+       |  CAST(least(start_offset + n_tokens, (sid + 1) * $ShardTokens)
+       |       - greatest(start_offset, sid * $ShardTokens) AS BIGINT) AS tokens_in_shard
+       |FROM x""".stripMargin
+
   /** Shards for [[trainOrder]]'s deterministic global shuffle. */
   private val ShuffleShards = 1024L
 
@@ -266,7 +302,8 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminate _,
     "curate_pack_shards" -> packShards _,
     "curate_mix_sources" -> mixSources _,
-    "curate_train_order" -> trainOrder _)
+    "curate_train_order" -> trainOrder _,
+    "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
     "curate_stratified_sample" -> stratifiedSampleSql,
@@ -274,5 +311,6 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
     "curate_mix_sources" -> mixSourcesSql,
-    "curate_train_order" -> trainOrderSql)
+    "curate_train_order" -> trainOrderSql,
+    "curate_pack_overflow" -> packOverflowSql)
 }

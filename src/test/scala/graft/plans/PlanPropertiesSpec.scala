@@ -94,6 +94,22 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("boilerplate and term-rarity mine candidates via equi-joins — never doc×doc") {
+    for (q <- Seq("text_boilerplate", "text_term_rarity")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("train-order shuffle: per-shard windows only — the corpus never sorts in one task") {
+    val p = planOf("curate_train_order")
+    // a global row_number would plan an Exchange SinglePartition over
+    // the full corpus; the shard-partitioned window must not
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(shuffle_shard"), p.take(3000))
+  }
+
   test("int8 quantized top-k: broadcast query vector + heap top-k, no shuffle of the corpus") {
     val p = planOf("sim_quantize_int8")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))

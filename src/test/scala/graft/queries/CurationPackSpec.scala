@@ -46,6 +46,25 @@ class CurationPackSpec extends AnyFunSuite with BeforeAndAfterAll {
       packed.exceptAll(naive).limit(5).collect().mkString("; "))
   }
 
+  test("overflow packing: every full shard holds exactly the token budget, splits conserve tokens") {
+    val rows = CurationQueries.packOverflow(spark, sf)
+      .groupBy("shard_id").agg(sum("tokens_in_shard").as("tok"))
+      .orderBy("shard_id").collect()
+    assert(rows.nonEmpty)
+    // all shards except the last are filled to exactly the budget —
+    // the no-padding invariant a fixed-context loader relies on
+    rows.init.foreach(r => assert(r.getLong(1) == 8192L, r.toString))
+    assert(rows.last.getLong(1) <= 8192L)
+    // and the split rows conserve each document's token count
+    val perDoc = CurationQueries.packOverflow(spark, sf)
+      .groupBy("doc_id").agg(sum("tokens_in_shard").as("tok"))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextShingles.tokens(col("text")))
+          .cast("long").as("tok"))
+    assert(perDoc.exceptAll(docs).isEmpty && docs.exceptAll(perDoc).isEmpty)
+  }
+
   test("shards are contiguous in doc_id order and start where the previous ended") {
     val rows = CurationQueries.packShards(spark, sf)
       .orderBy("doc_id")
