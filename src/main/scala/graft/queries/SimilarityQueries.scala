@@ -188,9 +188,13 @@ object SimilarityQueries {
 
   /** IVF-style ANN: coarse cells = per-label centroids (computed
     * distributively, no driver collection); the query probes its
-    * nearest cell only, then exact-re-ranks within it — the 100 TB
-    * shape where the corpus scan prunes to one cell. */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+    * `nprobe` nearest cells, then exact-re-ranks within them — the
+    * 100 TB shape where the corpus scan prunes to nprobe/ncells of the
+    * data. nprobe is THE recall/cost knob: probe-1 misses neighbors
+    * whose cell boundary the query sits on; each extra probed cell
+    * widens the candidate scan linearly while the top-k merge stays a
+    * TakeOrdered. */
+  private def annIvfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val e = withEmb(s, d)
     val cent = labelCentroids(s, d)
     val centArr = cent.groupBy(col("label"))
@@ -202,7 +206,7 @@ object SimilarityQueries {
         round(dot(col("cemb"), col("qemb")) /
           (norm(col("cemb")) * norm(col("qemb"))), 6).as("csim"))
       .orderBy(col("csim").desc, col("label"))
-      .limit(1)
+      .limit(nprobe)
       .select(col("label").as("best_label"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(best), col("label") === col("best_label"))
@@ -214,8 +218,13 @@ object SimilarityQueries {
       .limit(5)
   }
 
-  val annIvfSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+  def annIvf(s: SparkSession, d: String): DataFrame = annIvfProbe(s, d, 1)
+
+  /** Multi-probe IVF (nprobe=2) — same index, double the probed cells. */
+  def annIvfProbe2(s: SparkSession, d: String): DataFrame = annIvfProbe(s, d, 2)
+
+  private def annIvfProbeSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
       |g AS (
       |  SELECT label, CAST(t.i AS BIGINT) dim,
       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
@@ -233,7 +242,7 @@ object SimilarityQueries {
       |      (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
       |       sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) csim
       |  FROM carr, q),
-      |best AS (SELECT label FROM scored ORDER BY csim DESC, label LIMIT 1),
+      |best AS (SELECT label FROM scored ORDER BY csim DESC, label LIMIT $nprobe),
       |cand AS (
       |  SELECT e.vec_id, e.label, e.emb FROM e
       |  JOIN best ON e.label = best.label WHERE e.vec_id <> 0)
@@ -244,6 +253,9 @@ object SimilarityQueries {
       |     sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) AS cos_sim
       |FROM cand, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
+  val annIvfSql: String = annIvfProbeSql(1)
+  val annIvfProbe2Sql: String = annIvfProbeSql(2)
 
   /** One Lloyd iteration of k-means (k=8, seeds = vectors 0..7) — the
     * IVF coarse-quantizer training step as a distributed primitive:
@@ -356,6 +368,7 @@ object SimilarityQueries {
     "sim_topk_native" -> bruteForceTopKNative _,
     "sim_ann_sign_lsh" -> annSignLsh _,
     "sim_ann_ivf" -> annIvf _,
+    "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
 
@@ -366,6 +379,7 @@ object SimilarityQueries {
     "sim_topk_native" -> bruteForceTopKSql,
     "sim_ann_sign_lsh" -> annSignLshSql,
     "sim_ann_ivf" -> annIvfSql,
+    "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }
