@@ -49,16 +49,25 @@ object TextShingles {
       .select(col(idCol),
         explode(HashedShingles(docs.sparkSession, col("__toks"), n)).as("sh"))
 
-  /** DuckDB spelling of [[shingleHashSet]] over `documents` (5-gram,
-    * 16-hex md5 prefix) as WITH clauses yielding relation
-    * `sh(doc_id, sh)` — every shingle-mining oracle embeds THIS string
-    * so the two spellings cannot drift. */
-  val shingleCte5Sql: String =
-    """tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
-      |idx AS (
+  /** DuckDB spelling of [[tokens]] as a WITH clause yielding
+    * `tok(doc_id, words)` over any relation with (doc_id, text). */
+  def tokCteSql(from: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') words FROM $from)""".stripMargin
+
+  /** DuckDB 5-gram shingling (16-hex md5 prefix) from an existing
+    * `tok(doc_id, words)` relation, yielding `sh(doc_id, sh)`. */
+  val shingleFromTokSql: String =
+    """idx AS (
       |  SELECT doc_id, words,
       |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
       |sh AS (SELECT DISTINCT doc_id,
       |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx)""".stripMargin
+
+  /** DuckDB spelling of [[shingleHashSet]] (5-gram, 16-hex md5 prefix)
+    * as WITH clauses yielding relation `sh(doc_id, sh)` — every
+    * shingle-mining oracle embeds THESE strings so the two spellings
+    * cannot drift. */
+  def shingleCte5Sql(from: String = "documents"): String =
+    s"${tokCteSql(from)},\n$shingleFromTokSql"
 }

@@ -34,17 +34,12 @@ object CleaningQueries {
   }
 
   val cleanCorpusSql: String =
-    """WITH gated AS (
+    s"""WITH gated AS (
       |  SELECT doc_id, text,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) n_tokens
       |  FROM documents
-      |  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 450),
-      |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM gated),
-      |idx AS (
-      |  SELECT doc_id, words,
-      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+      |  WHERE len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 450),
+      |${graft.functions.TextShingles.shingleCte5Sql("gated")},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id da, b.doc_id db, COUNT(*) i

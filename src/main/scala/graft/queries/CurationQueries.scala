@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextShingles
+import graft.functions.{Md5Key, TextShingles}
 import graft.sources.Tables
 
 /** Corpus-curation operators — the decision layer of a training-data
@@ -26,19 +26,18 @@ object CurationQueries {
     * downsampled to 25%; every other language is kept whole (the
     * standard low-resource upweighting move). */
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 8),
-      16, 10).cast(LongType) % 100
+    val bucket = Md5Key.column(col("doc_id").cast(StringType)) % 100
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), bucket.as("bucket"))
       .filter(col("bucket") < when(col("lang") === "en", 25).otherwise(100))
   }
 
-  val stratifiedSampleSql: String =
-    """SELECT doc_id, lang,
-      |       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
-      |FROM documents
-      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-      |      < CASE WHEN lang = 'en' THEN 25 ELSE 100 END""".stripMargin
+  val stratifiedSampleSql: String = {
+    val b = s"${Md5Key.sql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT doc_id, lang, $b AS bucket
+       |FROM documents
+       |WHERE $b < CASE WHEN lang = 'en' THEN 25 ELSE 100 END""".stripMargin
+  }
 
   /** Canonical-document election: one survivor per duplicate cluster,
     * chosen by quality. Composes the LSH→Jaccard→connected-components
@@ -115,7 +114,7 @@ object CurationQueries {
   }
 
   val decontaminateSql: String =
-    s"""WITH ${TextShingles.shingleCte5Sql},
+    s"""WITH ${TextShingles.shingleCte5Sql()},
       |bench AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
       |train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0)
       |SELECT t.doc_id,
@@ -124,8 +123,9 @@ object CurationQueries {
       |FROM train t JOIN bench b ON t.sh = b.sh
       |GROUP BY t.doc_id""".stripMargin
 
-  /** Tokens per training shard for [[packShards]]. */
-  private val ShardTokens = 8192L
+  /** Tokens per training shard for [[packShards]] (package-visible so
+    * tests assert the exact-budget invariant against THE constant). */
+  private[graft] val ShardTokens = 8192L
 
   /** Docs per prefix-sum bucket in [[packShards]] — bounds the rows any
     * one local window task holds, independent of corpus size. */
@@ -202,8 +202,8 @@ object CurationQueries {
     val srcNum = regexp_extract(col("source"), "\\d+", 0).cast(IntegerType)
     val keepPct = when(srcNum < 5, 100L).when(srcNum < 10, 60L)
       .when(srcNum < 15, 30L).otherwise(10L)
-    val bucket = conv(substring(md5(concat(col("source"), lit(":"),
-      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType) % 100
+    val bucket = Md5Key.column(concat(col("source"), lit(":"),
+      col("doc_id").cast(StringType))) % 100
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), keepPct.as("keep_pct"),
         bucket.as("bucket"))
@@ -211,13 +211,13 @@ object CurationQueries {
   }
 
   val mixSourcesSql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id, source,
       |    CASE WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 5 THEN 100
       |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 10 THEN 60
       |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 15 THEN 30
       |         ELSE 10 END::BIGINT AS keep_pct,
-      |    ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+      |    ${Md5Key.sql("source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
       |  FROM documents)
       |SELECT doc_id, source, keep_pct, bucket
       |FROM m WHERE bucket < keep_pct""".stripMargin
@@ -275,8 +275,8 @@ object CurationQueries {
     * a different cluster yields byte-identical shard assignments. */
   def trainOrder(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hk = conv(substring(md5(concat(lit("shuffle:"),
-      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val hk = Md5Key.column(concat(lit("shuffle:"),
+      col("doc_id").cast(StringType)))
     val w = Window.partitionBy(col("shuffle_shard"))
       .orderBy(col("__hk"), col("doc_id"))
     Tables.documents(s, d)
@@ -289,7 +289,7 @@ object CurationQueries {
   val trainOrderSql: String =
     s"""WITH k AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+       |    ${Md5Key.sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS hk
        |  FROM documents)
        |SELECT doc_id, hk % $ShuffleShards AS shuffle_shard,
        |       CAST(row_number() OVER (PARTITION BY hk % $ShuffleShards

@@ -86,13 +86,7 @@ object DedupQueries {
     jaccardPairs(Tables.documents(s, d), candidates = None, threshold = 0.8)
 
   val ngramJaccardSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
-      |idx AS (
-      |  SELECT doc_id, words,
-      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+    s"""WITH ${graft.functions.TextShingles.shingleCte5Sql()},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
@@ -384,8 +378,8 @@ object DedupQueries {
   }
 
   val componentsSql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
+    s"""WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') words FROM documents),
       |sharr AS (
       |  SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-4, 1)),
       |           i -> array_to_string(words[i:i+4], ' ')) shl FROM tok),
@@ -411,11 +405,7 @@ object DedupQueries {
       |  SELECT DISTINCT a.doc_id da, b.doc_id db
       |  FROM bands a JOIN bands b
       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-      |idx AS (
-      |  SELECT doc_id, words,
-      |         unnest(generate_series(1, greatest(len(words)-4, 1))) i FROM tok),
-      |sh AS (SELECT DISTINCT doc_id,
-      |         substr(md5(array_to_string(words[i:i+4], ' ')), 1, 16) sh FROM idx),
+      |${graft.functions.TextShingles.shingleFromTokSql},
       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.da, c.db, COUNT(*) i

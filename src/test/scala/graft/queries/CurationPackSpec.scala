@@ -53,8 +53,9 @@ class CurationPackSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.nonEmpty)
     // all shards except the last are filled to exactly the budget —
     // the no-padding invariant a fixed-context loader relies on
-    rows.init.foreach(r => assert(r.getLong(1) == 8192L, r.toString))
-    assert(rows.last.getLong(1) <= 8192L)
+    val budget = CurationQueries.ShardTokens
+    rows.init.foreach(r => assert(r.getLong(1) == budget, r.toString))
+    assert(rows.last.getLong(1) <= budget)
     // and the split rows conserve each document's token count
     val perDoc = CurationQueries.packOverflow(spark, sf)
       .groupBy("doc_id").agg(sum("tokens_in_shard").as("tok"))
