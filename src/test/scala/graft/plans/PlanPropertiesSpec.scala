@@ -94,6 +94,23 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed co-located join: both scans read buckets, the join plans zero exchanges") {
+    // disable auto-broadcast: at test scale the planner would broadcast
+    // the small side (and skip the bucketed scan entirely); the property
+    // under test is the 100 TB regime where NEITHER fact fits in memory
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(graft.queries.SourceQueries.bucketedJoinRows(spark, sf))
+      assert(p.contains("Bucketed: true"), p.take(3000))
+      // the whole point of paying the clustered write: no shuffle on
+      // EITHER side of the fact-fact join
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("boilerplate and term-rarity mine candidates via equi-joins — never doc×doc") {
     for (q <- Seq("text_boilerplate", "text_term_rarity")) {
       val p = planOf(q)
