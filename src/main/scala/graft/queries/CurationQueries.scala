@@ -211,14 +211,16 @@ object CurationQueries {
   }
 
   val mixSourcesSql: String =
-    s"""WITH m AS (
+    s"""WITH n AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 5 THEN 100
-      |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 10 THEN 60
-      |         WHEN NULLIF(regexp_extract(source, '[0-9]+'), '')::INT < 15 THEN 30
-      |         ELSE 10 END::BIGINT AS keep_pct,
+      |    NULLIF(regexp_extract(source, '[0-9]+'), '')::INT AS srcnum,
       |    ${Md5Key.sql("source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
-      |  FROM documents)
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source, bucket,
+      |    CASE WHEN srcnum < 5 THEN 100 WHEN srcnum < 10 THEN 60
+      |         WHEN srcnum < 15 THEN 30 ELSE 10 END::BIGINT AS keep_pct
+      |  FROM n)
       |SELECT doc_id, source, keep_pct, bucket
       |FROM m WHERE bucket < keep_pct""".stripMargin
 
@@ -239,8 +241,7 @@ object CurationQueries {
       .select(col("doc_id"), col("start_offset"), col("n_tokens"),
         explode(sequence(col("shard_id"), lastShard)).as("shard_id"))
       .select(col("doc_id"), col("shard_id"),
-        (least(col("start_offset") + col("n_tokens"),
-            (col("shard_id") + 1) * lit(ShardTokens)) -
+        (least(endOff, (col("shard_id") + 1) * lit(ShardTokens)) -
           greatest(col("start_offset"), col("shard_id") * lit(ShardTokens)))
           .cast(LongType).as("tokens_in_shard"))
   }

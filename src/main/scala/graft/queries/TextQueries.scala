@@ -339,8 +339,8 @@ object TextQueries {
       .groupBy(col("lang"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n")).cast(LongType).as("total_tokens"),
-        expr("percentile(n, 0.5)").as("p50_tokens"),
-        expr("percentile(n, 0.9)").as("p90_tokens"))
+        percentile(col("n"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n"), lit(0.9)).as("p90_tokens"))
 
   val corpusStatsSql: String =
     """SELECT lang,
