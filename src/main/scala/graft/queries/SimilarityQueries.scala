@@ -194,12 +194,16 @@ object SimilarityQueries {
     * whose cell boundary the query sits on; each extra probed cell
     * widens the candidate scan linearly while the top-k merge stays a
     * TakeOrdered. */
-  private def annIvfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val e = withEmb(s, d)
-    val cent = labelCentroids(s, d)
-    val centArr = cent.groupBy(col("label"))
+  /** Per-label centroids as (label, 64-dim array) — the coarse cells
+    * shared by the IVF index and the hard-negative miner. */
+  private def centroidArrays(s: SparkSession, d: String): DataFrame =
+    labelCentroids(s, d).groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         x => x.getField("centroid")).as("cemb"))
+
+  private def annIvfProbe(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val e = withEmb(s, d)
+    val centArr = centroidArrays(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
     val best = centArr.crossJoin(broadcast(q))
       .select(col("label"),
@@ -256,6 +260,57 @@ object SimilarityQueries {
 
   val annIvfSql: String = annIvfProbeSql(1)
   val annIvfProbe2Sql: String = annIvfProbeSql(2)
+
+  /** Hard-negative mining — the contrastive-training data miner: for
+    * each label's centroid, the top-3 most-similar vectors carrying a
+    * DIFFERENT label (the negatives a contrastive loss learns most
+    * from). Scale shape: the ~nLabels centroid rows broadcast, the
+    * corpus scans ONCE, and per-anchor top-3 runs through the
+    * k-bounded [[graft.functions.TopKByScore]] aggregator — map-side
+    * partials reduce every partition to ≤3 rows per anchor before the
+    * shuffle, so the shuffle carries 3·labels rows, never the scored
+    * corpus (the row_number window is only the oracle spelling). */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = withEmb(s, d)
+    val cents = centroidArrays(s, d)
+      .select(col("label").as("anchor_label"), col("cemb"))
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    val mined = e.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_label"), col("vec_id"),
+        round(dot(col("emb"), col("cemb")) /
+          (norm(col("emb")) * norm(col("cemb"))), 6).as("cos_sim"))
+      .groupBy(col("anchor_label"))
+      .agg(topk(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("anchor_label"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("anchor_label"), col("z.ids").as("vec_id"),
+        col("z.scores").as("cos_sim"))
+    // recover the negative's label: 3·labels mined rows broadcast
+    // against a 2-column corpus projection
+    e.select(col("vec_id"), col("label").as("neg_label"))
+      .join(broadcast(mined), "vec_id")
+      .select(col("anchor_label"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH c AS (SELECT * FROM ($labelCentroidsSql) x),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+       |carr AS (SELECT label AS anchor_label, list(centroid ORDER BY dim) cemb
+       |         FROM c GROUP BY label),
+       |scored AS (
+       |  SELECT ca.anchor_label, e.vec_id, e.label AS neg_label,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, 64), i -> emb[i]*cemb[i])) /
+       |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) AS cos_sim
+       |  FROM e CROSS JOIN carr ca WHERE e.label <> ca.anchor_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_label
+       |                                   ORDER BY cos_sim DESC, vec_id) rn
+       |      FROM scored)
+       |SELECT anchor_label, vec_id, neg_label, cos_sim FROM r WHERE rn <= 3""".stripMargin
 
   /** One Lloyd iteration of k-means (k=8, seeds = vectors 0..7) — the
     * IVF coarse-quantizer training step as a distributed primitive:
@@ -369,6 +424,7 @@ object SimilarityQueries {
     "sim_ann_sign_lsh" -> annSignLsh _,
     "sim_ann_ivf" -> annIvf _,
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
+    "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
 
@@ -380,6 +436,7 @@ object SimilarityQueries {
     "sim_ann_sign_lsh" -> annSignLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }
