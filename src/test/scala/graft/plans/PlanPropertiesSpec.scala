@@ -128,6 +128,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(shuffle_shard"), p.take(3000))
   }
 
+  test("hard-negative mining: broadcast centroids + bounded top-k agg — no window sort of the corpus") {
+    val p = planOf("sim_hard_negatives")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    // per-anchor top-3 must run through the k-bounded aggregator
+    // (map-side partials), never a full partition-sort window
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("int8 quantized top-k: broadcast query vector + heap top-k, no shuffle of the corpus") {
     val p = planOf("sim_quantize_int8")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
