@@ -183,11 +183,20 @@ object StreamingQueries {
     * Oracle honesty: a key recurring BEYOND the horizon re-emits (its
     * state was evicted) — that output depends on micro-batch delivery,
     * not just the data, so no batch SQL can oracle it in general. The
-    * 35-day delay here covers the fixture's full 29-day event span,
+    * 35-day delay here covers the fixture's full ~30-day event span,
     * making the finite-input result delivery-independent (= DISTINCT)
-    * under ANY batching; the eviction/re-admission semantics past the
-    * horizon are pinned separately in BoundedStateSpec. */
+    * under ANY batching — and that invariant is ASSERTED below against
+    * the actual data (a fixture regenerated with a longer span would
+    * otherwise silently turn this oracle flaky); the
+    * eviction/re-admission semantics past the horizon are pinned
+    * separately in BoundedStateSpec. */
   def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
+    val spanDays = Tables.events(s, d)
+      .agg(((max(col("ts").cast("long")) - min(col("ts").cast("long")))
+        / 86400.0).as("days")).head.getDouble(0)
+    require(spanDays < 35.0,
+      f"events span $spanDays%.1f days exceeds the 35-day dedup horizon — " +
+        "the DISTINCT oracle would become micro-batch-delivery-dependent")
     val deduped = eventsStream(s, d)
       .withWatermark("ts", "35 days")
       .select(col("ts"), col("user_id"), col("event_type"))

@@ -252,6 +252,29 @@ object TextQueries {
     * document frequencies are one hash-shuffled agg on the shingle
     * key (map-side partials); the flag join is an equi-join on that
     * same key; never doc×doc. */
+  /** The score plan over a given shingle relation — factored so the
+    * plan spec can inspect the REAL join shape: the executed form
+    * below ends in localCheckpoint, which truncates the visible plan
+    * to a Scan ExistingRDD (and runs eagerly on explain). */
+  private def boilerplateFrom(sh: DataFrame): DataFrame = {
+    // (doc_id, sh) is distinct by construction → count(*) is the
+    // document frequency, no countDistinct shuffle needed
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"),
+        sum(when(col("df") >= BoilerDocs, 1L).otherwise(0L))
+          .cast(LongType).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        floor(col("n_boiler") * lit(1000000.0) / col("n_shingles"))
+          .cast(LongType).as("boiler_ppm"))
+  }
+
+  /** Un-checkpointed plan, for plan inspection only. */
+  private[graft] def boilerplateRows(s: SparkSession, d: String): DataFrame =
+    boilerplateFrom(TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", 5))
+
   def boilerplate(s: SparkSession, d: String): DataFrame = {
     // persist feeds both sides of the self-referential join (the DF agg
     // AND the probe), so the tokenize+shingle pass — the dominant cost —
@@ -259,20 +282,8 @@ object TextQueries {
     // before release (the house pattern, see SimilarityQueries.cosNearDup)
     val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
       "doc_id", "text", 5).persist()
-    try {
-      // (doc_id, sh) is distinct by construction → count(*) is the
-      // document frequency, no countDistinct shuffle needed
-      val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      sh.join(freq, "sh")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast(LongType).as("n_shingles"),
-          sum(when(col("df") >= BoilerDocs, 1L).otherwise(0L))
-            .cast(LongType).as("n_boiler"))
-        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
-          floor(col("n_boiler") * lit(1000000.0) / col("n_shingles"))
-            .cast(LongType).as("boiler_ppm"))
-        .localCheckpoint()
-    } finally { sh.unpersist(blocking = false); () }
+    try boilerplateFrom(sh).localCheckpoint()
+    finally { sh.unpersist(blocking = false); () }
   }
 
   val boilerplateSql: String =
@@ -294,22 +305,31 @@ object TextQueries {
     * (a log-prob spelling would hang cross-engine parity on libm).
     * Two-pass shape like [[boilerplate]]: DF agg on the term key, then
     * an equi-join + per-doc agg — shuffles only on term and doc_id. */
+  private def termRarityFrom(terms: DataFrame): DataFrame = {
+    val freq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    terms.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_terms"),
+        sum(col("df")).cast(LongType).as("df_sum"))
+      .select(col("doc_id"), col("n_terms"), col("df_sum"),
+        floor(col("df_sum") * lit(1000000.0) / col("n_terms"))
+          .cast(LongType).as("mean_df_ppm"))
+  }
+
+  private def termsOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+
+  /** Un-checkpointed plan, for plan inspection only. */
+  private[graft] def termRarityRows(s: SparkSession, d: String): DataFrame =
+    termRarityFrom(termsOf(s, d))
+
   def termRarity(s: SparkSession, d: String): DataFrame = {
     // persist: one tokenize+explode pass feeds both the DF agg and the
     // probe side (same shape as boilerplate)
-    val terms = Tables.documents(s, d).select(col("doc_id"),
-      explode(array_distinct(toks)).as("tok")).persist()
-    try {
-      val freq = terms.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      terms.join(freq, "tok")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast(LongType).as("n_terms"),
-          sum(col("df")).cast(LongType).as("df_sum"))
-        .select(col("doc_id"), col("n_terms"), col("df_sum"),
-          floor(col("df_sum") * lit(1000000.0) / col("n_terms"))
-            .cast(LongType).as("mean_df_ppm"))
-        .localCheckpoint()
-    } finally { terms.unpersist(blocking = false); () }
+    val terms = termsOf(s, d).persist()
+    try termRarityFrom(terms).localCheckpoint()
+    finally { terms.unpersist(blocking = false); () }
   }
 
   val termRaritySql: String =

@@ -112,10 +112,14 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("boilerplate and term-rarity mine candidates via equi-joins — never doc×doc") {
-    for (q <- Seq("text_boilerplate", "text_term_rarity")) {
-      val p = planOf(q)
+    // the catalog entries end in localCheckpoint (truncates the visible
+    // plan to a Scan ExistingRDD) — inspect the un-checkpointed forms
+    for (df <- Seq(graft.queries.TextQueries.boilerplateRows(spark, sf),
+                   graft.queries.TextQueries.termRarityRows(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("Join"), p.take(2000))
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$q: ${p.take(2000)}")
+        p.take(2000))
     }
   }
 
