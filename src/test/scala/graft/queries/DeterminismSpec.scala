@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sampling/mixing/shuffling/packing operators all claim the same
+  * property: their output is a PURE FUNCTION of the rows — identical
+  * across runs, partitioning, and cluster layout (what `sample()`,
+  * `rand()`, `spark_partition_id()`, and `monotonically_increasing_id`
+  * are NOT). That property is the whole reason a 100 TB corpus rebuild
+  * is reproducible, so it gets its own pin: each operator must return
+  * the exact same multiset when the session re-plans with a different
+  * shuffle-partition count. (Single-run determinism — e.g. the
+  * exchange-reuse hazard in the old range-partitioned shard packer —
+  * is covered by CurationPackSpec's equivalence to the naive window.)
+  */
+class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("determinism")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def withShufflePartitions[T](n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  for (q <- Seq("curate_stratified_sample", "curate_mix_sources",
+                "curate_train_order", "curate_pack_shards",
+                "curate_pack_overflow", "dedup_minhash_lsh",
+                "text_fingerprint"))
+    test(s"$q is identical under different shuffle partitioning") {
+      val base = Catalog.queries(q)(spark, sf).collect()
+      val other = withShufflePartitions(7) {
+        Catalog.queries(q)(spark, sf)
+      }
+      val baseDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(base.toSeq), other.schema)
+      assert(sameRows(baseDf, other),
+        s"$q changed rows when shuffle partitioning changed")
+    }
+}
