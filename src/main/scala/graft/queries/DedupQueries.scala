@@ -427,7 +427,42 @@ object DedupQueries {
       |         FROM reach GROUP BY a)
       |SELECT doc_id, CAST(component AS BIGINT) AS component FROM comp""".stripMargin
 
+  /** Near-duplicate rate by source — the dedup diagnostic every corpus
+    * build reports (which sources are scraping each other / templated).
+    * A "dup" is a document that LOSES a verified near-dup comparison
+    * (the `doc_b` side of a ≥0.8-Jaccard pair, i.e. what
+    * `pipeline_clean_corpus` would remove). Composition: the existing
+    * bucketed pair miner (never doc×doc) → distinct losers (tiny) →
+    * left join against a 2-column projection → per-source agg. */
+  def dedupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val losers = ngramJaccard(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    graft.sources.Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L)))
+          .cast(org.apache.spark.sql.types.LongType).as("n_dups"))
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        floor(col("n_dups") * lit(1000000.0) / col("n_docs"))
+          .cast(org.apache.spark.sql.types.LongType).as("dup_ppm"))
+  }
+
+  /** Embeds [[ngramJaccardSql]] so the pair spelling cannot drift. */
+  val dedupRateBySourceSql: String =
+    s"""WITH pr AS (SELECT * FROM ($ngramJaccardSql) x),
+       |l AS (SELECT DISTINCT doc_b AS doc_id FROM pr)
+       |SELECT d.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dups,
+       |  CAST(floor(SUM(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000.0
+       |             / COUNT(*)) AS BIGINT) AS dup_ppm
+       |FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_rate_by_source" -> dedupRateBySource _,
     "dedup_components" -> components _,
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
@@ -437,6 +472,7 @@ object DedupQueries {
     "dedup_simhash64_pairs" -> simhash64Pairs _)
 
   def oracles: Map[String, String] = Map(
+    "dedup_rate_by_source" -> dedupRateBySourceSql,
     "dedup_components" -> componentsSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,

@@ -373,7 +373,23 @@ object TextQueries {
       |      FROM documents)
       |GROUP BY lang""".stripMargin
 
+  /** Quality-score distribution by language — the dataset-card
+    * histogram (the score is a discrete 0.25/0.75/1.0 grid, so the
+    * group keys are exact). One grouped agg, map-side partials. */
+  def qualityHistogram(s: SparkSession, d: String): DataFrame =
+    quality(s, d).select(col("doc_id"), col("quality_score"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("quality_score"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+
+  val qualityHistogramSql: String =
+    s"""WITH q AS (SELECT * FROM ($qualitySql) x)
+       |SELECT d.lang, q.quality_score, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM q JOIN documents d ON d.doc_id = q.doc_id
+       |GROUP BY d.lang, q.quality_score""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_histogram" -> qualityHistogram _,
     "text_boilerplate" -> boilerplate _,
     "text_term_rarity" -> termRarity _,
     "text_corpus_stats" -> corpusStats _,
@@ -386,6 +402,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_quality_histogram" -> qualityHistogramSql,
     "text_boilerplate" -> boilerplateSql,
     "text_term_rarity" -> termRaritySql,
     "text_corpus_stats" -> corpusStatsSql,
