@@ -96,6 +96,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Md5Key.column equals a JVM MessageDigest reference for random strings") {
+    // the shared hash key underpins every reproducible-sampling
+    // operator AND its DuckDB twin — pin the Spark spelling against an
+    // independent md5 implementation so a refactor (prefix width, conv
+    // base, cast) can't silently shift every sample
+    import spark.implicits._
+    def reference(input: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(input.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val rnd = new Random(7)
+    val inputs = (1 to 200).map(_ =>
+      rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString) :+ "" :+ "shuffle:0"
+    val got = inputs.toDF("s")
+      .select(col("s"), Md5Key.column(col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      assert(got(s) == reference(s), s"input '$s'")
+      assert(got(s) >= 0L && got(s) < (1L << 32)) // 8 hex digits
+    }
+  }
+
   test("cosine_sim rejects non-float-array inputs") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0f, 2.0f))).toDF("a", "b")
