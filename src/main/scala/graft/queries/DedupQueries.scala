@@ -429,11 +429,13 @@ object DedupQueries {
 
   /** Near-duplicate rate by source — the dedup diagnostic every corpus
     * build reports (which sources are scraping each other / templated).
-    * A "dup" is a document that LOSES a verified near-dup comparison
-    * (the `doc_b` side of a ≥0.8-Jaccard pair, i.e. what
-    * `pipeline_clean_corpus` would remove). Composition: the existing
-    * bucketed pair miner (never doc×doc) → distinct losers (tiny) →
-    * left join against a 2-column projection → per-source agg. */
+    * A "dup" is a document that LOSES a verified near-dup comparison:
+    * the `doc_b` side of a ≥0.8-Jaccard pair mined over ALL documents
+    * (note `pipeline_clean_corpus` mines among its quality-gated
+    * survivors only, so its removal set differs — this is the raw
+    * corpus-wide rate). Composition: the existing bucketed pair miner
+    * (never doc×doc) → distinct losers (tiny) → left join against a
+    * 2-column projection → per-source agg. */
   def dedupRateBySource(s: SparkSession, d: String): DataFrame = {
     val losers = ngramJaccard(s, d)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -42,6 +42,16 @@ object TextQueries {
   /** Quality scoring: token/char stats, stopword ratio, and a banded
     * quality score. Ratios are integer-derived doubles (deterministic
     * cross-engine); the score uses only threshold comparisons. */
+  /** The banded score expression (grid {0.25, 0.5, 0.75, 1.0}) —
+    * shared by [[quality]] and [[qualityHistogram]] so the two can't
+    * drift. */
+  private def qualityScoreCol: Column = {
+    val n = size(toks).cast(LongType)
+    val stopRatio = hitCount(toks, enStop) * 1.0 / n
+    when(n.between(50, 500), 0.5).otherwise(0.25) +
+      when(stopRatio > 0.02, 0.5).otherwise(0.0)
+  }
+
   def quality(s: SparkSession, d: String): DataFrame = {
     val n = size(toks).cast(LongType)
     val chars = length(col("text")).cast(LongType)
@@ -54,8 +64,7 @@ object TextQueries {
       chars.as("n_chars"),
       (noSpace * 1.0 / n).as("avg_token_len"),
       stopRatio.as("stop_ratio"),
-      (when(n.between(50, 500), 0.5).otherwise(0.25) +
-        when(stopRatio > 0.02, 0.5).otherwise(0.0)).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
   }
 
   val qualitySql: String =
@@ -374,11 +383,14 @@ object TextQueries {
       |GROUP BY lang""".stripMargin
 
   /** Quality-score distribution by language — the dataset-card
-    * histogram (the score is a discrete 0.25/0.75/1.0 grid, so the
-    * group keys are exact). One grouped agg, map-side partials. */
+    * histogram (the score is a discrete {0.25, 0.5, 0.75, 1.0} grid of
+    * exactly-representable doubles, so the group keys are exact). ONE
+    * documents scan computing the shared score expression in place,
+    * then one grouped agg with map-side partials — no join back to the
+    * corpus just to recover `lang`. */
   def qualityHistogram(s: SparkSession, d: String): DataFrame =
-    quality(s, d).select(col("doc_id"), col("quality_score"))
-      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+    Tables.documents(s, d)
+      .select(col("lang"), qualityScoreCol.as("quality_score"))
       .groupBy(col("lang"), col("quality_score"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"))
 

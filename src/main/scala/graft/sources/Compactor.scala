@@ -20,22 +20,38 @@ import org.apache.spark.sql.SparkSession
   */
 object Compactor {
 
+  /** The coalesced frame `compact` writes — factored so the plan spec
+    * asserts the narrow shape on the REAL code path (a regression to
+    * `repartition` would otherwise be invisible to it). */
+  private[graft] def compactionFrame(s: SparkSession, dir: String,
+                                     targetBytes: Long)
+      : org.apache.spark.sql.DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val df = s.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // clamp: a BigInt quotient past Int.MaxValue would wrap on toInt
+    val parts = ((bytes + targetBytes - 1) / targetBytes)
+      .max(1).min(Int.MaxValue)
+    df.coalesce(parts.toInt)
+  }
+
   /** Rewrite `dir`'s parquet into `out` as ~targetBytes files.
     * Returns the resulting data-file count. */
   def compact(s: SparkSession, dir: String, out: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
-    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val df = s.read.parquet(dir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = ((bytes + targetBytes - 1) / targetBytes).max(1)
-    df.coalesce(parts.toInt).write.mode("overwrite").parquet(out)
-    parquetFileCount(out)
+    compactionFrame(s, dir, targetBytes)
+      .write.mode("overwrite").parquet(out)
+    parquetFileCount(s, out)
   }
 
-  /** Data files (part-*) under a parquet output directory. */
-  def parquetFileCount(dir: String): Int = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).map(_.count(f =>
-      f.isFile && f.getName.startsWith("part-"))).getOrElse(0)
+  /** Data files (part-*) under a parquet output directory — through
+    * the Hadoop filesystem API, so hdfs:///s3a:// lake paths count
+    * correctly (java.io.File would return 0 for them). */
+  def parquetFileCount(s: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(st =>
+      st.isFile && st.getPath.getName.startsWith("part-"))
   }
 }

@@ -44,13 +44,21 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 "curate_pack_overflow", "dedup_minhash_lsh",
                 "text_fingerprint"))
     test(s"$q is identical under different shuffle partitioning") {
-      val base = Catalog.queries(q)(spark, sf).collect()
-      val other = withShufflePartitions(7) {
-        Catalog.queries(q)(spark, sf)
+      val base = Catalog.queries(q)(spark, sf)
+      val schema = base.schema
+      val baseRows = base.collect()
+      // COLLECT inside the conf block: shuffle.partitions is read at
+      // action time, so a lazily-returned DataFrame evaluated after the
+      // finally would silently run under the restored conf and the test
+      // would compare a 4-partition run against itself
+      val otherRows = withShufflePartitions(7) {
+        Catalog.queries(q)(spark, sf).collect()
       }
       val baseDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(base.toSeq), other.schema)
-      assert(sameRows(baseDf, other),
+        spark.sparkContext.parallelize(baseRows.toSeq), schema)
+      val otherDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(otherRows.toSeq), schema)
+      assert(sameRows(baseDf, otherDf),
         s"$q changed rows when shuffle partitioning changed")
     }
 }

@@ -28,7 +28,7 @@ class CompactorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .parquet("/root/testdata/sf0.001/documents.parquet")
     // fragment: 64 small files — the post-streaming-sink shape
     docs.repartition(64).write.mode("overwrite").parquet(src)
-    assert(Compactor.parquetFileCount(src) == 64)
+    assert(Compactor.parquetFileCount(spark, src) == 64)
 
     val srcBytes = spark.read.parquet(src)
       .queryExecution.optimizedPlan.stats.sizeInBytes
@@ -47,7 +47,10 @@ class CompactorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = Files.createTempDirectory("graft-compact-plan-").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .repartition(16).write.mode("overwrite").parquet(src)
-    val plan = spark.read.parquet(src).coalesce(2)
+    // assert on the frame compact() actually writes — an inline
+    // coalesce here would keep passing even if compact regressed to a
+    // repartition shuffle
+    val plan = Compactor.compactionFrame(spark, src, targetBytes = 1L << 20)
       .queryExecution.executedPlan.toString
     assert(plan.contains("Coalesce"), plan.take(2000))
     assert(!plan.contains("Exchange"), plan.take(2000))
