@@ -153,10 +153,15 @@ object CurationQueries {
     * domains, substitute any bucket function monotone in the sort key
     * with bounded occupancy — that monotonicity is the sole
     * correctness requirement. */
-  def packShards(s: SparkSession, d: String): DataFrame = {
+  def packShards(s: SparkSession, d: String): DataFrame =
+    packShardsOver(Tables.documents(s, d).select(col("doc_id"),
+      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens")))
+
+  /** The distributed prefix sum over ANY (doc_id, n_tokens) relation —
+    * [[packShards]] feeds it the whole corpus; the end-to-end corpus
+    * build feeds it the curated survivor set. */
+  private[graft] def packShardsOver(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
     val bucketed = docs.withColumn("__bkt",
       floor(col("doc_id") / lit(PackBucketDocs.toDouble)).cast(LongType))
     val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
@@ -297,7 +302,50 @@ object CurationQueries {
        |                               ORDER BY hk, doc_id) AS BIGINT) AS pos
        |FROM k""".stripMargin
 
+  /** The end-to-end corpus build — the full curation layer as ONE
+    * dataflow, the query a user of this engine actually ships:
+    * duplicate clusters elect a canonical survivor (quality argmax),
+    * the survivor set passes the per-source mixture gate, and the
+    * final kept corpus is packed into fixed-token-budget shards with
+    * global offsets. Every stage is the already-verified operator
+    * (composition introduces no new spellings); the prefix sum runs
+    * over only the KEPT documents, in doc_id order, so the emitted
+    * layout is exactly what the trainer's data loader mounts. */
+  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+    val canon = canonicalDocs(s, d).select(col("canonical_id").as("doc_id"))
+    val mixed = mixSources(s, d).select(col("doc_id"))
+    val kept = Tables.documents(s, d)
+      .join(canon, "doc_id").join(mixed, "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
+      .join(kept.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("shard_id"))
+  }
+
+  /** Embeds the canonical-election, mixing, and packing oracles so no
+    * stage spelling can drift from its standalone query. */
+  val corpusBuildSql: String =
+    s"""WITH cd AS (SELECT * FROM ($canonicalDocsSql) a),
+       |mx AS (SELECT * FROM ($mixSourcesSql) b),
+       |kept AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN cd ON cd.canonical_id = d.doc_id
+       |  JOIN mx ON mx.doc_id = d.doc_id),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM kept)
+       |SELECT doc_id, source, n_tokens, start_offset,
+       |       CAST(floor(start_offset / $ShardTokens.0) AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus_build" -> corpusBuild _,
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
@@ -307,6 +355,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_corpus_build" -> corpusBuildSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
