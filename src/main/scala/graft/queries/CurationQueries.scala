@@ -138,7 +138,7 @@ object CurationQueries {
     * offset falls in.
     *
     * The global running sum is a DISTRIBUTED two-level prefix sum, not
-    * a single-partition window. The bucket key is `floor(doc_id / W)` —
+    * a single-partition window. The bucket key is `doc_id div W` —
     * a pure function of the row that ascends with doc_id — so the local
     * window (per-bucket prefix) and the offsets branch (per-bucket
     * totals) are independently deterministic: unlike a
@@ -163,7 +163,7 @@ object CurationQueries {
   private[graft] def packShardsOver(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketed = docs.withColumn("__bkt",
-      floor(col("doc_id") / lit(PackBucketDocs.toDouble)).cast(LongType))
+      expr(s"doc_id div $PackBucketDocs"))
     val wLocal = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("__before",
@@ -174,11 +174,13 @@ object CurationQueries {
       .agg(sum(col("n_tokens")).as("__bsum"))
       .withColumn("__offset", coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
       .select(col("__bkt"), col("__offset"))
+    // BIGINT `div` keeps shard assignment exact at any cumulative token
+    // count — a double-division spelling hits a 2^53 precision cliff
+    // long before 100 TB of tokens does
     local.join(broadcast(offsets), "__bkt")
       .select(col("doc_id"), col("n_tokens"),
-        (col("__offset") + col("__before")).as("start_offset"),
-        floor((col("__offset") + col("__before")) / lit(ShardTokens.toDouble))
-          .cast(LongType).as("shard_id"))
+        (col("__offset") + col("__before")).as("start_offset"))
+      .withColumn("shard_id", expr(s"start_offset div $ShardTokens"))
   }
 
   val packShardsSql: String =
@@ -192,7 +194,7 @@ object CurationQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        |  FROM t)
        |SELECT doc_id, n_tokens, start_offset,
-       |       CAST(floor(start_offset / $ShardTokens.0) AS BIGINT) AS shard_id
+       |       (start_offset // $ShardTokens) AS shard_id
        |FROM c""".stripMargin
 
   /** Weighted source mixing: per-source keep rates (the data-mixture
@@ -241,7 +243,7 @@ object CurationQueries {
     * no new shuffle. */
   def packOverflow(s: SparkSession, d: String): DataFrame = {
     val endOff = col("start_offset") + col("n_tokens")
-    val lastShard = floor((endOff - 1) / lit(ShardTokens.toDouble)).cast(LongType)
+    val lastShard = expr(s"(start_offset + n_tokens - 1) div $ShardTokens")
     packShards(s, d)
       .select(col("doc_id"), col("start_offset"), col("n_tokens"),
         explode(sequence(col("shard_id"), lastShard)).as("shard_id"))
@@ -257,7 +259,7 @@ object CurationQueries {
        |x AS (
        |  SELECT doc_id, n_tokens, start_offset,
        |    unnest(generate_series(shard_id,
-       |      CAST(floor((start_offset + n_tokens - 1) / $ShardTokens.0) AS BIGINT))) AS sid
+       |      ((start_offset + n_tokens - 1) // $ShardTokens))) AS sid
        |  FROM p)
        |SELECT doc_id, sid AS shard_id,
        |  CAST(least(start_offset + n_tokens, (sid + 1) * $ShardTokens)
@@ -341,7 +343,7 @@ object CurationQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
        |  FROM kept)
        |SELECT doc_id, source, n_tokens, start_offset,
-       |       CAST(floor(start_offset / $ShardTokens.0) AS BIGINT) AS shard_id
+       |       (start_offset // $ShardTokens) AS shard_id
        |FROM c""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

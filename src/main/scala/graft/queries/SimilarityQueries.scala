@@ -227,6 +227,50 @@ object SimilarityQueries {
   /** Multi-probe IVF (nprobe=2) — same index, double the probed cells. */
   def annIvfProbe2(s: SparkSession, d: String): DataFrame = annIvfProbe(s, d, 2)
 
+  /** IVF probe against the PERSISTED index ([[graft.sources.IvfIndex]])
+    * — the index-lifecycle fix for the one 100 TB gap in [[annIvf]]:
+    * there, every lookup re-derives the centroids from a full corpus
+    * scan; here the centroids + cell-partitioned vectors are written
+    * once and a lookup touches (a) the O(ncells) centroid table to
+    * route and (b) the nprobe probed cell DIRECTORIES of the vector
+    * layout, pruned at scan planning time (`PartitionFilters` — pinned
+    * in PlanPropertiesSpec). The router's collect reads ncells rows
+    * (the centroid table, never the corpus) — the standard ANN
+    * query-router step; at a billion vectors ncells is ~10^4-10^5 rows
+    * while the corpus is 10^9. Same scores, ordering, and oracle as
+    * [[annIvf]].
+    */
+  private def annIvfIndexedProbe(s: SparkSession, d: String,
+                                 nprobe: Int): DataFrame = {
+    val layout = graft.sources.IvfIndex.ensure(d,
+      centroidArrays(s, d),
+      withEmb(s, d).withColumn("cell", col("label")))
+    val q = withEmb(s, d).filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"))
+    // route: score the ncells-row centroid table against the query
+    val probed: Seq[Int] = s.read.parquet(layout.centroids)
+      .crossJoin(broadcast(q))
+      .select(col("label"),
+        round(dot(col("cemb"), col("qemb")) /
+          (norm(col("cemb")) * norm(col("qemb"))), 6).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(nprobe)
+      .collect().toSeq.map(_.getInt(0))
+    // probe: static IN-filter on the partition column → the scan plans
+    // with PartitionFilters and reads only the probed cell directories
+    s.read.parquet(layout.vectors)
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb"))), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  def annIvfIndexed(s: SparkSession, d: String): DataFrame =
+    annIvfIndexedProbe(s, d, 1)
+
   private def annIvfProbeSql(nprobe: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
       |g AS (
@@ -424,6 +468,7 @@ object SimilarityQueries {
     "sim_ann_sign_lsh" -> annSignLsh _,
     "sim_ann_ivf" -> annIvf _,
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
+    "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
@@ -436,6 +481,7 @@ object SimilarityQueries {
     "sim_ann_sign_lsh" -> annSignLshSql,
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
+    "sim_ann_ivf_indexed" -> annIvfSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)

@@ -191,9 +191,12 @@ object StreamingQueries {
     * eviction/re-admission semantics past the horizon are pinned
     * separately in BoundedStateSpec. */
   def streamDedupBounded(s: SparkSession, d: String): DataFrame = {
-    val spanDays = Tables.events(s, d)
+    val spanRow = Tables.events(s, d)
       .agg(((max(col("ts").cast("long")) - min(col("ts").cast("long")))
-        / 86400.0).as("days")).head.getDouble(0)
+        / 86400.0).as("days")).head
+    require(!spanRow.isNullAt(0),
+      "events table is empty — no event-time span to bound the dedup horizon")
+    val spanDays = spanRow.getDouble(0)
     require(spanDays < 35.0,
       f"events span $spanDays%.1f days exceeds the 35-day dedup horizon — " +
         "the DISTINCT oracle would become micro-batch-delivery-dependent")

@@ -27,6 +27,19 @@ object Compactor {
                                      targetBytes: Long)
       : org.apache.spark.sql.DataFrame = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    // a hive-partitioned layout must be compacted per-partition (a
+    // flat coalesce-write would silently DROP the partitioning); fail
+    // loudly instead of flattening the caller's layout
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val rootFs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val partDirs = if (rootFs.exists(rootPath))
+      rootFs.listStatus(rootPath).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+    else Array.empty[org.apache.hadoop.fs.FileStatus]
+    require(partDirs.isEmpty,
+      s"$dir is hive-partitioned (${partDirs.head.getPath.getName}, ...) — " +
+        "compact() handles unpartitioned parquet; compact each partition " +
+        "directory separately to preserve the layout")
     val df = s.read.parquet(dir)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // clamp: a BigInt quotient past Int.MaxValue would wrap on toInt
@@ -44,14 +57,21 @@ object Compactor {
     parquetFileCount(s, out)
   }
 
-  /** Data files (part-*) under a parquet output directory — through
-    * the Hadoop filesystem API, so hdfs:///s3a:// lake paths count
-    * correctly (java.io.File would return 0 for them). */
+  /** Data files (part-*) under a parquet output directory, RECURSIVE
+    * so hive-partitioned layouts count their per-partition files —
+    * through the Hadoop filesystem API, so hdfs:///s3a:// lake paths
+    * count correctly (java.io.File would return 0 for them). */
   def parquetFileCount(s: SparkSession, dir: String): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(st =>
-      st.isFile && st.getPath.getName.startsWith("part-"))
+    else {
+      var n = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      }
+      n
+    }
   }
 }

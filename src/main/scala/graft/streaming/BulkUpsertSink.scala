@@ -80,16 +80,23 @@ class BulkUpsertSink(keyCol: String, endpoint: BulkEndpoint,
       case Some(c) => Seq(col(c).desc)
       case None =>
         val payload = batch.schema.fields.toSeq.filterNot(_.name == keyCol)
+        // unorderable columns tie-break on their JSON rendering — but a
+        // MAP renders in iteration order, which an upstream aggregation
+        // can permute across re-executions of the same batch, so maps
+        // are canonicalized (entries sorted by key, recursively) before
+        // rendering: equal map VALUES always render equal bytes
         val perCol = payload
           .map(f => if (BulkUpsertSink.orderable(f.dataType)) col(f.name).desc
-                    else to_json(struct(col(f.name))).desc)
+                    else to_json(struct(BulkUpsertSink.canonical(
+                      col(f.name), f.dataType))).desc)
         // Spark's sort order treats -0.0 == 0.0 (floats are compared,
         // not normalized), so value-equal-but-differently-RENDERED rows
         // would still tie and leave the winner shuffle-dependent while
         // to_json ships different documents. A final byte-level
         // tiebreak over the whole payload's rendering closes that hole.
         if (payload.isEmpty) perCol
-        else perCol :+ to_json(struct(payload.map(f => col(f.name)): _*)).desc
+        else perCol :+ to_json(struct(payload.map(f =>
+          BulkUpsertSink.canonical(col(f.name), f.dataType).as(f.name)): _*)).desc
     }
     val lastPerKey =
       if (tiebreak.isEmpty) batch.dropDuplicates(keyCol) // key-only rows: all identical
@@ -145,6 +152,28 @@ object BulkUpsertSink {
   private[streaming] def orderable(
       dt: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** Value-canonical form of a column for deterministic RENDERING:
+    * maps become key-sorted entry arrays (recursively, through structs
+    * and arrays), so two equal map values — which Spark may iterate in
+    * different orders on different executions — always produce the
+    * same `to_json` bytes. Non-map types pass through. */
+  private[streaming] def canonical(
+      c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case MapType(kt, vt, _) =>
+        array_sort(transform(map_entries(c), e => struct(
+          canonical(e.getField("key"), kt).as("key"),
+          canonical(e.getField("value"), vt).as("value"))))
+      case StructType(fields) =>
+        struct(fields.toSeq.map(f =>
+          canonical(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case ArrayType(et, _) => transform(c, x => canonical(x, et))
+      case _ => c
+    }
+  }
 }
 
 /** REST transport for [[BulkUpsertSink]] over the Elasticsearch bulk

@@ -149,4 +149,41 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("indexed IVF probe scans only the probed cell partitions of the persisted index") {
+    val p = planOf("sim_ann_ivf_indexed")
+    // the candidate scan reads the partitioned index layout, pruned on
+    // the cell partition column at planning time
+    assert(p.contains("graft-ivf"), p.take(3000))
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+      p.take(3000))
+    // the corpus table appears exactly once: the vec_id=0 query-vector
+    // point lookup (pushed filter) — the candidates come from the index
+    assert("embeddings\\.parquet".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("correlated scalar subquery decorrelates to one broadcast join, not a per-row subquery") {
+    val p = planOf("q_scalar_subquery")
+    // Catalyst must rewrite the correlated aggregate into a grouped
+    // aggregate joined back on the correlation key: one two-phase
+    // HashAggregate over orders, then a broadcast hash join — never a
+    // re-executed subquery, sort-merge join, or cartesian product.
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Subquery"), p.take(2000))
+  }
+
+  test("EXISTS semi join plans as broadcast LeftSemi with the price filter pushed to the scan") {
+    val p = planOf("q_semi_join")
+    assert(p.contains("BroadcastHashJoin LeftSemi"), p.take(2000))
+    // the o_totalprice predicate must reach the orders parquet scan so
+    // the broadcast side is the filtered key set, not the full table
+    assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
