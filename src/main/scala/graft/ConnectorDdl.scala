@@ -213,6 +213,73 @@ object ConnectorDdl {
       Option(m.group(1)).getOrElse(m.group(2)) -> unescape(m.group(3))
     }.toMap
 
+  // ksql stream-stream interval join: `FROM a [AS] x JOIN b [AS] y
+  // WITHIN <n> <unit> ON <cond>` (reference README.md:464-480;
+  // asymmetric `WITHIN (n unit, m unit)` = before/after). Spark has no
+  // WITHIN keyword — the clause translates to the equivalent time-band
+  // predicate on the two streams' event-time columns, which is exactly
+  // how the engine's interval-join operators spell it
+  // (StreamingQueries stream_interval_*: equi-key AND time band).
+  private val tableAlias =
+    """(\w+)(?:\s+(?:AS\s+)?(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|OUTER\b|JOIN\b|WITHIN\b|ON\b)(\w+))?"""
+  private val withinJoinRe =
+    (s"""(?is)FROM\\s+$tableAlias\\s+(INNER\\s+|LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\s+$tableAlias\\s+""" +
+      s"""WITHIN\\s+(?:\\(\\s*(\\d+)\\s+(\\w+)\\s*,\\s*(\\d+)\\s+(\\w+)\\s*\\)|(\\d+)\\s+(\\w+))\\s+""" +
+      s"""ON\\s+(.*?)(?=\\s+(?:WHERE|GROUP|HAVING|WINDOW|ORDER|LIMIT|EMIT)\\b|\\s*$$)""").r
+
+  private val intervalUnits = Set(
+    "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY")
+
+  private def interval(n: String, unit: String): String = {
+    val u = unit.toUpperCase.stripSuffix("S")
+    require(intervalUnits.contains(u),
+      s"unsupported WITHIN unit '$unit' (use ${intervalUnits.mkString("/")})")
+    s"INTERVAL $n $u"
+  }
+
+  /** The view's event-time column for the WITHIN band: ksql compares
+    * ROWTIMEs, so prefer a column literally named like the stream
+    * time (`rowtime`/`ts`/`event_ts`/`timestamp`), else the view's
+    * single timestamp-typed column. */
+  private def eventTimeCol(spark: SparkSession, view: String): String = {
+    val fields = spark.table(view).schema.fields
+    val preferred = Seq("rowtime", "ts", "event_ts", "timestamp")
+    fields.map(_.name).find(n => preferred.contains(n.toLowerCase))
+      .orElse {
+        val tsCols = fields.filter(_.dataType ==
+          org.apache.spark.sql.types.TimestampType).map(_.name)
+        if (tsCols.length == 1) Some(tsCols.head) else None
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"stream $view has no event-time column for WITHIN — expected one " +
+          s"of ${preferred.mkString("/")} or exactly one TIMESTAMP column " +
+          s"(found: ${fields.map(_.name).mkString(", ")})"))
+  }
+
+  /** Translate every ksql `WITHIN` interval-join clause in `select` to
+    * plain Spark SQL (no-op when none). Public to the package so the
+    * SQL-surface spec can pin the rewrite text itself. */
+  private[graft] def rewriteWithin(spark: SparkSession,
+                                   select: String): String =
+    withinJoinRe.replaceAllIn(select, m => {
+      val (lTable, lAlias) = (m.group(1), Option(m.group(2)).getOrElse(m.group(1)))
+      val joinType = Option(m.group(3)).getOrElse("")
+      val (rTable, rAlias) = (m.group(4), Option(m.group(5)).getOrElse(m.group(4)))
+      // symmetric `WITHIN n unit` or asymmetric `WITHIN (before, after)`
+      val (before, after) =
+        if (m.group(10) != null) (interval(m.group(10), m.group(11)),
+                                  interval(m.group(10), m.group(11)))
+        else (interval(m.group(6), m.group(7)),
+              interval(m.group(8), m.group(9)))
+      val cond = m.group(12)
+      val lt = s"$lAlias.${eventTimeCol(spark, lTable)}"
+      val rt = s"$rAlias.${eventTimeCol(spark, rTable)}"
+      val band = s"$rt >= $lt - $before AND $rt <= $lt + $after"
+      java.util.regex.Matcher.quoteReplacement(
+        s"FROM $lTable AS $lAlias ${joinType}JOIN $rTable AS $rAlias " +
+          s"ON ($cond) AND $band")
+    })
+
   /** ksqlDB-marked CSAS/CTAS only: `CREATE STREAM` is always ksql
     * syntax (Spark has no STREAM object); `CREATE TABLE … AS` routes
     * here with an EMIT clause or a ksql `WITH (…)` property block
@@ -289,10 +356,10 @@ object ConnectorDdl {
         // continuously-updating runtime forms are the Pipeline /
         // StreamingQueries operators. WITH-properties (kafka_topic,
         // value_format, timestamp hints) are accepted and recorded on
-        // the status row; the WITHIN interval-join clause is ksql-only
-        // syntax — use the DSL interval-join operators for that shape.
+        // the status row; a ksql WITHIN interval-join clause is
+        // translated to its time-band predicate ([[rewriteWithin]]).
         val props = Option(withProps).map(parseProps).getOrElse(Map.empty)
-        spark.sql(select).createOrReplaceTempView(name)
+        spark.sql(rewriteWithin(spark, select)).createOrReplaceTempView(name)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
         Seq((name.toLowerCase, kindStr.toUpperCase,
             props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))

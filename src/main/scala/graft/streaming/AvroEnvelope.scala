@@ -76,6 +76,60 @@ object AvroEnvelope {
       .asInstanceOf[Column]
   }
 
+  /** The schema id a Confluent wire-format payload names: magic byte
+    * 0x00 + 4-byte big-endian id. Use on a SAMPLED record at startup
+    * to find which schema to fetch — never per row (the registry
+    * lookup is startup wiring, not plan work). */
+  def schemaIdOf(payload: Array[Byte]): Int = {
+    require(payload != null && payload.length >= 5,
+      s"not a Confluent wire-format payload: " +
+        s"${if (payload == null) "null" else s"${payload.length} bytes"}")
+    require(payload(0) == 0,
+      f"bad magic byte 0x${payload(0)}%02x (expected 0x00)")
+    java.nio.ByteBuffer.wrap(payload, 1, 4).getInt
+  }
+
+  private val registryCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  @transient private lazy val registryClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newHttpClient()
+
+  /** Fetch (and cache) a writer schema from a Confluent Schema
+    * Registry: `GET <baseUrl>/schemas/ids/<id>` → the `schema` field
+    * of the JSON response — the last manual step of the reference's
+    * wire path (docker-compose.yml:102-103: every converter points at
+    * `http://schema-registry:8081`), automated. The result feeds
+    * [[fromAvro]] directly:
+    * {{{
+    * val schema = AvroEnvelope.registrySchema(url, AvroEnvelope.schemaIdOf(sample))
+    * df.select(AvroEnvelope.fromAvro(
+    *   AvroEnvelope.stripConfluentPrefix(col("value")), schema))
+    * }}}
+    * Driver-side, once per (url, id) per JVM — the cache means a
+    * restart re-fetches but a plan never does. */
+  def registrySchema(baseUrl: String, id: Int): String =
+    registryCache.getOrElseUpdate((baseUrl, id), {
+      val uri = java.net.URI.create(
+        s"${baseUrl.stripSuffix("/")}/schemas/ids/$id")
+      val req = java.net.http.HttpRequest.newBuilder().uri(uri)
+        .header("Accept", "application/vnd.schemaregistry.v1+json")
+        .GET().build()
+      val resp = registryClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200)
+        throw new java.io.IOException(
+          s"schema registry $uri: HTTP ${resp.statusCode()} " +
+            resp.body().take(200))
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(resp.body()).path("schema")
+      if (!node.isTextual)
+        throw new java.io.IOException(
+          s"schema registry $uri: response has no 'schema' field: " +
+            resp.body().take(200))
+      node.asText()
+    })
+
   /** Offline decoder: binary Avro (no Confluent prefix) → JSON text via
     * core Avro, which is always on a Spark classpath. Serializable
     * holder with per-instance lazy init: the schema is parsed and the

@@ -62,6 +62,44 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   Files.createDirectories(rootPath)
   private val pointer = rootPath.resolve("_CURRENT")
 
+  // Writer fencing: two live sinks on one root would race the
+  // _CURRENT move last-writer-wins and silently interleave snapshots.
+  // Each instance takes the lease at construction by bumping the
+  // epoch in _WRITER (so reopening after a crash always works — no
+  // stale lock to clean up); the PREVIOUS holder discovers it lost
+  // the lease on its next upsert and fails loudly instead of
+  // committing onto the new writer's snapshot — the HDFS/ZooKeeper
+  // lease-recovery shape, and what Delta's commit check does for the
+  // same race.
+  private val writerFile = rootPath.resolve("_WRITER")
+  private val writerToken = java.util.UUID.randomUUID().toString
+  acquireWriterLease()
+
+  private def acquireWriterLease(): Unit = {
+    val prevEpoch =
+      if (!Files.exists(writerFile)) 0L
+      else Files.readString(writerFile).trim.split(':')
+        .headOption.flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(0L)
+    val tmp = rootPath.resolve(s"_WRITER.tmp$writerToken")
+    Files.writeString(tmp, s"${prevEpoch + 1}:$writerToken\n")
+    Files.move(tmp, writerFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    assertWriterLease() // confirm this instance won any concurrent race
+  }
+
+  /** Throws if another sink instance has taken the writer lease on
+    * this root since this instance was constructed. */
+  private def assertWriterLease(): Unit = {
+    val holder =
+      if (Files.exists(writerFile)) Files.readString(writerFile).trim else ""
+    if (!holder.endsWith(s":$writerToken"))
+      throw new java.util.ConcurrentModificationException(
+        s"writer fenced out: $rootPath's lease is now held by " +
+          s"[${holder}] (this instance: $writerToken) — a newer " +
+          "KeyedParquetSink was opened on the same root; stop this one")
+  }
+
   /** Committed snapshot manifest: bucket id → version-relative path
     * (e.g. `v12/__gbkt=3`), plus the schema for empty snapshots, the
     * recent version roots kept for lagging readers, and the bucket
@@ -112,6 +150,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     }
 
   private def writeManifest(m: Manifest): Unit = {
+    assertWriterLease() // last-moment fence: never commit over a newer writer
     val body = new StringBuilder
     body ++= s"batch=${m.batch}\n"
     body ++= s"numBuckets=$numBuckets\n"
@@ -146,6 +185,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     * rewritten. Replay-idempotent: if the manifest already names this
     * batch id, the batch was fully committed before a crash — skip. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
+    assertWriterLease()
     val manifest = readManifest()
     if (manifest.exists(_.batch == batchId)) return
     SinkChecks.requireDeletedCol(batch, deletedCol)

@@ -338,6 +338,75 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSql.sql(spark, "DROP CONNECTOR `weird name.sink`")
   }
 
+  test("ksql WITHIN interval join: the reference's shipped_orders statement runs verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // the two upstream streams of reference README.md:464-480, with
+    // event times spanning the 7-day band both ways
+    Seq(
+      (1L, 101L, "ann", 34L, 10.0, "EUR", "2024-01-01 00:00:00"),
+      (2L, 102L, "bob", 45L, 20.0, "USD", "2024-01-02 00:00:00"),
+      (3L, 103L, "cyd", 29L, 30.0, "EUR", "2024-01-03 00:00:00"),
+      (4L, 104L, "dee", 52L, 40.0, "GBP", "2024-01-04 00:00:00"),
+      (5L, 105L, "eli", 61L, 50.0, "USD", "2024-01-05 00:00:00"))
+      .toDF("order_id", "customer_id", "customer_name", "customer_age",
+        "price", "currency", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+      .createOrReplaceTempView("enriched_orders")
+    Seq(
+      ("ship-1", 1L, "Berlin",   "2024-01-03 00:00:00"), // +2d   → in
+      ("ship-2", 2L, "Madrid",   "2024-01-08 00:00:00"), // +6d   → in
+      ("ship-3", 3L, "Lisbon",   "2024-01-11 00:00:00"), // +8d   → OUT
+      ("ship-4", 4L, "Dublin",   "2024-01-03 00:00:00"), // -1d   → in
+      ("ship-5", 5L, "Warsaw",   "2024-01-12 00:00:00"), // +7d   → in (inclusive)
+      ("ship-6", 1L, "Tallinn",  "2024-01-21 00:00:00"), // +20d  → OUT
+      ("ship-7", 9L, "Nicosia",  "2024-01-05 00:00:00"), // no such order
+      ("ship-8", 3L, "Vilnius",  "2024-01-06 00:00:00")) // +3d   → in
+      .toDF("shipment_id", "order_id", "origin", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+      .createOrReplaceTempView("shipments")
+    // reference README.md:464-480, byte-for-byte
+    val st = GraftSql.sql(spark,
+      """CREATE STREAM shipped_orders WITH (
+        |    kafka_topic = 'shipped_orders'
+        |)   AS
+        |    SELECT o.order_id,
+        |           s.shipment_id,
+        |           o.customer_id,
+        |           o.customer_name,
+        |           o.customer_age,
+        |           s.origin,
+        |           o.price,
+        |           o.currency
+        |    FROM enriched_orders AS o
+        |    INNER JOIN shipments s
+        |    WITHIN 7 DAYS
+        |    ON s.order_id = o.order_id
+        |    EMIT CHANGES;""".stripMargin).collect().head
+    assert(st.getString(3) == "CREATED")
+    val got = spark.table("shipped_orders")
+      .orderBy("order_id", "shipment_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, "ship-1", "Berlin"),
+      (2L, "ship-2", "Madrid"),
+      (3L, "ship-8", "Vilnius"),
+      (4L, "ship-4", "Dublin"),
+      (5L, "ship-5", "Warsaw")), got)
+    // the rewrite text itself: band predicate on both streams' ts
+    val rewritten = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM enriched_orders AS o INNER JOIN shipments s WITHIN 7 DAYS ON s.order_id = o.order_id")
+    assert(rewritten.contains("s.ts >= o.ts - INTERVAL 7 DAY") &&
+      rewritten.contains("s.ts <= o.ts + INTERVAL 7 DAY") &&
+      rewritten.contains("(s.order_id = o.order_id)"), rewritten)
+    // asymmetric ksql form: WITHIN (before, after)
+    val asym = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM enriched_orders o LEFT JOIN shipments s WITHIN (1 HOUR, 2 DAYS) ON s.order_id = o.order_id WHERE o.price > 0")
+    assert(asym.contains("s.ts >= o.ts - INTERVAL 1 HOUR") &&
+      asym.contains("s.ts <= o.ts + INTERVAL 2 DAY") &&
+      asym.contains("LEFT JOIN") && asym.endsWith("WHERE o.price > 0"), asym)
+  }
+
   test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {
     GraftSql.init(spark, sf)
     val out = spark.sql(

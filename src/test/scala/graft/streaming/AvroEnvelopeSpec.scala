@@ -138,6 +138,66 @@ class AvroEnvelopeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 42L)
   }
 
+  test("registry fetch: schema id from the wire prefix, GET /schemas/ids/<id>, cached") {
+    // mock Schema Registry on a loopback ephemeral port (JDK HttpServer)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/7", ex => {
+      hits.incrementAndGet()
+      // registry responses JSON-escape the schema string
+      val body = new com.fasterxml.jackson.databind.ObjectMapper()
+        .createObjectNode().put("schema", rowSchemaJson).toString
+      val bytes = body.getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type",
+        "application/vnd.schemaregistry.v1+json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.createContext("/schemas/ids/404", ex => {
+      ex.sendResponseHeaders(404, 0); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // the id comes off a sampled wire payload, never per row
+      val framed = Array[Byte](0, 0, 0, 0, 7) ++ Array[Byte](1, 2, 3)
+      assert(AvroEnvelope.schemaIdOf(framed) == 7)
+      intercept[IllegalArgumentException] {
+        AvroEnvelope.schemaIdOf(Array[Byte](1, 0, 0, 0, 7, 9)) // bad magic
+      }
+      intercept[IllegalArgumentException] {
+        AvroEnvelope.schemaIdOf(Array[Byte](0, 0)) // truncated
+      }
+      val schema = AvroEnvelope.registrySchema(url, 7)
+      assert(schema == rowSchemaJson) // exact writer schema round-trip
+      // the fetched schema drives the offline decoder end-to-end
+      import spark.implicits._
+      val rowSchema = new Schema.Parser().parse(rowSchemaJson)
+      val r = new GenericData.Record(rowSchema)
+      r.put("id", 11L)
+      r.put("name", "reg")
+      val wire = Array[Byte](0, 0, 0, 0, 7) ++ encode(rowSchema, r)
+      val got = AvroEnvelope.binaryToJson(
+          Seq(wire).toDF("value")
+            .withColumn("value", AvroEnvelope.stripConfluentPrefix(col("value"))),
+          "value", schema)
+        .select(from_json(col("value"), StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType)))).as("r"))
+        .select("r.id").collect().head.getLong(0)
+      assert(got == 11L)
+      // cached: a second lookup of the same (url, id) never re-fetches
+      AvroEnvelope.registrySchema(url, 7)
+      assert(hits.get() == 1, s"expected 1 registry hit, got ${hits.get()}")
+      // HTTP errors surface with the target, not as a decode mystery
+      val e = intercept[java.io.IOException] {
+        AvroEnvelope.registrySchema(url, 404)
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("native from_avro door: available ⇒ decodes; absent ⇒ fails fast naming the jar") {
     if (AvroEnvelope.isAvailable) {
       import spark.implicits._

@@ -45,6 +45,25 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("a newer writer on the same root fences the older one: its next upsert throws") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-fence-").toString
+    val first = new KeyedParquetSink(spark, root, "k")
+    first.upsert(Seq(("a", "v1")).toDF("k", "v"), 0L)
+    // a second instance takes the writer lease (the crash-restart
+    // path: reopening always succeeds, no stale lock to clean)
+    val second = new KeyedParquetSink(spark, root, "k")
+    second.upsert(Seq(("a", "v2")).toDF("k", "v"), 1L)
+    // the old writer must fail LOUDLY, not last-writer-wins the pointer
+    val e = intercept[java.util.ConcurrentModificationException] {
+      first.upsert(Seq(("a", "stale")).toDF("k", "v"), 1L)
+    }
+    assert(e.getMessage.contains("fenced"))
+    // the surviving snapshot is the new writer's, untouched by the loser
+    assert(second.df.get.as[(String, String)].collect().toMap ==
+      Map("a" -> "v2"))
+  }
+
   test("reopening a root with a different numBuckets is refused, not silently corrupted") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-kps-nb-").toString
