@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,15 +53,22 @@ object CurationQueries {
     * a broadcast-sized join of per-cluster maxima. The quality score's
     * discrete grid (sums of 0.25/0.5 — exactly representable doubles)
     * makes the max-equality join deterministic cross-engine. */
-  def canonicalDocs(s: SparkSession, d: String): DataFrame = {
-    val comp = DedupQueries.components(s, d)
-    val full = Tables.documents(s, d).select(col("doc_id")).as("d")
+  def canonicalDocs(s: SparkSession, d: String): DataFrame =
+    canonicalDocsOver(Tables.documents(s, d),
+      TextQueries.quality(s, d).select(col("doc_id"), col("quality_score")))
+
+  /** [[canonicalDocs]] over ANY (doc_id, text) relation plus its
+    * per-doc (doc_id, quality_score) — the streaming corpus build
+    * passes the accumulated staged documents with their
+    * stream-computed scores. */
+  private[graft] def canonicalDocsOver(docs: DataFrame,
+                                       scoredDocs: DataFrame): DataFrame = {
+    val comp = DedupQueries.componentsOver(docs)
+    val full = docs.select(col("doc_id")).as("d")
       .join(comp.as("c"), col("d.doc_id") === col("c.doc_id"), "left")
       .select(col("d.doc_id"),
         coalesce(col("c.component"), col("d.doc_id")).as("component"))
-    val scored = full.join(
-      TextQueries.quality(s, d).select(col("doc_id"), col("quality_score")),
-      "doc_id")
+    val scored = full.join(scoredDocs, "doc_id")
     // one shuffle on the cluster key: the election (quality argmax,
     // min-id tiebreak) and the member count are both window functions
     // over the same partitioning — no groupBy + join-back rescan
@@ -205,17 +212,23 @@ object CurationQueries {
     * across runs, engines, partitioning — and composable with the
     * quality/dedup gates upstream. Rates here: sources 0-4 keep 100%,
     * 5-9 keep 60%, 10-14 keep 30%, 15-19 keep 10%. */
-  def mixSources(s: SparkSession, d: String): DataFrame = {
+  /** The mixture knobs as pure per-row column expressions (over
+    * `source`/`doc_id`) — shared by [[mixSources]] and the streaming
+    * corpus build's in-stream gate, so the two can't drift. */
+  private[graft] def mixKeepPct: Column = {
     val srcNum = regexp_extract(col("source"), "\\d+", 0).cast(IntegerType)
-    val keepPct = when(srcNum < 5, 100L).when(srcNum < 10, 60L)
+    when(srcNum < 5, 100L).when(srcNum < 10, 60L)
       .when(srcNum < 15, 30L).otherwise(10L)
-    val bucket = Md5Key.column(concat(col("source"), lit(":"),
-      col("doc_id").cast(StringType))) % 100
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), keepPct.as("keep_pct"),
-        bucket.as("bucket"))
-      .filter(col("bucket") < col("keep_pct"))
   }
+  private[graft] def mixBucket: Column =
+    Md5Key.column(concat(col("source"), lit(":"),
+      col("doc_id").cast(StringType))) % 100
+
+  def mixSources(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), mixKeepPct.as("keep_pct"),
+        mixBucket.as("bucket"))
+      .filter(col("bucket") < col("keep_pct"))
 
   val mixSourcesSql: String =
     s"""WITH n AS (

@@ -101,7 +101,13 @@ object DedupQueries {
   /** MinHash + LSH candidate pairs: 8 seeded min-hashes over the shingle
     * set, banded 4×2; pairs sharing any band bucket. The band join is
     * the scale path — state per bucket, no all-pairs comparison. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOver(Tables.documents(s, d))
+
+  /** [[minhashLsh]] over ANY (doc_id, text) relation — the streaming
+    * corpus build feeds it the accumulated staged documents. */
+  private[graft] def minhashLshOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     val seeds = 0 until 8
     // min over shingles is multiset-invariant, so each signature is a
     // narrow per-row array_min over the shingle array: NO explode, NO
@@ -110,7 +116,7 @@ object DedupQueries {
     // shuffles for the band join. Hashing is shared: two md5s per
     // shingle sliced into eight 32-bit hashes (vs one md5 per seed).
     // persist: it feeds 4 band projections × 2 join sides.
-    val mh = Tables.documents(s, d)
+    val mh = docs
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         graft.functions.MinHashSlices(s, col("__toks")).as("__mh"))
@@ -319,7 +325,13 @@ object DedupQueries {
     * converges in graph-diameter rounds; at 100 TB this is exactly how
     * dedup clusters are built, no driver-side graph). Oracle: a
     * recursive-CTE transitive closure. */
-  def components(s: SparkSession, d: String): DataFrame = {
+  def components(s: SparkSession, d: String): DataFrame =
+    componentsOver(Tables.documents(s, d))
+
+  /** [[components]] over ANY (doc_id, text) relation — the streaming
+    * corpus build clusters the accumulated staged documents. */
+  private[graft] def componentsOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     // Production dedup-cluster pipeline: LSH band candidates first
     // (narrow signature pass + tiny join), exact Jaccard verification
     // only on the candidates, then cluster. Avoids mining all
@@ -327,8 +339,8 @@ object DedupQueries {
     // jaccardPairs returns an eagerly localCheckpoint'ed relation, so
     // the pair mining already ran at full parallelism and carries no
     // lineage back to the corpus scan.
-    val pairs = jaccardPairs(Tables.documents(s, d),
-        candidates = Some(minhashLsh(s, d)), threshold = 0.8)
+    val pairs = jaccardPairs(docs,
+        candidates = Some(minhashLshOver(docs)), threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
     // the propagation loop runs over the (tiny) node/edge relations:
     // wide shuffles per iteration are pure overhead, so pin them small

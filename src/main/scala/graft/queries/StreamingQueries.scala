@@ -454,7 +454,92 @@ object StreamingQueries {
       |  AS t(order_id, shipment_id, customer_id, customer_name,
       |       customer_age, origin, price, currency)""".stripMargin
 
+  /** Streaming corpus build — the curation capstone run INCREMENTALLY:
+    * the per-document stages (token count, quality score, mixture-gate
+    * decision) are computed in the stream itself (narrow codegen'd
+    * projections, the shape that keeps up with an ingest firehose),
+    * the stream passes through the bounded-state dedup
+    * (`dropDuplicatesWithinWatermark` on doc_id over a synthetic
+    * ingest time — the at-least-once file/topic source's duplicate
+    * guard, state evicted with the watermark), and each micro-batch's
+    * survivors append to a staged store over which `foreachBatch`
+    * re-runs the cross-document stages — canonical election over the
+    * accumulated clusters, mixture gate, distributed-prefix-sum shard
+    * packing — publishing the corpus-as-of-this-batch (EMIT CHANGES
+    * over the build; the published layout is always a complete,
+    * consistent pack of everything ingested so far).
+    *
+    * Cost shape: the per-batch stages are the ALREADY-verified batch
+    * operators over the staged set (composition introduces no new
+    * spellings); at production scale the re-pack amortizes by running
+    * the election/pack on a cadence (every N batches) rather than
+    * every micro-batch — the operators don't change, only the trigger.
+    * On finite input the final publish must equal the batch
+    * [[CurationQueries.corpusBuild]] — same oracle, so the streaming
+    * path itself is hash-verified. */
+  def streamCorpusBuild(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.{CurationQueries => CQ}
+    // synthetic deterministic ingest time (doc_id seconds) for the
+    // bounded dedup; the horizon must cover the id span on THIS data
+    // or eviction would make the finite-input result batch-dependent
+    val horizonDays = 60L
+    val maxIdRow = Tables.documents(s, d).agg(max(col("doc_id"))).head
+    require(!maxIdRow.isNullAt(0), "documents table is empty")
+    require(maxIdRow.getLong(0) < horizonDays * 86400L,
+      s"doc_id span ${maxIdRow.getLong(0)}s exceeds the $horizonDays-day " +
+        "dedup horizon — the finite-input oracle would become " +
+        "micro-batch-delivery-dependent")
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val scored = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(graft.functions.TextShingles.tokens(col("text")))
+          .cast(LongType).as("n_tokens"),
+        TextQueries.qualityScoreCol.as("quality_score"),
+        (CQ.mixBucket < CQ.mixKeepPct).as("mix_keep"),
+        // base offset keeps every synthetic ts strictly above Spark's
+        // initial watermark (epoch 0): doc_id 0 at exactly epoch 0
+        // would be filtered as late by the <=-watermark gate
+        timestamp_seconds(col("doc_id") + lit(1000000000L)).as("__ts"))
+    val deduped = scored
+      .withWatermark("__ts", s"$horizonDays days")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .drop("__ts")
+    val staging = Files.createTempDirectory("graft-scb-staging-").toString
+    val outDir = Files.createTempDirectory("graft-scb-out-").toString
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(staging)
+          val staged = s.read.parquet(staging)
+          val canon = CQ.canonicalDocsOver(staged,
+              staged.select(col("doc_id"), col("quality_score")))
+            .select(col("canonical_id").as("doc_id"))
+          val kept = staged.filter(col("mix_keep")).join(canon, "doc_id")
+          CQ.packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
+            .join(kept.select(col("doc_id"), col("source")), "doc_id")
+            .select(col("doc_id"), col("source"), col("n_tokens"),
+              col("start_offset"), col("shard_id"))
+            .write.mode("overwrite").parquet(outDir)
+          ()
+        }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      deleteRecursively(ckpt)
+      deleteRecursively(staging)
+    }
+    // detach the result from the scratch dir (eager), then clean up
+    val out = s.read.parquet(outDir).localCheckpoint()
+    deleteRecursively(outDir)
+    out
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_corpus_build" -> streamCorpusBuild _,
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
@@ -470,6 +555,7 @@ object StreamingQueries {
     "stream_pipeline_golden" -> pipelineGolden _)
 
   def oracles: Map[String, String] = Map(
+    "stream_corpus_build" -> CurationQueries.corpusBuildSql,
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,

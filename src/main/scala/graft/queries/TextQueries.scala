@@ -45,7 +45,7 @@ object TextQueries {
   /** The banded score expression (grid {0.25, 0.5, 0.75, 1.0}) —
     * shared by [[quality]] and [[qualityHistogram]] so the two can't
     * drift. */
-  private def qualityScoreCol: Column = {
+  private[graft] def qualityScoreCol: Column = {
     val n = size(toks).cast(LongType)
     val stopRatio = hitCount(toks, enStop) * 1.0 / n
     when(n.between(50, 500), 0.5).otherwise(0.25) +
