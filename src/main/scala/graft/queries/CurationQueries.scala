@@ -359,7 +359,64 @@ object CurationQueries {
        |       (start_offset // $ShardTokens) AS shard_id
        |FROM c""".stripMargin
 
+  /** Dataset card — the per-source stats table a corpus release ships
+    * (what a model card's data section cites): size (docs/tokens),
+    * language spread, duplicate contamination, and the quality-score
+    * distribution. Pure composition of the already-verified
+    * diagnostics: [[DedupQueries.dedupRateBySource]] supplies the dup
+    * columns and [[TextQueries.quality]] the per-doc scores — one
+    * narrow scan + one grouped agg + a per-source join against the
+    * (tiny, ≤ n_sources rows) dup-rate relation, so the card of a
+    * 100 TB corpus costs one corpus pass. The mean is computed on the
+    * score's exact 0.25 grid (sum of q·100 ints / 100·n), so it
+    * hash-matches cross-engine. */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val q = TextQueries.quality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val perSource = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+        countDistinct(col("lang")).cast(LongType).as("n_langs"),
+        (sum((col("quality_score") * 100).cast(LongType)) /
+          (count(lit(1)) * 100.0)).as("mean_quality"),
+        sum(when(col("quality_score") === 0.25, 1L).otherwise(0L))
+          .cast(LongType).as("n_q25"),
+        sum(when(col("quality_score") === 0.5, 1L).otherwise(0L))
+          .cast(LongType).as("n_q50"),
+        sum(when(col("quality_score") === 0.75, 1L).otherwise(0L))
+          .cast(LongType).as("n_q75"),
+        sum(when(col("quality_score") === 1.0, 1L).otherwise(0L))
+          .cast(LongType).as("n_q100"))
+    DedupQueries.dedupRateBySource(s, d).join(perSource, "source")
+  }
+
+  /** Embeds the dup-rate and quality oracles so no spelling drifts. */
+  val datasetCardSql: String =
+    s"""WITH dr AS (SELECT * FROM (${DedupQueries.dedupRateBySourceSql}) a),
+       |q AS (SELECT doc_id, n_tokens, quality_score
+       |      FROM (${TextQueries.qualitySql}) b),
+       |t AS (SELECT d.source, d.lang, q.n_tokens, q.quality_score
+       |      FROM documents d JOIN q ON q.doc_id = d.doc_id),
+       |ps AS (
+       |  SELECT source,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    SUM(CAST(quality_score*100 AS BIGINT))/(COUNT(*)*100.0) AS mean_quality,
+       |    CAST(SUM(CASE WHEN quality_score = 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_q25,
+       |    CAST(SUM(CASE WHEN quality_score = 0.5  THEN 1 ELSE 0 END) AS BIGINT) AS n_q50,
+       |    CAST(SUM(CASE WHEN quality_score = 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_q75,
+       |    CAST(SUM(CASE WHEN quality_score = 1.0  THEN 1 ELSE 0 END) AS BIGINT) AS n_q100
+       |  FROM t GROUP BY source)
+       |SELECT dr.source, dr.n_docs, dr.n_dups, dr.dup_ppm,
+       |       ps.total_tokens, ps.n_langs, ps.mean_quality,
+       |       ps.n_q25, ps.n_q50, ps.n_q75, ps.n_q100
+       |FROM dr JOIN ps ON ps.source = dr.source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dataset_card" -> datasetCard _,
     "curate_corpus_build" -> corpusBuild _,
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
@@ -370,6 +427,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_dataset_card" -> datasetCardSql,
     "curate_corpus_build" -> corpusBuildSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,

@@ -19,6 +19,14 @@ import graft.sources.Tables
   */
 object SimilarityQueries {
 
+  /** Embedding dimensionality of the corpus. The Spark spellings are
+    * dimension-agnostic (`zip_with`/`aggregate` fold whatever width
+    * the array carries; the native CosineSimilarity checks widths
+    * match at runtime) — this constant exists for the DuckDB oracle
+    * spellings, whose `generate_series(1, dim)` bounds must agree
+    * with the data. A 768-dim corpus is this one line. */
+  private[graft] val EmbeddingDim = 64
+
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -44,11 +52,11 @@ object SimilarityQueries {
   }
 
   val bruteForceTopKSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
       |q AS (SELECT emb qemb FROM e WHERE vec_id = 0),
       |sims AS (
       |  SELECT vec_id, label,
-      |    list_sum(list_transform(generate_series(1, 64), i -> emb[i]*qemb[i])) dot,
+      |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) dot,
       |    sqrt(list_sum(list_transform(emb, x -> x*x))) en,
       |    sqrt(list_sum(list_transform(qemb, x -> x*x))) qn
       |  FROM e, q WHERE vec_id <> 0)
@@ -74,7 +82,7 @@ object SimilarityQueries {
   }
 
   val annSignLshSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] emb, label,
       |    concat(
       |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -89,7 +97,7 @@ object SimilarityQueries {
       |q AS (SELECT emb qemb, bucket qbucket FROM e WHERE vec_id = 0),
       |sims AS (
       |  SELECT vec_id, label,
-      |    list_sum(list_transform(generate_series(1, 64), i -> emb[i]*qemb[i])) dot,
+      |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) dot,
       |    sqrt(list_sum(list_transform(emb, x -> x*x))) en,
       |    sqrt(list_sum(list_transform(qemb, x -> x*x))) qn
       |  FROM e JOIN q ON e.bucket = q.qbucket WHERE vec_id <> 0)
@@ -128,11 +136,11 @@ object SimilarityQueries {
   }
 
   val labelCentroidsSql: String =
-    """WITH e AS (SELECT label, embedding::DOUBLE[] emb FROM embeddings),
+    s"""WITH e AS (SELECT label, embedding::DOUBLE[] emb FROM embeddings),
       |g AS (
       |  SELECT label, CAST(t.i AS BIGINT) dim,
       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
-      |  FROM e, (SELECT unnest(generate_series(1, 64)) i) t)
+      |  FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t)
       |SELECT label, dim,
       |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
       |FROM g GROUP BY label, dim""".stripMargin
@@ -160,7 +168,7 @@ object SimilarityQueries {
   }
 
   val cosNearDupSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] emb,
       |    concat(
       |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
@@ -177,12 +185,12 @@ object SimilarityQueries {
       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |SELECT va AS vec_a, vb AS vec_b,
       |  round(
-      |    list_sum(list_transform(generate_series(1, 64), i -> ea[i]*eb[i])) /
+      |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> ea[i]*eb[i])) /
       |    (sqrt(list_sum(list_transform(ea, x -> x*x))) *
       |     sqrt(list_sum(list_transform(eb, x -> x*x)))), 6) AS cos_sim
       |FROM pairs
       |WHERE round(
-      |    list_sum(list_transform(generate_series(1, 64), i -> ea[i]*eb[i])) /
+      |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> ea[i]*eb[i])) /
       |    (sqrt(list_sum(list_transform(ea, x -> x*x))) *
       |     sqrt(list_sum(list_transform(eb, x -> x*x)))), 6) >= 0.9""".stripMargin
 
@@ -276,7 +284,7 @@ object SimilarityQueries {
       |g AS (
       |  SELECT label, CAST(t.i AS BIGINT) dim,
       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
-      |  FROM e, (SELECT unnest(generate_series(1, 64)) i) t),
+      |  FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t),
       |c AS (
       |  SELECT label, dim,
       |         CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
@@ -286,7 +294,7 @@ object SimilarityQueries {
       |scored AS (
       |  SELECT label,
       |    round(
-      |      list_sum(list_transform(generate_series(1, 64), i -> cemb[i]*qemb[i])) /
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> cemb[i]*qemb[i])) /
       |      (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
       |       sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) csim
       |  FROM carr, q),
@@ -296,7 +304,7 @@ object SimilarityQueries {
       |  JOIN best ON e.label = best.label WHERE e.vec_id <> 0)
       |SELECT vec_id, label,
       |  round(
-      |    list_sum(list_transform(generate_series(1, 64), i -> emb[i]*qemb[i])) /
+      |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) /
       |    (sqrt(list_sum(list_transform(emb, x -> x*x))) *
       |     sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) AS cos_sim
       |FROM cand, q
@@ -347,7 +355,7 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT ca.anchor_label, e.vec_id, e.label AS neg_label,
        |    round(
-       |      list_sum(list_transform(generate_series(1, 64), i -> emb[i]*cemb[i])) /
+       |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
        |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
        |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) AS cos_sim
        |  FROM e CROSS JOIN carr ca WHERE e.label <> ca.anchor_label),
@@ -384,12 +392,12 @@ object SimilarityQueries {
   }
 
   val kmeansStepSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
       |seeds AS (SELECT vec_id cid, emb cemb FROM e WHERE vec_id <= 7),
       |scored AS (
       |  SELECT e.vec_id, e.emb, s.cid,
       |    round(
-      |      list_sum(list_transform(generate_series(1, 64), i -> emb[i]*cemb[i])) /
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
       |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
       |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) csim
       |  FROM e CROSS JOIN seeds s),
@@ -401,7 +409,7 @@ object SimilarityQueries {
       |g AS (
       |  SELECT cid, CAST(t.i AS BIGINT) dim,
       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
-      |  FROM assigned, (SELECT unnest(generate_series(1, 64)) i) t)
+      |  FROM assigned, (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t)
       |SELECT cid, dim,
       |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
       |FROM g GROUP BY cid, dim""".stripMargin
@@ -441,7 +449,7 @@ object SimilarityQueries {
   }
 
   val quantizeInt8TopKSql: String =
-    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
       |m AS (
       |  SELECT vec_id, label, emb,
       |    greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 AS qscale
@@ -453,7 +461,7 @@ object SimilarityQueries {
       |qv AS (SELECT qemb q2 FROM q WHERE vec_id = 0),
       |sims AS (
       |  SELECT vec_id, label, qscale,
-      |    CAST(list_sum(list_transform(generate_series(1, 64), i -> qemb[i]*q2[i])) AS DOUBLE) dot,
+      |    CAST(list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> qemb[i]*q2[i])) AS DOUBLE) dot,
       |    sqrt(CAST(list_sum(list_transform(qemb, x -> x*x)) AS DOUBLE)) en,
       |    sqrt(CAST(list_sum(list_transform(q2, x -> x*x)) AS DOUBLE)) qn
       |  FROM q, qv WHERE vec_id <> 0)
