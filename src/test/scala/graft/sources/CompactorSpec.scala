@@ -43,6 +43,20 @@ class CompactorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("hive-partitioned input is refused (compaction would silently flatten the layout)") {
+    val src = Files.createTempDirectory("graft-compact-part-").toString
+    val out = Files.createTempDirectory("graft-compact-pout-").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      Compactor.compact(spark, src, out)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // per-partition compaction (the documented path) works and the
+    // recursive counter sees files INSIDE partition directories
+    assert(Compactor.parquetFileCount(spark, src) > 0)
+  }
+
   test("the compaction plan is narrow — coalesce, never a shuffle") {
     val src = Files.createTempDirectory("graft-compact-plan-").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -179,6 +179,35 @@ class BulkUpsertSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(doc(store, "a").nonEmpty)
   }
 
+  test("no orderCol: map values canonicalize, so entry-order cannot flip the winner") {
+    // a map built by an upstream aggregation can present its entries
+    // in different orders across re-executions of the same batch; the
+    // tiebreak must rank on the key-sorted rendering or a retry could
+    // elect a different winner under the same batch-id version
+    import org.apache.spark.sql.functions.{col, map_from_entries, reverse}
+    import spark.implicits._
+    // chosen so UNCANONICALIZED renderings rank opposite ways under
+    // the two entry orders: {"k1":9,"k2":1} > {"k1":1,"k2":9} but
+    // {"k2":1,"k1":9} < {"k2":9,"k1":1}
+    val base = Seq(("a", Seq(("k1", 9), ("k2", 1))),
+                   ("a", Seq(("k1", 1), ("k2", 9))))
+      .toDF("id", "entries")
+    val fwd = base.withColumn("m",
+      map_from_entries(col("entries"))).drop("entries")
+    val rev = base.withColumn("m",
+      map_from_entries(reverse(col("entries")))).drop("entries")
+    // same VALUES, opposite physical entry order → same elected winner
+    val elected = Seq(fwd, rev).map { b =>
+      val store = newStore()
+      new BulkUpsertSink("id", new MockEndpoint(store))
+        .upsert(b.repartition(4), batchId = 1)
+      // identify the winner by which VALUE it carries (the doc's own
+      // rendering legitimately differs in entry order)
+      doc(store, "a").get.contains("\"k1\":9")
+    }
+    assert(elected.distinct.size == 1, elected.toString)
+  }
+
   test("bulk response: 2xx with per-item failures fails the batch; 409 conflicts don't") {
     // ES returns HTTP 200 with "errors":true and per-item statuses —
     // status-only checking would silently drop failed actions
