@@ -58,4 +58,19 @@ object IvfIndex {
         .parquet(layout.vectors)
       layout
     })
+
+  /** Incremental maintenance: append newly-ingested vectors into the
+    * existing cell layout (each row must carry its `cell` — assigned
+    * by nearest centroid, exactly how the probe routes). An appended
+    * vector lands as an extra file inside its cell DIRECTORY, so
+    * probes see it immediately and partition pruning is unaffected —
+    * no rebuild, no rewrite of existing files. This is standard IVF
+    * ingest: the coarse quantizer (the centroid table) stays FIXED
+    * between retrains — appends shift the true cell means, and the
+    * retrain primitive is the distributed Lloyd step
+    * ([[graft.queries.SimilarityQueries]] `sim_kmeans_step`) run on a
+    * drift cadence, followed by a fresh `ensure` into a new root. */
+  def append(layout: Layout, vectors: DataFrame): Unit =
+    vectors.write.mode("append").partitionBy("cell")
+      .parquet(layout.vectors)
 }
