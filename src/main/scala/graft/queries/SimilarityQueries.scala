@@ -248,11 +248,12 @@ object SimilarityQueries {
     * while the corpus is 10^9. Same scores, ordering, and oracle as
     * [[annIvf]].
     */
-  private def annIvfIndexedProbe(s: SparkSession, d: String,
-                                 nprobe: Int): DataFrame = {
-    val layout = graft.sources.IvfIndex.ensure(d,
-      centroidArrays(s, d),
-      withEmb(s, d).withColumn("cell", col("label")))
+  /** The lookup against an already-built layout — shared by the
+    * memoized-index query and the streaming-ingest query, so both
+    * probe identically. */
+  private def probeLayout(s: SparkSession,
+                          layout: graft.sources.IvfIndex.Layout,
+                          d: String, nprobe: Int): DataFrame = {
     val q = withEmb(s, d).filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"))
     // route: score the ncells-row centroid table against the query
@@ -276,8 +277,67 @@ object SimilarityQueries {
       .limit(5)
   }
 
+  private def annIvfIndexedProbe(s: SparkSession, d: String,
+                                 nprobe: Int): DataFrame =
+    probeLayout(s,
+      graft.sources.IvfIndex.ensure(d,
+        centroidArrays(s, d),
+        withEmb(s, d).withColumn("cell", col("label"))),
+      d, nprobe)
+
   def annIvfIndexed(s: SparkSession, d: String): DataFrame =
     annIvfIndexedProbe(s, d, 1)
+
+  /** Streaming index ingest: the embeddings arrive as a STREAM, each
+    * micro-batch assigns its vectors' cells (a narrow projection — at
+    * retrain-fixed centroids the assignment is per-row work) and
+    * appends them into the cell-partitioned layout
+    * ([[graft.sources.IvfIndex.append]] — new files inside cell
+    * directories, no rewrite). After the finite input drains, the
+    * standard probe over the streamed-in index must return exactly
+    * what the batch-built index returns — same oracle as
+    * [[annIvf]]/[[annIvfIndexed]], so the ingest path itself is
+    * hash-verified. This is how a production vector store stays fresh:
+    * ingest appends continuously, probes route through the fixed
+    * quantizer, the quantizer retrains on a drift cadence
+    * ([[kmeansStep]]). */
+  def streamIvfIngest(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ingest-")
+    val layout = graft.sources.IvfIndex.Layout(
+      centroids = root.resolve("centroids").toString,
+      vectors = root.resolve("vectors").toString)
+    // the routing table is the retrain artifact — written once, fixed
+    // across the whole ingest
+    centroidArrays(s, d).write.mode("overwrite").parquet(layout.centroids)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ck-").toString
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$d/{embeddings}.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+      .withColumn("cell", col("label"))
+    val q = graft.util.Confs.withShufflePartitions(s, 4) {
+      stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.sources.IvfIndex.append(layout, b)
+          ()
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val out = probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
+    // scratch index + checkpoint are per-invocation; clean up
+    Seq(root.toString, ckpt).foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val rp = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(rp)) {
+        java.nio.file.Files.walk(rp).iterator().asScala.toSeq.reverse
+          .foreach(x => java.nio.file.Files.deleteIfExists(x))
+      }
+    }
+    out
+  }
 
   private def annIvfProbeSql(nprobe: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
@@ -477,6 +537,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> annIvf _,
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
+    "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
@@ -490,6 +551,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> annIvfSql,
+    "stream_ivf_ingest" -> annIvfSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)
