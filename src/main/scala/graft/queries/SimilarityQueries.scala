@@ -303,14 +303,15 @@ object SimilarityQueries {
     * ([[kmeansStep]]). */
   def streamIvfIngest(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
-    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ingest-")
+    val root = java.nio.file.Paths.get(
+      StreamingQueries.scratchDir("graft-ivf-ingest-"))
     val layout = graft.sources.IvfIndex.Layout(
       centroids = root.resolve("centroids").toString,
       vectors = root.resolve("vectors").toString)
     // the routing table is the retrain artifact — written once, fixed
     // across the whole ingest
     centroidArrays(s, d).write.mode("overwrite").parquet(layout.centroids)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ck-").toString
+    val ckpt = StreamingQueries.scratchDir("graft-ivf-ck-")
     val stream = s.readStream.schema(schema)
       .parquet(s"$d/{embeddings}.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),

@@ -34,10 +34,13 @@ object StreamingQueries {
   /** Checkpoint to shared memory when available: these finite-input
     * runs don't need durable recovery, and stateful joins/aggs write
     * state per micro-batch. */
-  private def shmCheckpoint(): String = {
+  private def shmCheckpoint(): String = scratchDir("graft-sq-")
+
+  /** Throwaway scratch directory, on shared memory when available. */
+  private[graft] def scratchDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isWritable(shm)) Files.createTempDirectory(shm, "graft-sq-").toString
-    else Files.createTempDirectory("graft-sq-").toString
+    if (Files.isWritable(shm)) Files.createTempDirectory(shm, prefix).toString
+    else Files.createTempDirectory(prefix).toString
   }
 
   /** Stateful operators over these testdata volumes want few state
@@ -504,8 +507,11 @@ object StreamingQueries {
       .withWatermark("__ts", s"$horizonDays days")
       .dropDuplicatesWithinWatermark("doc_id")
       .drop("__ts")
-    val staging = Files.createTempDirectory("graft-scb-staging-").toString
-    val outDir = Files.createTempDirectory("graft-scb-out-").toString
+    // scratch dirs on shm where available (same rationale as the
+    // checkpoints: finite-input runs need no durability, and the
+    // staging set is re-read every micro-batch)
+    val staging = scratchDir("graft-scb-staging-")
+    val outDir = scratchDir("graft-scb-out-")
     val ckpt = shmCheckpoint()
     val q = graft.util.Confs.withShufflePartitions(s, 8) {
       deduped.writeStream.outputMode("append")
