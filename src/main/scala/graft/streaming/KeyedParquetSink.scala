@@ -89,7 +89,13 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   }
 
   /** Throws if another sink instance has taken the writer lease on
-    * this root since this instance was constructed. */
+    * this root since this instance was constructed. The check-then-move
+    * pair is not one atomic primitive, so two constructors racing
+    * within the same instant can momentarily both believe they hold
+    * the lease — but every COMMIT re-checks (below and in
+    * writeManifest), so the loser fails before publishing; on a real
+    * object store the same fence is the conditional-put/ETag (S3) or
+    * atomic-rename (HDFS) primitive under the manifest move. */
   private def assertWriterLease(): Unit = {
     val holder =
       if (Files.exists(writerFile)) Files.readString(writerFile).trim else ""
@@ -107,10 +113,12 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   private case class Manifest(batch: Long, schemaDdl: String,
                               recent: Seq[String], buckets: Map[Int, String])
 
-  private def readManifest(): Option[Manifest] =
-    if (!Files.exists(pointer)) None
+  private def readManifest(): Option[Manifest] = readManifestAt(pointer)
+
+  private def readManifestAt(file: Path): Option[Manifest] =
+    if (!Files.exists(file)) None
     else {
-      val lines = Files.readAllLines(pointer)
+      val lines = Files.readAllLines(file)
       import scala.jdk.CollectionConverters._
       val kv = lines.asScala.filter(_.contains('=')).map { l =>
         val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
@@ -118,7 +126,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       val m = kv.toMap
       if (!m.contains("batch"))
         throw new IllegalStateException(
-          s"$pointer is not a bucketed-sink manifest (no 'batch=' entry) — " +
+          s"$file is not a bucketed-sink manifest (no 'batch=' entry) — " +
             "this root was written by an incompatible/older sink format; " +
             "point the sink at a fresh root or migrate the snapshot")
       // the bucket count is part of the on-disk layout: reopening with a
@@ -130,7 +138,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       m.get("numBuckets") match {
         case None =>
           throw new IllegalStateException(
-            s"$pointer has no 'numBuckets=' entry (written by an older sink " +
+            s"$file has no 'numBuckets=' entry (written by an older sink " +
               "version); its bucket layout cannot be validated — point the " +
               "sink at a fresh root or migrate the snapshot")
         case Some(n) if n.toInt != numBuckets =>
@@ -163,6 +171,15 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     Files.writeString(tmp, body.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // immutable per-batch copy → time travel ([[dfAsOf]]): manifests
+    // are a few hundred bytes, so history metadata is kept forever;
+    // how far back the DATA reaches is governed by retainVersions
+    val mdir = rootPath.resolve("_manifests")
+    Files.createDirectories(mdir)
+    val mtmp = mdir.resolve(s"m${m.batch}.tmp")
+    Files.writeString(mtmp, body.toString)
+    Files.move(mtmp, mdir.resolve(s"m${m.batch}"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def bucketExpr = pmod(hash(col(keyCol)), lit(numBuckets))
@@ -170,7 +187,33 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   /** Current visible state (None before the first commit). All bucket
     * leaf directories are read directly — no partition discovery, so
     * readers see exactly the data columns. */
-  def df: Option[DataFrame] = readManifest().map { m =>
+  def df: Option[DataFrame] = readManifest().map(snapshot)
+
+  /** Time travel: the EXACT visible state as of `batchId`'s commit —
+    * the reproducibility primitive a training-data pipeline needs
+    * ("rebuild precisely the corpus run X trained on"). Manifest
+    * METADATA is retained forever (bytes); the underlying version
+    * directories obey `retainVersions`, so a snapshot whose buckets
+    * reference pruned versions fails loudly (raise retainVersions for
+    * deeper data history) instead of returning a silently-wrong mix.
+    * Returns None for a batch id that never committed. */
+  def dfAsOf(batchId: Long): Option[DataFrame] =
+    readManifestAt(rootPath.resolve("_manifests").resolve(s"m$batchId"))
+      .map { m =>
+        val missing = m.buckets.values
+          .map(_.split('/').head).toSet
+          .filterNot(v => Files.isDirectory(rootPath.resolve(v)))
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"snapshot as of batch $batchId references pruned version " +
+              s"director${if (missing.size == 1) "y" else "ies"} " +
+              s"${missing.toSeq.sorted.mkString(", ")} — raise " +
+              s"retainVersions (currently $retainVersions) to keep deeper " +
+              "data history")
+        snapshot(m)
+      }
+
+  private def snapshot(m: Manifest): DataFrame =
     if (m.buckets.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType.fromDDL(m.schemaDdl))
@@ -178,7 +221,6 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
       val paths = m.buckets.values.toSeq.sorted.map(rel => rootPath.resolve(rel).toString)
       spark.read.parquet(paths: _*)
     }
-  }
 
   /** Merge a micro-batch: batch rows win over current rows per key;
     * only the hash buckets containing batch keys are read and

@@ -45,6 +45,41 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("time travel: dfAsOf reproduces each committed batch's exact snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-tt-").toString
+    val sink = new KeyedParquetSink(spark, root, "k")
+    sink.upsert(Seq(("a", "v1"), ("b", "w1")).toDF("k", "v"), 0L)
+    sink.upsert(Seq(("a", "v2")).toDF("k", "v"), 1L)
+    sink.upsert(Seq(("c", "x1")).toDF("k", "v"), 2L)
+    def at(id: Long) =
+      sink.dfAsOf(id).get.as[(String, String)].collect().toMap
+    assert(at(0) == Map("a" -> "v1", "b" -> "w1"))
+    assert(at(1) == Map("a" -> "v2", "b" -> "w1"))
+    assert(at(2) == Map("a" -> "v2", "b" -> "w1", "c" -> "x1"))
+    assert(at(2) == sink.df.get.as[(String, String)].collect().toMap)
+    assert(sink.dfAsOf(99).isEmpty) // never committed
+  }
+
+  test("time travel past the data-retention window fails loudly, never silently wrong") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-ttp-").toString
+    // one bucket → every batch rewrites it; retainVersions=2 keeps only
+    // the last two version directories alive
+    val sink = new KeyedParquetSink(spark, root, "k",
+      numBuckets = 1, retainVersions = 2)
+    (0L to 3L).foreach(i =>
+      sink.upsert(Seq(("a", s"v$i")).toDF("k", "v"), i))
+    // recent history still materializes
+    assert(sink.dfAsOf(3).get.as[(String, String)].collect().toMap ==
+      Map("a" -> "v3"))
+    // batch 0's version dir is pruned: the metadata survives but the
+    // data read must refuse, naming the pruned version and the knob
+    val e = intercept[IllegalStateException] { sink.dfAsOf(0) }
+    assert(e.getMessage.contains("v0") &&
+      e.getMessage.contains("retainVersions"), e.getMessage)
+  }
+
   test("a newer writer on the same root fences the older one: its next upsert throws") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-kps-fence-").toString
