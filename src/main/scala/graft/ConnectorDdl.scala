@@ -213,6 +213,24 @@ object ConnectorDdl {
       Option(m.group(1)).getOrElse(m.group(2)) -> unescape(m.group(3))
     }.toMap
 
+  // Bare ksql stream DEFINITION (no AS): `CREATE STREAM <name>
+  // [(schema)] WITH (props);` — the reference's statements 4-6
+  // (README.md:396-427) define streams over topics this way. CREATE
+  // STREAM is always ksql syntax (Spark has no STREAM object), so this
+  // never swallows a Spark statement. A full-string match: a trailing
+  // `AS <select>` makes it a CSAS and fails this regex.
+  private val streamDefRe =
+    ("""(?is)\s*CREATE\s+STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
+      """(?:\(([^)]*)\)\s*)?WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*;?\s*""").r
+
+  /** ksql scalar types → Spark DDL types (for bare stream defs that
+    * carry an inline schema). */
+  private def ksqlType(t: String): String = t.toUpperCase match {
+    case "TEXT" | "VARCHAR" | "STRING" => "STRING"
+    case "INT" | "INTEGER" => "INT"
+    case other => other // BIGINT, DOUBLE, BOOLEAN, TIMESTAMP, DATE, …
+  }
+
   // ksql stream-stream interval join: `FROM a [AS] x JOIN b [AS] y
   // WITHIN <n> <unit> ON <cond>` (reference README.md:464-480;
   // asymmetric `WITHIN (n unit, m unit)` = before/after). Spark has no
@@ -280,6 +298,45 @@ object ConnectorDdl {
           s"ON ($cond) AND $band")
     })
 
+  // ksql's 1-arg `latest_by_offset(x)` orders by the record's Kafka
+  // offset implicitly; the engine's streams carry that as an `offset`
+  // column (the ChangeFeed contract), so the verbatim spelling
+  // translates to `max_by(x, offset)`. The 2-arg explicit form stays
+  // untouched (only a single bare identifier argument matches).
+  private[graft] def rewriteLatestByOffset(select: String): String =
+    """(?i)\blatest_by_offset\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+      .replaceAllIn(select, m => s"max_by(${m.group(1)}, offset)")
+
+  /** ksql propagates ROWTIME implicitly into derived streams; Spark
+    * views only carry selected columns. For a subquery-free,
+    * non-aggregating CSAS whose primary FROM relation exposes a
+    * `rowtime` column the select list doesn't mention, append
+    * `<alias>.rowtime AS rowtime` so downstream WITHIN joins see the
+    * stream time — exactly the inherit-from-emitting-record rule.
+    * Anything more complex spells rowtime explicitly. */
+  private[graft] def propagateRowtime(spark: SparkSession,
+                                      select: String): String = {
+    val fromRe = (s"""(?is)\\bFROM\\s+$tableAlias""").r
+    // skip aggregations (appending a bare column would break them),
+    // wildcard selects (rowtime already flows through *), and selects
+    // that mention rowtime themselves
+    val skip = "(?is).*(\\bGROUP\\s+BY\\b|\\browtime\\b|\\*).*".r
+    select match {
+      case skip(_*) => select
+      case _ =>
+        fromRe.findFirstMatchIn(select) match {
+          case Some(m)
+              if spark.catalog.tableExists(m.group(1)) &&
+                spark.table(m.group(1)).columns.contains("rowtime") =>
+            val alias = Option(m.group(2)).getOrElse(m.group(1))
+            val i = m.start
+            select.substring(0, i) +
+              s", $alias.rowtime AS rowtime " + select.substring(i)
+          case _ => select
+        }
+    }
+  }
+
   /** ksqlDB-marked CSAS/CTAS only: `CREATE STREAM` is always ksql
     * syntax (Spark has no STREAM object); `CREATE TABLE … AS` routes
     * here with an EMIT clause or a ksql `WITH (…)` property block
@@ -292,7 +349,7 @@ object ConnectorDdl {
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
-       | showStreamsRe(_*) => true
+       | showStreamsRe(_*) | streamDefRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -347,6 +404,49 @@ object ConnectorDdl {
           .select(col("name"))
           .filter(!col("name").isin(tables.toSeq: _*))
           .orderBy("name")
+      case streamDefRe(_, name, schemaList, body) =>
+        // bare stream definition over a topic (reference README.md:
+        // 396-427). The topic's final dotted segment names the backing
+        // relation when one exists in the session (the offline analog
+        // of "the topic's data"); otherwise an inline schema yields an
+        // empty typed stream, and with neither the definition is
+        // recorded lazily like a connector. ksql's ROWTIME appears as
+        // a `rowtime` column: parsed from the `timestamp`/
+        // `timestamp_format` props when given (the ksql timestamp
+        // hint), else derived from a `ts` column when the backing has
+        // one (the ChangeFeed contract's record time).
+        val props = parseProps(body)
+        val backing = props.get("kafka_topic").map(_.split('.').last)
+          .filter(spark.catalog.tableExists)
+        val base = backing.map(spark.table).orElse(
+          Option(schemaList).map { cols =>
+            val ddl = cols.split(",").map(_.trim).filter(_.nonEmpty)
+              .map { c =>
+                val parts = c.split("\\s+")
+                s"${parts(0)} ${ksqlType(parts(1))}"
+              }.mkString(", ")
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          })
+        base.foreach { df =>
+          val withTime = props.get("timestamp") match {
+            case Some(tsCol) =>
+              val parsed = props.get("timestamp_format")
+                .map(f => org.apache.spark.sql.functions.to_timestamp(
+                  col(tsCol).cast("string"), f))
+                .getOrElse(col(tsCol).cast("timestamp"))
+              df.withColumn("rowtime", parsed)
+            case None if df.columns.contains("ts") =>
+              df.withColumn("rowtime", col("ts").cast("timestamp"))
+            case None => df
+          }
+          withTime.createOrReplaceTempView(name)
+        }
+        kinds(spark).put(name.toLowerCase, "STREAM")
+        Seq((name.toLowerCase, "STREAM",
+            props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
+          .toDF("name", "kind", "properties", "status")
       case csasRe(kindStr, name, withProps, select, emit)
           if isKsqlCsas(kindStr, withProps, emit) =>
         // ksqlDB CSAS/CTAS: the EMIT clause is stripped — on the finite
@@ -357,9 +457,27 @@ object ConnectorDdl {
         // StreamingQueries operators. WITH-properties (kafka_topic,
         // value_format, timestamp hints) are accepted and recorded on
         // the status row; a ksql WITHIN interval-join clause is
-        // translated to its time-band predicate ([[rewriteWithin]]).
+        // translated to its time-band predicate ([[rewriteWithin]]),
+        // 1-arg latest_by_offset to max_by over the offset column, and
+        // ROWTIME inheritance to an appended rowtime column.
         val props = Option(withProps).map(parseProps).getOrElse(Map.empty)
-        spark.sql(rewriteWithin(spark, select)).createOrReplaceTempView(name)
+        // rowtime propagation runs BEFORE the WITHIN translation (whose
+        // output spells rowtime in the band predicate and would trip
+        // the already-mentions-rowtime guard); it is best-effort — a
+        // select shape the heuristic mis-judges (e.g. aggregate-only
+        // without GROUP BY) falls back to the untouched statement
+        val plain = rewriteLatestByOffset(select)
+        val noProp = rewriteWithin(spark, plain)
+        val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
+        val df =
+          if (withProp == noProp) spark.sql(noProp)
+          else
+            try spark.sql(withProp)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                spark.sql(noProp)
+            }
+        df.createOrReplaceTempView(name)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
         Seq((name.toLowerCase, kindStr.toUpperCase,
             props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))

@@ -407,6 +407,146 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       asym.contains("LEFT JOIN") && asym.endsWith("WHERE o.price > 0"), asym)
   }
 
+  test("the reference's ENTIRE ksql session runs verbatim, statement for statement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Backing relations for the three topics (the offline analog of
+    // the CDC/Avro data the reference's connectors feed in, with the
+    // ChangeFeed offset column): reference README.md:502-526 inserts,
+    // plus one customer UPDATE so latest_by_offset has work to do.
+    Seq(("5", "fred", 34, 0L), ("7", "sue", 25, 1L), ("2", "bill", 51, 2L),
+        ("5", "fred", 35, 3L))
+      .toDF("id", "name", "age", "offset")
+      .createOrReplaceTempView("customers")
+    Seq(("2", "13", 50.50, "usd", "2020-04-03T11:20:00"),
+        ("7", "29", 15.00, "aud", "2020-04-02T12:36:00"),
+        ("5", "17", 25.25, "eur", "2020-04-02T17:22:00"),
+        ("5", "15", 13.75, "usd", "2020-04-03T02:55:00"),
+        ("7", "22", 29.71, "aud", "2020-04-04T00:12:00"))
+      .toDF("customer_id", "order_id", "price", "currency", "ts")
+      .createOrReplaceTempView("orders")
+    Seq(("17", "75", "texas", "2020-04-04T19:20:00"),
+        ("22", "71", "iowa", "2020-04-04T12:25:00"),
+        ("29", "89", "california", "2020-04-05T13:21:00"),
+        ("13", "92", "maine", "2020-04-04T06:13:00"),
+        ("15", "95", "florida", "2020-04-04T01:13:00"))
+      .toDF("order_id", "shipment_id", "origin", "ts")
+      .createOrReplaceTempView("shipments")
+    GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS customers_reader")
+    GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS logistics_reader")
+    GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS enriched_writer")
+    try {
+      // ---- the ten statements of README.md:346-493, byte-for-byte ----
+      GraftSql.sql(spark, "SET 'auto.offset.reset' = 'earliest';")
+      GraftSql.sql(spark,
+        """CREATE SOURCE CONNECTOR customers_reader WITH (
+          |    'connector.class' = 'io.debezium.connector.postgresql.PostgresConnector',
+          |    'database.hostname' = 'postgres',
+          |    'table.whitelist' = 'public.customers',
+          |    'transforms' = 'unwrap',
+          |    'transforms.unwrap.type' = 'io.debezium.transforms.ExtractNewRecordState',
+          |    'transforms.unwrap.drop.tombstones' = 'false',
+          |    'transforms.unwrap.delete.handling.mode' = 'rewrite'
+          |);""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE SOURCE CONNECTOR logistics_reader WITH (
+          |    'connector.class' = 'io.debezium.connector.mongodb.MongoDbConnector',
+          |    'transforms.unwrap.delete.handling.mode' = 'drop'
+          |);""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE STREAM customers WITH (
+          |    kafka_topic = 'customers.public.customers',
+          |    value_format = 'avro'
+          |);""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE STREAM orders WITH (
+          |    kafka_topic = 'my-replica-set.logistics.orders',
+          |    value_format = 'avro',
+          |    timestamp = 'ts',
+          |    timestamp_format = 'yyyy-MM-dd''T''HH:mm:ss'
+          |);""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE STREAM shipments WITH (
+          |    kafka_topic = 'my-replica-set.logistics.shipments',
+          |    value_format = 'avro',
+          |    timestamp = 'ts',
+          |    timestamp_format = 'yyyy-MM-dd''T''HH:mm:ss'
+          |);""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE TABLE customers_by_key AS
+          |    SELECT id,
+          |           latest_by_offset(name) AS name,
+          |           latest_by_offset(age) AS age
+          |    FROM customers
+          |    GROUP BY id
+          |    EMIT CHANGES;""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE STREAM enriched_orders AS
+          |    SELECT o.order_id,
+          |           o.price,
+          |           o.currency,
+          |           c.id AS customer_id,
+          |           c.name AS customer_name,
+          |           c.age AS customer_age
+          |    FROM orders AS o
+          |    LEFT JOIN customers_by_key c
+          |    ON o.customer_id = c.id
+          |    EMIT CHANGES;""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE STREAM shipped_orders WITH (
+          |    kafka_topic = 'shipped_orders'
+          |)   AS
+          |    SELECT o.order_id,
+          |           s.shipment_id,
+          |           o.customer_id,
+          |           o.customer_name,
+          |           o.customer_age,
+          |           s.origin,
+          |           o.price,
+          |           o.currency
+          |    FROM enriched_orders AS o
+          |    INNER JOIN shipments s
+          |    WITHIN 7 DAYS
+          |    ON s.order_id = o.order_id
+          |    EMIT CHANGES;""".stripMargin)
+      GraftSql.sql(spark,
+        """CREATE SINK CONNECTOR enriched_writer WITH (
+          |    'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
+          |    'connection.url' = 'http://elastic:9200',
+          |    'type.name' = 'kafka-connect',
+          |    'topics' = 'shipped_orders'
+          |);""".stripMargin)
+      // ---- the published result: 5 shipped-order documents ----
+      val got = spark.table("shipped_orders")
+        .select(col("order_id"), col("shipment_id"), col("customer_name"),
+          col("customer_age"), col("origin"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getString(4)))
+        .sortBy(_._1)
+      assert(got.toSeq == Seq(
+        ("13", "92", "bill", 51, "maine"),
+        ("15", "95", "fred", 35, "florida"), // latest_by_offset: age 35
+        ("17", "75", "fred", 35, "texas"),
+        ("22", "71", "sue", 25, "iowa"),
+        ("29", "89", "sue", 25, "california")), got.toSeq)
+      // the latest_by_offset rewrite elected the UPDATE, not the insert
+      val fred = spark.table("customers_by_key")
+        .filter(col("id") === "5").collect().head
+      assert(fred.getInt(2) == 35)
+      // implicit ROWTIME flowed through the CSAS chain (ksql semantics)
+      assert(spark.table("enriched_orders").columns.contains("rowtime"))
+      // streams registered for the admin surface
+      val streams = GraftSql.sql(spark, "SHOW STREAMS;")
+        .collect().map(_.getString(0)).toSet
+      assert(Set("customers", "orders", "shipments",
+        "enriched_orders", "shipped_orders").subsetOf(streams))
+    } finally {
+      // restore the shared testdata views for the rest of the suite
+      GraftSql.initViews(spark, sf)
+    }
+  }
+
   test("full ksqlDB-porting path: GraftSql.init is enough for a SQL-only user") {
     GraftSql.init(spark, sf)
     val out = spark.sql(
