@@ -359,6 +359,53 @@ object CurationQueries {
        |       (start_offset // $ShardTokens) AS shard_id
        |FROM c""".stripMargin
 
+  /** The corpus build with the decontamination gate wired in — the
+    * complete production chain: canonical election ∩ mixture gate,
+    * MINUS the benchmark holdout itself (doc_id % 20 = 0, the eval
+    * set must never be trained on) and MINUS every training document
+    * the decontamination pass caught sharing shingles with it. The
+    * added gates are an anti-join on the (tiny) contaminated-id
+    * relation and a per-row modulus filter — the prefix sum then packs
+    * only truly-trainable documents. Same scale shapes as
+    * [[corpusBuild]]. */
+  def corpusBuildClean(s: SparkSession, d: String): DataFrame = {
+    val canon = canonicalDocs(s, d).select(col("canonical_id").as("doc_id"))
+    val mixed = mixSources(s, d).select(col("doc_id"))
+    val contaminated = decontaminate(s, d).select(col("doc_id"))
+    val kept = Tables.documents(s, d)
+      .join(canon, "doc_id").join(mixed, "doc_id")
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
+      .join(kept.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("shard_id"))
+  }
+
+  /** Embeds the election, mixing, decontamination, and packing oracles. */
+  val corpusBuildCleanSql: String =
+    s"""WITH cd AS (SELECT * FROM ($canonicalDocsSql) a),
+       |mx AS (SELECT * FROM ($mixSourcesSql) b),
+       |dc AS (SELECT doc_id FROM ($decontaminateSql) z),
+       |kept AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN cd ON cd.canonical_id = d.doc_id
+       |  JOIN mx ON mx.doc_id = d.doc_id
+       |  WHERE d.doc_id % 20 <> 0
+       |    AND NOT EXISTS (SELECT 1 FROM dc WHERE dc.doc_id = d.doc_id)),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       |  FROM kept)
+       |SELECT doc_id, source, n_tokens, start_offset,
+       |       (start_offset // $ShardTokens) AS shard_id
+       |FROM c""".stripMargin
+
   /** Dataset card — the per-source stats table a corpus release ships
     * (what a model card's data section cites): size (docs/tokens),
     * language spread, duplicate contamination, and the quality-score
@@ -416,6 +463,7 @@ object CurationQueries {
        |FROM dr JOIN ps ON ps.source = dr.source""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus_build_clean" -> corpusBuildClean _,
     "curate_dataset_card" -> datasetCard _,
     "curate_corpus_build" -> corpusBuild _,
     "curate_stratified_sample" -> stratifiedSample _,
@@ -427,6 +475,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_corpus_build_clean" -> corpusBuildCleanSql,
     "curate_dataset_card" -> datasetCardSql,
     "curate_corpus_build" -> corpusBuildSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
