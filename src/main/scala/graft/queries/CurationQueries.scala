@@ -406,6 +406,51 @@ object CurationQueries {
        |       (start_offset // $ShardTokens) AS shard_id
        |FROM c""".stripMargin
 
+  /** Power-of-two sequence-length ladder shared by the Spark and
+    * oracle spellings of [[lengthBuckets]]. Spelled as an explicit
+    * CASE chain, never `2^ceil(log2 n)` — the float log's last-ulp
+    * behavior at exact powers of two differs across engines. */
+  private val LengthLadder = Seq(16L, 32L, 64L, 128L, 256L, 512L,
+    1024L, 2048L, 4096L, 8192L)
+  private val LengthOverflow = 16384L
+
+  /** Sequence-length bucketing stats — the batching-efficiency
+    * diagnostic of a training data loader: documents padded to the
+    * next power-of-two length batch together, and this table says how
+    * many tokens each bucket wastes as padding (the knob behind
+    * "bucket by length before batching"). One narrow scan + one
+    * grouped agg over ≤ a dozen ladder rows; all columns integer
+    * BIGINT so it hash-matches cross-engine. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = size(TextShingles.tokens(col("text"))).cast(LongType)
+    val bucket = LengthLadder.tail
+      .foldLeft(when(n <= LengthLadder.head, LengthLadder.head)) {
+        (acc, b) => acc.when(n <= b, b)
+      }.otherwise(LengthOverflow)
+    Tables.documents(s, d)
+      .select(n.as("n"), bucket.as("bucket_len"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("n")).cast(LongType).as("total_tokens"),
+        sum(col("bucket_len") - col("n")).cast(LongType).as("pad_tokens"))
+  }
+
+  val lengthBucketsSql: String = {
+    val cases = LengthLadder
+      .map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) n
+       |  FROM documents),
+       |b AS (
+       |  SELECT n, CAST(CASE $cases ELSE $LengthOverflow END AS BIGINT)
+       |    AS bucket_len
+       |  FROM t)
+       |SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       |       CAST(SUM(bucket_len - n) AS BIGINT) AS pad_tokens
+       |FROM b GROUP BY bucket_len""".stripMargin
+  }
+
   /** Dataset card — the per-source stats table a corpus release ships
     * (what a model card's data section cites): size (docs/tokens),
     * language spread, duplicate contamination, and the quality-score
@@ -464,6 +509,7 @@ object CurationQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus_build_clean" -> corpusBuildClean _,
+    "curate_length_buckets" -> lengthBuckets _,
     "curate_dataset_card" -> datasetCard _,
     "curate_corpus_build" -> corpusBuild _,
     "curate_stratified_sample" -> stratifiedSample _,
@@ -476,6 +522,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "curate_corpus_build_clean" -> corpusBuildCleanSql,
+    "curate_length_buckets" -> lengthBucketsSql,
     "curate_dataset_card" -> datasetCardSql,
     "curate_corpus_build" -> corpusBuildSql,
     "curate_stratified_sample" -> stratifiedSampleSql,
