@@ -317,6 +317,51 @@ object CurationQueries {
        |                               ORDER BY hk, doc_id) AS BIGINT) AS pos
        |FROM k""".stripMargin
 
+  /** Epochs for [[epochPlan]] — small here; a real run passes its
+    * epoch count. */
+  private val Epochs = 3L
+
+  /** Multi-epoch training plan: every epoch needs a DIFFERENT
+    * deterministic global order (repeating one order across epochs
+    * measurably hurts convergence; per-epoch reshuffling is the
+    * standard remedy), and every epoch's order must still be a pure
+    * function of (doc_id, epoch) so any node can rebuild it. Seeding
+    * the shuffle key with the epoch number does both: same machinery
+    * as [[trainOrder]], one extra narrow explode (docs × epochs rows),
+    * per-(epoch, shard) windows only — the corpus still never sorts in
+    * one task, and epoch e's plan is readable standalone by filtering
+    * epoch = e (shard-major order within the epoch). */
+  def epochPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hk = Md5Key.column(concat(lit("epoch:"), col("epoch").cast(StringType),
+      lit(":"), col("doc_id").cast(StringType)))
+    val w = Window.partitionBy(col("epoch"), col("shuffle_shard"))
+      .orderBy(col("__hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(Epochs - 1))).as("epoch"))
+      .select(col("doc_id"), col("epoch"), hk.as("__hk"),
+        (hk % ShuffleShards).as("shuffle_shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("epoch"), col("shuffle_shard"), col("pos"))
+  }
+
+  val epochPlanSql: String =
+    s"""WITH e AS (
+       |  SELECT d.doc_id, CAST(t.e AS BIGINT) AS epoch
+       |  FROM documents d,
+       |       (SELECT unnest(generate_series(0, ${Epochs - 1})) e) t),
+       |k AS (
+       |  SELECT doc_id, epoch,
+       |    ${Md5Key.sql(
+              "'epoch:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS hk
+       |  FROM e)
+       |SELECT doc_id, epoch, hk % $ShuffleShards AS shuffle_shard,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY epoch, hk % $ShuffleShards
+       |         ORDER BY hk, doc_id) AS BIGINT) AS pos
+       |FROM k""".stripMargin
+
   /** The end-to-end corpus build — the full curation layer as ONE
     * dataflow, the query a user of this engine actually ships:
     * duplicate clusters elect a canonical survivor (quality argmax),
@@ -510,6 +555,7 @@ object CurationQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus_build_clean" -> corpusBuildClean _,
     "curate_length_buckets" -> lengthBuckets _,
+    "curate_epoch_plan" -> epochPlan _,
     "curate_dataset_card" -> datasetCard _,
     "curate_corpus_build" -> corpusBuild _,
     "curate_stratified_sample" -> stratifiedSample _,
@@ -523,6 +569,7 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "curate_corpus_build_clean" -> corpusBuildCleanSql,
     "curate_length_buckets" -> lengthBucketsSql,
+    "curate_epoch_plan" -> epochPlanSql,
     "curate_dataset_card" -> datasetCardSql,
     "curate_corpus_build" -> corpusBuildSql,
     "curate_stratified_sample" -> stratifiedSampleSql,

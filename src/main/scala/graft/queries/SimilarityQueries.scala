@@ -340,6 +340,45 @@ object SimilarityQueries {
     out
   }
 
+  /** Recall@5 of every ANN variant against the exact brute-force
+    * top-5 — the metric an ANN deployment actually tracks (an index
+    * with unmeasured recall is a guess, not an index), computed
+    * IN-ENGINE so the number ships with the corpus run. Each variant's
+    * top-5 joins the exact set on vec_id; cost = the variants' own
+    * (already pruned) plans plus a 5-row join each. Demonstrates the
+    * recall/cost knob directly: probe-2 recall ≥ probe-1 by
+    * construction. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = bruteForceTopK(s, d).limit(5).select(col("vec_id"))
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      ann.select(col("vec_id")).join(exact, "vec_id")
+        .agg(count(lit(1)).cast("long").as("hits"))
+        .select(lit(method).as("method"), col("hits"),
+          floor(col("hits") * 1000000.0 / 5).cast("long").as("recall_ppm"))
+    recallOf("sign_lsh", annSignLsh(s, d))
+      .unionAll(recallOf("ivf_probe1", annIvf(s, d)))
+      .unionAll(recallOf("ivf_probe2", annIvfProbe2(s, d)))
+  }
+
+  /** Embeds the exact and ANN oracles so no spelling can drift. */
+  lazy val annRecallSql: String = {
+    def arm(method: String, cte: String): String =
+      s"""SELECT '$method' AS method,
+         |  CAST(COUNT(*) AS BIGINT) AS hits,
+         |  CAST(floor(COUNT(*)*1000000.0/5) AS BIGINT) AS recall_ppm
+         |FROM $cte JOIN ex ON $cte.vec_id = ex.vec_id""".stripMargin
+    s"""WITH ex AS (SELECT vec_id FROM ($bruteForceTopKSql) x
+       |            ORDER BY cos_sim DESC, vec_id LIMIT 5),
+       |lsh AS (SELECT vec_id FROM ($annSignLshSql) a),
+       |p1 AS (SELECT vec_id FROM (${annIvfProbeSql(1)}) b),
+       |p2 AS (SELECT vec_id FROM (${annIvfProbeSql(2)}) c)
+       |${arm("sign_lsh", "lsh")}
+       |UNION ALL
+       |${arm("ivf_probe1", "p1")}
+       |UNION ALL
+       |${arm("ivf_probe2", "p2")}""".stripMargin
+  }
+
   private def annIvfProbeSql(nprobe: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
       |g AS (
@@ -539,6 +578,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "stream_ivf_ingest" -> streamIvfIngest _,
+    "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_label_centroids" -> labelCentroids _)
@@ -553,6 +593,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> annIvfSql,
     "stream_ivf_ingest" -> annIvfSql,
+    "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_label_centroids" -> labelCentroidsSql)
