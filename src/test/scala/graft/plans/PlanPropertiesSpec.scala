@@ -132,6 +132,12 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(shuffle_shard"), p.take(3000))
   }
 
+  test("epoch plan: per-(epoch, shard) windows only — no global sort across epochs either") {
+    val p = planOf("curate_epoch_plan")
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(p.contains("hashpartitioning(epoch"), p.take(3000))
+  }
+
   test("hard-negative mining: broadcast centroids + bounded top-k agg — no window sort of the corpus") {
     val p = planOf("sim_hard_negatives")
     assert(p.contains("BroadcastExchange"), p.take(3000))
