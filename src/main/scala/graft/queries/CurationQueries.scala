@@ -552,7 +552,200 @@ object CurationQueries {
        |       ps.n_q25, ps.n_q50, ps.n_q75, ps.n_q100
        |FROM dr JOIN ps ON ps.source = dr.source""".stripMargin
 
+  /** Chunk geometry for [[chunkDocs]] — window and stride in tokens.
+    * Real runs use (context_len, context_len − overlap), e.g.
+    * (2048, 1792); these synthetic docs average ~56 tokens so a
+    * (64, 48) geometry exercises multi-chunk docs at test scale. */
+  private[graft] val ChunkTokens = 64L
+  private[graft] val ChunkStride = 48L
+
+  /** Overlapping fixed-window chunking — the context-window splitter
+    * that turns variable-length documents into trainer/RAG-sized
+    * pieces: chunk i covers tokens [i·stride, i·stride + window), the
+    * final chunk is short (never padded here — padding is the
+    * loader's `curate_length_buckets` concern), and consecutive chunks
+    * overlap by (window − stride) tokens so no span is ever split
+    * across a boundary unseen. One row per (doc, chunk) with exact
+    * token offsets.
+    *
+    * Scale shape: a pure narrow explode — `1 + max(0, ceil((n−window)
+    * / stride))` rows per doc, no shuffle, no state; all offsets are
+    * BIGINT arithmetic on the token count, so the chunk table of a
+    * 100 TB corpus is reproducible column math, not a tokenizer rerun. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val n = size(TextShingles.tokens(col("text"))).cast(LongType)
+    val lastIdx = // index of the final chunk: ceil(max(n-window,0)/stride)
+      expr(s"(greatest(n_tokens - $ChunkTokens, 0L) + ${ChunkStride - 1}) " +
+        s"div $ChunkStride")
+    Tables.documents(s, d)
+      .select(col("doc_id"), n.as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * ChunkStride).as("tok_start"),
+        least(lit(ChunkTokens), col("n_tokens") - col("chunk_idx") * ChunkStride)
+          .cast(LongType).as("chunk_len"))
+  }
+
+  val chunkDocsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, n_tokens,
+       |    unnest(generate_series(0,
+       |      (greatest(n_tokens - $ChunkTokens, 0) + ${ChunkStride - 1})
+       |        // $ChunkStride)) AS chunk_idx
+       |  FROM t)
+       |SELECT doc_id, chunk_idx,
+       |       chunk_idx * $ChunkStride AS tok_start,
+       |       CAST(least($ChunkTokens, n_tokens - chunk_idx * $ChunkStride)
+       |            AS BIGINT) AS chunk_len
+       |FROM x""".stripMargin
+
+  /** Per-source token budget for [[capSources]] — sized to BIND at
+    * test scale (every synthetic source exceeds it, so the md5 draw is
+    * actually exercised); a real run sets it per the mixture spec —
+    * crawl sources capped hard, the curated long tail kept whole. */
+  private[graft] val CapTokens = 1024L
+
+  /** Token-budget source capping — the other half of the mixture knob:
+    * [[mixSources]] applies HAND-SET per-source rates; this derives
+    * the rate FROM the data, capping every source at [[CapTokens]]
+    * tokens in expectation (keep_ppm = cap/total, in exact BIGINT
+    * parts-per-million) and admitting documents by the usual
+    * md5-bucket draw. This is how a real mixture bounds an
+    * over-represented crawl source without enumerating rates by hand.
+    *
+    * Scale shape: one map-side-partial agg for the per-source totals
+    * (≤ n_sources rows), a broadcast join back, and a pure per-row
+    * filter — the decisions are a function of (source totals, doc_id),
+    * so rebuilding on any cluster reproduces the same kept set.
+    * Everything up to the draw is integer math: `div` on BIGINT ppm,
+    * no double rounding to drift cross-engine. */
+  def capSources(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val rates = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"),
+        least(lit(1000000L), expr(s"($CapTokens * 1000000L) div total_tokens"))
+          .as("keep_ppm"))
+    val bucket = Md5Key.column(concat(lit("cap:"), col("source"), lit(":"),
+      col("doc_id").cast(StringType))) % 1000000L
+    docs.join(broadcast(rates), "source")
+      .filter(bucket < col("keep_ppm"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_ppm"))
+  }
+
+  val capSourcesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    least(CAST(1000000 AS BIGINT),
+       |          (CAST($CapTokens AS BIGINT) * 1000000) // SUM(n_tokens)) AS keep_ppm
+       |  FROM t GROUP BY source)
+       |SELECT t.doc_id, t.source, t.n_tokens, r.keep_ppm
+       |FROM t JOIN r ON r.source = t.source
+       |WHERE ${Md5Key.sql("'cap:' || t.source || ':' || CAST(t.doc_id AS VARCHAR)")}
+       |      % 1000000 < r.keep_ppm""".stripMargin
+
+  /** Incremental corpus delta — the "version N+1" build a living
+    * corpus runs on every ingest: an incoming batch (here the
+    * deterministic `doc_id % 10 >= 8` slice, standing in for the new
+    * crawl) is deduplicated AGAINST THE EXISTING SNAPSHOT (the other
+    * 80%) by the same shared-shingle → exact-Jaccard ≥ 0.8 test the
+    * batch dedup uses, and the survivors are packed into shards
+    * CONTINUING from the snapshot's global token offset — existing
+    * shards are never rewritten, the delta only appends.
+    *
+    * Scale shape: the cross-corpus candidate join keys on the shingle
+    * hash (new×old pairs only materialize when they share a shingle —
+    * never batch×corpus), the drop set is a tiny distinct relation
+    * consumed by a left-anti join, and the base offset is one
+    * map-side-partial aggregate broadcast into the packer. A 100 TB
+    * snapshot therefore costs one shingle-scan pass (in production,
+    * amortized: the snapshot's shingle table is itself maintained
+    * incrementally), while the window/prefix-sum work is sized by the
+    * BATCH, not the corpus. */
+  def corpusDelta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 10 >= 8
+    val snapshot = docs.filter(!isNew)
+    val batch = docs.filter(isNew)
+    val shOld = TextShingles.shingleHashSet(snapshot, "doc_id", "text", 5)
+      .withColumnRenamed("doc_id", "old_id")
+    val shNew = TextShingles.shingleHashSet(batch, "doc_id", "text", 5)
+      .withColumnRenamed("doc_id", "new_id")
+    val sizes = docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(graft.functions.HashedShingles(s, col("__toks"), 5)).as("n"))
+    val inter = shNew.join(shOld, "sh")
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("i"))
+    val dropped = inter
+      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
+      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
+      .select(col("new_id").as("doc_id")).distinct()
+    val kept = batch.select(col("doc_id"),
+        size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val base = snapshot
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("__base"))
+    packShardsOver(kept)
+      .crossJoin(broadcast(base))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_offset") + col("__base")).as("start_offset"))
+      .withColumn("shard_id", expr(s"start_offset div $ShardTokens"))
+  }
+
+  /** Embeds the shared shingle CTE so the dedup spelling cannot drift
+    * from the batch miner's. */
+  val corpusDeltaSql: String =
+    s"""WITH ${TextShingles.shingleCte5Sql()},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id new_id, b.doc_id old_id, COUNT(*) i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh
+       |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+       |  GROUP BY a.doc_id, b.doc_id),
+       |drp AS (
+       |  SELECT DISTINCT new_id AS doc_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = new_id
+       |  JOIN sizes sb ON sb.doc_id = old_id
+       |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.8),
+       |t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |base AS (
+       |  SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) b
+       |  FROM t WHERE doc_id % 10 < 8),
+       |kept AS (
+       |  SELECT t.doc_id, t.n_tokens FROM t
+       |  WHERE t.doc_id % 10 >= 8
+       |    AND NOT EXISTS (SELECT 1 FROM drp WHERE drp.doc_id = t.doc_id)),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) rel
+       |  FROM kept)
+       |SELECT doc_id, n_tokens,
+       |       CAST(rel + (SELECT b FROM base) AS BIGINT) AS start_offset,
+       |       CAST((rel + (SELECT b FROM base)) // $ShardTokens AS BIGINT)
+       |         AS shard_id
+       |FROM c""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus_delta" -> corpusDelta _,
+    "curate_chunk_docs" -> chunkDocs _,
+    "curate_cap_sources" -> capSources _,
     "curate_corpus_build_clean" -> corpusBuildClean _,
     "curate_length_buckets" -> lengthBuckets _,
     "curate_epoch_plan" -> epochPlan _,
@@ -567,6 +760,9 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_corpus_delta" -> corpusDeltaSql,
+    "curate_chunk_docs" -> chunkDocsSql,
+    "curate_cap_sources" -> capSourcesSql,
     "curate_corpus_build_clean" -> corpusBuildCleanSql,
     "curate_length_buckets" -> lengthBucketsSql,
     "curate_epoch_plan" -> epochPlanSql,

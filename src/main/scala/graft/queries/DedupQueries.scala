@@ -475,7 +475,68 @@ object DedupQueries {
        |FROM documents d LEFT JOIN l ON l.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  /** Sliding-window width for [[repeatedSpans]] — the exact
+    * substring-dedup granularity (real deployments use ~50-token
+    * windows; these synthetic docs average ~56 tokens, so 16 keeps the
+    * operator meaningful at test scale). */
+  private[graft] val SpanTokens = 16
+
+  /** Exact substring-span dedup diagnostic (the "dedup at the
+    * sequence level, not the document level" pass of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * hash every [[SpanTokens]]-token sliding window of every document
+    * and report, per document, how many of its window positions recur
+    * verbatim in ANOTHER document — the span-level contamination that
+    * document-level near-dup misses (templated boilerplate, quoted
+    * passages, mirrored fragments inside otherwise-distinct pages).
+    *
+    * Scale shape: windows ≈ one row per corpus TOKEN — inherently the
+    * heaviest dedup pass (the distributed-friendly alternative to a
+    * suffix array), but every stage is hash-partitioned: the
+    * cross-doc test is a two-stage agg on the window hash (map-side
+    * partials, never doc×doc), and the join back to positions is an
+    * equi-join on that same hash. The per-position hashing itself is
+    * one native pass ([[graft.functions.ShingleHashSeq]] — duplicates
+    * kept, unlike the set-valued HashedShingles) so nothing re-tokenizes
+    * per window. Output is every document with its window/dup-window
+    * counts (BIGINT, hash-stable cross-engine). */
+  def repeatedSpans(s: SparkSession, d: String): DataFrame = {
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHashSeq(s, col("__toks"), SpanTokens))
+          .as("h"))
+    // windows seen in >= 2 distinct docs; two-stage agg on the hash key
+    val dup = w.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    w.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast(LongType)
+          .as("n_dup_windows"))
+  }
+
+  val repeatedSpansSql: String =
+    s"""WITH ${TextShingles.tokCteSql("documents")},
+       |idx AS (
+       |  SELECT doc_id, words,
+       |    unnest(generate_series(1, greatest(len(words) - ${SpanTokens - 1}, 1))) i
+       |  FROM tok),
+       |w AS (
+       |  SELECT doc_id,
+       |    substr(md5(array_to_string(words[i:i+${SpanTokens - 1}], ' ')), 1, 16) h
+       |  FROM idx),
+       |d AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |       CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS n_dup_windows
+       |FROM w LEFT JOIN d ON d.h = w.h
+       |GROUP BY w.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_repeated_spans" -> repeatedSpans _,
     "dedup_rate_by_source" -> dedupRateBySource _,
     "dedup_components" -> components _,
     "dedup_exact" -> exact _,
@@ -486,6 +547,7 @@ object DedupQueries {
     "dedup_simhash64_pairs" -> simhash64Pairs _)
 
   def oracles: Map[String, String] = Map(
+    "dedup_repeated_spans" -> repeatedSpansSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "dedup_components" -> componentsSql,
     "dedup_exact" -> exactSql,
