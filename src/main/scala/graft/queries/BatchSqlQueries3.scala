@@ -143,7 +143,96 @@ object BatchSqlQueries3 {
       |  COUNT(*) AS n
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Session gap for [[sessionize]], microseconds (30 minutes). */
+  private val SessionGapUs = 1800L * 1000000L
+
+  /** Gap-based sessionization — assign every EVENT its per-user
+    * session number (a new session starts when the gap since the
+    * user's previous event exceeds 30 minutes). This is the row-level
+    * complement of `q_session_window`'s session AGGREGATE: analytics
+    * that need the session id ON the event (attribution, funnel
+    * stitching, per-session features) rather than per-session rollups.
+    * Two windows over ONE partitioning (user_id): the lag that detects
+    * the gap and the running sum that numbers the sessions — a single
+    * shuffle on the user key, each user's history sorted locally, the
+    * standard scalable shape for per-entity ordered scans. Exact
+    * BIGINT microsecond arithmetic; ties broken by event_id so the
+    * numbering is deterministic under any partitioning. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val prev = lag(col("__us"), 1).over(byUser)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("__us"))
+      .withColumn("__new", when(prev.isNull ||
+        (col("__us") - prev) > SessionGapUs, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"),
+        sum(col("__new")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType).as("session_seq"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH o AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |g AS (
+       |  SELECT event_id, user_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL
+       |           OR us - lag(us) OVER w > $SessionGapUs
+       |         THEN 1 ELSE 0 END AS n
+       |  FROM o
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT event_id, user_id,
+       |  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS session_seq
+       |FROM g""".stripMargin
+
+  /** Ordered conversion funnel — the event-analytics staple: how many
+    * users progressed view → click → purchase IN THAT ORDER (each
+    * stage's FIRST occurrence strictly after the previous stage's).
+    * One grouped aggregate computes each user's first-occurrence time
+    * per stage (conditional min — map-side partials, one shuffle on
+    * user_id), then one tiny rollup counts the stages; no joins, no
+    * per-stage passes over the events. Microsecond BIGINT comparisons
+    * only. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val first = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", us)).as("v"),
+        min(when(col("event_type") === "click", us)).as("c"),
+        min(when(col("event_type") === "purchase", us)).as("p"))
+    first.agg(
+      count(lit(1)).cast(LongType).as("n_users"),
+      sum(when(col("v").isNotNull, 1L).otherwise(0L)).cast(LongType)
+        .as("n_viewed"),
+      sum(when(col("c") > col("v"), 1L).otherwise(0L)).cast(LongType)
+        .as("n_view_click"),
+      sum(when(col("c") > col("v") && col("p") > col("c"), 1L).otherwise(0L))
+        .cast(LongType).as("n_view_click_purchase"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_viewed,
+      |  CAST(SUM(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click,
+      |  CAST(SUM(CASE WHEN c > v AND p > c THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view_click_purchase
+      |FROM f""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize" -> sessionize _,
+    "q_event_funnel" -> eventFunnel _,
     "q_earliest_by_offset" -> earliestByOffset _,
     "q_collect_agg" -> collectAgg _,
     "q_range_frame" -> rangeFrame _,
@@ -154,6 +243,8 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_sessionize" -> sessionizeSql,
+    "q_event_funnel" -> eventFunnelSql,
     "q_earliest_by_offset" -> earliestByOffsetSql,
     "q_collect_agg" -> collectAggSql,
     "q_range_frame" -> rangeFrameSql,

@@ -192,4 +192,58 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("context chunking is a shuffle-free narrow explode") {
+    val p = planOf("curate_chunk_docs")
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("source cap: per-source totals aggregate map-side, rates broadcast back") {
+    val p = planOf("curate_cap_sources")
+    // two-phase agg for the totals, broadcast join for the rate lookup
+    // — the corpus itself never sort-merge shuffles on source
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("repeated spans: cross-doc test keys on the window hash — never doc×doc") {
+    val p = planOf("dedup_repeated_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the recurring-hash relation joins back on the hash equi-key
+    assert(p.contains("Join"), p.take(2000))
+    // and the >=2-distinct-docs test is a two-phase (partial) aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("sessionize: gap-lag and session numbering share ONE user-key shuffle") {
+    val p = planOf("q_sessionize")
+    // both windows (lag + running sum) must ride the same
+    // hashpartitioning(user_id) — a second exchange would mean the
+    // numbering re-shuffles each user's freshly sorted history.
+    // Formatted explain numbers tree nodes as "Exchange (n)".
+    val exchanges = """Exchange \(\d+\)""".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 user-key exchange, got $exchanges:\n" +
+      p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("event funnel: per-user firsts aggregate two-phase, no joins") {
+    val p = planOf("q_event_funnel")
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("corpus delta: batch-vs-snapshot candidates join on the shingle key, base offset broadcasts") {
+    val p = planOf("curate_corpus_delta")
+    // the only nested-loop shape allowed is the 1-row base-offset
+    // broadcast; the dedup candidate generation must stay an equi-join
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    // prefix-sum side: deterministic hash bucket, no sampled ranges
+    assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
+  }
 }

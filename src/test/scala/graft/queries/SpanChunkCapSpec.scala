@@ -115,6 +115,31 @@ class SpanChunkCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("corpus delta: appends exactly after the snapshot, contiguous, batch-only") {
+    val delta = CurationQueries.corpusDelta(spark, sf)
+      .orderBy("doc_id").collect()
+    assert(delta.nonEmpty)
+    val snapTokens = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 < 8)
+      .agg(sum(size(graft.functions.TextShingles.tokens(col("text")))
+        .cast("long"))).head.getLong(0)
+    // version N's shards are never rewritten: the first delta doc
+    // starts at EXACTLY the snapshot's total token count
+    assert(delta.head.getAs[Long]("start_offset") == snapTokens,
+      s"first=${delta.head} snapshot=$snapTokens")
+    delta.foreach(r => assert(r.getAs[Long]("doc_id") % 10 >= 8, r.toString))
+    // and the delta itself is contiguous (offsets exactly cumulative)
+    delta.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_offset") ==
+        a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens"), s"$a -> $b")
+    }
+    // near-dups of the snapshot were dropped: the kept set is a strict
+    // subset of the batch (the sf0.001 fixture plants cross-slice dups)
+    val batchN = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 >= 8).count()
+    assert(delta.length < batchN, s"kept=${delta.length} batch=$batchN")
+  }
+
   test("source cap binds, is deterministic, and respects the ppm rate") {
     val kept = CurationQueries.capSources(spark, sf)
     // the test-scale cap is sized to bind for EVERY synthetic source —
