@@ -230,7 +230,80 @@ object BatchSqlQueries3 {
       |    AS n_view_click_purchase
       |FROM f""".stripMargin
 
+  /** Microseconds per week — the integer cohort grid shared by both
+    * spellings of [[cohortRetention]] (calendar week functions differ
+    * across engines at the edges; an epoch-week index does not). */
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Weekly cohort retention — the product-analytics staple: users
+    * cohorted by their signup week, retention = distinct active users
+    * per (cohort week, weeks-since-signup). Shapes: one grouped agg
+    * finds each user's signup time (map-side partials), a broadcast
+    * join tags every event with its user's cohort (the per-user cohort
+    * relation is |users|, far smaller than events), and one final agg
+    * counts distinct users per cell. All week arithmetic on an exact
+    * BIGINT epoch-week grid. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $WeekUs").as("wk"))
+    val cohorts = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(unix_micros(ts)) div $WeekUs").as("cohort_wk"))
+    events.join(broadcast(cohorts), "user_id")
+      .filter(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // $WeekUs AS wk, event_type,
+       |         epoch_us(ts) AS us
+       |  FROM events),
+       |c AS (
+       |  SELECT user_id, min(us) // $WeekUs AS cohort_wk
+       |  FROM e WHERE event_type = 'signup' GROUP BY user_id)
+       |SELECT c.cohort_wk, e.wk - c.cohort_wk AS week_offset,
+       |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+       |FROM e JOIN c ON c.user_id = e.user_id
+       |WHERE e.wk >= c.cohort_wk
+       |GROUP BY c.cohort_wk, e.wk - c.cohort_wk""".stripMargin
+
+  /** Event-type transition counts — the first-order behavior model
+    * (what follows what): per user, each event's successor in time
+    * order, counted per (type, next type) pair. One user-key shuffle
+    * for the lead window, then a tiny grouped agg over ≤ |types|²
+    * rows; ties broken by event_id for cross-engine determinism. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).cast(LongType).as("n_transitions"))
+  }
+
+  val eventTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS next_type
+      |  FROM o)
+      |SELECT event_type, next_type,
+      |       CAST(COUNT(*) AS BIGINT) AS n_transitions
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> cohortRetention _,
+    "q_event_transitions" -> eventTransitions _,
     "q_sessionize" -> sessionize _,
     "q_event_funnel" -> eventFunnel _,
     "q_earliest_by_offset" -> earliestByOffset _,
@@ -243,6 +316,8 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_event_transitions" -> eventTransitionsSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_earliest_by_offset" -> earliestByOffsetSql,

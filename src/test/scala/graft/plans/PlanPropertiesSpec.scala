@@ -236,6 +236,21 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("cohort retention: the per-user cohort relation broadcasts — events never sort-merge") {
+    val p = planOf("q_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // distinct-user counting is two-phase (partial aggregation)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("event transitions: one user-key shuffle for the lead window, tiny final agg") {
+    val p = planOf("q_event_transitions")
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("corpus delta: batch-vs-snapshot candidates join on the shingle key, base offset broadcasts") {
     val p = planOf("curate_corpus_delta")
     // the only nested-loop shape allowed is the 1-row base-offset
