@@ -214,6 +214,123 @@ object StreamingQueries {
   val streamDedupBoundedSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** Gap-based sessionization input/state/output rows (top-level case
+    * classes so the product encoders resolve). `ts` rides along solely
+    * to keep the watermark lineage; the µs arithmetic uses `us`. */
+  case class SessIn(user_id: Long, event_id: Long, us: Long,
+                    ts: java.sql.Timestamp)
+  case class SessEv(us: Long, event_id: Long)
+  case class SessState(nextSeq: Long, buf: Seq[SessEv])
+  case class SessRow(event_id: Long, user_id: Long, session_seq: Long)
+
+  private val SessGapUs = 1800L * 1000000L // 30 min, same as q_sessionize
+
+  /** Streaming row-level sessionization — the stateful form of
+    * `q_sessionize`: every event gets its per-user session number, in
+    * EMIT FINAL style (a session's rows are emitted once, when the
+    * session is PROVEN closed — either a later buffered event exceeds
+    * the 30-minute gap, or the watermark passes the session's last
+    * event + gap). This is the operator ksqlDB's `WINDOW SESSION`
+    * cannot express (it emits per-session aggregates, not per-event
+    * session ids) and Spark's built-in `session_window` can't either —
+    * hence `flatMapGroupsWithState` with an event-time timeout.
+    *
+    * State per user is the OPEN tail only once sessions start closing:
+    * each invocation sorts the buffered events, emits every closed
+    * session in time order (numbering carried in state, so emission
+    * order across micro-batches preserves the batch numbering), and
+    * retains just the still-open suffix plus the next session number.
+    * Timeouts re-invoke idle groups when the watermark passes their
+    * open session's close point. On this finite input the 35-day
+    * watermark delay (span-guarded like [[streamDedupBounded]]) keeps
+    * the watermark below all real events until the far-future flush
+    * sentinel, so no session can close prematurely and the result is
+    * delivery-independent — the batch oracle exactly. */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val spanRow = Tables.events(s, d)
+      .agg(((max(col("ts").cast("long")) - min(col("ts").cast("long")))
+        / 86400.0).as("days")).head
+    require(!spanRow.isNullAt(0), "events table is empty — nothing to sessionize")
+    require(spanRow.getDouble(0) < 35.0,
+      "events span exceeds the 35-day watermark delay — sessions could " +
+        "close mid-stream and the batch oracle would not be exact")
+    val flush =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, Long)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), -1L, -1L))
+    val in = eventsStream(s, d)
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        col("event_id"))
+      .unionByName(flush.toDF().toDF("ts", "user_id", "event_id"))
+      .withWatermark("ts", "35 days")
+    runToTable(sessionizeCore(in), "append")
+      .filter(col("user_id") =!= -1L)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+  }
+
+  /** The stateful sessionizer over ANY watermarked
+    * (ts, user_id, event_id) stream — [[streamSessionize]] wraps it
+    * with the flush sentinel for oracle equality on finite input;
+    * `StreamSessionizeSpec` drives it batch-by-batch to pin the
+    * INCREMENTAL behavior (mid-stream closes via proven gaps and
+    * watermark timeouts, numbering carried across micro-batches). */
+  private[graft] def sessionizeCore(in: DataFrame): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    in.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .as[SessIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessIn], st: GroupState[SessState]) =>
+          val prior = st.getOption.getOrElse(SessState(1L, Seq.empty))
+          val buf = (prior.buf ++ it.map(e => SessEv(e.us, e.event_id)))
+            .sortBy(e => (e.us, e.event_id))
+          val wmUs = st.getCurrentWatermarkMs() * 1000L
+          val rows = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+          var seq = prior.nextSeq
+          var start = 0
+          var i = 0
+          while (i < buf.length) {
+            val closed =
+              if (i < buf.length - 1) buf(i + 1).us - buf(i).us > SessGapUs
+              else wmUs > buf(i).us + SessGapUs
+            if (closed) {
+              var j = start
+              while (j <= i) {
+                rows += SessRow(buf(j).event_id, uid, seq); j += 1
+              }
+              seq += 1
+              start = i + 1
+            }
+            i += 1
+          }
+          val remaining = buf.drop(start)
+          // the buffer (the unbounded part) is released when all
+          // sessions close, but the counter MUST survive: lifetime
+          // per-user session numbering is the semantics, and a user
+          // returning after a close would otherwise restart at 1
+          // (caught by StreamSessionizeSpec). One long per ever-seen
+          // user is the same state floor as any per-key counter table.
+          st.update(SessState(seq, remaining))
+          if (remaining.nonEmpty) {
+            // wake this group when the watermark passes the open
+            // session's close point (strictly above the current wm)
+            st.setTimeoutTimestamp(
+              math.max((remaining.last.us + SessGapUs) / 1000L + 1,
+                st.getCurrentWatermarkMs() + 1))
+          }
+          rows.iterator
+      }.toDF()
+  }
+
+  /** Same oracle as the batch sessionize — final emissions must equal
+    * the one-shot answer. */
+  val streamSessionizeSql: String = BatchSqlQueries3.oracles("q_sessionize")
+
   /** A2/A3 streaming form: update-mode latest-by-offset aggregation
     * materialized into a SnapshotStore via foreachBatch — the final
     * table state must equal the batch arg_max oracle. */
@@ -545,6 +662,7 @@ object StreamingQueries {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessionize" -> streamSessionize _,
     "stream_corpus_build" -> streamCorpusBuild _,
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
@@ -561,6 +679,7 @@ object StreamingQueries {
     "stream_pipeline_golden" -> pipelineGolden _)
 
   def oracles: Map[String, String] = Map(
+    "stream_sessionize" -> streamSessionizeSql,
     "stream_corpus_build" -> CurationQueries.corpusBuildSql,
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
