@@ -742,7 +742,41 @@ object CurationQueries {
        |         AS shard_id
        |FROM c""".stripMargin
 
+  /** Shard manifest — the integrity artifact shipped WITH a packed
+    * corpus (what a data loader mounts and verifies before training):
+    * one row per shard with its document count, exact token count, the
+    * doc-id range, and a content hash over the ordered member list —
+    * any divergence between two rebuilds (or a corrupted shard) shows
+    * up as a hash mismatch on exactly the affected shards. Built on
+    * [[packOverflow]], so boundary-crossing documents are counted in
+    * every shard they touch and full shards verify to exactly
+    * [[ShardTokens]] tokens. One shuffle on the shard key; the hash is
+    * md5 over the numerically-ordered doc ids (identical spelling both
+    * engines). */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    packOverflow(s, d)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        sum(col("tokens_in_shard")).cast(LongType).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast(StringType)))).as("content_hash"))
+
+  /** Embeds [[packOverflowSql]] so the member spelling cannot drift. */
+  val shardManifestSql: String =
+    s"""WITH po AS (SELECT * FROM ($packOverflowSql) q)
+       |SELECT shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tokens_in_shard) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc,
+       |  max(doc_id) AS last_doc,
+       |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS content_hash
+       |FROM po GROUP BY shard_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
     "curate_cap_sources" -> capSources _,
@@ -760,6 +794,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,
     "curate_cap_sources" -> capSourcesSql,

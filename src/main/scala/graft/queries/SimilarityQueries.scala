@@ -568,7 +568,46 @@ object SimilarityQueries {
       |SELECT vec_id, label, round(qscale, 6) AS qscale, round(dot/(en*qn), 6) AS qcos
       |FROM sims ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Centroid drift after one Lloyd iteration — the index-maintenance
+    * signal an IVF deployment monitors: when the data distribution
+    * moves, re-assigned vectors pull the centroids away from the ones
+    * the index was built with, and large drift means "rebuild the
+    * routing table". Per centroid: the L1 distance (in exact micro
+    * units) between the seed vector and the post-[[kmeansStep]]
+    * centroid. Each per-dim delta is floored onto the 1e-6 grid BEFORE
+    * the cross-dim sum, so the total is a BIGINT — order-independent
+    * and hash-stable where a double summation over dims would not be.
+    * Cost: the kmeans step itself plus one broadcast-sized join of
+    * 8 × 64 centroid rows. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame = {
+    val seeds = withEmb(s, d).filter(col("vec_id") <= 7)
+      .select(col("vec_id").as("cid"), posexplode(col("emb")).as(Seq("d0", "old")))
+      .select(col("cid"), (col("d0") + 1).cast("long").as("dim"), col("old"))
+    kmeansStep(s, d).join(seeds, Seq("cid", "dim"))
+      .select(col("cid"),
+        floor(abs(col("centroid") - col("old")) * 1000000).cast("long")
+          .as("dgx"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_dims"),
+        sum(col("dgx")).cast("long").as("l1_drift_micros"))
+  }
+
+  /** Embeds [[kmeansStepSql]] so the step spelling cannot drift. */
+  val centroidDriftSql: String =
+    s"""WITH km AS (SELECT * FROM ($kmeansStepSql) x),
+       |sd AS (
+       |  SELECT vec_id cid, CAST(t.i AS BIGINT) dim, emb[t.i] AS old
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings
+       |        WHERE vec_id <= 7) e,
+       |       (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t)
+       |SELECT km.cid, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       |       CAST(SUM(CAST(floor(abs(km.centroid - sd.old) * 1000000)
+       |                     AS BIGINT)) AS BIGINT) AS l1_drift_micros
+       |FROM km JOIN sd ON sd.cid = km.cid AND sd.dim = km.dim
+       |GROUP BY km.cid""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_drift" -> centroidDrift _,
     "sim_quantize_int8" -> quantizeInt8TopK _,
     "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
@@ -584,6 +623,7 @@ object SimilarityQueries {
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
+    "sim_centroid_drift" -> centroidDriftSql,
     "sim_quantize_int8" -> quantizeInt8TopKSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
