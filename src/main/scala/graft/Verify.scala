@@ -12,9 +12,19 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional comma-separated subset for local iteration; the driver's
-    // 2-arg invocation still dumps the full catalog
+    // 2-arg invocation still dumps the full catalog. Unknown names are
+    // an ERROR — a typo that silently matched nothing would exit 0 and
+    // read as a passing run.
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -238,10 +238,13 @@ object BatchSqlQueries3 {
   /** Weekly cohort retention — the product-analytics staple: users
     * cohorted by their signup week, retention = distinct active users
     * per (cohort week, weeks-since-signup). Shapes: one grouped agg
-    * finds each user's signup time (map-side partials), a broadcast
-    * join tags every event with its user's cohort (the per-user cohort
-    * relation is |users|, far smaller than events), and one final agg
-    * counts distinct users per cell. All week arithmetic on an exact
+    * finds each user's signup time (map-side partials), an equi-join on
+    * the user key tags every event with its cohort — the cohort
+    * relation is |users|, which GROWS with the data, so it is NOT
+    * broadcast-hinted: the planner broadcasts it while it fits and
+    * degrades to a shuffled hash join beyond, instead of dying on the
+    * broadcast limit at scale — and one final agg counts distinct
+    * users per cell. All week arithmetic on an exact
     * BIGINT epoch-week grid. */
   def cohortRetention(s: SparkSession, d: String): DataFrame = {
     val events = Tables.events(s, d)
@@ -250,7 +253,7 @@ object BatchSqlQueries3 {
       .filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(expr(s"min(unix_micros(ts)) div $WeekUs").as("cohort_wk"))
-    events.join(broadcast(cohorts), "user_id")
+    events.join(cohorts, "user_id")
       .filter(col("wk") >= col("cohort_wk"))
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
       .agg(countDistinct(col("user_id")).cast(LongType).as("n_active"))

@@ -613,30 +613,38 @@ object CurationQueries {
   /** Token-budget source capping — the other half of the mixture knob:
     * [[mixSources]] applies HAND-SET per-source rates; this derives
     * the rate FROM the data, capping every source at [[CapTokens]]
-    * tokens in expectation (keep_ppm = cap/total, in exact BIGINT
-    * parts-per-million) and admitting documents by the usual
-    * md5-bucket draw. This is how a real mixture bounds an
-    * over-represented crawl source without enumerating rates by hand.
+    * tokens in expectation and admitting documents by the usual md5
+    * draw. This is how a real mixture bounds an over-represented crawl
+    * source without enumerating rates by hand.
+    *
+    * The keep rate is an exact BIGINT fraction OF 2^32 — the md5 key's
+    * native range — compared against the full 32-bit key: no modulo
+    * (whose 2^32-mod-denominator remainder would bias the draw) and no
+    * ppm-style truncation cliff (an integer ppm rate floors to ZERO
+    * once total > cap·10^6, silently dropping the whole source; at
+    * 1/2^32 resolution the expected undershoot is bounded by
+    * total/2^32 tokens, and zeroing-out needs total > cap·2^32).
     *
     * Scale shape: one map-side-partial agg for the per-source totals
     * (≤ n_sources rows), a broadcast join back, and a pure per-row
     * filter — the decisions are a function of (source totals, doc_id),
     * so rebuilding on any cluster reproduces the same kept set.
-    * Everything up to the draw is integer math: `div` on BIGINT ppm,
-    * no double rounding to drift cross-engine. */
+    * Everything is integer math: `div` on BIGINTs, no double rounding
+    * to drift cross-engine. */
   def capSources(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
     val rates = docs.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("total_tokens"))
       .select(col("source"),
-        least(lit(1000000L), expr(s"($CapTokens * 1000000L) div total_tokens"))
-          .as("keep_ppm"))
+        least(lit(4294967296L),
+          expr(s"($CapTokens * 4294967296L) div total_tokens"))
+          .as("keep_u32"))
     val bucket = Md5Key.column(concat(lit("cap:"), col("source"), lit(":"),
-      col("doc_id").cast(StringType))) % 1000000L
+      col("doc_id").cast(StringType)))
     docs.join(broadcast(rates), "source")
-      .filter(bucket < col("keep_ppm"))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_ppm"))
+      .filter(bucket < col("keep_u32"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_u32"))
   }
 
   val capSourcesSql: String =
@@ -646,13 +654,14 @@ object CurationQueries {
        |  FROM documents),
        |r AS (
        |  SELECT source,
-       |    least(CAST(1000000 AS BIGINT),
-       |          (CAST($CapTokens AS BIGINT) * 1000000) // SUM(n_tokens)) AS keep_ppm
+       |    least(CAST(4294967296 AS BIGINT),
+       |          (CAST($CapTokens AS BIGINT) * 4294967296) // SUM(n_tokens))
+       |      AS keep_u32
        |  FROM t GROUP BY source)
-       |SELECT t.doc_id, t.source, t.n_tokens, r.keep_ppm
+       |SELECT t.doc_id, t.source, t.n_tokens, r.keep_u32
        |FROM t JOIN r ON r.source = t.source
        |WHERE ${Md5Key.sql("'cap:' || t.source || ':' || CAST(t.doc_id AS VARCHAR)")}
-       |      % 1000000 < r.keep_ppm""".stripMargin
+       |      < r.keep_u32""".stripMargin
 
   /** Incremental corpus delta — the "version N+1" build a living
     * corpus runs on every ingest: an incoming batch (here the
@@ -677,21 +686,27 @@ object CurationQueries {
     val isNew = col("doc_id") % 10 >= 8
     val snapshot = docs.filter(!isNew)
     val batch = docs.filter(isNew)
-    val shOld = TextShingles.shingleHashSet(snapshot, "doc_id", "text", 5)
-      .withColumnRenamed("doc_id", "old_id")
-    val shNew = TextShingles.shingleHashSet(batch, "doc_id", "text", 5)
-      .withColumnRenamed("doc_id", "new_id")
-    val sizes = docs
-      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        size(graft.functions.HashedShingles(s, col("__toks"), 5)).as("n"))
-    val inter = shNew.join(shOld, "sh")
-      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("i"))
-    val dropped = inter
-      .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
-      .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
-      .select(col("new_id").as("doc_id")).distinct()
+    // ONE shingle pass over the corpus feeds the candidate join's both
+    // sides AND the per-doc set sizes (re-deriving sizes through a
+    // second HashedShingles scan would double the heaviest stage);
+    // persisted for the duration, released after the (tiny) drop set
+    // is eagerly checkpointed off it — same hygiene as jaccardPairs
+    val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", 5).persist()
+    val dropped = try {
+      val shOld = sh.filter(col("doc_id") % 10 < 8)
+        .withColumnRenamed("doc_id", "old_id")
+      val shNew = sh.filter(col("doc_id") % 10 >= 8)
+        .withColumnRenamed("doc_id", "new_id")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = shNew.join(shOld, "sh")
+        .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.as("sa"), col("new_id") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("old_id") === col("sb.doc_id"))
+        .filter(col("i") * 1.0 / (col("sa.n") + col("sb.n") - col("i")) >= 0.8)
+        .select(col("new_id").as("doc_id")).distinct()
+        .localCheckpoint()
+    } finally sh.unpersist(blocking = false)
     val kept = batch.select(col("doc_id"),
         size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
       .join(dropped, Seq("doc_id"), "left_anti")

@@ -500,8 +500,15 @@ object DedupQueries {
     * kept, unlike the set-valued HashedShingles) so nothing re-tokenizes
     * per window. Output is every document with its window/dup-window
     * counts (BIGINT, hash-stable cross-engine). */
-  def repeatedSpans(s: SparkSession, d: String): DataFrame = {
-    val w = Tables.documents(s, d)
+  def repeatedSpans(s: SparkSession, d: String): DataFrame =
+    repeatedSpansOver(Tables.documents(s, d))
+
+  /** [[repeatedSpans]] over ANY (doc_id, text) relation — the
+    * planted-span fixture test calls THIS, so the invariant pins the
+    * shipped operator, not a transcription of it. */
+  private[graft] def repeatedSpansOver(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val w = docs
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashSeq(s, col("__toks"), SpanTokens))

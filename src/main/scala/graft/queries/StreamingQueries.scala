@@ -228,9 +228,10 @@ object StreamingQueries {
   /** Streaming row-level sessionization — the stateful form of
     * `q_sessionize`: every event gets its per-user session number, in
     * EMIT FINAL style (a session's rows are emitted once, when the
-    * session is PROVEN closed — either a later buffered event exceeds
-    * the 30-minute gap, or the watermark passes the session's last
-    * event + gap). This is the operator ksqlDB's `WINDOW SESSION`
+    * session is PROVEN closed: the watermark has passed its last
+    * event + the 30-minute gap, so no non-late event can still join
+    * or alter it; buffered successor gaps place the boundaries).
+    * This is the operator ksqlDB's `WINDOW SESSION`
     * cannot express (it emits per-session aggregates, not per-event
     * session ids) and Spark's built-in `session_window` can't either —
     * hence `flatMapGroupsWithState` with an event-time timeout.
@@ -273,8 +274,9 @@ object StreamingQueries {
     * (ts, user_id, event_id) stream — [[streamSessionize]] wraps it
     * with the flush sentinel for oracle equality on finite input;
     * `StreamSessionizeSpec` drives it batch-by-batch to pin the
-    * INCREMENTAL behavior (mid-stream closes via proven gaps and
-    * watermark timeouts, numbering carried across micro-batches). */
+    * INCREMENTAL behavior (mid-stream closes once the watermark
+    * confirms them, late-event drops, numbering carried across
+    * micro-batches). */
   private[graft] def sessionizeCore(in: DataFrame): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
@@ -287,17 +289,29 @@ object StreamingQueries {
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[SessIn], st: GroupState[SessState]) =>
           val prior = st.getOption.getOrElse(SessState(1L, Seq.empty))
-          val buf = (prior.buf ++ it.map(e => SessEv(e.us, e.event_id)))
-            .sortBy(e => (e.us, e.event_id))
           val wmUs = st.getCurrentWatermarkMs() * 1000L
+          // standard watermark contract: rows at or below the watermark
+          // are late and dropped (flatMapGroupsWithState does NOT drop
+          // them for us). Without this, a late event could splice into
+          // a region whose sessions were already emitted as final.
+          val buf = (prior.buf ++
+              it.filter(_.us > wmUs).map(e => SessEv(e.us, e.event_id)))
+            .sortBy(e => (e.us, e.event_id))
           val rows = scala.collection.mutable.ArrayBuffer.empty[SessRow]
           var seq = prior.nextSeq
           var start = 0
           var i = 0
           while (i < buf.length) {
-            val closed =
-              if (i < buf.length - 1) buf(i + 1).us - buf(i).us > SessGapUs
-              else wmUs > buf(i).us + SessGapUs
+            // a session [start..i] may be EMITTED only when the
+            // watermark has passed its close point — a buffered gap to
+            // the next event is necessary (it places the boundary) but
+            // NOT sufficient: until wm > last + gap, a non-late
+            // out-of-order event could still arrive inside or adjacent
+            // to the session and change it (append-mode emissions are
+            // final, so a premature close is permanently wrong)
+            val boundary = i == buf.length - 1 ||
+              buf(i + 1).us - buf(i).us > SessGapUs
+            val closed = boundary && wmUs > buf(i).us + SessGapUs
             if (closed) {
               var j = start
               while (j <= i) {
@@ -305,6 +319,10 @@ object StreamingQueries {
               }
               seq += 1
               start = i + 1
+            } else if (boundary) {
+              // first not-yet-closeable session reached: later ones
+              // cannot close before it (their events are newer)
+              i = buf.length
             }
             i += 1
           }
@@ -317,10 +335,14 @@ object StreamingQueries {
           // user is the same state floor as any per-key counter table.
           st.update(SessState(seq, remaining))
           if (remaining.nonEmpty) {
-            // wake this group when the watermark passes the open
-            // session's close point (strictly above the current wm)
+            // wake this group when the watermark passes the FIRST
+            // remaining session's close point (strictly above the
+            // current wm) — the earliest moment anything can emit
+            val firstEnd = remaining.indices
+              .find(j => j == remaining.length - 1 ||
+                remaining(j + 1).us - remaining(j).us > SessGapUs).get
             st.setTimeoutTimestamp(
-              math.max((remaining.last.us + SessGapUs) / 1000L + 1,
+              math.max((remaining(firstEnd).us + SessGapUs) / 1000L + 1,
                 st.getCurrentWatermarkMs() + 1))
           }
           rows.iterator

@@ -59,20 +59,9 @@ class SpanChunkCapSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "all tokens here are unique one two three four five six seven " +
         "eight nine ten eleven twelve thirteen fourteen fifteen sixteen")
     ).toDF("doc_id", "text")
-    // run the operator body over the fixture via a temp view-less path:
-    // same code path as the catalog query, different input relation
-    val w = docs
-      .select(col("doc_id"),
-        graft.functions.TextShingles.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHashSeq(spark, col("__toks"),
-          DedupQueries.SpanTokens)).as("h"))
-    val dup = w.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2).select(col("h"), lit(1L).as("is_dup"))
-    val out = w.join(dup, Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+    // the SHIPPED operator over the fixture relation — not a
+    // transcription that could drift from it
+    val out = DedupQueries.repeatedSpansOver(docs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // docs 1 and 2 share the 20-token span: each contains 16-token
     // windows fully inside it (20 - 16 + 1 = 5 aligned positions), and
@@ -129,7 +118,7 @@ class SpanChunkCapSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"first=${delta.head} snapshot=$snapTokens")
     delta.foreach(r => assert(r.getAs[Long]("doc_id") % 10 >= 8, r.toString))
     // and the delta itself is contiguous (offsets exactly cumulative)
-    delta.sliding(2).foreach { case Array(a, b) =>
+    delta.zip(delta.tail).foreach { case (a, b) =>
       assert(b.getAs[Long]("start_offset") ==
         a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens"), s"$a -> $b")
     }
@@ -140,13 +129,16 @@ class SpanChunkCapSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delta.length < batchN, s"kept=${delta.length} batch=$batchN")
   }
 
-  test("source cap binds, is deterministic, and respects the ppm rate") {
+  test("source cap binds, is deterministic, and respects the keep rate") {
     val kept = CurationQueries.capSources(spark, sf)
     // the test-scale cap is sized to bind for EVERY synthetic source —
-    // otherwise the md5 draw would be dead code at test scale
-    val rates = kept.select("source", "keep_ppm").distinct().collect()
+    // otherwise the md5 draw would be dead code at test scale. The rate
+    // is a fraction of 2^32 and must never truncate to the 0 that would
+    // silently drop a whole source
+    val rates = kept.select("source", "keep_u32").distinct().collect()
     assert(rates.nonEmpty)
-    rates.foreach(r => assert(r.getLong(1) < 1000000L, r.toString))
+    rates.foreach(r => assert(r.getLong(1) > 0L && r.getLong(1) < 4294967296L,
+      r.toString))
     // pure function of the row: a second run keeps the identical set
     val again = CurationQueries.capSources(spark, sf)
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)

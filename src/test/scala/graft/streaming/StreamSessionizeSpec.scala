@@ -82,4 +82,40 @@ class StreamSessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"expected 2 counter-only users + 1 open session in state, got $stateRows")
     } finally q.stop()
   }
+
+  test("a buffered gap alone never closes a session; late arrivals drop instead of splicing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Timestamp, Long, Long)]
+    val in = feed.toDF().toDF("ts", "user_id", "event_id")
+      .withWatermark("ts", "1 minute")
+    val out = graft.queries.StreamingQueries.sessionizeCore(in)
+    val name = s"sess_ooo_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def table() = spark.table(name).as[(Long, Long, Long)].collect()
+      .map { case (ev, uid, seq) => ev -> seq }.toMap
+    try {
+      // one batch delivers 10:00 and 12:00 together: the 2 h gap places
+      // a boundary, but [10:00] must NOT emit until the watermark
+      // passes 10:30 — an out-of-order 10:15 could still legally arrive
+      // while the watermark is below it and extend that session
+      feed.addData(
+        (ts("2024-01-01 10:00:00"), 7L, 700L),
+        (ts("2024-01-01 12:00:00"), 7L, 701L))
+      q.processAllAvailable()
+      // after this batch the watermark is ~11:59, so the no-data batch
+      // MAY close [10:00] (wm > 10:30) — but anything in (wm, ∞) is
+      // still admissible. Send 10:15: it is BELOW the watermark now —
+      // a late row — and must drop, not splice into emitted history
+      feed.addData((ts("2024-01-01 10:15:00"), 7L, 702L))
+      q.processAllAvailable()
+      feed.addData((ts("2024-01-01 23:00:00"), 99L, 900L)) // flush
+      q.processAllAvailable()
+      val t = table()
+      assert(t.get(700L).contains(1L), t.toString)
+      assert(t.get(701L).contains(2L), t.toString)
+      assert(!t.contains(702L), s"late event spliced into final output: $t")
+    } finally q.stop()
+  }
 }
