@@ -68,4 +68,30 @@ class SignatureExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(native == expected, s"toks=$toks")
     }
   }
+
+  test("ShingleHashSeq: one hash per position; distinct == HashedShingles") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    (1 to 30).foreach { _ =>
+      val toks = randTokens(rnd)
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val row = df.select(
+        ShingleHashSeq(spark, $"toks", 5).as("seq"),
+        HashedShingles(spark, $"toks", 5).as("set")).collect()(0)
+      val seq = row.getSeq[String](0)
+      val set = row.getSeq[String](1)
+      // exactly one hash per shingle start position (short texts: one)
+      assert(seq.length == math.max(toks.length - 4, 1), s"toks=$toks")
+      // positions preserved: insertion-ordered distinct equals the
+      // set-valued native (same hashing, same order)
+      assert(seq.distinct == set, s"toks=$toks")
+      // and each position hashes the same shingle the composable
+      // spelling produces
+      val composed = df.select(transform(
+          TextShingles.shingles($"toks", 5),
+          sh => substring(md5(sh), 1, 16)).as("c"))
+        .collect()(0).getSeq[String](0)
+      assert(seq == composed, s"toks=$toks")
+    }
+  }
 }
