@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, HashedShingles, MinHashSlices, SimHash16, SimHash64}
+import graft.functions.{CosineSimilarity, HashedShingles, MinHashSlices, ShingleHashSeq, SimHash16, SimHash64}
 
 /** Session extension registering the engine's native functions at
   * session build — enable with
@@ -70,6 +70,12 @@ object GraftNativeFunctions {
       exprs => {
         arity("minhash_slices", "minhash_slices(tokens[, width])", exprs, 1, 2)
         MinHashSlices(exprs.head, widthArg("minhash_slices", exprs))
+      }),
+    ("shingle_hash_seq", classOf[ShingleHashSeq].getName,
+      exprs => {
+        arity("shingle_hash_seq", "shingle_hash_seq(tokens[, width])",
+          exprs, 1, 2)
+        ShingleHashSeq(exprs.head, widthArg("shingle_hash_seq", exprs))
       }),
     ("simhash16", classOf[SimHash16].getName,
       exprs => {

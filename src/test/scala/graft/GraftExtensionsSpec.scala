@@ -31,4 +31,16 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .stripMargin).collect()(0).getDouble(0)
     assert(math.abs(got - 1.0) < 1e-12)
   }
+
+  test("shingle_hash_seq resolves in SQL, keeps positions, honors the width arg") {
+    val row = spark.sql(
+      """SELECT shingle_hash_seq(array('a','b','a','b','a','b'), 4) AS s,
+        |       hashed_shingles(array('a','b','a','b','a','b'), 4) AS h"""
+        .stripMargin).collect()(0)
+    val seq = row.getSeq[String](0)
+    val set = row.getSeq[String](1)
+    assert(seq.length == 3)      // one per position, duplicates kept
+    assert(seq.distinct == set)  // same hashing as the set native
+    assert(seq(0) == seq(2) && seq(0) != seq(1))
+  }
 }
