@@ -221,7 +221,7 @@ object ConnectorDdl {
   // `AS <select>` makes it a CSAS and fails this regex.
   private val streamDefRe =
     ("""(?is)\s*CREATE\s+STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
-      """(?:\(([^)]*)\)\s*)?WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*;?\s*""").r
+      """(?:\(((?:[^()]|\([^)]*\))*)\)\s*)?WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*;?\s*""").r
 
   /** ksql scalar types → Spark DDL types (for bare stream defs that
     * carry an inline schema). */
@@ -243,7 +243,7 @@ object ConnectorDdl {
   private val withinJoinRe =
     (s"""(?is)FROM\\s+$tableAlias\\s+(INNER\\s+|LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\s+$tableAlias\\s+""" +
       s"""WITHIN\\s+(?:\\(\\s*(\\d+)\\s+(\\w+)\\s*,\\s*(\\d+)\\s+(\\w+)\\s*\\)|(\\d+)\\s+(\\w+))\\s+""" +
-      s"""ON\\s+(.*?)(?=\\s+(?:WHERE|GROUP|HAVING|WINDOW|ORDER|LIMIT|EMIT)\\b|\\s*$$)""").r
+      s"""ON\\s+(.*?)(?=\\s+(?:WHERE|GROUP|HAVING|WINDOW|ORDER|LIMIT|EMIT|(?:INNER|LEFT|RIGHT|FULL|CROSS)\\s+\\w+|JOIN)\\b|\\s*$$)""").r
 
   private val intervalUnits = Set(
     "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY")
@@ -261,8 +261,14 @@ object ConnectorDdl {
     * single timestamp-typed column. */
   private def eventTimeCol(spark: SparkSession, view: String): String = {
     val fields = spark.table(view).schema.fields
+    // preference ORDER matters: `rowtime` is the parsed/typed stream
+    // time (the ksql ROWTIME analog) and must win over a raw string
+    // `ts` column that merely precedes it in the schema — comparing a
+    // non-ISO string ts in the band predicate casts to NULL and turns
+    // the join into silent zero rows
     val preferred = Seq("rowtime", "ts", "event_ts", "timestamp")
-    fields.map(_.name).find(n => preferred.contains(n.toLowerCase))
+    preferred.flatMap(p => fields.map(_.name).find(_.toLowerCase == p))
+      .headOption
       .orElse {
         val tsCols = fields.filter(_.dataType ==
           org.apache.spark.sql.types.TimestampType).map(_.name)
@@ -317,11 +323,20 @@ object ConnectorDdl {
   private[graft] def propagateRowtime(spark: SparkSession,
                                       select: String): String = {
     val fromRe = (s"""(?is)\\bFROM\\s+$tableAlias""").r
-    // skip aggregations (appending a bare column would break them),
-    // wildcard selects (rowtime already flows through *), and selects
-    // that mention rowtime themselves
-    val skip = "(?is).*(\\bGROUP\\s+BY\\b|\\browtime\\b|\\*).*".r
+    // skip aggregations (appending a bare column would break them —
+    // incl. GROUP-BY-less full aggregates like `SELECT count(*)`),
+    // wildcard selects (rowtime already flows through `*`; matched as
+    // a select-list ITEM, not any asterisk — `price * 2` must not
+    // disable propagation), and selects that mention rowtime
+    val selectList = "(?is)\\bSELECT\\s+(.*?)\\bFROM\\b".r
+      .findFirstMatchIn(select).map(_.group(1)).getOrElse("")
+    val wildcard = selectList.split(',')
+      .exists(_.trim.matches("(?:\\w+\\.)?\\*"))
+    val aggregate = "(?is).*\\b(count|sum|min|max|avg|latest_by_offset|earliest_by_offset|collect_list|collect_set)\\s*\\(.*".r
+      .matches(selectList)
+    val skip = "(?is).*(\\bGROUP\\s+BY\\b|\\browtime\\b).*".r
     select match {
+      case _ if wildcard || aggregate => select
       case skip(_*) => select
       case _ =>
         fromRe.findFirstMatchIn(select) match {
@@ -420,10 +435,24 @@ object ConnectorDdl {
           .filter(spark.catalog.tableExists)
         val base = backing.map(spark.table).orElse(
           Option(schemaList).map { cols =>
-            val ddl = cols.split(",").map(_.trim).filter(_.nonEmpty)
+            // split on TOP-LEVEL commas only (DECIMAL(4,2) carries one
+            // inside its parens) and reject malformed items with a
+            // diagnostic instead of an index error
+            val items = scala.collection.mutable.ArrayBuffer.empty[String]
+            var depth = 0; val cur = new StringBuilder
+            cols.foreach {
+              case ',' if depth == 0 => items += cur.toString; cur.clear()
+              case ch =>
+                if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+                cur.append(ch)
+            }
+            items += cur.toString
+            val ddl = items.map(_.trim).filter(_.nonEmpty)
               .map { c =>
-                val parts = c.split("\\s+")
-                s"${parts(0)} ${ksqlType(parts(1))}"
+                val parts = c.split("\\s+", 2)
+                require(parts.length == 2 && parts(1).trim.nonEmpty,
+                  s"stream schema item '$c' must be '<name> <type>'")
+                s"${parts(0)} ${ksqlType(parts(1).trim)}"
               }.mkString(", ")
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -371,18 +371,30 @@ object CurationQueries {
     * (composition introduces no new spellings); the prefix sum runs
     * over only the KEPT documents, in doc_id order, so the emitted
     * layout is exactly what the trainer's data loader mounts. */
-  def corpusBuild(s: SparkSession, d: String): DataFrame = {
+  def corpusBuild(s: SparkSession, d: String): DataFrame =
+    packCorpus(electedMixed(s, d))
+
+  /** The shared election ∩ mixture kept-set — the base relation of
+    * both capstones: every canonical survivor that also passes the
+    * per-source mixture gate, with its token count. */
+  private def electedMixed(s: SparkSession, d: String): DataFrame = {
     val canon = canonicalDocs(s, d).select(col("canonical_id").as("doc_id"))
     val mixed = mixSources(s, d).select(col("doc_id"))
-    val kept = Tables.documents(s, d)
+    Tables.documents(s, d)
       .join(canon, "doc_id").join(mixed, "doc_id")
       .select(col("doc_id"), col("source"),
         size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+  }
+
+  /** The shared packing tail: distributed prefix sum over the kept
+    * set, re-joined to its sources — ONE spelling for every capstone
+    * (a change to the pack projection can no longer silently diverge
+    * between corpus_build and corpus_build_clean). */
+  private def packCorpus(kept: DataFrame): DataFrame =
     packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
       .join(kept.select(col("doc_id"), col("source")), "doc_id")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("start_offset"), col("shard_id"))
-  }
 
   /** Embeds the canonical-election, mixing, and packing oracles so no
     * stage spelling can drift from its standalone query. */
@@ -413,21 +425,11 @@ object CurationQueries {
     * relation and a per-row modulus filter — the prefix sum then packs
     * only truly-trainable documents. Same scale shapes as
     * [[corpusBuild]]. */
-  def corpusBuildClean(s: SparkSession, d: String): DataFrame = {
-    val canon = canonicalDocs(s, d).select(col("canonical_id").as("doc_id"))
-    val mixed = mixSources(s, d).select(col("doc_id"))
-    val contaminated = decontaminate(s, d).select(col("doc_id"))
-    val kept = Tables.documents(s, d)
-      .join(canon, "doc_id").join(mixed, "doc_id")
+  def corpusBuildClean(s: SparkSession, d: String): DataFrame =
+    packCorpus(electedMixed(s, d)
       .filter(col("doc_id") % 20 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"),
-        size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
-      .join(kept.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("start_offset"), col("shard_id"))
-  }
+      .join(decontaminate(s, d).select(col("doc_id")),
+        Seq("doc_id"), "left_anti"))
 
   /** Embeds the election, mixing, decontamination, and packing oracles. */
   val corpusBuildCleanSql: String =
@@ -477,7 +479,11 @@ object CurationQueries {
       .groupBy(col("bucket_len"))
       .agg(count(lit(1)).cast(LongType).as("n_docs"),
         sum(col("n")).cast(LongType).as("total_tokens"),
-        sum(col("bucket_len") - col("n")).cast(LongType).as("pad_tokens"))
+        // overflow-bucket docs LONGER than the cap contribute zero pad
+        // (a loader truncates/splits them) — without the clamp their
+        // negative (bucket_len − n) would silently understate waste
+        sum(greatest(lit(0L), col("bucket_len") - col("n")))
+          .cast(LongType).as("pad_tokens"))
   }
 
   val lengthBucketsSql: String = {
@@ -492,7 +498,7 @@ object CurationQueries {
        |  FROM t)
        |SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(n) AS BIGINT) AS total_tokens,
-       |       CAST(SUM(bucket_len - n) AS BIGINT) AS pad_tokens
+       |       CAST(SUM(greatest(0, bucket_len - n)) AS BIGINT) AS pad_tokens
        |FROM b GROUP BY bucket_len""".stripMargin
   }
 

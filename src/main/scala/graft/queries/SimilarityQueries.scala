@@ -317,27 +317,25 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
       .withColumn("cell", col("label"))
-    val q = graft.util.Confs.withShufflePartitions(s, 4) {
-      stream.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.sources.IvfIndex.append(layout, b)
-          ()
-        }
-        .start()
-    }
-    try q.processAllAvailable() finally q.stop()
-    val out = probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
-    // scratch index + checkpoint are per-invocation; clean up
-    Seq(root.toString, ckpt).foreach { p =>
-      import scala.jdk.CollectionConverters._
-      val rp = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(rp)) {
-        java.nio.file.Files.walk(rp).iterator().asScala.toSeq.reverse
-          .foreach(x => java.nio.file.Files.deleteIfExists(x))
+    // scratch index + checkpoint are per-invocation; the cleanup runs
+    // in finally so a failed streaming query doesn't leak /dev/shm
+    try {
+      val q = graft.util.Confs.withShufflePartitions(s, 4) {
+        stream.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // batch-keyed overwrite: a re-executed epoch (foreachBatch
+            // is at-least-once) replaces its own subtree instead of
+            // double-appending duplicate vectors into the cells
+            graft.sources.IvfIndex.appendBatch(layout, b, id)
+            ()
+          }
+          .start()
       }
-    }
-    out
+      try q.processAllAvailable() finally q.stop()
+      probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
+    } finally Seq(root.toString, ckpt)
+      .foreach(StreamingQueries.deleteRecursively)
   }
 
   /** Recall@5 of every ANN variant against the exact brute-force

@@ -67,7 +67,7 @@ object StreamingQueries {
     s.table(name)
   }
 
-  private def deleteRecursively(path: String): Unit =
+  private[graft] def deleteRecursively(path: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(path)
@@ -655,8 +655,13 @@ object StreamingQueries {
     val q = graft.util.Confs.withShufflePartitions(s, 8) {
       deduped.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          b.write.mode("append").parquet(staging)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          // batch-keyed overwrite: a re-executed epoch (foreachBatch is
+          // at-least-once) replaces its own staging subtree instead of
+          // double-appending its documents — the same replay-idempotence
+          // bar KeyedParquetSink holds via its manifest. The extra
+          // discovered `batch` partition column is never selected below.
+          b.write.mode("overwrite").parquet(s"$staging/batch=$id")
           val staged = s.read.parquet(staging)
           val canon = CQ.canonicalDocsOver(staged,
               staged.select(col("doc_id"), col("quality_score")))

@@ -73,4 +73,19 @@ object IvfIndex {
   def append(layout: Layout, vectors: DataFrame): Unit =
     vectors.write.mode("append").partitionBy("cell")
       .parquet(layout.vectors)
+
+  /** Replay-idempotent ingest for STREAMING writers: each micro-batch
+    * lands as its own `batch=<id>` partition subtree, written with
+    * overwrite — a foreachBatch epoch that re-executes after a partial
+    * failure (the at-least-once contract) overwrites exactly its own
+    * subtree instead of double-appending into shared cell directories,
+    * the same idempotence bar [[graft.streaming.KeyedParquetSink]]
+    * holds via its manifest. Probes are unaffected: partition
+    * discovery sees `batch`/`cell`, and pruning on `cell` still skips
+    * unprobed directories across every batch. A layout must stick to
+    * ONE scheme ([[append]]'s flat cells or this batch-nested form) —
+    * discovery rejects a mix. */
+  def appendBatch(layout: Layout, vectors: DataFrame, batchId: Long): Unit =
+    vectors.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${layout.vectors}/batch=$batchId")
 }

@@ -90,12 +90,14 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
 
   /** Throws if another sink instance has taken the writer lease on
     * this root since this instance was constructed. The check-then-move
-    * pair is not one atomic primitive, so two constructors racing
-    * within the same instant can momentarily both believe they hold
-    * the lease — but every COMMIT re-checks (below and in
-    * writeManifest), so the loser fails before publishing; on a real
-    * object store the same fence is the conditional-put/ETag (S3) or
-    * atomic-rename (HDFS) primitive under the manifest move. */
+    * pair is not one atomic primitive, so a loser can slip a publish
+    * through the pre-check/move gap — which is why writeManifest ALSO
+    * re-checks AFTER its pointer move (the loser dies loudly one step
+    * late) and upsert verifies the current manifest still carries this
+    * writer's token once it has committed (the winner detects a
+    * clobbered pointer instead of merging onto the loser's snapshot);
+    * on a real object store the same fence is the conditional-put/ETag
+    * (S3) or atomic-rename (HDFS) primitive under the manifest move. */
   private def assertWriterLease(): Unit = {
     val holder =
       if (Files.exists(writerFile)) Files.readString(writerFile).trim else ""
@@ -111,7 +113,8 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     * recent version roots kept for lagging readers, and the bucket
     * count the snapshot was written with. */
   private case class Manifest(batch: Long, schemaDdl: String,
-                              recent: Seq[String], buckets: Map[Int, String])
+                              recent: Seq[String], buckets: Map[Int, String],
+                              writer: String = "")
 
   private def readManifest(): Option[Manifest] = readManifestAt(pointer)
 
@@ -154,32 +157,51 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         m.get("recent").filter(_.nonEmpty).map(_.split(',').toSeq).getOrElse(Nil),
         kv.collect { case (k, v) if k.startsWith("bucket.") =>
           k.stripPrefix("bucket.").toInt -> v
-        }.toMap))
+        }.toMap,
+        m.getOrElse("writer", "")))
     }
+
+  /** True once THIS instance has committed at least one manifest —
+    * after which the visible manifest must keep carrying this
+    * instance's writer token (see [[assertWriterLease]]). */
+  @volatile private var committedOnce = false
 
   private def writeManifest(m: Manifest): Unit = {
     assertWriterLease() // last-moment fence: never commit over a newer writer
     val body = new StringBuilder
     body ++= s"batch=${m.batch}\n"
     body ++= s"numBuckets=$numBuckets\n"
+    body ++= s"writer=$writerToken\n"
     body ++= s"schema=${m.schemaDdl}\n"
     body ++= s"recent=${m.recent.mkString(",")}\n"
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, p) =>
       body ++= s"bucket.$b=$p\n"
     }
-    val tmp = rootPath.resolve(s"_CURRENT.tmp${m.batch}")
-    Files.writeString(tmp, body.toString)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // immutable per-batch copy → time travel ([[dfAsOf]]): manifests
-    // are a few hundred bytes, so history metadata is kept forever;
-    // how far back the DATA reaches is governed by retainVersions
+    // 1. immutable per-batch history copy FIRST ([[dfAsOf]]): the
+    //    replay guard skips a batch whose id is already in _CURRENT,
+    //    so a crash between pointer move and history write would leave
+    //    that batch's time-travel manifest permanently unwritable —
+    //    publishing history before the pointer closes the window
+    //    (manifests are a few hundred bytes; metadata is kept forever,
+    //    DATA retention is governed by retainVersions)
     val mdir = rootPath.resolve("_manifests")
     Files.createDirectories(mdir)
     val mtmp = mdir.resolve(s"m${m.batch}.tmp")
     Files.writeString(mtmp, body.toString)
     Files.move(mtmp, mdir.resolve(s"m${m.batch}"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // 2. atomic pointer move — the commit
+    val tmp = rootPath.resolve(s"_CURRENT.tmp${m.batch}")
+    Files.writeString(tmp, body.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // 3. post-publish fence re-check: the pre-check and the move are
+    //    not one atomic primitive, so a writer that lost its lease in
+    //    the gap has just clobbered the winner's pointer — fail loudly
+    //    HERE so the interleave is detected at its source (the winner
+    //    additionally detects the foreign token on its next upsert)
+    assertWriterLease()
+    committedOnce = true
   }
 
   private def bucketExpr = pmod(hash(col(keyCol)), lit(numBuckets))
@@ -229,6 +251,17 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     assertWriterLease()
     val manifest = readManifest()
+    // once this instance has committed, the visible manifest must still
+    // be OURS: a foreign writer token here means a fenced-out loser
+    // slipped a publish through the lease-check/move gap and clobbered
+    // the pointer — refuse to merge onto its snapshot
+    if (committedOnce && manifest.exists(m =>
+        m.writer.nonEmpty && m.writer != writerToken))
+      throw new java.util.ConcurrentModificationException(
+        s"$rootPath's manifest was overwritten by writer " +
+          s"[${manifest.get.writer}] after this instance " +
+          s"[$writerToken] committed — concurrent writers raced the " +
+          "pointer; re-open the sink on a consistent snapshot")
     if (manifest.exists(_.batch == batchId)) return
     SinkChecks.requireDeletedCol(batch, deletedCol)
 

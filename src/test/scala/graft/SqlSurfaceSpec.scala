@@ -407,6 +407,54 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       asym.contains("LEFT JOIN") && asym.endsWith("WHERE o.price > 0"), asym)
   }
 
+  test("WITHIN edge cases: rowtime beats schema-order ts; ON stops before a second JOIN; `price * 2` still inherits rowtime") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // a stream whose RAW string ts precedes the parsed rowtime in the
+    // schema — the band must bind to rowtime, not the string
+    Seq((1L, "01/02/2024 00:00", "x"))
+      .toDF("k", "ts", "v")
+      .withColumn("rowtime", to_timestamp(col("ts"), "MM/dd/yyyy HH:mm"))
+      .createOrReplaceTempView("tsfirst")
+    val band = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM tsfirst a INNER JOIN tsfirst b WITHIN 1 DAYS ON a.k = b.k")
+    assert(band.contains("b.rowtime >= a.rowtime - INTERVAL 1 DAY"), band)
+    // the ON condition must not swallow a following JOIN clause
+    val multi = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM tsfirst a INNER JOIN tsfirst b WITHIN 1 DAYS " +
+        "ON a.k = b.k JOIN region ON b.k = region.r_regionkey")
+    assert(multi.contains("(a.k = b.k) AND") &&
+      multi.contains("JOIN region ON b.k = region.r_regionkey") &&
+      !multi.contains("region.r_regionkey) AND"), multi)
+    // arithmetic '*' is not a wildcard: the derived stream still
+    // inherits rowtime (the old any-asterisk skip disabled it)
+    val prop = ConnectorDdl.propagateRowtime(spark,
+      "SELECT k, 2 * 2 AS p2 FROM tsfirst t")
+    assert(prop.contains("t.rowtime AS rowtime"), prop)
+    // a real wildcard select still skips (rowtime flows through *)
+    val wild = ConnectorDdl.propagateRowtime(spark,
+      "SELECT t.* FROM tsfirst t")
+    assert(!wild.contains("AS rowtime"), wild)
+    // GROUP-BY-less full aggregate skips (appending would break it)
+    val agg = ConnectorDdl.propagateRowtime(spark,
+      "SELECT count(k) AS n FROM tsfirst t")
+    assert(!agg.contains("AS rowtime"), agg)
+  }
+
+  test("bare stream schema: parenthesized types parse; malformed items get a diagnostic") {
+    val st = GraftSql.sql(spark,
+      """CREATE STREAM dec_stream (id INT, v DECIMAL(4,2))
+        |WITH (kafka_topic = 'no.such.topic');""".stripMargin).collect().head
+    assert(st.getString(3) == "CREATED")
+    val schema = spark.table("dec_stream").schema
+    assert(schema("v").dataType.typeName.startsWith("decimal"), schema)
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE STREAM bad_stream (id) WITH (kafka_topic = 'no.such.t2');")
+    }
+    assert(err.getMessage.contains("must be '<name> <type>'"), err.getMessage)
+  }
+
   test("the reference's ENTIRE ksql session runs verbatim, statement for statement") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
