@@ -22,6 +22,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("determinism")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -42,7 +43,16 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
   for (q <- Seq("curate_stratified_sample", "curate_mix_sources",
                 "curate_train_order", "curate_pack_shards",
                 "curate_pack_overflow", "dedup_minhash_lsh",
-                "text_fingerprint"))
+                "text_fingerprint",
+                // round-6 reproducibility-critical additions: the cap's
+                // md5 draw, the delta's continuation offsets, chunk
+                // geometry, the manifest's per-shard content hashes,
+                // span-dedup counts, and the per-event session/epoch
+                // numbering must all survive a re-plan unchanged
+                "curate_cap_sources", "curate_corpus_delta",
+                "curate_chunk_docs", "curate_shard_manifest",
+                "curate_epoch_plan", "dedup_repeated_spans",
+                "q_sessionize"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
