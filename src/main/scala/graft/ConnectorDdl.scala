@@ -228,6 +228,10 @@ object ConnectorDdl {
   private def ksqlType(t: String): String = t.toUpperCase match {
     case "TEXT" | "VARCHAR" | "STRING" => "STRING"
     case "INT" | "INTEGER" => "INT"
+    case g if g.contains('<') => // MAP<K,V> / STRUCT<…> / ARRAY<T>:
+      // translate the scalar names inside the generic, keep the shape
+      g.replaceAll("\\bVARCHAR\\b|\\bTEXT\\b", "STRING")
+        .replaceAll("\\bINTEGER\\b", "INT")
     case other => other // BIGINT, DOUBLE, BOOLEAN, TIMESTAMP, DATE, …
   }
 
@@ -267,8 +271,17 @@ object ConnectorDdl {
     // non-ISO string ts in the band predicate casts to NULL and turns
     // the join into silent zero rows
     val preferred = Seq("rowtime", "ts", "event_ts", "timestamp")
-    preferred.flatMap(p => fields.map(_.name).find(_.toLowerCase == p))
-      .headOption
+    val tsType = org.apache.spark.sql.types.TimestampType
+    // two tiers within the preference order: a preferred name that is
+    // ACTUALLY timestamp-typed always wins (so a raw string `ts` can
+    // never outrank a typed `event_ts`); only when no preferred column
+    // is typed do we fall back to the bare name (legacy all-string
+    // streams, where `ts` is the documented convention)
+    preferred.flatMap(pn => fields.find(f =>
+        f.name.toLowerCase == pn && f.dataType == tsType)).headOption
+      .map(_.name)
+      .orElse(preferred.flatMap(pn =>
+        fields.map(_.name).find(_.toLowerCase == pn)).headOption)
       .orElse {
         val tsCols = fields.filter(_.dataType ==
           org.apache.spark.sql.types.TimestampType).map(_.name)
@@ -435,15 +448,17 @@ object ConnectorDdl {
           .filter(spark.catalog.tableExists)
         val base = backing.map(spark.table).orElse(
           Option(schemaList).map { cols =>
-            // split on TOP-LEVEL commas only (DECIMAL(4,2) carries one
-            // inside its parens) and reject malformed items with a
-            // diagnostic instead of an index error
+            // split on TOP-LEVEL commas only — DECIMAL(4,2) nests one
+            // in parens, MAP<VARCHAR, INT>/STRUCT<…> in angle brackets
+            // — and reject malformed items with a diagnostic instead
+            // of an index error
             val items = scala.collection.mutable.ArrayBuffer.empty[String]
             var depth = 0; val cur = new StringBuilder
             cols.foreach {
               case ',' if depth == 0 => items += cur.toString; cur.clear()
               case ch =>
-                if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+                if (ch == '(' || ch == '<') depth += 1
+                else if (ch == ')' || ch == '>') depth -= 1
                 cur.append(ch)
             }
             items += cur.toString

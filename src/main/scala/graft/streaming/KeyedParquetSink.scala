@@ -218,9 +218,15 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     * directories obey `retainVersions`, so a snapshot whose buckets
     * reference pruned versions fails loudly (raise retainVersions for
     * deeper data history) instead of returning a silently-wrong mix.
-    * Returns None for a batch id that never committed. */
+    * Returns None for a batch id that never committed — including the
+    * crash window where the history copy landed but the _CURRENT
+    * pointer move did not (history publishes FIRST so a committed
+    * batch always has its copy): batch ids are monotone, so a batch is
+    * committed iff the current pointer has reached it. */
   def dfAsOf(batchId: Long): Option[DataFrame] =
-    readManifestAt(rootPath.resolve("_manifests").resolve(s"m$batchId"))
+    readManifest().filter(_.batch >= batchId)
+      .flatMap(_ =>
+        readManifestAt(rootPath.resolve("_manifests").resolve(s"m$batchId")))
       .map { m =>
         val missing = m.buckets.values
           .map(_.split('/').head).toSet

@@ -455,6 +455,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(err.getMessage.contains("must be '<name> <type>'"), err.getMessage)
   }
 
+  test("bare stream schema: ksql generic types (MAP/ARRAY) keep their inner commas") {
+    val st = GraftSql.sql(spark,
+      """CREATE STREAM map_stream (id INT, m MAP<VARCHAR, INT>, a ARRAY<VARCHAR>)
+        |WITH (kafka_topic = 'no.such.topic3');""".stripMargin).collect().head
+    assert(st.getString(3) == "CREATED")
+    val schema = spark.table("map_stream").schema
+    assert(schema("m").dataType.typeName == "map", schema)
+    assert(schema("a").dataType.typeName == "array", schema)
+  }
+
+  test("WITHIN event time: a typed event_ts beats a raw string ts in the preference order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // no rowtime; `ts` is a raw non-ISO string, `event_ts` is typed —
+    // the band must bind to the TYPED column even though `ts` ranks
+    // earlier by name
+    Seq((1L, "01/02/2024 00:00"))
+      .toDF("k", "ts")
+      .withColumn("event_ts", to_timestamp(col("ts"), "MM/dd/yyyy HH:mm"))
+      .createOrReplaceTempView("strts")
+    val band = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM strts a INNER JOIN strts b WITHIN 1 DAYS ON a.k = b.k")
+    assert(band.contains("b.event_ts >= a.event_ts - INTERVAL 1 DAY"), band)
+  }
+
   test("the reference's ENTIRE ksql session runs verbatim, statement for statement") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -59,6 +59,16 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(at(2) == Map("a" -> "v2", "b" -> "w1", "c" -> "x1"))
     assert(at(2) == sink.df.get.as[(String, String)].collect().toMap)
     assert(sink.dfAsOf(99).isEmpty) // never committed
+    // crash-window guard: a history manifest whose batch the _CURRENT
+    // pointer never reached (history publishes first; the crash hit
+    // between the two moves) must read as never-committed, not as a
+    // dirty snapshot of the uncommitted batch
+    val orphan = java.nio.file.Paths.get(root, "_manifests", "m7")
+    Files.copy(java.nio.file.Paths.get(root, "_manifests", "m2"), orphan)
+    val body = Files.readString(orphan).replace("batch=2", "batch=7")
+    Files.writeString(orphan, body)
+    assert(sink.dfAsOf(7).isEmpty,
+      "dfAsOf served a history manifest ahead of the committed pointer")
   }
 
   test("time travel past the data-retention window fails loudly, never silently wrong") {
