@@ -796,7 +796,37 @@ object CurationQueries {
        |  md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS content_hash
        |FROM po GROUP BY shard_id""".stripMargin
 
+  /** Deterministic train/val/test split — the assignment column every
+    * dataset release ships: 98/1/1 by an md5 draw on the doc id,
+    * seeded differently from every other sampling operator (the
+    * `split:` prefix) so the split is INDEPENDENT of the mixture/cap
+    * draws — a doc's split never correlates with whether a cap kept
+    * it. Pure per-row function: reproducible across engines and
+    * cluster layouts, and any holdout built from it is re-derivable
+    * forever. (The benchmark-decontamination holdout is a different,
+    * coarser slice — `doc_id % 20` — kept as-is for its oracle.) */
+  def datasetSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = Md5Key.column(concat(lit("split:"),
+      col("doc_id").cast(StringType))) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val datasetSplitSql: String = {
+    val b = s"${Md5Key.sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""SELECT doc_id, source,
+       |  CASE WHEN $b < 98 THEN 'train'
+       |       WHEN $b = 98 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_dataset_split" -> datasetSplit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -815,6 +845,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_dataset_split" -> datasetSplitSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,
