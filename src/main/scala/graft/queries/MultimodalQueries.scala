@@ -198,12 +198,60 @@ object MultimodalQueries {
       |  CAST(least(256, n - o*256) AS BIGINT) AS frame_bytes
       |FROM f""".stripMargin
 
+  /** Per-modality dataset card — the media section of a corpus
+    * release: items, bytes, and the dimension envelope per format.
+    * Composes [[mediaMeta]] (the metadata pass is the only payload
+    * touch; the rollup is a tiny grouped agg over its output), exactly
+    * how a 100 TB media card is produced: one header-only scan, then
+    * counters. All BIGINT. */
+  def modalityCard(s: SparkSession, d: String): DataFrame =
+    mediaMeta(s, d)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).cast(LongType).as("n_items"),
+        sum(col("n_bytes")).cast(LongType).as("total_bytes"),
+        min(col("width")).as("min_width"),
+        max(col("width")).as("max_width"),
+        min(col("height")).as("min_height"),
+        max(col("height")).as("max_height"))
+
+  /** Embeds [[mediaMetaSql]] so the decode spelling cannot drift. */
+  val modalityCardSql: String =
+    s"""WITH mm AS ($mediaMetaSql)
+       |SELECT format, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       min(width) AS min_width, max(width) AS max_width,
+       |       min(height) AS min_height, max(height) AS max_height
+       |FROM mm GROUP BY format""".stripMargin
+
+  /** Resolution floor for [[resolutionGate]], pixels per side. */
+  private val MinSide = 256L
+
+  /** Media quality gate — the standard resolution/size filter a
+    * multimodal curation pass runs before any expensive decode: keep
+    * items whose BOTH sides clear [[MinSide]] (thumbnails, icons, and
+    * tracking pixels drop). A pure per-row filter over the header
+    * metadata — the payload bytes are never touched beyond the header
+    * pass, and the kept set feeds the embed/frame stages. */
+  def resolutionGate(s: SparkSession, d: String): DataFrame =
+    mediaMeta(s, d)
+      .filter(col("width") >= MinSide && col("height") >= MinSide)
+      .select(col("doc_id"), col("format"), col("width"), col("height"))
+
+  val resolutionGateSql: String =
+    s"""WITH mm AS ($mediaMetaSql)
+       |SELECT doc_id, format, width, height
+       |FROM mm WHERE width >= $MinSide AND height >= $MinSide""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_modality_card" -> modalityCard _,
+    "mm_resolution_gate" -> resolutionGate _,
     "mm_media_meta" -> mediaMeta _,
     "mm_embed_stub" -> embedStub _,
     "mm_frame_sample" -> frameSample _)
 
   def oracles: Map[String, String] = Map(
+    "mm_modality_card" -> modalityCardSql,
+    "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
     "mm_embed_stub" -> embedStubSql,
     "mm_frame_sample" -> frameSampleSql)
