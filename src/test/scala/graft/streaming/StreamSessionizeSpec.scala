@@ -83,6 +83,57 @@ class StreamSessionizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("delivery independence: any random batching yields the batch answer when nothing is late") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // 60 events over 3 users within one day; a 35-day watermark delay
+    // means no delivery order can make any of them late, so EVERY
+    // batching must converge to the one-shot batch sessionization
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (1 to 60).map { i =>
+      val uid = 1L + rnd.nextInt(3)
+      val t = new Timestamp(base + rnd.nextInt(24 * 60) * 60000L)
+      (t, uid, i.toLong)
+    }
+    // reference: per user, order by (time, id), split on >30 min gaps
+    val gapMs = 30 * 60000L
+    val expected = events.groupBy(_._2).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._1.getTime, e._3))
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._1.getTime - prev > gapMs) seq += 1
+        prev = e._1.getTime
+        (e._3, uid, seq)
+      }
+    }.toSet
+
+    for (seed <- Seq(1, 2)) {
+      val order = new scala.util.Random(seed).shuffle(events)
+      val feed = MemoryStream[(Timestamp, Long, Long)]
+      val in = feed.toDF().toDF("ts", "user_id", "event_id")
+        .withWatermark("ts", "35 days")
+      val out = graft.queries.StreamingQueries.sessionizeCore(in)
+      val name = s"sess_rand_${seed}_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        // deliver in 4 arbitrary chunks, then flush far-future
+        order.grouped((order.size + 3) / 4).foreach { chunk =>
+          feed.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        feed.addData((ts("2099-01-01 00:00:00"), 99L, 9999L))
+        q.processAllAvailable()
+        val got = spark.table(name).as[(Long, Long, Long)].collect()
+          .filter(_._2 != 99L).toSet
+        assert(got == expected,
+          s"seed $seed diverged: missing=${expected -- got} extra=${got -- expected}")
+      } finally q.stop()
+    }
+  }
+
   test("a buffered gap alone never closes a session; late arrivals drop instead of splicing") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
