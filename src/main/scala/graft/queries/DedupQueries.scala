@@ -542,7 +542,50 @@ object DedupQueries {
        |FROM w LEFT JOIN d ON d.h = w.h
        |GROUP BY w.doc_id""".stripMargin
 
+  /** Duplicate-cluster size histogram — the dedup diagnostic a corpus
+    * report leads with (how much of the corpus is singletons vs small
+    * clusters vs mass-duplicated templates): clusters per size, docs
+    * per size, including the singleton row (docs in no verified
+    * cluster). Two tiny aggs over the (small) component labels plus
+    * one corpus count — the full corpus is touched once, by the
+    * clustering the catalog already runs. */
+  def clusterSizes(s: SparkSession, d: String): DataFrame = {
+    val comp = components(s, d)
+    val perCluster = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+    val clustered = perCluster.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+        sum(col("sz")).cast(LongType).as("n_docs"))
+    val nDocs = Tables.documents(s, d).count()
+    val nInClusters = comp.count()
+    val singletons = s.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, nDocs - nInClusters, nDocs - nInClusters)),
+      clustered.schema)
+    clustered.unionByName(singletons)
+      .groupBy(col("cluster_size"))
+      .agg(sum(col("n_clusters")).cast(LongType).as("n_clusters"),
+        sum(col("n_docs")).cast(LongType).as("n_docs"))
+  }
+
+  /** Embeds [[componentsSql]] so the clustering spelling cannot drift. */
+  val clusterSizesSql: String =
+    s"""WITH cc AS (SELECT * FROM ($componentsSql) x),
+       |pc AS (SELECT component, CAST(COUNT(*) AS BIGINT) sz
+       |       FROM cc GROUP BY component),
+       |h AS (
+       |  SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) n_clusters,
+       |         CAST(SUM(sz) AS BIGINT) n_docs
+       |  FROM pc GROUP BY sz
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT),
+       |         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cc),
+       |         (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cc))
+       |SELECT cluster_size, CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+       |       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+       |FROM h GROUP BY cluster_size""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster_sizes" -> clusterSizes _,
     "dedup_repeated_spans" -> repeatedSpans _,
     "dedup_rate_by_source" -> dedupRateBySource _,
     "dedup_components" -> components _,
@@ -554,6 +597,7 @@ object DedupQueries {
     "dedup_simhash64_pairs" -> simhash64Pairs _)
 
   def oracles: Map[String, String] = Map(
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_repeated_spans" -> repeatedSpansSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "dedup_components" -> componentsSql,
