@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def usedHeapMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,6 +22,29 @@ object Bench {
     // machinery JIT); queries run in stable name order
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    // Inter-run hygiene, OUTSIDE the timed region: a 134-query × 3-run
+    // suite in one JVM must not let one run's session debris (temp
+    // views over memory sinks, cached relations, terminated streaming
+    // queries) stay reachable and degrade later queries (observed in
+    // round 6: alphabetically-late queries inflated up to 60×). Every
+    // query (re-)registers whatever views it needs per call, so
+    // dropping them all between runs is safe. The GC nudge is
+    // adaptive — ContextCleaner frees localCheckpoint blocks only
+    // after their frames are collected, so when the heap is deep we
+    // force a collection rather than letting block-manager memory
+    // ratchet across the suite.
+    val gcThresholdMb =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_MB", "8192").toLong
+    def sweep(): Unit = {
+      spark.streams.resetTerminated()
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(_.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+      if (usedHeapMb() > gcThresholdMb) System.gc()
+    }
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // optional args: run only queries whose name contains any arg
     // (driver passes none → full suite)
@@ -32,13 +60,21 @@ object Bench {
     // name is in `failed`) — recording 0.0 would read as "instant";
     // a query that succeeded at least once reports its min and is NOT
     // in `failed`, so the two lists stay unambiguous
+    var maxHeapMb = 0L
+    var done = 0
     val results = selected.flatMap { case (name, fn) =>
       var err: Throwable = null
       val times = (1 to runsPerQuery).flatMap { _ =>
+        sweep()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => err = e; None }
       }
+      maxHeapMb = math.max(maxHeapMb, usedHeapMb())
+      done += 1
+      if (done % 25 == 0)
+        System.err.println(s"[bench] $done/${selected.size} done, " +
+          s"heap ${usedHeapMb()} MB (max $maxHeapMb MB)")
       if (times.isEmpty) {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${err.getMessage}")
@@ -49,7 +85,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsPerQuery,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"runs":$runsPerQuery,"heap_max_mb":$maxHeapMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

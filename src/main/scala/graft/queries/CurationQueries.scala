@@ -661,7 +661,8 @@ object CurationQueries {
        |r AS (
        |  SELECT source,
        |    least(CAST(4294967296 AS BIGINT),
-       |          (CAST($CapTokens AS BIGINT) * 4294967296) // SUM(n_tokens))
+       |          (CAST($CapTokens AS BIGINT) * 4294967296)
+       |            // CAST(SUM(n_tokens) AS BIGINT))
        |      AS keep_u32
        |  FROM t GROUP BY source)
        |SELECT t.doc_id, t.source, t.n_tokens, r.keep_u32

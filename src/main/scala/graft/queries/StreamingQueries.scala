@@ -48,7 +48,18 @@ object StreamingQueries {
     * micro-batch, so 32 is pure overhead (stream confs are captured
     * at query start; restored right after). The query is always
     * stopped (finally) and its throwaway checkpoint deleted — a
-    * failed processAllAvailable must not leak a running query. */
+    * failed processAllAvailable must not leak a running query.
+    *
+    * The result is eagerly DETACHED from the memory sink before
+    * return: the sink's rows are otherwise pinned forever by both the
+    * registered temp view and the manager's terminated-query list, so
+    * returning `s.table(name)` live accumulates every result table in
+    * the driver heap for the session's lifetime (observed: up to 60×
+    * slowdowns for alphabetically-late queries in a 134-query × 3-run
+    * bench suite). After localCheckpoint the rows are ordinary RDD
+    * blocks the ContextCleaner releases once the caller drops the
+    * frame; the view is dropped and the terminated-query registry
+    * cleared so the sink itself is GC-reachable. */
   private def runToTable(df: DataFrame, mode: String,
                          statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
@@ -59,12 +70,15 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .queryName(name).start()
     }
-    try q.processAllAvailable()
-    finally {
+    try {
+      q.processAllAvailable()
+      s.table(name).localCheckpoint()
+    } finally {
       q.stop()
+      s.catalog.dropTempView(name)
+      s.streams.resetTerminated()
       deleteRecursively(ckpt)
     }
-    s.table(name)
   }
 
   private[graft] def deleteRecursively(path: String): Unit =
@@ -378,6 +392,7 @@ object StreamingQueries {
     try q.processAllAvailable()
     finally {
       q.stop()
+      s.streams.resetTerminated()
       deleteRecursively(ckpt)
     }
     store.df(s)
@@ -581,6 +596,7 @@ object StreamingQueries {
       s.createDataset(p.shippedOrders.values).toDF()
     } finally {
       p.stop()
+      s.streams.resetTerminated()
       deleteRecursively(ckpt)
     }
   }
@@ -679,6 +695,7 @@ object StreamingQueries {
     try q.processAllAvailable()
     finally {
       q.stop()
+      s.streams.resetTerminated()
       deleteRecursively(ckpt)
       deleteRecursively(staging)
     }
