@@ -272,25 +272,31 @@ object ConnectorDdl {
     // the join into silent zero rows
     val preferred = Seq("rowtime", "ts", "event_ts", "timestamp")
     val tsType = org.apache.spark.sql.types.TimestampType
-    // two tiers within the preference order: a preferred name that is
-    // ACTUALLY timestamp-typed always wins (so a raw string `ts` can
-    // never outrank a typed `event_ts`); only when no preferred column
-    // is typed do we fall back to the bare name (legacy all-string
-    // streams, where `ts` is the documented convention)
+    val tsCols = fields.filter(_.dataType == tsType).map(_.name)
+    // three tiers: (1) a preferred name that is ACTUALLY
+    // timestamp-typed always wins (so a raw string `ts` can never
+    // outrank a typed `event_ts`); (2) otherwise the view's single
+    // timestamp-typed column, whatever its name — a typed `created_at`
+    // must beat an untyped preferred name, or the band predicate casts
+    // the string to NULL and the join silently returns zero rows;
+    // (3) the bare preferred name ONLY for all-string schemas (no
+    // timestamp column anywhere — the legacy-stream convention where
+    // `ts` holds an ISO string that casts cleanly)
     preferred.flatMap(pn => fields.find(f =>
         f.name.toLowerCase == pn && f.dataType == tsType)).headOption
       .map(_.name)
-      .orElse(preferred.flatMap(pn =>
-        fields.map(_.name).find(_.toLowerCase == pn)).headOption)
-      .orElse {
-        val tsCols = fields.filter(_.dataType ==
-          org.apache.spark.sql.types.TimestampType).map(_.name)
-        if (tsCols.length == 1) Some(tsCols.head) else None
-      }
+      .orElse(if (tsCols.length == 1) Some(tsCols.head) else None)
+      .orElse(if (tsCols.isEmpty)
+          preferred.flatMap(pn =>
+            fields.map(_.name).find(_.toLowerCase == pn)).headOption
+        else None)
       .getOrElse(throw new IllegalArgumentException(
-        s"stream $view has no event-time column for WITHIN — expected one " +
-          s"of ${preferred.mkString("/")} or exactly one TIMESTAMP column " +
-          s"(found: ${fields.map(_.name).mkString(", ")})"))
+        s"stream $view has no unambiguous event-time column for WITHIN — " +
+          s"expected a TIMESTAMP-typed ${preferred.mkString("/")}, exactly " +
+          s"one TIMESTAMP column, or (all-string schema) a column named " +
+          s"${preferred.mkString("/")} " +
+          s"(found: ${fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", ")})"))
   }
 
   /** Translate every ksql `WITHIN` interval-join clause in `select` to
@@ -345,8 +351,23 @@ object ConnectorDdl {
       .findFirstMatchIn(select).map(_.group(1)).getOrElse("")
     val wildcard = selectList.split(',')
       .exists(_.trim.matches("(?:\\w+\\.)?\\*"))
-    val aggregate = "(?is).*\\b(count|sum|min|max|avg|latest_by_offset|earliest_by_offset|collect_list|collect_set)\\s*\\(.*".r
-      .matches(selectList)
+    // aggregate detection goes through Spark's own FunctionRegistry
+    // (every builtin aggregate carries group "agg_funcs") rather than a
+    // name whitelist — a GROUP-BY-less full aggregate over stddev_samp
+    // / count_distinct / any_value / a future builtin must be skipped
+    // too, or the appended bare rowtime column breaks the statement.
+    // The engine's own UDAFs register without group metadata, so they
+    // ride in an explicit extras set.
+    val graftAggs = Set("latest_by_offset", "earliest_by_offset",
+      "topk_by_score_3")
+    def registryAggregate(n: String): Boolean =
+      try spark.sessionState.catalog.lookupFunctionInfo(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+        .getGroup == "agg_funcs"
+      catch { case scala.util.control.NonFatal(_) => false }
+    val aggregate = """(?i)\b([A-Za-z_]\w*)\s*\(""".r
+      .findAllMatchIn(selectList).map(_.group(1).toLowerCase).toSet
+      .exists(n => graftAggs(n) || registryAggregate(n))
     val skip = "(?is).*(\\bGROUP\\s+BY\\b|\\browtime\\b).*".r
     select match {
       case _ if wildcard || aggregate => select

@@ -507,12 +507,34 @@ object DedupQueries {
     * planted-span fixture test calls THIS, so the invariant pins the
     * shipped operator, not a transcription of it. */
   private[graft] def repeatedSpansOver(docs: DataFrame): DataFrame = {
+    // ~one row per corpus token — the heaviest relation in the dedup
+    // family. It feeds BOTH the dup aggregate and the join's left side,
+    // and the subtrees diverge before any shuffle, so without a persist
+    // the tokenize+hash pass would run TWICE (exchange reuse can't
+    // fire). Persisted (memory-and-disk, spills at scale) for the
+    // duration, released once the per-doc counts — one small row per
+    // document — are eagerly checkpointed off it.
+    val w = spanWindows(docs).persist()
+    try repeatedSpansCounts(w).localCheckpoint()
+    finally w.unpersist()
+  }
+
+  /** The per-position window-hash relation: one row per token position
+    * with its [[SpanTokens]]-gram rolling hash. */
+  private[graft] def spanWindows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
-    val w = docs
+    docs
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleHashSeq(s, col("__toks"), SpanTokens))
           .as("h"))
+  }
+
+  /** The span-dedup plan proper over the window relation `w` — kept
+    * separate so the plan-shape pin can explain the LAZY plan (the
+    * shipped operator checkpoints this exact tree, which collapses its
+    * explain output to a Scan ExistingRDD). */
+  private[graft] def repeatedSpansCounts(w: DataFrame): DataFrame = {
     // windows seen in >= 2 distinct docs; two-stage agg on the hash key
     val dup = w.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))

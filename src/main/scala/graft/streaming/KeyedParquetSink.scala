@@ -186,10 +186,32 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     //    DATA retention is governed by retainVersions)
     val mdir = rootPath.resolve("_manifests")
     Files.createDirectories(mdir)
+    val hist = mdir.resolve(s"m${m.batch}")
+    // a history manifest for this batch that ALREADY exists must be
+    // ours (our own replay) once this instance has committed: a
+    // foreign token means a fenced-out loser published history for a
+    // batch we are only now reaching — replacing it would let dfAsOf
+    // time-travel onto the loser's snapshot undetected, and the
+    // REPLACE below would be the clobber. (A FRESH instance replacing
+    // a crashed predecessor's debris is the normal recovery path and
+    // stays allowed — same committedOnce gate as upsert's check.)
+    if (committedOnce)
+      readManifestAt(hist).foreach { prev =>
+        if (prev.writer.nonEmpty && prev.writer != writerToken)
+          throw new java.util.ConcurrentModificationException(
+            s"history manifest $hist carries foreign writer " +
+              s"[${prev.writer}] (this instance: $writerToken) — " +
+              "concurrent writers raced the batch history; stop this one")
+      }
     val mtmp = mdir.resolve(s"m${m.batch}.tmp")
     Files.writeString(mtmp, body.toString)
-    Files.move(mtmp, mdir.resolve(s"m${m.batch}"),
+    Files.move(mtmp, hist,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // fence BETWEEN the history move and the pointer move: a loser that
+    // slipped the pre-check gap dies here, after (at worst) writing its
+    // own m<batch> but BEFORE clobbering _CURRENT — the history check
+    // above keeps even that write off a winner's committed batch
+    assertWriterLease()
     // 2. atomic pointer move — the commit
     val tmp = rootPath.resolve(s"_CURRENT.tmp${m.batch}")
     Files.writeString(tmp, body.toString)
@@ -342,6 +364,66 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     val live = newBuckets.values.map(_.split('/').head).toSet ++ recent
     prune(live)
     } finally { pinned.unpersist(blocking = false); () }
+  }
+
+  /** Deep-history vacuum: delete every version directory not
+    * referenced by the last `keepLast` COMMITTED batch manifests (the
+    * `_manifests` history [[dfAsOf]] reads) nor by the current
+    * snapshot. The per-upsert `retainVersions` pruning bounds steady-
+    * state growth; vacuum is the retention KNOB — run it to reclaim a
+    * long-running sink's deep time-travel data on a schedule, or once
+    * after lowering the desired history depth. Manifest METADATA is
+    * kept forever (a few hundred bytes per batch), so a vacuumed
+    * snapshot fails loudly in dfAsOf ("references pruned version …")
+    * instead of silently disappearing or mixing epochs.
+    *
+    * Concurrent-reader safety: a Spark reader resolves a manifest to
+    * concrete file paths at PLAN time, so the hazard window is a
+    * reader holding paths while vacuum deletes them. Readers of the
+    * current snapshot or of any of the last `keepLast` batches keep
+    * their files (their version dirs are in the live set — and
+    * `keepLast >= 2` guarantees a reader holding a one-behind stale
+    * _CURRENT is covered by the history manifests, the same grace
+    * argument as `retainVersions >= 2` for the upsert prune; the
+    * current manifest's `recent` list is deliberately NOT pinned —
+    * it is the steady-state knob's artifact, and everything it
+    * protects is protected by those same last-`keepLast` manifests).
+    * Deeper time-travel readers race the delete, but the failure mode
+    * is a loud missing-file/pruned-version error, never a
+    * silently-wrong mix: every surviving bucket directory is only ever
+    * read through a manifest that names it explicitly. On an object
+    * store the same call maps to delete-after-grace lifecycle rules.
+    *
+    * Fenced by the writer lease on BOTH sides of the deletes: only the
+    * live writer may reclaim, and a vacuum that lost its lease mid-run
+    * fails loudly (the new writer's versions are never in this
+    * instance's delete set anyway — version names are batch-monotone).
+    *
+    * @return names of the version directories deleted */
+  def vacuum(keepLast: Int): Seq[String] = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (current + grace for lagging readers), got $keepLast")
+    assertWriterLease()
+    val mdir = rootPath.resolve("_manifests")
+    val keptBatches = listDirs(mdir)
+      .map(_.getFileName.toString)
+      .filter(_.matches("m\\d+"))
+      .map(_.stripPrefix("m").toLong)
+      .sorted.takeRight(keepLast)
+    val histLive = keptBatches.flatMap(b =>
+        readManifestAt(mdir.resolve(s"m$b")).toSeq.flatMap(_.buckets.values))
+      .map(_.split('/').head).toSet
+    val curLive = readManifest().toSeq
+      .flatMap(_.buckets.values.map(_.split('/').head)).toSet
+    val live = histLive ++ curLive
+    val victims = listDirs(rootPath)
+      .filter(p => p.getFileName.toString.matches("v\\d+") &&
+        Files.isDirectory(p))
+      .map(_.getFileName.toString)
+      .filterNot(live)
+    prune(live)
+    assertWriterLease()
+    victims.sorted
   }
 
   private def listDirs(dir: Path): Seq[Path] = {

@@ -480,6 +480,50 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(band.contains("b.event_ts >= a.event_ts - INTERVAL 1 DAY"), band)
   }
 
+  test("WITHIN event time: a typed NON-preferred column beats an untyped preferred name") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // `ts` is a raw non-ISO string and the only timestamp-TYPED column
+    // is named created_at (no preferred name is typed) — binding the
+    // string `ts` would cast to NULL in the band and silently zero the
+    // join, so the single typed column must win
+    Seq((1L, "01/02/2024 00:00"))
+      .toDF("k", "ts")
+      .withColumn("created_at", to_timestamp(col("ts"), "MM/dd/yyyy HH:mm"))
+      .createOrReplaceTempView("typednp")
+    val band = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM typednp a INNER JOIN typednp b WITHIN 1 DAYS ON a.k = b.k")
+    assert(band.contains("b.created_at >= a.created_at - INTERVAL 1 DAY"), band)
+    // all-string legacy schema: the bare preferred name still binds
+    Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts")
+      .createOrReplaceTempView("allstr")
+    val legacy = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM allstr a INNER JOIN allstr b WITHIN 1 DAYS ON a.k = b.k")
+    assert(legacy.contains("b.ts >= a.ts - INTERVAL 1 DAY"), legacy)
+  }
+
+  test("rowtime propagation skips ANY registry aggregate, not a hardcoded list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    Seq((1L, "2024-01-02 00:00:00"))
+      .toDF("k", "tsraw")
+      .withColumn("rowtime", to_timestamp(col("tsraw")))
+      .createOrReplaceTempView("rtprop")
+    // GROUP-BY-less full aggregates over functions the old whitelist
+    // missed: appending a bare rowtime column would break them
+    for (sel <- Seq(
+        "SELECT stddev_samp(k) AS s FROM rtprop t",
+        "SELECT count(DISTINCT k) AS n FROM rtprop t",
+        "SELECT any_value(k) AS a FROM rtprop t",
+        "SELECT approx_count_distinct(k) AS n FROM rtprop t"))
+      assert(!ConnectorDdl.propagateRowtime(spark, sel).contains("AS rowtime"),
+        sel)
+    // scalar functions must NOT suppress propagation
+    val scalar = ConnectorDdl.propagateRowtime(spark,
+      "SELECT upper(concat('a', 'b')) AS u, abs(k) AS a FROM rtprop t")
+    assert(scalar.contains("t.rowtime AS rowtime"), scalar)
+  }
+
   test("the reference's ENTIRE ksql session runs verbatim, statement for statement") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

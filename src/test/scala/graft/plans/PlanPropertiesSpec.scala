@@ -208,7 +208,12 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("repeated spans: cross-doc test keys on the window hash — never doc×doc") {
-    val p = planOf("dedup_repeated_spans")
+    // the shipped operator eagerly checkpoints (its explain collapses
+    // to Scan ExistingRDD), so pin the lazy plan it materializes —
+    // repeatedSpansCounts over spanWindows is that exact tree
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val p = plan(graft.queries.DedupQueries.repeatedSpansCounts(
+      graft.queries.DedupQueries.spanWindows(docs)))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     // the recurring-hash relation joins back on the hash equi-key

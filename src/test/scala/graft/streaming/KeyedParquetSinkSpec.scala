@@ -234,6 +234,45 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur.schema.fieldNames.toSeq == Seq("k", "v", "__deleted"))
   }
 
+  test("vacuum reclaims deep history: last-N time travel survives, older version dirs are deleted") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-vac-").toString
+    // high retainVersions = the deep-history configuration vacuum is
+    // for; every batch rewrites the single bucket, so each version dir
+    // is live only through its own manifest
+    val sink = new KeyedParquetSink(spark, root, "k",
+      numBuckets = 1, retainVersions = 10)
+    (0L to 5L).foreach(i =>
+      sink.upsert(Seq(("a", s"v$i")).toDF("k", "v"), i))
+    import scala.jdk.CollectionConverters._
+    def versionDirs(): Set[String] =
+      Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.matches("v\\d+")).toSet
+    assert(versionDirs() == (0 to 5).map(i => s"v$i").toSet)
+
+    val deleted = sink.vacuum(keepLast = 3)
+    // the last 3 manifests (m3,m4,m5) keep their versions; the
+    // current manifest's recent list also pins v5..; v0-v2 go
+    assert(deleted.toSet == Set("v0", "v1", "v2"), deleted)
+    assert(versionDirs() == Set("v3", "v4", "v5"), versionDirs())
+    // time travel within retention still reproduces exact snapshots
+    assert(sink.dfAsOf(4).get.as[(String, String)].collect().toMap ==
+      Map("a" -> "v4"))
+    assert(sink.df.get.as[(String, String)].collect().toMap ==
+      Map("a" -> "v5"))
+    // beyond retention: metadata survives, the data read refuses loudly
+    val e = intercept[IllegalStateException] { sink.dfAsOf(1) }
+    assert(e.getMessage.contains("v1") &&
+      e.getMessage.contains("retainVersions"), e.getMessage)
+    // vacuum is fenced: a newer writer on the root makes it throw
+    new KeyedParquetSink(spark, root, "k", numBuckets = 1,
+      retainVersions = 10)
+    val fenced = intercept[java.util.ConcurrentModificationException] {
+      sink.vacuum(keepLast = 2)
+    }
+    assert(fenced.getMessage.contains("fenced"))
+  }
+
   test("old versions are pruned but the retention window keeps lagging readers alive") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-kps-ret-").toString
