@@ -147,6 +147,65 @@ object StreamingQueries {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** EMIT FINAL for HOPPING windows — ksqlDB 0.28 allows `EMIT FINAL`
+    * on any window type, not just tumbling, so the append-mode
+    * watermark-close pattern of [[tumblingFinal]] must hold when each
+    * event lives in 4 overlapping windows: every (window, key) pair
+    * still appears exactly once, with its final value, once the
+    * watermark passes the window end. Same flush-sentinel mechanics
+    * and the same oracle as the hopping aggregate — final emission
+    * must equal the batch answer. */
+  def hoppingFinal(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val flush =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "__flush", 0.0))
+    val agg = eventsStream(s, d)
+      .select(col("ts").cast(TimestampType).as("ts"), col("event_type"), col("value"))
+      .unionByName(flush.toDF().toDF("ts", "event_type", "value"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
+    runToTable(agg, "append")
+      .filter(col("event_type") =!= "__flush")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** EMIT FINAL for SESSION windows — the other window type ksqlDB
+    * lets a user `EMIT FINAL` over, and the one [[sessionAgg]] runs in
+    * complete mode (update churn). Append mode + watermark means a
+    * session is emitted exactly once, after the watermark passes its
+    * close (last event + gap) — which also exercises Spark's state-
+    * store session MERGE path (complete mode merges in-memory). The
+    * flush sentinel rides a reserved user_id (-1: real ids are
+    * non-negative) and is dropped after materialization — a filter
+    * inside the streaming plan would be pushed below the watermark
+    * operator and kill the flush. Oracle: the same gaps-and-islands
+    * SQL as the complete-mode session agg — once-per-closed-session
+    * emission must reproduce the batch answer exactly. */
+  def sessionFinal(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val flush =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), -1L))
+    val agg = eventsStream(s, d)
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"))
+      .unionByName(flush.toDF().toDF("ts", "user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, "append")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("n"))
+  }
+
   /** Session windows (30 min gap) per user, streaming complete mode;
     * oracle is the classic gaps-and-islands SQL. */
   def sessionAgg(s: SparkSession, d: String): DataFrame = {
@@ -717,6 +776,8 @@ object StreamingQueries {
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
     "stream_tumbling_final" -> tumblingFinal _,
+    "stream_hopping_final" -> hoppingFinal _,
+    "stream_session_final" -> sessionFinal _,
     "stream_interval_join" -> streamIntervalJoin _,
     "stream_interval_left" -> streamIntervalLeft _,
     "stream_interval_full" -> streamIntervalFull _,
@@ -734,6 +795,8 @@ object StreamingQueries {
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,
     "stream_tumbling_final" -> BatchSqlQueries.tumblingAggSql,
+    "stream_hopping_final" -> BatchSqlQueries.hoppingAggSql,
+    "stream_session_final" -> sessionAggSql,
     "stream_interval_join" -> PipelineQueries.intervalJoinSql,
     "stream_interval_left" -> streamIntervalLeftSql,
     "stream_interval_full" -> streamIntervalFullSql,
