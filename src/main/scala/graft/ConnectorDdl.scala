@@ -213,6 +213,25 @@ object ConnectorDdl {
       Option(m.group(1)).getOrElse(m.group(2)) -> unescape(m.group(3))
     }.toMap
 
+  // ksql re-key clause: `SELECT … FROM … PARTITION BY <col>` at the
+  // TAIL of a CSAS select (ksqlDB's stream re-key — the output stream
+  // is keyed and physically partitioned by the named column,
+  // ksqlDB docs "Partition By"; the reference's session never re-keys,
+  // so this closes the last ksql DDL keyword family). The `$` anchor
+  // keeps window specs safe: `OVER (PARTITION BY …)` always ends in
+  // `)`, never in a bare trailing identifier.
+  private val partitionByRe =
+    """(?is)^(.*?)\s+PARTITION\s+BY\s+([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)\s*$""".r
+
+  /** Split a CSAS select into (body, re-key column): ksql's PARTITION
+    * BY is not Spark SQL, so it is peeled off before the select runs
+    * and applied as an explicit hash re-partition on the result. */
+  private[graft] def splitPartitionBy(select: String): (String, Option[String]) =
+    select match {
+      case partitionByRe(body, key) => (body, Some(key))
+      case _ => (select, None)
+    }
+
   // Bare ksql stream DEFINITION (no AS): `CREATE STREAM <name>
   // [(schema)] WITH (props);` — the reference's statements 4-6
   // (README.md:396-427) define streams over topics this way. CREATE
@@ -328,9 +347,25 @@ object ConnectorDdl {
   // column (the ChangeFeed contract), so the verbatim spelling
   // translates to `max_by(x, offset)`. The 2-arg explicit form stays
   // untouched (only a single bare identifier argument matches).
-  private[graft] def rewriteLatestByOffset(select: String): String =
-    """(?i)\blatest_by_offset\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-      .replaceAllIn(select, m => s"max_by(${m.group(1)}, offset)")
+  private[graft] def rewriteLatestByOffset(select: String): String = {
+    val oneArg = """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+      .replaceAllIn(select, m => {
+        val by = if (m.group(1).toLowerCase == "latest") "max_by" else "min_by"
+        s"$by(${m.group(2)}, offset)"
+      })
+    // ksql's 2-arg form `latest_by_offset(x, N)` (N an int literal)
+    // returns the N latest values as an array; spelled with builtin
+    // collection functions — collect the (offset, value) pairs, sort
+    // by offset (desc for latest, asc for earliest), slice N, project
+    """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)""".r
+      .replaceAllIn(oneArg, m => {
+        val desc = if (m.group(1).toLowerCase == "latest") "false" else "true"
+        val (x, n) = (m.group(2), m.group(3))
+        java.util.regex.Matcher.quoteReplacement(
+          s"transform(slice(sort_array(collect_list(struct(offset, $x)), " +
+            s"$desc), 1, $n), s -> s.$x)")
+      })
+  }
 
   /** ksql propagates ROWTIME implicitly into derived streams; Spark
     * views only carry selected columns. For a subquery-free,
@@ -523,18 +558,25 @@ object ConnectorDdl {
         // value_format, timestamp hints) are accepted and recorded on
         // the status row; a ksql WITHIN interval-join clause is
         // translated to its time-band predicate ([[rewriteWithin]]),
-        // 1-arg latest_by_offset to max_by over the offset column, and
-        // ROWTIME inheritance to an appended rowtime column.
+        // 1-arg latest/earliest_by_offset to max_by/min_by over the
+        // offset column (2-arg literal-N forms to sorted-slice arrays),
+        // and ROWTIME inheritance to an appended rowtime column.
         val props = Option(withProps).map(parseProps).getOrElse(Map.empty)
+        // a trailing ksql PARTITION BY re-key is peeled off first (not
+        // Spark SQL) and re-applied below as a hash repartition on the
+        // result — the new key column both keys and physically
+        // co-locates the derived stream, so a downstream equi-join on
+        // it shuffles the OTHER side only (ksql's re-key contract)
+        val (selectBody, rekey) = splitPartitionBy(select)
         // rowtime propagation runs BEFORE the WITHIN translation (whose
         // output spells rowtime in the band predicate and would trip
         // the already-mentions-rowtime guard); it is best-effort — a
         // select shape the heuristic mis-judges (e.g. aggregate-only
         // without GROUP BY) falls back to the untouched statement
-        val plain = rewriteLatestByOffset(select)
+        val plain = rewriteLatestByOffset(selectBody)
         val noProp = rewriteWithin(spark, plain)
         val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
-        val df =
+        val df0 =
           if (withProp == noProp) spark.sql(noProp)
           else
             try spark.sql(withProp)
@@ -542,10 +584,18 @@ object ConnectorDdl {
               case _: org.apache.spark.sql.AnalysisException =>
                 spark.sql(noProp)
             }
+        // the re-key column is addressed on the REBOUND output schema
+        // (a qualified `s.user_id` names the source relation, gone
+        // after the select) — ksql keys by the projected column
+        val df = rekey.fold(df0) { k =>
+          df0.repartition(col(k.substring(k.lastIndexOf('.') + 1)))
+        }
         df.createOrReplaceTempView(name)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
+        val shownProps = props ++ rekey.map(k =>
+          "key" -> k.substring(k.lastIndexOf('.') + 1))
         Seq((name.toLowerCase, kindStr.toUpperCase,
-            props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
+            shownProps.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
           .toDF("name", "kind", "properties", "status")
       case other =>
         throw new IllegalArgumentException(

@@ -143,6 +143,36 @@ object BatchSqlQueries3 {
       |  COUNT(*) AS n
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** ksqlDB's two-arg `LATEST_BY_OFFSET(col, N)` / `EARLIEST_BY_OFFSET
+    * (col, N)` (reference README.md:436-437 shows the family): the N
+    * latest / earliest values per key in offset order, as an array.
+    * Spark spelling: collect the (offset, value) pairs, sort by the
+    * struct (offset leads), slice the wanted end, project the value —
+    * all builtin codegen'd collection functions, one shuffle, map-side
+    * partial collect. Per-key state is the full key history ONLY
+    * because this batch query keeps collect_list exact; the streaming
+    * analog bounds it with `max_by`-style top-N pruning per partial.
+    * Arrays joined to strings so the hash compare is
+    * order-deterministic cross-engine. */
+  def latestKByOffset(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(expr(
+          "transform(slice(sort_array(collect_list(struct(event_id, event_type)), false), 1, 3), x -> x.event_type)"),
+          ",").as("latest3"),
+        array_join(expr(
+          "transform(slice(sort_array(collect_list(struct(event_id, event_type)), true), 1, 3), x -> x.event_type)"),
+          ",").as("earliest3"),
+        count(lit(1)).cast(LongType).as("n"))
+
+  val latestKByOffsetSql: String =
+    """SELECT user_id,
+      |  array_to_string(list(event_type ORDER BY event_id DESC)[1:3], ',') AS latest3,
+      |  array_to_string(list(event_type ORDER BY event_id ASC)[1:3], ',') AS earliest3,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Session gap for [[sessionize]], microseconds (30 minutes). */
   private val SessionGapUs = 1800L * 1000000L
 
@@ -310,6 +340,7 @@ object BatchSqlQueries3 {
     "q_sessionize" -> sessionize _,
     "q_event_funnel" -> eventFunnel _,
     "q_earliest_by_offset" -> earliestByOffset _,
+    "q_latest_k_by_offset" -> latestKByOffset _,
     "q_collect_agg" -> collectAgg _,
     "q_range_frame" -> rangeFrame _,
     "q_union_all" -> unionAll _,
@@ -324,6 +355,7 @@ object BatchSqlQueries3 {
     "q_sessionize" -> sessionizeSql,
     "q_event_funnel" -> eventFunnelSql,
     "q_earliest_by_offset" -> earliestByOffsetSql,
+    "q_latest_k_by_offset" -> latestKByOffsetSql,
     "q_collect_agg" -> collectAggSql,
     "q_range_frame" -> rangeFrameSql,
     "q_union_all" -> unionAllSql,

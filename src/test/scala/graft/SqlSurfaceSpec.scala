@@ -304,6 +304,50 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "CREATE TABLE t WITH (kafka_topic = 't') AS SELECT 1 AS x"))
   }
 
+  test("ksql PARTITION BY re-keys a CSAS stream; joins on the new key line up") {
+    // ksqlDB's re-key statement (docs "Partition By"; not exercised by
+    // the reference session — the last ksql DDL keyword family): the
+    // derived stream is keyed and physically hash-partitioned by the
+    // named column
+    val st = GraftSql.sql(spark,
+      """CREATE STREAM orders_by_cust AS
+        |    SELECT o_custkey, o_orderkey, o_totalprice
+        |    FROM orders
+        |    PARTITION BY o_custkey
+        |    EMIT CHANGES;""".stripMargin).collect().head
+    assert(st.getString(3) == "CREATED" && st.getString(2).contains("key=o_custkey"))
+    // the clause was peeled, the select ran, and the re-key is a real
+    // hash repartition in the registered view's plan
+    val view = spark.table("orders_by_cust")
+    assert(view.columns.toSeq ==
+      Seq("o_custkey", "o_orderkey", "o_totalprice"))
+    assert(view.queryExecution.analyzed.toString
+      .contains("RepartitionByExpression"), view.queryExecution.analyzed)
+    // a qualified re-key column binds to the projected output column
+    GraftSql.sql(spark,
+      """CREATE STREAM cust_names AS
+        |    SELECT c.c_custkey, c.c_name FROM customer c
+        |    PARTITION BY c.c_custkey;""".stripMargin)
+    // joining the two re-keyed streams on the shared key is correct
+    sameRows(
+      spark.sql(
+        """SELECT o.o_orderkey, n.c_name
+          |FROM orders_by_cust o JOIN cust_names n
+          |  ON o.o_custkey = n.c_custkey
+          |WHERE o.o_totalprice > 300000""".stripMargin),
+      spark.sql(
+        """SELECT o_orderkey, c_name
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_totalprice > 300000""".stripMargin))
+    // a window-spec PARTITION BY is NOT a re-key (ends in ')', never a
+    // trailing identifier)
+    val (body, key) = ConnectorDdl.splitPartitionBy(
+      "SELECT user_id, row_number() OVER (PARTITION BY user_id)")
+    assert(key.isEmpty && body.endsWith(")"))
+    spark.catalog.dropTempView("orders_by_cust")
+    spark.catalog.dropTempView("cust_names")
+  }
+
   test("ksql admin forms: quoted SET stores the unquoted key; SHOW STREAMS lists views") {
     // the reference's first statement, README.md:346 — Spark's native
     // SET would have stored the key WITH its quotes
@@ -500,6 +544,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val legacy = ConnectorDdl.rewriteWithin(spark,
       "SELECT * FROM allstr a INNER JOIN allstr b WITHIN 1 DAYS ON a.k = b.k")
     assert(legacy.contains("b.ts >= a.ts - INTERVAL 1 DAY"), legacy)
+  }
+
+  test("ksql latest/earliest_by_offset(col, N) rewrite to sorted-slice arrays and run") {
+    import spark.implicits._
+    val r = ConnectorDdl.rewriteLatestByOffset(
+      "SELECT k, latest_by_offset(v, 3) AS l3, earliest_by_offset(v, 2) AS e2 " +
+        "FROM s GROUP BY k")
+    assert(r.contains(
+      "transform(slice(sort_array(collect_list(struct(offset, v)), false), 1, 3), s -> s.v)"), r)
+    assert(r.contains(
+      "transform(slice(sort_array(collect_list(struct(offset, v)), true), 1, 2), s -> s.v)"), r)
+    // the engine's own 2-arg UDAF spelling (offset COLUMN, value) must
+    // pass through untouched — only an integer-literal N matches
+    val udaf = "SELECT latest_by_offset(event_id, event_type) FROM s"
+    assert(ConnectorDdl.rewriteLatestByOffset(udaf) == udaf)
+    // and the rewritten SQL is valid Spark SQL with correct semantics
+    Seq((1L, 10L, "a"), (1L, 30L, "c"), (1L, 20L, "b"), (2L, 5L, "x"))
+      .toDF("k", "offset", "v").createOrReplaceTempView("lko")
+    val out = spark.sql(ConnectorDdl.rewriteLatestByOffset(
+        "SELECT k, latest_by_offset(v, 2) AS l2, earliest_by_offset(v, 2) AS e2 " +
+          "FROM lko GROUP BY k"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map { case (k, l, e) => k -> ((l, e)) }.toMap
+    assert(out(1L) == ((Seq("c", "b"), Seq("a", "b"))), out)
+    assert(out(2L) == ((Seq("x"), Seq("x"))), out)
   }
 
   test("rowtime propagation skips ANY registry aggregate, not a hardcoded list") {
