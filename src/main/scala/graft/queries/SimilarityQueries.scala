@@ -27,10 +27,10 @@ object SimilarityQueries {
     * with the data. A 768-dim corpus is this one line. */
   private[graft] val EmbeddingDim = 64
 
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column =
+  private[graft] def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
   private def withEmb(s: SparkSession, d: String): DataFrame =
@@ -264,7 +264,7 @@ object SimilarityQueries {
           (norm(col("cemb")) * norm(col("qemb"))), 6).as("csim"))
       .orderBy(col("csim").desc, col("label"))
       .limit(nprobe)
-      .collect().toSeq.map(_.getInt(0))
+      .collect().toSeq.map(_.getAs[Number](0).intValue)
     // probe: static IN-filter on the partition column → the scan plans
     // with PartitionFilters and reads only the probed cell directories
     s.read.parquet(layout.vectors)
@@ -337,6 +337,96 @@ object SimilarityQueries {
     } finally Seq(root.toString, ckpt)
       .foreach(StreamingQueries.deleteRecursively)
   }
+
+  /** Assign every vector to its nearest centroid (max rounded cosine,
+    * deterministic cid tie-break) — the IVF homing step shared by the
+    * retrain query's v1 build and [[graft.sources.IvfIndex
+    * .maybeRetrain]]'s Lloyd completion. Broadcast of the O(ncells)
+    * centroid table; one shuffle on vec_id for the argmax window. */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("emb"), col("cid"),
+        round(dot(col("emb"), col("cemb")) /
+          (norm(col("emb")) * norm(col("cemb"))), 6).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("emb"),
+        col("cid").as("cell"))
+  }
+
+  /** The full drift→retrain lifecycle as ONE verifiable query: publish
+    * the index as trained (v1: the k=8 seed vectors are the routing
+    * table, every vector homed by nearest seed — exactly [[kmeansStep]]'s
+    * assignment), then let [[graft.sources.IvfIndex.maybeRetrain]]
+    * measure the drift of the stored centroids against the cell means
+    * the layout actually holds and publish the retrained v2 (new
+    * centroids = the Lloyd-step grid means, vectors re-homed, atomic
+    * `_CURRENT` swap), and finally probe v2 for the query vector's
+    * top-5. The oracle re-derives the same answer declaratively:
+    * post-Lloyd centroids, re-assignment, route, re-rank — so a hash
+    * match proves the persisted lifecycle (publish → drift gate →
+    * retrain → swap → probe) computes exactly what the math says it
+    * must. Threshold 0 here: the seeds are single vectors, so their
+    * cells' means always move and the gate always fires on real data
+    * (the below-threshold branch is spec-covered with synthetic
+    * vectors in IvfRetrainSpec). */
+  def ivfRetrainProbe(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-ivf-retrain-")
+    try {
+      val e = withEmb(s, d)
+      val seeds = e.filter(col("vec_id") <= 7)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+      graft.sources.IvfIndex.publish(root,
+        seeds.select(col("cid").as("label"), col("cemb")),
+        assignCells(e, seeds))
+      val (layout, retrained) =
+        graft.sources.IvfIndex.maybeRetrain(s, root, thresholdMicros = 0L)
+      require(retrained, s"seed centroids did not drift under $d")
+      probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
+  /** Embeds [[kmeansStepSql]]: the retrained index must hold exactly
+    * the post-Lloyd centroids, so the probe is spelled against them.
+    * Lazy: [[kmeansStepSql]] is declared later in this object and a
+    * strict val here would interpolate null at init. */
+  lazy val ivfRetrainSql: String =
+    s"""WITH km AS (SELECT * FROM ($kmeansStepSql) x),
+       |carr AS (SELECT cid, list(centroid ORDER BY dim) cemb
+       |         FROM km GROUP BY cid),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+       |q AS (SELECT emb qemb FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, e.emb, c.cid,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
+       |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) csim
+       |  FROM e CROSS JOIN carr c),
+       |assigned AS (
+       |  SELECT vec_id, label, emb, cid FROM (
+       |    SELECT vec_id, label, emb, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) rn
+       |    FROM scored) WHERE rn = 1),
+       |route AS (
+       |  SELECT cid FROM (
+       |    SELECT c.cid,
+       |      round(
+       |        list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> cemb[i]*qemb[i])) /
+       |        (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
+       |         sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) csim
+       |    FROM carr c, q)
+       |  ORDER BY csim DESC, cid LIMIT 1)
+       |SELECT a.vec_id, a.label,
+       |  round(
+       |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) /
+       |    (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) AS cos_sim
+       |FROM assigned a JOIN route r ON a.cid = r.cid, q
+       |WHERE a.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
   /** Recall@5 of every ANN variant against the exact brute-force
     * top-5 — the metric an ANN deployment actually tracks (an index
@@ -615,6 +705,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "stream_ivf_ingest" -> streamIvfIngest _,
+    "sim_ivf_retrain" -> ivfRetrainProbe _,
     "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
@@ -631,6 +722,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> annIvfSql,
     "stream_ivf_ingest" -> annIvfSql,
+    "sim_ivf_retrain" -> ivfRetrainSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,

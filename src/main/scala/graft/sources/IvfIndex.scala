@@ -88,4 +88,158 @@ object IvfIndex {
   def appendBatch(layout: Layout, vectors: DataFrame, batchId: Long): Unit =
     vectors.write.mode("overwrite").partitionBy("cell")
       .parquet(s"${layout.vectors}/batch=$batchId")
+
+  // ----- versioned roots: the retrain lifecycle ---------------------
+  //
+  // A RETRAIN must replace the whole layout (routing table + cell
+  // partitioning) at once: appends only add rows under the FIXED
+  // quantizer, but new centroids re-home every vector, so readers must
+  // never see new centroids with old cells (a probe would route to a
+  // cell whose contents were laid out under different math — silent
+  // recall loss, not an error). The versioned root makes the switch
+  // atomic the same way [[graft.streaming.KeyedParquetSink]] publishes
+  // snapshots: each retrain writes a COMPLETE layout under
+  // `<root>/v<N>/` and then atomically moves a pointer file onto
+  // `<root>/_CURRENT`. A reader resolves the pointer once at query
+  // start and keeps a consistent (centroids, vectors) pair for the
+  // whole query even if a retrain lands mid-scan — old versions stay
+  // on disk until [[vacuumVersions]] reclaims them.
+
+  private def pointerPath(root: String) = Paths.get(root, "_CURRENT")
+
+  private def versionOf(root: String): Option[Int] = {
+    val p = pointerPath(root)
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p), "UTF-8").trim.stripPrefix("v").toInt)
+    else None
+  }
+
+  private def layoutOf(root: String, v: Int): Layout = {
+    val d = Paths.get(root, s"v$v")
+    Layout(d.resolve("centroids").toString, d.resolve("vectors").toString)
+  }
+
+  /** The layout the `_CURRENT` pointer names, if any version has been
+    * published. Resolve once per query: the returned paths are
+    * immutable (a retrain writes a NEW version directory). */
+  def currentLayout(root: String): Option[Layout] =
+    versionOf(root).map(layoutOf(root, _))
+
+  /** Publish a complete (centroids, vectors) layout as the next
+    * version and atomically repoint `_CURRENT` at it. The pointer move
+    * is the commit: a crash before it leaves a dangling `v<N>`
+    * directory that the next publish simply overwrites (versions are
+    * claimed by pointer state, not directory existence). */
+  def publish(root: String, centroids: DataFrame,
+              vectors: DataFrame): Layout = {
+    Files.createDirectories(Paths.get(root))
+    val v = versionOf(root).getOrElse(0) + 1
+    val layout = layoutOf(root, v)
+    centroids.write.mode("overwrite").parquet(layout.centroids)
+    vectors.write.mode("overwrite").partitionBy("cell")
+      .parquet(layout.vectors)
+    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
+    Files.write(tmp, s"v$v".getBytes("UTF-8"))
+    Files.move(tmp, pointerPath(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    layout
+  }
+
+  /** One drift-gated retrain pass over the CURRENT version — the
+    * index-maintenance loop the layout doc promises, as a single
+    * composable step: recompute each cell's true mean from the
+    * vectors the layout actually holds, measure the L1 drift (micro
+    * units, the [[graft.queries.SimilarityQueries]] `sim_centroid_
+    * drift` metric) against the stored routing table, and iff any
+    * cell drifted past `thresholdMicros`, run the Lloyd completion —
+    * re-home every vector by its nearest NEW centroid — and
+    * [[publish]] the result as the next version (atomic pointer
+    * swap). Below threshold nothing is written and the current
+    * layout is returned unchanged.
+    *
+    * Scale shape: the recompute is one narrow explode + grid-mean agg
+    * over the corpus (the same shuffle a `sim_kmeans_step` pays); the
+    * drift check joins two O(ncells × dim) relations and collects ONE
+    * max row (the routing table, never the corpus); the re-assignment
+    * broadcasts the O(ncells) centroid arrays and shuffles the corpus
+    * once on vec_id for the per-vector argmax. Means are computed on
+    * the 1e-6 integer grid (exact BIGINT sums), so drift and the
+    * retrained centroids are bit-stable across engines and partition
+    * counts. */
+  def maybeRetrain(s: org.apache.spark.sql.SparkSession, root: String,
+                   thresholdMicros: Long): (Layout, Boolean) = {
+    import org.apache.spark.sql.functions._
+    import graft.queries.SimilarityQueries.{dot, norm}
+    val cur = currentLayout(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val vecs = s.read.parquet(cur.vectors)
+      .select(col("vec_id"), col("label"), col("emb"),
+        col("cell").cast("int").as("cell"))
+    // per-(cell, dim) integer-grid means of what the layout holds now
+    val means = vecs
+      .select(col("cell"), posexplode(col("emb")).as(Seq("d0", "x")))
+      .select(col("cell"), (col("d0") + 1).cast("long").as("dim"),
+        floor(col("x") * 1000000).cast("long").as("gx"))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("gx")).cast("double") / (count(lit(1)) * 1000000.0))
+        .as("centroid"))
+      .localCheckpoint()
+    val stored = s.read.parquet(cur.centroids)
+      .select(col("label").cast("int").as("cell"),
+        posexplode(col("cemb")).as(Seq("d0", "old")))
+      .select(col("cell"), (col("d0") + 1).cast("long").as("dim"),
+        col("old"))
+    val maxDrift = means.join(stored, Seq("cell", "dim"))
+      .select(col("cell"),
+        floor(abs(col("centroid") - col("old")) * 1000000).cast("long")
+          .as("dgx"))
+      .groupBy(col("cell")).agg(sum(col("dgx")).as("d"))
+      .agg(max(col("d"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
+    if (maxDrift <= thresholdMicros) (cur, false)
+    else {
+      val newArr = means.groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          x => x.getField("centroid")).as("cemb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("csim").desc, col("cid"))
+      val reassigned = vecs.drop("cell")
+        .crossJoin(broadcast(
+          newArr.select(col("cell").as("cid"), col("cemb"))))
+        .select(col("vec_id"), col("label"), col("emb"), col("cid"),
+          round(dot(col("emb"), col("cemb")) /
+            (norm(col("emb")) * norm(col("cemb"))), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("emb"),
+          col("cid").as("cell"))
+      (publish(root,
+        newArr.select(col("cell").as("label"), col("cemb")),
+        reassigned), true)
+    }
+  }
+
+  /** Reclaim retired versions, keeping the newest `keepLast` (the
+    * current version always survives: keepLast is clamped to ≥ 1).
+    * Safe against in-flight readers only to the extent of the
+    * deployment's query duration — like any snapshot vacuum, the
+    * retention window must exceed the longest probe. Returns the
+    * deleted version directories. */
+  def vacuumVersions(root: String, keepLast: Int): Seq[String] = {
+    val cur = versionOf(root).getOrElse(return Nil)
+    val floor = cur - math.max(1, keepLast) + 1
+    val dir = Paths.get(root)
+    val victims = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName.drop(1).toInt < floor)
+      .map(_.toString).toSeq.sorted
+    victims.foreach { v =>
+      graft.queries.StreamingQueries.deleteRecursively(v)
+    }
+    victims
+  }
 }
