@@ -292,18 +292,48 @@ object ConnectorDdl {
     val preferred = Seq("rowtime", "ts", "event_ts", "timestamp")
     val tsType = org.apache.spark.sql.types.TimestampType
     val tsCols = fields.filter(_.dataType == tsType).map(_.name)
-    // three tiers: (1) a preferred name that is ACTUALLY
+    // a DATA probe settles the string-vs-typed ambiguity the schema
+    // alone cannot: an untyped preferred name (`ts` holding ISO
+    // strings — the legacy-stream convention) is trusted ONLY if its
+    // values actually cast to timestamps. Bounded planning-time cost:
+    // up to 100 sampled rows through a pushed-down filter+limit.
+    def castsCleanly(name: String): Boolean = {
+      import org.apache.spark.sql.functions.{col, count, when}
+      val t = spark.table(view)
+      // a streaming view cannot be sampled at plan time — fall through
+      // to the type-driven tiers
+      if (t.isStreaming) false
+      else {
+        // try_cast, not cast: ANSI mode makes a malformed string THROW
+        // instead of producing the NULL the probe is looking for
+        val probe = org.apache.spark.sql.functions
+          .expr(s"try_cast(`$name` AS TIMESTAMP)")
+        val sample = t
+          .select(col(name)).filter(col(name).isNotNull).limit(100)
+          .select(count(when(probe.isNull, 1)).as("bad"),
+            count(col(name)).as("n"))
+          .collect().head
+        sample.getLong(1) > 0 && sample.getLong(0) == 0L
+      }
+    }
+    // four tiers: (1) a preferred name that is ACTUALLY
     // timestamp-typed always wins (so a raw string `ts` can never
-    // outrank a typed `event_ts`); (2) otherwise the view's single
-    // timestamp-typed column, whatever its name — a typed `created_at`
-    // must beat an untyped preferred name, or the band predicate casts
-    // the string to NULL and the join silently returns zero rows;
-    // (3) the bare preferred name ONLY for all-string schemas (no
-    // timestamp column anywhere — the legacy-stream convention where
-    // `ts` holds an ISO string that casts cleanly)
+    // outrank a typed `event_ts`); (2) an untyped preferred name whose
+    // sampled values all cast cleanly — the legacy ISO-string `ts`
+    // keeps meaning EVENT time even when an unrelated timestamp-typed
+    // `ingest_time`/`load_ts` sits beside it; (3) otherwise the view's
+    // single timestamp-typed column, whatever its name — a typed
+    // `created_at` must beat a NON-parsing preferred name, or the band
+    // predicate casts the string to NULL and the join silently returns
+    // zero rows; (4) the bare preferred name for all-string schemas
+    // (no timestamp column anywhere, nothing sampled — e.g. an empty
+    // legacy stream)
     preferred.flatMap(pn => fields.find(f =>
         f.name.toLowerCase == pn && f.dataType == tsType)).headOption
       .map(_.name)
+      .orElse(preferred.flatMap(pn =>
+          fields.map(_.name).find(_.toLowerCase == pn))
+        .find(castsCleanly))
       .orElse(if (tsCols.length == 1) Some(tsCols.head) else None)
       .orElse(if (tsCols.isEmpty)
           preferred.flatMap(pn =>
@@ -354,16 +384,22 @@ object ConnectorDdl {
         s"$by(${m.group(2)}, offset)"
       })
     // ksql's 2-arg form `latest_by_offset(x, N)` (N an int literal)
-    // returns the N latest values as an array; spelled with builtin
-    // collection functions — collect the (offset, value) pairs, sort
-    // by offset (desc for latest, asc for earliest), slice N, project
+    // returns the N latest values as an array IN ASCENDING OFFSET
+    // ORDER — ksqlDB's latestN buffer is sorted by sequence before
+    // output, so the latest value is LAST (and earliestN's earliest is
+    // first). Spelled with builtin collection functions: collect the
+    // (offset, value) pairs, sort descending for latest / ascending
+    // for earliest, slice the wanted N, project the value, and for
+    // latest REVERSE the slice back into ascending order.
     """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)""".r
       .replaceAllIn(oneArg, m => {
-        val desc = if (m.group(1).toLowerCase == "latest") "false" else "true"
+        val latest = m.group(1).toLowerCase == "latest"
         val (x, n) = (m.group(2), m.group(3))
-        java.util.regex.Matcher.quoteReplacement(
+        val sliced =
           s"transform(slice(sort_array(collect_list(struct(offset, $x)), " +
-            s"$desc), 1, $n), s -> s.$x)")
+            s"${!latest}), 1, $n), s -> s.$x)"
+        java.util.regex.Matcher.quoteReplacement(
+          if (latest) s"reverse($sliced)" else sliced)
       })
   }
 
@@ -576,19 +612,36 @@ object ConnectorDdl {
         val plain = rewriteLatestByOffset(selectBody)
         val noProp = rewriteWithin(spark, plain)
         val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
-        val df0 =
-          if (withProp == noProp) spark.sql(noProp)
+        val (df0, chosenSql) =
+          if (withProp == noProp) (spark.sql(noProp), noProp)
           else
-            try spark.sql(withProp)
+            try (spark.sql(withProp), withProp)
             catch {
               case _: org.apache.spark.sql.AnalysisException =>
-                spark.sql(noProp)
+                (spark.sql(noProp), noProp)
             }
         // the re-key column is addressed on the REBOUND output schema
         // (a qualified `s.user_id` names the source relation, gone
-        // after the select) — ksql keys by the projected column
+        // after the select). ksql allows keying by a source column the
+        // projection aliased away or omitted entirely (the expression
+        // moves into the record KEY) — the closest relational analog
+        // is to re-plan with the key appended to the select list, so
+        // the registered view carries the key column it is keyed by.
         val df = rekey.fold(df0) { k =>
-          df0.repartition(col(k.substring(k.lastIndexOf('.') + 1)))
+          val bare = k.substring(k.lastIndexOf('.') + 1)
+          if (df0.columns.exists(_.equalsIgnoreCase(bare)))
+            df0.repartition(col(bare))
+          else {
+            val selRe = "(?is)^\\s*SELECT(\\s+DISTINCT)?\\s+".r
+            val m = selRe.findFirstMatchIn(chosenSql).getOrElse(
+              throw new IllegalArgumentException(
+                s"cannot inject PARTITION BY key $k into: " +
+                  chosenSql.take(80)))
+            val injected =
+              s"SELECT${Option(m.group(1)).getOrElse("")} $k AS $bare, " +
+                chosenSql.substring(m.end)
+            spark.sql(injected).repartition(col(bare))
+          }
         }
         df.createOrReplaceTempView(name)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)

@@ -145,21 +145,23 @@ object BatchSqlQueries3 {
 
   /** ksqlDB's two-arg `LATEST_BY_OFFSET(col, N)` / `EARLIEST_BY_OFFSET
     * (col, N)` (reference README.md:436-437 shows the family): the N
-    * latest / earliest values per key in offset order, as an array.
-    * Spark spelling: collect the (offset, value) pairs, sort by the
-    * struct (offset leads), slice the wanted end, project the value —
-    * all builtin codegen'd collection functions, one shuffle, map-side
-    * partial collect. Per-key state is the full key history ONLY
-    * because this batch query keeps collect_list exact; the streaming
-    * analog bounds it with `max_by`-style top-N pruning per partial.
-    * Arrays joined to strings so the hash compare is
+    * latest / earliest values per key as an array IN ASCENDING OFFSET
+    * ORDER — ksqlDB sorts the capped buffer by sequence before output,
+    * so `latest_by_offset(v, 3)` ends with the single latest value.
+    * Spark spelling: collect the (offset, value) pairs, sort
+    * descending, slice the newest N, project the value, reverse back
+    * to ascending — all builtin codegen'd collection functions, one
+    * shuffle, map-side partial collect. Per-key state is the full key
+    * history ONLY because this batch query keeps collect_list exact;
+    * the streaming analog bounds it with `max_by`-style top-N pruning
+    * per partial. Arrays joined to strings so the hash compare is
     * order-deterministic cross-engine. */
   def latestKByOffset(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"))
       .agg(
         array_join(expr(
-          "transform(slice(sort_array(collect_list(struct(event_id, event_type)), false), 1, 3), x -> x.event_type)"),
+          "reverse(transform(slice(sort_array(collect_list(struct(event_id, event_type)), false), 1, 3), x -> x.event_type))"),
           ",").as("latest3"),
         array_join(expr(
           "transform(slice(sort_array(collect_list(struct(event_id, event_type)), true), 1, 3), x -> x.event_type)"),
@@ -168,7 +170,7 @@ object BatchSqlQueries3 {
 
   val latestKByOffsetSql: String =
     """SELECT user_id,
-      |  array_to_string(list(event_type ORDER BY event_id DESC)[1:3], ',') AS latest3,
+      |  array_to_string(list_reverse(list(event_type ORDER BY event_id DESC)[1:3]), ',') AS latest3,
       |  array_to_string(list(event_type ORDER BY event_id ASC)[1:3], ',') AS earliest3,
       |  COUNT(*) AS n
       |FROM events GROUP BY user_id""".stripMargin

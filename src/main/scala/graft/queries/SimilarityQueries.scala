@@ -339,11 +339,14 @@ object SimilarityQueries {
   }
 
   /** Assign every vector to its nearest centroid (max rounded cosine,
-    * deterministic cid tie-break) — the IVF homing step shared by the
-    * retrain query's v1 build and [[graft.sources.IvfIndex
-    * .maybeRetrain]]'s Lloyd completion. Broadcast of the O(ncells)
+    * deterministic cid tie-break) — the ONE spelling of the IVF homing
+    * step, shared by the retrain query's v1 build and
+    * [[graft.sources.IvfIndex.maybeRetrain]]'s Lloyd completion, so
+    * the tie-break/rounding rules the oracle equivalence depends on
+    * cannot drift between the two. Input `e` carries (vec_id, label,
+    * emb); `cents` carries (cid, cemb). Broadcast of the O(ncells)
     * centroid table; one shuffle on vec_id for the argmax window. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
     e.crossJoin(broadcast(cents))

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,89 +117,86 @@ object StreamingQueries {
         col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** EMIT FINAL analog (ksqlDB emits a window's single final result
-    * instead of per-change updates): append-mode watermarked windowed
-    * agg — Spark only emits a window once the watermark closes it, so
-    * each window appears exactly once with its final value. A
-    * far-future flush sentinel pushes the watermark past all real
-    * data so every window actually closes on this finite input (a live
-    * stream's watermark advances on its own); the sentinel's own
-    * window is filtered AFTER materialization (a filter inside the
-    * streaming plan would be pushed below the watermark operator and
-    * kill the flush — see streamIntervalLeft). Same oracle as the
-    * batch tumbling agg: final emission must equal the batch answer. */
-  def tumblingFinal(s: SparkSession, d: String): DataFrame = {
+  /** The one spelling of the EMIT FINAL mechanics, shared by every
+    * window type (ksqlDB allows `EMIT FINAL` on tumbling, hopping and
+    * session windows alike): union a far-future flush sentinel —
+    * pushing the watermark past all real data so every window closes
+    * on this finite input (a live stream's watermark advances on its
+    * own) — then watermark + aggregate in APPEND mode, where Spark
+    * emits each window exactly once, closed, with its final value.
+    * The sentinel is dropped AFTER materialization: a filter inside
+    * the streaming plan would be pushed below the watermark operator
+    * and kill the flush (see streamIntervalLeft). Each variant's
+    * oracle is its batch aggregate — final emission must equal the
+    * batch answer. */
+  private def emitFinal(input: DataFrame, sentinel: DataFrame,
+                        group: Seq[Column], aggs: Seq[Column],
+                        keepReal: Column): DataFrame =
+    runToTable(
+      input.unionByName(sentinel)
+        .withWatermark("ts", "1 hour")
+        .groupBy(group: _*)
+        .agg(aggs.head, aggs.tail: _*),
+      "append")
+      .filter(keepReal)
+
+  /** [[emitFinal]] over the events stream for a time-window expression
+    * — tumbling and hopping differ ONLY in the window spec (hopping
+    * proves overlapping windows close independently: every (window,
+    * key) pair appears exactly once even though each event lives in 4
+    * windows). */
+  private def eventsWindowFinal(s: SparkSession, d: String,
+                                win: Column): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val flush =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
     flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "__flush", 0.0))
-    val agg = eventsStream(s, d)
-      .select(col("ts").cast(TimestampType).as("ts"), col("event_type"), col("value"))
-      .unionByName(flush.toDF().toDF("ts", "event_type", "value"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
-    runToTable(agg, "append")
-      .filter(col("event_type") =!= "__flush")
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+    emitFinal(
+      eventsStream(s, d)
+        .select(col("ts").cast(TimestampType).as("ts"), col("event_type"),
+          col("value")),
+      flush.toDF().toDF("ts", "event_type", "value"),
+      Seq(win, col("event_type")),
+      Seq(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0)
+          .as("sum_value")),
+      col("event_type") =!= "__flush")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** EMIT FINAL for HOPPING windows — ksqlDB 0.28 allows `EMIT FINAL`
-    * on any window type, not just tumbling, so the append-mode
-    * watermark-close pattern of [[tumblingFinal]] must hold when each
-    * event lives in 4 overlapping windows: every (window, key) pair
-    * still appears exactly once, with its final value, once the
-    * watermark passes the window end. Same flush-sentinel mechanics
-    * and the same oracle as the hopping aggregate — final emission
-    * must equal the batch answer. */
-  def hoppingFinal(s: SparkSession, d: String): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    import s.implicits._
-    val flush =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String, Double)]
-    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "__flush", 0.0))
-    val agg = eventsStream(s, d)
-      .select(col("ts").cast(TimestampType).as("ts"), col("event_type"), col("value"))
-      .unionByName(flush.toDF().toDF("ts", "event_type", "value"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0).as("sum_value"))
-    runToTable(agg, "append")
-      .filter(col("event_type") =!= "__flush")
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("event_type"), col("n"), col("sum_value"))
-  }
+  /** EMIT FINAL analog for tumbling windows; oracle = the batch
+    * tumbling agg. */
+  def tumblingFinal(s: SparkSession, d: String): DataFrame =
+    eventsWindowFinal(s, d, window(col("ts"), "1 hour"))
 
-  /** EMIT FINAL for SESSION windows — the other window type ksqlDB
-    * lets a user `EMIT FINAL` over, and the one [[sessionAgg]] runs in
-    * complete mode (update churn). Append mode + watermark means a
-    * session is emitted exactly once, after the watermark passes its
+  /** EMIT FINAL for hopping windows; oracle = the batch hopping agg. */
+  def hoppingFinal(s: SparkSession, d: String): DataFrame =
+    eventsWindowFinal(s, d, window(col("ts"), "1 hour", "15 minutes"))
+
+  /** EMIT FINAL for SESSION windows — the window type [[sessionAgg]]
+    * runs in complete mode (update churn). Append mode + watermark
+    * emits each session exactly once, after the watermark passes its
     * close (last event + gap) — which also exercises Spark's state-
     * store session MERGE path (complete mode merges in-memory). The
     * flush sentinel rides a reserved user_id (-1: real ids are
-    * non-negative) and is dropped after materialization — a filter
-    * inside the streaming plan would be pushed below the watermark
-    * operator and kill the flush. Oracle: the same gaps-and-islands
-    * SQL as the complete-mode session agg — once-per-closed-session
-    * emission must reproduce the batch answer exactly. */
+    * non-negative). Oracle: the same gaps-and-islands SQL as the
+    * complete-mode session agg. */
   def sessionFinal(s: SparkSession, d: String): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
     val flush =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long)]
     flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), -1L))
-    val agg = eventsStream(s, d)
-      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"))
-      .unionByName(flush.toDF().toDF("ts", "user_id"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-    runToTable(agg, "append")
-      .filter(col("user_id") =!= -1L)
+    emitFinal(
+      eventsStream(s, d)
+        .select(col("ts").cast(TimestampType).as("ts"), col("user_id")),
+      flush.toDF().toDF("ts", "user_id"),
+      Seq(session_window(col("ts"), "30 minutes"), col("user_id")),
+      Seq(count(lit(1)).as("n")),
+      col("user_id") =!= -1L)
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("session_start"),

@@ -170,7 +170,6 @@ object IvfIndex {
   def maybeRetrain(s: org.apache.spark.sql.SparkSession, root: String,
                    thresholdMicros: Long): (Layout, Boolean) = {
     import org.apache.spark.sql.functions._
-    import graft.queries.SimilarityQueries.{dot, norm}
     val cur = currentLayout(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val vecs = s.read.parquet(cur.vectors)
@@ -204,19 +203,11 @@ object IvfIndex {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("centroid")))),
           x => x.getField("centroid")).as("cemb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
-      val reassigned = vecs.drop("cell")
-        .crossJoin(broadcast(
-          newArr.select(col("cell").as("cid"), col("cemb"))))
-        .select(col("vec_id"), col("label"), col("emb"), col("cid"),
-          round(dot(col("emb"), col("cemb")) /
-            (norm(col("emb")) * norm(col("cemb"))), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("emb"),
-          col("cid").as("cell"))
+      // Lloyd completion: re-home by nearest NEW centroid through the
+      // one shared argmax spelling (rounding + tie-break live there)
+      val reassigned = graft.queries.SimilarityQueries.assignCells(
+        vecs.drop("cell"),
+        newArr.select(col("cell").as("cid"), col("cemb")))
       (publish(root,
         newArr.select(col("cell").as("label"), col("cemb")),
         reassigned), true)

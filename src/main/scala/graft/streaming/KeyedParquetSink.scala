@@ -394,10 +394,14 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     * read through a manifest that names it explicitly. On an object
     * store the same call maps to delete-after-grace lifecycle rules.
     *
-    * Fenced by the writer lease on BOTH sides of the deletes: only the
-    * live writer may reclaim, and a vacuum that lost its lease mid-run
-    * fails loudly (the new writer's versions are never in this
-    * instance's delete set anyway — version names are batch-monotone).
+    * Fenced by the writer lease on BOTH sides of the deletes, and by
+    * the batch-monotone guard in between: only versions OLDER than the
+    * newest kept one are ever deleted, so a fencing winner's in-flight
+    * (not-yet-committed, hence unreferenced) newer version can never
+    * land in this instance's delete set even if the lease is stolen
+    * between the entry assertion and the delete — the lease checks
+    * catch the theft loudly, the monotone guard makes the race
+    * harmless rather than merely detected.
     *
     * @return names of the version directories deleted */
   def vacuum(keepLast: Int): Seq[String] = {
@@ -421,9 +425,29 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
         Files.isDirectory(p))
       .map(_.getFileName.toString)
       .filterNot(live)
+      .filter(reclaimable(_, live))
     prune(live)
     assertWriterLease()
     victims.sorted
+  }
+
+  /** Batch-monotone delete guard: an unreferenced version NEWER than
+    * the newest kept one is not reclaimable history — it is (or may
+    * be) a fencing winner's in-flight, not-yet-committed write, which
+    * no lease check on THIS instance can rule out (the lease can be
+    * stolen between the entry assertion and the delete). Version names
+    * are batch-monotone, so "older than everything kept" is a safe,
+    * purely name-local test; newer leftovers from a crashed writer are
+    * reclaimed later, once a newer batch commits past them. With
+    * nothing kept, nothing is deleted. */
+  private def reclaimable(name: String, keep: Set[String]): Boolean = {
+    val keepMax = keep.flatMap(_.drop(1).toLongOption)
+      .reduceOption(_ max _)
+    val n = name.drop(1).toLongOption
+    (keepMax, n) match {
+      case (Some(mx), Some(v)) => v < mx
+      case _ => false
+    }
   }
 
   private def listDirs(dir: Path): Seq[Path] = {
@@ -439,6 +463,7 @@ class KeyedParquetSink(spark: SparkSession, root: String, keyCol: String,
     listDirs(rootPath)
       .filter(p => p.getFileName.toString.startsWith("v") && Files.isDirectory(p))
       .filterNot(p => keepNames.contains(p.getFileName.toString))
+      .filter(p => reclaimable(p.getFileName.toString, keepNames))
       .foreach { dir =>
         import scala.jdk.CollectionConverters._
         Files.walk(dir).iterator().asScala.toSeq.reverse

@@ -344,8 +344,23 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (body, key) = ConnectorDdl.splitPartitionBy(
       "SELECT user_id, row_number() OVER (PARTITION BY user_id)")
     assert(key.isEmpty && body.endsWith(")"))
+    // ksql allows keying by a column the projection aliased away or
+    // omitted — the key is injected into the registered view's schema
+    GraftSql.sql(spark,
+      """CREATE STREAM orders_rekeyed AS
+        |    SELECT o_orderkey, o_totalprice AS price
+        |    FROM orders
+        |    PARTITION BY o_custkey;""".stripMargin)
+    val rk = spark.table("orders_rekeyed")
+    assert(rk.columns.toSeq == Seq("o_custkey", "o_orderkey", "price"), rk.columns.toSeq)
+    assert(rk.queryExecution.analyzed.toString
+      .contains("RepartitionByExpression"), rk.queryExecution.analyzed)
+    sameRows(
+      spark.sql("SELECT o_custkey, o_orderkey, price FROM orders_rekeyed"),
+      spark.sql("SELECT o_custkey, o_orderkey, o_totalprice AS price FROM orders"))
     spark.catalog.dropTempView("orders_by_cust")
     spark.catalog.dropTempView("cust_names")
+    spark.catalog.dropTempView("orders_rekeyed")
   }
 
   test("ksql admin forms: quoted SET stores the unquoted key; SHOW STREAMS lists views") {
@@ -546,13 +561,39 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(legacy.contains("b.ts >= a.ts - INTERVAL 1 DAY"), legacy)
   }
 
+  test("WITHIN event time: a PARSEABLE string ts beats an unrelated typed column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, current_timestamp}
+    // the legacy convention: `ts` holds clean ISO event time as a
+    // string, and an unrelated timestamp-typed ingest_time sits beside
+    // it — the band must stay on EVENT time (the probe proves the
+    // string casts), not silently switch to ingestion time
+    Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts")
+      .withColumn("ingest_time", current_timestamp())
+      .createOrReplaceTempView("isots")
+    val band = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM isots a INNER JOIN isots b WITHIN 1 DAYS ON a.k = b.k")
+    assert(band.contains("b.ts >= a.ts - INTERVAL 1 DAY"), band)
+    // two unrelated typed columns + a parseable ts: still binds ts
+    // (previously ambiguous → threw)
+    Seq((1L, "2024-01-02 00:00:00")).toDF("k", "ts")
+      .withColumn("ingest_time", current_timestamp())
+      .withColumn("load_ts", current_timestamp())
+      .createOrReplaceTempView("isots2")
+    val band2 = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM isots2 a INNER JOIN isots2 b WITHIN 1 DAYS ON a.k = b.k")
+    assert(band2.contains("b.ts >= a.ts - INTERVAL 1 DAY"), band2)
+  }
+
   test("ksql latest/earliest_by_offset(col, N) rewrite to sorted-slice arrays and run") {
     import spark.implicits._
     val r = ConnectorDdl.rewriteLatestByOffset(
       "SELECT k, latest_by_offset(v, 3) AS l3, earliest_by_offset(v, 2) AS e2 " +
         "FROM s GROUP BY k")
+    // LATEST slices the newest N then reverses back to ksql's
+    // ascending-offset output order (latest value LAST)
     assert(r.contains(
-      "transform(slice(sort_array(collect_list(struct(offset, v)), false), 1, 3), s -> s.v)"), r)
+      "reverse(transform(slice(sort_array(collect_list(struct(offset, v)), false), 1, 3), s -> s.v))"), r)
     assert(r.contains(
       "transform(slice(sort_array(collect_list(struct(offset, v)), true), 1, 2), s -> s.v)"), r)
     // the engine's own 2-arg UDAF spelling (offset COLUMN, value) must
@@ -567,7 +608,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           "FROM lko GROUP BY k"))
       .as[(Long, Seq[String], Seq[String])].collect()
       .map { case (k, l, e) => k -> ((l, e)) }.toMap
-    assert(out(1L) == ((Seq("c", "b"), Seq("a", "b"))), out)
+    // ksql order: ascending offset, so the latest value is LAST
+    assert(out(1L) == ((Seq("b", "c"), Seq("a", "b"))), out)
     assert(out(2L) == ((Seq("x"), Seq("x"))), out)
   }
 

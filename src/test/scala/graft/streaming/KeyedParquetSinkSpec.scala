@@ -273,6 +273,25 @@ class KeyedParquetSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fenced.getMessage.contains("fenced"))
   }
 
+  test("vacuum never touches an unreferenced version NEWER than the kept set (in-flight write protection)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-kps-vacnew-").toString
+    val sink = new KeyedParquetSink(spark, root, "k",
+      numBuckets = 1, retainVersions = 10)
+    (0L to 4L).foreach(i =>
+      sink.upsert(Seq(("a", s"v$i")).toDF("k", "v"), i))
+    // simulate a fencing winner's in-flight batch: a version directory
+    // newer than anything committed, referenced by NO manifest yet —
+    // exactly what a concurrent writer's half-written upsert looks like
+    val inflight = java.nio.file.Paths.get(root, "v9", "b0")
+    Files.createDirectories(inflight)
+    Files.write(inflight.resolve("part-inflight.parquet"), Array[Byte](1))
+    val deleted = sink.vacuum(keepLast = 2)
+    assert(deleted.toSet == Set("v0", "v1", "v2"), deleted)
+    // the monotone guard kept the newer unreferenced dir intact
+    assert(Files.exists(inflight.resolve("part-inflight.parquet")))
+  }
+
   test("old versions are pruned but the retention window keeps lagging readers alive") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-kps-ret-").toString
