@@ -198,6 +198,21 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("latest-k-by-offset: one pruned scan, partial collect before the single shuffle") {
+    val p = planOf("q_latest_k_by_offset")
+    // map-side partial collect_list reduces each partition BEFORE the
+    // exchange — the shuffle carries per-key buffers, not raw events
+    assert(p.contains("partial_collect_list"), p.take(3000))
+    // exactly one exchange operator (each appears twice in formatted
+    // output: once in the tree, once as a detail header)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 1,
+      p.take(3000))
+    assert(p.contains("hashpartitioning(user_id"), p.take(3000))
+    // the scan reads only the three referenced columns
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("value") && !readSchema.contains("ts"), readSchema)
+  }
+
   test("source cap: per-source totals aggregate map-side, rates broadcast back") {
     val p = planOf("curate_cap_sources")
     // two-phase agg for the totals, broadcast join for the rate lookup
