@@ -338,6 +338,64 @@ object SimilarityQueries {
       .foreach(StreamingQueries.deleteRecursively)
   }
 
+  /** The retrain lifecycle under STREAMING ingest — the production
+    * shape end-to-end: vectors arrive as a stream, each micro-batch is
+    * homed by the CURRENT (stale, seed) routing table and appended
+    * into the versioned layout replay-idempotently (`batch=<id>`
+    * overwrite, as [[streamIvfIngest]]), and the drift MONITOR runs on
+    * the per-batch cadence ([[graft.sources.IvfIndex.measureDrift]] —
+    * the number an index operator alerts on). When the ingest drains,
+    * the drift-gated retrain fires ([[graft.sources.IvfIndex
+    * .maybeRetrain]]): one Lloyd completion over everything ingested,
+    * published as v2 with an atomic pointer swap, and the probe runs
+    * against the retrained layout. Because per-batch homing under
+    * FIXED centroids is per-row work, the incrementally-built v1
+    * equals the batch-built one, so the final probe shares
+    * [[ivfRetrainSql]] — the streaming composition is hash-verified
+    * against the same declarative oracle as the batch lifecycle.
+    * Monitor cost is one grid-means pass over the accumulated layout
+    * per batch — the retrain-decision cadence, documented in
+    * measureDrift; production tunes the cadence, the fixture runs it
+    * every batch to pin monotone-growing drift. */
+  def streamIvfRetrain(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val root = StreamingQueries.scratchDir("graft-ivf-sretrain-")
+    val ckpt = StreamingQueries.scratchDir("graft-ivf-sr-ck-")
+    try {
+      val e = withEmb(s, d)
+      val seeds = e.filter(col("vec_id") <= 7)
+        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+      // v1: routing table = the seeds, vector layout starts empty and
+      // fills from the stream (the schema-only write carries no rows)
+      val v1 = graft.sources.IvfIndex.publish(root,
+        seeds.select(col("cid").as("label"), col("cemb")),
+        e.limit(0).withColumn("cell", lit(0)))
+      val drifts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$d/{embeddings}.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"), col("label"))
+      val q = graft.util.Confs.withShufflePartitions(s, 4) {
+        stream.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.sources.IvfIndex.appendBatch(v1, assignCells(b, seeds), id)
+            drifts += graft.sources.IvfIndex.measureDrift(s, root)
+            ()
+          }
+          .start()
+      }
+      try q.processAllAvailable() finally q.stop()
+      require(drifts.nonEmpty && drifts.last > 0,
+        s"ingest produced no drift signal under $d: $drifts")
+      val (layout, retrained) =
+        graft.sources.IvfIndex.maybeRetrain(s, root, thresholdMicros = 0L)
+      require(retrained, s"accumulated ingest did not trigger a retrain")
+      probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
+    } finally Seq(root, ckpt)
+      .foreach(StreamingQueries.deleteRecursively)
+  }
+
   /** Assign every vector to its nearest centroid (max rounded cosine,
     * deterministic cid tie-break) — the ONE spelling of the IVF homing
     * step, shared by the retrain query's v1 build and
@@ -709,6 +767,7 @@ object SimilarityQueries {
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_ivf_retrain" -> ivfRetrainProbe _,
+    "stream_ivf_retrain" -> streamIvfRetrain _,
     "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
@@ -726,6 +785,7 @@ object SimilarityQueries {
     "sim_ann_ivf_indexed" -> annIvfSql,
     "stream_ivf_ingest" -> annIvfSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
+    "stream_ivf_retrain" -> ivfRetrainSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,

@@ -167,16 +167,19 @@ object IvfIndex {
     * the 1e-6 integer grid (exact BIGINT sums), so drift and the
     * retrained centroids are bit-stable across engines and partition
     * counts. */
-  def maybeRetrain(s: org.apache.spark.sql.SparkSession, root: String,
-                   thresholdMicros: Long): (Layout, Boolean) = {
-    import org.apache.spark.sql.functions._
-    val cur = currentLayout(root).getOrElse(
-      throw new IllegalStateException(s"no published version under $root"))
-    val vecs = s.read.parquet(cur.vectors)
+  private def layoutVectors(s: org.apache.spark.sql.SparkSession,
+                            cur: Layout): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    s.read.parquet(cur.vectors)
       .select(col("vec_id"), col("label"), col("emb"),
         col("cell").cast("int").as("cell"))
-    // per-(cell, dim) integer-grid means of what the layout holds now
-    val means = vecs
+  }
+
+  /** Per-(cell, dim) integer-grid means of what the layout holds now —
+    * eagerly materialized (it is read twice: drift check + retrain). */
+  private def gridMeans(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    vecs
       .select(col("cell"), posexplode(col("emb")).as(Seq("d0", "x")))
       .select(col("cell"), (col("d0") + 1).cast("long").as("dim"),
         floor(col("x") * 1000000).cast("long").as("gx"))
@@ -184,12 +187,20 @@ object IvfIndex {
       .agg((sum(col("gx")).cast("double") / (count(lit(1)) * 1000000.0))
         .as("centroid"))
       .localCheckpoint()
+  }
+
+  /** Max per-cell L1 drift (micro units) between the stored routing
+    * table and `means`. One O(ncells × dim) join; the collect reads a
+    * single max row. */
+  private def driftOf(s: org.apache.spark.sql.SparkSession, cur: Layout,
+                      means: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
     val stored = s.read.parquet(cur.centroids)
       .select(col("label").cast("int").as("cell"),
         posexplode(col("cemb")).as(Seq("d0", "old")))
       .select(col("cell"), (col("d0") + 1).cast("long").as("dim"),
         col("old"))
-    val maxDrift = means.join(stored, Seq("cell", "dim"))
+    means.join(stored, Seq("cell", "dim"))
       .select(col("cell"),
         floor(abs(col("centroid") - col("old")) * 1000000).cast("long")
           .as("dgx"))
@@ -197,6 +208,29 @@ object IvfIndex {
       .agg(max(col("d"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
+  }
+
+  /** The standalone drift MONITOR: what an ingest pipeline calls on a
+    * cadence (e.g. per appended batch) to decide when a retrain is
+    * due, without committing to one. Cost: one grid-means pass over
+    * the layout's current contents — the monitored quantity is
+    * inherently corpus-wide, so a cheaper exact signal does not exist;
+    * run it on the retrain-decision cadence, not per record. */
+  def measureDrift(s: org.apache.spark.sql.SparkSession,
+                   root: String): Long = {
+    val cur = currentLayout(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    driftOf(s, cur, gridMeans(layoutVectors(s, cur)))
+  }
+
+  def maybeRetrain(s: org.apache.spark.sql.SparkSession, root: String,
+                   thresholdMicros: Long): (Layout, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val cur = currentLayout(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val vecs = layoutVectors(s, cur)
+    val means = gridMeans(vecs)
+    val maxDrift = driftOf(s, cur, means)
     if (maxDrift <= thresholdMicros) (cur, false)
     else {
       val newArr = means.groupBy(col("cell"))
