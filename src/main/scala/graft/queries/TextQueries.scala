@@ -184,14 +184,30 @@ object TextQueries {
     * digit runs too). Separator-delimited numbers (555-123-4567) are
     * out of scope for this pass. `scrub_delta` is the signed length
     * change (placeholders can be longer than short matches). */
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val scrubbed =
+  /** The one scrub spelling (email → IP → long-number), shared by the
+    * per-doc scrub and the per-source report so the redaction rules
+    * cannot drift between them. */
+  private def scrubbedCol: Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"),
-            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-          "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
-        "\\d{7,}", "<NUM>")
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"),
+      "\\d{7,}", "<NUM>")
+
+  /** Same, as the DuckDB CTE body (columns doc_id, source, text,
+    * scrubbed). */
+  private val scrubCteSql: String =
+    """s AS (
+      |  SELECT doc_id, source, text,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+      |      '\d{7,}', '<NUM>', 'g') scrubbed
+      |  FROM documents)""".stripMargin
+
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = scrubbedCol
     Tables.documents(s, d).select(
       col("doc_id"),
       md5(scrubbed).as("scrubbed_hash"),
@@ -199,16 +215,39 @@ object TextQueries {
   }
 
   val piiScrubSql: String =
-    """WITH s AS (
-      |  SELECT doc_id, text,
-      |    regexp_replace(regexp_replace(regexp_replace(text,
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
-      |      '\d{7,}', '<NUM>', 'g') scrubbed
-      |  FROM documents)
+    s"""WITH $scrubCteSql
       |SELECT doc_id, md5(scrubbed) AS scrubbed_hash,
       |       CAST(length(text) - length(scrubbed) AS BIGINT) AS scrub_delta
       |FROM s""".stripMargin
+
+  /** Per-source PII hit-rate — the release-gate companion to
+    * [[piiScrub]]: which sources carry redactable content and how
+    * much. A "hit" is an exact content change (scrubbed ≠ original by
+    * md5 — not the length delta, which a same-length substitution can
+    * zero out). One narrow scan + one agg over the handful of
+    * sources; the ppm is an exact BIGINT division. */
+  def piiBySource(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = scrubbedCol
+    Tables.documents(s, d)
+      .select(col("source"),
+        (md5(scrubbed) =!= md5(col("text"))).as("hit"),
+        (length(col("text")) - length(scrubbed)).cast(LongType).as("delta"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).cast(LongType).as("pii_docs"),
+        expr("CAST((sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1000000) DIV count(1) AS BIGINT)")
+          .as("pii_ppm"),
+        sum(col("delta")).cast(LongType).as("scrub_delta_chars"))
+  }
+
+  val piiBySourceSql: String =
+    s"""WITH $scrubCteSql
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(CASE WHEN md5(scrubbed) <> md5(text) THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+      |  CAST((CAST(SUM(CASE WHEN md5(scrubbed) <> md5(text) THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |       // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS pii_ppm,
+      |  CAST(SUM(length(text) - length(scrubbed)) AS BIGINT) AS scrub_delta_chars
+      |FROM s GROUP BY source""".stripMargin
 
   /** Intra-document repetition scoring: repeated-token and
     * repeated-bigram ratios — the standard "degenerate text" filter
@@ -400,7 +439,53 @@ object TextQueries {
        |FROM q JOIN documents d ON d.doc_id = q.doc_id
        |GROUP BY d.lang, q.quality_score""".stripMargin
 
+  /** Quality-classifier CALIBRATION against duplication — the release
+    * check a data team runs before trusting a quality score as a
+    * filter: per score band, how many docs, what share are exact
+    * duplicates of something (ppm), and the mean document length. A
+    * score band whose dup rate spikes is measuring boilerplate, not
+    * quality. Composed from the shared spellings ([[qualityScoreCol]]
+    * via [[quality]]; the md5 content-hash grouping of dedup_exact),
+    * so the calibration cannot drift from what the filters actually
+    * compute. Scale shape: one corpus scan for the score, one for the
+    * hash, one shuffle on text_hash for the copy counts (the dedup
+    * pass it shares), then a grouped agg over the handful of score
+    * bands; means and ppm are exact BIGINT divisions. */
+  def qualityDupCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = quality(s, d).select(col("doc_id"),
+      col("n_tokens"), col("quality_score"))
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val copies = hashed.groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    scored.join(hashed, "doc_id").join(copies, "text_hash")
+      .groupBy(col("quality_score"))
+      .agg(count(lit(1)).cast(LongType).as("docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).cast(LongType)
+          .as("dup_docs"),
+        expr("CAST((sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1000000) DIV count(1) AS BIGINT)")
+          .as("dup_ppm"),
+        expr("CAST(sum(n_tokens) DIV count(1) AS BIGINT)")
+          .as("mean_tokens"))
+  }
+
+  val qualityDupCalibrationSql: String =
+    s"""WITH q AS (SELECT * FROM ($qualitySql) x),
+       |h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+       |c AS (SELECT text_hash, COUNT(*) AS n_copies FROM h GROUP BY text_hash),
+       |j AS (SELECT q.quality_score, q.n_tokens, c.n_copies
+       |      FROM q JOIN h ON h.doc_id = q.doc_id
+       |      JOIN c ON c.text_hash = h.text_hash)
+       |SELECT quality_score, CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |  CAST((CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |       // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS dup_ppm,
+       |  CAST(CAST(SUM(n_tokens) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS mean_tokens
+       |FROM j GROUP BY quality_score""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_calibration" -> qualityDupCalibration _,
+    "text_pii_by_source" -> piiBySource _,
     "text_quality_histogram" -> qualityHistogram _,
     "text_boilerplate" -> boilerplate _,
     "text_term_rarity" -> termRarity _,
@@ -414,6 +499,8 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_quality_calibration" -> qualityDupCalibrationSql,
+    "text_pii_by_source" -> piiBySourceSql,
     "text_quality_histogram" -> qualityHistogramSql,
     "text_boilerplate" -> boilerplateSql,
     "text_term_rarity" -> termRaritySql,
