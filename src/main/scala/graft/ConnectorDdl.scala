@@ -403,6 +403,17 @@ object ConnectorDdl {
       })
   }
 
+  /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
+    * ROWTIME resolves case-insensitively against the propagated
+    * `rowtime` column and needs no rewrite): map them onto the change
+    * feed's physical `partition`/`offset` columns. Purely textual —
+    * a relation without those columns fails resolution with Spark's
+    * normal error, exactly as a missing column would. */
+  private[graft] def rewritePseudoColumns(select: String): String =
+    """(?i)\bROWPARTITION\b""".r.replaceAllIn(
+      """(?i)\bROWOFFSET\b""".r.replaceAllIn(select, "offset"),
+      "partition")
+
   /** ksql propagates ROWTIME implicitly into derived streams; Spark
     * views only carry selected columns. For a subquery-free,
     * non-aggregating CSAS whose primary FROM relation exposes a
@@ -609,7 +620,7 @@ object ConnectorDdl {
         // the already-mentions-rowtime guard); it is best-effort — a
         // select shape the heuristic mis-judges (e.g. aggregate-only
         // without GROUP BY) falls back to the untouched statement
-        val plain = rewriteLatestByOffset(selectBody)
+        val plain = rewriteLatestByOffset(rewritePseudoColumns(selectBody))
         val noProp = rewriteWithin(spark, plain)
         val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
         val (df0, chosenSql) =

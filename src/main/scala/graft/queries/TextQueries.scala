@@ -452,13 +452,18 @@ object TextQueries {
     * pass it shares), then a grouped agg over the handful of score
     * bands; means and ppm are exact BIGINT divisions. */
   def qualityDupCalibration(s: SparkSession, d: String): DataFrame = {
-    val scored = quality(s, d).select(col("doc_id"),
-      col("n_tokens"), col("quality_score"))
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val copies = hashed.groupBy(col("text_hash"))
+    // ONE corpus scan computes hash + tokens + score together (the
+    // score expression is the shared qualityScoreCol, so it cannot
+    // drift from text_quality); the only shuffle is the text_hash
+    // copy-count — the same dedup pass the exact dedup pays — plus
+    // the join back on that already-partitioned key
+    val base = Tables.documents(s, d).select(
+      md5(col("text")).as("text_hash"),
+      size(toks).cast(LongType).as("n_tokens"),
+      qualityScoreCol.as("quality_score"))
+    val copies = base.groupBy(col("text_hash"))
       .agg(count(lit(1)).as("n_copies"))
-    scored.join(hashed, "doc_id").join(copies, "text_hash")
+    base.join(copies, "text_hash")
       .groupBy(col("quality_score"))
       .agg(count(lit(1)).cast(LongType).as("docs"),
         sum(when(col("n_copies") > 1, 1L).otherwise(0L)).cast(LongType)

@@ -6,13 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** A Kafka-topic-shaped change feed (SURVEY.md §1.1): ordered records
-  * of (key, value, offset, ts). Offline the transport is a
+  * of (key, value, partition, offset, ts). Offline the transport is a
   * `MemoryStream` (no Kafka connector jar in this environment —
   * SURVEY.md §7); in production the same columns come from
   * `spark.readStream.format("kafka")` with `startingOffsets=earliest`
   * (op S0, reference README.md:346). Offset order is load-bearing:
   * `latest_by_offset` (A2) resolves ties by it, exactly as ksqlDB does
-  * per partition (reference README.md:436-437).
+  * per partition (reference README.md:436-437). The in-process log is
+  * a SINGLE partition (0) — the one total order the offline analog
+  * promises; ksql's ROWPARTITION/ROWOFFSET pseudo-columns map onto
+  * these columns in the DDL layer.
   */
 case class KRecord(key: String, value: String, offset: Long, ts: Timestamp)
 
@@ -25,6 +28,13 @@ class ChangeFeed(spark: SparkSession) {
   private val pending = scala.collection.mutable.ArrayBuffer.empty[KRecord]
 
   def df: DataFrame = stream.toDF()
+    .withColumn("partition",
+      org.apache.spark.sql.functions.lit(0))
+    .select(org.apache.spark.sql.functions.col("key"),
+      org.apache.spark.sql.functions.col("value"),
+      org.apache.spark.sql.functions.col("partition"),
+      org.apache.spark.sql.functions.col("offset"),
+      org.apache.spark.sql.functions.col("ts"))
 
   /** Stage values with auto-assigned monotonically increasing offsets.
     * Staged records become visible to the stream on `flush()` — the

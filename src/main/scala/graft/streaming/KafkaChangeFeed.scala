@@ -64,6 +64,7 @@ object KafkaChangeFeed {
       .select(
         col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
+        col("partition"),
         col("offset"),
         col("timestamp").as("ts"))
   }

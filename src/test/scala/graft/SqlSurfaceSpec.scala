@@ -198,7 +198,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           |  'transforms.unwrap.delete.handling.mode' = 'rewrite')""".stripMargin)
     val spec = ConnectorDdl.connector(spark, "customers_reader").get
     val feed = spec.offlineFeed(spark)
-    assert(feed.df.columns.toSeq == Seq("key", "value", "offset", "ts"))
+    assert(feed.df.columns.toSeq == Seq("key", "value", "partition", "offset", "ts"))
     val q = feed.df.writeStream.format("memory")
       .queryName("ddl_feed_probe").outputMode("append").start()
     try {
@@ -361,6 +361,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("orders_by_cust")
     spark.catalog.dropTempView("cust_names")
     spark.catalog.dropTempView("orders_rekeyed")
+  }
+
+  test("ksql ROWOFFSET/ROWPARTITION pseudo-columns map onto the feed's physical columns") {
+    import spark.implicits._
+    // a topic-shaped relation with the ChangeFeed column contract
+    Seq(("a", "v1", 0, 10L), ("a", "v2", 0, 20L), ("b", "w1", 0, 5L))
+      .toDF("key", "value", "partition", "offset")
+      .createOrReplaceTempView("pseudo_src")
+    GraftSql.sql(spark,
+      """CREATE STREAM pseudo_out AS
+        |    SELECT key, value, ROWPARTITION AS part, ROWOFFSET AS off
+        |    FROM pseudo_src
+        |    EMIT CHANGES;""".stripMargin)
+    val rows = spark.sql("SELECT key, value, part, off FROM pseudo_out")
+      .as[(String, String, Int, Long)].collect().toSet
+    assert(rows == Set(("a", "v1", 0, 10L), ("a", "v2", 0, 20L),
+      ("b", "w1", 0, 5L)), rows)
+    // and inside the latest_by_offset family: ksql's canonical
+    // max-offset spelling with the pseudo-column runs 1:1
+    GraftSql.sql(spark,
+      """CREATE TABLE pseudo_latest AS
+        |    SELECT key, max_by(value, ROWOFFSET) AS v
+        |    FROM pseudo_src GROUP BY key EMIT CHANGES;""".stripMargin)
+    val latest = spark.sql("SELECT key, v FROM pseudo_latest")
+      .as[(String, String)].collect().toMap
+    assert(latest == Map("a" -> "v2", "b" -> "w1"), latest)
+    // an identifier CONTAINING the pseudo-name is untouched
+    assert(ConnectorDdl.rewritePseudoColumns("SELECT my_rowoffset_col FROM t")
+      == "SELECT my_rowoffset_col FROM t")
+    spark.catalog.dropTempView("pseudo_out")
+    spark.catalog.dropTempView("pseudo_latest")
   }
 
   test("ksql admin forms: quoted SET stores the unquoted key; SHOW STREAMS lists views") {

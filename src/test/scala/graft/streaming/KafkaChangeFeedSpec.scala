@@ -23,7 +23,7 @@ class KafkaChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     if (KafkaChangeFeed.isAvailable) {
       // environment with the jar: the contract columns must line up
       val df = KafkaChangeFeed.df(spark, "localhost:9092", "t")
-      assert(df.columns.toSeq == Seq("key", "value", "offset", "ts"))
+      assert(df.columns.toSeq == Seq("key", "value", "partition", "offset", "ts"))
     } else {
       val e = intercept[Exception] {
         KafkaChangeFeed.df(spark, "localhost:9092", "t")
