@@ -426,6 +426,51 @@ object StreamingQueries {
   /** A2/A3 streaming form: update-mode latest-by-offset aggregation
     * materialized into a SnapshotStore via foreachBatch — the final
     * table state must equal the batch arg_max oracle. */
+  /** Streaming `LATEST/EARLIEST_BY_OFFSET(value, N)` — the 2-arg ksql
+    * array aggregate under UPDATE-mode streaming, through the
+    * K-BOUNDED [[graft.functions.LatestKByOffsetAgg]]: per-key state
+    * is ≤ k pairs however long the key's history grows (the batch
+    * spelling's collect_list holds the whole history — fine batch,
+    * fatal in a year-long stream), and each map partition collapses to
+    * ≤ k pairs before the shuffle. Emission is the [[streamLatestByKey]]
+    * pattern: update-mode agg → keyed snapshot upsert. Same oracle as
+    * the batch q_latest_k_by_offset — the bounded-state stream must
+    * produce exactly the unbounded batch answer. */
+  def streamLatestK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val latest3 = udaf(new graft.functions.LatestKByOffsetAgg(3))
+    val earliest3 =
+      udaf(new graft.functions.LatestKByOffsetAgg(3, earliest = true))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("latest3", StringType),
+      StructField("earliest3", StringType),
+      StructField("n", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "user_id")
+    val agg = eventsStream(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(latest3(col("event_id"), col("event_type")), ",")
+          .as("latest3"),
+        array_join(earliest3(col("event_id"), col("event_type")), ",")
+          .as("earliest3"),
+        count(lit(1)).cast(LongType).as("n"))
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    store.df(s)
+  }
+
   def streamLatestByKey(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -769,6 +814,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
+    "stream_latest_k" -> streamLatestK _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -788,6 +834,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
+    "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,

@@ -45,6 +45,54 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("latest_k aggregator: ksql ascending order, k-bound, partition-invariant") {
+    import spark.implicits._
+    val latest3 = udaf(new LatestKByOffsetAgg(3))
+    val earliest3 = udaf(new LatestKByOffsetAgg(3, earliest = true))
+    val rnd = new Random(11)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val offsets = rnd.shuffle((0L until 100L).toList).take(n)
+      val records = offsets.map(o => (o, rnd.alphanumeric.take(5).mkString))
+      // vary the physical partitioning: the bounded merge must be
+      // commutative-associative, so the answer cannot depend on it
+      val df = records.toDF("offset", "value")
+        .withColumn("k", lit(1))
+        .repartition(1 + rnd.nextInt(6))
+      val row = df.groupBy($"k")
+        .agg(latest3($"offset", $"value").as("l"),
+          earliest3($"offset", $"value").as("e"))
+        .collect()(0)
+      val sorted = records.sortBy(_._1).map(_._2)
+      // ksql order: ascending offset, so latest-3 is the trailing
+      // slice (latest value LAST), earliest-3 the leading slice
+      assert(row.getSeq[String](1) == sorted.takeRight(3), s"records=$records")
+      assert(row.getSeq[String](2) == sorted.take(3), s"records=$records")
+      assert(row.getSeq[String](1).length <= 3 && row.getSeq[String](2).length <= 3)
+    }
+  }
+
+  test("latest_k aggregator buffer never exceeds k during reduce/merge") {
+    // the STATE bound is the point of the aggregator (update-mode
+    // streaming state = the buffer): drive the Aggregator directly and
+    // assert the invariant after every single step
+    val agg = new LatestKByOffsetAgg(3)
+    val rnd = new Random(13)
+    var buf = agg.zero
+    (0 until 200).foreach { _ =>
+      buf = agg.reduce(buf, OffsetValue(rnd.nextLong(1000), "v" + rnd.nextInt(10)))
+      assert(buf.pairs.length <= 3, buf)
+    }
+    var other = agg.zero
+    (0 until 50).foreach { _ =>
+      other = agg.reduce(other, OffsetValue(rnd.nextLong(1000), "w" + rnd.nextInt(10)))
+    }
+    val merged = agg.merge(buf, other)
+    assert(merged.pairs.length <= 3, merged)
+    // and the buffer stays sorted ascending (the merge precondition)
+    assert(merged.pairs.map(_.offset) == merged.pairs.map(_.offset).sorted)
+  }
+
   test("latest_by_offset aggregator: null value at max offset is returned as null (tombstone)") {
     import spark.implicits._
     val latest = udaf(new LatestByOffsetAgg)
