@@ -71,6 +71,14 @@ object GraftSql {
       udaf(new graft.functions.LatestByOffsetAgg))
     spark.udf.register("topk_by_score_3",
       udaf(new graft.functions.TopKByScore(3)))
+    // the k-bounded 2-arg family, k in the name per the same policy —
+    // the bounded-state spelling a STREAMING SQL caller should reach
+    // for (the ksql-layer rewrite of literal-N forms uses collect_list,
+    // whose state is the full key history)
+    spark.udf.register("latest_3_by_offset",
+      udaf(new graft.functions.LatestKByOffsetAgg(3)))
+    spark.udf.register("earliest_3_by_offset",
+      udaf(new graft.functions.LatestKByOffsetAgg(3, earliest = true)))
     ()
   }
 }

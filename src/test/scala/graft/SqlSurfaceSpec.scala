@@ -145,6 +145,16 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         """SELECT user_id, latest_by_offset(event_id, event_type) AS latest_type
           |FROM events GROUP BY user_id""".stripMargin),
       queries.PipelineQueries.latestByKeyUdaf(spark, sf))
+    // the k-bounded 2-arg family matches the unbounded collect_list
+    // spelling of the same contract (ascending offset, latest LAST)
+    sameRows(
+      spark.sql(
+        """SELECT user_id,
+          |  array_join(latest_3_by_offset(event_id, event_type), ',') AS latest3,
+          |  array_join(earliest_3_by_offset(event_id, event_type), ',') AS earliest3,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY user_id""".stripMargin),
+      queries.BatchSqlQueries3.latestKByOffset(spark, sf))
   }
 
   test("connector DDL: the reference's CREATE SOURCE CONNECTOR statements run 1:1") {
