@@ -406,13 +406,29 @@ object ConnectorDdl {
   /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
     * ROWTIME resolves case-insensitively against the propagated
     * `rowtime` column and needs no rewrite): map them onto the change
-    * feed's physical `partition`/`offset` columns. Purely textual —
-    * a relation without those columns fails resolution with Spark's
-    * normal error, exactly as a missing column would. */
-  private[graft] def rewritePseudoColumns(select: String): String =
-    """(?i)\bROWPARTITION\b""".r.replaceAllIn(
-      """(?i)\bROWOFFSET\b""".r.replaceAllIn(select, "offset"),
-      "partition")
+    * feed's physical `partition`/`offset` columns. String LITERALS are
+    * left untouched (a textual rewrite inside `'ROWOFFSET n/a'` would
+    * silently corrupt data); outside literals, a relation without the
+    * columns fails resolution with Spark's normal error, exactly as a
+    * missing column would. */
+  private[graft] def rewritePseudoColumns(select: String): String = {
+    def rewriteSegment(seg: String): String =
+      """(?i)\bROWPARTITION\b""".r.replaceAllIn(
+        """(?i)\bROWOFFSET\b""".r.replaceAllIn(seg, "offset"),
+        "partition")
+    // split into literal / non-literal spans ('' escapes a quote
+    // inside a literal, the propRe grammar) and rewrite only outside
+    val lit = "'(?:[^']|'')*'".r
+    val out = new StringBuilder
+    var pos = 0
+    lit.findAllMatchIn(select).foreach { m =>
+      out ++= rewriteSegment(select.substring(pos, m.start))
+      out ++= m.matched
+      pos = m.end
+    }
+    out ++= rewriteSegment(select.substring(pos))
+    out.toString
+  }
 
   /** ksql propagates ROWTIME implicitly into derived streams; Spark
     * views only carry selected columns. For a subquery-free,
@@ -441,7 +457,7 @@ object ConnectorDdl {
     // The engine's own UDAFs register without group metadata, so they
     // ride in an explicit extras set.
     val graftAggs = Set("latest_by_offset", "earliest_by_offset",
-      "topk_by_score_3")
+      "topk_by_score_3", "latest_3_by_offset", "earliest_3_by_offset")
     def registryAggregate(n: String): Boolean =
       try spark.sessionState.catalog.lookupFunctionInfo(
           org.apache.spark.sql.catalyst.FunctionIdentifier(n))

@@ -301,8 +301,37 @@ object SimilarityQueries {
     * ingest appends continuously, probes route through the fixed
     * quantizer, the quantizer retrains on a drift cadence
     * ([[kmeansStep]]). */
-  def streamIvfIngest(s: SparkSession, d: String): DataFrame = {
+  /** The embeddings table as a stream — shared by every streaming
+    * index path so the source handling (schema pin, single-file glob,
+    * array cast) has one spelling. */
+  private def embStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(schema)
+      .parquet(s"$d/{embeddings}.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+  }
+
+  /** Drain a foreachBatch ingest over [[embStream]], then clear the
+    * terminated-query reference (the session-hygiene contract pinned
+    * in StreamingHygieneSpec — a stopped query otherwise stays
+    * reachable through the manager for the session's lifetime). */
+  private def runIngest(s: SparkSession, d: String, ckpt: String)(
+      perBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = graft.util.Confs.withShufflePartitions(s, 4) {
+      embStream(s, d).writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) => perBatch(b, id) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+    }
+  }
+
+  def streamIvfIngest(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       StreamingQueries.scratchDir("graft-ivf-ingest-"))
     val layout = graft.sources.IvfIndex.Layout(
@@ -312,27 +341,16 @@ object SimilarityQueries {
     // across the whole ingest
     centroidArrays(s, d).write.mode("overwrite").parquet(layout.centroids)
     val ckpt = StreamingQueries.scratchDir("graft-ivf-ck-")
-    val stream = s.readStream.schema(schema)
-      .parquet(s"$d/{embeddings}.parquet")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
-        col("label"))
-      .withColumn("cell", col("label"))
     // scratch index + checkpoint are per-invocation; the cleanup runs
     // in finally so a failed streaming query doesn't leak /dev/shm
     try {
-      val q = graft.util.Confs.withShufflePartitions(s, 4) {
-        stream.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            // batch-keyed overwrite: a re-executed epoch (foreachBatch
-            // is at-least-once) replaces its own subtree instead of
-            // double-appending duplicate vectors into the cells
-            graft.sources.IvfIndex.appendBatch(layout, b, id)
-            ()
-          }
-          .start()
+      runIngest(s, d, ckpt) { (b, id) =>
+        // batch-keyed overwrite: a re-executed epoch (foreachBatch
+        // is at-least-once) replaces its own subtree instead of
+        // double-appending duplicate vectors into the cells
+        graft.sources.IvfIndex.appendBatch(layout,
+          b.withColumn("cell", col("label")), id)
       }
-      try q.processAllAvailable() finally q.stop()
       probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
     } finally Seq(root.toString, ckpt)
       .foreach(StreamingQueries.deleteRecursively)
@@ -358,34 +376,21 @@ object SimilarityQueries {
     * measureDrift; production tunes the cadence, the fixture runs it
     * every batch to pin monotone-growing drift. */
   def streamIvfRetrain(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
     val root = StreamingQueries.scratchDir("graft-ivf-sretrain-")
     val ckpt = StreamingQueries.scratchDir("graft-ivf-sr-ck-")
     try {
       val e = withEmb(s, d)
-      val seeds = e.filter(col("vec_id") <= 7)
-        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+      val seeds = seedCentroids(e)
       // v1: routing table = the seeds, vector layout starts empty and
       // fills from the stream (the schema-only write carries no rows)
       val v1 = graft.sources.IvfIndex.publish(root,
         seeds.select(col("cid").as("label"), col("cemb")),
         e.limit(0).withColumn("cell", lit(0)))
       val drifts = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val stream = s.readStream.schema(schema)
-        .parquet(s"$d/{embeddings}.parquet")
-        .select(col("vec_id"),
-          col("embedding").cast("array<double>").as("emb"), col("label"))
-      val q = graft.util.Confs.withShufflePartitions(s, 4) {
-        stream.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            graft.sources.IvfIndex.appendBatch(v1, assignCells(b, seeds), id)
-            drifts += graft.sources.IvfIndex.measureDrift(s, root)
-            ()
-          }
-          .start()
+      runIngest(s, d, ckpt) { (b, id) =>
+        graft.sources.IvfIndex.appendBatch(v1, assignCells(b, seeds), id)
+        drifts += graft.sources.IvfIndex.measureDrift(s, root)
       }
-      try q.processAllAvailable() finally q.stop()
       require(drifts.nonEmpty && drifts.last > 0,
         s"ingest produced no drift signal under $d: $drifts")
       val (layout, retrained) =
@@ -433,12 +438,20 @@ object SimilarityQueries {
     * cells' means always move and the gate always fires on real data
     * (the below-threshold branch is spec-covered with synthetic
     * vectors in IvfRetrainSpec). */
+  /** k=8 seed centroids (vectors 0..7) — the "index as trained"
+    * routing table shared by both retrain lifecycles, and the same
+    * seed rule as [[kmeansStep]]/the oracle. One spelling: the
+    * streaming and batch v1 builds must be identical for the shared
+    * oracle to hold. */
+  private def seedCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") <= 7)
+      .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+
   def ivfRetrainProbe(s: SparkSession, d: String): DataFrame = {
     val root = StreamingQueries.scratchDir("graft-ivf-retrain-")
     try {
       val e = withEmb(s, d)
-      val seeds = e.filter(col("vec_id") <= 7)
-        .select(col("vec_id").cast("int").as("cid"), col("emb").as("cemb"))
+      val seeds = seedCentroids(e)
       graft.sources.IvfIndex.publish(root,
         seeds.select(col("cid").as("label"), col("cemb")),
         assignCells(e, seeds))

@@ -423,9 +423,6 @@ object StreamingQueries {
     * the one-shot answer. */
   val streamSessionizeSql: String = BatchSqlQueries3.oracles("q_sessionize")
 
-  /** A2/A3 streaming form: update-mode latest-by-offset aggregation
-    * materialized into a SnapshotStore via foreachBatch — the final
-    * table state must equal the batch arg_max oracle. */
   /** Streaming `LATEST/EARLIEST_BY_OFFSET(value, N)` — the 2-arg ksql
     * array aggregate under UPDATE-mode streaming, through the
     * K-BOUNDED [[graft.functions.LatestKByOffsetAgg]]: per-key state
@@ -471,6 +468,9 @@ object StreamingQueries {
     store.df(s)
   }
 
+  /** A2/A3 streaming form: update-mode latest-by-offset aggregation
+    * materialized into a SnapshotStore via foreachBatch — the final
+    * table state must equal the batch arg_max oracle. */
   def streamLatestByKey(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

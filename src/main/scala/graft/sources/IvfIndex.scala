@@ -175,8 +175,10 @@ object IvfIndex {
         col("cell").cast("int").as("cell"))
   }
 
-  /** Per-(cell, dim) integer-grid means of what the layout holds now —
-    * eagerly materialized (it is read twice: drift check + retrain). */
+  /** Per-(cell, dim) integer-grid means of what the layout holds now.
+    * LAZY: [[measureDrift]] consumes it in a single collect, so only
+    * [[maybeRetrain]] — which reads it twice (drift check + retrain) —
+    * materializes it. */
   private def gridMeans(vecs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     vecs
@@ -186,7 +188,6 @@ object IvfIndex {
       .groupBy(col("cell"), col("dim"))
       .agg((sum(col("gx")).cast("double") / (count(lit(1)) * 1000000.0))
         .as("centroid"))
-      .localCheckpoint()
   }
 
   /** Max per-cell L1 drift (micro units) between the stored routing
@@ -229,7 +230,9 @@ object IvfIndex {
     val cur = currentLayout(root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val vecs = layoutVectors(s, cur)
-    val means = gridMeans(vecs)
+    // materialized here, not in gridMeans: this path reads the means
+    // twice (drift check, then the retrain's centroid arrays)
+    val means = gridMeans(vecs).localCheckpoint()
     val maxDrift = driftOf(s, cur, means)
     if (maxDrift <= thresholdMicros) (cur, false)
     else {

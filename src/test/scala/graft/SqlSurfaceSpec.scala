@@ -400,6 +400,15 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an identifier CONTAINING the pseudo-name is untouched
     assert(ConnectorDdl.rewritePseudoColumns("SELECT my_rowoffset_col FROM t")
       == "SELECT my_rowoffset_col FROM t")
+    // string LITERALS are never rewritten — a textual hit inside one
+    // would silently corrupt output data
+    assert(ConnectorDdl.rewritePseudoColumns(
+        "SELECT key, 'ROWOFFSET unavailable' AS note, ROWOFFSET FROM t")
+      == "SELECT key, 'ROWOFFSET unavailable' AS note, offset FROM t")
+    // including literals with escaped quotes before a real use
+    assert(ConnectorDdl.rewritePseudoColumns(
+        "SELECT 'it''s ROWPARTITION', ROWPARTITION FROM t")
+      == "SELECT 'it''s ROWPARTITION', partition FROM t")
     spark.catalog.dropTempView("pseudo_out")
     spark.catalog.dropTempView("pseudo_latest")
   }
