@@ -676,6 +676,109 @@ object SimilarityQueries {
       |       CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
       |FROM g GROUP BY cid, dim""".stripMargin
 
+  /** Product quantization (PQ) + ADC lookup — the memory format
+    * billion-vector stores actually hold (FAISS's IVF_PQ payload):
+    * the 64-dim vector splits into 8 subvectors of 8 dims, each
+    * encoded as the id of its nearest codeword in that subspace's
+    * 16-entry codebook, so a vector is 8 small codes (8 bytes at
+    * k=256; here k=16) instead of 256 bytes of floats — a 32×
+    * compression the re-rank then works on. The lookup is Asymmetric
+    * Distance Computation: the query precomputes its dot product with
+    * every codeword (8 × 16 = 128 values — the "distance table"), and
+    * a candidate's approximate score is just 8 table lookups + a sum,
+    * never a float loop over the raw vector.
+    *
+    * Determinism/oracle story: codebooks are the subvectors of
+    * vectors 1..16 (training = the same seeded-codebook convention as
+    * [[kmeansStep]]'s seeds; a production build would Lloyd-iterate
+    * per subspace with the identical machinery). Encoding argmin is
+    * on floor-micros L2 with code-id tie-break; the ADC table is
+    * floor-micros dots summed as BIGINTs — every compared quantity is
+    * an exact integer, so Spark and DuckDB hash-match bit-for-bit.
+    *
+    * Scale shape: the codebook (128 rows) and the query's distance
+    * table (128 rows) BROADCAST; encoding is one corpus-×-16 narrow
+    * expansion per subspace collapsed by a commutative min(struct)
+    * agg with map-side partials (shuffle carries ≤ 8 rows per
+    * vector); the ADC total is one grouped sum; top-10 is a
+    * TakeOrdered. The corpus never shuffles raw vectors. */
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withEmb(s, d)
+    val nSub = 8
+    val subDim = EmbeddingDim / nSub
+    // (vec_id, sub, subv): the corpus split into subvectors
+    def subvectors(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"), col("emb"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
+      .select(col("vec_id"), col("label"), col("sub"),
+        slice(col("emb"), col("sub") * subDim + 1, lit(subDim)).as("subv"))
+    // codebook: code c (1..16) in subspace s = vector c's subvector s
+    val codebook = subvectors(e.filter(col("vec_id").between(1, 16)))
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("subv").as("cw"))
+    def l2Micros(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x) * 1000000).cast("long")
+    def dotMicros(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) * 1000000).cast("long")
+    // encode: nearest codeword per (vector, subspace) — min(struct) is
+    // commutative+associative, so the argmin runs map-side partial
+    val encoded = subvectors(e).join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("label"), col("sub"), col("code"),
+        l2Micros(col("subv"), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+    // ADC table: the query's dot with every codeword, in exact micros
+    val q = subvectors(e.filter(col("vec_id") === 0))
+      .select(col("sub").as("qsub"), col("subv").as("qsubv"))
+    val adcTable = codebook.join(broadcast(q), col("sub") === col("qsub"))
+      .select(col("sub"), col("code"),
+        dotMicros(col("cw"), col("qsubv")).as("dot_micros"))
+    // lookup: 8 table hits + a sum per candidate, top-10
+    encoded.filter(col("vec_id") =!= 0)
+      .join(broadcast(adcTable), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("dot_micros")).cast("long").as("adc_micros"))
+      .orderBy(col("adc_micros").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val pqAdcTopKSql: String = {
+    val nSub = 8
+    val subDim = EmbeddingDim / nSub
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, label, t.s AS sub,
+       |         emb[(t.s * $subDim + 1):(t.s * $subDim + $subDim)] AS subv
+       |  FROM e, (SELECT unnest(generate_series(0, ${nSub - 1})) s) t),
+       |cb AS (
+       |  SELECT sub, CAST(vec_id AS INTEGER) code, subv cw
+       |  FROM sv WHERE vec_id BETWEEN 1 AND 16),
+       |enc AS (
+       |  SELECT vec_id, label, sub, code FROM (
+       |    SELECT sv.vec_id, sv.label, sv.sub, cb.code,
+       |      row_number() OVER (
+       |        PARTITION BY sv.vec_id, sv.sub
+       |        ORDER BY CAST(floor(list_sum(list_transform(
+       |            generate_series(1, $subDim),
+       |            i -> (sv.subv[i] - cb.cw[i]) * (sv.subv[i] - cb.cw[i])))
+       |          * 1000000) AS BIGINT), cb.code) rn
+       |    FROM sv JOIN cb ON cb.sub = sv.sub) WHERE rn = 1),
+       |q AS (SELECT sub, subv qsubv FROM sv WHERE vec_id = 0),
+       |adc AS (
+       |  SELECT cb.sub, cb.code,
+       |    CAST(floor(list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> cb.cw[i] * q.qsubv[i])) * 1000000) AS BIGINT) dot_micros
+       |  FROM cb JOIN q ON q.sub = cb.sub)
+       |SELECT enc.vec_id, enc.label,
+       |       CAST(SUM(adc.dot_micros) AS BIGINT) AS adc_micros
+       |FROM enc JOIN adc ON adc.sub = enc.sub AND adc.code = enc.code
+       |WHERE enc.vec_id <> 0
+       |GROUP BY enc.vec_id, enc.label
+       |ORDER BY adc_micros DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Int8 embedding quantization + quantized-cosine top-k: per-vector
     * symmetric quantization (scale = max|x|/127, the standard int8
     * scheme) and re-ranking in the QUANTIZED domain. The int8 dot
@@ -771,6 +874,7 @@ object SimilarityQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_centroid_drift" -> centroidDrift _,
     "sim_quantize_int8" -> quantizeInt8TopK _,
+    "sim_pq_adc" -> pqAdcTopK _,
     "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
@@ -789,6 +893,7 @@ object SimilarityQueries {
   def oracles: Map[String, String] = Map(
     "sim_centroid_drift" -> centroidDriftSql,
     "sim_quantize_int8" -> quantizeInt8TopKSql,
+    "sim_pq_adc" -> pqAdcTopKSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,
