@@ -736,20 +736,42 @@ object StreamingQueries {
     * On finite input the final publish must equal the batch
     * [[CurationQueries.corpusBuild]] — same oracle, so the streaming
     * path itself is hash-verified. */
-  def streamCorpusBuild(s: SparkSession, d: String): DataFrame = {
+  def streamCorpusBuild(s: SparkSession, d: String): DataFrame =
+    streamCorpusBuildOver(s, schemaFrom = s"$d/documents.parquet",
+      glob = s"$d/{documents}.parquet", repackEvery = 1,
+      maxFilesPerTrigger = None)._1
+
+  /** The generalized build [[streamCorpusBuild]] wraps: `repackEvery`
+    * IS the production amortization knob the per-batch design
+    * documents — staging ingest stays per-batch (cheap, idempotent),
+    * but the O(staged) re-election + re-pack runs only every Nth batch
+    * plus ONCE after the input drains, so the amortized cost per batch
+    * is O(staged)/N while the final published corpus is byte-identical
+    * to the every-batch (and the batch-oracle) result. Returns the
+    * result plus the number of re-packs actually run (the spec pins
+    * the cadence arithmetic). `maxFilesPerTrigger` bounds each
+    * micro-batch's file intake — the fixture lever that makes a
+    * multi-batch ingest out of a small directory. */
+  private[graft] def streamCorpusBuildOver(
+      s: SparkSession, schemaFrom: String, glob: String,
+      repackEvery: Int, maxFilesPerTrigger: Option[Int]): (DataFrame, Int) = {
     import graft.queries.{CurationQueries => CQ}
+    require(repackEvery >= 1, s"repackEvery must be >= 1, got $repackEvery")
     // synthetic deterministic ingest time (doc_id seconds) for the
     // bounded dedup; the horizon must cover the id span on THIS data
     // or eviction would make the finite-input result batch-dependent
     val horizonDays = 60L
-    val maxIdRow = Tables.documents(s, d).agg(max(col("doc_id"))).head
+    val maxIdRow = s.read.parquet(schemaFrom).agg(max(col("doc_id"))).head
     require(!maxIdRow.isNullAt(0), "documents table is empty")
     require(maxIdRow.getLong(0) < horizonDays * 86400L,
       s"doc_id span ${maxIdRow.getLong(0)}s exceeds the $horizonDays-day " +
         "dedup horizon — the finite-input oracle would become " +
         "micro-batch-delivery-dependent")
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val scored = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    val schema = s.read.parquet(schemaFrom).schema
+    val reader0 = s.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val scored = reader.parquet(glob)
       .select(col("doc_id"), col("source"), col("text"),
         size(graft.functions.TextShingles.tokens(col("text")))
           .cast(LongType).as("n_tokens"),
@@ -765,10 +787,30 @@ object StreamingQueries {
       .drop("__ts")
     // scratch dirs on shm where available (same rationale as the
     // checkpoints: finite-input runs need no durability, and the
-    // staging set is re-read every micro-batch)
+    // staging set is re-read every re-pack)
     val staging = scratchDir("graft-scb-staging-")
     val outDir = scratchDir("graft-scb-out-")
     val ckpt = shmCheckpoint()
+    var packs = 0
+    // batches staged since the last re-pack — the drain-time publish
+    // runs only when the cadence left staged work unpublished
+    var dirty = false
+    // the O(staged) half: full re-election + re-pack over everything
+    // staged so far, published as one atomic-ish overwrite
+    def repack(): Unit = {
+      packs += 1
+      dirty = false
+      val staged = s.read.parquet(staging)
+      val canon = CQ.canonicalDocsOver(staged,
+          staged.select(col("doc_id"), col("quality_score")))
+        .select(col("canonical_id").as("doc_id"))
+      val kept = staged.filter(col("mix_keep")).join(canon, "doc_id")
+      CQ.packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
+        .join(kept.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("shard_id"))
+        .write.mode("overwrite").parquet(outDir)
+    }
     val q = graft.util.Confs.withShufflePartitions(s, 8) {
       deduped.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -777,18 +819,11 @@ object StreamingQueries {
           // at-least-once) replaces its own staging subtree instead of
           // double-appending its documents — the same replay-idempotence
           // bar KeyedParquetSink holds via its manifest. The extra
-          // discovered `batch` partition column is never selected below.
+          // discovered `batch` partition column is never selected in
+          // the re-pack.
           b.write.mode("overwrite").parquet(s"$staging/batch=$id")
-          val staged = s.read.parquet(staging)
-          val canon = CQ.canonicalDocsOver(staged,
-              staged.select(col("doc_id"), col("quality_score")))
-            .select(col("canonical_id").as("doc_id"))
-          val kept = staged.filter(col("mix_keep")).join(canon, "doc_id")
-          CQ.packShardsOver(kept.select(col("doc_id"), col("n_tokens")))
-            .join(kept.select(col("doc_id"), col("source")), "doc_id")
-            .select(col("doc_id"), col("source"), col("n_tokens"),
-              col("start_offset"), col("shard_id"))
-            .write.mode("overwrite").parquet(outDir)
+          dirty = true
+          if ((id + 1) % repackEvery == 0) repack()
           ()
         }
         .start()
@@ -798,12 +833,18 @@ object StreamingQueries {
       q.stop()
       s.streams.resetTerminated()
       deleteRecursively(ckpt)
-      deleteRecursively(staging)
     }
+    // the drain-time publish: whatever the cadence skipped is folded
+    // into one final O(staged) pass, so the published corpus never
+    // depends on where the cadence boundary fell (skipped when the
+    // last batch already published — the every-batch configuration
+    // pays no extra pass)
+    if (dirty || packs == 0) repack()
+    deleteRecursively(staging)
     // detach the result from the scratch dir (eager), then clean up
     val out = s.read.parquet(outDir).localCheckpoint()
     deleteRecursively(outDir)
-    out
+    (out, packs)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
