@@ -761,13 +761,17 @@ object StreamingQueries {
     // bounded dedup; the horizon must cover the id span on THIS data
     // or eviction would make the finite-input result batch-dependent
     val horizonDays = 60L
-    val maxIdRow = s.read.parquet(schemaFrom).agg(max(col("doc_id"))).head
-    require(!maxIdRow.isNullAt(0), "documents table is empty")
+    val schema = s.read.parquet(schemaFrom).schema
+    // validated against the GLOB — the data the stream actually reads
+    // (schemaFrom only pins the schema; the spec passes different
+    // paths for the two)
+    val maxIdRow = s.read.schema(schema).parquet(glob)
+      .agg(max(col("doc_id"))).head
+    require(!maxIdRow.isNullAt(0), s"no documents under $glob")
     require(maxIdRow.getLong(0) < horizonDays * 86400L,
       s"doc_id span ${maxIdRow.getLong(0)}s exceeds the $horizonDays-day " +
         "dedup horizon — the finite-input oracle would become " +
         "micro-batch-delivery-dependent")
-    val schema = s.read.parquet(schemaFrom).schema
     val reader0 = s.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
@@ -811,40 +815,45 @@ object StreamingQueries {
           col("start_offset"), col("shard_id"))
         .write.mode("overwrite").parquet(outDir)
     }
-    val q = graft.util.Confs.withShufflePartitions(s, 8) {
-      deduped.writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          // batch-keyed overwrite: a re-executed epoch (foreachBatch is
-          // at-least-once) replaces its own staging subtree instead of
-          // double-appending its documents — the same replay-idempotence
-          // bar KeyedParquetSink holds via its manifest. The extra
-          // discovered `batch` partition column is never selected in
-          // the re-pack.
-          b.write.mode("overwrite").parquet(s"$staging/batch=$id")
-          dirty = true
-          if ((id + 1) % repackEvery == 0) repack()
-          ()
-        }
-        .start()
-    }
-    try q.processAllAvailable()
-    finally {
-      q.stop()
-      s.streams.resetTerminated()
+    // every scratch dir is reclaimed in the finally — a failed stream
+    // (an error inside repack(), a bad input file) must not leak the
+    // staged document copy into /dev/shm
+    try {
+      val q = graft.util.Confs.withShufflePartitions(s, 8) {
+        deduped.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // batch-keyed overwrite: a re-executed epoch (foreachBatch
+            // is at-least-once) replaces its own staging subtree
+            // instead of double-appending its documents — the same
+            // replay-idempotence bar KeyedParquetSink holds via its
+            // manifest. The extra discovered `batch` partition column
+            // is never selected in the re-pack.
+            b.write.mode("overwrite").parquet(s"$staging/batch=$id")
+            dirty = true
+            if ((id + 1) % repackEvery == 0) repack()
+            ()
+          }
+          .start()
+      }
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        s.streams.resetTerminated()
+      }
+      // the drain-time publish: whatever the cadence skipped is folded
+      // into one final O(staged) pass, so the published corpus never
+      // depends on where the cadence boundary fell (skipped when the
+      // last batch already published — the every-batch configuration
+      // pays no extra pass)
+      if (dirty || packs == 0) repack()
+      // detach the result from the scratch dir (eager) before cleanup
+      (s.read.parquet(outDir).localCheckpoint(), packs)
+    } finally {
       deleteRecursively(ckpt)
+      deleteRecursively(staging)
+      deleteRecursively(outDir)
     }
-    // the drain-time publish: whatever the cadence skipped is folded
-    // into one final O(staged) pass, so the published corpus never
-    // depends on where the cadence boundary fell (skipped when the
-    // last batch already published — the every-batch configuration
-    // pays no extra pass)
-    if (dirty || packs == 0) repack()
-    deleteRecursively(staging)
-    // detach the result from the scratch dir (eager), then clean up
-    val out = s.read.parquet(outDir).localCheckpoint()
-    deleteRecursively(outDir)
-    (out, packs)
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

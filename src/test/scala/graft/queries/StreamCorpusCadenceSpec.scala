@@ -33,12 +33,12 @@ class StreamCorpusCadenceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the same documents, split across 4 files → 4 micro-batches at
     // maxFilesPerTrigger=1
     val splitDir = Files.createTempDirectory("scb-cadence-in").toString
-    spark.read.parquet(s"$sf/documents.parquet")
-      .repartition(4).write.mode("overwrite").parquet(splitDir)
-    val nFiles = new java.io.File(splitDir).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
-    assert(nFiles == 4, s"expected 4 split files, got $nFiles")
     try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .repartition(4).write.mode("overwrite").parquet(splitDir)
+      val nFiles = new java.io.File(splitDir).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(nFiles == 4, s"expected 4 split files, got $nFiles")
       val batch = Catalog.queries("curate_corpus_build")(spark, sf)
         .collect().toSet
       // cadence 3 over 4 batches: packs after batch id 2, plus the
