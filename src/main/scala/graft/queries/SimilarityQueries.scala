@@ -520,6 +520,9 @@ object SimilarityQueries {
     recallOf("sign_lsh", annSignLsh(s, d))
       .unionAll(recallOf("ivf_probe1", annIvf(s, d)))
       .unionAll(recallOf("ivf_probe2", annIvfProbe2(s, d)))
+      // the compressed-domain arm: what the 32x-smaller PQ index costs
+      // in recall — top-5 by approximate ADC score vs exact top-5
+      .unionAll(recallOf("pq_adc", pqAdcTopK(s, d).limit(5)))
   }
 
   /** Embeds the exact and ANN oracles so no spelling can drift. */
@@ -533,12 +536,16 @@ object SimilarityQueries {
        |            ORDER BY cos_sim DESC, vec_id LIMIT 5),
        |lsh AS (SELECT vec_id FROM ($annSignLshSql) a),
        |p1 AS (SELECT vec_id FROM (${annIvfProbeSql(1)}) b),
-       |p2 AS (SELECT vec_id FROM (${annIvfProbeSql(2)}) c)
+       |p2 AS (SELECT vec_id FROM (${annIvfProbeSql(2)}) c),
+       |pq AS (SELECT vec_id FROM ($pqAdcTopKSql) e2
+       |       ORDER BY adc_micros DESC, vec_id LIMIT 5)
        |${arm("sign_lsh", "lsh")}
        |UNION ALL
        |${arm("ivf_probe1", "p1")}
        |UNION ALL
-       |${arm("ivf_probe2", "p2")}""".stripMargin
+       |${arm("ivf_probe2", "p2")}
+       |UNION ALL
+       |${arm("pq_adc", "pq")}""".stripMargin
   }
 
   private def annIvfProbeSql(nprobe: Int): String =
