@@ -377,7 +377,10 @@ object ConnectorDdl {
   // column (the ChangeFeed contract), so the verbatim spelling
   // translates to `max_by(x, offset)`. The 2-arg explicit form stays
   // untouched (only a single bare identifier argument matches).
-  private[graft] def rewriteLatestByOffset(select: String): String = {
+  private[graft] def rewriteLatestByOffset(select: String): String =
+    outsideLiterals(select)(rewriteLatestByOffsetSegment)
+
+  private def rewriteLatestByOffsetSegment(select: String): String = {
     val oneArg = """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
       .replaceAllIn(select, m => {
         val by = if (m.group(1).toLowerCase == "latest") "max_by" else "min_by"
@@ -403,32 +406,37 @@ object ConnectorDdl {
       })
   }
 
-  /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
-    * ROWTIME resolves case-insensitively against the propagated
-    * `rowtime` column and needs no rewrite): map them onto the change
-    * feed's physical `partition`/`offset` columns. String LITERALS are
-    * left untouched (a textual rewrite inside `'ROWOFFSET n/a'` would
-    * silently corrupt data); outside literals, a relation without the
-    * columns fails resolution with Spark's normal error, exactly as a
-    * missing column would. */
-  private[graft] def rewritePseudoColumns(select: String): String = {
-    def rewriteSegment(seg: String): String =
-      """(?i)\bROWPARTITION\b""".r.replaceAllIn(
-        """(?i)\bROWOFFSET\b""".r.replaceAllIn(seg, "offset"),
-        "partition")
-    // split into literal / non-literal spans ('' escapes a quote
-    // inside a literal, the propRe grammar) and rewrite only outside
+  /** Apply a textual rewrite ONLY outside string literals ('' escapes
+    * a quote inside a literal, the propRe grammar) — the shared guard
+    * for every regex-based ksql rewrite: a hit inside `'ROWOFFSET
+    * n/a'` or `'latest_by_offset(v, 3)'` would silently corrupt DATA,
+    * not plans. */
+  private def outsideLiterals(select: String)(f: String => String): String = {
     val lit = "'(?:[^']|'')*'".r
     val out = new StringBuilder
     var pos = 0
     lit.findAllMatchIn(select).foreach { m =>
-      out ++= rewriteSegment(select.substring(pos, m.start))
+      out ++= f(select.substring(pos, m.start))
       out ++= m.matched
       pos = m.end
     }
-    out ++= rewriteSegment(select.substring(pos))
+    out ++= f(select.substring(pos))
     out.toString
   }
+
+  /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
+    * ROWTIME resolves case-insensitively against the propagated
+    * `rowtime` column and needs no rewrite): map them onto the change
+    * feed's physical `partition`/`offset` columns. String literals are
+    * untouched ([[outsideLiterals]]); outside them, a relation without
+    * the columns fails resolution with Spark's normal error, exactly
+    * as a missing column would. */
+  private[graft] def rewritePseudoColumns(select: String): String =
+    outsideLiterals(select) { seg =>
+      """(?i)\bROWPARTITION\b""".r.replaceAllIn(
+        """(?i)\bROWOFFSET\b""".r.replaceAllIn(seg, "offset"),
+        "partition")
+    }
 
   /** ksql propagates ROWTIME implicitly into derived streams; Spark
     * views only carry selected columns. For a subquery-free,

@@ -1,0 +1,81 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded-random robustness for the ksql-layer TEXTUAL rewrites
+  * ([[ConnectorDdl.rewritePseudoColumns]], [[ConnectorDdl
+  * .splitPartitionBy]], [[ConnectorDdl.rewriteLatestByOffset]]): a
+  * textual pass over SQL must never alter the contents of a string
+  * literal, whatever keywords the literal contains — a silent literal
+  * rewrite corrupts DATA, not plans. The generator builds statements
+  * mixing hostile literals (keywords, doubled quotes), lookalike
+  * identifiers, and genuine rewrite sites, then checks the literal
+  * spans survive byte-for-byte and the genuine sites still rewrite. */
+class DdlRewriteFuzzSpec extends AnyFunSuite {
+
+  private val hostileLiterals = Seq(
+    "'ROWOFFSET unavailable'",
+    "'PARTITION BY user_id'",
+    "'latest_by_offset(v, 3)'",
+    "'it''s ROWPARTITION o''clock'",
+    "'plain text'")
+
+  private val lookalikeIdents = Seq(
+    "my_rowoffset_col", "rowpartition_count", "partition_by_hint")
+
+  private def literalSpans(sql: String): Seq[String] =
+    "'(?:[^']|'')*'".r.findAllIn(sql).toSeq
+
+  test("pseudo-column rewrite: literals byte-identical, genuine sites rewritten, across 200 seeds") {
+    val rnd = new Random(17)
+    (1 to 200).foreach { _ =>
+      val lit1 = hostileLiterals(rnd.nextInt(hostileLiterals.size))
+      val lit2 = hostileLiterals(rnd.nextInt(hostileLiterals.size))
+      val ident = lookalikeIdents(rnd.nextInt(lookalikeIdents.size))
+      val sql = s"SELECT key, $lit1 AS a, $ident, ROWOFFSET, $lit2 AS b, " +
+        s"ROWPARTITION FROM src"
+      val out = ConnectorDdl.rewritePseudoColumns(sql)
+      // every literal span survives byte-for-byte, in order
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      // lookalike identifiers survive; genuine sites rewrote
+      assert(out.contains(ident), out)
+      assert(out.contains(" offset,") && out.contains("partition FROM"), out)
+    }
+  }
+
+  test("splitPartitionBy: only a genuine trailing clause is peeled") {
+    // trailing clause → peeled
+    assert(ConnectorDdl.splitPartitionBy(
+      "SELECT a, b FROM t WHERE a > 1 PARTITION BY a")._2.contains("a"))
+    // window spec (ends in ')') → untouched
+    assert(ConnectorDdl.splitPartitionBy(
+      "SELECT a, rank() OVER (PARTITION BY a ORDER BY b)")._2.isEmpty)
+    // a trailing literal mentioning the clause → untouched (statement
+    // ends in a quote, not an identifier)
+    assert(ConnectorDdl.splitPartitionBy(
+      "SELECT a, 'PARTITION BY a' AS note FROM t")._2.isEmpty)
+    // qualified key
+    val (_, k) = ConnectorDdl.splitPartitionBy(
+      "SELECT o.a FROM orders o PARTITION BY o.a")
+    assert(k.contains("o.a"))
+  }
+
+  test("latest_by_offset rewrite leaves the 2-column UDAF form and literals alone") {
+    val rnd = new Random(23)
+    (1 to 100).foreach { _ =>
+      val lit = hostileLiterals(rnd.nextInt(hostileLiterals.size))
+      val sql = s"SELECT k, $lit AS tag, " +
+        "latest_by_offset(event_id, event_type) AS udaf2, " +
+        "latest_by_offset(v) AS l1, latest_by_offset(v, 2) AS l2 " +
+        "FROM s GROUP BY k"
+      val out = ConnectorDdl.rewriteLatestByOffset(sql)
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      // 2-column UDAF spelling untouched; 1-arg and literal-N rewritten
+      assert(out.contains("latest_by_offset(event_id, event_type)"), out)
+      assert(out.contains("max_by(v, offset)"), out)
+      assert(out.contains("reverse(transform(slice("), out)
+    }
+  }
+}
