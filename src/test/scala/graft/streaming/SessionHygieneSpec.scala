@@ -34,9 +34,11 @@ class SessionHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.isTemporary).map(_.name).toSet
 
   // one memory-sink query, one foreachBatch query, one sentinel-flush
-  // query, and the chained golden pipeline — the four wrapper shapes
+  // query, the chained golden pipeline, and a state-store session
+  // merge — the wrapper shapes
   for (q <- Seq("stream_tumbling_agg", "stream_latest_by_key",
-                "stream_tumbling_final", "stream_pipeline_golden"))
+                "stream_tumbling_final", "stream_pipeline_golden",
+                "stream_session_final"))
     test(s"$q leaves no views, active queries, or terminated refs behind") {
       val viewsBefore = tempViews()
       val out = Catalog.queries(q)(spark, sf)
@@ -47,6 +49,10 @@ class SessionHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (each pins its sink and its last progress) across calls
       assert(spark.streams.listListeners.isEmpty,
         "a streaming listener was left registered")
+      // resetTerminated() ran: awaitAnyTermination with a tiny timeout
+      // returns false (nothing recorded as terminated) instead of
+      // returning instantly with a stale terminated query
+      assert(!spark.streams.awaitAnyTermination(50L))
       val leaked = tempViews() -- viewsBefore
       assert(leaked.isEmpty, s"temp views leaked: $leaked")
       // the returned frame must survive the cleanup (it is detached
