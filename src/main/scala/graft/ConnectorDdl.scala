@@ -283,7 +283,8 @@ object ConnectorDdl {
     * time (`rowtime`/`ts`/`event_ts`/`timestamp`), else the view's
     * single timestamp-typed column. */
   private def eventTimeCol(spark: SparkSession, view: String): String = {
-    val fields = spark.table(view).schema.fields
+    val rel = spark.table(view)
+    val fields = rel.schema.fields
     // preference ORDER matters: `rowtime` is the parsed/typed stream
     // time (the ksql ROWTIME analog) and must win over a raw string
     // `ts` column that merely precedes it in the schema — comparing a
@@ -300,8 +301,6 @@ object ConnectorDdl {
     def castsCleanly(name: String): Boolean = {
       import org.apache.spark.sql.functions.{col, count, when}
       val t = spark.table(view)
-      // a streaming view cannot be sampled at plan time — fall through
-      // to the type-driven tiers
       if (t.isStreaming) false
       else {
         // try_cast, not cast: ANSI mode makes a malformed string THROW
@@ -327,18 +326,26 @@ object ConnectorDdl {
     // predicate casts the string to NULL and the join silently returns
     // zero rows; (4) the bare preferred name for all-string schemas
     // (no timestamp column anywhere, nothing sampled — e.g. an empty
-    // legacy stream)
+    // legacy stream).
+    //
+    // STREAMING views cannot be sampled at plan time, so the probe
+    // tier (2) never fires there — and letting the single-typed-column
+    // tier (3) win in that case would make one unrelated
+    // timestamp-typed column (an `ingest_time`) silently outrank a
+    // legacy string `ts`, flipping the join from event time to ingest
+    // time with no error. For streams, keep the legacy precedence:
+    // the bare preferred name wins over the typed-column fallback.
+    val barePreferred = preferred.flatMap(pn =>
+      fields.map(_.name).find(_.toLowerCase == pn)).headOption
     preferred.flatMap(pn => fields.find(f =>
         f.name.toLowerCase == pn && f.dataType == tsType)).headOption
       .map(_.name)
-      .orElse(preferred.flatMap(pn =>
-          fields.map(_.name).find(_.toLowerCase == pn))
-        .find(castsCleanly))
+      .orElse(if (rel.isStreaming) barePreferred
+        else preferred.flatMap(pn =>
+            fields.map(_.name).find(_.toLowerCase == pn))
+          .find(castsCleanly))
       .orElse(if (tsCols.length == 1) Some(tsCols.head) else None)
-      .orElse(if (tsCols.isEmpty)
-          preferred.flatMap(pn =>
-            fields.map(_.name).find(_.toLowerCase == pn)).headOption
-        else None)
+      .orElse(if (tsCols.isEmpty) barePreferred else None)
       .getOrElse(throw new IllegalArgumentException(
         s"stream $view has no unambiguous event-time column for WITHIN — " +
           s"expected a TIMESTAMP-typed ${preferred.mkString("/")}, exactly " +
@@ -407,12 +414,20 @@ object ConnectorDdl {
   }
 
   /** Apply a textual rewrite ONLY outside string literals ('' escapes
-    * a quote inside a literal, the propRe grammar) — the shared guard
-    * for every regex-based ksql rewrite: a hit inside `'ROWOFFSET
-    * n/a'` or `'latest_by_offset(v, 3)'` would silently corrupt DATA,
-    * not plans. */
+    * a quote inside a literal, the propRe grammar), SQL comments
+    * (`--` to end-of-line and `/* */` blocks), and quoted identifiers
+    * (`"..."` / backticks) — the shared guard for every regex-based
+    * ksql rewrite: a hit inside `'ROWOFFSET n/a'`, a `-- ROWOFFSET`
+    * comment, or a `` `rowoffset` `` identifier would silently corrupt
+    * DATA or names, not plans. Alternation order matters: the literal/
+    * comment openers are mutually exclusive at any position, so the
+    * scanner never starts a span inside another span. */
   private def outsideLiterals(select: String)(f: String => String): String = {
-    val lit = "'(?:[^']|'')*'".r
+    val lit = ("'(?:[^']|'')*'" +      // string literal, '' escape
+      "|--[^\n]*" +                    // line comment to EOL
+      "|/\\*[\\s\\S]*?\\*/" +          // block comment (non-greedy)
+      "|\"(?:[^\"]|\"\")*\"" +         // quoted identifier
+      "|`(?:[^`]|``)*`").r             // backtick identifier
     val out = new StringBuilder
     var pos = 0
     lit.findAllMatchIn(select).foreach { m =>

@@ -795,10 +795,15 @@ object StreamingQueries {
     val staging = scratchDir("graft-scb-staging-")
     val outDir = scratchDir("graft-scb-out-")
     val ckpt = shmCheckpoint()
-    var packs = 0
+    // @volatile: both are written on the stream-execution thread
+    // (inside foreachBatch) and read on the caller thread after
+    // processAllAvailable/stop — the drain-time repack decision must
+    // not depend on StreamExecution's incidental internal locking for
+    // its happens-before edge
+    @volatile var packs = 0
     // batches staged since the last re-pack — the drain-time publish
     // runs only when the cadence left staged work unpublished
-    var dirty = false
+    @volatile var dirty = false
     // the O(staged) half: full re-election + re-pack over everything
     // staged so far, published as one atomic-ish overwrite
     def repack(): Unit = {

@@ -143,6 +143,17 @@ object IvfIndex {
     Files.move(tmp, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // scratch hygiene (same bar as KeyedParquetSink): a crash between
+    // writing a tmp pointer and its atomic move leaves `_CURRENT.tmpN`
+    // in the root forever — vacuumVersions only reclaims `v\d+`
+    // directories. Sweep any stale tmp pointers now that THIS publish
+    // has committed; the just-moved one is already gone.
+    val root0 = Paths.get(root)
+    val stale = Files.list(root0)
+    try stale.filter(p =>
+        p.getFileName.toString.startsWith("_CURRENT.tmp"))
+      .forEach(p => Files.deleteIfExists(p))
+    finally stale.close()
     layout
   }
 

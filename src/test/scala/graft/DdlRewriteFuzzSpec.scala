@@ -62,6 +62,44 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
     assert(k.contains("o.a"))
   }
 
+  test("rewrites skip SQL comments and quoted identifiers, not just literals") {
+    // line comment: the hostile token after `--` survives to EOL
+    val line = "SELECT ROWOFFSET, v -- ROWOFFSET is the kafka offset\n" +
+      "FROM src"
+    val lineOut = ConnectorDdl.rewritePseudoColumns(line)
+    assert(lineOut.contains("-- ROWOFFSET is the kafka offset"), lineOut)
+    assert(lineOut.startsWith("SELECT offset,"), lineOut)
+    // block comment spanning lines
+    val block = "SELECT /* ROWPARTITION\n ROWOFFSET */ ROWPARTITION FROM src"
+    val blockOut = ConnectorDdl.rewritePseudoColumns(block)
+    assert(blockOut.contains("/* ROWPARTITION\n ROWOFFSET */"), blockOut)
+    assert(blockOut.endsWith("partition FROM src"), blockOut)
+    // double-quoted and backticked identifiers keep their spelling
+    val quoted = "SELECT \"ROWOFFSET\", `rowoffset`, ROWOFFSET FROM src"
+    val quotedOut = ConnectorDdl.rewritePseudoColumns(quoted)
+    assert(quotedOut.contains("\"ROWOFFSET\"") &&
+      quotedOut.contains("`rowoffset`"), quotedOut)
+    assert(quotedOut.contains(", offset FROM src"), quotedOut)
+    // a literal containing a comment opener is still one literal
+    val trick = "SELECT 'a -- ROWOFFSET b' AS t, ROWOFFSET FROM src"
+    val trickOut = ConnectorDdl.rewritePseudoColumns(trick)
+    assert(trickOut.contains("'a -- ROWOFFSET b'"), trickOut)
+    assert(trickOut.contains(", offset FROM src"), trickOut)
+    // a comment containing a stray single quote must not open a
+    // literal span that swallows the rest of the statement
+    val stray = "SELECT v, -- don't rewrite here ROWOFFSET\n" +
+      "ROWOFFSET FROM src"
+    val strayOut = ConnectorDdl.rewritePseudoColumns(stray)
+    assert(strayOut.contains("-- don't rewrite here ROWOFFSET"), strayOut)
+    assert(strayOut.contains("\noffset FROM src"), strayOut)
+    // latest_by_offset inside a comment stays verbatim
+    val lbo = "SELECT k, latest_by_offset(v) AS l " +
+      "/* latest_by_offset(v, 3) */ FROM s GROUP BY k"
+    val lboOut = ConnectorDdl.rewriteLatestByOffset(lbo)
+    assert(lboOut.contains("/* latest_by_offset(v, 3) */"), lboOut)
+    assert(lboOut.contains("max_by(v, offset)"), lboOut)
+  }
+
   test("latest_by_offset rewrite leaves the 2-column UDAF form and literals alone") {
     val rnd = new Random(23)
     (1 to 100).foreach { _ =>

@@ -635,6 +635,27 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(band2.contains("b.ts >= a.ts - INTERVAL 1 DAY"), band2)
   }
 
+  test("WITHIN event time: a STREAMING view keeps the legacy string-ts precedence") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a streaming relation cannot be sampled at plan time, so the
+    // cast probe never runs — the bare preferred `ts` must STILL beat
+    // the single unrelated timestamp-typed column, or a legacy
+    // stream's interval join silently switches from event time to
+    // ingest time with no error
+    val srel = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("k"),
+        lit("2024-01-02 00:00:00").as("ts"),
+        col("timestamp").as("ingest_time"))
+    assert(srel.isStreaming)
+    srel.createOrReplaceTempView("stream_legacy_ts")
+    val band = ConnectorDdl.rewriteWithin(spark,
+      "SELECT * FROM stream_legacy_ts a INNER JOIN stream_legacy_ts b " +
+        "WITHIN 1 DAYS ON a.k = b.k")
+    assert(band.contains("b.ts >= a.ts - INTERVAL 1 DAY"), band)
+    spark.catalog.dropTempView("stream_legacy_ts")
+  }
+
   test("ksql latest/earliest_by_offset(col, N) rewrite to sorted-slice arrays and run") {
     import spark.implicits._
     val r = ConnectorDdl.rewriteLatestByOffset(

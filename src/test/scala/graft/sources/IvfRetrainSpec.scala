@@ -115,6 +115,20 @@ class IvfRetrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(v1.centroids).count() === 2)
   }
 
+  test("publish sweeps stale _CURRENT.tmp* pointers left by a crashed publish") {
+    val root = freshRoot()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    // simulate a crash between writing the tmp pointer and the atomic
+    // move: the orphan would otherwise live forever (vacuumVersions
+    // only reclaims v<N> directories)
+    val orphan = java.nio.file.Paths.get(root, "_CURRENT.tmp99")
+    java.nio.file.Files.write(orphan, "v99".getBytes("UTF-8"))
+    val v1 = IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
+    assert(!java.nio.file.Files.exists(orphan))
+    // the committed pointer itself survives the sweep
+    assert(IvfIndex.currentLayout(root).contains(v1))
+  }
+
   test("below the drift threshold nothing is retrained or written") {
     val root = freshRoot()
     val v1 = IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
