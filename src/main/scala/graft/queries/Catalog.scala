@@ -10,7 +10,8 @@ object Catalog {
     PipelineQueries.defs ++ BatchSqlQueries.defs ++ BatchSqlQueries2.defs ++
       BatchSqlQueries3.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
-      SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs
+      SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
+      TableJoinQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -18,5 +19,6 @@ object Catalog {
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ MultimodalQueries.oracles ++
       StreamingQueries.oracles ++ SourceQueries.oracles ++
-      CleaningQueries.oracles ++ CurationQueries.oracles
+      CleaningQueries.oracles ++ CurationQueries.oracles ++
+      TableJoinQueries.oracles
 }

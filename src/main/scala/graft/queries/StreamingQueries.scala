@@ -23,7 +23,7 @@ object StreamingQueries {
 
   /** Streaming read of the events table with the same nanos→micros
     * normalization as the batch loader. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private[queries] def eventsStream(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(s"$d/events.parquet").schema
     // testdata tables are single files; the file-stream source needs a
     // directory basePath, so address the file through a glob
@@ -60,7 +60,7 @@ object StreamingQueries {
     * blocks the ContextCleaner releases once the caller drops the
     * frame; the view is dropped and the terminated-query registry
     * cleared so the sink itself is GC-reachable. */
-  private def runToTable(df: DataFrame, mode: String,
+  private[queries] def runToTable(df: DataFrame, mode: String,
                          statePartitions: Int = 8): DataFrame = {
     val s = df.sparkSession
     val name = s"stream_q_${nameCounter.incrementAndGet()}"

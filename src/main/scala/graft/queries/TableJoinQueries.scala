@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sources.Tables
+import graft.streaming.{TableChangelog, TableTableJoin}
+
+/** Table–table joins with changelog semantics — the last ksqlDB join
+  * family (ksqlDB 0.28, reference docker-compose.yml:83) — as
+  * driver-verifiable queries. Batch forms compute the joined snapshot
+  * declaratively; the streaming forms run the real changelog operators
+  * ([[graft.streaming.TableChangelog]], [[graft.streaming
+  * .TableTableJoin]]) to completion on the finite testdata and
+  * reconstruct the table FROM THE EMITTED CHANGELOG, so the oracle
+  * verifies the change stream itself, not just a final state.
+  *
+  * Scale shapes:
+  *  - pk join (batch): both inputs aggregate on their own key first
+  *    (map-side-combining max_by), then join on that same key — the
+  *    aggregation exchanges satisfy the join's distribution, so
+  *    Catalyst inserts NO extra shuffle (pinned in PlanPropertiesSpec).
+  *  - pk join (stream): both changelogs co-shuffle once into one
+  *    stateful operator; state = two rows per key.
+  *  - fk join (batch): dimension broadcast, fact side never shuffles.
+  *  - fk join (stream): changelog stage keyed by pk, join stage keyed
+  *    by fk; state per fk group = its member rows (the unavoidable
+  *    FK-materialization state), fan-out work only on right-side
+  *    changes.
+  */
+object TableJoinQueries {
+
+  /** Left payload of the pk join: latest order facts per customer. */
+  case class OrdInfo(last_price: Double, last_order_date: String)
+  /** Right payload of the pk join: latest event facts per user. */
+  case class EvInfo(latest_type: String, latest_value: Double)
+  /** Left payload of the fk join: a customer row (fk = nation_key). */
+  case class CustInfo(cust_name: String, nation_key: Long)
+  /** Right payload of the fk join: a nation row. */
+  case class NatInfo(nation_name: String)
+
+  // ---- batch forms -------------------------------------------------
+
+  /** Materialize two latest_by_offset tables (orders by customer,
+    * events by user) and join them on the shared key. Left join: every
+    * customer with orders appears; the event side is nullable. */
+  def tableTableJoin(s: SparkSession, d: String): DataFrame = {
+    val a = Relational.latestByKey(Tables.orders(s, d),
+      col("o_custkey"), col("o_orderkey"),
+      "last_price" -> col("o_totalprice"),
+      "last_order_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val b = Relational.latestByKey(Tables.events(s, d),
+      col("user_id"), col("event_id"),
+      "latest_type" -> col("event_type"),
+      "latest_value" -> col("value"))
+    a.join(b, col("o_custkey") === col("user_id"), "left")
+      .select(col("o_custkey").as("cust_id"), col("last_price"),
+        col("last_order_date"), col("latest_type"), col("latest_value"))
+  }
+
+  val tableTableJoinSql: String =
+    """SELECT a.o_custkey AS cust_id, a.last_price, a.last_order_date,
+      |       b.latest_type, b.latest_value
+      |FROM (SELECT o_custkey,
+      |             arg_max(o_totalprice, o_orderkey) AS last_price,
+      |             arg_max(strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+      |               AS last_order_date
+      |      FROM orders GROUP BY o_custkey) a
+      |LEFT JOIN (SELECT user_id,
+      |             arg_max(event_type, event_id) AS latest_type,
+      |             arg_max("value", event_id) AS latest_value
+      |           FROM events GROUP BY user_id) b
+      |  ON a.o_custkey = b.user_id""".stripMargin
+
+  /** Foreign-key join of the customer table (fk c_nationkey) with the
+    * nation table — the ksqlDB FK table join's batch snapshot. The
+    * nation side broadcasts; the customer side never shuffles. */
+  def tableFkJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+        col("n_name").as("nation_name"))
+
+  val tableFkJoinSql: String =
+    """SELECT c_custkey AS cust_id, c_name AS cust_name,
+      |       n_name AS nation_name
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+
+  // ---- streaming inputs --------------------------------------------
+
+  /** The orders table as a keyed-versioned changelog stream:
+    * key = o_custkey, offset = o_orderkey (globally unique, so
+    * last-write-wins lands on the latest order per customer). */
+  private def ordersChangelog(s: SparkSession,
+                              d: String): Dataset[(Long, Long, Option[OrdInfo])] = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/orders.parquet").schema
+    s.readStream.schema(raw).parquet(s"$d/{orders}.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        struct(col("o_totalprice").as("last_price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+          .as("v"))
+      .as[(Long, Long, OrdInfo)]
+      .map { case (k, off, v) => (k, off, Option(v)) }
+  }
+
+  /** The events table as a changelog keyed by user_id, versioned by
+    * event_id. */
+  private def eventsChangelog(s: SparkSession,
+                              d: String): Dataset[(Long, Long, Option[EvInfo])] = {
+    import s.implicits._
+    StreamingQueries.eventsStream(s, d)
+      .select(col("user_id"), col("event_id"),
+        struct(col("event_type").as("latest_type"),
+          col("value").as("latest_value")).as("v"))
+      .as[(Long, Long, EvInfo)]
+      .map { case (k, off, v) => (k, off, Option(v)) }
+  }
+
+  // ---- streaming forms ---------------------------------------------
+
+  /** The changelog operator itself, hash-verified: run the orders
+    * changelog to completion, then reconstruct the table FROM the
+    * emitted c/u/d records — equal to the batch arg_max snapshot iff
+    * every change row (ops, images, per-key seq) was right. */
+  def streamTableChangelog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = TableChangelog.of(ordersChangelog(s, d))
+    val t = StreamingQueries.runToTable(changes.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("cust_id"),
+        col("after.last_price").as("last_price"),
+        col("after.last_order_date").as("last_order_date"))
+  }
+
+  lazy val streamTableChangelogSql: String =
+    """SELECT o_custkey AS cust_id,
+      |       arg_max(o_totalprice, o_orderkey) AS last_price,
+      |       arg_max(strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+      |         AS last_order_date
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Streaming pk table–table join (left): same oracle as the batch
+    * form — the joined table is reconstructed from the join's OWN
+    * changelog output. */
+  def streamTableTableJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = TableTableJoin.pkJoin(
+      ordersChangelog(s, d), eventsChangelog(s, d), "left")
+    val t = StreamingQueries.runToTable(changes.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("cust_id"),
+        col("after.left.last_price").as("last_price"),
+        col("after.left.last_order_date").as("last_order_date"),
+        col("after.right.latest_type").as("latest_type"),
+        col("after.right.latest_value").as("latest_value"))
+  }
+
+  /** Streaming fk table–table join: the customer changelog
+    * (retraction-aware stage) routed by nation key into the join
+    * state, composed in ONE query (both stateful operators run in
+    * append mode). Inner join, same oracle as the batch form. */
+  def streamTableFkJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rawC = s.read.parquet(s"$d/customer.parquet").schema
+    val custDs = s.readStream.schema(rawC).parquet(s"$d/{customer}.parquet")
+      .select(col("c_custkey"), col("c_custkey").as("off"),
+        struct(col("c_name").as("cust_name"),
+          col("c_nationkey").cast("long").as("nation_key")).as("v"))
+      .as[(Long, Long, CustInfo)]
+      .map { case (k, off, v) => (k, off, Option(v)) }
+    val rawN = s.read.parquet(s"$d/nation.parquet").schema
+    val natDs = s.readStream.schema(rawN).parquet(s"$d/{nation}.parquet")
+      .select(col("n_nationkey").cast("long"),
+        col("n_nationkey").cast("long").as("off"),
+        struct(col("n_name").as("nation_name")).as("v"))
+      .as[(Long, Long, NatInfo)]
+      .map { case (k, off, v) => (k, off, Option(v)) }
+    val joined = TableTableJoin.fkJoin[Long, Long, CustInfo, NatInfo](
+      TableChangelog.of(custDs), _.nation_key, natDs, "inner")
+    val t = StreamingQueries.runToTable(joined.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("cust_id"),
+        col("after.left.cust_name").as("cust_name"),
+        col("after.right.nation_name").as("nation_name"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_table_join" -> tableTableJoin _,
+    "q_table_fk_join" -> tableFkJoin _,
+    "stream_table_changelog" -> streamTableChangelog _,
+    "stream_table_table_join" -> streamTableTableJoin _,
+    "stream_table_fk_join" -> streamTableFkJoin _)
+
+  def oracles: Map[String, String] = Map(
+    "q_table_table_join" -> tableTableJoinSql,
+    "q_table_fk_join" -> tableFkJoinSql,
+    "stream_table_changelog" -> streamTableChangelogSql,
+    "stream_table_table_join" -> tableTableJoinSql,
+    "stream_table_fk_join" -> tableFkJoinSql)
+}

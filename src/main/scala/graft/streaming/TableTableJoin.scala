@@ -1,0 +1,263 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import TableChangelog.Change
+
+/** Materialized TABLE–TABLE joins with changelog output — the last
+  * ksqlDB join family (ksqlDB 0.28, the reference's engine,
+  * reference docker-compose.yml:83 — supports primary-key and
+  * foreign-key table joins): two continuously-updated keyed tables
+  * joined so that a change on EITHER side re-emits the revised joined
+  * row(s) for the affected key(s), with retractions when a joined row
+  * disappears.
+  *
+  * [[pkJoin]] — same-primary-key join. Spark shape: the two versioned
+  * changelogs are tagged and unioned, then ONE `flatMapGroupsWithState`
+  * keyed on the shared key holds (latest left, latest right, last
+  * emitted joined image) per key — both sides co-shuffle on the join
+  * key into the same stateful operator, exactly ksqlDB's co-partitioned
+  * table-table join, with state = two rows per key. No broadcast, no
+  * per-batch rescan of either table; each micro-batch does O(batch)
+  * work.
+  *
+  * [[fkJoin]] — foreign-key join (many left rows per right key). The
+  * left input is a RETRACTION-AWARE changelog ([[TableChangelog.of]]):
+  * the before-image is what lets a key that changes its foreign key be
+  * REMOVED from the old right-key group — an upsert-only stream cannot
+  * express that move. Change rows are routed by foreign key (a move =
+  * one removal event at the old group + one add at the new), unioned
+  * with the right table's changelog, and a `flatMapGroupsWithState`
+  * keyed on the RIGHT key holds (right row, member left rows) per
+  * group. A right-side update re-emits every member's joined row — the
+  * FK fan-out ksqlDB implements with its internal subscription state.
+  * State per group is the group's left membership: the same O(matching
+  * rows) any FK-join materialization must hold somewhere.
+  *
+  * Both emit [[TableChangelog.Change]] rows keyed by the LEFT primary
+  * key with c/u/d ops and before/after joined images, so the output is
+  * itself a table changelog — tables compose: a downstream consumer
+  * (another join, [[TableChangelog.latestState]], an external cache)
+  * maintains the joined table without re-reading either input.
+  */
+object TableTableJoin {
+
+  /** A joined row image: present sides populated per join type. */
+  case class Joined[A, B](left: Option[A], right: Option[B])
+
+  /** Internal: one tagged changelog record of either side. */
+  case class Sided[K, A, B](key: K, offset: Long, isLeft: Boolean,
+                            a: Option[A], b: Option[B])
+
+  /** Internal per-key state: per-side LWW (offset, value) plus the
+    * last emitted joined image and the per-key output seq. */
+  case class PkState[A, B](lOff: Long, l: Option[A], rOff: Long,
+                           r: Option[B], emitted: Option[Joined[A, B]],
+                           seq: Long)
+
+  /** Primary-key table–table join of two (key, offset, value)
+    * changelogs (value None = tombstone). `joinType`: "inner" (row
+    * present iff both sides present) or "left" (present iff left
+    * present; right side nullable). Within a micro-batch the right
+    * side's rows apply before the left's (each side LWW by its own
+    * offset), so same-batch races resolve to the same final image the
+    * batch oracle computes. */
+  def pkJoin[K: Encoder: TypeTag, A <: Product: TypeTag,
+             B <: Product: TypeTag](
+      left: Dataset[(K, Long, Option[A])],
+      right: Dataset[(K, Long, Option[B])],
+      joinType: String = "inner"): Dataset[Change[K, Joined[A, B]]] = {
+    require(joinType == "inner" || joinType == "left",
+      s"pkJoin supports inner/left, got $joinType")
+    implicit val sidedEnc: Encoder[Sided[K, A, B]] =
+      Encoders.product[Sided[K, A, B]]
+    implicit val stEnc: Encoder[PkState[A, B]] =
+      Encoders.product[PkState[A, B]]
+    implicit val outEnc: Encoder[Change[K, Joined[A, B]]] =
+      Encoders.product[Change[K, Joined[A, B]]]
+    val tagged = left
+      .map { case (k, o, a) => Sided[K, A, B](k, o, isLeft = true, a, None) }
+      .union(right.map { case (k, o, b) =>
+        Sided[K, A, B](k, o, isLeft = false, None, b) })
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[Sided[K, A, B]],
+         st: GroupState[PkState[A, B]]) =>
+          var cur = st.getOption.getOrElse(PkState[A, B](
+            Long.MinValue, None, Long.MinValue, None, None, 0L))
+          val out = Seq.newBuilder[Change[K, Joined[A, B]]]
+          // rights first (false < true), then each side in offset order
+          it.toSeq.sortBy(e => (e.isLeft, e.offset)).foreach { e =>
+            val applied =
+              if (e.isLeft && e.offset > cur.lOff)
+                Some(cur.copy(lOff = e.offset, l = e.a))
+              else if (!e.isLeft && e.offset > cur.rOff)
+                Some(cur.copy(rOff = e.offset, r = e.b))
+              else None // stale offset: replay/out-of-order duplicate
+            applied.foreach { next =>
+              val present =
+                if (joinType == "inner") next.l.isDefined && next.r.isDefined
+                else next.l.isDefined
+              val now =
+                if (present) Some(Joined(next.l, next.r)) else None
+              if (now != cur.emitted) {
+                val op = (cur.emitted, now) match {
+                  case (None, Some(_)) => "c"
+                  case (Some(_), Some(_)) => "u"
+                  case _ => "d"
+                }
+                out += Change(key, op, cur.emitted, now, next.seq)
+                cur = next.copy(emitted = now, seq = next.seq + 1)
+              } else cur = next
+            }
+          }
+          st.update(cur)
+          out.result().iterator
+      }
+  }
+
+  /** Internal: one routed FK-group event. Left adds/removals carry the
+    * member primary key and the stage-1 change seq; right records carry
+    * their own offset. */
+  case class FkEvent[KF, KP, A, B](fk: KF, isLeft: Boolean, add: Boolean,
+                                   pk: Option[KP], a: Option[A], s1: Long,
+                                   rOff: Long, b: Option[B])
+
+  /** Internal: one member left row inside an FK group. `s1` is the
+    * member's latest stage-1 changelog seq — the cross-group ordering
+    * major for the composite output seq. */
+  case class Member[KP, A](pk: KP, s1: Long, a: A)
+
+  /** Internal per-FK-group state: right-side LWW + member left rows +
+    * a group-local emission counter. */
+  case class FkState[KP, A, B](members: Seq[Member[KP, A]], rOff: Long,
+                               r: Option[B], counter: Long)
+
+  /** Composite output seq for FK-join changes: a key's changes must be
+    * orderable ACROSS fk groups (a foreign-key move emits its `d` in
+    * the old group and its `c` in the new one, each group having an
+    * independent local counter). Major = 2·s1 + (1 if the event leaves
+    * the key a member) — so the move's removal (major 2s) always
+    * precedes its add (2s+1) and every later in-group emission shares
+    * the add's major; minor = the group-local counter, which orders
+    * same-major emissions within one group. 20 bits of minor bounds a
+    * group at ~1M emissions between left-side changes of a member —
+    * beyond that, shard the right key. */
+  private def fkSeq(s1: Long, inGroup: Boolean, counter: Long): Long =
+    ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | (counter & 0xFFFFFL)
+
+  /** Foreign-key table–table join. `leftChanges` is the left table's
+    * retraction-aware changelog ([[TableChangelog.of]] output);
+    * `fkOf` extracts the foreign key from a left payload; `right` is
+    * the right table's (key, offset, value) changelog. Output is keyed
+    * by the LEFT primary key. `joinType` "inner" or "left". */
+  def fkJoin[KF: Encoder: TypeTag, KP: TypeTag, A <: Product: TypeTag,
+             B <: Product: TypeTag](
+      leftChanges: Dataset[Change[KP, A]], fkOf: A => KF,
+      right: Dataset[(KF, Long, Option[B])],
+      joinType: String = "inner"): Dataset[Change[KP, Joined[A, B]]] = {
+    require(joinType == "inner" || joinType == "left",
+      s"fkJoin supports inner/left, got $joinType")
+    implicit val evEnc: Encoder[FkEvent[KF, KP, A, B]] =
+      Encoders.product[FkEvent[KF, KP, A, B]]
+    implicit val stEnc: Encoder[FkState[KP, A, B]] =
+      Encoders.product[FkState[KP, A, B]]
+    implicit val outEnc: Encoder[Change[KP, Joined[A, B]]] =
+      Encoders.product[Change[KP, Joined[A, B]]]
+    // route each stage-1 change by foreign key: an fk move = removal at
+    // the old group + add at the new, SHARING the stage-1 seq (the
+    // composite seq's in-group bit orders them)
+    val routedLeft = leftChanges.flatMap { ch =>
+      val removal = for {
+        b <- ch.before
+        if ch.after.forall(a => fkOf(a) != fkOf(b))
+      } yield FkEvent[KF, KP, A, B](fkOf(b), isLeft = true, add = false,
+        Some(ch.key), None, ch.seq, 0L, None)
+      val add = ch.after.map(a =>
+        FkEvent[KF, KP, A, B](fkOf(a), isLeft = true, add = true,
+          Some(ch.key), Some(a), ch.seq, 0L, None))
+      removal.toSeq ++ add.toSeq
+    }
+    val taggedRight = right.map { case (k, o, b) =>
+      FkEvent[KF, KP, A, B](k, isLeft = false, add = false,
+        None, None, 0L, o, b)
+    }
+    routedLeft.union(taggedRight).groupByKey(_.fk)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: KF, it: Iterator[FkEvent[KF, KP, A, B]],
+         st: GroupState[FkState[KP, A, B]]) =>
+          var cur = st.getOption.getOrElse(
+            FkState[KP, A, B](Seq.empty, Long.MinValue, None, 0L))
+          val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
+          def present(r: Option[B]): Boolean =
+            joinType == "left" || r.isDefined
+          def img(a: A, r: Option[B]): Option[Joined[A, B]] =
+            if (present(r)) Some(Joined(Some(a), r)) else None
+          val (lefts, rights) = it.toSeq.partition(_.isLeft)
+          // right side first: within-batch versions compress to the
+          // winning value (one fan-out emission per batch, like ksql's
+          // state-store caching), then member events apply against the
+          // batch-final right row
+          val winningRight = rights.sortBy(_.rOff).lastOption
+          winningRight.foreach { e =>
+            if (e.rOff > cur.rOff) {
+              val oldR = cur.r
+              cur = cur.copy(rOff = e.rOff, r = e.b)
+              if (oldR != e.b) {
+                cur.members.sortBy(_.s1).foreach { m =>
+                  val before = img(m.a, oldR)
+                  val after = img(m.a, e.b)
+                  if (before != after) {
+                    val op = (before, after) match {
+                      case (None, Some(_)) => "c"
+                      case (Some(_), Some(_)) => "u"
+                      case _ => "d"
+                    }
+                    out += Change(m.pk, op, before, after,
+                      fkSeq(m.s1, inGroup = true, cur.counter))
+                    cur = cur.copy(counter = cur.counter + 1)
+                  }
+                }
+              }
+            }
+          }
+          // member events in stage-1 order (removal-before-add for a
+          // same-seq fk move is per-GROUP here; cross-group ordering is
+          // the composite seq's job)
+          lefts.sortBy(e => (e.s1, e.add)).foreach { e =>
+            val pk = e.pk.get
+            val old = cur.members.find(_.pk == pk)
+            if (e.add) {
+              val a = e.a.get
+              cur = cur.copy(members =
+                cur.members.filterNot(_.pk == pk) :+ Member(pk, e.s1, a))
+              val before = old.flatMap(o => img(o.a, cur.r))
+              val after = img(a, cur.r)
+              if (before != after) {
+                val op = (before, after) match {
+                  case (None, Some(_)) => "c"
+                  case (Some(_), Some(_)) => "u"
+                  case _ => "d"
+                }
+                out += Change(pk, op, before, after,
+                  fkSeq(e.s1, inGroup = true, cur.counter))
+                cur = cur.copy(counter = cur.counter + 1)
+              }
+            } else {
+              cur = cur.copy(members = cur.members.filterNot(_.pk == pk))
+              val before = old.flatMap(o => img(o.a, cur.r))
+              if (before.isDefined) {
+                out += Change(pk, "d", before, None,
+                  fkSeq(e.s1, inGroup = false, cur.counter))
+                cur = cur.copy(counter = cur.counter + 1)
+              }
+            }
+          }
+          st.update(cur)
+          out.result().iterator
+      }
+  }
+}

@@ -274,6 +274,33 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("pk table-table join: the aggregation exchanges satisfy the join — no third shuffle") {
+    // at the 100 TB regime neither latest_by_offset table broadcasts;
+    // the join key equals each side's grouping key, so the two agg
+    // exchanges must be the ONLY shuffles in the plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(graft.queries.TableJoinQueries.tableTableJoin(spark, sf))
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      // formatted explain lists each node twice (tree + details); count
+      // the details headers
+      assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 2,
+        p.take(3000))
+      assert(!p.contains("BroadcastExchange"), p.take(3000))
+    } finally spark.conf.set(key, old)
+    // at small scale the planner broadcasts the smaller table instead
+    val small = plan(graft.queries.TableJoinQueries.tableTableJoin(spark, sf))
+    assert(small.contains("BroadcastHashJoin"), small.take(3000))
+  }
+
+  test("fk table-table join: dimension broadcast, customer side never shuffles") {
+    val p = plan(graft.queries.TableJoinQueries.tableFkJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("\\bExchange\\b".r.findAllIn(p).isEmpty, p.take(3000))
+  }
+
   test("corpus delta: batch-vs-snapshot candidates join on the shingle key, base offset broadcasts") {
     val p = planOf("curate_corpus_delta")
     // the only nested-loop shape allowed is the 1-row base-offset
