@@ -523,6 +523,10 @@ object SimilarityQueries {
       // the compressed-domain arm: what the 32x-smaller PQ index costs
       // in recall — top-5 by approximate ADC score vs exact top-5
       .unionAll(recallOf("pq_adc", pqAdcTopK(s, d).limit(5)))
+      // the composed production layout: residual-PQ inside probed IVF
+      // cells — recall reflects BOTH the cell pruning and the
+      // quantization error
+      .unionAll(recallOf("ivfpq", annIvfPq(s, d).limit(5)))
   }
 
   /** Embeds the exact and ANN oracles so no spelling can drift. */
@@ -538,14 +542,18 @@ object SimilarityQueries {
        |p1 AS (SELECT vec_id FROM (${annIvfProbeSql(1)}) b),
        |p2 AS (SELECT vec_id FROM (${annIvfProbeSql(2)}) c),
        |pq AS (SELECT vec_id FROM ($pqAdcTopKSql) e2
-       |       ORDER BY adc_micros DESC, vec_id LIMIT 5)
+       |       ORDER BY adc_micros DESC, vec_id LIMIT 5),
+       |ivfpq AS (SELECT vec_id FROM ($annIvfPqSql) f2
+       |          ORDER BY ivfpq_micros DESC, vec_id LIMIT 5)
        |${arm("sign_lsh", "lsh")}
        |UNION ALL
        |${arm("ivf_probe1", "p1")}
        |UNION ALL
        |${arm("ivf_probe2", "p2")}
        |UNION ALL
-       |${arm("pq_adc", "pq")}""".stripMargin
+       |${arm("pq_adc", "pq")}
+       |UNION ALL
+       |${arm("ivfpq", "ivfpq")}""".stripMargin
   }
 
   private def annIvfProbeSql(nprobe: Int): String =
@@ -786,6 +794,183 @@ object SimilarityQueries {
        |ORDER BY adc_micros DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** IVF-PQ composed index — the standard production ANN layout when
+    * raw vectors can't be read per probe (VERDICT r7 next #3): vectors
+    * route into IVF cells, and WITHIN each cell the RESIDUAL
+    * (vector − cell centroid) is product-quantized, so a probe (a)
+    * prunes to nprobe cell partitions of the persisted CODE table —
+    * bytes per vector, never the raw floats — and (b) scores
+    * candidates by Asymmetric Distance Computation against the probed
+    * cells' residual tables: q·v ≈ q·c + q·(v−c) where q·c is one
+    * per-cell constant and q·(v−c) is nSub table lookups + a sum.
+    * Residual encoding is what PQ gains from the IVF composition: a
+    * cell's residuals are centered near zero, so the shared codebooks
+    * spend their 16 codes on local structure instead of the coarse
+    * geometry the centroid already captured.
+    *
+    * Build (paid once, memoized layout like [[annIvfIndexed]]'s): the
+    * code table (vec_id, sub, code) persists hive-partitioned by
+    * `cell` via [[graft.sources.IvfIndex.ensureAux]]. Query: route on
+    * the O(ncells) centroid table, build the nprobe×nSub×16-row ADC
+    * table (broadcast), scan ONLY the probed cells' code partitions
+    * (PartitionFilters — plan-pinned), join-broadcast, one grouped
+    * sum, TakeOrdered top-10.
+    *
+    * Determinism/oracle story: same exact-integer spelling as
+    * [[pqAdcTopK]] — codebooks are the residual subvectors of vectors
+    * 1..16, encode argmin on floor-micros L2 with code tie-break, ADC
+    * dots and the q·c constants in floor-micros BIGINTs. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val nSub = 8
+    val subDim = EmbeddingDim / nSub
+    val nprobe = 2
+    val e = withEmb(s, d)
+    val layout = graft.sources.IvfIndex.ensure(d, centroidArrays(s, d),
+      withEmb(s, d).withColumn("cell", col("label")))
+    val cents = s.read.parquet(layout.centroids)
+    def dotMicros(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) * 1000000).cast("long")
+    def l2Micros(a: Column, b: Column): Column =
+      floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x) * 1000000).cast("long")
+    def subvecsOf(df: DataFrame, vcol: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(sequence(lit(0), lit(nSub - 1))).as("sub")
+          :+ col(vcol): _*)
+        .select(keep :+ col("sub")
+          :+ slice(col(vcol), col("sub") * subDim + 1, lit(subDim)).as("subv"): _*)
+    // residuals against each vector's OWN cell centroid (cell = label)
+    val resid = e.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("emb"), col("cemb"), (x, c) => x - c).as("remb"))
+    val rsub = subvecsOf(resid, "remb", Seq(col("vec_id"), col("label")))
+    // shared residual codebooks: subvectors of vectors 1..16 (the same
+    // seeded-codebook convention as pqAdcTopK) — PERSISTED with the
+    // index, so a query never touches raw embeddings to rebuild them
+    val cbPath = graft.sources.IvfIndex.ensureAux(d, "pqcodebook",
+      rsub.filter(col("vec_id").between(1, 16))
+        .select(col("sub"), col("vec_id").cast("int").as("code"),
+          col("subv").as("cw")),
+      "sub")
+    val codebook = s.read.parquet(cbPath)
+    // the persisted compressed index: every vector's 8 residual codes,
+    // partitioned by cell — built once per corpus
+    val codesDf = rsub.join(broadcast(codebook), "sub")
+      .select(col("vec_id"), col("label"), col("sub"), col("code"),
+        l2Micros(col("subv"), col("cw")).as("d2"))
+      .groupBy(col("vec_id"), col("label"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).getField("code").as("code"))
+      .withColumn("cell", col("label"))
+    val codesPath =
+      graft.sources.IvfIndex.ensureAux(d, "pqcodes", codesDf, "cell")
+    // route: nprobe nearest cells by centroid cosine (ncells rows)
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+    val probed: Seq[Int] = cents.crossJoin(broadcast(q))
+      .select(col("label"),
+        round(dot(col("cemb"), col("qemb")) /
+          (norm(col("cemb")) * norm(col("qemb"))), 6).as("csim"))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(nprobe)
+      .collect().toSeq.map(_.getAs[Number](0).intValue)
+    val probedCents = cents.filter(col("label").isin(probed: _*))
+      .crossJoin(broadcast(q))
+    // per probed cell, from ONE query-vector subtree: the q·c constant
+    // and the query-residual subvectors, folded into a single
+    // nprobe × nSub × 16-row ADC table
+    val qmeta = subvecsOf(
+      probedCents.select(col("label").as("cell"),
+        dotMicros(col("cemb"), col("qemb")).as("qc_micros"),
+        zip_with(col("qemb"), col("cemb"), (x, c) => x - c).as("qr")),
+      "qr", Seq(col("cell"), col("qc_micros")))
+      .select(col("cell"), col("qc_micros"), col("sub"),
+        col("subv").as("qsubv"))
+    val adc = codebook.join(broadcast(qmeta), "sub")
+      .select(col("cell"), col("sub"), col("code"),
+        dotMicros(col("qsubv"), col("cw")).as("dot_micros"),
+        col("qc_micros"))
+    // compressed-domain scan: probed cell partitions of the CODES only
+    s.read.parquet(codesPath)
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+      .join(broadcast(adc), Seq("cell", "sub", "code"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg((sum(col("dot_micros")) + min(col("qc_micros"))).cast("long")
+        .as("ivfpq_micros"))
+      .orderBy(col("ivfpq_micros").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  lazy val annIvfPqSql: String = {
+    val nSub = 8
+    val subDim = EmbeddingDim / nSub
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+       |g AS (
+       |  SELECT label, CAST(t.i AS BIGINT) dim,
+       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
+       |  FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t),
+       |c AS (
+       |  SELECT label, dim,
+       |         CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
+       |  FROM g GROUP BY label, dim),
+       |carr AS (SELECT label, list(centroid ORDER BY dim) cemb FROM c GROUP BY label),
+       |q AS (SELECT emb qemb FROM e WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT label,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> cemb[i]*qemb[i])) /
+       |      (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) csim
+       |  FROM carr, q),
+       |best AS (SELECT label FROM scored ORDER BY csim DESC, label LIMIT 2),
+       |r AS (
+       |  SELECT e.vec_id, e.label,
+       |         list_transform(generate_series(1, $EmbeddingDim),
+       |           i -> e.emb[i] - carr.cemb[i]) remb
+       |  FROM e JOIN carr ON carr.label = e.label),
+       |rsv AS (
+       |  SELECT vec_id, label, t.s AS sub,
+       |         remb[(t.s * $subDim + 1):(t.s * $subDim + $subDim)] AS subv
+       |  FROM r, (SELECT unnest(generate_series(0, ${nSub - 1})) s) t),
+       |cb AS (
+       |  SELECT sub, CAST(vec_id AS INTEGER) code, subv cw
+       |  FROM rsv WHERE vec_id BETWEEN 1 AND 16),
+       |enc AS (
+       |  SELECT vec_id, label, sub, code FROM (
+       |    SELECT rsv.vec_id, rsv.label, rsv.sub, cb.code,
+       |      row_number() OVER (
+       |        PARTITION BY rsv.vec_id, rsv.sub
+       |        ORDER BY CAST(floor(list_sum(list_transform(
+       |            generate_series(1, $subDim),
+       |            i -> (rsv.subv[i] - cb.cw[i]) * (rsv.subv[i] - cb.cw[i])))
+       |          * 1000000) AS BIGINT), cb.code) rn
+       |    FROM rsv JOIN cb ON cb.sub = rsv.sub) WHERE rn = 1),
+       |qcs AS (
+       |  SELECT carr.label AS cell,
+       |    CAST(floor(list_sum(list_transform(generate_series(1, $EmbeddingDim),
+       |      i -> carr.cemb[i] * q.qemb[i])) * 1000000) AS BIGINT) qc_micros,
+       |    list_transform(generate_series(1, $EmbeddingDim),
+       |      i -> q.qemb[i] - carr.cemb[i]) qr
+       |  FROM carr JOIN best ON best.label = carr.label, q),
+       |qrsv AS (
+       |  SELECT cell, t.s AS sub,
+       |         qr[(t.s * $subDim + 1):(t.s * $subDim + $subDim)] AS qsubv
+       |  FROM qcs, (SELECT unnest(generate_series(0, ${nSub - 1})) s) t),
+       |adc AS (
+       |  SELECT qrsv.cell, cb.sub, cb.code,
+       |    CAST(floor(list_sum(list_transform(generate_series(1, $subDim),
+       |      i -> qrsv.qsubv[i] * cb.cw[i])) * 1000000) AS BIGINT) dot_micros
+       |  FROM cb JOIN qrsv ON qrsv.sub = cb.sub)
+       |SELECT enc.vec_id, enc.label,
+       |       CAST(SUM(adc.dot_micros) + MIN(qcs.qc_micros) AS BIGINT)
+       |         AS ivfpq_micros
+       |FROM enc
+       |JOIN adc ON adc.cell = enc.label AND adc.sub = enc.sub
+       |        AND adc.code = enc.code
+       |JOIN qcs ON qcs.cell = enc.label
+       |WHERE enc.vec_id <> 0
+       |GROUP BY enc.vec_id, enc.label
+       |ORDER BY ivfpq_micros DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Int8 embedding quantization + quantized-cosine top-k: per-vector
     * symmetric quantization (scale = max|x|/127, the standard int8
     * scheme) and re-ranking in the QUANTIZED domain. The int8 dot
@@ -882,6 +1067,7 @@ object SimilarityQueries {
     "sim_centroid_drift" -> centroidDrift _,
     "sim_quantize_int8" -> quantizeInt8TopK _,
     "sim_pq_adc" -> pqAdcTopK _,
+    "sim_ann_ivfpq" -> annIvfPq _,
     "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
@@ -901,6 +1087,7 @@ object SimilarityQueries {
     "sim_centroid_drift" -> centroidDriftSql,
     "sim_quantize_int8" -> quantizeInt8TopKSql,
     "sim_pq_adc" -> pqAdcTopKSql,
+    "sim_ann_ivfpq" -> annIvfPqSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

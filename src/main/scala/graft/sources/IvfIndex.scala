@@ -59,6 +59,25 @@ object IvfIndex {
       layout
     })
 
+  private val auxBuilt = TrieMap.empty[String, String]
+
+  /** Persist an AUXILIARY per-corpus dataset of the index (e.g. the
+    * PQ code table of an IVF-PQ layout) next to the memoized index,
+    * partitioned so probes prune it the same way they prune the
+    * vectors — built once per JVM per (sfDir, name), overwritten by a
+    * fresh JVM. At 100 TB this is the point of IVF-PQ: the ENCODE is
+    * paid once at build; a query scans only the probed cells' code
+    * partitions (bytes per vector, not the raw floats). */
+  def ensureAux(sfDir: String, name: String, df: => DataFrame,
+                partitionCol: String): String =
+    auxBuilt.getOrElseUpdate(s"$sfDir#$name", {
+      val r = root(sfDir)
+      Files.createDirectories(r)
+      val path = r.resolve(name).toString
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      path
+    })
+
   /** Incremental maintenance: append newly-ingested vectors into the
     * existing cell layout (each row must carry its `cell` — assigned
     * by nearest centroid, exactly how the probe routes). An appended

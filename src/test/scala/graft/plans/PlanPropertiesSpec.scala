@@ -171,6 +171,26 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("IVF-PQ probe scans only the probed cells' CODE partitions — compressed domain") {
+    val p = planOf("sim_ann_ivfpq")
+    // the candidate side reads the persisted pqcodes layout, pruned on
+    // cell at planning time; ADC joins broadcast
+    assert(p.contains("pqcodes"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the candidate path never touches raw embedding floats: in the
+    // MAIN plan the only embeddings.parquet scan is the vec_id=0
+    // query-vector lookup (the sections after the Subqueries marker
+    // are dynamic-partition-pruning subqueries — extra pruning Spark
+    // injects, each re-listing the broadcast side's scans)
+    val main = p.split("===== Subqueries =====").head
+    assert("embeddings\\.parquet".r.findAllIn(main).size <= 1, main.take(3000))
+  }
+
   test("correlated scalar subquery decorrelates to one broadcast join, not a per-row subquery") {
     val p = planOf("q_scalar_subquery")
     // Catalyst must rewrite the correlated aggregate into a grouped
