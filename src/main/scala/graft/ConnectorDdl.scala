@@ -192,6 +192,19 @@ object ConnectorDdl {
   private val setRe =
     """(?is)\s*SET\s+'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
   private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
+  // the rest of the ksql CLI session surface (ksqlDB 0.28 CLI around
+  // reference README.md:340): relation introspection and persistent-
+  // query management. DESCRIBE maps to a schema dump of the registered
+  // view (Spark type names), SHOW TABLES to the CTAS-declared TABLE
+  // views (the complement of SHOW STREAMS), SHOW QUERIES to the
+  // session's StreamingQueryManager, TERMINATE to query.stop() by id
+  // or name (TERMINATE ALL stops everything, as in ksql).
+  private val showTablesRe = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  private val describeRe =
+    (s"""(?is)\\s*DESCRIBE\\s+(?:EXTENDED\\s+)?$nameRe\\s*;?\\s*""").r
+  private val showQueriesRe = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
+  private val terminateRe =
+    """(?is)\s*TERMINATE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
   // the WITH block reuses propRe's quoted-value grammar so a ')'
@@ -266,6 +279,7 @@ object ConnectorDdl {
   private val withinJoinRe =
     (s"""(?is)FROM\\s+$tableAlias\\s+(INNER\\s+|LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\s+$tableAlias\\s+""" +
       s"""WITHIN\\s+(?:\\(\\s*(\\d+)\\s+(\\w+)\\s*,\\s*(\\d+)\\s+(\\w+)\\s*\\)|(\\d+)\\s+(\\w+))\\s+""" +
+      s"""(?:GRACE\\s+PERIOD\\s+(\\d+)\\s+(\\w+)\\s+)?""" +
       s"""ON\\s+(.*?)(?=\\s+(?:WHERE|GROUP|HAVING|WINDOW|ORDER|LIMIT|EMIT|(?:INNER|LEFT|RIGHT|FULL|CROSS)\\s+\\w+|JOIN)\\b|\\s*$$)""").r
 
   private val intervalUnits = Set(
@@ -370,7 +384,15 @@ object ConnectorDdl {
                                   interval(m.group(10), m.group(11)))
         else (interval(m.group(6), m.group(7)),
               interval(m.group(8), m.group(9)))
-      val cond = m.group(12)
+      // ksql 0.28 `GRACE PERIOD n unit`: how long past the stream time
+      // late rows are still admitted to the join state. Validate the
+      // unit here; the clause does not change the batch band — on a
+      // complete batch input every row is trivially within grace (the
+      // same convergence argument that lets EMIT CHANGES strip). The
+      // STREAMING runner reads it back via [[withinGrace]] as the
+      // watermark delay, which is exactly Spark's late-admission bound.
+      Option(m.group(12)).foreach(n => interval(n, m.group(13)))
+      val cond = m.group(14)
       val lt = s"$lAlias.${eventTimeCol(spark, lTable)}"
       val rt = s"$rAlias.${eventTimeCol(spark, rTable)}"
       val band = s"$rt >= $lt - $before AND $rt <= $lt + $after"
@@ -378,6 +400,25 @@ object ConnectorDdl {
         s"FROM $lTable AS $lAlias ${joinType}JOIN $rTable AS $rAlias " +
           s"ON ($cond) AND $band")
     })
+
+  /** The `GRACE PERIOD` of a ksql WITHIN join, as the Spark watermark
+    * delay string a STREAMING runner should pass to `withWatermark` on
+    * BOTH join inputs (`None` when the statement carries no grace
+    * clause — ksqlDB 0.28 then defaults to 24 hours; the engine's
+    * streaming interval joins default wider, see
+    * [[graft.queries.StreamingQueries]]). The mapping is exact: ksql
+    * admits a late row while stream-time − its timestamp ≤ grace, and
+    * Spark's watermark admits a row while max-event-time − delay <
+    * its timestamp — the same bound, and the same state-eviction
+    * horizon for the symmetric join buffers. */
+  private[graft] def withinGrace(select: String): Option[String] =
+    withinJoinRe.findFirstMatchIn(select).flatMap(m =>
+      Option(m.group(12)).map { n =>
+        val u = m.group(13).toUpperCase.stripSuffix("S")
+        require(intervalUnits.contains(u),
+          s"unsupported GRACE PERIOD unit '${m.group(13)}'")
+        s"$n $u"
+      })
 
   // ksql's 1-arg `latest_by_offset(x)` orders by the record's Kafka
   // offset implicitly; the engine's streams carry that as an `offset`
@@ -519,7 +560,8 @@ object ConnectorDdl {
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
-       | showStreamsRe(_*) | streamDefRe(_*) => true
+       | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
+       | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -574,6 +616,53 @@ object ConnectorDdl {
           .select(col("name"))
           .filter(!col("name").isin(tables.toSeq: _*))
           .orderBy("name")
+      case showTablesRe() =>
+        // ksql SHOW TABLES: the CTAS-declared TABLE views — the exact
+        // complement of SHOW STREAMS above
+        val tables = {
+          import scala.jdk.CollectionConverters._
+          kinds(spark).asScala.collect {
+            case (n, "TABLE") => n
+          }.toSet
+        }
+        spark.catalog.listTables()
+          .filter(col("isTemporary"))
+          .select(col("name"))
+          .filter(col("name").isin(tables.toSeq: _*))
+          .orderBy("name")
+      case describeRe(quotedName, bareName) =>
+        // ksql DESCRIBE <relation>: one row per field with the
+        // relation's declared kind (STREAM unless a CTAS registered it
+        // as TABLE) and Spark's type spelling
+        val name = pick(quotedName, bareName)
+        if (!spark.catalog.tableExists(name))
+          throw new IllegalArgumentException(
+            s"cannot DESCRIBE $name: no such stream/table")
+        val kind = kinds(spark).getOrDefault(name.toLowerCase, "STREAM")
+        spark.table(name).schema.fields.toSeq
+          .map(f => (name.toLowerCase, kind, f.name, f.dataType.sql))
+          .toDF("name", "kind", "field", "type")
+      case showQueriesRe() =>
+        // ksql SHOW QUERIES: the session's running persistent queries
+        spark.streams.active.toSeq
+          .map(q => (q.id.toString, Option(q.name).getOrElse(""),
+            "RUNNING"))
+          .toDF("query_id", "name", "status")
+      case terminateRe(quotedId, bareId) =>
+        // ksql TERMINATE <query-id> (by id or queryName) / TERMINATE ALL
+        val target = pick(quotedId, bareId)
+        val matched =
+          if (target.equalsIgnoreCase("ALL")) spark.streams.active.toSeq
+          else spark.streams.active.toSeq.filter(q =>
+            q.id.toString.equalsIgnoreCase(target) ||
+              Option(q.name).exists(_.equalsIgnoreCase(target)))
+        if (matched.isEmpty && !target.equalsIgnoreCase("ALL"))
+          throw new IllegalArgumentException(
+            s"cannot TERMINATE $target: no such running query")
+        matched.foreach(_.stop())
+        matched.map(q => (q.id.toString, Option(q.name).getOrElse(""),
+            "TERMINATED"))
+          .toDF("query_id", "name", "status")
       case streamDefRe(_, name, schemaList, body) =>
         // bare stream definition over a topic (reference README.md:
         // 396-427). The topic's final dotted segment names the backing

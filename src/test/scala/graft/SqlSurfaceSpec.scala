@@ -435,6 +435,56 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.get("graft.test.quoted") == "it's")
   }
 
+  test("ksql introspection: SHOW TABLES / DESCRIBE / SHOW QUERIES / TERMINATE") {
+    // SHOW TABLES is the complement of SHOW STREAMS: only
+    // CTAS-declared TABLEs
+    GraftSql.sql(spark,
+      "CREATE TABLE introspect_tbl AS SELECT 1 AS x, 'a' AS y EMIT CHANGES")
+    val tables = GraftSql.sql(spark, "SHOW TABLES;")
+      .collect().map(_.getString(0)).toSet
+    assert(tables.contains("introspect_tbl"), tables.toString)
+    assert(!tables.contains("lineitem"), tables.toString)
+    // DESCRIBE dumps (name, kind, field, type) rows for the relation
+    val desc = GraftSql.sql(spark, "DESCRIBE introspect_tbl;")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(desc.toSeq == Seq(("TABLE", "x", "INT"), ("TABLE", "y", "STRING")),
+      desc.mkString(","))
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "DESCRIBE no_such_relation_xyz;")
+    }
+    assert(err.getMessage.contains("no such stream/table"), err.getMessage)
+    // SHOW QUERIES lists running persistent queries; TERMINATE stops by
+    // queryName; a second TERMINATE of the same id errors
+    assert(GraftSql.sql(spark, "SHOW QUERIES;").count() == 0L)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val feed =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = feed.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("introspect_q").start()
+    try {
+      val shown = GraftSql.sql(spark, "SHOW QUERIES;")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      assert(shown.toSeq == Seq(("introspect_q", "RUNNING")), shown.toSeq)
+      val term = GraftSql.sql(spark, "TERMINATE introspect_q;")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      assert(term.toSeq == Seq(("introspect_q", "TERMINATED")), term.toSeq)
+      assert(!q.isActive)
+      assert(GraftSql.sql(spark, "SHOW QUERIES;").count() == 0L)
+      val gone = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "TERMINATE introspect_q;")
+      }
+      assert(gone.getMessage.contains("no such running query"))
+      // TERMINATE ALL on an idle session is a no-op, not an error
+      assert(GraftSql.sql(spark, "TERMINATE ALL;").count() == 0L)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("introspect_q")
+      spark.streams.resetTerminated()
+      spark.catalog.dropTempView("introspect_tbl")
+    }
+  }
+
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
     GraftSql.sql(spark,
       "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
@@ -654,6 +704,41 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         "WITHIN 1 DAYS ON a.k = b.k")
     assert(band.contains("b.ts >= a.ts - INTERVAL 1 DAY"), band)
     spark.catalog.dropTempView("stream_legacy_ts")
+  }
+
+  test("WITHIN ... GRACE PERIOD: clause accepted, stripped from the batch band, parsed for streaming") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    Seq((1L, "2024-01-02 00:00:00"))
+      .toDF("k", "raw")
+      .withColumn("event_ts", to_timestamp(col("raw")))
+      .createOrReplaceTempView("gracets")
+    val stmt = "SELECT * FROM gracets a INNER JOIN gracets b " +
+      "WITHIN 7 DAYS GRACE PERIOD 15 MINUTES ON a.k = b.k"
+    val band = ConnectorDdl.rewriteWithin(spark, stmt)
+    // the band is the WITHIN interval; the grace clause must not leak
+    // into the rewritten SQL
+    assert(band.contains("INTERVAL 7 DAY"), band)
+    assert(!band.toUpperCase.contains("GRACE PERIOD"), band)
+    // the streaming runner reads the grace back as the watermark delay
+    assert(ConnectorDdl.withinGrace(stmt).contains("15 MINUTE"))
+    assert(ConnectorDdl.withinGrace(
+      "SELECT * FROM gracets a INNER JOIN gracets b WITHIN 7 DAYS " +
+        "ON a.k = b.k").isEmpty)
+    // asymmetric band + grace both parse
+    val asym = "SELECT * FROM gracets a INNER JOIN gracets b " +
+      "WITHIN (1 DAY, 2 DAYS) GRACE PERIOD 1 HOUR ON a.k = b.k"
+    assert(ConnectorDdl.rewriteWithin(spark, asym)
+      .contains("- INTERVAL 1 DAY"), ConnectorDdl.rewriteWithin(spark, asym))
+    assert(ConnectorDdl.withinGrace(asym).contains("1 HOUR"))
+    // a bad grace unit is an error, not a silent drop
+    val bad = intercept[IllegalArgumentException] {
+      ConnectorDdl.rewriteWithin(spark,
+        "SELECT * FROM gracets a INNER JOIN gracets b " +
+          "WITHIN 7 DAYS GRACE PERIOD 2 FORTNIGHTS ON a.k = b.k")
+    }
+    assert(bad.getMessage.contains("unsupported"), bad.getMessage)
+    spark.catalog.dropTempView("gracets")
   }
 
   test("ksql latest/earliest_by_offset(col, N) rewrite to sorted-slice arrays and run") {
