@@ -40,9 +40,15 @@ object KafkaChangeFeed {
     * When the caller doesn't pass `startingOffsets`, the ksql-ported
     * session property `auto.offset.reset` (set via
     * `GraftSql.sql(spark, "SET 'auto.offset.reset' = '...'")`, op S0)
-    * decides, defaulting to earliest as the reference does. */
+    * decides, defaulting to earliest as the reference does.
+    *
+    * `format` selects the source provider: "kafka" in production;
+    * [[FakeKafka]]'s "fakekafka" (same column schema, same options)
+    * lets the whole façade run in-JVM — the golden pipeline exercises
+    * this path end-to-end in `KafkaFacadePipelineSpec`. */
   def df(spark: SparkSession, bootstrapServers: String, topic: String,
-         startingOffsets: String = null): DataFrame = {
+         startingOffsets: String = null,
+         format: String = "kafka"): DataFrame = {
     val offsets = Option(startingOffsets).getOrElse {
       val v = spark.conf.get("auto.offset.reset", "earliest")
       // validate conf-sourced values HERE, where the property name is
@@ -56,7 +62,7 @@ object KafkaChangeFeed {
             "has no Spark equivalent), or pass startingOffsets explicitly")
       v
     }
-    spark.readStream.format("kafka")
+    spark.readStream.format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", offsets)

@@ -46,7 +46,9 @@ import org.apache.spark.sql.types._
   */
 class Pipeline(spark: SparkSession, checkpointRoot: String,
                band: String = "7 days", watermarkDelay: String = "7 days",
-               durableDimension: Boolean = true) {
+               durableDimension: Boolean = true,
+               sources: Option[Pipeline.Sources] = None,
+               extraShippedSink: Option[(DataFrame, Long) => Unit] = None) {
   import spark.implicits._
 
   private val tsFmt = "yyyy-MM-dd'T'HH:mm:ss"
@@ -54,6 +56,15 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
   val customersFeed = new ChangeFeed(spark)
   val ordersFeed = new ChangeFeed(spark)
   val shipmentsFeed = new ChangeFeed(spark)
+
+  // the production ingress seam: external feeds (KafkaChangeFeed.df
+  // per topic) replace the in-memory ChangeFeeds; the operator graph
+  // below is identical either way. When sources are external, the
+  // ChangeFeed vals above stay as inert empty streams (step()'s
+  // flushes are no-ops on them).
+  private val customersIn = sources.map(_.customers).getOrElse(customersFeed.df)
+  private val ordersIn = sources.map(_.orders).getOrElse(ordersFeed.df)
+  private val shipmentsIn = sources.map(_.shipments).getOrElse(shipmentsFeed.df)
 
   val customerSchema: StructType = StructType(Seq(
     StructField("id", StringType), StructField("name", StringType),
@@ -112,7 +123,7 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
     // tombstoneKey: a null-value Kafka record (compaction marker kept
     // by drop.tombstones=false) deletes its key from the table, as in
     // ksqlDB
-    val unwrapped = DebeziumEnvelope.unwrap(customersFeed.df, col("value"),
+    val unwrapped = DebeziumEnvelope.unwrap(customersIn, col("value"),
       customerSchema, DebeziumEnvelope.Rewrite, passthrough = Seq("offset"),
       tombstoneKey = Some("key" -> "id"))
     val table = LatestByKey.table(unwrapped, "id", "offset",
@@ -129,7 +140,7 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
 
   // ---- q2: CREATE STREAM enriched_orders (README.md:448-459) ----
   private val q2: StreamingQuery = {
-    val orders = ordersFeed.df
+    val orders = ordersIn
       .select(from_json(col("value"), orderSchema).as("o")).select("o.*")
       .withColumn("o_ts", to_timestamp(col("ts"), tsFmt)).drop("ts")
       // poison-record guard: malformed/field-missing JSON parses to
@@ -164,7 +175,7 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
   private val q3: StreamingQuery = {
     val enriched = enrichedChannel.readStream
       .withWatermark("o_ts", watermarkDelay).as("o")
-    val shipments = shipmentsFeed.df
+    val shipments = shipmentsIn
       .select(col("offset").as("__s_offset"),
         from_json(col("value"), shipmentSchema).as("s"))
       .select(col("__s_offset"), col("s.*"))
@@ -185,6 +196,10 @@ class Pipeline(spark: SparkSession, checkpointRoot: String,
       .option("checkpointLocation", s"$checkpointRoot/shipped_orders")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         shippedSink.upsert(batch, batchId)
+        // the production egress seam: mirror each shipped batch into
+        // an additional sink (e.g. BulkUpsertSink.forEachBatch — the
+        // ES-analog bulk façade) without forking the operator graph
+        extraShippedSink.foreach(f => f(batch, batchId))
       }
       .start()
   }
@@ -232,3 +247,12 @@ case class ShippedOrder(order_id: String, shipment_id: String,
                         customer_id: String, customer_name: Option[String],
                         customer_age: Option[Int], origin: String,
                         price: Double, currency: String)
+
+object Pipeline {
+  /** External source DataFrames with the ChangeFeed column contract
+    * (key string, value string nullable, partition int, offset long,
+    * ts timestamp) — pass [[KafkaChangeFeed.df]] per topic and the
+    * pipeline runs against real (or [[FakeKafka]] embedded) topics. */
+  final case class Sources(customers: DataFrame, orders: DataFrame,
+                           shipments: DataFrame)
+}
