@@ -73,6 +73,41 @@ object TableJoinQueries {
       |           FROM events GROUP BY user_id) b
       |  ON a.o_custkey = b.user_id""".stripMargin
 
+  /** FULL OUTER pk table–table join — ksqlDB's third table-join
+    * flavor. The orders side is restricted to o_custkey >= 100 so all
+    * three row classes are exercised: right-only (users 0–99),
+    * both (100–149), left-only (150+). */
+  def tableTableFull(s: SparkSession, d: String): DataFrame = {
+    val a = Relational.latestByKey(
+      Tables.orders(s, d).filter(col("o_custkey") >= 100),
+      col("o_custkey"), col("o_orderkey"),
+      "last_price" -> col("o_totalprice"),
+      "last_order_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val b = Relational.latestByKey(Tables.events(s, d),
+      col("user_id"), col("event_id"),
+      "latest_type" -> col("event_type"),
+      "latest_value" -> col("value"))
+    a.join(b, col("o_custkey") === col("user_id"), "full")
+      .select(coalesce(col("o_custkey"), col("user_id")).as("cust_id"),
+        col("last_price"), col("last_order_date"),
+        col("latest_type"), col("latest_value"))
+  }
+
+  val tableTableFullSql: String =
+    """SELECT coalesce(a.o_custkey, b.user_id) AS cust_id,
+      |       a.last_price, a.last_order_date,
+      |       b.latest_type, b.latest_value
+      |FROM (SELECT o_custkey,
+      |             arg_max(o_totalprice, o_orderkey) AS last_price,
+      |             arg_max(strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+      |               AS last_order_date
+      |      FROM orders WHERE o_custkey >= 100 GROUP BY o_custkey) a
+      |FULL JOIN (SELECT user_id,
+      |             arg_max(event_type, event_id) AS latest_type,
+      |             arg_max("value", event_id) AS latest_value
+      |           FROM events GROUP BY user_id) b
+      |  ON a.o_custkey = b.user_id""".stripMargin
+
   /** Foreign-key join of the customer table (fk c_nationkey) with the
     * nation table — the ksqlDB FK table join's batch snapshot. The
     * nation side broadcasts; the customer side never shuffles. */
@@ -158,6 +193,23 @@ object TableJoinQueries {
         col("after.right.latest_value").as("latest_value"))
   }
 
+  /** Streaming FULL OUTER pk join — same restriction and oracle as
+    * the batch twin; right-only and left-only keys must surface with
+    * nulls on the absent side, and the table reconstructs from the
+    * join's own changelog. */
+  def streamTableTableFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val left = ordersChangelog(s, d).filter(_._1 >= 100L)
+    val changes = TableTableJoin.pkJoin(left, eventsChangelog(s, d), "full")
+    val t = StreamingQueries.runToTable(changes.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("cust_id"),
+        col("after.left.last_price").as("last_price"),
+        col("after.left.last_order_date").as("last_order_date"),
+        col("after.right.latest_type").as("latest_type"),
+        col("after.right.latest_value").as("latest_value"))
+  }
+
   /** Streaming fk table–table join: the customer changelog
     * (retraction-aware stage) routed by nation key into the join
     * state, composed in ONE query (both stateful operators run in
@@ -189,15 +241,19 @@ object TableJoinQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_table_join" -> tableTableJoin _,
+    "q_table_table_full" -> tableTableFull _,
     "q_table_fk_join" -> tableFkJoin _,
     "stream_table_changelog" -> streamTableChangelog _,
     "stream_table_table_join" -> streamTableTableJoin _,
+    "stream_table_table_full" -> streamTableTableFull _,
     "stream_table_fk_join" -> streamTableFkJoin _)
 
   def oracles: Map[String, String] = Map(
     "q_table_table_join" -> tableTableJoinSql,
+    "q_table_table_full" -> tableTableFullSql,
     "q_table_fk_join" -> tableFkJoinSql,
     "stream_table_changelog" -> streamTableChangelogSql,
     "stream_table_table_join" -> tableTableJoinSql,
+    "stream_table_table_full" -> tableTableFullSql,
     "stream_table_fk_join" -> tableFkJoinSql)
 }

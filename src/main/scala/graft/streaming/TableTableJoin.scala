@@ -60,18 +60,19 @@ object TableTableJoin {
 
   /** Primary-key table–table join of two (key, offset, value)
     * changelogs (value None = tombstone). `joinType`: "inner" (row
-    * present iff both sides present) or "left" (present iff left
-    * present; right side nullable). Within a micro-batch the right
-    * side's rows apply before the left's (each side LWW by its own
-    * offset), so same-batch races resolve to the same final image the
-    * batch oracle computes. */
+    * present iff both sides present), "left" (present iff left
+    * present; right side nullable) or "full" (present iff either side
+    * present — ksqlDB's FULL OUTER table join). Within a micro-batch
+    * the right side's rows apply before the left's (each side LWW by
+    * its own offset), so same-batch races resolve to the same final
+    * image the batch oracle computes. */
   def pkJoin[K: Encoder: TypeTag, A <: Product: TypeTag,
              B <: Product: TypeTag](
       left: Dataset[(K, Long, Option[A])],
       right: Dataset[(K, Long, Option[B])],
       joinType: String = "inner"): Dataset[Change[K, Joined[A, B]]] = {
-    require(joinType == "inner" || joinType == "left",
-      s"pkJoin supports inner/left, got $joinType")
+    require(Set("inner", "left", "full").contains(joinType),
+      s"pkJoin supports inner/left/full, got $joinType")
     implicit val sidedEnc: Encoder[Sided[K, A, B]] =
       Encoders.product[Sided[K, A, B]]
     implicit val stEnc: Encoder[PkState[A, B]] =
@@ -98,9 +99,11 @@ object TableTableJoin {
                 Some(cur.copy(rOff = e.offset, r = e.b))
               else None // stale offset: replay/out-of-order duplicate
             applied.foreach { next =>
-              val present =
-                if (joinType == "inner") next.l.isDefined && next.r.isDefined
-                else next.l.isDefined
+              val present = joinType match {
+                case "inner" => next.l.isDefined && next.r.isDefined
+                case "left" => next.l.isDefined
+                case _ => next.l.isDefined || next.r.isDefined
+              }
               val now =
                 if (present) Some(Joined(next.l, next.r)) else None
               if (now != cur.emitted) {

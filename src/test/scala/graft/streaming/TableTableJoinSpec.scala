@@ -166,6 +166,44 @@ class TableTableJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pkJoin full-outer: either side alone is present; tombstones flip sides, not rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lf = MemoryStream[(Long, Long, Option[Ord])]
+    val rf = MemoryStream[(Long, Long, Option[Ev])]
+    val out = TableTableJoin.pkJoin(lf.toDS(), rf.toDS(), "full")
+    val name = s"pkjf_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def state() = TableChangelog.latestState(spark.table(name))
+      .selectExpr("key", "after.left.price", "after.right.etype")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        Option(r.getString(2)))).toSeq.sortBy(_._1)
+    try {
+      // right-only key surfaces immediately with a null left
+      rf.addData((1L, 1L, Some(Ev("click"))))
+      drain(q)
+      assert(state() == Seq((1L, None, Some("click"))))
+      // left arrives: same row revises to both-sides
+      lf.addData((1L, 1L, Some(Ord(5.0))))
+      drain(q)
+      assert(state() == Seq((1L, Some(5.0), Some("click"))))
+      // right tombstone: the row STAYS (left present), right goes null
+      rf.addData((1L, 2L, None))
+      drain(q)
+      assert(state() == Seq((1L, Some(5.0), None)))
+      // left tombstone too: now the row retracts entirely
+      lf.addData((1L, 2L, None))
+      drain(q)
+      assert(state().isEmpty)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("fkJoin: right update fans out to all members; fk move re-homes the row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
