@@ -187,8 +187,12 @@ object ConnectorDdl {
   private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
   // ksql admin forms Spark lacks: quoted-key SET (the reference's FIRST
   // statement, README.md:346 — Spark's native SET would store the
-  // quotes as part of the key) and SHOW STREAMS (ksql-only; Spark's
-  // native SHOW TABLES / DESCRIBE already cover the rest)
+  // quotes as part of the key) and SHOW STREAMS (ksql-only). NOTE:
+  // bare `SHOW TABLES` and `DESCRIBE <name>` are ALSO intercepted
+  // below with ksql semantics (the ksql migration surface owns those
+  // spellings); Spark's richer native forms (`SHOW TABLES IN db`,
+  // `DESCRIBE EXTENDED/FORMATTED ...`) do not match the regexes and
+  // still reach spark.sql.
   private val setRe =
     """(?is)\s*SET\s+'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
   private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
@@ -200,8 +204,10 @@ object ConnectorDdl {
   // session's StreamingQueryManager, TERMINATE to query.stop() by id
   // or name (TERMINATE ALL stops everything, as in ksql).
   private val showTablesRe = """(?is)\s*SHOW\s+TABLES\s*;?\s*""".r
+  // bare DESCRIBE only: EXTENDED/FORMATTED stay Spark-native so the
+  // richer catalog metadata remains reachable
   private val describeRe =
-    (s"""(?is)\\s*DESCRIBE\\s+(?:EXTENDED\\s+)?$nameRe\\s*;?\\s*""").r
+    (s"""(?is)\\s*DESCRIBE\\s+$nameRe\\s*;?\\s*""").r
   private val showQueriesRe = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
   private val terminateRe =
     """(?is)\s*TERMINATE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
@@ -285,11 +291,31 @@ object ConnectorDdl {
   private val intervalUnits = Set(
     "MILLISECOND", "SECOND", "MINUTE", "HOUR", "DAY")
 
-  private def interval(n: String, unit: String): String = {
+  /** `clause` only labels the error: WITHIN bands and GRACE PERIOD
+    * share the unit grammar and this one validator. */
+  private def interval(n: String, unit: String,
+                       clause: String = "WITHIN"): String = {
     val u = unit.toUpperCase.stripSuffix("S")
     require(intervalUnits.contains(u),
-      s"unsupported WITHIN unit '$unit' (use ${intervalUnits.mkString("/")})")
+      s"unsupported $clause unit '$unit' (use ${intervalUnits.mkString("/")})")
     s"INTERVAL $n $u"
+  }
+
+  /** The session's registered temp views, partitioned by their ksql
+    * kind: CTAS-declared TABLE views (`tablesOnly = true`, SHOW
+    * TABLES) or everything else (SHOW STREAMS). */
+  private def sessionViews(spark: SparkSession,
+                           tablesOnly: Boolean): DataFrame = {
+    val tables = {
+      import scala.jdk.CollectionConverters._
+      kinds(spark).asScala.collect { case (n, "TABLE") => n }.toSet
+    }
+    val in = col("name").isin(tables.toSeq: _*)
+    spark.catalog.listTables()
+      .filter(col("isTemporary"))
+      .select(col("name"))
+      .filter(if (tablesOnly) in else !in)
+      .orderBy("name")
   }
 
   /** The view's event-time column for the WITHIN band: ksql compares
@@ -391,7 +417,8 @@ object ConnectorDdl {
       // same convergence argument that lets EMIT CHANGES strip). The
       // STREAMING runner reads it back via [[withinGrace]] as the
       // watermark delay, which is exactly Spark's late-admission bound.
-      Option(m.group(12)).foreach(n => interval(n, m.group(13)))
+      Option(m.group(12)).foreach(n =>
+        interval(n, m.group(13), clause = "GRACE PERIOD"))
       val cond = m.group(14)
       val lt = s"$lAlias.${eventTimeCol(spark, lTable)}"
       val rt = s"$rAlias.${eventTimeCol(spark, rTable)}"
@@ -413,12 +440,9 @@ object ConnectorDdl {
     * horizon for the symmetric join buffers. */
   private[graft] def withinGrace(select: String): Option[String] =
     withinJoinRe.findFirstMatchIn(select).flatMap(m =>
-      Option(m.group(12)).map { n =>
-        val u = m.group(13).toUpperCase.stripSuffix("S")
-        require(intervalUnits.contains(u),
-          s"unsupported GRACE PERIOD unit '${m.group(13)}'")
-        s"$n $u"
-      })
+      Option(m.group(12)).map(n =>
+        interval(n, m.group(13), clause = "GRACE PERIOD")
+          .stripPrefix("INTERVAL ")))
 
   // ksql's 1-arg `latest_by_offset(x)` orders by the record's Kafka
   // offset implicitly; the engine's streams carry that as an `offset`
@@ -604,32 +628,12 @@ object ConnectorDdl {
       case showStreamsRe() =>
         // ksql SHOW STREAMS ≈ the session's registered (temp) views,
         // minus views a CTAS declared as TABLEs (ksql lists those only
-        // under its native SHOW TABLES)
-        val tables = {
-          import scala.jdk.CollectionConverters._
-          kinds(spark).asScala.collect {
-            case (n, "TABLE") => n
-          }.toSet
-        }
-        spark.catalog.listTables()
-          .filter(col("isTemporary"))
-          .select(col("name"))
-          .filter(!col("name").isin(tables.toSeq: _*))
-          .orderBy("name")
+        // under SHOW TABLES)
+        sessionViews(spark, tablesOnly = false)
       case showTablesRe() =>
         // ksql SHOW TABLES: the CTAS-declared TABLE views — the exact
         // complement of SHOW STREAMS above
-        val tables = {
-          import scala.jdk.CollectionConverters._
-          kinds(spark).asScala.collect {
-            case (n, "TABLE") => n
-          }.toSet
-        }
-        spark.catalog.listTables()
-          .filter(col("isTemporary"))
-          .select(col("name"))
-          .filter(col("name").isin(tables.toSeq: _*))
-          .orderBy("name")
+        sessionViews(spark, tablesOnly = true)
       case describeRe(quotedName, bareName) =>
         // ksql DESCRIBE <relation>: one row per field with the
         // relation's declared kind (STREAM unless a CTAS registered it

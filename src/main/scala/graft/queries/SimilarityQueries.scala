@@ -527,6 +527,9 @@ object SimilarityQueries {
       // cells — recall reflects BOTH the cell pruning and the
       // quantization error
       .unionAll(recallOf("ivfpq", annIvfPq(s, d).limit(5)))
+      // two-stage: ADC shortlist + exact re-rank — the recall the
+      // quantization gave up, bought back for a 20-row float read
+      .unionAll(recallOf("ivfpq_rerank", annIvfPqRerank(s, d)))
   }
 
   /** Embeds the exact and ANN oracles so no spelling can drift. */
@@ -544,7 +547,8 @@ object SimilarityQueries {
        |pq AS (SELECT vec_id FROM ($pqAdcTopKSql) e2
        |       ORDER BY adc_micros DESC, vec_id LIMIT 5),
        |ivfpq AS (SELECT vec_id FROM ($annIvfPqSql) f2
-       |          ORDER BY ivfpq_micros DESC, vec_id LIMIT 5)
+       |          ORDER BY ivfpq_micros DESC, vec_id LIMIT 5),
+       |ivfpqrr AS (SELECT vec_id FROM ($annIvfPqRerankSql) g2)
        |${arm("sign_lsh", "lsh")}
        |UNION ALL
        |${arm("ivf_probe1", "p1")}
@@ -553,7 +557,9 @@ object SimilarityQueries {
        |UNION ALL
        |${arm("pq_adc", "pq")}
        |UNION ALL
-       |${arm("ivfpq", "ivfpq")}""".stripMargin
+       |${arm("ivfpq", "ivfpq")}
+       |UNION ALL
+       |${arm("ivfpq_rerank", "ivfpqrr")}""".stripMargin
   }
 
   private def annIvfProbeSql(nprobe: Int): String =
@@ -820,7 +826,15 @@ object SimilarityQueries {
     * [[pqAdcTopK]] — codebooks are the residual subvectors of vectors
     * 1..16, encode argmin on floor-micros L2 with code tie-break, ADC
     * dots and the q·c constants in floor-micros BIGINTs. */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    annIvfPqParts(s, d, 10)._1
+
+  /** The IVF-PQ machinery with its routing exposed: returns (the ADC
+    * top-k DataFrame, the probed cell ids, the index layout) so the
+    * re-rank stage can scan the SAME probed partitions of the raw
+    * vectors. */
+  private def annIvfPqParts(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[Int], graft.sources.IvfIndex.Layout) = {
     val nSub = 8
     val subDim = EmbeddingDim / nSub
     val nprobe = 2
@@ -889,17 +903,43 @@ object SimilarityQueries {
         dotMicros(col("qsubv"), col("cw")).as("dot_micros"),
         col("qc_micros"))
     // compressed-domain scan: probed cell partitions of the CODES only
-    s.read.parquet(codesPath)
+    val topk = s.read.parquet(codesPath)
       .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
       .join(broadcast(adc), Seq("cell", "sub", "code"))
       .groupBy(col("vec_id"), col("label"))
       .agg((sum(col("dot_micros")) + min(col("qc_micros"))).cast("long")
         .as("ivfpq_micros"))
       .orderBy(col("ivfpq_micros").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
+    (topk, probed, layout)
   }
 
-  lazy val annIvfPqSql: String = {
+  /** Two-stage retrieval — the production IVF-PQ query shape: the
+    * compressed-domain ADC scan shortlists 4k candidates (cheap,
+    * approximate), then ONLY those rows' raw vectors are read back —
+    * from the same probed cell partitions, a ~shortlist-sized read —
+    * and exactly re-ranked by cosine. Re-ranking recovers the recall
+    * the 8-byte codes gave up while the full corpus is still never
+    * scanned in float domain; the `ivfpq_rerank` arm of
+    * [[annRecall]] measures exactly that recovery. */
+  def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val (shortlist, probed, layout) = annIvfPqParts(s, d, 20)
+    val q = withEmb(s, d).filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"))
+    s.read.parquet(layout.vectors)
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(shortlist.select(col("vec_id"))), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("emb"), col("qemb")) /
+          (norm(col("emb")) * norm(col("qemb"))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  lazy val annIvfPqSql: String = annIvfPqSqlK(10)
+
+  private def annIvfPqSqlK(k: Int): String = {
     val nSub = 8
     val subDim = EmbeddingDim / nSub
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
@@ -968,8 +1008,20 @@ object SimilarityQueries {
        |JOIN qcs ON qcs.cell = enc.label
        |WHERE enc.vec_id <> 0
        |GROUP BY enc.vec_id, enc.label
-       |ORDER BY ivfpq_micros DESC, vec_id LIMIT 10""".stripMargin
+       |ORDER BY ivfpq_micros DESC, vec_id LIMIT $k""".stripMargin
   }
+
+  lazy val annIvfPqRerankSql: String =
+    s"""WITH short AS (SELECT vec_id FROM (${annIvfPqSqlK(20)}) s2),
+       |e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
+       |q AS (SELECT emb qemb FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label,
+       |  round(
+       |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) /
+       |    (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(qemb, x -> x*x)))), 6) AS cos_sim
+       |FROM e JOIN short ON short.vec_id = e.vec_id, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 5""".stripMargin
 
   /** Int8 embedding quantization + quantized-cosine top-k: per-vector
     * symmetric quantization (scale = max|x|/127, the standard int8
@@ -1068,6 +1120,7 @@ object SimilarityQueries {
     "sim_quantize_int8" -> quantizeInt8TopK _,
     "sim_pq_adc" -> pqAdcTopK _,
     "sim_ann_ivfpq" -> annIvfPq _,
+    "sim_ann_ivfpq_rerank" -> annIvfPqRerank _,
     "sim_kmeans_step" -> kmeansStep _,
     "sim_topk_bruteforce" -> bruteForceTopK _,
     "sim_topk_native" -> bruteForceTopKNative _,
@@ -1088,6 +1141,7 @@ object SimilarityQueries {
     "sim_quantize_int8" -> quantizeInt8TopKSql,
     "sim_pq_adc" -> pqAdcTopKSql,
     "sim_ann_ivfpq" -> annIvfPqSql,
+    "sim_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "sim_kmeans_step" -> kmeansStepSql,
     "sim_topk_bruteforce" -> bruteForceTopKSql,
     "sim_topk_native" -> bruteForceTopKSql,

@@ -165,12 +165,21 @@ object IvfIndex {
     // scratch hygiene (same bar as KeyedParquetSink): a crash between
     // writing a tmp pointer and its atomic move leaves `_CURRENT.tmpN`
     // in the root forever — vacuumVersions only reclaims `v\d+`
-    // directories. Sweep any stale tmp pointers now that THIS publish
-    // has committed; the just-moved one is already gone.
+    // directories. Sweep stale tmp pointers now that THIS publish has
+    // committed, but ONLY those at or below the committed version: a
+    // CONCURRENT publisher that started after this commit carries
+    // version v+1, and deleting its in-flight tmp file would crash its
+    // ATOMIC_MOVE (overlapping publishers are last-move-wins by
+    // design). A crashed publish's orphan is reclaimed by the next
+    // publish that reaches its version number.
     val root0 = Paths.get(root)
     val stale = Files.list(root0)
-    try stale.filter(p =>
-        p.getFileName.toString.startsWith("_CURRENT.tmp"))
+    try stale.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_CURRENT.tmp") &&
+          scala.util.Try(n.stripPrefix("_CURRENT.tmp").toInt)
+            .toOption.exists(_ <= v)
+      }
       .forEach(p => Files.deleteIfExists(p))
     finally stale.close()
     layout

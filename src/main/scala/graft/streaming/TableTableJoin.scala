@@ -149,8 +149,14 @@ object TableTableJoin {
     * same-major emissions within one group. 20 bits of minor bounds a
     * group at ~1M emissions between left-side changes of a member —
     * beyond that, shard the right key. */
-  private def fkSeq(s1: Long, inGroup: Boolean, counter: Long): Long =
-    ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | (counter & 0xFFFFFL)
+  private def fkSeq(s1: Long, inGroup: Boolean, counter: Long): Long = {
+    // loud failure, not silent seq inversion: a wrapped minor would
+    // make latestState's max_by reconstruct a STALE joined image
+    require(counter < (1L << 20),
+      s"fk group exceeded ${1L << 20} emissions between left-side " +
+        "changes of a member — shard the right key")
+    ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | counter
+  }
 
   /** Foreign-key table–table join. `leftChanges` is the left table's
     * retraction-aware changelog ([[TableChangelog.of]] output);

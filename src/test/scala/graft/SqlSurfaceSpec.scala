@@ -453,6 +453,12 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftSql.sql(spark, "DESCRIBE no_such_relation_xyz;")
     }
     assert(err.getMessage.contains("no such stream/table"), err.getMessage)
+    // Spark's richer native forms stay Spark-native: EXTENDED keeps
+    // the full catalog metadata (col_name/data_type/comment schema)
+    assert(!ConnectorDdl.handles("DESCRIBE EXTENDED lineitem"))
+    assert(GraftSql.sql(spark, "DESCRIBE EXTENDED lineitem")
+      .columns.toSeq == Seq("col_name", "data_type", "comment"))
+    assert(!ConnectorDdl.handles("SHOW TABLES IN default"))
     // SHOW QUERIES lists running persistent queries; TERMINATE stops by
     // queryName; a second TERMINATE of the same id errors
     assert(GraftSql.sql(spark, "SHOW QUERIES;").count() == 0L)

@@ -120,11 +120,17 @@ class IvfRetrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     // simulate a crash between writing the tmp pointer and the atomic
     // move: the orphan would otherwise live forever (vacuumVersions
-    // only reclaims v<N> directories)
-    val orphan = java.nio.file.Paths.get(root, "_CURRENT.tmp99")
-    java.nio.file.Files.write(orphan, "v99".getBytes("UTF-8"))
+    // only reclaims v<N> directories). Version 0 ≤ the committed
+    // version, so the sweep reclaims it.
+    val orphan = java.nio.file.Paths.get(root, "_CURRENT.tmp0")
+    java.nio.file.Files.write(orphan, "v0".getBytes("UTF-8"))
+    // a HIGHER-version tmp is a concurrent publisher's in-flight
+    // pointer — deleting it would crash that publisher's atomic move
+    val inflight = java.nio.file.Paths.get(root, "_CURRENT.tmp99")
+    java.nio.file.Files.write(inflight, "v99".getBytes("UTF-8"))
     val v1 = IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
     assert(!java.nio.file.Files.exists(orphan))
+    assert(java.nio.file.Files.exists(inflight))
     // the committed pointer itself survives the sweep
     assert(IvfIndex.currentLayout(root).contains(v1))
   }
