@@ -428,6 +428,81 @@ object ConnectorDdl {
           s"ON ($cond) AND $band")
     })
 
+  // ksql windowed aggregation: `… FROM s WINDOW TUMBLING (SIZE n u
+  // [, GRACE PERIOD n u]) GROUP BY k` (0.28 also HOPPING with
+  // ADVANCE BY, and SESSION with a gap). Spark spells the same thing
+  // as a window()/session_window() grouping expression.
+  private val windowClauseRe =
+    """(?is)\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\(([^)]*)\)\s*""".r
+  private val sizeRe = """(?i)SIZE\s+(\d+)\s+(\w+)""".r
+  private val advanceRe = """(?i)ADVANCE\s+BY\s+(\d+)\s+(\w+)""".r
+  private val graceRe = """(?i)GRACE\s+PERIOD\s+(\d+)\s+(\w+)""".r
+  private val bareDurationRe = """(?i)^\s*(\d+)\s+(\w+)\s*$""".r
+
+  /** Translate a ksql `WINDOW TUMBLING/HOPPING/SESSION (…)` clause to
+    * the Spark `window(ts, …)`/`session_window(ts, gap)` grouping
+    * expression, prepended to the statement's GROUP BY; the
+    * `WINDOWSTART`/`WINDOWEND` pseudo-columns map onto the produced
+    * struct's `start`/`end` fields. `GRACE PERIOD` validates and is
+    * dropped — as with WITHIN ([[withinGrace]]), on a complete batch
+    * input every row is within grace; a streaming runner uses it as
+    * the watermark delay. No-op when the statement has no WINDOW
+    * clause. */
+  private[graft] def rewriteWindowClause(spark: SparkSession,
+                                         select: String): String = {
+    val m = windowClauseRe.findFirstMatchIn(select).getOrElse(return select)
+    val kind = m.group(1).toUpperCase
+    val body = m.group(2)
+    def duration(n: String, unit: String, clause: String): String =
+      interval(n, unit, clause).stripPrefix("INTERVAL ").toLowerCase
+    graceRe.findFirstMatchIn(body).foreach(g =>
+      interval(g.group(1), g.group(2), clause = "GRACE PERIOD"))
+    val ts = {
+      val from = (s"""(?is)\\bFROM\\s+$tableAlias""").r
+        .findFirstMatchIn(select).getOrElse(throw new IllegalArgumentException(
+          s"WINDOW clause without a FROM relation: ${select.take(80)}"))
+      eventTimeCol(spark, from.group(1))
+    }
+    val windowExpr = kind match {
+      case "SESSION" =>
+        val gap = bareDurationRe.findFirstMatchIn(
+            graceRe.replaceAllIn(body, "").stripSuffix(",").trim match {
+              case b => b.split(',').head
+            })
+          .map(g => duration(g.group(1), g.group(2), "WINDOW SESSION"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"WINDOW SESSION needs a gap duration, got ($body)"))
+        s"session_window($ts, '$gap')"
+      case _ =>
+        val size = sizeRe.findFirstMatchIn(body)
+          .map(g => duration(g.group(1), g.group(2), s"WINDOW $kind SIZE"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"WINDOW $kind needs SIZE, got ($body)"))
+        val advance = advanceRe.findFirstMatchIn(body)
+          .map(g => duration(g.group(1), g.group(2), "ADVANCE BY"))
+        if (kind == "HOPPING" && advance.isEmpty)
+          throw new IllegalArgumentException(
+            s"WINDOW HOPPING needs ADVANCE BY, got ($body)")
+        advance.fold(s"window($ts, '$size')")(a =>
+          s"window($ts, '$size', '$a')")
+    }
+    val struct = if (kind == "SESSION") "session_window" else "window"
+    // drop the clause, group by the window expression first, and map
+    // the pseudo-columns (outside literals/comments/quoted names)
+    val stripped = windowClauseRe.replaceFirstIn(select, "")
+    val grouped = "(?is)\\bGROUP\\s+BY\\s+".r
+      .findFirstMatchIn(stripped)
+      .map(g => stripped.substring(0, g.start) +
+        s"GROUP BY $windowExpr, " + stripped.substring(g.end))
+      .getOrElse(throw new IllegalArgumentException(
+        "a ksql WINDOW clause requires GROUP BY: " + select.take(80)))
+    outsideLiterals(grouped) { seg =>
+      """(?i)\bWINDOWSTART\b""".r.replaceAllIn(
+        """(?i)\bWINDOWEND\b""".r.replaceAllIn(seg, s"$struct.end"),
+        s"$struct.start")
+    }
+  }
+
   /** The `GRACE PERIOD` of a ksql WITHIN join, as the Spark watermark
     * delay string a STREAMING runner should pass to `withWatermark` on
     * BOTH join inputs (`None` when the statement carries no grace
@@ -752,7 +827,8 @@ object ConnectorDdl {
         // the already-mentions-rowtime guard); it is best-effort — a
         // select shape the heuristic mis-judges (e.g. aggregate-only
         // without GROUP BY) falls back to the untouched statement
-        val plain = rewriteLatestByOffset(rewritePseudoColumns(selectBody))
+        val plain = rewriteWindowClause(spark,
+          rewriteLatestByOffset(rewritePseudoColumns(selectBody)))
         val noProp = rewriteWithin(spark, plain)
         val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
         val (df0, chosenSql) =

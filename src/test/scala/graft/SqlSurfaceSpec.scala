@@ -435,6 +435,52 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.conf.get("graft.test.quoted") == "it's")
   }
 
+  test("ksql WINDOW TUMBLING/HOPPING/SESSION clauses run verbatim through CSAS") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sf)
+    // TUMBLING + WINDOWSTART pseudo-column + GRACE PERIOD accepted
+    GraftSql.sql(spark,
+      """CREATE TABLE win_tum AS
+        |SELECT event_type, WINDOWSTART AS ws, count(*) AS n
+        |FROM events WINDOW TUMBLING (SIZE 1 HOUR, GRACE PERIOD 10 MINUTES)
+        |GROUP BY event_type EMIT CHANGES;""".stripMargin)
+    sameRows(spark.table("win_tum"),
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"), col("n")))
+    // HOPPING expands each event into overlapping windows
+    GraftSql.sql(spark,
+      """CREATE TABLE win_hop AS
+        |SELECT event_type, WINDOWSTART AS ws, WINDOWEND AS we, count(*) AS n
+        |FROM events WINDOW HOPPING (SIZE 1 HOUR, ADVANCE BY 15 MINUTES)
+        |GROUP BY event_type EMIT CHANGES;""".stripMargin)
+    sameRows(spark.table("win_hop"),
+      ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("window.start").as("ws"),
+          col("window.end").as("we"), col("n")))
+    // SESSION maps onto session_window with the gap
+    GraftSql.sql(spark,
+      """CREATE TABLE win_sess AS
+        |SELECT user_id, WINDOWSTART AS ws, count(*) AS n
+        |FROM events WINDOW SESSION (30 MINUTES)
+        |GROUP BY user_id EMIT CHANGES;""".stripMargin)
+    sameRows(spark.table("win_sess"),
+      ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("ws"),
+          col("n")))
+    // a WINDOW clause without GROUP BY is an error, as in ksql
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE TABLE win_bad AS SELECT count(*) FROM events " +
+          "WINDOW TUMBLING (SIZE 1 HOUR) EMIT CHANGES;")
+    }
+    assert(err.getMessage.contains("requires GROUP BY"), err.getMessage)
+    Seq("win_tum", "win_hop", "win_sess")
+      .foreach(spark.catalog.dropTempView)
+  }
+
   test("ksql introspection: SHOW TABLES / DESCRIBE / SHOW QUERIES / TERMINATE") {
     // SHOW TABLES is the complement of SHOW STREAMS: only
     // CTAS-declared TABLEs
