@@ -209,6 +209,14 @@ object ConnectorDdl {
   private val describeRe =
     (s"""(?is)\\s*DESCRIBE\\s+$nameRe\\s*;?\\s*""").r
   private val showQueriesRe = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
+  // ksql CLI `PRINT 'topic' [FROM BEGINNING] [LIMIT n]`: peek at a
+  // topic's records. The topic's final dotted segment resolves to the
+  // session relation of the same name (the streamDef convention);
+  // LIMIT defaults to 10 as a peek, FROM BEGINNING is accepted (the
+  // offline analog always reads from the start).
+  private val printRe =
+    ("""(?is)\s*PRINT\s+'([^']+)'\s*(FROM\s+BEGINNING\s*)?""" +
+      """(?:LIMIT\s+(\d+)\s*)?;?\s*""").r
   private val terminateRe =
     """(?is)\s*TERMINATE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
@@ -660,7 +668,8 @@ object ConnectorDdl {
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
-       | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*) => true
+       | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
+       | printRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -727,6 +736,13 @@ object ConnectorDdl {
           .map(q => (q.id.toString, Option(q.name).getOrElse(""),
             "RUNNING"))
           .toDF("query_id", "name", "status")
+      case printRe(topic, _, limit) =>
+        // ksql PRINT: peek at the relation backing the topic
+        val rel = topic.split('.').last
+        if (!spark.catalog.tableExists(rel))
+          throw new IllegalArgumentException(
+            s"cannot PRINT '$topic': no relation named $rel in the session")
+        spark.table(rel).limit(Option(limit).map(_.toInt).getOrElse(10))
       case terminateRe(quotedId, bareId) =>
         // ksql TERMINATE <query-id> (by id or queryName) / TERMINATE ALL
         val target = pick(quotedId, bareId)

@@ -499,6 +499,16 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       GraftSql.sql(spark, "DESCRIBE no_such_relation_xyz;")
     }
     assert(err.getMessage.contains("no such stream/table"), err.getMessage)
+    // PRINT peeks at the relation backing a topic (final dotted
+    // segment), honoring LIMIT
+    assert(GraftSql.sql(spark,
+      "PRINT 'customers.public.nation' FROM BEGINNING LIMIT 3;")
+      .count() == 3L)
+    assert(GraftSql.sql(spark, "PRINT 'nation';").count() == 10L)
+    val noTopic = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "PRINT 'no.such.topic_xyz';")
+    }
+    assert(noTopic.getMessage.contains("no relation"), noTopic.getMessage)
     // Spark's richer native forms stay Spark-native: EXTENDED keeps
     // the full catalog metadata (col_name/data_type/comment schema)
     assert(!ConnectorDdl.handles("DESCRIBE EXTENDED lineitem"))
