@@ -73,4 +73,48 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
         .contains("RocksDBStateStoreProvider"))
     } finally q.stop()
   }
+
+  test("table-table joins (changelog + pk + fk) run on RocksDB state across batches") {
+    import spark.implicits._
+    import TableTableJoinSpec.{Cust, Ev, Nat, Ord}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // pk join: state for key 7 must survive a batch boundary in RocksDB
+    val lf = MemoryStream[(Long, Long, Option[Ord])]
+    val rf = MemoryStream[(Long, Long, Option[Ev])]
+    val pk = TableTableJoin.pkJoin(lf.toDS(), rf.toDS(), "inner")
+    val pkName = s"rockspk_${System.nanoTime()}"
+    val q1 = pk.writeStream.outputMode("append")
+      .format("memory").queryName(pkName).start()
+    try {
+      lf.addData((7L, 1L, Some(Ord(10.0))))
+      q1.processAllAvailable()
+      rf.addData((7L, 1L, Some(Ev("click")))) // joins against stored left
+      q1.processAllAvailable()
+      val st = TableChangelog.latestState(spark.table(pkName))
+        .selectExpr("key", "after.left.price", "after.right.etype")
+        .as[(Long, Double, String)].collect().toSeq
+      assert(st == Seq((7L, 10.0, "click")), st.toString)
+    } finally q1.stop()
+    // fk join: the two chained stateful operators (changelog stage +
+    // fk-group stage) both keep state in RocksDB; the fan-out uses
+    // membership stored in the PREVIOUS batch
+    val cf = MemoryStream[(Long, Long, Option[Cust])]
+    val nf = MemoryStream[(Long, Long, Option[Nat])]
+    val fk = TableTableJoin.fkJoin[Long, Long, Cust, Nat](
+      TableChangelog.of(cf.toDS()), _.nation, nf.toDS(), "inner")
+    val fkName = s"rocksfk_${System.nanoTime()}"
+    val q2 = fk.writeStream.outputMode("append")
+      .format("memory").queryName(fkName).start()
+    try {
+      nf.addData((1L, 1L, Some(Nat("FRANCE"))))
+      cf.addData((10L, 1L, Some(Cust("ann", 1L))))
+      q2.processAllAvailable()
+      nf.addData((1L, 2L, Some(Nat("FR")))) // fan-out from stored members
+      q2.processAllAvailable()
+      val st = TableChangelog.latestState(spark.table(fkName))
+        .selectExpr("key", "after.left.name", "after.right.nname")
+        .as[(Long, String, String)].collect().toSeq
+      assert(st == Seq((10L, "ann", "FR")), st.toString)
+    } finally q2.stop()
+  }
 }
