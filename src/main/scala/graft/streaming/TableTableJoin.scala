@@ -3,7 +3,7 @@ package graft.streaming
 import scala.reflect.runtime.universe.TypeTag
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
 import TableChangelog.Change
 
@@ -268,5 +268,145 @@ object TableTableJoin {
           st.update(cur)
           out.result().iterator
       }
+  }
+
+  /** Per-group scalar state of [[FkProcessor]]: right-side LWW + the
+    * group-local emission counter. */
+  case class FkMeta[B](rOff: Long, r: Option[B], counter: Long)
+
+  /** [[fkJoin]] on the `transformWithState` API — the 100 TB shape for
+    * HOT foreign keys: [[fkJoin]] keeps one `Seq` of members per fk
+    * group inside a single `GroupState` value, so every left-side
+    * update rewrites O(group) state; this processor keeps the
+    * membership in a per-key `MapState[KP, Member]`, making a member
+    * add/remove an O(1) point write against RocksDB (the same
+    * (fk, pk)-composite layout ksqlDB's FK-join subscription store
+    * uses). The right-side fan-out still iterates the members — that
+    * read is inherent to FK-join semantics. Same events in, same
+    * changelog out, same composite seq as [[fkJoin]].
+    *
+    * Requires the RocksDB state store provider (Spark's
+    * transformWithState constraint) — the [[fkJoin]] form remains the
+    * any-provider default. */
+  private class FkProcessor[KF, KP, A, B](
+      joinType: String,
+      memberKeyEnc: Encoder[KP], memberEnc: Encoder[Member[KP, A]],
+      metaEnc: Encoder[FkMeta[B]])
+      extends StatefulProcessor[KF, FkEvent[KF, KP, A, B],
+        Change[KP, Joined[A, B]]] {
+    @transient private var members
+        : org.apache.spark.sql.streaming.MapState[KP, Member[KP, A]] = _
+    @transient private var meta
+        : org.apache.spark.sql.streaming.ValueState[FkMeta[B]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      members = getHandle.getMapState[KP, Member[KP, A]]("members",
+        memberKeyEnc, memberEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      meta = getHandle.getValueState[FkMeta[B]]("meta", metaEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: KF,
+        rows: Iterator[FkEvent[KF, KP, A, B]],
+        timerValues: TimerValues): Iterator[Change[KP, Joined[A, B]]] = {
+      var cur = Option(meta.get()).getOrElse(
+        FkMeta[B](Long.MinValue, None, 0L))
+      val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
+      def present(r: Option[B]): Boolean =
+        joinType == "left" || r.isDefined
+      def img(a: A, r: Option[B]): Option[Joined[A, B]] =
+        if (present(r)) Some(Joined(Some(a), r)) else None
+      def op(before: Option[Joined[A, B]], after: Option[Joined[A, B]]) =
+        (before, after) match {
+          case (None, Some(_)) => "c"
+          case (Some(_), Some(_)) => "u"
+          case _ => "d"
+        }
+      val (lefts, rights) = rows.toSeq.partition(_.isLeft)
+      // rights first, batch-compressed to the winning value (same
+      // ordering contract as fkJoin)
+      rights.sortBy(_.rOff).lastOption.foreach { e =>
+        if (e.rOff > cur.rOff) {
+          val oldR = cur.r
+          cur = cur.copy(rOff = e.rOff, r = e.b)
+          if (oldR != e.b) {
+            // the fan-out: one pass over the member map (a RocksDB
+            // range scan of this group's prefix, not a value rewrite)
+            members.iterator().toSeq.sortBy(_._2.s1).foreach { case (_, m) =>
+              val before = img(m.a, oldR)
+              val after = img(m.a, e.b)
+              if (before != after) {
+                out += Change(m.pk, op(before, after), before, after,
+                  fkSeq(m.s1, inGroup = true, cur.counter))
+                cur = cur.copy(counter = cur.counter + 1)
+              }
+            }
+          }
+        }
+      }
+      lefts.sortBy(e => (e.s1, e.add)).foreach { e =>
+        val pk = e.pk.get
+        val old = Option(members.getValue(pk))
+        if (e.add) {
+          val a = e.a.get
+          members.updateValue(pk, Member(pk, e.s1, a)) // O(1) point write
+          val before = old.flatMap(o => img(o.a, cur.r))
+          val after = img(a, cur.r)
+          if (before != after) {
+            out += Change(pk, op(before, after), before, after,
+              fkSeq(e.s1, inGroup = true, cur.counter))
+            cur = cur.copy(counter = cur.counter + 1)
+          }
+        } else {
+          members.removeKey(pk) // O(1) point delete
+          val before = old.flatMap(o => img(o.a, cur.r))
+          if (before.isDefined) {
+            out += Change(pk, "d", before, None,
+              fkSeq(e.s1, inGroup = false, cur.counter))
+            cur = cur.copy(counter = cur.counter + 1)
+          }
+        }
+      }
+      meta.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** The `transformWithState` spelling of [[fkJoin]] — identical
+    * semantics, per-member point writes. RocksDB provider required. */
+  def fkJoinTws[KF: Encoder: TypeTag, KP: Encoder: TypeTag,
+                A <: Product: TypeTag, B <: Product: TypeTag](
+      leftChanges: Dataset[Change[KP, A]], fkOf: A => KF,
+      right: Dataset[(KF, Long, Option[B])],
+      joinType: String = "inner"): Dataset[Change[KP, Joined[A, B]]] = {
+    require(joinType == "inner" || joinType == "left",
+      s"fkJoinTws supports inner/left, got $joinType")
+    implicit val evEnc: Encoder[FkEvent[KF, KP, A, B]] =
+      Encoders.product[FkEvent[KF, KP, A, B]]
+    implicit val outEnc: Encoder[Change[KP, Joined[A, B]]] =
+      Encoders.product[Change[KP, Joined[A, B]]]
+    val memberEnc: Encoder[Member[KP, A]] = Encoders.product[Member[KP, A]]
+    val metaEnc: Encoder[FkMeta[B]] = Encoders.product[FkMeta[B]]
+    val routedLeft = leftChanges.flatMap { ch =>
+      val removal = for {
+        b <- ch.before
+        if ch.after.forall(a => fkOf(a) != fkOf(b))
+      } yield FkEvent[KF, KP, A, B](fkOf(b), isLeft = true, add = false,
+        Some(ch.key), None, ch.seq, 0L, None)
+      val add = ch.after.map(a =>
+        FkEvent[KF, KP, A, B](fkOf(a), isLeft = true, add = true,
+          Some(ch.key), Some(a), ch.seq, 0L, None))
+      removal.toSeq ++ add.toSeq
+    }
+    val taggedRight = right.map { case (k, o, b) =>
+      FkEvent[KF, KP, A, B](k, isLeft = false, add = false,
+        None, None, 0L, o, b)
+    }
+    routedLeft.union(taggedRight).groupByKey(_.fk)
+      .transformWithState(
+        new FkProcessor[KF, KP, A, B](joinType,
+          implicitly[Encoder[KP]], memberEnc, metaEnc),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -117,4 +117,50 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(st == Seq((10L, "ann", "FR")), st.toString)
     } finally q2.stop()
   }
+
+  test("fkJoinTws (MapState point writes) matches fkJoin semantics incl. the fk move") {
+    import spark.implicits._
+    import TableTableJoinSpec.{Cust, Nat}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cf = MemoryStream[(Long, Long, Option[Cust])]
+    val nf = MemoryStream[(Long, Long, Option[Nat])]
+    val out = TableTableJoin.fkJoinTws[Long, Long, Cust, Nat](
+      TableChangelog.of(cf.toDS()), _.nation, nf.toDS(), "inner")
+    val name = s"tws_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def state() = TableChangelog.latestState(spark.table(name))
+      .selectExpr("key", "after.left.name", "after.left.nation",
+        "after.right.nname")
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    try {
+      nf.addData((1L, 1L, Some(Nat("FRANCE"))))
+      q.processAllAvailable()
+      cf.addData((10L, 1L, Some(Cust("ann", 1L))),
+        (11L, 2L, Some(Cust("bob", 1L))))
+      q.processAllAvailable()
+      assert(state() == Seq((10L, "ann", 1L, "FRANCE"),
+        (11L, "bob", 1L, "FRANCE")))
+      // fan-out from MapState members stored in earlier batches
+      nf.addData((1L, 2L, Some(Nat("FR"))))
+      q.processAllAvailable()
+      assert(state() == Seq((10L, "ann", 1L, "FR"), (11L, "bob", 1L, "FR")))
+      // fk move: removal at old group, reappearance when nation 2 lands
+      cf.addData((10L, 3L, Some(Cust("ann", 2L))))
+      q.processAllAvailable()
+      assert(state() == Seq((11L, "bob", 1L, "FR")))
+      nf.addData((2L, 1L, Some(Nat("GERMANY"))))
+      q.processAllAvailable()
+      assert(state() == Seq((10L, "ann", 2L, "GERMANY"),
+        (11L, "bob", 1L, "FR")))
+      // tombstone removes the member row via an O(1) map delete
+      cf.addData((11L, 4L, None))
+      q.processAllAvailable()
+      assert(state() == Seq((10L, "ann", 2L, "GERMANY")))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
 }
