@@ -474,9 +474,8 @@ object ConnectorDdl {
     val windowExpr = kind match {
       case "SESSION" =>
         val gap = bareDurationRe.findFirstMatchIn(
-            graceRe.replaceAllIn(body, "").stripSuffix(",").trim match {
-              case b => b.split(',').head
-            })
+            graceRe.replaceAllIn(body, "")
+              .stripSuffix(",").trim.split(',').head)
           .map(g => duration(g.group(1), g.group(2), "WINDOW SESSION"))
           .getOrElse(throw new IllegalArgumentException(
             s"WINDOW SESSION needs a gap duration, got ($body)"))

@@ -48,6 +48,21 @@ object TableTableJoin {
   /** A joined row image: present sides populated per join type. */
   case class Joined[A, B](left: Option[A], right: Option[B])
 
+  /** Debezium op letter for a before→after image transition (the
+    * not-equal case; equal images emit nothing). */
+  private def changeOp[T](before: Option[T], after: Option[T]): String =
+    (before, after) match {
+      case (None, Some(_)) => "c"
+      case (Some(_), Some(_)) => "u"
+      case _ => "d"
+    }
+
+  /** Joined image of an fk member row against a right side, or None if
+    * the joined row is absent — shared by both FK-join implementations. */
+  private def fkImg[A, B](joinType: String, a: A,
+                          r: Option[B]): Option[Joined[A, B]] =
+    if (joinType == "left" || r.isDefined) Some(Joined(Some(a), r)) else None
+
   /** Internal: one tagged changelog record of either side. */
   case class Sided[K, A, B](key: K, offset: Long, isLeft: Boolean,
                             a: Option[A], b: Option[B])
@@ -107,12 +122,8 @@ object TableTableJoin {
               val now =
                 if (present) Some(Joined(next.l, next.r)) else None
               if (now != cur.emitted) {
-                val op = (cur.emitted, now) match {
-                  case (None, Some(_)) => "c"
-                  case (Some(_), Some(_)) => "u"
-                  case _ => "d"
-                }
-                out += Change(key, op, cur.emitted, now, next.seq)
+                out += Change(key, changeOp(cur.emitted, now),
+                  cur.emitted, now, next.seq)
                 cur = next.copy(emitted = now, seq = next.seq + 1)
               } else cur = next
             }
@@ -158,6 +169,34 @@ object TableTableJoin {
     ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | counter
   }
 
+  /** Route each stage-1 left change by foreign key (an fk move = one
+    * removal event at the old group + one add at the new, SHARING the
+    * stage-1 seq — the composite seq's in-group bit orders them), tag
+    * the right changelog, and union into one event stream — shared by
+    * both FK-join implementations. */
+  private def fkEvents[KF, KP, A, B](
+      leftChanges: Dataset[Change[KP, A]], fkOf: A => KF,
+      right: Dataset[(KF, Long, Option[B])])(
+      implicit evEnc: Encoder[FkEvent[KF, KP, A, B]])
+      : Dataset[FkEvent[KF, KP, A, B]] = {
+    val routedLeft = leftChanges.flatMap { ch =>
+      val removal = for {
+        b <- ch.before
+        if ch.after.forall(a => fkOf(a) != fkOf(b))
+      } yield FkEvent[KF, KP, A, B](fkOf(b), isLeft = true, add = false,
+        Some(ch.key), None, ch.seq, 0L, None)
+      val add = ch.after.map(a =>
+        FkEvent[KF, KP, A, B](fkOf(a), isLeft = true, add = true,
+          Some(ch.key), Some(a), ch.seq, 0L, None))
+      removal.toSeq ++ add.toSeq
+    }
+    val taggedRight = right.map { case (k, o, b) =>
+      FkEvent[KF, KP, A, B](k, isLeft = false, add = false,
+        None, None, 0L, o, b)
+    }
+    routedLeft.union(taggedRight)
+  }
+
   /** Foreign-key table–table join. `leftChanges` is the left table's
     * retraction-aware changelog ([[TableChangelog.of]] output);
     * `fkOf` extracts the foreign key from a left payload; `right` is
@@ -176,35 +215,15 @@ object TableTableJoin {
       Encoders.product[FkState[KP, A, B]]
     implicit val outEnc: Encoder[Change[KP, Joined[A, B]]] =
       Encoders.product[Change[KP, Joined[A, B]]]
-    // route each stage-1 change by foreign key: an fk move = removal at
-    // the old group + add at the new, SHARING the stage-1 seq (the
-    // composite seq's in-group bit orders them)
-    val routedLeft = leftChanges.flatMap { ch =>
-      val removal = for {
-        b <- ch.before
-        if ch.after.forall(a => fkOf(a) != fkOf(b))
-      } yield FkEvent[KF, KP, A, B](fkOf(b), isLeft = true, add = false,
-        Some(ch.key), None, ch.seq, 0L, None)
-      val add = ch.after.map(a =>
-        FkEvent[KF, KP, A, B](fkOf(a), isLeft = true, add = true,
-          Some(ch.key), Some(a), ch.seq, 0L, None))
-      removal.toSeq ++ add.toSeq
-    }
-    val taggedRight = right.map { case (k, o, b) =>
-      FkEvent[KF, KP, A, B](k, isLeft = false, add = false,
-        None, None, 0L, o, b)
-    }
-    routedLeft.union(taggedRight).groupByKey(_.fk)
+    fkEvents(leftChanges, fkOf, right).groupByKey(_.fk)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: KF, it: Iterator[FkEvent[KF, KP, A, B]],
          st: GroupState[FkState[KP, A, B]]) =>
           var cur = st.getOption.getOrElse(
             FkState[KP, A, B](Seq.empty, Long.MinValue, None, 0L))
           val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
-          def present(r: Option[B]): Boolean =
-            joinType == "left" || r.isDefined
           def img(a: A, r: Option[B]): Option[Joined[A, B]] =
-            if (present(r)) Some(Joined(Some(a), r)) else None
+            fkImg(joinType, a, r)
           val (lefts, rights) = it.toSeq.partition(_.isLeft)
           // right side first: within-batch versions compress to the
           // winning value (one fan-out emission per batch, like ksql's
@@ -220,13 +239,8 @@ object TableTableJoin {
                   val before = img(m.a, oldR)
                   val after = img(m.a, e.b)
                   if (before != after) {
-                    val op = (before, after) match {
-                      case (None, Some(_)) => "c"
-                      case (Some(_), Some(_)) => "u"
-                      case _ => "d"
-                    }
-                    out += Change(m.pk, op, before, after,
-                      fkSeq(m.s1, inGroup = true, cur.counter))
+                    out += Change(m.pk, changeOp(before, after), before,
+                      after, fkSeq(m.s1, inGroup = true, cur.counter))
                     cur = cur.copy(counter = cur.counter + 1)
                   }
                 }
@@ -246,12 +260,7 @@ object TableTableJoin {
               val before = old.flatMap(o => img(o.a, cur.r))
               val after = img(a, cur.r)
               if (before != after) {
-                val op = (before, after) match {
-                  case (None, Some(_)) => "c"
-                  case (Some(_), Some(_)) => "u"
-                  case _ => "d"
-                }
-                out += Change(pk, op, before, after,
+                out += Change(pk, changeOp(before, after), before, after,
                   fkSeq(e.s1, inGroup = true, cur.counter))
                 cur = cur.copy(counter = cur.counter + 1)
               }
@@ -313,16 +322,8 @@ object TableTableJoin {
       var cur = Option(meta.get()).getOrElse(
         FkMeta[B](Long.MinValue, None, 0L))
       val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
-      def present(r: Option[B]): Boolean =
-        joinType == "left" || r.isDefined
       def img(a: A, r: Option[B]): Option[Joined[A, B]] =
-        if (present(r)) Some(Joined(Some(a), r)) else None
-      def op(before: Option[Joined[A, B]], after: Option[Joined[A, B]]) =
-        (before, after) match {
-          case (None, Some(_)) => "c"
-          case (Some(_), Some(_)) => "u"
-          case _ => "d"
-        }
+        fkImg(joinType, a, r)
       val (lefts, rights) = rows.toSeq.partition(_.isLeft)
       // rights first, batch-compressed to the winning value (same
       // ordering contract as fkJoin)
@@ -337,7 +338,7 @@ object TableTableJoin {
               val before = img(m.a, oldR)
               val after = img(m.a, e.b)
               if (before != after) {
-                out += Change(m.pk, op(before, after), before, after,
+                out += Change(m.pk, changeOp(before, after), before, after,
                   fkSeq(m.s1, inGroup = true, cur.counter))
                 cur = cur.copy(counter = cur.counter + 1)
               }
@@ -354,7 +355,7 @@ object TableTableJoin {
           val before = old.flatMap(o => img(o.a, cur.r))
           val after = img(a, cur.r)
           if (before != after) {
-            out += Change(pk, op(before, after), before, after,
+            out += Change(pk, changeOp(before, after), before, after,
               fkSeq(e.s1, inGroup = true, cur.counter))
             cur = cur.copy(counter = cur.counter + 1)
           }
@@ -388,22 +389,7 @@ object TableTableJoin {
       Encoders.product[Change[KP, Joined[A, B]]]
     val memberEnc: Encoder[Member[KP, A]] = Encoders.product[Member[KP, A]]
     val metaEnc: Encoder[FkMeta[B]] = Encoders.product[FkMeta[B]]
-    val routedLeft = leftChanges.flatMap { ch =>
-      val removal = for {
-        b <- ch.before
-        if ch.after.forall(a => fkOf(a) != fkOf(b))
-      } yield FkEvent[KF, KP, A, B](fkOf(b), isLeft = true, add = false,
-        Some(ch.key), None, ch.seq, 0L, None)
-      val add = ch.after.map(a =>
-        FkEvent[KF, KP, A, B](fkOf(a), isLeft = true, add = true,
-          Some(ch.key), Some(a), ch.seq, 0L, None))
-      removal.toSeq ++ add.toSeq
-    }
-    val taggedRight = right.map { case (k, o, b) =>
-      FkEvent[KF, KP, A, B](k, isLeft = false, add = false,
-        None, None, 0L, o, b)
-    }
-    routedLeft.union(taggedRight).groupByKey(_.fk)
+    fkEvents(leftChanges, fkOf, right).groupByKey(_.fk)
       .transformWithState(
         new FkProcessor[KF, KP, A, B](joinType,
           implicitly[Encoder[KP]], memberEnc, metaEnc),
