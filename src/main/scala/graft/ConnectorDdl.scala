@@ -447,18 +447,54 @@ object ConnectorDdl {
   private val graceRe = """(?i)GRACE\s+PERIOD\s+(\d+)\s+(\w+)""".r
   private val bareDurationRe = """(?i)^\s*(\d+)\s+(\w+)\s*$""".r
 
+  /** `select` with every literal/comment/quoted-identifier span
+    * blanked to spaces — length-preserving, so a match position on the
+    * MASKED text indexes the same characters in the original. The
+    * positional counterpart of [[outsideLiterals]] for rewrites that
+    * need to find-then-splice rather than map segments. */
+  private def maskLiterals(select: String): String = {
+    val sb = new StringBuilder(select)
+    literalSpanRe.findAllMatchIn(select).foreach { m =>
+      var i = m.start
+      while (i < m.end) { sb.setCharAt(i, ' '); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Whether `pos` in (masked) `select` sits at parenthesis depth 0 —
+    * i.e. in the outer query, not inside a subquery or a function-call
+    * argument list (where ANSI `substring(x FROM 1)` / a subquery's
+    * own GROUP BY would fool a bare regex scan). */
+  private def atDepth0(masked: String, pos: Int): Boolean = {
+    var d = 0
+    var i = 0
+    while (i < pos) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    d == 0
+  }
+
   /** Translate a ksql `WINDOW TUMBLING/HOPPING/SESSION (…)` clause to
     * the Spark `window(ts, …)`/`session_window(ts, gap)` grouping
-    * expression, prepended to the statement's GROUP BY; the
+    * expression, prepended to the statement's outer GROUP BY; the
     * `WINDOWSTART`/`WINDOWEND` pseudo-columns map onto the produced
     * struct's `start`/`end` fields. `GRACE PERIOD` validates and is
-    * dropped — as with WITHIN ([[withinGrace]]), on a complete batch
-    * input every row is within grace; a streaming runner uses it as
-    * the watermark delay. No-op when the statement has no WINDOW
-    * clause. */
+    * dropped here — as with WITHIN ([[withinGrace]]), on a complete
+    * batch input every row is within grace; a streaming runner reads
+    * it back via [[windowGrace]] as the watermark delay. No-op when
+    * the statement has no WINDOW clause. All clause detection runs on
+    * masked text at paren depth 0, so string literals, comments, ANSI
+    * FROM-keyword expressions, and subquery GROUP BYs never match. */
   private[graft] def rewriteWindowClause(spark: SparkSession,
                                          select: String): String = {
-    val m = windowClauseRe.findFirstMatchIn(select).getOrElse(return select)
+    val masked = maskLiterals(select)
+    val m = windowClauseRe.findAllMatchIn(masked)
+      .find(w => atDepth0(masked, w.start)).getOrElse(return select)
     val kind = m.group(1).toUpperCase
     val body = m.group(2)
     def duration(n: String, unit: String, clause: String): String =
@@ -467,7 +503,8 @@ object ConnectorDdl {
       interval(g.group(1), g.group(2), clause = "GRACE PERIOD"))
     val ts = {
       val from = (s"""(?is)\\bFROM\\s+$tableAlias""").r
-        .findFirstMatchIn(select).getOrElse(throw new IllegalArgumentException(
+        .findAllMatchIn(masked).find(f => atDepth0(masked, f.start))
+        .getOrElse(throw new IllegalArgumentException(
           s"WINDOW clause without a FROM relation: ${select.take(80)}"))
       eventTimeCol(spark, from.group(1))
     }
@@ -490,15 +527,24 @@ object ConnectorDdl {
         if (kind == "HOPPING" && advance.isEmpty)
           throw new IllegalArgumentException(
             s"WINDOW HOPPING needs ADVANCE BY, got ($body)")
+        if (kind == "TUMBLING" && advance.isDefined)
+          throw new IllegalArgumentException(
+            s"WINDOW TUMBLING does not take ADVANCE BY (use HOPPING), " +
+              s"got ($body)")
         advance.fold(s"window($ts, '$size')")(a =>
           s"window($ts, '$size', '$a')")
     }
     val struct = if (kind == "SESSION") "session_window" else "window"
-    // drop the clause, group by the window expression first, and map
-    // the pseudo-columns (outside literals/comments/quoted names)
-    val stripped = windowClauseRe.replaceFirstIn(select, "")
+    // drop the found clause by position (masking is length-preserving,
+    // so masked positions index the original), group by the window
+    // expression at the first depth-0 GROUP BY, and map the
+    // pseudo-columns (outside literals/comments/quoted names)
+    val stripped = select.substring(0, m.start) + select.substring(m.end)
+    val strippedMasked =
+      masked.substring(0, m.start) + masked.substring(m.end)
     val grouped = "(?is)\\bGROUP\\s+BY\\s+".r
-      .findFirstMatchIn(stripped)
+      .findAllMatchIn(strippedMasked)
+      .find(g => atDepth0(strippedMasked, g.start))
       .map(g => stripped.substring(0, g.start) +
         s"GROUP BY $windowExpr, " + stripped.substring(g.end))
       .getOrElse(throw new IllegalArgumentException(
@@ -508,6 +554,20 @@ object ConnectorDdl {
         """(?i)\bWINDOWEND\b""".r.replaceAllIn(seg, s"$struct.end"),
         s"$struct.start")
     }
+  }
+
+  /** The `GRACE PERIOD` of a ksql WINDOW clause, as the Spark
+    * watermark delay string a STREAMING runner should pass to
+    * `withWatermark` on the aggregation input (`None` when the clause
+    * carries no grace — ksqlDB 0.28 then defaults to 24 hours). The
+    * windowed-agg counterpart of [[withinGrace]]; same bound mapping. */
+  private[graft] def windowGrace(select: String): Option[String] = {
+    val masked = maskLiterals(select)
+    windowClauseRe.findAllMatchIn(masked)
+      .find(w => atDepth0(masked, w.start))
+      .flatMap(w => graceRe.findFirstMatchIn(w.group(2)))
+      .map(g => interval(g.group(1), g.group(2), clause = "GRACE PERIOD")
+        .stripPrefix("INTERVAL "))
   }
 
   /** The `GRACE PERIOD` of a ksql WITHIN join, as the Spark watermark
@@ -569,12 +629,15 @@ object ConnectorDdl {
     * DATA or names, not plans. Alternation order matters: the literal/
     * comment openers are mutually exclusive at any position, so the
     * scanner never starts a span inside another span. */
-  private def outsideLiterals(select: String)(f: String => String): String = {
-    val lit = ("'(?:[^']|'')*'" +      // string literal, '' escape
+  private val literalSpanRe =
+    ("'(?:[^']|'')*'" +                // string literal, '' escape
       "|--[^\n]*" +                    // line comment to EOL
       "|/\\*[\\s\\S]*?\\*/" +          // block comment (non-greedy)
       "|\"(?:[^\"]|\"\")*\"" +         // quoted identifier
       "|`(?:[^`]|``)*`").r             // backtick identifier
+
+  private def outsideLiterals(select: String)(f: String => String): String = {
+    val lit = literalSpanRe
     val out = new StringBuilder
     var pos = 0
     lit.findAllMatchIn(select).foreach { m =>

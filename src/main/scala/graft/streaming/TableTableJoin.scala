@@ -169,6 +169,82 @@ object TableTableJoin {
     ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | counter
   }
 
+  /** Per-group scalar state of the FK-join core: right-side LWW + the
+    * group-local emission counter. */
+  case class FkMeta[B](rOff: Long, r: Option[B], counter: Long)
+
+  /** The membership-store primitives the FK-join core writes through —
+    * backed by an in-`GroupState` Seq in [[fkJoin]] and by a per-key
+    * RocksDB `MapState` in [[FkProcessor]]. Only the storage differs;
+    * the event semantics live once in [[processFkGroup]]. */
+  private trait Membership[KP, A] {
+    def get(pk: KP): Option[Member[KP, A]]
+    def put(m: Member[KP, A]): Unit
+    def remove(pk: KP): Unit
+    /** All members ascending by stage-1 seq — the fan-out order. */
+    def allByS1: Seq[Member[KP, A]]
+  }
+
+  /** The shared FK-join event-processing core: apply one group's batch
+    * of events against the membership store and scalar meta, returning
+    * the updated meta and the emitted changes. Rights first, batch-
+    * compressed to the winning value (one fan-out emission per batch,
+    * like ksql's state-store caching); then member events in stage-1
+    * order (removal-before-add for a same-seq fk move is per-GROUP
+    * here; cross-group ordering is the composite seq's job). Both
+    * FK-join implementations defer here, so their changelogs cannot
+    * fork. */
+  private def processFkGroup[KF, KP, A, B](joinType: String,
+      events: Seq[FkEvent[KF, KP, A, B]], members: Membership[KP, A],
+      meta0: FkMeta[B]): (FkMeta[B], Seq[Change[KP, Joined[A, B]]]) = {
+    var cur = meta0
+    val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
+    def img(a: A, r: Option[B]): Option[Joined[A, B]] =
+      fkImg(joinType, a, r)
+    val (lefts, rights) = events.partition(_.isLeft)
+    rights.sortBy(_.rOff).lastOption.foreach { e =>
+      if (e.rOff > cur.rOff) {
+        val oldR = cur.r
+        cur = cur.copy(rOff = e.rOff, r = e.b)
+        if (oldR != e.b) {
+          members.allByS1.foreach { m =>
+            val before = img(m.a, oldR)
+            val after = img(m.a, e.b)
+            if (before != after) {
+              out += Change(m.pk, changeOp(before, after), before,
+                after, fkSeq(m.s1, inGroup = true, cur.counter))
+              cur = cur.copy(counter = cur.counter + 1)
+            }
+          }
+        }
+      }
+    }
+    lefts.sortBy(e => (e.s1, e.add)).foreach { e =>
+      val pk = e.pk.get
+      val old = members.get(pk)
+      if (e.add) {
+        val a = e.a.get
+        members.put(Member(pk, e.s1, a))
+        val before = old.flatMap(o => img(o.a, cur.r))
+        val after = img(a, cur.r)
+        if (before != after) {
+          out += Change(pk, changeOp(before, after), before, after,
+            fkSeq(e.s1, inGroup = true, cur.counter))
+          cur = cur.copy(counter = cur.counter + 1)
+        }
+      } else {
+        members.remove(pk)
+        val before = old.flatMap(o => img(o.a, cur.r))
+        if (before.isDefined) {
+          out += Change(pk, "d", before, None,
+            fkSeq(e.s1, inGroup = false, cur.counter))
+          cur = cur.copy(counter = cur.counter + 1)
+        }
+      }
+    }
+    (cur, out.result())
+  }
+
   /** Route each stage-1 left change by foreign key (an fk move = one
     * removal event at the old group + one add at the new, SHARING the
     * stage-1 seq — the composite seq's in-group bit orders them), tag
@@ -219,69 +295,22 @@ object TableTableJoin {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: KF, it: Iterator[FkEvent[KF, KP, A, B]],
          st: GroupState[FkState[KP, A, B]]) =>
-          var cur = st.getOption.getOrElse(
+          val st0 = st.getOption.getOrElse(
             FkState[KP, A, B](Seq.empty, Long.MinValue, None, 0L))
-          val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
-          def img(a: A, r: Option[B]): Option[Joined[A, B]] =
-            fkImg(joinType, a, r)
-          val (lefts, rights) = it.toSeq.partition(_.isLeft)
-          // right side first: within-batch versions compress to the
-          // winning value (one fan-out emission per batch, like ksql's
-          // state-store caching), then member events apply against the
-          // batch-final right row
-          val winningRight = rights.sortBy(_.rOff).lastOption
-          winningRight.foreach { e =>
-            if (e.rOff > cur.rOff) {
-              val oldR = cur.r
-              cur = cur.copy(rOff = e.rOff, r = e.b)
-              if (oldR != e.b) {
-                cur.members.sortBy(_.s1).foreach { m =>
-                  val before = img(m.a, oldR)
-                  val after = img(m.a, e.b)
-                  if (before != after) {
-                    out += Change(m.pk, changeOp(before, after), before,
-                      after, fkSeq(m.s1, inGroup = true, cur.counter))
-                    cur = cur.copy(counter = cur.counter + 1)
-                  }
-                }
-              }
-            }
+          var seq = st0.members
+          val mem = new Membership[KP, A] {
+            def get(pk: KP): Option[Member[KP, A]] = seq.find(_.pk == pk)
+            def put(m: Member[KP, A]): Unit =
+              seq = seq.filterNot(_.pk == m.pk) :+ m
+            def remove(pk: KP): Unit = seq = seq.filterNot(_.pk == pk)
+            def allByS1: Seq[Member[KP, A]] = seq.sortBy(_.s1)
           }
-          // member events in stage-1 order (removal-before-add for a
-          // same-seq fk move is per-GROUP here; cross-group ordering is
-          // the composite seq's job)
-          lefts.sortBy(e => (e.s1, e.add)).foreach { e =>
-            val pk = e.pk.get
-            val old = cur.members.find(_.pk == pk)
-            if (e.add) {
-              val a = e.a.get
-              cur = cur.copy(members =
-                cur.members.filterNot(_.pk == pk) :+ Member(pk, e.s1, a))
-              val before = old.flatMap(o => img(o.a, cur.r))
-              val after = img(a, cur.r)
-              if (before != after) {
-                out += Change(pk, changeOp(before, after), before, after,
-                  fkSeq(e.s1, inGroup = true, cur.counter))
-                cur = cur.copy(counter = cur.counter + 1)
-              }
-            } else {
-              cur = cur.copy(members = cur.members.filterNot(_.pk == pk))
-              val before = old.flatMap(o => img(o.a, cur.r))
-              if (before.isDefined) {
-                out += Change(pk, "d", before, None,
-                  fkSeq(e.s1, inGroup = false, cur.counter))
-                cur = cur.copy(counter = cur.counter + 1)
-              }
-            }
-          }
-          st.update(cur)
-          out.result().iterator
+          val (meta, out) = processFkGroup(joinType, it.toSeq, mem,
+            FkMeta(st0.rOff, st0.r, st0.counter))
+          st.update(FkState(seq, meta.rOff, meta.r, meta.counter))
+          out.iterator
       }
   }
-
-  /** Per-group scalar state of [[FkProcessor]]: right-side LWW + the
-    * group-local emission counter. */
-  case class FkMeta[B](rOff: Long, r: Option[B], counter: Long)
 
   /** [[fkJoin]] on the `transformWithState` API — the 100 TB shape for
     * HOT foreign keys: [[fkJoin]] keeps one `Seq` of members per fk
@@ -319,58 +348,21 @@ object TableTableJoin {
     override def handleInputRows(key: KF,
         rows: Iterator[FkEvent[KF, KP, A, B]],
         timerValues: TimerValues): Iterator[Change[KP, Joined[A, B]]] = {
-      var cur = Option(meta.get()).getOrElse(
-        FkMeta[B](Long.MinValue, None, 0L))
-      val out = Seq.newBuilder[Change[KP, Joined[A, B]]]
-      def img(a: A, r: Option[B]): Option[Joined[A, B]] =
-        fkImg(joinType, a, r)
-      val (lefts, rights) = rows.toSeq.partition(_.isLeft)
-      // rights first, batch-compressed to the winning value (same
-      // ordering contract as fkJoin)
-      rights.sortBy(_.rOff).lastOption.foreach { e =>
-        if (e.rOff > cur.rOff) {
-          val oldR = cur.r
-          cur = cur.copy(rOff = e.rOff, r = e.b)
-          if (oldR != e.b) {
-            // the fan-out: one pass over the member map (a RocksDB
-            // range scan of this group's prefix, not a value rewrite)
-            members.iterator().toSeq.sortBy(_._2.s1).foreach { case (_, m) =>
-              val before = img(m.a, oldR)
-              val after = img(m.a, e.b)
-              if (before != after) {
-                out += Change(m.pk, changeOp(before, after), before, after,
-                  fkSeq(m.s1, inGroup = true, cur.counter))
-                cur = cur.copy(counter = cur.counter + 1)
-              }
-            }
-          }
-        }
+      val mem = new Membership[KP, A] {
+        def get(pk: KP): Option[Member[KP, A]] =
+          Option(members.getValue(pk))
+        // O(1) point write/delete against RocksDB
+        def put(m: Member[KP, A]): Unit = members.updateValue(m.pk, m)
+        def remove(pk: KP): Unit = members.removeKey(pk)
+        // the fan-out read: one pass over the member map (a RocksDB
+        // range scan of this group's prefix, not a value rewrite)
+        def allByS1: Seq[Member[KP, A]] =
+          members.iterator().toSeq.map(_._2).sortBy(_.s1)
       }
-      lefts.sortBy(e => (e.s1, e.add)).foreach { e =>
-        val pk = e.pk.get
-        val old = Option(members.getValue(pk))
-        if (e.add) {
-          val a = e.a.get
-          members.updateValue(pk, Member(pk, e.s1, a)) // O(1) point write
-          val before = old.flatMap(o => img(o.a, cur.r))
-          val after = img(a, cur.r)
-          if (before != after) {
-            out += Change(pk, changeOp(before, after), before, after,
-              fkSeq(e.s1, inGroup = true, cur.counter))
-            cur = cur.copy(counter = cur.counter + 1)
-          }
-        } else {
-          members.removeKey(pk) // O(1) point delete
-          val before = old.flatMap(o => img(o.a, cur.r))
-          if (before.isDefined) {
-            out += Change(pk, "d", before, None,
-              fkSeq(e.s1, inGroup = false, cur.counter))
-            cur = cur.copy(counter = cur.counter + 1)
-          }
-        }
-      }
+      val (cur, out) = processFkGroup(joinType, rows.toSeq, mem,
+        Option(meta.get()).getOrElse(FkMeta[B](Long.MinValue, None, 0L)))
       meta.update(cur)
-      out.result().iterator
+      out.iterator
     }
   }
 

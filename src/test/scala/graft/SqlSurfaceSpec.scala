@@ -481,6 +481,58 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(spark.catalog.dropTempView)
   }
 
+  test("WINDOW rewrite ignores literals/comments and non-outer clauses") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sf)
+    // the clause text inside a string literal is DATA, not a clause:
+    // no window rewrite fires and the literal survives intact
+    GraftSql.sql(spark,
+      """CREATE STREAM win_lit AS
+        |SELECT event_type, 'WINDOW TUMBLING (SIZE 1 HOUR)' AS hint
+        |FROM events EMIT CHANGES;""".stripMargin)
+    assert(spark.table("win_lit").select("hint").distinct()
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("WINDOW TUMBLING (SIZE 1 HOUR)"))
+    // ANSI FROM-keyword expressions in the select list (substring ...
+    // FROM 1) must not be mistaken for the source relation, and a
+    // subquery's GROUP BY (depth > 0) must not receive the window
+    // expression — only the outer one does
+    GraftSql.sql(spark,
+      """CREATE TABLE win_ansi AS
+        |SELECT substring(event_type FROM 1 FOR 2) AS et2,
+        |       WINDOWSTART AS ws, count(*) AS n
+        |FROM events WINDOW TUMBLING (SIZE 1 HOUR)
+        |WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id)
+        |GROUP BY et2 EMIT CHANGES;""".stripMargin)
+    sameRows(spark.table("win_ansi"),
+      ev.groupBy(window(col("ts"), "1 hour"),
+          expr("substring(event_type, 1, 2)").as("et2"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("et2"), col("window.start").as("ws"), col("n")))
+    // TUMBLING with ADVANCE BY is invalid ksql: reject loudly instead
+    // of silently producing overlapping (hopping) windows
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE TABLE win_tadv AS SELECT event_type, count(*) AS n " +
+          "FROM events WINDOW TUMBLING (SIZE 1 HOUR, ADVANCE BY 15 " +
+          "MINUTES) GROUP BY event_type EMIT CHANGES;")
+    }
+    assert(err.getMessage.contains("does not take ADVANCE BY"),
+      err.getMessage)
+    // the windowed-agg GRACE PERIOD is recoverable as a watermark delay
+    assert(ConnectorDdl.windowGrace(
+      "SELECT k, count(*) FROM s WINDOW TUMBLING (SIZE 1 HOUR, GRACE " +
+        "PERIOD 10 MINUTES) GROUP BY k") == Some("10 MINUTE"))
+    assert(ConnectorDdl.windowGrace(
+      "SELECT k, count(*) FROM s WINDOW SESSION (30 MINUTES) GROUP BY k")
+      .isEmpty)
+    // ... but a grace spelled inside a literal is not
+    assert(ConnectorDdl.windowGrace(
+      "SELECT 'WINDOW TUMBLING (SIZE 1 HOUR, GRACE PERIOD 9 DAYS)' AS " +
+        "hint FROM s").isEmpty)
+    Seq("win_lit", "win_ansi").foreach(spark.catalog.dropTempView)
+  }
+
   test("ksql introspection: SHOW TABLES / DESCRIBE / SHOW QUERIES / TERMINATE") {
     // SHOW TABLES is the complement of SHOW STREAMS: only
     // CTAS-declared TABLEs

@@ -94,7 +94,11 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
         .selectExpr("key", "after.left.price", "after.right.etype")
         .as[(Long, Double, String)].collect().toSeq
       assert(st == Seq((7L, 10.0, "click")), st.toString)
-    } finally q1.stop()
+    } finally {
+      q1.stop()
+      spark.catalog.dropTempView(pkName)
+      spark.streams.resetTerminated()
+    }
     // fk join: the two chained stateful operators (changelog stage +
     // fk-group stage) both keep state in RocksDB; the fan-out uses
     // membership stored in the PREVIOUS batch
@@ -115,7 +119,11 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
         .selectExpr("key", "after.left.name", "after.right.nname")
         .as[(Long, String, String)].collect().toSeq
       assert(st == Seq((10L, "ann", "FR")), st.toString)
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      spark.catalog.dropTempView(fkName)
+      spark.streams.resetTerminated()
+    }
   }
 
   test("fkJoinTws (MapState point writes) matches fkJoin semantics incl. the fk move") {
