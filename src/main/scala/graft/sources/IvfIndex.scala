@@ -157,28 +157,38 @@ object IvfIndex {
     centroids.write.mode("overwrite").parquet(layout.centroids)
     vectors.write.mode("overwrite").partitionBy("cell")
       .parquet(layout.vectors)
-    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
+    // the tmp pointer name carries a per-publisher nonce: two
+    // publishers that read the same committed version compute the SAME
+    // next v, and with a bare `_CURRENT.tmp$v` they would write and
+    // move one shared path — the loser's ATOMIC_MOVE throws
+    // NoSuchFileException instead of losing the last-move-wins race
+    // cleanly. Unique names make same-version publishes collision-free.
+    val nonce = java.util.UUID.randomUUID().toString.substring(0, 8)
+    val tmp = Paths.get(root, s"_CURRENT.tmp$v.$nonce")
     Files.write(tmp, s"v$v".getBytes("UTF-8"))
     Files.move(tmp, pointerPath(root),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // scratch hygiene (same bar as KeyedParquetSink): a crash between
-    // writing a tmp pointer and its atomic move leaves `_CURRENT.tmpN`
+    // writing a tmp pointer and its atomic move leaves `_CURRENT.tmpN*`
     // in the root forever — vacuumVersions only reclaims `v\d+`
     // directories. Sweep stale tmp pointers now that THIS publish has
-    // committed, but ONLY those at or below the committed version: a
-    // CONCURRENT publisher that started after this commit carries
-    // version v+1, and deleting its in-flight tmp file would crash its
-    // ATOMIC_MOVE (overlapping publishers are last-move-wins by
-    // design). A crashed publish's orphan is reclaimed by the next
-    // publish that reaches its version number.
+    // committed, but ONLY those at versions STRICTLY below the one just
+    // committed: a concurrent same-version publisher (same read of
+    // `_CURRENT`, so same v) or a v+1 successor may still be in flight,
+    // and deleting a live tmp file would crash its ATOMIC_MOVE
+    // (overlapping publishers are last-move-wins by design). A crashed
+    // publish's orphan at version v is reclaimed by the next publish to
+    // commit a HIGHER version.
     val root0 = Paths.get(root)
     val stale = Files.list(root0)
     try stale.filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("_CURRENT.tmp") &&
-          scala.util.Try(n.stripPrefix("_CURRENT.tmp").toInt)
-            .toOption.exists(_ <= v)
+        n.startsWith("_CURRENT.tmp") && {
+          // version prefix of `<N>` or `<N>.<nonce>` (legacy + nonced)
+          val ver = n.stripPrefix("_CURRENT.tmp").takeWhile(_.isDigit)
+          ver.nonEmpty && scala.util.Try(ver.toInt).toOption.exists(_ < v)
+        }
       }
       .forEach(p => Files.deleteIfExists(p))
     finally stale.close()

@@ -28,16 +28,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
-    * LongType (spark.sql.legacy.parquet.nanosAsLong=true, set in the
-    * session builders). Convert to a microsecond timestamp with exact
-    * integer division — same truncation DuckDB applies reading nanos.
+  /** Normalize events.ts to a plain microsecond TIMESTAMP whatever
+    * physical type the driver generated this round:
+    *  - TIMESTAMP(NANOS), which Spark only reads as LongType
+    *    (spark.sql.legacy.parquet.nanosAsLong=true, set in the session
+    *    builders) → exact integer division to micros, the same
+    *    truncation DuckDB applies reading nanos;
+    *  - TIMESTAMP(MICROS) without UTC adjustment, which Spark infers
+    *    as TIMESTAMP_NTZ → cast to TIMESTAMP. All session builders pin
+    *    spark.sql.session.timeZone=UTC, so the cast reinterprets the
+    *    naive value as the same UTC instant DuckDB's epoch functions
+    *    assume for naive timestamps — `unix_micros`, watermarks and
+    *    window() downstream keep working unchanged.
     * Shared by the batch loader and the streaming reader so the
-    * truncation rule lives in exactly one place. */
+    * normalization rule lives in exactly one place. */
   def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -52,7 +52,10 @@ object TableChangelog {
     * dropped (replay / out-of-order duplicates); within a micro-batch a
     * key's rows are applied in offset order, so intra-batch updates
     * emit their intermediate `u` records too — no batch compression,
-    * the full changelog. */
+    * the full changelog. An upsert that repeats the current value
+    * advances the key's offset but emits NOTHING: before==after
+    * changes carry no information, and the downstream join operators
+    * already suppress their own no-ops. */
   def of[K: Encoder: TypeTag, V <: Product: TypeTag](
       in: Dataset[(K, Long, Option[V])]): Dataset[Change[K, V]] = {
     implicit val stateEnc: Encoder[KeyState[V]] = Encoders.product[KeyState[V]]
@@ -70,6 +73,12 @@ object TableChangelog {
                 case (None, Some(_)) =>
                   out += Change(key, "c", None, v, cur.seq)
                   cur = KeyState(off, v, cur.seq + 1)
+                case (Some(_), Some(_)) if v == cur.value =>
+                  // duplicate-value upsert: only the offset advanced —
+                  // emit nothing (mirrors the join operators' `now !=
+                  // emitted` guard), so downstream consumers never pay
+                  // fan-in for a vacuous before==after update
+                  cur = KeyState(off, cur.value, cur.seq)
                 case (Some(_), Some(_)) =>
                   out += Change(key, "u", cur.value, v, cur.seq)
                   cur = KeyState(off, v, cur.seq + 1)

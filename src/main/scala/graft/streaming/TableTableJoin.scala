@@ -142,36 +142,43 @@ object TableTableJoin {
 
   /** Internal: one member left row inside an FK group. `s1` is the
     * member's latest stage-1 changelog seq — the cross-group ordering
-    * major for the composite output seq. */
-  case class Member[KP, A](pk: KP, s1: Long, a: A)
+    * major for the composite output seq; `ctr` is the member's OWN
+    * next minor, rebased to 0 at every left-side change of the member
+    * (so the minor space is renewable, not a lifetime budget). */
+  case class Member[KP, A](pk: KP, s1: Long, a: A, ctr: Long)
 
-  /** Internal per-FK-group state: right-side LWW + member left rows +
-    * a group-local emission counter. */
+  /** Internal per-FK-group state: right-side LWW + member left rows. */
   case class FkState[KP, A, B](members: Seq[Member[KP, A]], rOff: Long,
-                               r: Option[B], counter: Long)
+                               r: Option[B])
 
   /** Composite output seq for FK-join changes: a key's changes must be
     * orderable ACROSS fk groups (a foreign-key move emits its `d` in
-    * the old group and its `c` in the new one, each group having an
-    * independent local counter). Major = 2·s1 + (1 if the event leaves
-    * the key a member) — so the move's removal (major 2s) always
-    * precedes its add (2s+1) and every later in-group emission shares
-    * the add's major; minor = the group-local counter, which orders
-    * same-major emissions within one group. 20 bits of minor bounds a
-    * group at ~1M emissions between left-side changes of a member —
-    * beyond that, shard the right key. */
-  private def fkSeq(s1: Long, inGroup: Boolean, counter: Long): Long = {
+    * the old group and its `c` in the new one). Major = 2·s1 + (1 if
+    * the event leaves the key a member) — so the move's removal
+    * (major 2s) always precedes its add (2s+1). Same-major emissions
+    * for an output key are exactly the right-side fan-outs to one
+    * member between its left-side changes (per key, s1 is strictly
+    * increasing otherwise), so the minor is the MEMBER's own counter,
+    * rebased at every left-side change of that member. 20 bits of
+    * minor bounds a member at ~1M fan-out emissions between its
+    * left-side changes — a renewable per-member budget, not a group
+    * lifetime cap; past it, shard the right key. A group-global
+    * counter rebased on "major advance" would be unsound here: majors
+    * are NOT monotone across members (each member carries its own s1),
+    * so a reset triggered by a high-s1 member would hand a low-s1
+    * member minors below ones it already emitted — a seq inversion
+    * that makes latestState reconstruct a stale image. */
+  private def fkSeq(s1: Long, inGroup: Boolean, minor: Long): Long = {
     // loud failure, not silent seq inversion: a wrapped minor would
     // make latestState's max_by reconstruct a STALE joined image
-    require(counter < (1L << 20),
-      s"fk group exceeded ${1L << 20} emissions between left-side " +
-        "changes of a member — shard the right key")
-    ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | counter
+    require(minor < (1L << 20),
+      s"fk member exceeded ${1L << 20} fan-out emissions between " +
+        "left-side changes — shard the right key")
+    ((2L * s1 + (if (inGroup) 1L else 0L)) << 20) | minor
   }
 
-  /** Per-group scalar state of the FK-join core: right-side LWW + the
-    * group-local emission counter. */
-  case class FkMeta[B](rOff: Long, r: Option[B], counter: Long)
+  /** Per-group scalar state of the FK-join core: right-side LWW. */
+  case class FkMeta[B](rOff: Long, r: Option[B])
 
   /** The membership-store primitives the FK-join core writes through —
     * backed by an in-`GroupState` Seq in [[fkJoin]] and by a per-key
@@ -181,7 +188,9 @@ object TableTableJoin {
     def get(pk: KP): Option[Member[KP, A]]
     def put(m: Member[KP, A]): Unit
     def remove(pk: KP): Unit
-    /** All members ascending by stage-1 seq — the fan-out order. */
+    /** All members ascending by (stage-1 seq, pk string) — ties broken
+      * deterministically so both storages fan out in the same order
+      * and the two implementations' changelogs stay byte-identical. */
     def allByS1: Seq[Member[KP, A]]
   }
 
@@ -212,8 +221,11 @@ object TableTableJoin {
             val after = img(m.a, e.b)
             if (before != after) {
               out += Change(m.pk, changeOp(before, after), before,
-                after, fkSeq(m.s1, inGroup = true, cur.counter))
-              cur = cur.copy(counter = cur.counter + 1)
+                after, fkSeq(m.s1, inGroup = true, m.ctr))
+              // spend one unit of the member's minor budget — the
+              // write is O(1) against the membership store, same cost
+              // class as the emission it accounts for
+              members.put(m.copy(ctr = m.ctr + 1))
             }
           }
         }
@@ -224,22 +236,23 @@ object TableTableJoin {
       val old = members.get(pk)
       if (e.add) {
         val a = e.a.get
-        members.put(Member(pk, e.s1, a))
         val before = old.flatMap(o => img(o.a, cur.r))
         val after = img(a, cur.r)
-        if (before != after) {
+        // a left-side change advances the member's s1 (a fresh major),
+        // so its minor space rebases to 0
+        val emit = before != after
+        members.put(Member(pk, e.s1, a, if (emit) 1L else 0L))
+        if (emit)
           out += Change(pk, changeOp(before, after), before, after,
-            fkSeq(e.s1, inGroup = true, cur.counter))
-          cur = cur.copy(counter = cur.counter + 1)
-        }
+            fkSeq(e.s1, inGroup = true, minor = 0L))
       } else {
         members.remove(pk)
         val before = old.flatMap(o => img(o.a, cur.r))
-        if (before.isDefined) {
+        if (before.isDefined)
+          // a removal's major (2·s1) occurs once per pk — s1 is the
+          // move's fresh stage-1 seq — so minor 0 suffices
           out += Change(pk, "d", before, None,
-            fkSeq(e.s1, inGroup = false, cur.counter))
-          cur = cur.copy(counter = cur.counter + 1)
-        }
+            fkSeq(e.s1, inGroup = false, minor = 0L))
       }
     }
     (cur, out.result())
@@ -296,18 +309,19 @@ object TableTableJoin {
         (_: KF, it: Iterator[FkEvent[KF, KP, A, B]],
          st: GroupState[FkState[KP, A, B]]) =>
           val st0 = st.getOption.getOrElse(
-            FkState[KP, A, B](Seq.empty, Long.MinValue, None, 0L))
+            FkState[KP, A, B](Seq.empty, Long.MinValue, None))
           var seq = st0.members
           val mem = new Membership[KP, A] {
             def get(pk: KP): Option[Member[KP, A]] = seq.find(_.pk == pk)
             def put(m: Member[KP, A]): Unit =
               seq = seq.filterNot(_.pk == m.pk) :+ m
             def remove(pk: KP): Unit = seq = seq.filterNot(_.pk == pk)
-            def allByS1: Seq[Member[KP, A]] = seq.sortBy(_.s1)
+            def allByS1: Seq[Member[KP, A]] =
+              seq.sortBy(m => (m.s1, m.pk.toString))
           }
           val (meta, out) = processFkGroup(joinType, it.toSeq, mem,
-            FkMeta(st0.rOff, st0.r, st0.counter))
-          st.update(FkState(seq, meta.rOff, meta.r, meta.counter))
+            FkMeta(st0.rOff, st0.r))
+          st.update(FkState(seq, meta.rOff, meta.r))
           out.iterator
       }
   }
@@ -357,10 +371,11 @@ object TableTableJoin {
         // the fan-out read: one pass over the member map (a RocksDB
         // range scan of this group's prefix, not a value rewrite)
         def allByS1: Seq[Member[KP, A]] =
-          members.iterator().toSeq.map(_._2).sortBy(_.s1)
+          members.iterator().toSeq.map(_._2)
+            .sortBy(m => (m.s1, m.pk.toString))
       }
       val (cur, out) = processFkGroup(joinType, rows.toSeq, mem,
-        Option(meta.get()).getOrElse(FkMeta[B](Long.MinValue, None, 0L)))
+        Option(meta.get()).getOrElse(FkMeta[B](Long.MinValue, None)))
       meta.update(cur)
       out.iterator
     }

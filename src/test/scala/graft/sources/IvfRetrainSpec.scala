@@ -128,9 +128,15 @@ class IvfRetrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pointer — deleting it would crash that publisher's atomic move
     val inflight = java.nio.file.Paths.get(root, "_CURRENT.tmp99")
     java.nio.file.Files.write(inflight, "v99".getBytes("UTF-8"))
+    // a SAME-version tmp is a concurrent publisher that read the same
+    // committed `_CURRENT` and computed the same next version (here
+    // v1) — the sweep is strictly-below-v so it must survive too
+    val sameVer = java.nio.file.Paths.get(root, "_CURRENT.tmp1.cafe0123")
+    java.nio.file.Files.write(sameVer, "v1".getBytes("UTF-8"))
     val v1 = IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
     assert(!java.nio.file.Files.exists(orphan))
     assert(java.nio.file.Files.exists(inflight))
+    assert(java.nio.file.Files.exists(sameVer))
     // the committed pointer itself survives the sweep
     assert(IvfIndex.currentLayout(root).contains(v1))
   }

@@ -171,4 +171,59 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.streams.resetTerminated()
     }
   }
+
+  test("fkJoin and fkJoinTws emit byte-identical changelogs on the same input") {
+    import spark.implicits._
+    import TableTableJoinSpec.{Cust, Nat}
+    import TableChangelog.Change
+    import TableTableJoin.Joined
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // SAME-s1 members (per-key stage-1 seqs both start at 0) force the
+    // fan-out tie-break: with minors per member and the (s1, pk)
+    // deterministic ordering, both storages must assign identical
+    // composite seqs to every change row.
+    def script(cf: MemoryStream[(Long, Long, Option[Cust])],
+               nf: MemoryStream[(Long, Long, Option[Nat])],
+               q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      nf.addData((1L, 1L, Some(Nat("FRANCE"))))
+      q.processAllAvailable()
+      cf.addData((10L, 1L, Some(Cust("ann", 1L))),
+        (11L, 2L, Some(Cust("bob", 1L))))
+      q.processAllAvailable()
+      nf.addData((1L, 2L, Some(Nat("FR")))) // fan-out across a tie
+      q.processAllAvailable()
+      cf.addData((10L, 3L, Some(Cust("ann", 2L)))) // fk move
+      q.processAllAvailable()
+      nf.addData((2L, 1L, Some(Nat("GERMANY"))))
+      q.processAllAvailable()
+      cf.addData((11L, 4L, None)) // tombstone
+      q.processAllAvailable()
+    }
+    def run(tws: Boolean): Seq[Change[Long, Joined[Cust, Nat]]] = {
+      val cf = MemoryStream[(Long, Long, Option[Cust])]
+      val nf = MemoryStream[(Long, Long, Option[Nat])]
+      val changes = TableChangelog.of(cf.toDS())
+      val out =
+        if (tws) TableTableJoin.fkJoinTws[Long, Long, Cust, Nat](
+          changes, _.nation, nf.toDS(), "inner")
+        else TableTableJoin.fkJoin[Long, Long, Cust, Nat](
+          changes, _.nation, nf.toDS(), "inner")
+      val name = s"fkeq_${if (tws) "tws" else "gs"}_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        script(cf, nf, q)
+        spark.table(name).as[Change[Long, Joined[Cust, Nat]]]
+          .collect().sortBy(c => (c.key, c.seq)).toSeq
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+        spark.streams.resetTerminated()
+      }
+    }
+    val a = run(tws = false)
+    val b = run(tws = true)
+    assert(a.nonEmpty && a == b,
+      s"changelogs diverged:\n  fkJoin   = $a\n  fkJoinTws = $b")
+  }
 }

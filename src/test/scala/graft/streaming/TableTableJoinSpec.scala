@@ -85,6 +85,45 @@ class TableTableJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("TableChangelog: value-identical upsert advances offset, emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Long, Long, Option[Cust])]
+    val out = TableChangelog.of(feed.toDS())
+    val name = s"tclnoop_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name).as[Change[Long, Cust]].collect()
+      .sortBy(c => (c.key, c.seq)).toSeq
+    try {
+      feed.addData((1L, 10L, Some(Cust("ann", 1L))))
+      drain(q)
+      assert(rows().size == 1)
+
+      // same value, higher offset: a no-op upsert — nothing emitted
+      feed.addData((1L, 20L, Some(Cust("ann", 1L))))
+      drain(q)
+      assert(rows().size == 1, rows().toString)
+
+      // ...but the offset DID advance: a different value at an offset
+      // between the two upserts is stale and stays suppressed
+      feed.addData((1L, 15L, Some(Cust("ghost", 9L))))
+      drain(q)
+      assert(rows().size == 1, rows().toString)
+
+      // a real update still emits, with the DENSE next seq (the no-op
+      // consumed no seq number)
+      feed.addData((1L, 30L, Some(Cust("ann2", 1L))))
+      drain(q)
+      assert(rows().last ==
+        Change(1L, "u", Some(Cust("ann", 1L)), Some(Cust("ann2", 1L)), 1L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("pkJoin: an update to EITHER side revises the joined row; tombstone retracts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -256,6 +295,57 @@ class TableTableJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       custFeed.addData((11L, 4L, None))
       drain(q)
       assert(state() == Seq((10L, "ann", 2L, "GERMANY")))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
+  test("fkJoin: minors are PER MEMBER and rebase on a left-side change") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val custFeed = MemoryStream[(Long, Long, Option[Cust])]
+    val natFeed = MemoryStream[(Long, Long, Option[Nat])]
+    val out = TableTableJoin.fkJoin[Long, Long, Cust, Nat](
+      TableChangelog.of(custFeed.toDS()), _.nation, natFeed.toDS(), "inner")
+    val name = s"fkseq_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def seqsOf(k: Long) = spark.table(name)
+      .as[Change[Long, Joined[Cust, Nat]]].collect()
+      .filter(_.key == k).map(_.seq).sorted.toSeq
+    val M = 1L << 20
+    try {
+      natFeed.addData((1L, 1L, Some(Nat("FRANCE"))))
+      drain(q)
+      // both members join at their own stage-1 seq 0 (stage-1 seqs are
+      // per key): each add emits major 2·0+1, minor 0
+      custFeed.addData((10L, 1L, Some(Cust("ann", 1L))),
+        (11L, 2L, Some(Cust("bob", 1L))))
+      drain(q)
+      // one fan-out: EACH member spends its own minor 1 — a group-
+      // global counter would hand one of them minor 2
+      natFeed.addData((1L, 2L, Some(Nat("FR"))))
+      drain(q)
+      assert(seqsOf(10L) == Seq(1L * M, 1L * M + 1), seqsOf(10L).toString)
+      assert(seqsOf(11L) == Seq(1L * M, 1L * M + 1), seqsOf(11L).toString)
+      // ann's left-side update (same fk) advances her major to 2·1+1
+      // and REBASES her minor space to 0 — the budget is renewable,
+      // not a lifetime cap
+      custFeed.addData((10L, 3L, Some(Cust("ann2", 1L))))
+      drain(q)
+      assert(seqsOf(10L) == Seq(1L * M, 1L * M + 1, 3L * M))
+      // next fan-out: ann continues at her new major, bob at his old
+      natFeed.addData((1L, 3L, Some(Nat("F3"))))
+      drain(q)
+      assert(seqsOf(10L) == Seq(1L * M, 1L * M + 1, 3L * M, 3L * M + 1))
+      assert(seqsOf(11L) == Seq(1L * M, 1L * M + 1, 1L * M + 2))
+      // and reconstruction lands on the latest images
+      val st = TableChangelog.latestState(spark.table(name))
+        .selectExpr("key", "after.left.name", "after.right.nname")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+      assert(st == Seq((10L, "ann2", "F3"), (11L, "bob", "F3")))
     } finally {
       q.stop()
       spark.catalog.dropTempView(name)
