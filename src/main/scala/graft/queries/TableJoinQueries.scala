@@ -108,6 +108,37 @@ object TableJoinQueries {
       |           FROM events GROUP BY user_id) b
       |  ON a.o_custkey = b.user_id""".stripMargin
 
+  /** INNER pk table–table join — ksqlDB's default table-join flavor.
+    * Same two latest_by_offset tables as the left form; only keys
+    * present on BOTH sides survive. */
+  def tableTableInner(s: SparkSession, d: String): DataFrame = {
+    val a = Relational.latestByKey(Tables.orders(s, d),
+      col("o_custkey"), col("o_orderkey"),
+      "last_price" -> col("o_totalprice"),
+      "last_order_date" -> date_format(col("o_orderdate"), "yyyy-MM-dd"))
+    val b = Relational.latestByKey(Tables.events(s, d),
+      col("user_id"), col("event_id"),
+      "latest_type" -> col("event_type"),
+      "latest_value" -> col("value"))
+    a.join(b, col("o_custkey") === col("user_id"), "inner")
+      .select(col("o_custkey").as("cust_id"), col("last_price"),
+        col("last_order_date"), col("latest_type"), col("latest_value"))
+  }
+
+  val tableTableInnerSql: String =
+    """SELECT a.o_custkey AS cust_id, a.last_price, a.last_order_date,
+      |       b.latest_type, b.latest_value
+      |FROM (SELECT o_custkey,
+      |             arg_max(o_totalprice, o_orderkey) AS last_price,
+      |             arg_max(strftime(o_orderdate, '%Y-%m-%d'), o_orderkey)
+      |               AS last_order_date
+      |      FROM orders GROUP BY o_custkey) a
+      |JOIN (SELECT user_id,
+      |             arg_max(event_type, event_id) AS latest_type,
+      |             arg_max("value", event_id) AS latest_value
+      |      FROM events GROUP BY user_id) b
+      |  ON a.o_custkey = b.user_id""".stripMargin
+
   /** Foreign-key join of the customer table (fk c_nationkey) with the
     * nation table — the ksqlDB FK table join's batch snapshot. The
     * nation side broadcasts; the customer side never shuffles. */
@@ -122,6 +153,24 @@ object TableJoinQueries {
     """SELECT c_custkey AS cust_id, c_name AS cust_name,
       |       n_name AS nation_name
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+
+  /** LEFT foreign-key join — ksqlDB's other FK table-join flavor. The
+    * nation side is restricted to n_nationkey < 15 so customers of the
+    * other nations exercise the unmatched-left branch (member rows
+    * surface with a null nation). */
+  def tableFkLeft(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_nationkey") < 15)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .select(col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+        col("n_name").as("nation_name"))
+
+  val tableFkLeftSql: String =
+    """SELECT c_custkey AS cust_id, c_name AS cust_name,
+      |       n_name AS nation_name
+      |FROM customer c
+      |LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+      |  ON c.c_nationkey = n.n_nationkey""".stripMargin
 
   // ---- streaming inputs --------------------------------------------
 
@@ -193,6 +242,21 @@ object TableJoinQueries {
         col("after.right.latest_value").as("latest_value"))
   }
 
+  /** Streaming INNER pk join — same oracle as the batch inner form;
+    * a key's joined row exists only while both sides are present. */
+  def streamTableTableInner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = TableTableJoin.pkJoin(
+      ordersChangelog(s, d), eventsChangelog(s, d), "inner")
+    val t = StreamingQueries.runToTable(changes.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("cust_id"),
+        col("after.left.last_price").as("last_price"),
+        col("after.left.last_order_date").as("last_order_date"),
+        col("after.right.latest_type").as("latest_type"),
+        col("after.right.latest_value").as("latest_value"))
+  }
+
   /** Streaming FULL OUTER pk join — same restriction and oracle as
     * the batch twin; right-only and left-only keys must surface with
     * nulls on the absent side, and the table reconstructs from the
@@ -214,7 +278,17 @@ object TableJoinQueries {
     * (retraction-aware stage) routed by nation key into the join
     * state, composed in ONE query (both stateful operators run in
     * append mode). Inner join, same oracle as the batch form. */
-  def streamTableFkJoin(s: SparkSession, d: String): DataFrame = {
+  def streamTableFkJoin(s: SparkSession, d: String): DataFrame =
+    streamFk(s, d, "inner", natFilter = None)
+
+  /** Streaming LEFT fk join — nation side restricted as in the batch
+    * twin, so members of the filtered-out groups emit with a null
+    * right image (and would revise if their nation later arrived). */
+  def streamTableFkLeft(s: SparkSession, d: String): DataFrame =
+    streamFk(s, d, "left", natFilter = Some(col("n_nationkey") < 15))
+
+  private def streamFk(s: SparkSession, d: String, joinType: String,
+                       natFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     import s.implicits._
     val rawC = s.read.parquet(s"$d/customer.parquet").schema
     val custDs = s.readStream.schema(rawC).parquet(s"$d/{customer}.parquet")
@@ -224,14 +298,15 @@ object TableJoinQueries {
       .as[(Long, Long, CustInfo)]
       .map { case (k, off, v) => (k, off, Option(v)) }
     val rawN = s.read.parquet(s"$d/nation.parquet").schema
-    val natDs = s.readStream.schema(rawN).parquet(s"$d/{nation}.parquet")
+    val natRaw = s.readStream.schema(rawN).parquet(s"$d/{nation}.parquet")
+    val natDs = natFilter.fold(natRaw)(natRaw.filter)
       .select(col("n_nationkey").cast("long"),
         col("n_nationkey").cast("long").as("off"),
         struct(col("n_name").as("nation_name")).as("v"))
       .as[(Long, Long, NatInfo)]
       .map { case (k, off, v) => (k, off, Option(v)) }
     val joined = TableTableJoin.fkJoin[Long, Long, CustInfo, NatInfo](
-      TableChangelog.of(custDs), _.nation_key, natDs, "inner")
+      TableChangelog.of(custDs), _.nation_key, natDs, joinType)
     val t = StreamingQueries.runToTable(joined.toDF(), "append")
     TableChangelog.latestState(t)
       .select(col("key").as("cust_id"),
@@ -241,19 +316,27 @@ object TableJoinQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_table_table_join" -> tableTableJoin _,
+    "q_table_table_inner" -> tableTableInner _,
     "q_table_table_full" -> tableTableFull _,
     "q_table_fk_join" -> tableFkJoin _,
+    "q_table_fk_left" -> tableFkLeft _,
     "stream_table_changelog" -> streamTableChangelog _,
     "stream_table_table_join" -> streamTableTableJoin _,
+    "stream_table_table_inner" -> streamTableTableInner _,
     "stream_table_table_full" -> streamTableTableFull _,
-    "stream_table_fk_join" -> streamTableFkJoin _)
+    "stream_table_fk_join" -> streamTableFkJoin _,
+    "stream_table_fk_left" -> streamTableFkLeft _)
 
   def oracles: Map[String, String] = Map(
     "q_table_table_join" -> tableTableJoinSql,
+    "q_table_table_inner" -> tableTableInnerSql,
     "q_table_table_full" -> tableTableFullSql,
     "q_table_fk_join" -> tableFkJoinSql,
+    "q_table_fk_left" -> tableFkLeftSql,
     "stream_table_changelog" -> streamTableChangelogSql,
     "stream_table_table_join" -> tableTableJoinSql,
+    "stream_table_table_inner" -> tableTableInnerSql,
     "stream_table_table_full" -> tableTableFullSql,
-    "stream_table_fk_join" -> tableFkJoinSql)
+    "stream_table_fk_join" -> tableFkJoinSql,
+    "stream_table_fk_left" -> tableFkLeftSql)
 }
