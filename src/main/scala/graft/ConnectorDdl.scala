@@ -649,6 +649,23 @@ object ConnectorDdl {
     out.toString
   }
 
+  /** ksql function names whose Spark builtin namesake has DIFFERENT
+    * semantics (ksql MASK masks non-alphanumerics to '-'; ksql SPLIT
+    * takes a literal delimiter, Spark a regex; ksql REGEXP_EXTRACT
+    * puts the pattern first): map them to the `ksql_`-prefixed compat
+    * registrations ([[graft.functions.KsqlCompat]]) so ksql
+    * statements run verbatim through [[GraftSql.sql]]. Guarded by
+    * [[outsideLiterals]]; `MASK_KEEP_LEFT` & co don't match (the
+    * rewrite requires `(` right after the bare name). */
+  private[graft] def rewriteKsqlFunctionNames(statement: String): String =
+    outsideLiterals(statement) { seg =>
+      """(?i)\bREGEXP_EXTRACT\s*\(""".r.replaceAllIn(
+        """(?i)\bSPLIT\s*\(""".r.replaceAllIn(
+          """(?i)\bMASK\s*\(""".r.replaceAllIn(seg, "ksql_mask("),
+          "ksql_split("),
+        "ksql_regexp_extract(")
+    }
+
   /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
     * ROWTIME resolves case-insensitively against the propagated
     * `rowtime` column and needs no rewrite): map them onto the change
@@ -906,7 +923,8 @@ object ConnectorDdl {
         // select shape the heuristic mis-judges (e.g. aggregate-only
         // without GROUP BY) falls back to the untouched statement
         val plain = rewriteWindowClause(spark,
-          rewriteLatestByOffset(rewritePseudoColumns(selectBody)))
+          rewriteLatestByOffset(rewritePseudoColumns(
+            rewriteKsqlFunctionNames(selectBody))))
         val noProp = rewriteWithin(spark, plain)
         val withProp = rewriteWithin(spark, propagateRowtime(spark, plain))
         val (df0, chosenSql) =

@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(className, name),
         builder))
     }
+    // ksql compat pack rides the same session-wide injection: the
+    // builders expand to builtin-expression trees, so the "class" is
+    // the shared compat object, not a dedicated Expression subclass
+    graft.functions.KsqlCompat.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(graft.functions.KsqlCompat.getClass.getName, name),
+        builder))
+    }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

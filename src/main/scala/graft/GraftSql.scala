@@ -36,7 +36,13 @@ object GraftSql {
     * is plain Spark SQL. */
   def sql(spark: SparkSession, statement: String): DataFrame =
     if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
-    else spark.sql(statement)
+    else
+      // this entry point speaks the ksql DIALECT: the three ksql
+      // function names whose Spark namesake differs are mapped to the
+      // compat registrations (MASK/SPLIT/REGEXP_EXTRACT →
+      // ksql_mask/ksql_split/ksql_regexp_extract, outside literals).
+      // Spark-native spellings remain reachable via spark.sql directly.
+      spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
 
   /** Temp views only (natives may already come from the extension). */
   def initViews(spark: SparkSession, sfDir: String): Unit = {
@@ -67,8 +73,20 @@ object GraftSql {
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // ksqlDB builtin-function compatibility pack (builtin-expression
+    // compositions — stays codegen'd; see KsqlCompat for the three
+    // ksql_-prefixed divergent-semantics names)
+    graft.functions.KsqlCompat.builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     spark.udf.register("latest_by_offset",
       udaf(new graft.functions.LatestByOffsetAgg))
+    spark.udf.register("earliest_by_offset",
+      udaf(new graft.functions.LatestByOffsetAgg(earliest = true)))
+    // ksql HISTOGRAM: map value→count, 1000-key cap as in ksqlDB
+    spark.udf.register("histogram",
+      udaf(new graft.functions.HistogramAgg))
     spark.udf.register("topk_by_score_3",
       udaf(new graft.functions.TopKByScore(3)))
     // the k-bounded 2-arg family, k in the name per the same policy —

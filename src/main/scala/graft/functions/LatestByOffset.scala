@@ -23,16 +23,23 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class OffsetValue(offset: Long, value: String)
 
-class LatestByOffsetAgg extends Aggregator[OffsetValue, OffsetValue, String] {
-  private def pick(x: OffsetValue, y: OffsetValue): OffsetValue =
-    if (x.offset > y.offset) x
-    else if (y.offset > x.offset) y
+class LatestByOffsetAgg(earliest: Boolean = false)
+    extends Aggregator[OffsetValue, OffsetValue, String] {
+  private def pick(x: OffsetValue, y: OffsetValue): OffsetValue = {
+    // sentinel (zero) always loses, regardless of direction
+    if (x.value == null && x.offset == zero.offset) return y
+    if (y.value == null && y.offset == zero.offset) return x
+    val wins = if (earliest) x.offset < y.offset else x.offset > y.offset
+    if (wins) x
+    else if (x.offset != y.offset) y
     else if (x.value == null) y
     else if (y.value == null) x
     else if (x.value.compareTo(y.value) >= 0) x
     else y
+  }
 
-  override def zero: OffsetValue = OffsetValue(Long.MinValue, null)
+  override def zero: OffsetValue =
+    OffsetValue(if (earliest) Long.MaxValue else Long.MinValue, null)
   override def reduce(b: OffsetValue, a: OffsetValue): OffsetValue = pick(b, a)
   override def merge(x: OffsetValue, y: OffsetValue): OffsetValue = pick(x, y)
   override def finish(r: OffsetValue): String = r.value

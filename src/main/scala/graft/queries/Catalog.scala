@@ -11,7 +11,7 @@ object Catalog {
       BatchSqlQueries3.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
-      TableJoinQueries.defs
+      TableJoinQueries.defs ++ KsqlFunctionQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -20,5 +20,5 @@ object Catalog {
       TextQueries.oracles ++ MultimodalQueries.oracles ++
       StreamingQueries.oracles ++ SourceQueries.oracles ++
       CleaningQueries.oracles ++ CurationQueries.oracles ++
-      TableJoinQueries.oracles
+      TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.GraftSql
+
+/** The ksqlDB builtin-function compatibility pack
+  * ([[graft.functions.KsqlCompat]]) exercised END-TO-END through
+  * [[GraftSql.sql]] with the ksql spellings — including the three
+  * divergent names (`MASK`, `SPLIT`, `REGEXP_EXTRACT`) that the
+  * dialect rewrite maps onto the `ksql_`-prefixed registrations —
+  * each query hash-verified against a DuckDB oracle that spells the
+  * same semantics natively.
+  *
+  * Determinism notes: integer-ish outputs are BIGINT on both engines;
+  * `geo_distance` (libm trig on both sides) is rounded to integer
+  * meters so a last-ulp difference can't flip the hash; `topk` inputs
+  * go through the exact cents grid.
+  */
+object KsqlFunctionQueries {
+
+  private def run(s: SparkSession, d: String, statement: String): DataFrame = {
+    GraftSql.init(s, d)
+    GraftSql.sql(s, statement)
+  }
+
+  /** Masking family, literal-delimiter SPLIT, ksql-arg-order
+    * REGEXP_EXTRACT, FIELD, ARRAY_LENGTH, GENERATE_SERIES, and
+    * GEO_DISTANCE over the documents table. */
+  def ksqlScalarFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  MASK(source) AS masked_source,
+        |  MASK_KEEP_LEFT(source, 2) AS mask_kl,
+        |  MASK_KEEP_RIGHT(source, 2) AS mask_kr,
+        |  MASK_LEFT(lang, 1) AS mask_l,
+        |  MASK_RIGHT(source, 3) AS mask_r,
+        |  CAST(ARRAY_LENGTH(SPLIT(text, ' ')) AS BIGINT) AS n_space_tokens,
+        |  REGEXP_EXTRACT('([a-z]+)', source, 1) AS src_word,
+        |  CAST(FIELD(lang, 'en', 'de', 'fr') AS BIGINT) AS lang_field,
+        |  CAST(ARRAY_LENGTH(GENERATE_SERIES(1, CAST(doc_id % 5 AS INT) + 1))
+        |    AS BIGINT) AS series_len,
+        |  CAST(ROUND(GEO_DISTANCE(CAST(doc_id % 80 AS DOUBLE), 10.0,
+        |                          40.0, -73.0) * 1000) AS BIGINT) AS geo_m
+        |FROM documents""".stripMargin)
+
+  val ksqlScalarFuncsSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    source, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |    '[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g') AS masked_source,
+      |  substr(source, 1, 2) ||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      substr(source, 3), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |      '[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g') AS mask_kl,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      substr(source, 1, greatest(length(source) - 2, 0)),
+      |      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |      '[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g') ||
+      |    substr(source, greatest(length(source) - 2, 0) + 1) AS mask_kr,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      substr(lang, 1, 1), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |      '[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g') ||
+      |    substr(lang, 2) AS mask_l,
+      |  substr(source, 1, greatest(length(source) - 3, 0)) ||
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      substr(source, greatest(length(source) - 3, 0) + 1),
+      |      '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+      |      '[0-9]', 'n', 'g'), '[^Xxn]', '-', 'g') AS mask_r,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_space_tokens,
+      |  regexp_extract(source, '([a-z]+)', 1) AS src_word,
+      |  CAST(CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2 WHEN 'fr' THEN 3
+      |       ELSE 0 END AS BIGINT) AS lang_field,
+      |  CAST(doc_id % 5 + 1 AS BIGINT) AS series_len,
+      |  CAST(ROUND(2 * 6371 * asin(sqrt(
+      |    pow(sin(radians(40.0 - doc_id % 80) / 2), 2) +
+      |    cos(radians(doc_id % 80)) * cos(radians(40.0)) *
+      |    pow(sin(radians(-73.0 - 10.0) / 2), 2))) * 1000) AS BIGINT)
+      |    AS geo_m
+      |FROM documents""".stripMargin
+
+  /** EXTRACTJSONFIELD over the events props column, the BIGINT-millis
+    * time API (TIMESTAMPTOSTRING/STRINGTOTIMESTAMP), and the URL
+    * extraction family over a row-derived URL. */
+  def ksqlTimeJsonUrl(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_id,
+        |  EXTRACTJSONFIELD(props, '$.k') AS k_val,
+        |  TIMESTAMPTOSTRING(UNIX_MILLIS(ts), 'yyyy-MM-dd HH:mm:ss') AS ts_str,
+        |  STRINGTOTIMESTAMP(
+        |    TIMESTAMPTOSTRING(UNIX_MILLIS(ts), 'yyyy-MM-dd HH:mm:ss'),
+        |    'yyyy-MM-dd HH:mm:ss') AS ts_ms,
+        |  URL_EXTRACT_HOST(u) AS url_host,
+        |  URL_EXTRACT_PATH(u) AS url_path,
+        |  CAST(URL_EXTRACT_PORT(u) AS BIGINT) AS url_port,
+        |  URL_EXTRACT_QUERY(u) AS url_query,
+        |  URL_EXTRACT_PROTOCOL(u) AS url_proto
+        |FROM (SELECT *,
+        |        CONCAT('https://', event_type, '.example.com:8',
+        |               CAST(user_id % 10 AS STRING), '80/u/',
+        |               CAST(user_id AS STRING), '?k=',
+        |               EXTRACTJSONFIELD(props, '$.k')) AS u
+        |      FROM events)""".stripMargin)
+
+  val ksqlTimeJsonUrlSql: String =
+    """WITH e AS (
+      |  SELECT *,
+      |    'https://' || event_type || '.example.com:8' ||
+      |      CAST(user_id % 10 AS VARCHAR) || '80/u/' ||
+      |      CAST(user_id AS VARCHAR) || '?k=' ||
+      |      json_extract_string(props, '$.k') AS u
+      |  FROM events)
+      |SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_val,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |  epoch_ms(date_trunc('second', ts)) AS ts_ms,
+      |  regexp_extract(u, '^https://([^/:]+)', 1) AS url_host,
+      |  regexp_extract(u, '^https://[^/]+(/[^?#]*)', 1) AS url_path,
+      |  CAST(regexp_extract(u, ':(\d+)/', 1) AS BIGINT) AS url_port,
+      |  regexp_extract(u, '\?(.*)$', 1) AS url_query,
+      |  'https' AS url_proto
+      |FROM e""".stripMargin
+
+  /** ksql aggregates: COUNT_DISTINCT, TOPK, TOPKDISTINCT (builtin
+    * compositions), HISTOGRAM (typed Aggregator, 1000-key cap) and the
+    * 1-arg EARLIEST_BY_OFFSET UDAF, grouped by event_type. */
+  def ksqlAggFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_type,
+        |  CAST(COUNT_DISTINCT(user_id) AS BIGINT) AS n_users,
+        |  TOPK(CAST(ROUND(value * 100) AS BIGINT), 3) AS top_cents,
+        |  TOPKDISTINCT(user_id, 5) AS top_users,
+        |  CAST(CARDINALITY(HISTOGRAM(CAST(user_id % 7 AS STRING)))
+        |    AS BIGINT) AS hist_size,
+        |  COALESCE(ELEMENT_AT(HISTOGRAM(CAST(user_id % 7 AS STRING)), '3'),
+        |    CAST(0 AS BIGINT)) AS hist_3,
+        |  EARLIEST_BY_OFFSET(event_id, CAST(user_id AS STRING)) AS first_user
+        |FROM events
+        |GROUP BY event_type""".stripMargin)
+
+  val ksqlAggFuncsSql: String =
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users,
+      |  list_slice(list_sort(list(CAST(round(value * 100) AS BIGINT)),
+      |    'DESC'), 1, 3) AS top_cents,
+      |  list_slice(list_sort(list(DISTINCT user_id), 'DESC'), 1, 5)
+      |    AS top_users,
+      |  count(DISTINCT user_id % 7) AS hist_size,
+      |  CAST(count(*) FILTER (user_id % 7 = 3) AS BIGINT) AS hist_3,
+      |  arg_min(CAST(user_id AS VARCHAR), event_id) AS first_user
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
+    "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
+    "q_ksql_agg_funcs" -> ksqlAggFuncs _)
+
+  def oracles: Map[String, String] = Map(
+    "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
+    "q_ksql_time_json_url" -> ksqlTimeJsonUrlSql,
+    "q_ksql_agg_funcs" -> ksqlAggFuncsSql)
+}

@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftExtensions, GraftSql}
+
+/** ksqlDB builtin-function compatibility pack
+  * ([[KsqlCompat]]): semantics of each mapping, the ksql-dialect
+  * rewrite of the three divergent names (MASK/SPLIT/REGEXP_EXTRACT),
+  * and the aggregates (HISTOGRAM cap, EARLIEST_BY_OFFSET, TOPK).
+  * The session is built WITH the extension, so the scalar pack is
+  * exercised through the cluster-deployment injection path. */
+class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ksql-compat")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def beforeAll(): Unit = {
+    GraftSql.registerFunctions(spark) // the UDAF aggregates are per-session
+    ()
+  }
+  override def afterAll(): Unit = spark.stop()
+
+  private def one(sql: String): Row = spark.sql(sql).collect().head
+  private def oneKsql(sql: String): Row =
+    GraftSql.sql(spark, sql).collect().head
+
+  // ---- masking ----
+
+  test("ksql_mask masks non-alphanumerics to '-' (vs Spark's keep)") {
+    assert(one("SELECT ksql_mask('Ab1-x_9Z')").getString(0) == "Xxn-x-nX")
+    // Spark's own mask keeps the others — proves the default differs
+    assert(one("SELECT mask('Ab1-x_9Z')").getString(0) == "Xxn-x_nX")
+    // explicit mask chars pass through with identical semantics
+    assert(one("SELECT ksql_mask('Ab1-x', '*', '*', '#', NULL)")
+      .getString(0) == "**#-*")
+  }
+
+  test("mask partials: keep/mask left/right, n beyond length, empty") {
+    assert(one("SELECT mask_keep_left('Abc123', 2)").getString(0) == "Abxnnn")
+    assert(one("SELECT mask_keep_right('Abc123', 2)").getString(0) == "Xxxn23")
+    assert(one("SELECT mask_left('Abc123', 2)").getString(0) == "Xxc123")
+    assert(one("SELECT mask_right('Abc123', 2)").getString(0) == "Abc1nn")
+    assert(one("SELECT mask_keep_left('Ab', 5)").getString(0) == "Ab")
+    assert(one("SELECT mask_right('Ab', 5)").getString(0) == "Xx")
+    assert(one("SELECT mask_keep_left('', 3)").getString(0) == "")
+  }
+
+  // ---- strings ----
+
+  test("ksql_split is literal, not regex") {
+    assert(one("SELECT ksql_split('a.b.c', '.')").getSeq[String](0)
+      == Seq("a", "b", "c"))
+    assert(one("SELECT ksql_split('a||b', '||')").getSeq[String](0)
+      == Seq("a", "b"))
+    // trailing empty fields are kept (limit -1)
+    assert(one("SELECT ksql_split('x,,', ',')").getSeq[String](0)
+      == Seq("x", "", ""))
+  }
+
+  test("ksql_regexp_extract: pattern-first order, group defaults to 0") {
+    assert(one("SELECT ksql_regexp_extract('(\\\\d+)', 'ab123cd')")
+      .getString(0) == "123")
+    assert(one("SELECT ksql_regexp_extract('([a-z]+)(\\\\d+)', 'ab123', 2)")
+      .getString(0) == "123")
+  }
+
+  // ---- json / arrays ----
+
+  test("extractjsonfield and json_keys") {
+    assert(one("""SELECT extractjsonfield('{"k": 69, "s": "x"}', '$.k')""")
+      .getString(0) == "69")
+    assert(one("""SELECT json_keys('{"b": 1, "a": 2}')""").getSeq[String](0)
+      == Seq("b", "a"))
+  }
+
+  test("array_length, entries(sorted), generate_series, field") {
+    assert(one("SELECT array_length(array(1, 2, 3))").getInt(0) == 3)
+    assert(one("SELECT array_length(cast(null as array<int>))").isNullAt(0))
+    val ent = one(
+      "SELECT entries(map('b', 2, 'a', 1), true)").getSeq[Row](0)
+    assert(ent.map(r => (r.getString(0), r.getInt(1))) == Seq("a" -> 1, "b" -> 2))
+    assert(one("SELECT generate_series(2, 8, 3)").getSeq[Int](0) == Seq(2, 5, 8))
+    assert(one("SELECT field('de', 'en', 'de', 'fr')").getInt(0) == 2)
+    assert(one("SELECT field('xx', 'en', 'de')").getInt(0) == 0)
+    assert(one("SELECT field(cast(null as string), 'en')").getInt(0) == 0)
+  }
+
+  // ---- time ----
+
+  test("stringtotimestamp/timestamptostring round-trip in millis") {
+    val ms = one("SELECT stringtotimestamp('2020-03-04 05:06:07', " +
+      "'yyyy-MM-dd HH:mm:ss')").getLong(0)
+    assert(ms == 1583298367000L)
+    assert(one(s"SELECT timestamptostring($ms, 'yyyy-MM-dd HH:mm:ss')")
+      .getString(0) == "2020-03-04 05:06:07")
+    assert(one("SELECT datetostring(stringtodate('20200304', 'yyyyMMdd'), " +
+      "'yyyy-MM-dd')").getString(0) == "2020-03-04")
+  }
+
+  // ---- url ----
+
+  test("url extraction family incl. port and no-port null") {
+    val u = "'https://ex.com:8080/p/q?x=1&y=2#frag'"
+    assert(one(s"SELECT url_extract_host($u)").getString(0) == "ex.com")
+    assert(one(s"SELECT url_extract_path($u)").getString(0) == "/p/q")
+    assert(one(s"SELECT url_extract_port($u)").getInt(0) == 8080)
+    assert(one(s"SELECT url_extract_query($u)").getString(0) == "x=1&y=2")
+    assert(one(s"SELECT url_extract_fragment($u)").getString(0) == "frag")
+    assert(one(s"SELECT url_extract_protocol($u)").getString(0) == "https")
+    assert(one("SELECT url_extract_port('https://ex.com/p')").isNullAt(0))
+    assert(one("SELECT url_decode_param(url_encode_param('a b&c'))")
+      .getString(0) == "a b&c")
+  }
+
+  // ---- geo ----
+
+  test("geo_distance: KM default, MILES ratio, zero distance") {
+    val km = one("SELECT geo_distance(40.7, -74.0, 51.5, -0.1)").getDouble(0)
+    assert(km > 5560 && km < 5580, s"NY-London ~5570 km, got $km")
+    val mi = one("SELECT geo_distance(40.7, -74.0, 51.5, -0.1, 'MILES')")
+      .getDouble(0)
+    assert(math.abs(mi / km - 3959.0 / 6371.0) < 1e-9)
+    assert(one("SELECT geo_distance(10.0, 20.0, 10.0, 20.0)")
+      .getDouble(0) == 0.0)
+    val err = intercept[IllegalArgumentException] {
+      spark.sql("SELECT geo_distance(1.0, 2.0, 3.0, 4.0, 'FURLONGS')")
+        .collect()
+    }
+    assert(err.getMessage.contains("KM"))
+  }
+
+  // ---- aggregates ----
+
+  test("count_distinct, topk, topkdistinct compose builtin aggregates") {
+    import spark.implicits._
+    Seq(1, 5, 5, 2, 9, 9, 9).toDF("x").createOrReplaceTempView("t_agg")
+    val r = one("SELECT count_distinct(x), topk(x, 3), topkdistinct(x, 2) " +
+      "FROM t_agg")
+    assert(r.getLong(0) == 4L)
+    assert(r.getSeq[Int](1) == Seq(9, 9, 9))
+    assert(r.getSeq[Int](2) == Seq(9, 5))
+  }
+
+  test("histogram counts values, ignores nulls, caps distinct keys") {
+    import spark.implicits._
+    Seq("a", "b", "a", null, "a").toDF("v").createOrReplaceTempView("t_h")
+    val m = one("SELECT histogram(v) FROM t_h").getMap[String, Long](0)
+    assert(m == Map("a" -> 3L, "b" -> 1L))
+    // cap: 1500 distinct keys in ONE partition (deterministic order) →
+    // exactly the first 1000 tracked
+    (0 until 1500).map(i => f"k$i%04d").toDF("v").coalesce(1)
+      .createOrReplaceTempView("t_cap")
+    val capped = one("SELECT cardinality(histogram(v)) FROM t_cap").getInt(0)
+    assert(capped == HistogramAgg.Cap)
+  }
+
+  test("earliest_by_offset UDAF mirrors latest with min-offset pick") {
+    import spark.implicits._
+    Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("off", "v")
+      .createOrReplaceTempView("t_eo")
+    val r = one("SELECT earliest_by_offset(off, v), " +
+      "latest_by_offset(off, v) FROM t_eo")
+    assert(r.getString(0) == "a" && r.getString(1) == "c")
+  }
+
+  // ---- the ksql dialect rewrite ----
+
+  test("GraftSql.sql runs bare ksql spellings of the divergent names") {
+    assert(oneKsql("SELECT MASK('Ab1-x_9Z') AS m").getString(0) == "Xxn-x-nX")
+    assert(oneKsql("SELECT SPLIT('a.b.c', '.') AS s").getSeq[String](0)
+      == Seq("a", "b", "c"))
+    assert(oneKsql("SELECT REGEXP_EXTRACT('(\\\\d+)', 'ab123cd') AS r")
+      .getString(0) == "123")
+  }
+
+  test("dialect rewrite leaves literals, prefixed and partial names alone") {
+    // inside a string literal: untouched
+    assert(oneKsql("SELECT 'MASK(x)' AS s").getString(0) == "MASK(x)")
+    // already-prefixed name: not double-rewritten
+    assert(oneKsql("SELECT ksql_mask('Ab') AS m").getString(0) == "Xx")
+    // MASK_KEEP_LEFT must not become ksql_mask_KEEP_LEFT
+    assert(oneKsql("SELECT MASK_KEEP_LEFT('Abc123', 2) AS m")
+      .getString(0) == "Abxnnn")
+  }
+}
