@@ -65,6 +65,32 @@ object GraftNativeFunctions {
     }
 
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    // Spark's runtime-filter bloom expressions, made SQL/DSL-reachable:
+    // the engine's scan-pruning primitive for "is this key possibly in
+    // that (much larger than broadcast-join-able, much smaller than
+    // shuffle-everything) set" — e.g. benchmark-contamination checks.
+    // Inputs are xxhash64 longs, as in Spark's own InjectRuntimeFilter.
+    ("bloom_filter_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      exprs => {
+        arity("bloom_filter_agg",
+          "bloom_filter_agg(xxhash64_col[, est_items[, num_bits]])",
+          exprs, 1, 3)
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        exprs match {
+          case Seq(c) => new BloomFilterAggregate(c)
+          case Seq(c, n) => new BloomFilterAggregate(c, n)
+          case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+        }
+      }),
+    ("might_contain",
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      exprs => {
+        arity("might_contain", "might_contain(bloom, xxhash64_value)",
+          exprs, 2, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))
+      }),
     ("cosine_sim", classOf[CosineSimilarity].getName,
       exprs => {
         arity("cosine_sim", "cosine_sim(vec1, vec2)", exprs, 2, 2)

@@ -130,6 +130,39 @@ object CurationQueries {
       |FROM train t JOIN bench b ON t.sh = b.sh
       |GROUP BY t.doc_id""".stripMargin
 
+  /** [[decontaminate]] with the 100 TB scan-pruning shape: a bloom
+    * filter over the BENCHMARK shingle hashes (built by ONE small agg,
+    * delivered to every task as a scalar-subquery literal) prunes the
+    * training side BEFORE the equi-join, so the shuffle carries only
+    * probable hits instead of every training shingle. The exact
+    * confirm join then removes bloom false positives — which is why
+    * this query shares [[decontaminateSql]] verbatim: the bloom is a
+    * pure pre-filter with no effect on the answer. At 100 TB the
+    * benchmark set is millions of shingles — far too big to
+    * broadcast-join cheaply as rows, a few MB as a bloom — and the
+    * training side is the full corpus, so the pruned shuffle is the
+    * difference between moving terabytes and moving megabytes.
+    * Sizing below is fixed for the test corpus; production derives
+    * est_items from the benchmark count. */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", 5)
+    graft.GraftSql.registerFunctions(s)
+    sh.filter(col("doc_id") % 20 === 0).createOrReplaceTempView("__bench_sh")
+    sh.filter(col("doc_id") % 20 =!= 0).createOrReplaceTempView("__train_sh")
+    s.sql(
+      """SELECT t.doc_id,
+        |  CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared_shingles,
+        |  CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+        |FROM (SELECT * FROM __train_sh
+        |      WHERE might_contain(
+        |        (SELECT bloom_filter_agg(xxhash64(sh), 100000L, 800000L)
+        |         FROM __bench_sh),
+        |        xxhash64(sh))) t
+        |JOIN __bench_sh b ON t.sh = b.sh
+        |GROUP BY t.doc_id""".stripMargin)
+  }
+
   /** Tokens per training shard for [[packShards]] (package-visible so
     * tests assert the exact-budget invariant against THE constant). */
   private[graft] val ShardTokens = 8192L
@@ -840,6 +873,7 @@ object CurationQueries {
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
+    "curate_decontam_bloom" -> decontamBloom _,
     "curate_pack_shards" -> packShards _,
     "curate_mix_sources" -> mixSources _,
     "curate_train_order" -> trainOrder _,
@@ -859,6 +893,7 @@ object CurationQueries {
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
+    "curate_decontam_bloom" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
     "curate_mix_sources" -> mixSourcesSql,
     "curate_train_order" -> trainOrderSql,

@@ -804,6 +804,13 @@ object StreamingQueries {
     // batches staged since the last re-pack — the drain-time publish
     // runs only when the cadence left staged work unpublished
     @volatile var dirty = false
+    // cadence counts batches that actually STAGED documents, not
+    // micro-batch ids: with a watermark in the plan Spark may run
+    // no-data micro-batches (watermark-advance/eviction passes), and
+    // an empty batch must neither dirty the staging set nor burn a
+    // cadence slot — otherwise pack timing depends on trigger timing,
+    // not on the data
+    @volatile var stagedBatches = 0
     // the O(staged) half: full re-election + re-pack over everything
     // staged so far, published as one atomic-ish overwrite
     def repack(): Unit = {
@@ -834,9 +841,12 @@ object StreamingQueries {
             // replay-idempotence bar KeyedParquetSink holds via its
             // manifest. The extra discovered `batch` partition column
             // is never selected in the re-pack.
-            b.write.mode("overwrite").parquet(s"$staging/batch=$id")
-            dirty = true
-            if ((id + 1) % repackEvery == 0) repack()
+            if (!b.isEmpty) {
+              b.write.mode("overwrite").parquet(s"$staging/batch=$id")
+              dirty = true
+              stagedBatches += 1
+              if (stagedBatches % repackEvery == 0) repack()
+            }
             ()
           }
           .start()
