@@ -152,6 +152,9 @@ object ConnectorDdl {
   private class SessionDdl {
     val connectors = new ConcurrentHashMap[String, ConnectorSpec]()
     val viewKinds = new ConcurrentHashMap[String, String]()
+    // the (rewritten) SELECT each CSAS/CTAS view was planned from —
+    // what ksql EXPLAIN <name> reports as the statement text
+    val viewSql = new ConcurrentHashMap[String, String]()
   }
 
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
@@ -166,6 +169,7 @@ object ConnectorDdl {
 
   private def catalog(spark: SparkSession) = state(spark).connectors
   private def kinds(spark: SparkSession) = state(spark).viewKinds
+  private def stmts(spark: SparkSession) = state(spark).viewSql
 
   def connector(spark: SparkSession, name: String): Option[ConnectorSpec] =
     Option(catalog(spark).get(name.toLowerCase))
@@ -219,6 +223,13 @@ object ConnectorDdl {
       """(?:LIMIT\s+(\d+)\s*)?;?\s*""").r
   private val terminateRe =
     """(?is)\s*TERMINATE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
+  // ksql `EXPLAIN <name>` (a registered stream/table: statement text +
+  // Spark's formatted plan) or `EXPLAIN <select>` (the select, run
+  // through the same ksql rewrites, explained). Spark's own EXPLAIN
+  // variants (EXTENDED/CODEGEN/COST/FORMATTED/ANALYZE ...) do NOT
+  // match and stay Spark-native.
+  private val explainRe =
+    """(?is)\s*EXPLAIN\s+(?!EXTENDED\b|CODEGEN\b|COST\b|FORMATTED\b|ANALYZE\b)(.+?)\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
   // the WITH block reuses propRe's quoted-value grammar so a ')'
@@ -748,7 +759,7 @@ object ConnectorDdl {
     case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
-       | printRe(_*) => true
+       | printRe(_*) | explainRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -837,6 +848,29 @@ object ConnectorDdl {
         matched.map(q => (q.id.toString, Option(q.name).getOrElse(""),
             "TERMINATED"))
           .toDF("query_id", "name", "status")
+      case explainRe(body) =>
+        // ksql EXPLAIN: for a registered stream/table, the recorded
+        // statement text plus Spark's formatted plan of the view; for
+        // a SELECT, the statement run through the same ksql rewrites
+        // and explained. One row, ksql-style columns.
+        import org.apache.spark.sql.execution.FormattedMode
+        val target = body.trim.stripSuffix(";").trim
+        val bare = target.stripPrefix("`").stripSuffix("`")
+        if (kinds(spark).containsKey(bare.toLowerCase) &&
+            spark.catalog.tableExists(bare)) {
+          val name = bare.toLowerCase
+          Seq((name, kinds(spark).get(name),
+              Option(stmts(spark).get(name)).getOrElse(""),
+              spark.table(bare).queryExecution.explainString(FormattedMode)))
+            .toDF("name", "kind", "statement", "plan")
+        } else {
+          val rewritten = rewriteWithin(spark, rewriteWindowClause(spark,
+            rewriteLatestByOffset(rewritePseudoColumns(
+              rewriteKsqlFunctionNames(target)))))
+          Seq(("", "QUERY", rewritten,
+              spark.sql(rewritten).queryExecution.explainString(FormattedMode)))
+            .toDF("name", "kind", "statement", "plan")
+        }
       case streamDefRe(_, name, schemaList, body) =>
         // bare stream definition over a topic (reference README.md:
         // 396-427). The topic's final dotted segment names the backing
@@ -960,6 +994,7 @@ object ConnectorDdl {
         }
         df.createOrReplaceTempView(name)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
+        stmts(spark).put(name.toLowerCase, chosenSql)
         val shownProps = props ++ rekey.map(k =>
           "key" -> k.substring(k.lastIndexOf('.') + 1))
         Seq((name.toLowerCase, kindStr.toUpperCase,

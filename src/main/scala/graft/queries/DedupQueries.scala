@@ -137,8 +137,37 @@ object DedupQueries {
     } finally { mh.unpersist(blocking = false); () }
   }
 
-  val minhashLshSql: String =
-    """WITH tok AS (
+  /** The (doc_id, band, sig) band relation over ANY (doc_id, text)
+    * relation — batch or STREAMING (narrow single-pass spelling:
+    * signatures via the array_min slices, bands via one explode — no
+    * persist, no multi-projection, so it plans on an unbounded
+    * source). The batch LSH join above keeps its persisted
+    * multi-projection variant (4 projections of one cached signature
+    * relation beat re-exploding for a two-sided join); this feeds the
+    * streaming first-wins registry and spec cross-checks. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val seeds = 0 until 8
+    docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSlices(s, col("__toks")).as("__mh"))
+      .select(col("doc_id") +: seeds.map(i =>
+        element_at(col("__mh"), i + 1).as(s"h$i")): _*)
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+              .as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** The MinHash band relation (doc_id, band, sig) as a DuckDB CTE
+    * chain — the shared spelling between [[minhashLshSql]] and the
+    * streaming near-dup oracle
+    * ([[StreamingQueries.streamNeardupSql]]). */
+  private[queries] val bandsCteSql: String =
+    """tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') words FROM documents),
       |sharr AS (
       |  SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-4, 1)),
@@ -160,7 +189,10 @@ object DedupQueries {
       |  SELECT doc_id, 0 band, h0 || ',' || h1 sig FROM mh
       |  UNION ALL SELECT doc_id, 1, h2 || ',' || h3 FROM mh
       |  UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM mh
-      |  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM mh)
+      |  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM mh)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $bandsCteSql
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM bands a
       |JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin

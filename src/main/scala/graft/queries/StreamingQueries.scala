@@ -232,6 +232,73 @@ object StreamingQueries {
       |       COUNT(*) AS n
       |FROM y GROUP BY user_id, sid""".stripMargin
 
+  /** Streaming NEAR-duplicate detection — the minhash-LSH family's
+    * streaming member. Band signatures (the same 8-hash 4×2 banding as
+    * [[DedupQueries.minhashLsh]]) are a narrow per-row projection on
+    * the stream; then ONE stateful operator keyed by (band, sig) holds
+    * as its ENTIRE state the smallest doc_id seen for that bucket —
+    * the first-wins signature registry a production streaming
+    * near-dedup keeps. A band row is flagged iff an earlier document
+    * already owns its bucket; the read side counts flagged bands per
+    * document.
+    *
+    * Scale shape: state is ONE long per distinct (band, sig) bucket
+    * (RocksDB-backed, bounded by distinct signatures, not corpus
+    * rows); no joins, no all-pairs, no shuffle beyond the single keyed
+    * exchange — the streaming analog of the batch LSH band join.
+    *
+    * Oracle honesty: "earlier" means arrival order. The catalog entry
+    * reads the fixture without maxFilesPerTrigger, so ALL files land
+    * in one micro-batch and the in-batch doc_id sort makes arrival
+    * order = doc_id order — the batch EXISTS oracle exactly. Under
+    * multi-batch delivery the flags follow true arrival order (a
+    * later-arriving smaller id takes the bucket without re-flagging
+    * earlier emissions) — that incremental first-arrival-wins contract
+    * is pinned batch-by-batch in StreamNeardupSpec. */
+  def streamNeardup(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    runToTable(neardupCore(DedupQueries.bandRows(docs)), "append")
+      .filter(col("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+  }
+
+  /** The stateful first-wins bucket registry over ANY
+    * (doc_id, band, sig) stream; emits every band row with its dup
+    * flag. Package-visible so the spec drives it batch-by-batch. */
+  private[graft] def neardupCore(bands: DataFrame): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    bands.select(col("doc_id"), col("band"), col("sig"))
+      .as[(Long, Int, String)]
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Long, Int, String)],
+         st: GroupState[Long]) =>
+          var minSeen = st.getOption.getOrElse(Long.MaxValue)
+          // in-batch arrival order = doc_id order (deterministic under
+          // any partition interleave of one micro-batch)
+          val out = it.toSeq.sortBy(_._1).map { case (id, band, _) =>
+            val dup = minSeen < id
+            if (id < minSeen) minSeen = id
+            (id, band, dup)
+          }
+          st.update(minSeen)
+          out.iterator
+      }.toDF("doc_id", "band", "dup")
+  }
+
+  val streamNeardupSql: String =
+    s"""WITH ${DedupQueries.bandsCteSql}
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands
+      |FROM bands a
+      |WHERE EXISTS (SELECT 1 FROM bands b
+      |              WHERE b.band = a.band AND b.sig = a.sig
+      |                AND b.doc_id < a.doc_id)
+      |GROUP BY a.doc_id""".stripMargin
+
   /** Streaming stateful deduplication (dropDuplicates with per-key
     * state), append mode. event_id is unique so the deduped stream
     * must equal the input relation — state behavior is what's tested. */
@@ -877,6 +944,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
+    "stream_neardup" -> streamNeardup _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
@@ -897,6 +965,7 @@ object StreamingQueries {
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_neardup" -> streamNeardupSql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,

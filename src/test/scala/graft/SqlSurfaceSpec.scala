@@ -599,6 +599,34 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ksql EXPLAIN: registered relation, bare select, Spark forms untouched") {
+    // a CSAS view: EXPLAIN <name> reports the recorded statement +
+    // Spark's formatted plan of the registered view
+    GraftSql.sql(spark,
+      "CREATE TABLE explain_tbl AS SELECT n_regionkey, count(*) AS n " +
+        "FROM nation GROUP BY n_regionkey EMIT CHANGES")
+    try {
+      val byName = GraftSql.sql(spark, "EXPLAIN explain_tbl;").collect().head
+      assert(byName.getString(0) == "explain_tbl")
+      assert(byName.getString(1) == "TABLE")
+      assert(byName.getString(2).toLowerCase.contains("group by"))
+      assert(byName.getString(3).contains("HashAggregate"),
+        byName.getString(3).take(300))
+      // a bare SELECT: the ksql rewrites apply before explaining
+      // (the dialect MASK → ksql_mask mapping proves the chain ran)
+      val sel = GraftSql.sql(spark,
+        "EXPLAIN SELECT MASK(n_name) AS m, count(*) AS n FROM nation " +
+          "GROUP BY 1;").collect().head
+      assert(sel.getString(1) == "QUERY")
+      assert(sel.getString(2).contains("ksql_mask"), sel.getString(2))
+      assert(sel.getString(3).contains("HashAggregate"))
+      // Spark's own EXPLAIN variants do not match the ksql form
+      assert(!ConnectorDdl.handles("EXPLAIN EXTENDED SELECT 1"))
+      assert(!ConnectorDdl.handles("EXPLAIN FORMATTED SELECT 1"))
+      assert(ConnectorDdl.handles("EXPLAIN SELECT 1"))
+    } finally spark.catalog.dropTempView("explain_tbl")
+  }
+
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
     GraftSql.sql(spark,
       "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
