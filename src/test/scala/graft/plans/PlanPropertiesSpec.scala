@@ -331,4 +331,43 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // prefix-sum side: deterministic hash bucket, no sampled ranges
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
+
+  test("fk table joins broadcast the dimension in both flavors (J4)") {
+    for (q <- Seq("q_table_fk_join", "q_table_fk_left")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n" + p.take(2000))
+      assert(!p.contains("SortMergeJoin"), s"$q:\n" + p.take(2000))
+    }
+  }
+
+  test("pk table-table joins reuse the two agg exchanges — no extra join shuffle (J3)") {
+    // disable auto-broadcast: at test scale the planner broadcasts the
+    // small aggregated side; the property under test is the 100 TB
+    // regime where both tables are too big for that — the join must
+    // then consume the agg exchanges' partitioning, adding NONE of its
+    // own (2 shuffles total, one per input table)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      for (q <- Seq("q_table_table_join", "q_table_table_inner",
+          "q_table_table_full")) {
+        val p = planOf(q)
+        val exchanges = p.linesIterator
+          .count(_.trim.matches("""\(\d+\) Exchange"""))
+        assert(exchanges == 2, s"$q planned $exchanges exchanges:\n" +
+          p.take(3000))
+      }
+    } finally spark.conf.set(key, old)
+  }
+
+  test("ksql compat pack stays codegen'd — builtin compositions, no UDF nodes") {
+    for (q <- Seq("q_ksql_scalar_funcs", "q_ksql_time_json_url")) {
+      val p = planOf(q)
+      // formatted mode tags codegen'd operators with a codegen id
+      assert(p.contains("codegen id"), s"$q:\n" + p.take(2000))
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q:\n" + p.take(2000))
+    }
+  }
 }
