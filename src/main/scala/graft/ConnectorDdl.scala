@@ -213,6 +213,16 @@ object ConnectorDdl {
   private val describeRe =
     (s"""(?is)\\s*DESCRIBE\\s+$nameRe\\s*;?\\s*""").r
   private val showQueriesRe = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
+  // ksql CLI `SHOW TOPICS`: the session's relations (the offline topic
+  // analogs) plus every topic a registered sink connector exports
+  private val showTopicsRe = """(?is)\s*SHOW\s+TOPICS\s*;?\s*""".r
+  // ksql `INSERT INTO <stream> [(cols)] VALUES (...)`: append one
+  // literal row to a registered relation. The tuple is handed to
+  // Spark's own VALUES parser, so any literal/expression spelling the
+  // engine accepts works here too.
+  private val insertValuesRe =
+    ("""(?is)\s*INSERT\s+INTO\s+(?:`([^`]+)`|([A-Za-z_]\w*))""" +
+      """\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*""").r
   // ksql CLI `PRINT 'topic' [FROM BEGINNING] [LIMIT n]`: peek at a
   // topic's records. The topic's final dotted segment resolves to the
   // session relation of the same name (the streamDef convention);
@@ -759,7 +769,8 @@ object ConnectorDdl {
     case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
-       | printRe(_*) | explainRe(_*) => true
+       | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
+       | insertValuesRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -870,6 +881,59 @@ object ConnectorDdl {
           Seq(("", "QUERY", rewritten,
               spark.sql(rewritten).queryExecution.explainString(FormattedMode)))
             .toDF("name", "kind", "statement", "plan")
+        }
+      case showTopicsRe() =>
+        // ksql SHOW TOPICS: session relations (the offline topic
+        // analogs) + every topic exported by a registered sink
+        val rels = spark.catalog.listTables().collect()
+          .filter(_.isTemporary).map(t => (t.name.toLowerCase, "SESSION"))
+          .toSeq
+        val sinkTopics = connectors(spark)
+          .filter(_.kind == Sink)
+          .flatMap(c => c.topics.map(t => (t, s"SINK ${c.name}")))
+        (rels ++ sinkTopics).sortBy(_._1).toDF("name", "source")
+      case insertValuesRe(qname, bname, colList, tuple) =>
+        // ksql INSERT INTO <stream> VALUES: append one literal row to
+        // a registered temp view; values are cast to the view's column
+        // types, unmentioned columns become null. A non-temp (real
+        // catalog) target keeps Spark's own INSERT semantics.
+        val name = pick(qname, bname)
+        val isTemp = spark.catalog.tableExists(name) &&
+          spark.catalog.listTables().collect()
+            .exists(t => t.isTemporary && t.name.equalsIgnoreCase(name))
+        if (!isTemp) {
+          if (spark.catalog.tableExists(name)) spark.sql(statement)
+          else throw new IllegalArgumentException(
+            s"cannot INSERT INTO $name: no such stream/table")
+        } else {
+          val cur = spark.table(name) // eagerly analyzed: captures the
+                                      // CURRENT view content, so the
+                                      // replace below cannot recurse
+          val cols: Seq[String] = Option(colList)
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(cur.columns.toSeq)
+          val unknown = cols.filterNot(c =>
+            cur.columns.exists(_.equalsIgnoreCase(c)))
+          require(unknown.isEmpty,
+            s"INSERT INTO $name: no such column(s) ${unknown.mkString(", ")}")
+          val row0 = spark.sql(s"SELECT * FROM (VALUES $tuple)")
+          require(row0.columns.length == cols.length,
+            s"INSERT INTO $name: ${cols.length} column(s) named but " +
+              s"${row0.columns.length} value(s) given")
+          val row = row0.toDF(cols: _*)
+          val aligned = row.select(cur.schema.fields.toIndexedSeq.map { f =>
+            cols.find(_.equalsIgnoreCase(f.name)) match {
+              case Some(c) => col(c).cast(f.dataType).as(f.name)
+              case None =>
+                org.apache.spark.sql.functions.lit(null)
+                  .cast(f.dataType).as(f.name)
+            }
+          }: _*)
+          cur.unionByName(aligned).createOrReplaceTempView(name)
+          Seq((name.toLowerCase,
+              kinds(spark).getOrDefault(name.toLowerCase, "STREAM"),
+              "1 row", "INSERTED"))
+            .toDF("name", "kind", "rows", "status")
         }
       case streamDefRe(_, name, schemaList, body) =>
         // bare stream definition over a topic (reference README.md:

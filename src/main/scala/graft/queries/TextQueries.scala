@@ -175,6 +175,43 @@ object TextQueries {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** One counting iteration of distributed BPE vocabulary training:
+    * corpus-wide adjacent character-pair frequencies, weighted by word
+    * frequency. The scale move is the word-frequency pre-aggregation:
+    * the corpus collapses to its VOCABULARY (one row per distinct
+    * word) before any pair work, so the pair explosion and every
+    * subsequent trainer iteration run over |vocab| rows, not corpus
+    * rows — the standard trick that makes iterated BPE training
+    * feasible at 100 TB (the corpus is scanned exactly once; the loop
+    * re-segments the vocab relation against a broadcast merge table
+    * and recounts). Both stages are map-side-combined hash aggs; the
+    * pair space is bounded by the symbol-bigram alphabet, so partials
+    * stay tiny. The argmax pair = the iteration's merge winner. */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .selectExpr(
+        "explode(transform(sequence(1, length(word) - 1), " +
+          "i -> substr(word, i, 2))) AS pair",
+        "freq")
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).cast(LongType).as("n"))
+
+  val bpePairsSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |wf AS (SELECT word, COUNT(*) AS freq FROM w
+      |       WHERE len(word) >= 2 GROUP BY word),
+      |p AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+      |                i -> substr(word, i, 2))) AS pair, freq
+      |  FROM wf)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      |FROM p GROUP BY pair""".stripMargin
+
   /** PII scrubbing: emails, IPv4 literals, and 7+ digit runs masked
     * with typed placeholders — the pretraining-corpus hygiene pass.
     * Deliberately NO `\b` boundaries: Java's `\b` is Unicode-aware
@@ -498,6 +535,7 @@ object TextQueries {
     "text_repetition" -> repetition _,
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
+    "text_bpe_pairs" -> bpePairs _,
     "text_token_count" -> tokenCount _,
     "text_quality" -> quality _,
     "text_langid" -> langId _,
@@ -513,6 +551,7 @@ object TextQueries {
     "text_repetition" -> repetitionSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
+    "text_bpe_pairs" -> bpePairsSql,
     "text_token_count" -> tokenCountSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,

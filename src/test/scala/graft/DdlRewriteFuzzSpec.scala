@@ -45,6 +45,30 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("function-name rewrite: literals survive, partial names alone, across 200 seeds") {
+    val fnLiterals = Seq("'MASK(secret)'", "'call SPLIT(a, b) later'",
+      "'REGEXP_EXTRACT docs'", "'it''s a MASK(x)'", "'plain'")
+    val fnLookalikes = Seq("mask_keep_left(name, 2)", "ksql_mask(name)",
+      "unmask(name)", "masked", "split_count", "regexp_extract_all(x, 'a')")
+    val rnd = new Random(23)
+    (1 to 200).foreach { _ =>
+      val lit = fnLiterals(rnd.nextInt(fnLiterals.size))
+      val look = fnLookalikes(rnd.nextInt(fnLookalikes.size))
+      val sql = s"SELECT MASK(name), $lit AS a, $look, SPLIT(txt, ','), " +
+        s"REGEXP_EXTRACT('(\\d)', txt) FROM src"
+      val out = ConnectorDdl.rewriteKsqlFunctionNames(sql)
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      // genuine sites rewrote to the prefixed names
+      assert(out.contains("ksql_mask(name)"), out)
+      assert(out.contains("ksql_split(txt,"), out)
+      assert(out.contains("ksql_regexp_extract("), out)
+      // lookalikes survive byte-for-byte (modulo the genuine rewrites)
+      if (!look.startsWith("ksql_mask")) assert(out.contains(look), out)
+      // idempotent: a second pass changes nothing
+      assert(ConnectorDdl.rewriteKsqlFunctionNames(out) == out, out)
+    }
+  }
+
   test("splitPartitionBy: only a genuine trailing clause is peeled") {
     // trailing clause → peeled
     assert(ConnectorDdl.splitPartitionBy(

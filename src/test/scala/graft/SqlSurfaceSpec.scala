@@ -627,6 +627,49 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("explain_tbl")
   }
 
+  test("ksql INSERT INTO ... VALUES appends typed rows; SHOW TOPICS lists the surface") {
+    GraftSql.sql(spark,
+      "CREATE STREAM ins_s AS SELECT n_nationkey AS id, n_name AS name " +
+        "FROM nation WHERE n_nationkey < 3 EMIT CHANGES")
+    try {
+      assert(spark.table("ins_s").count() == 3L)
+      // full-row insert; values cast to the view's column types
+      val st = GraftSql.sql(spark, "INSERT INTO ins_s VALUES (99, 'zed');")
+        .collect().head
+      assert(st.getString(3) == "INSERTED", st.toString)
+      assert(spark.table("ins_s").count() == 4L)
+      // named-column insert: unmentioned columns become null
+      GraftSql.sql(spark, "INSERT INTO ins_s (id) VALUES (100);")
+      val rows = spark.table("ins_s").collect()
+        .map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+      assert(rows.contains((99, Some("zed"))) && rows.contains((100, None)),
+        rows.toString)
+      // unknown column and unknown relation fail loudly
+      val badCol = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "INSERT INTO ins_s (nope) VALUES (1);")
+      }
+      assert(badCol.getMessage.contains("no such column"), badCol.getMessage)
+      val badRel = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "INSERT INTO no_such_rel_xyz VALUES (1);")
+      }
+      assert(badRel.getMessage.contains("no such stream"), badRel.getMessage)
+      // the INSERT ... SELECT query form is NOT intercepted
+      assert(!ConnectorDdl.handles("INSERT INTO ins_s SELECT * FROM nation"))
+      // SHOW TOPICS: session relations + sink-connector topics
+      GraftSql.sql(spark,
+        "CREATE SINK CONNECTOR topic_probe WITH (" +
+          "'connector.class'='io.confluent.connect.elasticsearch" +
+          ".ElasticsearchSinkConnector', " +
+          "'connection.url'='http://localhost:1', 'topics'='shipped_xyz');")
+      val topics = GraftSql.sql(spark, "SHOW TOPICS;")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(topics.contains("ins_s"), topics.toString)
+      assert(topics.get("shipped_xyz").exists(_.contains("topic_probe")),
+        topics.toString)
+      GraftSql.sql(spark, "DROP CONNECTOR topic_probe;")
+    } finally spark.catalog.dropTempView("ins_s")
+  }
+
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
     GraftSql.sql(spark,
       "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
