@@ -243,8 +243,10 @@ object StreamingQueries {
     * document.
     *
     * Scale shape: state is ONE long per distinct (band, sig) bucket
-    * (RocksDB-backed, bounded by distinct signatures, not corpus
-    * rows); no joins, no all-pairs, no shuffle beyond the single keyed
+    * (bounded by distinct signatures, not corpus rows; at cluster
+    * scale back it with the RocksDB state-store provider conf, as
+    * RocksDBStateSpec exercises for the table operators); no joins,
+    * no all-pairs, no shuffle beyond the single keyed
     * exchange — the streaming analog of the batch LSH band join.
     *
     * Oracle honesty: "earlier" means arrival order. The catalog entry
