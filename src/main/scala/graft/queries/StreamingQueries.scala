@@ -301,6 +301,36 @@ object StreamingQueries {
       |                AND b.doc_id < a.doc_id)
       |GROUP BY a.doc_id""".stripMargin
 
+  /** Streaming BPE pair counting — [[TextQueries.bpePairs]]'s
+    * vocabulary statistics maintained CONTINUOUSLY over a document
+    * ingest stream: per micro-batch, the narrow word→pair explosion
+    * feeds an update-mode grouped sum keyed on the symbol pair, so the
+    * trainer's candidate table is always current without rescanning
+    * the corpus. State is one count per distinct pair (the bounded
+    * symbol-bigram space — map-side partials stay tiny at any corpus
+    * size). On the finite fixture the final state must equal the batch
+    * count exactly — the same oracle. One divergence from the batch
+    * spelling, deliberate: the batch form pre-aggregates words over
+    * the WHOLE corpus before pair-exploding (cheapest when the corpus
+    * is at rest); the streaming form explodes per batch and lets the
+    * stateful sum do all merging (a cross-batch word pre-agg would
+    * itself need unbounded state). Same totals, scale-appropriate
+    * shapes. */
+  def streamBpePairs(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    val pairs = docs
+      .select(explode(graft.functions.TextShingles.tokens(col("text")))
+        .as("word"))
+      .filter(length(col("word")) >= 2)
+      .selectExpr(
+        "explode(transform(sequence(1, length(word) - 1), " +
+          "i -> substr(word, i, 2))) AS pair")
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).cast(LongType).as("n"))
+    runToTable(pairs, "complete")
+  }
+
   /** Streaming stateful deduplication (dropDuplicates with per-key
     * state), append mode. event_id is unique so the deduped stream
     * must equal the input relation — state behavior is what's tested. */
@@ -947,6 +977,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
+    "stream_bpe_pairs" -> streamBpePairs _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
@@ -968,6 +999,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
+    "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
