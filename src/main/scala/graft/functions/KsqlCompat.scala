@@ -120,6 +120,48 @@ object KsqlCompat {
         exprs.lift(2).getOrElse(lit(0)))
     },
 
+    "regexp_split_to_array" -> { exprs =>
+      arity("regexp_split_to_array", "regexp_split_to_array(str, pattern)",
+        exprs, 2, 2)
+      fn("split", exprs(0), exprs(1), lit(-1))
+    },
+    "array_concat" -> { exprs =>
+      arity("array_concat", "array_concat(array1, array2)", exprs, 2, 2)
+      // ksql: NULL if both NULL; one NULL → the other; else concat
+      val (a, b) = (exprs(0), exprs(1))
+      fn("if", fn("isnull", a), b,
+        fn("if", fn("isnull", b), a, fn("concat", a, b)))
+    },
+    "map_union" -> { exprs =>
+      arity("map_union", "map_union(map1, map2)", exprs, 2, 2)
+      // ksql: duplicate keys take map2's value. Spark's map_concat
+      // THROWS on duplicates (mapKeyDedupPolicy=EXCEPTION default), so
+      // spell the right-wins merge from entry primitives: keep map1
+      // entries whose key map2 lacks, then append map2's. The lambda
+      // comes from the SQL parser (placeholders swapped for the real
+      // argument expressions; lambda variables resolve in analysis).
+      val (m1, m2) = (exprs(0), exprs(1))
+      val merged = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(
+          "map_from_entries(concat(" +
+            "filter(map_entries(__graft_m1), " +
+            "e -> NOT array_contains(map_keys(__graft_m2), e.key)), " +
+            "map_entries(__graft_m2)))")
+        .transformUp {
+          // inside a lambda body the parser wraps names as candidate
+          // lambda variables, so both node shapes must swap
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name == "__graft_m1" => m1
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name == "__graft_m2" => m2
+          case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+              if v.nameParts == Seq("__graft_m1") => m1
+          case v: org.apache.spark.sql.catalyst.expressions.UnresolvedNamedLambdaVariable
+              if v.nameParts == Seq("__graft_m2") => m2
+        }
+      fn("if", fn("isnull", m1), m2, fn("if", fn("isnull", m2), m1, merged))
+    },
+
     // ---- JSON ----
     "extractjsonfield" -> { exprs =>
       arity("extractjsonfield", "extractjsonfield(json, jsonpath)", exprs, 2, 2)
@@ -155,12 +197,21 @@ object KsqlCompat {
 
     // ---- time (ksql's BIGINT-millis API + TIMESTAMP-typed forms) ----
     "stringtotimestamp" -> { exprs =>
-      arity("stringtotimestamp", "stringtotimestamp(str, format)", exprs, 2, 2)
-      fn("unix_millis", fn("to_timestamp", exprs(0), exprs(1)))
+      arity("stringtotimestamp",
+        "stringtotimestamp(str, format[, timezone])", exprs, 2, 3)
+      // 3-arg ksql form: the string is wall time in the given zone
+      val parsed = fn("to_timestamp", exprs(0), exprs(1))
+      val utc = exprs.lift(2).fold(parsed)(tz =>
+        fn("to_utc_timestamp", parsed, tz))
+      fn("unix_millis", utc)
     },
     "timestamptostring" -> { exprs =>
-      arity("timestamptostring", "timestamptostring(millis, format)", exprs, 2, 2)
-      fn("date_format", fn("timestamp_millis", exprs(0)), exprs(1))
+      arity("timestamptostring",
+        "timestamptostring(millis, format[, timezone])", exprs, 2, 3)
+      val ts = fn("timestamp_millis", exprs(0))
+      val zoned = exprs.lift(2).fold(ts)(tz =>
+        fn("from_utc_timestamp", ts, tz))
+      fn("date_format", zoned, exprs(1))
     },
     "stringtodate" -> { exprs =>
       arity("stringtodate", "stringtodate(str, format)", exprs, 2, 2)

@@ -94,6 +94,24 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT field(cast(null as string), 'en')").getInt(0) == 0)
   }
 
+  test("array_concat / regexp_split_to_array / map_union") {
+    assert(one("SELECT array_concat(array(1, 2), array(3))").getSeq[Int](0)
+      == Seq(1, 2, 3))
+    // ksql null semantics: one null → the other; both null → null
+    assert(one("SELECT array_concat(cast(null as array<int>), array(7))")
+      .getSeq[Int](0) == Seq(7))
+    assert(one("SELECT array_concat(cast(null as array<int>), " +
+      "cast(null as array<int>))").isNullAt(0))
+    assert(one("SELECT regexp_split_to_array('a1b22c', '[0-9]+')")
+      .getSeq[String](0) == Seq("a", "b", "c"))
+    // duplicate keys take map2's value (Spark's map_concat would throw)
+    val m = one("SELECT map_union(map('a', 1, 'b', 2), map('b', 9, 'c', 3))")
+      .getMap[String, Int](0)
+    assert(m == Map("a" -> 1, "b" -> 9, "c" -> 3))
+    assert(one("SELECT map_union(cast(null as map<string,int>), map('x', 1))")
+      .getMap[String, Int](0) == Map("x" -> 1))
+  }
+
   // ---- time ----
 
   test("stringtotimestamp/timestamptostring round-trip in millis") {
@@ -104,6 +122,19 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getString(0) == "2020-03-04 05:06:07")
     assert(one("SELECT datetostring(stringtodate('20200304', 'yyyyMMdd'), " +
       "'yyyy-MM-dd')").getString(0) == "2020-03-04")
+  }
+
+  test("3-arg time forms honor the timezone argument") {
+    // 05:06 wall time in UTC+2 is 03:06 UTC → 2h less than the UTC parse
+    val utcMs = one("SELECT stringtotimestamp('2020-03-04 05:06:00', " +
+      "'yyyy-MM-dd HH:mm:ss')").getLong(0)
+    val berlinMs = one("SELECT stringtotimestamp('2020-03-04 05:06:00', " +
+      "'yyyy-MM-dd HH:mm:ss', 'Europe/Berlin')").getLong(0)
+    // 05:06 Berlin wall time (UTC+1 in March) = 04:06 UTC — one hour
+    // EARLIER than the same string parsed as UTC
+    assert(utcMs - berlinMs == 3600000L)
+    assert(one(s"SELECT timestamptostring($berlinMs, 'yyyy-MM-dd HH:mm:ss', " +
+      "'Europe/Berlin')").getString(0) == "2020-03-04 05:06:00")
   }
 
   // ---- url ----
