@@ -670,6 +670,34 @@ object ConnectorDdl {
     out.toString
   }
 
+  /** Split a multi-statement script on `;` OUTSIDE string literals,
+    * comments, and quoted identifiers (the shared span grammar), for
+    * [[GraftSql.script]]. Segments that are empty after comment
+    * removal (trailing `;`, comment-only lines) are dropped; executed
+    * segments keep their comments (Spark's parser handles them). */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val spans = literalSpanRe.findAllMatchIn(text)
+      .map(m => (m.start, m.end)).toList
+    def inSpan(i: Int): Boolean =
+      spans.exists(s => i >= s._1 && i < s._2)
+    val cuts = text.indices.filter(i => text.charAt(i) == ';' && !inSpan(i))
+    val bounds = -1 +: cuts.toList :+ text.length
+    def commentFree(s: String): String =
+      literalSpanRe.replaceAllIn(s, m =>
+        if (m.matched.startsWith("--") || m.matched.startsWith("/*")) " "
+        else java.util.regex.Matcher.quoteReplacement(m.matched))
+    // leading comments are stripped from the EXECUTED text — the ksql
+    // statement regexes anchor at statement start (and Spark's SET
+    // parser rejects a comment-prefixed ksql SET), while comments
+    // elsewhere in a statement pass through Spark's parser untouched
+    val leadingComments =
+      """^(?:\s*(?:--[^\n]*\n?|/\*[\s\S]*?\*/))+""".r
+    bounds.sliding(2).collect {
+      case List(a, b) if b > a + 1 => text.substring(a + 1, b)
+    }.map(s => leadingComments.replaceFirstIn(s, "").trim)
+      .filter(s => commentFree(s).trim.nonEmpty).toSeq
+  }
+
   /** ksql function names whose Spark builtin namesake has DIFFERENT
     * semantics (ksql MASK masks non-alphanumerics to '-'; ksql SPLIT
     * takes a literal delimiter, Spark a regex; ksql REGEXP_EXTRACT

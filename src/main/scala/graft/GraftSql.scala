@@ -44,6 +44,20 @@ object GraftSql {
       // Spark-native spellings remain reachable via spark.sql directly.
       spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
 
+  /** Multi-statement script entry: split on `;` OUTSIDE string
+    * literals, comments, and quoted identifiers (the same span grammar
+    * every textual rewrite uses), run each statement through [[sql]]
+    * in order, and return the (statement, result) pairs. This is the
+    * "paste the whole ksql session" affordance — the reference's
+    * README is exactly such a script. Empty segments (trailing `;`,
+    * blank lines, comment-only segments) are skipped. Fail-fast: a
+    * failing statement aborts the rest, like the ksql CLI's default
+    * ON_ERROR behavior. */
+  def script(spark: SparkSession,
+             statements: String): Seq[(String, DataFrame)] =
+    ConnectorDdl.splitStatements(statements)
+      .map(stmt => stmt -> sql(spark, stmt))
+
   /** Temp views only (natives may already come from the extension). */
   def initViews(spark: SparkSession, sfDir: String): Unit = {
     // events.parquet carries TIMESTAMP(NANOS), which Spark only reads

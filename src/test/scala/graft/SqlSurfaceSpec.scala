@@ -670,6 +670,28 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("ins_s")
   }
 
+  test("GraftSql.script runs a multi-statement session; ';' in literals survives") {
+    val out = GraftSql.script(spark,
+      """-- a ksql-session-shaped script
+        |SET 'auto.offset.reset' = 'earliest';
+        |CREATE TABLE script_tbl AS
+        |  SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
+        |  EMIT CHANGES;
+        |SELECT 'a;b' AS semi_lit, n_regionkey FROM script_tbl; -- trailing
+        |""".stripMargin)
+    try {
+      assert(out.length == 3, out.map(_._1).mkString("||"))
+      assert(out(1)._1.toUpperCase.contains("CREATE TABLE"), out(1)._1)
+      // the literal semicolon did not split the last statement
+      val last = out(2)._2.collect()
+      assert(last.nonEmpty && last.head.getString(0) == "a;b")
+      val err = intercept[Exception] {
+        GraftSql.script(spark, "SELECT 1; SELECT no_such_col FROM nation;")
+      }
+      assert(err != null) // fail-fast: second statement aborts the run
+    } finally spark.catalog.dropTempView("script_tbl")
+  }
+
   test("connector DDL: Connect-idiomatic hyphenated and backquoted names work") {
     GraftSql.sql(spark,
       "CREATE SOURCE CONNECTOR customers-reader-2 WITH ('a' = 'b')")
