@@ -1028,8 +1028,8 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     GraftSql.sql(spark, "DROP CONNECTOR IF EXISTS enriched_writer")
     try {
       // ---- the ten statements of README.md:346-493, byte-for-byte ----
-      GraftSql.sql(spark, "SET 'auto.offset.reset' = 'earliest';")
-      GraftSql.sql(spark,
+      val statements = Seq(
+        "SET 'auto.offset.reset' = 'earliest';",
         """CREATE SOURCE CONNECTOR customers_reader WITH (
           |    'connector.class' = 'io.debezium.connector.postgresql.PostgresConnector',
           |    'database.hostname' = 'postgres',
@@ -1038,40 +1038,34 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           |    'transforms.unwrap.type' = 'io.debezium.transforms.ExtractNewRecordState',
           |    'transforms.unwrap.drop.tombstones' = 'false',
           |    'transforms.unwrap.delete.handling.mode' = 'rewrite'
-          |);""".stripMargin)
-      GraftSql.sql(spark,
+          |);""".stripMargin,
         """CREATE SOURCE CONNECTOR logistics_reader WITH (
           |    'connector.class' = 'io.debezium.connector.mongodb.MongoDbConnector',
           |    'transforms.unwrap.delete.handling.mode' = 'drop'
-          |);""".stripMargin)
-      GraftSql.sql(spark,
+          |);""".stripMargin,
         """CREATE STREAM customers WITH (
           |    kafka_topic = 'customers.public.customers',
           |    value_format = 'avro'
-          |);""".stripMargin)
-      GraftSql.sql(spark,
+          |);""".stripMargin,
         """CREATE STREAM orders WITH (
           |    kafka_topic = 'my-replica-set.logistics.orders',
           |    value_format = 'avro',
           |    timestamp = 'ts',
           |    timestamp_format = 'yyyy-MM-dd''T''HH:mm:ss'
-          |);""".stripMargin)
-      GraftSql.sql(spark,
+          |);""".stripMargin,
         """CREATE STREAM shipments WITH (
           |    kafka_topic = 'my-replica-set.logistics.shipments',
           |    value_format = 'avro',
           |    timestamp = 'ts',
           |    timestamp_format = 'yyyy-MM-dd''T''HH:mm:ss'
-          |);""".stripMargin)
-      GraftSql.sql(spark,
+          |);""".stripMargin,
         """CREATE TABLE customers_by_key AS
           |    SELECT id,
           |           latest_by_offset(name) AS name,
           |           latest_by_offset(age) AS age
           |    FROM customers
           |    GROUP BY id
-          |    EMIT CHANGES;""".stripMargin)
-      GraftSql.sql(spark,
+          |    EMIT CHANGES;""".stripMargin,
         """CREATE STREAM enriched_orders AS
           |    SELECT o.order_id,
           |           o.price,
@@ -1082,8 +1076,7 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           |    FROM orders AS o
           |    LEFT JOIN customers_by_key c
           |    ON o.customer_id = c.id
-          |    EMIT CHANGES;""".stripMargin)
-      GraftSql.sql(spark,
+          |    EMIT CHANGES;""".stripMargin,
         """CREATE STREAM shipped_orders WITH (
           |    kafka_topic = 'shipped_orders'
           |)   AS
@@ -1099,14 +1092,14 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
           |    INNER JOIN shipments s
           |    WITHIN 7 DAYS
           |    ON s.order_id = o.order_id
-          |    EMIT CHANGES;""".stripMargin)
-      GraftSql.sql(spark,
+          |    EMIT CHANGES;""".stripMargin,
         """CREATE SINK CONNECTOR enriched_writer WITH (
           |    'connector.class' = 'io.confluent.connect.elasticsearch.ElasticsearchSinkConnector',
           |    'connection.url' = 'http://elastic:9200',
           |    'type.name' = 'kafka-connect',
           |    'topics' = 'shipped_orders'
           |);""".stripMargin)
+      statements.foreach(stmt => GraftSql.sql(spark, stmt))
       // ---- the published result: 5 shipped-order documents ----
       val got = spark.table("shipped_orders")
         .select(col("order_id"), col("shipment_id"), col("customer_name"),
@@ -1132,6 +1125,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getString(0)).toSet
       assert(Set("customers", "orders", "shipments",
         "enriched_orders", "shipped_orders").subsetOf(streams))
+      // the same session as ONE pasted script (GraftSql.script) —
+      // connector drops prepended so the re-run is self-contained;
+      // the published documents must reproduce again
+      val script = (Seq("DROP CONNECTOR IF EXISTS customers_reader;",
+        "DROP CONNECTOR IF EXISTS logistics_reader;",
+        "DROP CONNECTOR IF EXISTS enriched_writer;") ++ statements)
+        .mkString("\n")
+      val ran = GraftSql.script(spark, script)
+      assert(ran.length == 13, ran.map(_._1.take(30)).mkString("||"))
+      val again = spark.table("shipped_orders").collect()
+      assert(again.length == 5)
     } finally {
       // restore the shared testdata views for the rest of the suite
       GraftSql.initViews(spark, sf)
