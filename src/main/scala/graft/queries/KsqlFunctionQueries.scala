@@ -121,6 +121,32 @@ object KsqlFunctionQueries {
       |  'https' AS url_proto
       |FROM e""".stripMargin
 
+  /** Collection merges: ARRAY_CONCAT over two split spellings, and
+    * MAP_UNION's right-wins duplicate-key semantics — the left map
+    * seeds keys 'en'/'de' so every English/German row EXERCISES the
+    * collision branch (a left-wins bug would surface as 1/2 instead
+    * of doc_id and hash-mismatch the oracle). */
+  def ksqlCollectionFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  CAST(ARRAY_LENGTH(ARRAY_CONCAT(SPLIT(source, '-'),
+        |    REGEXP_SPLIT_TO_ARRAY(lang, 'n'))) AS BIGINT) AS concat_len,
+        |  ELEMENT_AT(MAP_UNION(
+        |    MAP('en', CAST(1 AS BIGINT), 'de', CAST(2 AS BIGINT)),
+        |    MAP(lang, CAST(doc_id AS BIGINT))), lang) AS mu_lang,
+        |  CAST(CARDINALITY(MAP_UNION(
+        |    MAP('en', 1, 'de', 2), MAP(lang, 3))) AS BIGINT) AS mu_size
+        |FROM documents""".stripMargin)
+
+  val ksqlCollectionFuncsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(list_concat(string_split(source, '-'),
+      |    string_split_regex(lang, 'n'))) AS BIGINT) AS concat_len,
+      |  CAST(doc_id AS BIGINT) AS mu_lang,
+      |  CAST(CASE WHEN lang IN ('en', 'de') THEN 2 ELSE 3 END AS BIGINT)
+      |    AS mu_size
+      |FROM documents""".stripMargin
+
   /** ksql aggregates: COUNT_DISTINCT, TOPK, TOPKDISTINCT (builtin
     * compositions), HISTOGRAM (typed Aggregator, 1000-key cap) and the
     * 1-arg EARLIEST_BY_OFFSET UDAF, grouped by event_type. */
@@ -154,10 +180,12 @@ object KsqlFunctionQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
+    "q_ksql_collection_funcs" -> ksqlCollectionFuncs _,
     "q_ksql_agg_funcs" -> ksqlAggFuncs _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrlSql,
+    "q_ksql_collection_funcs" -> ksqlCollectionFuncsSql,
     "q_ksql_agg_funcs" -> ksqlAggFuncsSql)
 }
