@@ -149,17 +149,28 @@ object KsqlFunctionQueries {
 
   /** ksql aggregates: COUNT_DISTINCT, TOPK, TOPKDISTINCT (builtin
     * compositions), HISTOGRAM (typed Aggregator, 1000-key cap) and the
-    * 1-arg EARLIEST_BY_OFFSET UDAF, grouped by event_type. */
+    * 1-arg EARLIEST_BY_OFFSET UDAF, grouped by event_type.
+    *
+    * The TOPK/TOPKDISTINCT arrays are scalarized with ARRAY_JOIN —
+    * the driver's oracle harness canonicalizes rows by sorting, which
+    * cannot hash bare array cells (the same contract every other
+    * array-producing catalog query follows, e.g. q_array_funcs). The
+    * joined string still verifies the full array content AND order.
+    * HISTOGRAM lookup uses TRY_ELEMENT_AT: under Spark 4's default
+    * ANSI mode a plain ELEMENT_AT throws MAP_KEY_DOES_NOT_EXIST when
+    * a group has no user_id%7=3 row — COALESCE can't catch an error. */
   def ksqlAggFuncs(s: SparkSession, d: String): DataFrame =
     run(s, d,
       """SELECT event_type,
         |  CAST(COUNT_DISTINCT(user_id) AS BIGINT) AS n_users,
-        |  TOPK(CAST(ROUND(value * 100) AS BIGINT), 3) AS top_cents,
-        |  TOPKDISTINCT(user_id, 5) AS top_users,
+        |  ARRAY_JOIN(CAST(TOPK(CAST(ROUND(value * 100) AS BIGINT), 3)
+        |    AS ARRAY<STRING>), ',') AS top_cents,
+        |  ARRAY_JOIN(CAST(TOPKDISTINCT(user_id, 5) AS ARRAY<STRING>), ',')
+        |    AS top_users,
         |  CAST(CARDINALITY(HISTOGRAM(CAST(user_id % 7 AS STRING)))
         |    AS BIGINT) AS hist_size,
-        |  COALESCE(ELEMENT_AT(HISTOGRAM(CAST(user_id % 7 AS STRING)), '3'),
-        |    CAST(0 AS BIGINT)) AS hist_3,
+        |  COALESCE(TRY_ELEMENT_AT(HISTOGRAM(CAST(user_id % 7 AS STRING)),
+        |    '3'), CAST(0 AS BIGINT)) AS hist_3,
         |  EARLIEST_BY_OFFSET(event_id, CAST(user_id AS STRING)) AS first_user
         |FROM events
         |GROUP BY event_type""".stripMargin)
@@ -167,10 +178,11 @@ object KsqlFunctionQueries {
   val ksqlAggFuncsSql: String =
     """SELECT event_type,
       |  count(DISTINCT user_id) AS n_users,
-      |  list_slice(list_sort(list(CAST(round(value * 100) AS BIGINT)),
-      |    'DESC'), 1, 3) AS top_cents,
-      |  list_slice(list_sort(list(DISTINCT user_id), 'DESC'), 1, 5)
-      |    AS top_users,
+      |  array_to_string(list_slice(list_sort(
+      |    list(CAST(round(value * 100) AS BIGINT)), 'DESC'), 1, 3), ',')
+      |    AS top_cents,
+      |  array_to_string(list_slice(list_sort(list(DISTINCT user_id),
+      |    'DESC'), 1, 5), ',') AS top_users,
       |  count(DISTINCT user_id % 7) AS hist_size,
       |  CAST(count(*) FILTER (user_id % 7 = 3) AS BIGINT) AS hist_3,
       |  arg_min(CAST(user_id AS VARCHAR), event_id) AS first_user
