@@ -45,6 +45,18 @@ object Bench {
       if (usedHeapMb() > gcThresholdMb) System.gc()
     }
 
+    // In-band hardware calibration: q1_pricing_summary standalone,
+    // min-of-5, OUTSIDE the suite timings. Cross-round bench ratios
+    // divide by this to separate box-speed drift from plan
+    // regressions (round 9's ~1.6× hardware skew was only
+    // recoverable from prose; this pins it in the artifact).
+    val calibration = (1 to 5).map { _ =>
+      sweep()
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // optional args: run only queries whose name contains any arg
     // (driver passes none → full suite)
@@ -90,6 +102,7 @@ object Bench {
     // 57/143 timings), so stdout carries a short parseable line with a
     // pointer and the complete JSON lands in bench_out.json next to it
     val meta = s""""failed":$failedJson,"runs":$runsPerQuery,""" +
+      s""""calibration_q1_sec":$calibration,""" +
       s""""heap_max_mb":$maxHeapMb,"sf":"$sfDir""""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))

@@ -23,11 +23,27 @@ import graft.sources.Tables
 object GraftSql {
 
   /** Views + functions: after this, a ksqlDB user ports statements 1:1
-    * as `spark.sql("SELECT ... FROM <table> ...")`. */
+    * as `spark.sql("SELECT ... FROM <table> ...")`.
+    *
+    * Idempotent-cheap by design: every catalog query calls init, and
+    * harnesses (Bench.sweep) drop all temp views between queries — so
+    * a naive init would re-read ten parquet footers and re-derive five
+    * Aggregator encoders per query (round 9 measured small queries at
+    * 2-4× their real cost from exactly this). Repeat calls re-apply
+    * views from a per-session DataFrame cache (a registry put, no
+    * file I/O) and skip function registration when the name is already
+    * bound. */
   def init(spark: SparkSession, sfDir: String): Unit = {
     initViews(spark, sfDir)
     registerFunctions(spark)
   }
+
+  // per-session, per-sfDir cache of the view DataFrames: weak keys so
+  // short-lived test sessions don't accumulate; the DataFrames stay
+  // valid across clearCache()/dropTempView (they read files directly)
+  private val viewCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[(String, DataFrame)]]]
 
   /** Statement entry point covering the reference's FULL statement
     * surface: connector DDL (`CREATE SOURCE/SINK CONNECTOR`,
@@ -58,22 +74,31 @@ object GraftSql {
     ConnectorDdl.splitStatements(statements)
       .map(stmt => stmt -> sql(spark, stmt))
 
-  /** Temp views only (natives may already come from the extension). */
+  /** Temp views only (natives may already come from the extension).
+    * First call per (session, sfDir) reads the parquet schemas; repeat
+    * calls re-apply the cached DataFrames — so a harness that drops
+    * all temp views between queries costs a registry put here, not
+    * ten footer reads. */
   def initViews(spark: SparkSession, sfDir: String): Unit = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads
-    // with this legacy conf (runtime-settable); a vanilla session
-    // would otherwise throw "Illegal Parquet type" before any view
-    // exists. The repo's own builders set it too — this makes the
-    // one-call SQL entry self-sufficient.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.names.foreach { n =>
-      // events goes through the shared nanos→micros normalization so
-      // SQL users see a timestamp, not a raw long
-      val df =
-        if (n == "events") Tables.events(spark, sfDir)
-        else Tables(spark, sfDir, n)
-      df.createOrReplaceTempView(n)
+    val dfs = viewCache.synchronized {
+      val perSf = viewCache.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty)
+      perSf.getOrElseUpdate(sfDir, {
+        // events.parquet carries TIMESTAMP(NANOS), which Spark only
+        // reads with this legacy conf (runtime-settable); a vanilla
+        // session would otherwise throw "Illegal Parquet type" before
+        // any view exists. The repo's own builders set it too — this
+        // makes the one-call SQL entry self-sufficient.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Tables.names.map { n =>
+          // events goes through the shared nanos→micros normalization
+          // so SQL users see a timestamp, not a raw long
+          n -> (if (n == "events") Tables.events(spark, sfDir)
+                else Tables(spark, sfDir, n))
+        }
+      })
     }
+    dfs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
   }
 
   /** Register every engine function on an extension-less session —
@@ -83,33 +108,41 @@ object GraftSql {
     * matching the width-suffix policy of the native registrations, so
     * SQL callers can't silently assume a configurable k. */
   def registerFunctions(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    // registration is skipped when the name is already bound (same
+    // builders every time — the extension injects the identical set),
+    // so repeat init calls don't re-derive Aggregator encoders or spam
+    // "replaced a previously registered function" warnings
+    def absent(name: String): Boolean = !registry.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
     GraftNativeFunctions.builders.foreach { case (name, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (absent(name))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
     // ksqlDB builtin-function compatibility pack (builtin-expression
     // compositions — stays codegen'd; see KsqlCompat for the three
     // ksql_-prefixed divergent-semantics names)
     graft.functions.KsqlCompat.builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "scala_udf")
+      if (absent(name))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    spark.udf.register("latest_by_offset",
+    if (absent("latest_by_offset")) spark.udf.register("latest_by_offset",
       udaf(new graft.functions.LatestByOffsetAgg))
-    spark.udf.register("earliest_by_offset",
+    if (absent("earliest_by_offset")) spark.udf.register("earliest_by_offset",
       udaf(new graft.functions.LatestByOffsetAgg(earliest = true)))
     // ksql HISTOGRAM: map value→count, 1000-key cap as in ksqlDB
-    spark.udf.register("histogram",
+    if (absent("histogram")) spark.udf.register("histogram",
       udaf(new graft.functions.HistogramAgg))
-    spark.udf.register("topk_by_score_3",
+    if (absent("topk_by_score_3")) spark.udf.register("topk_by_score_3",
       udaf(new graft.functions.TopKByScore(3)))
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,
     // whose state is the full key history)
-    spark.udf.register("latest_3_by_offset",
+    if (absent("latest_3_by_offset")) spark.udf.register("latest_3_by_offset",
       udaf(new graft.functions.LatestKByOffsetAgg(3)))
-    spark.udf.register("earliest_3_by_offset",
+    if (absent("earliest_3_by_offset")) spark.udf.register(
+      "earliest_3_by_offset",
       udaf(new graft.functions.LatestKByOffsetAgg(3, earliest = true)))
     ()
   }
