@@ -155,6 +155,17 @@ object ConnectorDdl {
     // the (rewritten) SELECT each CSAS/CTAS view was planned from —
     // what ksql EXPLAIN <name> reports as the statement text
     val viewSql = new ConcurrentHashMap[String, String]()
+    // INSERT INTO ... VALUES accumulator per view: the base DataFrame
+    // captured at the FIRST insert plus every literal row inserted
+    // since. The view is re-registered as base ∪ LocalRelation(rows),
+    // a 2-deep plan whatever N is — chaining unionByName per insert
+    // would grow an N-deep plan whose re-analysis cost rises linearly
+    // (and the rows are VALUES literals, so buffering them driver-side
+    // is exact, tiny, and broadcast-friendly). Entries are invalidated
+    // when a CSAS/CTAS/stream definition replaces the view.
+    val inserts = new ConcurrentHashMap[
+      String, (org.apache.spark.sql.DataFrame,
+               Seq[org.apache.spark.sql.Row])]()
   }
 
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
@@ -609,18 +620,29 @@ object ConnectorDdl {
 
   // ksql's 1-arg `latest_by_offset(x)` orders by the record's Kafka
   // offset implicitly; the engine's streams carry that as an `offset`
-  // column (the ChangeFeed contract), so the verbatim spelling
-  // translates to `max_by(x, offset)`. The 2-arg explicit form stays
-  // untouched (only a single bare identifier argument matches).
+  // column (the ChangeFeed contract). ksqlDB 0.28's signature is
+  // `latest_by_offset(x[, ignoreNulls])` with ignoreNulls DEFAULT
+  // TRUE, so the verbatim 1-arg spelling translates to
+  // `max_by(x, nvl2(x, offset, null))` — a null value nulls its own
+  // ordering key, and max_by skips null orderings, which is exactly
+  // "latest non-null value". The explicit `(x, false)` form keeps
+  // nulls: plain `max_by(x, offset)`. The 2-arg explicit-offset UDAF
+  // form stays untouched (only bare-identifier arguments match).
   private[graft] def rewriteLatestByOffset(select: String): String =
     outsideLiterals(select)(rewriteLatestByOffsetSegment)
 
   private def rewriteLatestByOffsetSegment(select: String): String = {
+    def spell(fn: String, x: String, ignoreNulls: Boolean): String = {
+      val by = if (fn.toLowerCase == "latest") "max_by" else "min_by"
+      if (ignoreNulls) s"$by($x, nvl2($x, offset, null))"
+      else s"$by($x, offset)"
+    }
     val oneArg = """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-      .replaceAllIn(select, m => {
-        val by = if (m.group(1).toLowerCase == "latest") "max_by" else "min_by"
-        s"$by(${m.group(2)}, offset)"
-      })
+      .replaceAllIn(select,
+        m => spell(m.group(1), m.group(2), ignoreNulls = true))
+    val boolArg = """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(true|false)\s*\)""".r
+      .replaceAllIn(oneArg,
+        m => spell(m.group(1), m.group(2), m.group(3).toLowerCase == "true"))
     // ksql's 2-arg form `latest_by_offset(x, N)` (N an int literal)
     // returns the N latest values as an array IN ASCENDING OFFSET
     // ORDER — ksqlDB's latestN buffer is sorted by sequence before
@@ -630,7 +652,7 @@ object ConnectorDdl {
     // for earliest, slice the wanted N, project the value, and for
     // latest REVERSE the slice back into ascending order.
     """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)""".r
-      .replaceAllIn(oneArg, m => {
+      .replaceAllIn(boolArg, m => {
         val latest = m.group(1).toLowerCase == "latest"
         val (x, n) = (m.group(2), m.group(3))
         val sliced =
@@ -957,7 +979,17 @@ object ConnectorDdl {
                   .cast(f.dataType).as(f.name)
             }
           }: _*)
-          cur.unionByName(aligned).createOrReplaceTempView(name)
+          // flat accumulation: base ∪ all-rows-so-far (see SessionDdl
+          // .inserts) — N inserts never nest N unions
+          val key = name.toLowerCase
+          val (base, prev) = Option(state(spark).inserts.get(key))
+            .getOrElse((cur, Seq.empty[org.apache.spark.sql.Row]))
+          val rows = prev ++ aligned.collect()
+          state(spark).inserts.put(key, (base, rows))
+          import scala.jdk.CollectionConverters._
+          base.unionByName(
+              spark.createDataFrame(rows.asJava, base.schema))
+            .createOrReplaceTempView(name)
           Seq((name.toLowerCase,
               kinds(spark).getOrDefault(name.toLowerCase, "STREAM"),
               "1 row", "INSERTED"))
@@ -1018,6 +1050,7 @@ object ConnectorDdl {
           }
           withTime.createOrReplaceTempView(name)
         }
+        state(spark).inserts.remove(name.toLowerCase)
         kinds(spark).put(name.toLowerCase, "STREAM")
         Seq((name.toLowerCase, "STREAM",
             props.map { case (k, v) => s"$k=$v" }.mkString(","), "CREATED"))
@@ -1085,6 +1118,7 @@ object ConnectorDdl {
           }
         }
         df.createOrReplaceTempView(name)
+        state(spark).inserts.remove(name.toLowerCase)
         kinds(spark).put(name.toLowerCase, kindStr.toUpperCase)
         stmts(spark).put(name.toLowerCase, chosenSql)
         val shownProps = props ++ rekey.map(k =>

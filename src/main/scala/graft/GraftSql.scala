@@ -126,10 +126,17 @@ object GraftSql {
       if (absent(name))
         registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    if (absent("latest_by_offset")) spark.udf.register("latest_by_offset",
-      udaf(new graft.functions.LatestByOffsetAgg))
-    if (absent("earliest_by_offset")) spark.udf.register("earliest_by_offset",
-      udaf(new graft.functions.LatestByOffsetAgg(earliest = true)))
+    // latest/earliest_by_offset go through a registry BUILDER (not
+    // udf.register, which pins one arity) so the ksqlDB 0.28
+    // optional-boolean form is callable:
+    //   latest_by_offset(offset, value)               -- keep nulls
+    //   latest_by_offset(offset, value, ignoreNulls)  -- boolean literal
+    if (absent("latest_by_offset"))
+      registry.createOrReplaceTempFunction("latest_by_offset",
+        offsetAggBuilder("latest_by_offset", earliest = false), "scala_udf")
+    if (absent("earliest_by_offset"))
+      registry.createOrReplaceTempFunction("earliest_by_offset",
+        offsetAggBuilder("earliest_by_offset", earliest = true), "scala_udf")
     // ksql HISTOGRAM: map value→count, 1000-key cap as in ksqlDB
     if (absent("histogram")) spark.udf.register("histogram",
       udaf(new graft.functions.HistogramAgg))
@@ -145,5 +152,28 @@ object GraftSql {
       "earliest_3_by_offset",
       udaf(new graft.functions.LatestKByOffsetAgg(3, earliest = true)))
     ()
+  }
+
+  /** Builder for the (offset, value[, ignoreNulls]) aggregate family:
+    * the optional third argument must be a BOOLEAN LITERAL (it selects
+    * the Aggregator instance at plan time — ksqlDB's signature is the
+    * same, a compile-time flag, default false here to preserve the
+    * tombstone-keeping 2-arg behavior). */
+  private def offsetAggBuilder(name: String, earliest: Boolean)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BooleanType
+    val ignoreNulls = exprs match {
+      case Seq(_, _) => false
+      case Seq(_, _, Literal(b: Boolean, BooleanType)) => b
+      case _ => throw new IllegalArgumentException(
+        s"Invalid arguments for function $name: expected " +
+          s"$name(offset, value[, ignoreNulls boolean literal]), " +
+          s"got ${exprs.length} argument(s)")
+    }
+    org.apache.spark.sql.GraftBridge.scalaAggregator(
+      udaf(new graft.functions.LatestByOffsetAgg(earliest, ignoreNulls)),
+      exprs.take(2))
   }
 }

@@ -140,12 +140,17 @@ object KsqlCompat {
       // entries whose key map2 lacks, then append map2's. The lambda
       // comes from the SQL parser (placeholders swapped for the real
       // argument expressions; lambda variables resolve in analysis).
+      // The lambda variable carries the same collision-proof __graft_
+      // prefix as the placeholders: a plain `e` would CAPTURE any
+      // column literally named e referenced by the argument
+      // expressions when ResolveLambdaVariables binds the body.
       val (m1, m2) = (exprs(0), exprs(1))
       val merged = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseExpression(
           "map_from_entries(concat(" +
             "filter(map_entries(__graft_m1), " +
-            "e -> NOT array_contains(map_keys(__graft_m2), e.key)), " +
+            "__graft_e -> NOT array_contains(map_keys(__graft_m2), " +
+            "__graft_e.key)), " +
             "map_entries(__graft_m2)))")
         .transformUp {
           // inside a lambda body the parser wraps names as candidate

@@ -11,6 +11,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * offset is returned as null rather than being skipped, which is
   * what a Debezium tombstone requires.
   *
+  * `ignoreNulls` adds ksqlDB 0.28's optional-boolean form
+  * (`LATEST_BY_OFFSET(col, ignoreNulls)`): when true, null values
+  * never win — the result is the value at the greatest (smallest for
+  * earliest) offset AMONG NON-NULL values, or null only when the key
+  * saw no non-null value at all. A null candidate losing to every
+  * non-null one is itself commutative, so partial-merge order still
+  * cannot change the winner.
+  *
   * Offsets are unique within a Kafka partition, so equal offsets only
   * arise from replay/compaction artifacts; the tie-break must then be
   * COMMUTATIVE or the winner would depend on Spark's nondeterministic
@@ -23,9 +31,16 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class OffsetValue(offset: Long, value: String)
 
-class LatestByOffsetAgg(earliest: Boolean = false)
+class LatestByOffsetAgg(earliest: Boolean = false,
+                        ignoreNulls: Boolean = false)
     extends Aggregator[OffsetValue, OffsetValue, String] {
   private def pick(x: OffsetValue, y: OffsetValue): OffsetValue = {
+    if (ignoreNulls) {
+      // any null-valued candidate (sentinel or real row) always
+      // loses; two nulls — either side works, finish() is null anyway
+      if (x.value == null) return y
+      if (y.value == null) return x
+    }
     // sentinel (zero) always loses, regardless of direction
     if (x.value == null && x.offset == zero.offset) return y
     if (y.value == null && y.offset == zero.offset) return x

@@ -189,15 +189,54 @@ object KsqlFunctionQueries {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** ksqlDB 0.28's optional `ignoreNulls` flag on LATEST_BY_OFFSET /
+    * EARLIEST_BY_OFFSET, through the engine's explicit-offset UDAF
+    * registrations (`latest_by_offset(offset, value[, ignoreNulls])`,
+    * boolean literal, default false = keep nulls, the Debezium
+    * tombstone behavior). NULLIF plants a null value on every 'click'
+    * row (~20% of events), so both branches are exercised with real
+    * null runs: keep-forms return null whenever the newest/oldest
+    * event is a click; skip-forms dig past them to the newest/oldest
+    * NON-null value. The DuckDB oracle spells keep as an
+    * offset-ordered list head and skip as the same list with a
+    * FILTER — list [1] of an empty filtered list is NULL, matching
+    * the all-null-key result. */
+  def latestByOffsetNulls(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT user_id,
+        |  LATEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'))
+        |    AS latest_keep,
+        |  LATEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'), true)
+        |    AS latest_skip,
+        |  EARLIEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'), false)
+        |    AS earliest_keep,
+        |  EARLIEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'), true)
+        |    AS earliest_skip
+        |FROM events GROUP BY user_id""".stripMargin)
+
+  val latestByOffsetNullsSql: String =
+    """SELECT user_id,
+      |  (list(nullif(event_type, 'click') ORDER BY event_id DESC))[1]
+      |    AS latest_keep,
+      |  (list(nullif(event_type, 'click') ORDER BY event_id DESC)
+      |    FILTER (event_type <> 'click'))[1] AS latest_skip,
+      |  (list(nullif(event_type, 'click') ORDER BY event_id ASC))[1]
+      |    AS earliest_keep,
+      |  (list(nullif(event_type, 'click') ORDER BY event_id ASC)
+      |    FILTER (event_type <> 'click'))[1] AS earliest_skip
+      |FROM events GROUP BY user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
     "q_ksql_collection_funcs" -> ksqlCollectionFuncs _,
-    "q_ksql_agg_funcs" -> ksqlAggFuncs _)
+    "q_ksql_agg_funcs" -> ksqlAggFuncs _,
+    "q_latest_by_offset_nulls" -> latestByOffsetNulls _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrlSql,
     "q_ksql_collection_funcs" -> ksqlCollectionFuncsSql,
-    "q_ksql_agg_funcs" -> ksqlAggFuncsSql)
+    "q_ksql_agg_funcs" -> ksqlAggFuncsSql,
+    "q_latest_by_offset_nulls" -> latestByOffsetNullsSql)
 }

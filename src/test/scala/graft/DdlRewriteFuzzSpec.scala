@@ -121,7 +121,9 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
       "/* latest_by_offset(v, 3) */ FROM s GROUP BY k"
     val lboOut = ConnectorDdl.rewriteLatestByOffset(lbo)
     assert(lboOut.contains("/* latest_by_offset(v, 3) */"), lboOut)
-    assert(lboOut.contains("max_by(v, offset)"), lboOut)
+    // 1-arg form = ksql default ignoreNulls=true: null values null
+    // their own ordering key so max_by skips them
+    assert(lboOut.contains("max_by(v, nvl2(v, offset, null))"), lboOut)
   }
 
   test("latest_by_offset rewrite leaves the 2-column UDAF form and literals alone") {
@@ -130,14 +132,18 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
       val lit = hostileLiterals(rnd.nextInt(hostileLiterals.size))
       val sql = s"SELECT k, $lit AS tag, " +
         "latest_by_offset(event_id, event_type) AS udaf2, " +
-        "latest_by_offset(v) AS l1, latest_by_offset(v, 2) AS l2 " +
+        "latest_by_offset(v) AS l1, latest_by_offset(v, 2) AS l2, " +
+        "latest_by_offset(v, true) AS li, " +
+        "earliest_by_offset(v, false) AS ek " +
         "FROM s GROUP BY k"
       val out = ConnectorDdl.rewriteLatestByOffset(sql)
       assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
-      // 2-column UDAF spelling untouched; 1-arg and literal-N rewritten
+      // 2-column UDAF spelling untouched; 1-arg (ksql default
+      // ignoreNulls=true), literal-N, and boolean forms rewritten
       assert(out.contains("latest_by_offset(event_id, event_type)"), out)
-      assert(out.contains("max_by(v, offset)"), out)
+      assert(out.contains("max_by(v, nvl2(v, offset, null))"), out)
       assert(out.contains("reverse(transform(slice("), out)
+      assert(out.contains("min_by(v, offset)"), out)
     }
   }
 }

@@ -102,6 +102,40 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.isNullAt(1))
   }
 
+  test("latest_by_offset ignoreNulls=true: null runs never win, any partitioning") {
+    import spark.implicits._
+    // ksqlDB 0.28 optional-boolean form: the result is the value at
+    // the extreme offset AMONG NON-NULLS; null only when every value
+    // for the key is null. Random null runs + random partitioning:
+    // a merge-order dependence or a null winning would surface here.
+    val latestSkip = udaf(new LatestByOffsetAgg(ignoreNulls = true))
+    val earliestSkip =
+      udaf(new LatestByOffsetAgg(earliest = true, ignoreNulls = true))
+    val rnd = new Random(97)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val offsets = rnd.shuffle((0L until 100L).toList).take(n)
+      val records = offsets.map { o =>
+        (o, if (rnd.nextInt(3) == 0) null
+            else rnd.alphanumeric.take(5).mkString)
+      }
+      val df = records.toDF("offset", "value")
+        .withColumn("k", lit(1))
+        .repartition(1 + rnd.nextInt(6))
+      val row = df.groupBy($"k")
+        .agg(latestSkip($"offset", $"value").as("l"),
+          earliestSkip($"offset", $"value").as("e"))
+        .collect()(0)
+      val nonNull = records.filter(_._2 != null)
+      if (nonNull.isEmpty) {
+        assert(row.isNullAt(1) && row.isNullAt(2), s"records=$records")
+      } else {
+        assert(row.getString(1) == nonNull.maxBy(_._1)._2, s"records=$records")
+        assert(row.getString(2) == nonNull.minBy(_._1)._2, s"records=$records")
+      }
+    }
+  }
+
   test("cosine_sim native expression matches the composable form bit-for-bit") {
     import spark.implicits._
     val rnd = new Random(7)
