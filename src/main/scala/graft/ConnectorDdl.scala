@@ -166,6 +166,9 @@ object ConnectorDdl {
     val inserts = new ConcurrentHashMap[
       String, (org.apache.spark.sql.DataFrame,
                Seq[org.apache.spark.sql.Row])]()
+    // CREATE TYPE registry: lowercase name → fully-resolved Spark DDL
+    // type string (ksql scalar spellings already translated)
+    val types = new ConcurrentHashMap[String, String]()
   }
 
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
@@ -251,6 +254,18 @@ object ConnectorDdl {
   // match and stay Spark-native.
   private val explainRe =
     """(?is)\s*EXPLAIN\s+(?!EXTENDED\b|CODEGEN\b|COST\b|FORMATTED\b|ANALYZE\b)(.+?)\s*;?\s*""".r
+  // ksqlDB 0.28 `CREATE TYPE <name> AS <type>` — a session-scoped
+  // named type alias reusable across stream DDL column lists (the
+  // last ksql session-statement family). DROP TYPE and SHOW TYPES
+  // complete the lifecycle. The type body is validated eagerly (a
+  // malformed definition fails the CREATE, not a later stream DDL)
+  // and stored FULLY RESOLVED, so types referencing earlier types
+  // need only one substitution pass at use sites.
+  private val createTypeRe =
+    (s"""(?is)\\s*CREATE\\s+TYPE\\s+$nameRe\\s+AS\\s+(.+?)\\s*;?\\s*""").r
+  private val dropTypeRe =
+    (s"""(?is)\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?$nameRe\\s*;?\\s*""").r
+  private val showTypesRe = """(?is)\s*SHOW\s+TYPES\s*;?\s*""".r
   // ksqlDB persistent queries (reference README.md:434-480): CREATE
   // STREAM|TABLE <name> [WITH (props)] AS <select> [EMIT CHANGES|FINAL]
   // the WITH block reuses propRe's quoted-value grammar so a ')'
@@ -300,6 +315,20 @@ object ConnectorDdl {
   private val streamDefRe =
     ("""(?is)\s*CREATE\s+STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
       """(?:\(((?:[^()]|\([^)]*\))*)\)\s*)?WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*;?\s*""").r
+
+  /** Substitute session-registered CREATE TYPE names (word-boundary,
+    * case-insensitive) inside a type spelling — `addr ADDRESS` and
+    * `ARRAY<ADDRESS>` both resolve. Registered definitions are stored
+    * fully resolved, so one pass suffices. */
+  private def resolveTypes(spark: SparkSession, t: String): String = {
+    import scala.jdk.CollectionConverters._
+    var out = t
+    state(spark).types.asScala.foreach { case (n, defn) =>
+      out = ("(?i)\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+        .replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(defn))
+    }
+    out
+  }
 
   /** ksql scalar types → Spark DDL types (for bare stream defs that
     * carry an inline schema). */
@@ -820,7 +849,8 @@ object ConnectorDdl {
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
-       | insertValuesRe(_*) => true
+       | insertValuesRe(_*) | createTypeRe(_*) | dropTypeRe(_*)
+       | showTypesRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -854,6 +884,31 @@ object ConnectorDdl {
             s.kind match { case Source => "SOURCE"; case Sink => "SINK" },
             s.connectorClass))
           .toDF("name", "kind", "class")
+      case createTypeRe(qname, bname, typeBody) =>
+        val name = pick(qname, bname).toLowerCase
+        // resolve references to previously registered types, translate
+        // ksql scalar spellings, then VALIDATE by parsing as Spark DDL
+        // — a bad definition fails here, not at first use
+        val resolved = ksqlType(resolveTypes(spark, typeBody.trim))
+        try org.apache.spark.sql.types.StructType.fromDDL(s"__t $resolved")
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"CREATE TYPE $name: cannot parse type '$typeBody'", e) }
+        val prev = state(spark).types.putIfAbsent(name, resolved)
+        if (prev != null) throw new IllegalArgumentException(
+          s"type $name already exists (DROP TYPE it first)")
+        Seq((name, resolved, "REGISTERED")).toDF("name", "type", "status")
+      case dropTypeRe(ifExists, qname, bname) =>
+        val name = pick(qname, bname).toLowerCase
+        val removed = state(spark).types.remove(name)
+        if (removed == null && ifExists == null)
+          throw new IllegalArgumentException(s"type $name does not exist")
+        Seq((name, "DROPPED")).toDF("name", "status")
+      case showTypesRe() => {
+        import scala.jdk.CollectionConverters._
+        state(spark).types.asScala.toSeq.sortBy(_._1)
+          .toDF("name", "type")
+      }
       case setRe(key, value) =>
         // session-scoped property, quotes stripped; the reference's
         // `SET 'auto.offset.reset' = 'earliest'` lands here (the Kafka
@@ -1030,7 +1085,10 @@ object ConnectorDdl {
                 val parts = c.split("\\s+", 2)
                 require(parts.length == 2 && parts(1).trim.nonEmpty,
                   s"stream schema item '$c' must be '<name> <type>'")
-                s"${parts(0)} ${ksqlType(parts(1).trim)}"
+                // CREATE TYPE names resolve before the scalar-spelling
+                // translation, so a registered STRUCT alias works
+                // anywhere a type can appear (bare or nested)
+                s"${parts(0)} ${ksqlType(resolveTypes(spark, parts(1).trim))}"
               }.mkString(", ")
             spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),

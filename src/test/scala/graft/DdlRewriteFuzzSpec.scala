@@ -126,6 +126,44 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
     assert(lboOut.contains("max_by(v, nvl2(v, offset, null))"), lboOut)
   }
 
+  test("script splitter: ';', '--', and rewrite-name literals together, across 200 seeds") {
+    // script mode is the advertised migration path (paste a whole
+    // ksql session), so the splitter must hold when one literal
+    // carries a statement separator, a comment opener, AND a
+    // ksql-rewritten function name at once — and the per-statement
+    // rewrites must still leave that literal byte-identical.
+    val bombs = Seq(
+      "'a;b -- MASK(x)'",
+      "'end; SPLIT(a,b) -- tail'",
+      "';;'",
+      "'-- not a comment; latest_by_offset(v, 3)'",
+      "'it''s; PARTITION BY k -- REGEXP_EXTRACT'")
+    val rnd = new Random(31)
+    (1 to 200).foreach { _ =>
+      val b1 = bombs(rnd.nextInt(bombs.size))
+      val b2 = bombs(rnd.nextInt(bombs.size))
+      val script =
+        s"""SELECT $b1 AS x, MASK(name) FROM src1;
+           |-- real comment; with a semicolon and MASK(n)
+           |SELECT $b2 AS y, k, latest_by_offset(v) AS l
+           |FROM src2 GROUP BY k; /* block; MASK */
+           |SELECT 1 AS z;
+           |""".stripMargin
+      val stmts = ConnectorDdl.splitStatements(script)
+      assert(stmts.length == 3, s"script=$script stmts=$stmts")
+      assert(stmts(0).contains(b1), stmts(0))
+      assert(stmts(1).contains(b2), stmts(1))
+      // the statement-level rewrites keep the bomb literal untouched
+      val rewritten = ConnectorDdl.rewriteLatestByOffset(
+        ConnectorDdl.rewriteKsqlFunctionNames(stmts(1)))
+      assert(rewritten.contains(b2), rewritten)
+      assert(rewritten.contains("max_by(v, nvl2(v, offset, null))"),
+        rewritten)
+      val first = ConnectorDdl.rewriteKsqlFunctionNames(stmts(0))
+      assert(first.contains(b1) && first.contains("ksql_mask(name)"), first)
+    }
+  }
+
   test("latest_by_offset rewrite leaves the 2-column UDAF form and literals alone") {
     val rnd = new Random(23)
     (1 to 100).foreach { _ =>

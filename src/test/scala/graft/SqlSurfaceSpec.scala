@@ -655,6 +655,17 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(badRel.getMessage.contains("no such stream"), badRel.getMessage)
       // the INSERT ... SELECT query form is NOT intercepted
       assert(!ConnectorDdl.handles("INSERT INTO ins_s SELECT * FROM nation"))
+      // many inserts stay a FLAT base ∪ LocalRelation plan — the
+      // union count must not grow with N (a per-insert unionByName
+      // chain would re-analyze an N-deep plan on every statement)
+      (0 until 40).foreach(i =>
+        GraftSql.sql(spark, s"INSERT INTO ins_s VALUES (${200 + i}, 'b');"))
+      assert(spark.table("ins_s").count() == 45L)
+      val unions = spark.table("ins_s").queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(unions.length <= 1,
+        s"INSERT plan nests ${unions.length} unions")
       // SHOW TOPICS: session relations + sink-connector topics
       GraftSql.sql(spark,
         "CREATE SINK CONNECTOR topic_probe WITH (" +
@@ -668,6 +679,62 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         topics.toString)
       GraftSql.sql(spark, "DROP CONNECTOR topic_probe;")
     } finally spark.catalog.dropTempView("ins_s")
+  }
+
+  test("ksql CREATE TYPE: named types resolve in stream DDL; full lifecycle") {
+    val st = GraftSql.sql(spark,
+      "CREATE TYPE contact AS STRUCT<street VARCHAR, zip INT>;")
+      .collect().head
+    assert(st.getString(2) == "REGISTERED", st.toString)
+    try {
+      // a definition may reference an earlier type (stored resolved)
+      GraftSql.sql(spark, "CREATE TYPE contacts AS ARRAY<CONTACT>;")
+      GraftSql.sql(spark,
+        "CREATE STREAM typed_s (id INT, c CONTACT, cs CONTACTS) WITH " +
+          "(kafka_topic='typed.topic', value_format='json');")
+      val schema = spark.table("typed_s").schema
+      val cType = schema("c").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // ksqlDB uppercases unquoted identifiers; the scalar-spelling
+      // translation preserves that, so the struct fields land as
+      // STREET/ZIP (Spark's resolver is case-insensitive downstream)
+      assert(cType.fieldNames.toSeq == Seq("STREET", "ZIP"), cType.sql)
+      assert(schema("cs").dataType.sql == s"ARRAY<${cType.sql}>",
+        schema("cs").dataType.sql)
+      // typed round-trip: INSERT a struct row, CSAS projecting into it
+      GraftSql.sql(spark,
+        "INSERT INTO typed_s VALUES (1, " +
+          "named_struct('street', 'main', 'zip', 10), " +
+          "array(named_struct('street', 's2', 'zip', 20)));")
+      GraftSql.sql(spark,
+        "CREATE STREAM typed_zip AS SELECT id, c.zip AS zip " +
+          "FROM typed_s EMIT CHANGES")
+      val rows = spark.table("typed_zip").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(rows == Set((1, 10)), rows.toString)
+      // lifecycle: SHOW lists, duplicate CREATE fails, DROP removes,
+      // DROP of a missing type needs IF EXISTS, bad definitions fail
+      // at CREATE time
+      def listed(): Set[String] = GraftSql.sql(spark, "SHOW TYPES;")
+        .collect().map(_.getString(0)).toSet
+      assert(listed() == Set("contact", "contacts"))
+      val dup = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "CREATE TYPE contact AS VARCHAR;") }
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      GraftSql.sql(spark, "DROP TYPE contacts;")
+      assert(listed() == Set("contact"))
+      intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "DROP TYPE contacts;") }
+      GraftSql.sql(spark, "DROP TYPE IF EXISTS contacts;")
+      val bad = intercept[IllegalArgumentException] {
+        GraftSql.sql(spark, "CREATE TYPE bad AS STRUCT<oops;") }
+      assert(bad.getMessage.contains("cannot parse"), bad.getMessage)
+    } finally {
+      GraftSql.sql(spark, "DROP TYPE IF EXISTS contact;")
+      GraftSql.sql(spark, "DROP TYPE IF EXISTS contacts;")
+      spark.catalog.dropTempView("typed_s")
+      spark.catalog.dropTempView("typed_zip")
+    }
   }
 
   test("GraftSql.script runs a multi-statement session; ';' in literals survives") {
