@@ -172,6 +172,38 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream_neardup matches its batch oracle under RocksDB state") {
+    // the 100 TB configuration for the first-wins bucket registry:
+    // flatMapGroupsWithState keeps one long per distinct (band, sig)
+    // in RocksDB; the final flags must equal the batch EXISTS oracle
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamNeardup(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val bands = graft.queries.DedupQueries.bandRows(
+      spark.read.parquet(s"$d/documents.parquet"))
+    val expected = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.sig" === $"b.sig" &&
+          $"b.doc_id" < $"a.doc_id", "leftsemi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup_bands"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} rows, expected=${expected.size}")
+  }
+
+  test("stream_bpe_pairs matches the batch pair counts under RocksDB state") {
+    // update-mode grouped sum keyed on the symbol pair: state is one
+    // count per distinct bigram, held in RocksDB across micro-batches
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamBpePairs(spark, d)
+      .as[(String, Long)].collect().toMap
+    val batch = graft.queries.TextQueries.bpePairs(spark, d)
+      .as[(String, Long)].collect().toMap
+    assert(got.nonEmpty && got == batch,
+      s"got=${got.size} pairs, batch=${batch.size}")
+  }
+
   test("fkJoin and fkJoinTws emit byte-identical changelogs on the same input") {
     import spark.implicits._
     import TableTableJoinSpec.{Cust, Nat}
