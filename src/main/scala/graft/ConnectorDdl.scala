@@ -254,6 +254,16 @@ object ConnectorDdl {
   // match and stay Spark-native.
   private val explainRe =
     """(?is)\s*EXPLAIN\s+(?!EXTENDED\b|CODEGEN\b|COST\b|FORMATTED\b|ANALYZE\b)(.+?)\s*;?\s*""".r
+  // ksql CLI `SHOW|LIST FUNCTIONS` / `DESCRIBE FUNCTION <name>`: the
+  // engine's SQL-reachable function surface, introspectable the way a
+  // ksql user expects. DESCRIBE FUNCTION of a non-graft name
+  // delegates to Spark's native form so builtin docs stay reachable
+  // through the same spelling.
+  private val showFunctionsRe =
+    """(?is)\s*(?:SHOW|LIST)\s+FUNCTIONS\s*;?\s*""".r
+  private val describeFunctionRe =
+    (s"""(?is)\\s*DESCRIBE\\s+FUNCTION\\s+$nameRe\\s*;?\\s*""").r
+
   // ksqlDB 0.28 `CREATE TYPE <name> AS <type>` — a session-scoped
   // named type alias reusable across stream DDL column lists (the
   // last ksql session-statement family). DROP TYPE and SHOW TYPES
@@ -315,6 +325,59 @@ object ConnectorDdl {
   private val streamDefRe =
     ("""(?is)\s*CREATE\s+STREAM\s+(IF\s+NOT\s+EXISTS\s+)?([A-Za-z_]\w*)\s*""" +
       """(?:\(((?:[^()]|\([^)]*\))*)\)\s*)?WITH\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)\s*;?\s*""").r
+
+  // ---- function inventory (SHOW FUNCTIONS / DESCRIBE FUNCTION) ----
+
+  /** Names whose registration is an aggregate — ksql's CATEGORY
+    * column distinguishes them from scalars. */
+  private val aggregateFunctionNames = Set(
+    "bloom_filter_agg", "count_distinct", "topk", "topkdistinct",
+    "latest_by_offset", "earliest_by_offset", "histogram",
+    "topk_by_score_3", "latest_3_by_offset", "earliest_3_by_offset")
+
+  /** The Aggregator-backed registrations don't go through an
+    * expression builder, so their usage is spelled here. */
+  private val udafUsage = Seq(
+    "latest_by_offset" -> "latest_by_offset(offset, value[, ignoreNulls])",
+    "earliest_by_offset" ->
+      "earliest_by_offset(offset, value[, ignoreNulls])",
+    "histogram" -> "histogram(value)",
+    "topk_by_score_3" -> "topk_by_score_3(item, score)",
+    "latest_3_by_offset" ->
+      "latest_3_by_offset(offset, value[, ignoreNulls])",
+    "earliest_3_by_offset" ->
+      "earliest_3_by_offset(offset, value[, ignoreNulls])")
+
+  /** Every builder validates arity with a message that EMBEDS its
+    * usage string ("expected <usage>, got N argument(s)") — probing
+    * with zero arguments recovers it without maintaining a parallel
+    * usage table that could drift from the registrations. */
+  private def usageFromBuilder(name: String,
+      b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+         org.apache.spark.sql.catalyst.expressions.Expression): String =
+    try { b(Seq.empty); s"$name(...)" }
+    catch {
+      case e: Throwable =>
+        "expected (.*), got".r
+          .findFirstMatchIn(Option(e.getMessage).getOrElse(""))
+          .map(_.group(1)).getOrElse(s"$name(...)")
+    }
+
+  /** (name, category, usage) for the whole graft surface: native
+    * Catalyst expressions, the ksql compat pack, and the
+    * Aggregator-backed SQL aggregates. */
+  private def functionInventory: Seq[(String, String, String)] = {
+    def cat(n: String): String =
+      if (aggregateFunctionNames(n)) "AGGREGATE" else "SCALAR"
+    val natives = GraftNativeFunctions.builders.map { case (n, _, b) =>
+      (n, cat(n), usageFromBuilder(n, b))
+    }
+    val compat = graft.functions.KsqlCompat.builders.map { case (n, b) =>
+      (n, cat(n), usageFromBuilder(n, b))
+    }
+    val udafs = udafUsage.map { case (n, u) => (n, "AGGREGATE", u) }
+    (natives ++ compat ++ udafs).sortBy(_._1)
+  }
 
   /** Substitute session-registered CREATE TYPE names (word-boundary,
     * case-insensitive) inside a type spelling — `addr ADDRESS` and
@@ -680,8 +743,27 @@ object ConnectorDdl {
     // (offset, value) pairs, sort descending for latest / ascending
     // for earliest, slice the wanted N, project the value, and for
     // latest REVERSE the slice back into ascending order.
+    // 3-arg `(x, N, ignoreNulls)`: with ignoreNulls the null-valued
+    // rows must never occupy one of the N slots — collect_list skips
+    // null ENTRIES, so nulling the whole struct for a null value
+    // drops exactly those rows before the sort/slice
+    val kBool =
+      """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*,\s*(true|false)\s*\)""".r
+        .replaceAllIn(boolArg, m => {
+          val latest = m.group(1).toLowerCase == "latest"
+          val (x, n) = (m.group(2), m.group(3))
+          val entry =
+            if (m.group(4).toLowerCase == "true")
+              s"if(isnull($x), null, struct(offset, $x))"
+            else s"struct(offset, $x)"
+          val sliced =
+            s"transform(slice(sort_array(collect_list($entry), " +
+              s"${!latest}), 1, $n), s -> s.$x)"
+          java.util.regex.Matcher.quoteReplacement(
+            if (latest) s"reverse($sliced)" else sliced)
+        })
     """(?i)\b(latest|earliest)_by_offset\s*\(\s*([A-Za-z_]\w*)\s*,\s*(\d+)\s*\)""".r
-      .replaceAllIn(boolArg, m => {
+      .replaceAllIn(kBool, m => {
         val latest = m.group(1).toLowerCase == "latest"
         val (x, n) = (m.group(2), m.group(3))
         val sliced =
@@ -850,7 +932,8 @@ object ConnectorDdl {
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
        | insertValuesRe(_*) | createTypeRe(_*) | dropTypeRe(_*)
-       | showTypesRe(_*) => true
+       | showTypesRe(_*) | showFunctionsRe(_*)
+       | describeFunctionRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
       isKsqlCsas(kindStr, withProps, emit)
     case _ => false
@@ -884,6 +967,18 @@ object ConnectorDdl {
             s.kind match { case Source => "SOURCE"; case Sink => "SINK" },
             s.connectorClass))
           .toDF("name", "kind", "class")
+      case showFunctionsRe() =>
+        functionInventory.map { case (n, c, _) => (n, c) }
+          .toDF("name", "category")
+      case describeFunctionRe(qname, bname) =>
+        val name = pick(qname, bname).toLowerCase
+        functionInventory.find(_._1 == name) match {
+          case Some((n, c, u)) =>
+            Seq((n, c, u)).toDF("name", "category", "usage")
+          // not a graft registration: Spark's native DESCRIBE FUNCTION
+          // serves builtins through the same spelling
+          case None => spark.sql(statement)
+        }
       case createTypeRe(qname, bname, typeBody) =>
         val name = pick(qname, bname).toLowerCase
         // resolve references to previously registered types, translate

@@ -145,12 +145,16 @@ object GraftSql {
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,
-    // whose state is the full key history)
-    if (absent("latest_3_by_offset")) spark.udf.register("latest_3_by_offset",
-      udaf(new graft.functions.LatestKByOffsetAgg(3)))
-    if (absent("earliest_3_by_offset")) spark.udf.register(
-      "earliest_3_by_offset",
-      udaf(new graft.functions.LatestKByOffsetAgg(3, earliest = true)))
+    // whose state is the full key history). Same optional-boolean
+    // ignoreNulls third argument as the scalar family.
+    if (absent("latest_3_by_offset"))
+      registry.createOrReplaceTempFunction("latest_3_by_offset",
+        offsetKAggBuilder("latest_3_by_offset", 3, earliest = false),
+        "scala_udf")
+    if (absent("earliest_3_by_offset"))
+      registry.createOrReplaceTempFunction("earliest_3_by_offset",
+        offsetKAggBuilder("earliest_3_by_offset", 3, earliest = true),
+        "scala_udf")
     ()
   }
 
@@ -161,10 +165,27 @@ object GraftSql {
     * tombstone-keeping 2-arg behavior). */
   private def offsetAggBuilder(name: String, earliest: Boolean)(
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : org.apache.spark.sql.catalyst.expressions.Expression = {
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftBridge.scalaAggregator(
+      udaf(new graft.functions.LatestByOffsetAgg(
+        earliest, parseIgnoreNulls(name, exprs))),
+      exprs.take(2))
+
+  /** Same optional-boolean contract for the k-bounded family. */
+  private def offsetKAggBuilder(name: String, k: Int, earliest: Boolean)(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftBridge.scalaAggregator(
+      udaf(new graft.functions.LatestKByOffsetAgg(
+        k, earliest, parseIgnoreNulls(name, exprs))),
+      exprs.take(2))
+
+  private def parseIgnoreNulls(name: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.BooleanType
-    val ignoreNulls = exprs match {
+    exprs match {
       case Seq(_, _) => false
       case Seq(_, _, Literal(b: Boolean, BooleanType)) => b
       case _ => throw new IllegalArgumentException(
@@ -172,8 +193,5 @@ object GraftSql {
           s"$name(offset, value[, ignoreNulls boolean literal]), " +
           s"got ${exprs.length} argument(s)")
     }
-    org.apache.spark.sql.GraftBridge.scalaAggregator(
-      udaf(new graft.functions.LatestByOffsetAgg(earliest, ignoreNulls)),
-      exprs.take(2))
   }
 }

@@ -24,8 +24,16 @@ case class OffsetValues(pairs: Seq[OffsetValue])
 /** `earliest = true` gives the EARLIEST_BY_OFFSET(value, N) twin: the
   * bound keeps the leading k of the ascending buffer instead of the
   * trailing k; output stays ascending (earliest first), ksql's order
-  * for both forms. */
-class LatestKByOffsetAgg(k: Int, earliest: Boolean = false)
+  * for both forms.
+  *
+  * `ignoreNulls` is ksqlDB 0.28's optional third argument
+  * (`LATEST_BY_OFFSET(value, N, ignoreNulls)`): when true, null
+  * values never enter the buffer — the k slots hold the k most
+  * recent (oldest for earliest) NON-null values, so a burst of
+  * tombstones cannot evict real history. Default false keeps nulls,
+  * matching the 2-arg family's established behavior. */
+class LatestKByOffsetAgg(k: Int, earliest: Boolean = false,
+                         ignoreNulls: Boolean = false)
     extends Aggregator[OffsetValue, OffsetValues, Seq[String]] {
   require(k > 0, s"k must be positive, got $k")
 
@@ -46,6 +54,7 @@ class LatestKByOffsetAgg(k: Int, earliest: Boolean = false)
   override def zero: OffsetValues = OffsetValues(Nil)
 
   override def reduce(b: OffsetValues, a: OffsetValue): OffsetValues = {
+    if (ignoreNulls && a.value == null) return b
     val (below, above) = b.pairs.span(lt(_, a))
     OffsetValues(bound(below ++ (a +: above)))
   }

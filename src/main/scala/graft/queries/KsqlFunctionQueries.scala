@@ -200,7 +200,10 @@ object KsqlFunctionQueries {
     * NON-null value. The DuckDB oracle spells keep as an
     * offset-ordered list head and skip as the same list with a
     * FILTER — list [1] of an empty filtered list is NULL, matching
-    * the all-null-key result. */
+    * the all-null-key result. The k-BOUNDED family takes the same
+    * flag (`latest_3_by_offset(offset, value, true)`): nulls must
+    * never occupy one of the k slots, so the joined slice holds the
+    * 3 newest/oldest non-null values in ksql ascending order. */
   def latestByOffsetNulls(s: SparkSession, d: String): DataFrame =
     run(s, d,
       """SELECT user_id,
@@ -211,7 +214,11 @@ object KsqlFunctionQueries {
         |  EARLIEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'), false)
         |    AS earliest_keep,
         |  EARLIEST_BY_OFFSET(event_id, NULLIF(event_type, 'click'), true)
-        |    AS earliest_skip
+        |    AS earliest_skip,
+        |  ARRAY_JOIN(LATEST_3_BY_OFFSET(event_id,
+        |    NULLIF(event_type, 'click'), true), ',') AS latest3_skip,
+        |  ARRAY_JOIN(EARLIEST_3_BY_OFFSET(event_id,
+        |    NULLIF(event_type, 'click'), true), ',') AS earliest3_skip
         |FROM events GROUP BY user_id""".stripMargin)
 
   val latestByOffsetNullsSql: String =
@@ -223,7 +230,13 @@ object KsqlFunctionQueries {
       |  (list(nullif(event_type, 'click') ORDER BY event_id ASC))[1]
       |    AS earliest_keep,
       |  (list(nullif(event_type, 'click') ORDER BY event_id ASC)
-      |    FILTER (event_type <> 'click'))[1] AS earliest_skip
+      |    FILTER (event_type <> 'click'))[1] AS earliest_skip,
+      |  array_to_string(list_reverse(
+      |    (list(nullif(event_type, 'click') ORDER BY event_id DESC)
+      |     FILTER (event_type <> 'click'))[1:3]), ',') AS latest3_skip,
+      |  array_to_string(
+      |    (list(nullif(event_type, 'click') ORDER BY event_id ASC)
+      |     FILTER (event_type <> 'click'))[1:3], ',') AS earliest3_skip
       |FROM events GROUP BY user_id""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

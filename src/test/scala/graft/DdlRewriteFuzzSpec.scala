@@ -172,7 +172,8 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
         "latest_by_offset(event_id, event_type) AS udaf2, " +
         "latest_by_offset(v) AS l1, latest_by_offset(v, 2) AS l2, " +
         "latest_by_offset(v, true) AS li, " +
-        "earliest_by_offset(v, false) AS ek " +
+        "earliest_by_offset(v, false) AS ek, " +
+        "latest_by_offset(v, 2, true) AS l2i " +
         "FROM s GROUP BY k"
       val out = ConnectorDdl.rewriteLatestByOffset(sql)
       assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
@@ -182,6 +183,10 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
       assert(out.contains("max_by(v, nvl2(v, offset, null))"), out)
       assert(out.contains("reverse(transform(slice("), out)
       assert(out.contains("min_by(v, offset)"), out)
+      // 3-arg ignoreNulls=true: null values null the whole struct so
+      // collect_list drops them before the sort/slice
+      assert(out.contains("collect_list(if(isnull(v), null, " +
+        "struct(offset, v))"), out)
     }
   }
 }

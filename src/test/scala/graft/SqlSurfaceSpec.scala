@@ -681,6 +681,33 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("ins_s")
   }
 
+  test("ksql SHOW FUNCTIONS / DESCRIBE FUNCTION cover the graft surface") {
+    val fns = GraftSql.sql(spark, "SHOW FUNCTIONS;")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the three families are all present with the right category
+    assert(fns.get("cosine_sim").contains("SCALAR"), fns.toString)
+    assert(fns.get("mask_keep_left").contains("SCALAR"), fns.toString)
+    assert(fns.get("latest_by_offset").contains("AGGREGATE"), fns.toString)
+    assert(fns.get("topk").contains("AGGREGATE"), fns.toString)
+    assert(fns.size > 40, s"only ${fns.size} functions listed")
+    // LIST FUNCTIONS is the ksql synonym
+    assert(GraftSql.sql(spark, "LIST FUNCTIONS;").count() == fns.size)
+    // usage strings come from the builders' own arity messages, so
+    // they can't drift from the registrations
+    val d = GraftSql.sql(spark, "DESCRIBE FUNCTION mask_keep_left;")
+      .collect().head
+    assert(d.getString(1) == "SCALAR" &&
+      d.getString(2) == "mask_keep_left(str, n)", d.toString)
+    val agg = GraftSql.sql(spark, "DESCRIBE FUNCTION latest_by_offset;")
+      .collect().head
+    assert(agg.getString(2).contains("ignoreNulls"), agg.toString)
+    // a non-graft name delegates to Spark's native DESCRIBE FUNCTION
+    val builtin = GraftSql.sql(spark, "DESCRIBE FUNCTION abs;").collect()
+    assert(builtin.nonEmpty &&
+      builtin.map(_.getString(0)).mkString.contains("abs"),
+      builtin.mkString("|"))
+  }
+
   test("ksql CREATE TYPE: named types resolve in stream DDL; full lifecycle") {
     val st = GraftSql.sql(spark,
       "CREATE TYPE contact AS STRUCT<street VARCHAR, zip INT>;")

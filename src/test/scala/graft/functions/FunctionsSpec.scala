@@ -102,6 +102,35 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.isNullAt(1))
   }
 
+  test("latest_k ignoreNulls=true: nulls never occupy a slot, any partitioning") {
+    import spark.implicits._
+    // the k slots must hold the k most recent / oldest NON-null
+    // values — a tombstone burst evicting real history would show as
+    // a shorter-than-possible or null-containing slice
+    val latest3 = udaf(new LatestKByOffsetAgg(3, ignoreNulls = true))
+    val earliest3 =
+      udaf(new LatestKByOffsetAgg(3, earliest = true, ignoreNulls = true))
+    val rnd = new Random(61)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(30)
+      val offsets = rnd.shuffle((0L until 100L).toList).take(n)
+      val records = offsets.map { o =>
+        (o, if (rnd.nextInt(3) == 0) null
+            else rnd.alphanumeric.take(5).mkString)
+      }
+      val df = records.toDF("offset", "value")
+        .withColumn("k", lit(1))
+        .repartition(1 + rnd.nextInt(6))
+      val row = df.groupBy($"k")
+        .agg(latest3($"offset", $"value").as("l"),
+          earliest3($"offset", $"value").as("e"))
+        .collect()(0)
+      val sorted = records.filter(_._2 != null).sortBy(_._1).map(_._2)
+      assert(row.getSeq[String](1) == sorted.takeRight(3), s"records=$records")
+      assert(row.getSeq[String](2) == sorted.take(3), s"records=$records")
+    }
+  }
+
   test("latest_by_offset ignoreNulls=true: null runs never win, any partitioning") {
     import spark.implicits._
     // ksqlDB 0.28 optional-boolean form: the result is the value at
