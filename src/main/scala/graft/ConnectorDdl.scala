@@ -202,6 +202,13 @@ object ConnectorDdl {
     (s"""(?is)\\s*CREATE\\s+(SOURCE|SINK)\\s+CONNECTOR\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$nameRe\\s+WITH\\s*\\((.*)\\)\\s*;?\\s*""").r
   private val dropRe =
     (s"""(?is)\\s*DROP\\s+CONNECTOR\\s+(IF\\s+EXISTS\\s+)?$nameRe\\s*;?\\s*""").r
+  // ksql `DROP STREAM/TABLE [IF EXISTS] <name> [DELETE TOPIC]`: remove
+  // the session relation (and its kind/EXPLAIN/INSERT bookkeeping).
+  // `DROP TABLE` is ALSO valid Spark SQL — a name this session never
+  // declared as a ksql relation delegates to spark.sql, so real
+  // catalog tables keep Spark-native drop semantics.
+  private val dropRelationRe =
+    (s"""(?is)\\s*DROP\\s+(STREAM|TABLE)\\s+(IF\\s+EXISTS\\s+)?$nameRe\\s*(DELETE\\s+TOPIC\\s*)?;?\\s*""").r
   private val showRe = """(?is)\s*SHOW\s+CONNECTORS\s*;?\s*""".r
   // ksql admin forms Spark lacks: quoted-key SET (the reference's FIRST
   // statement, README.md:346 — Spark's native SET would store the
@@ -840,7 +847,25 @@ object ConnectorDdl {
     * [[outsideLiterals]]; `MASK_KEEP_LEFT` & co don't match (the
     * rewrite requires `(` right after the bare name). */
   private[graft] def rewriteKsqlFunctionNames(statement: String): String =
-    outsideLiterals(statement) { seg =>
+    outsideLiterals(statement) { seg0 =>
+      // ksql lambda arrows → Spark's (no other `=>` exists in either
+      // dialect's grammar). Spark's parser accepts `x -> e` and
+      // `(x, y) -> e` but NOT a parenthesized SINGLE parameter, which
+      // is ksql's canonical spelling — strip those parens too.
+      var seg = seg0.replace("=>", "->")
+      seg = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""".r
+        .replaceAllIn(seg, m => s"${m.group(1)} ->")
+      // the invocation functions and the codec/sort scalars whose
+      // Spark namesake is array-only or semantically different
+      // (KsqlCompatExt): bare name followed by `(`. Aggregate
+      // `FILTER (WHERE …)` clauses are NOT ksql's lambda filter and
+      // stay untouched (negative lookahead).
+      seg = """(?i)\bTRANSFORM\s*\(""".r.replaceAllIn(seg, "ksql_transform(")
+      seg = """(?i)\bFILTER\s*\(\s*(?!WHERE\b)""".r
+        .replaceAllIn(seg, "ksql_filter(")
+      seg = """(?i)\bREDUCE\s*\(""".r.replaceAllIn(seg, "ksql_reduce(")
+      seg = """(?i)\bARRAY_SORT\s*\(""".r.replaceAllIn(seg, "ksql_array_sort(")
+      seg = """(?i)\bENCODE\s*\(""".r.replaceAllIn(seg, "ksql_encode(")
       """(?i)\bREGEXP_EXTRACT\s*\(""".r.replaceAllIn(
         """(?i)\bSPLIT\s*\(""".r.replaceAllIn(
           """(?i)\bMASK\s*\(""".r.replaceAllIn(seg, "ksql_mask("),
@@ -927,7 +952,8 @@ object ConnectorDdl {
 
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
-    case createRe(_*) | dropRe(_*) | showRe(_*) | setRe(_*)
+    case createRe(_*) | dropRe(_*) | dropRelationRe(_*) | showRe(_*)
+       | setRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
@@ -962,6 +988,38 @@ object ConnectorDdl {
         if (removed == null && ifExists == null)
           throw new IllegalArgumentException(s"connector $name does not exist")
         Seq((name.toLowerCase, "DROPPED")).toDF("name", "status")
+      case dropRelationRe(kindStr, ifExists, quotedName, bareName,
+                          deleteTopic) =>
+        val name = pick(quotedName, bareName)
+        val key = name.toLowerCase
+        val kind = kindStr.toUpperCase
+        val declared = Option(kinds(spark).get(key))
+        // ksql rejects dropping a TABLE with DROP STREAM and vice
+        // versa; relations this session never CSAS-declared (e.g. the
+        // testdata views) default to STREAM, matching SHOW STREAMS
+        declared.filter(_ != kind).foreach(d =>
+          throw new IllegalArgumentException(
+            s"$name is a $d — use DROP $d"))
+        val isTempView = spark.catalog.tableExists(name) &&
+          spark.sessionState.catalog.getTempView(key).isDefined
+        if (declared.isDefined || (isTempView && kind == "STREAM")) {
+          spark.catalog.dropTempView(name)
+          kinds(spark).remove(key)
+          stmts(spark).remove(key)
+          state(spark).inserts.remove(key)
+          Seq((key, kind,
+              if (deleteTopic != null) "TOPIC DELETED" else "",
+              "DROPPED")).toDF("name", "kind", "note", "status")
+        } else if (kind == "TABLE")
+          // not a ksql relation: Spark-native DROP TABLE (the DELETE
+          // TOPIC suffix is ksql-only grammar and is peeled off)
+          spark.sql(s"DROP TABLE ${if (ifExists != null) "IF EXISTS " else ""}" +
+            s"$name")
+        else if (ifExists != null)
+          Seq((key, kind, "", "NOT FOUND")).toDF(
+            "name", "kind", "note", "status")
+        else throw new IllegalArgumentException(
+          s"stream $name does not exist")
       case showRe() =>
         connectors(spark).map(s => (s.name,
             s.kind match { case Source => "SOURCE"; case Sink => "SINK" },

@@ -66,10 +66,14 @@ object KsqlCompat {
       s"$name: expected a string literal argument, got $other")
   }
 
-  /** (name, builder) for every compat function. Shared by the session
-    * extension ([[graft.GraftExtensions]]) and the per-session
-    * registration ([[graft.GraftSql.registerFunctions]]). */
-  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** (name, builder) for every compat function — this pack plus
+    * [[KsqlCompatExt]]. Shared by the session extension
+    * ([[graft.GraftExtensions]]) and the per-session registration
+    * ([[graft.GraftSql.registerFunctions]]). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] =
+    base ++ KsqlCompatExt.builders
+
+  private lazy val base: Seq[(String, Seq[Expression] => Expression)] = Seq(
 
     // ---- masking (ksql defaults; extra mask chars pass through) ----
     "ksql_mask" -> { exprs =>

@@ -1,0 +1,265 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayFilter,
+  ArrayTransform, Expression, LambdaFunction, Literal, MapFilter,
+  TransformKeys, TransformValues, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Second ksqlDB 0.28 compat pack: the INVOCATION (lambda) functions
+  * `TRANSFORM` / `FILTER` / `REDUCE`, plus the remaining collection /
+  * codec scalars (`ARRAY_SORT`, `ENCODE`, `AS_MAP`, `TO_JSON_STRING`,
+  * `IS_JSON_STRING`) and the `CORRELATION` aggregate. Same design
+  * rules as [[KsqlCompat]]: every builder composes Spark's own
+  * expressions — the higher-order functions are the SAME Catalyst
+  * nodes (`ArrayTransform`, `ArrayFilter`, `MapFilter`,
+  * `ArrayAggregate`) Spark's builtin `transform`/`filter`/`reduce`
+  * resolve to, constructed directly (an `UnresolvedFunction` back onto
+  * the registered name would recurse into this builder).
+  *
+  * All five clash-prone names are registered under a `ksql_` prefix
+  * and reached through [[graft.ConnectorDdl.rewriteKsqlFunctionNames]]
+  * (the ksql dialect of [[graft.GraftSql.sql]]):
+  *
+  *  - `TRANSFORM`/`FILTER`/`REDUCE` — Spark's namesakes are
+  *    array-only; the ksql forms also take maps (`TRANSFORM(map, kl,
+  *    vl)`, two-argument filter lambdas, three-argument reduce
+  *    lambdas). The map forms rewrite the user's lambda variables to
+  *    entry-field paths over `map_entries` (reduce) or a
+  *    tuck-the-original-pair HOF chain (transform) — resolution then
+  *    proceeds through Spark's ordinary `ResolveLambdaVariables`
+  *    (which folds trailing `nameParts` into field extractions, so
+  *    `k.x` keeps working).
+  *    `FILTER` dispatches array-vs-map on the lambda's parameter
+  *    count (1 vs 2) — the one signal available pre-analysis; the
+  *    rewrite leaves aggregate `FILTER (WHERE …)` clauses alone.
+  *  - `ARRAY_SORT` — ksql's optional second argument is an
+  *    'ASC'/'DESC' string literal with nulls LAST either way; Spark's
+  *    2-arg `array_sort` takes a comparator lambda. DESC is spelled
+  *    as reverse(sort(non-nulls)) ++ nulls.
+  *  - `ENCODE` — ksql's is a hex/utf8/ascii/base64 transcoder
+  *    (literal-dispatched here, hex output lowercase per ksqlDB's
+  *    `Encode` UDF); Spark's `encode` is a charset encoder.
+  *
+  * ksql spells lambdas `(x) => expr`; the dialect rewrite maps `=>` to
+  * Spark's `->` (outside literals), after which Spark's parser
+  * produces the `LambdaFunction` trees these builders consume.
+  *
+  * Known limit (documented, ksql-compatible in practice): lambda
+  * parameter names are substituted by head-name match, so a nested
+  * lambda re-declaring the SAME variable name inside a map-form body
+  * would be captured — ksql itself rejects shadowed lambda variables.
+  *
+  * Reference anchor: ksqlDB 0.28 is the engine the reference deploys
+  * (reference docker-compose.yml:83); its README's function surface is
+  * the 0.28 builtin set.
+  */
+object KsqlCompatExt {
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args, isDistinct = false)
+
+  private def lit(v: Any): Expression = Literal(v)
+
+  private def lv(parts: String*): UnresolvedNamedLambdaVariable =
+    UnresolvedNamedLambdaVariable(parts)
+
+  private def arity(name: String, usage: String, exprs: Seq[Expression],
+                    min: Int, max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"Invalid number of arguments for function $name: expected " +
+          s"$usage, got ${exprs.length} argument(s)")
+
+  /** The parsed lambda argument, checked for the expected parameter
+    * count(s). */
+  private def requireLambda(name: String, e: Expression,
+                            ns: Set[Int]): LambdaFunction = e match {
+    case l: LambdaFunction if ns.contains(l.arguments.length) => l
+    case l: LambdaFunction => throw new IllegalArgumentException(
+      s"$name: lambda takes ${ns.mkString(" or ")} parameter(s), " +
+        s"got ${l.arguments.length}")
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a lambda argument (x) => ..., got $other")
+  }
+
+  /** Replace references to lambda parameters named in `mapping`
+    * (case-insensitive head match) with the mapped name-parts prefix,
+    * keeping any trailing field path — `v` → `__graft_e.value`,
+    * `v.x` → `__graft_e.value.x`. Handles both node shapes a parsed
+    * lambda body carries pre-analysis (the parser emits
+    * `UnresolvedNamedLambdaVariable` for names inside lambda bodies;
+    * programmatic callers may hold `UnresolvedAttribute`). */
+  private def substVars(body: Expression,
+                        mapping: Map[String, Seq[String]]): Expression = {
+    def remap(parts: Seq[String]): Option[Seq[String]] =
+      mapping.get(parts.head.toLowerCase).map(_ ++ parts.tail)
+    body.transformUp {
+      case v: UnresolvedNamedLambdaVariable =>
+        remap(v.nameParts).map(UnresolvedNamedLambdaVariable(_)).getOrElse(v)
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        remap(a.nameParts).map(UnresolvedNamedLambdaVariable(_)).getOrElse(a)
+    }
+  }
+
+  private def literalString(name: String, e: Expression): String = e match {
+    case Literal(u: UTF8String, StringType) => u.toString
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a string literal argument, got $other")
+  }
+
+  /** str|binary → binary for ksql_encode's input encoding. */
+  private def decodeTo(name: String, e: Expression, enc: String): Expression =
+    enc.toLowerCase match {
+      case "utf8" => fn("encode", e, lit("UTF-8"))
+      case "ascii" => fn("encode", e, lit("US-ASCII"))
+      case "hex" => fn("unhex", e)
+      case "base64" => fn("unbase64", e)
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported encoding '$other' " +
+          "(hex, utf8, ascii, base64)")
+    }
+
+  /** binary → str for ksql_encode's output encoding. */
+  private def encodeFrom(name: String, bin: Expression,
+                         enc: String): Expression =
+    enc.toLowerCase match {
+      case "utf8" => fn("decode", bin, lit("UTF-8"))
+      case "ascii" => fn("decode", bin, lit("US-ASCII"))
+      case "hex" => fn("lower", fn("hex", bin)) // ksql emits lowercase hex
+      case "base64" => fn("base64", bin)
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported encoding '$other' " +
+          "(hex, utf8, ascii, base64)")
+    }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+
+    // ---- invocation (lambda) functions ----
+    "ksql_transform" -> { exprs =>
+      arity("transform",
+        "transform(array, (x) => ...) or " +
+          "transform(map, (k,v) => newKey, (k,v) => newVal)", exprs, 2, 3)
+      if (exprs.length == 2)
+        ArrayTransform(exprs(0), requireLambda("transform", exprs(1), Set(1)))
+      else {
+        val kl = requireLambda("transform", exprs(1), Set(2))
+        val vl = requireLambda("transform", exprs(2), Set(2))
+        // Both lambdas see the ORIGINAL (k, v). The analyzer requires
+        // a lambda-bearing call to resolve to a HigherOrderFunction
+        // NODE (Analyzer.ResolveFunctions, NON_HIGHER_ORDER_FUNCTION),
+        // so the composition must END on a HOF — a
+        // map_from_entries(transform(...)) spelling is rejected.
+        // Chain three map HOFs instead: tuck the original (k, v) into
+        // the value as a struct, rewrite the keys, then rewrite the
+        // values from the preserved originals.
+        val names = Seq(kl, vl).map(_.arguments.map {
+          case u: UnresolvedNamedLambdaVariable =>
+            u.nameParts.head.toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"unexpected lambda parameter shape: $other")
+        })
+        val tucked = TransformValues(exprs(0),
+          LambdaFunction(
+            fn("named_struct", lit("key"), lv("__graft_k1"),
+              lit("value"), lv("__graft_v1")),
+            Seq(lv("__graft_k1"), lv("__graft_v1"))))
+        val keyed = TransformKeys(tucked,
+          LambdaFunction(
+            substVars(kl.function, Map(
+              names(0)(0) -> Seq("__graft_k2"),
+              names(0)(1) -> Seq("__graft_e2", "value"))),
+            Seq(lv("__graft_k2"), lv("__graft_e2"))))
+        TransformValues(keyed,
+          LambdaFunction(
+            substVars(vl.function, Map(
+              names(1)(0) -> Seq("__graft_e3", "key"),
+              names(1)(1) -> Seq("__graft_e3", "value"))),
+            Seq(lv("__graft_nk3"), lv("__graft_e3"))))
+      }
+    },
+    "ksql_filter" -> { exprs =>
+      arity("filter",
+        "filter(array, (x) => bool) or filter(map, (k,v) => bool)",
+        exprs, 2, 2)
+      requireLambda("filter", exprs(1), Set(1, 2)) match {
+        case l if l.arguments.length == 1 => ArrayFilter(exprs(0), l)
+        case l => MapFilter(exprs(0), l)
+      }
+    },
+    "ksql_reduce" -> { exprs =>
+      arity("reduce",
+        "reduce(array, init, (s,x) => ...) or " +
+          "reduce(map, init, (s,k,v) => ...)", exprs, 3, 3)
+      requireLambda("reduce", exprs(2), Set(2, 3)) match {
+        case l if l.arguments.length == 2 =>
+          ArrayAggregate(exprs(0), exprs(1), l, LambdaFunction.identity)
+        case l =>
+          // (s, k, v) → (s, __graft_e) over map_entries; the state
+          // variable keeps the user's own name/instance
+          val s = l.arguments.head
+          val Seq(_, k, v) = l.arguments.map {
+            case u: UnresolvedNamedLambdaVariable => u.nameParts.head.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"unexpected lambda parameter shape: $other")
+          }
+          ArrayAggregate(fn("map_entries", exprs(0)), exprs(1),
+            LambdaFunction(
+              substVars(l.function, Map(k -> Seq("__graft_e", "key"),
+                v -> Seq("__graft_e", "value"))),
+              Seq(s, lv("__graft_e"))),
+            LambdaFunction.identity)
+      }
+    },
+
+    // ---- collection / codec scalars ----
+    "ksql_array_sort" -> { exprs =>
+      arity("array_sort", "array_sort(array[, 'ASC'|'DESC'])", exprs, 1, 2)
+      val dir = exprs.lift(1).map(literalString("array_sort", _).toUpperCase)
+        .getOrElse("ASC")
+      dir match {
+        case "ASC" => fn("array_sort", exprs.head) // nulls last, ksql's order
+        case "DESC" =>
+          // ksql keeps nulls LAST for DESC too; Spark's sort_array(_,
+          // false) puts them first — split, sort, reassemble
+          val nonNull = ArrayFilter(exprs.head,
+            LambdaFunction(fn("isnotnull", lv("__graft_x")),
+              Seq(lv("__graft_x"))))
+          val nulls = ArrayFilter(exprs.head,
+            LambdaFunction(fn("isnull", lv("__graft_y")),
+              Seq(lv("__graft_y"))))
+          fn("concat", fn("reverse", fn("array_sort", nonNull)), nulls)
+        case other => throw new IllegalArgumentException(
+          s"array_sort: direction must be 'ASC' or 'DESC', got '$other'")
+      }
+    },
+    "ksql_encode" -> { exprs =>
+      arity("encode", "encode(str, inputEncoding, outputEncoding)",
+        exprs, 3, 3)
+      encodeFrom("encode",
+        decodeTo("encode", exprs(0), literalString("encode", exprs(1))),
+        literalString("encode", exprs(2)))
+    },
+    "as_map" -> { exprs =>
+      arity("as_map", "as_map(keys, values)", exprs, 2, 2)
+      fn("map_from_arrays", exprs(0), exprs(1))
+    },
+
+    // ---- JSON ----
+    "to_json_string" -> { exprs =>
+      arity("to_json_string", "to_json_string(struct|map|array)", exprs, 1, 1)
+      fn("to_json", exprs.head) // complex types; ksql also accepts
+      // primitives, which Spark's to_json rejects — documented limit
+    },
+    "is_json_string" -> { exprs =>
+      arity("is_json_string", "is_json_string(str)", exprs, 1, 1)
+      fn("isnotnull", fn("try_parse_json", exprs.head))
+    },
+
+    // ---- aggregates ----
+    "correlation" -> { exprs =>
+      arity("correlation", "correlation(x, y)", exprs, 2, 2)
+      fn("corr", exprs(0), exprs(1))
+    })
+}

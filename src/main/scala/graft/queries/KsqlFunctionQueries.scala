@@ -239,17 +239,169 @@ object KsqlFunctionQueries {
       |     FILTER (event_type <> 'click'))[1:3], ',') AS earliest3_skip
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** The ksql INVOCATION (lambda) functions — TRANSFORM / FILTER /
+    * REDUCE in both array and map forms, with ksql's `(x) => expr`
+    * arrow spelling throughout (the dialect rewrite maps `=>` to
+    * Spark's `->` and strips single-parameter parens). Array inputs
+    * come from tokenized text; map inputs are built per-row so the
+    * map-form lambdas run against data-dependent keys and values.
+    * The DuckDB oracle spells the array forms with DuckDB's own
+    * lambdas and the map forms algebraically (the maps are built
+    * in-query, so their reduced values are derivable per row). */
+  def lambdaFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  ARRAY_JOIN(TRANSFORM(SPLIT(text, ' '), (w) => UCASE(w)), ',')
+        |    AS upper_words,
+        |  CAST(ARRAY_LENGTH(FILTER(SPLIT(text, ' '),
+        |    (w) => LENGTH(w) > 4)) AS BIGINT) AS n_long,
+        |  CAST(REDUCE(TRANSFORM(SPLIT(text, ' '), (w) => LENGTH(w)),
+        |    0, (acc, x) => acc + x) AS BIGINT) AS total_chars,
+        |  ELEMENT_AT(TRANSFORM(MAP(lang, doc_id, source, doc_id * 2),
+        |    (k, v) => UCASE(k), (k, v) => v + LENGTH(k)),
+        |    UCASE(source)) AS tk_source,
+        |  CAST(CARDINALITY(FILTER(MAP(lang, doc_id % 3, source, 2),
+        |    (k, v) => v >= 1 AND k != 'zz')) AS BIGINT) AS n_kept,
+        |  CAST(REDUCE(MAP(lang, doc_id, 'fixed', 10),
+        |    CAST(0 AS BIGINT), (acc, k, v) => acc + v + LENGTH(k))
+        |    AS BIGINT) AS map_sum
+        |FROM documents""".stripMargin)
+
+  val lambdaFuncsSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_transform(string_split(text, ' '),
+      |    w -> upper(w)), ',') AS upper_words,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    w -> length(w) > 4)) AS BIGINT) AS n_long,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> length(w))) AS BIGINT) AS total_chars,
+      |  doc_id * 2 + length(source) AS tk_source,
+      |  CAST(CASE WHEN doc_id % 3 >= 1 THEN 2 ELSE 1 END AS BIGINT)
+      |    AS n_kept,
+      |  CAST(doc_id + length(lang) + 10 + 5 AS BIGINT) AS map_sum
+      |FROM documents""".stripMargin
+
+  /** ARRAY_SORT's 'ASC'/'DESC' direction argument (nulls LAST either
+    * way — the ksql rule Spark's own sort_array(_, false) breaks),
+    * the ENCODE hex/base64/utf8 transcoder (lowercase hex out, per
+    * ksqlDB's Encode UDF), and AS_MAP. Nulls are planted via NULLIF
+    * on a known token so the null-placement rule is hash-visible:
+    * after sorting, nulls are made printable with a sentinel before
+    * ARRAY_JOIN (both engines' join/array_to_string silently drop
+    * nulls, which would hide the very order under test). */
+  def sortEncodeFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  ARRAY_JOIN(TRANSFORM(
+        |    ARRAY_SORT(TRANSFORM(SPLIT(text, ' '), (w) => NULLIF(w, 'the'))),
+        |    (w) => COALESCE(w, '~')), ',') AS sorted_asc,
+        |  ARRAY_JOIN(TRANSFORM(
+        |    ARRAY_SORT(TRANSFORM(SPLIT(text, ' '), (w) => NULLIF(w, 'the')),
+        |      'DESC'),
+        |    (w) => COALESCE(w, '~')), ',') AS sorted_desc,
+        |  ENCODE(source, 'utf8', 'hex') AS src_hex,
+        |  ENCODE(ENCODE(source, 'utf8', 'base64'), 'base64', 'utf8')
+        |    AS b64_roundtrip,
+        |  ENCODE(ENCODE(lang, 'utf8', 'hex'), 'hex', 'base64') AS lang_b64,
+        |  ELEMENT_AT(AS_MAP(SPLIT('a b', ' '),
+        |    SPLIT(CONCAT(source, ' ', lang), ' ')), 'b') AS asmap_b
+        |FROM documents""".stripMargin)
+
+  val sortEncodeFuncsSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_transform(
+      |    list_sort(list_transform(string_split(text, ' '),
+      |      w -> nullif(w, 'the')), 'ASC', 'NULLS LAST'),
+      |    w -> coalesce(w, '~')), ',') AS sorted_asc,
+      |  array_to_string(list_transform(
+      |    list_sort(list_transform(string_split(text, ' '),
+      |      w -> nullif(w, 'the')), 'DESC', 'NULLS LAST'),
+      |    w -> coalesce(w, '~')), ',') AS sorted_desc,
+      |  lower(hex(encode(source))) AS src_hex,
+      |  source AS b64_roundtrip,
+      |  to_base64(encode(lang)) AS lang_b64,
+      |  lang AS asmap_b
+      |FROM documents""".stripMargin
+
+  /** The JSON predicates/serializers beyond EXTRACTJSONFIELD /
+    * JSON_KEYS (already covered): IS_JSON_STRING over valid and
+    * deliberately-broken inputs, JSON_ARRAY_LENGTH (Spark and ksql
+    * share the name and semantics), and TO_JSON_STRING over a struct
+    * and an array. The struct constructor differs between dialects
+    * (ksql `STRUCT(f := v)` vs named_struct) — the function under
+    * test is the serializer, so the Spark spelling builds the input. */
+  def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_id,
+        |  CAST(IS_JSON_STRING(props) AS BIGINT) AS ok_obj,
+        |  CAST(IS_JSON_STRING(SUBSTRING(props, 1, LENGTH(props) - 1))
+        |    AS BIGINT) AS ok_broken,
+        |  CAST(IS_JSON_STRING(CAST(user_id AS STRING)) AS BIGINT) AS ok_num,
+        |  CAST(JSON_ARRAY_LENGTH(CONCAT('[',
+        |    REPEAT('1,', CAST(user_id % 4 AS INT)), '1]')) AS BIGINT)
+        |    AS arr_len,
+        |  TO_JSON_STRING(NAMED_STRUCT('t', event_type, 'u', user_id))
+        |    AS js_struct,
+        |  TO_JSON_STRING(ARRAY(user_id % 7, user_id % 3)) AS js_arr
+        |FROM events""".stripMargin)
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |  CAST(json_valid(props) AS BIGINT) AS ok_obj,
+      |  CAST(json_valid(substr(props, 1, length(props) - 1)) AS BIGINT)
+      |    AS ok_broken,
+      |  CAST(json_valid(CAST(user_id AS VARCHAR)) AS BIGINT) AS ok_num,
+      |  CAST(user_id % 4 + 1 AS BIGINT) AS arr_len,
+      |  to_json({'t': event_type, 'u': user_id}) AS js_struct,
+      |  to_json([user_id % 7, user_id % 3]) AS js_arr
+      |FROM events""".stripMargin
+
+  /** The statistics aggregates: STDDEV_SAMP (shared name) and
+    * CORRELATION (ksql name for Spark's corr), alongside AVG as an
+    * anchor. Double outputs are rounded onto coarse integer grids —
+    * mills for avg/stddev, centi-units for the correlation — so
+    * summation-order ulp differences between engines can't flip the
+    * hash (the same policy as geo_distance's integer meters). */
+  def statsAggs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_type,
+        |  CAST(ROUND(AVG(value) * 1000) AS BIGINT) AS avg_mills,
+        |  CAST(ROUND(STDDEV_SAMP(value) * 1000) AS BIGINT) AS sd_mills,
+        |  CAST(ROUND(CORRELATION(value, CAST(user_id AS DOUBLE)) * 100)
+        |    AS BIGINT) AS corr_c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY event_type""".stripMargin)
+
+  val statsAggsSql: String =
+    """SELECT event_type,
+      |  CAST(ROUND(AVG(value) * 1000) AS BIGINT) AS avg_mills,
+      |  CAST(ROUND(STDDEV_SAMP(value) * 1000) AS BIGINT) AS sd_mills,
+      |  CAST(ROUND(CORR(value, CAST(user_id AS DOUBLE)) * 100)
+      |    AS BIGINT) AS corr_c,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
     "q_ksql_collection_funcs" -> ksqlCollectionFuncs _,
     "q_ksql_agg_funcs" -> ksqlAggFuncs _,
-    "q_latest_by_offset_nulls" -> latestByOffsetNulls _)
+    "q_latest_by_offset_nulls" -> latestByOffsetNulls _,
+    "q_ksql_lambda_funcs" -> lambdaFuncs _,
+    "q_ksql_sort_encode" -> sortEncodeFuncs _,
+    "q_ksql_json_funcs" -> jsonFuncs _,
+    "q_ksql_stats_aggs" -> statsAggs _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrlSql,
     "q_ksql_collection_funcs" -> ksqlCollectionFuncsSql,
     "q_ksql_agg_funcs" -> ksqlAggFuncsSql,
-    "q_latest_by_offset_nulls" -> latestByOffsetNullsSql)
+    "q_latest_by_offset_nulls" -> latestByOffsetNullsSql,
+    "q_ksql_lambda_funcs" -> lambdaFuncsSql,
+    "q_ksql_sort_encode" -> sortEncodeFuncsSql,
+    "q_ksql_json_funcs" -> jsonFuncsSql,
+    "q_ksql_stats_aggs" -> statsAggsSql)
 }

@@ -1243,4 +1243,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin).collect()
     assert(out.nonEmpty && out.forall(!_.isNullAt(1)))
   }
+
+  test("DROP STREAM / DROP TABLE: kind-checked, bookkeeping cleared") {
+    GraftSql.init(spark, sf)
+    try {
+      GraftSql.sql(spark,
+        "CREATE STREAM drop_me AS SELECT o_orderkey FROM orders;")
+      GraftSql.sql(spark,
+        "CREATE TABLE drop_tbl AS SELECT count(*) AS n FROM orders " +
+          "EMIT CHANGES;")
+      // wrong kind is rejected, like ksql
+      val e = intercept[IllegalArgumentException](
+        GraftSql.sql(spark, "DROP TABLE drop_me;"))
+      assert(e.getMessage.contains("is a STREAM"))
+      val st = GraftSql.sql(spark, "DROP STREAM drop_me DELETE TOPIC;")
+        .collect().head
+      assert(st.getString(3) == "DROPPED" &&
+        st.getString(2) == "TOPIC DELETED")
+      assert(!spark.catalog.tableExists("drop_me"))
+      // dropped relations vanish from SHOW STREAMS / EXPLAIN
+      val streams = GraftSql.sql(spark, "SHOW STREAMS;")
+        .collect().map(_.getString(0)).toSet
+      assert(!streams.contains("drop_me"))
+      GraftSql.sql(spark, "DROP TABLE drop_tbl;")
+      assert(!spark.catalog.tableExists("drop_tbl"))
+      // missing target: IF EXISTS is a no-op status, bare form throws
+      val nf = GraftSql.sql(spark, "DROP STREAM IF EXISTS drop_me;")
+        .collect().head
+      assert(nf.getString(3) == "NOT FOUND")
+      intercept[IllegalArgumentException](
+        GraftSql.sql(spark, "DROP STREAM drop_me;"))
+      // an undeclared temp view is a stream for DROP purposes (it is
+      // listed by SHOW STREAMS); re-registered for the suite after
+      GraftSql.sql(spark, "DROP STREAM region;")
+      assert(!spark.catalog.tableExists("region"))
+    } finally GraftSql.initViews(spark, sf)
+  }
 }
