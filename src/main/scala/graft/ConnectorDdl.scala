@@ -576,7 +576,23 @@ object ConnectorDdl {
   private val sizeRe = """(?i)SIZE\s+(\d+)\s+(\w+)""".r
   private val advanceRe = """(?i)ADVANCE\s+BY\s+(\d+)\s+(\w+)""".r
   private val graceRe = """(?i)GRACE\s+PERIOD\s+(\d+)\s+(\w+)""".r
+  private val retentionRe = """(?i)RETENTION\s+(\d+)\s+(\w+)""".r
   private val bareDurationRe = """(?i)^\s*(\d+)\s+(\w+)\s*$""".r
+
+  /** Milliseconds of a validated `n unit` pair — for the RETENTION ≥
+    * size + grace rule, which needs durations comparable across
+    * units. */
+  private def durationMs(n: String, unit: String, clause: String): Long = {
+    interval(n, unit, clause) // unit validation + error wording
+    val factor = unit.toUpperCase.stripSuffix("S") match {
+      case "MILLISECOND" => 1L
+      case "SECOND" => 1000L
+      case "MINUTE" => 60L * 1000
+      case "HOUR" => 3600L * 1000
+      case "DAY" => 24L * 3600 * 1000
+    }
+    n.toLong * factor
+  }
 
   /** `select` with every literal/comment/quoted-identifier span
     * blanked to spaces — length-preserving, so a match position on the
@@ -632,17 +648,21 @@ object ConnectorDdl {
       interval(n, unit, clause).stripPrefix("INTERVAL ").toLowerCase
     graceRe.findFirstMatchIn(body).foreach(g =>
       interval(g.group(1), g.group(2), clause = "GRACE PERIOD"))
-    val ts = {
-      val from = (s"""(?is)\\bFROM\\s+$tableAlias""").r
-        .findAllMatchIn(masked).find(f => atDepth0(masked, f.start))
-        .getOrElse(throw new IllegalArgumentException(
-          s"WINDOW clause without a FROM relation: ${select.take(80)}"))
-      eventTimeCol(spark, from.group(1))
-    }
+    val fromRel = (s"""(?is)\\bFROM\\s+$tableAlias""").r
+      .findAllMatchIn(masked).find(f => atDepth0(masked, f.start))
+      .getOrElse(throw new IllegalArgumentException(
+        s"WINDOW clause without a FROM relation: ${select.take(80)}"))
+      .group(1)
+    val ts = eventTimeCol(spark, fromRel)
+    // ksql RETENTION: how long a windowed table stays pull-queryable.
+    // Validated here (ksql's rule: retention ≥ size/gap + grace) and
+    // applied below as the queryable-window bound; a streaming runner
+    // reads it back via [[windowRetention]] for state-cleanup config.
+    val retention = retentionRe.findFirstMatchIn(body)
     val windowExpr = kind match {
       case "SESSION" =>
         val gap = bareDurationRe.findFirstMatchIn(
-            graceRe.replaceAllIn(body, "")
+            retentionRe.replaceAllIn(graceRe.replaceAllIn(body, ""), "")
               .stripSuffix(",").trim.split(',').head)
           .map(g => duration(g.group(1), g.group(2), "WINDOW SESSION"))
           .getOrElse(throw new IllegalArgumentException(
@@ -665,6 +685,25 @@ object ConnectorDdl {
         advance.fold(s"window($ts, '$size')")(a =>
           s"window($ts, '$size', '$a')")
     }
+    // retention must cover at least one full window plus the grace —
+    // ksql rejects anything shorter at statement time, and so does
+    // this rewrite (a silent accept would LOOK like ksql but evict
+    // windows ksql still serves)
+    retention.foreach { r =>
+      val retMs = durationMs(r.group(1), r.group(2), "RETENTION")
+      val graceMs = graceRe.findFirstMatchIn(body)
+        .map(g => durationMs(g.group(1), g.group(2), "GRACE PERIOD"))
+        .getOrElse(0L)
+      val sizeMs = (if (kind == "SESSION") bareDurationRe.findFirstMatchIn(
+          retentionRe.replaceAllIn(graceRe.replaceAllIn(body, ""), "")
+            .stripSuffix(",").trim.split(',').head)
+        else sizeRe.findFirstMatchIn(body))
+        .map(g => durationMs(g.group(1), g.group(2), s"WINDOW $kind"))
+        .getOrElse(0L)
+      require(retMs >= sizeMs + graceMs,
+        s"RETENTION ${r.group(1)} ${r.group(2)} must be at least the " +
+          s"window size plus the grace period")
+    }
     val struct = if (kind == "SESSION") "session_window" else "window"
     // drop the found clause by position (masking is length-preserving,
     // so masked positions index the original), group by the window
@@ -680,7 +719,31 @@ object ConnectorDdl {
         s"GROUP BY $windowExpr, " + stripped.substring(g.end))
       .getOrElse(throw new IllegalArgumentException(
         "a ksql WINDOW clause requires GROUP BY: " + select.take(80)))
-    outsideLiterals(grouped) { seg =>
+    // RETENTION bounds which windows the materialized table still
+    // serves: windows whose end has fallen more than the retention
+    // behind the relation's latest event time are evicted — spelled as
+    // a HAVING bound on the grouped window (the batch analog of the
+    // state store's retention-based cleanup; scalar subquery for the
+    // high-water mark, so the bound tracks the data, not wall clock)
+    val retained = retention.fold(grouped) { r =>
+      val bound = s"$struct.end > (SELECT MAX($ts) FROM $fromRel) - " +
+        s"INTERVAL ${r.group(1)} " +
+        s"${r.group(2).toUpperCase.stripSuffix("S")}"
+      val gm = maskLiterals(grouped)
+      "(?is)\\bHAVING\\s+".r.findAllMatchIn(gm)
+        .find(h => atDepth0(gm, h.start)) match {
+        case Some(h) => grouped.substring(0, h.end) +
+          s"$bound AND " + grouped.substring(h.end)
+        case None =>
+          // insert before a depth-0 ORDER BY / LIMIT, else append
+          val tail = "(?is)\\b(ORDER\\s+BY|LIMIT)\\b".r
+            .findAllMatchIn(gm).find(t => atDepth0(gm, t.start))
+          tail.fold(s"$grouped HAVING $bound")(t =>
+            grouped.substring(0, t.start) + s"HAVING $bound " +
+              grouped.substring(t.start))
+      }
+    }
+    outsideLiterals(retained) { seg =>
       """(?i)\bWINDOWSTART\b""".r.replaceAllIn(
         """(?i)\bWINDOWEND\b""".r.replaceAllIn(seg, s"$struct.end"),
         s"$struct.start")
@@ -698,6 +761,23 @@ object ConnectorDdl {
       .find(w => atDepth0(masked, w.start))
       .flatMap(w => graceRe.findFirstMatchIn(w.group(2)))
       .map(g => interval(g.group(1), g.group(2), clause = "GRACE PERIOD")
+        .stripPrefix("INTERVAL "))
+  }
+
+  /** The `RETENTION` of a ksql WINDOW clause, as a Spark interval
+    * string (`None` when absent — ksqlDB 0.28 then defaults to 24
+    * hours). The batch rewrite already applies it as the
+    * queryable-window bound ([[rewriteWindowClause]]); a streaming
+    * runner additionally reads it back to size state-store cleanup
+    * (`spark.sql.streaming.stateStore.minDeltasForSnapshot` and
+    * watermark-driven eviction already bound state by grace — the
+    * retention is the LONGER pull-query horizon). */
+  private[graft] def windowRetention(select: String): Option[String] = {
+    val masked = maskLiterals(select)
+    windowClauseRe.findAllMatchIn(masked)
+      .find(w => atDepth0(masked, w.start))
+      .flatMap(w => retentionRe.findFirstMatchIn(w.group(2)))
+      .map(r => interval(r.group(1), r.group(2), clause = "RETENTION")
         .stripPrefix("INTERVAL "))
   }
 

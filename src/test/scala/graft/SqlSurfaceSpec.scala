@@ -533,6 +533,55 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq("win_lit", "win_ansi").foreach(spark.catalog.dropTempView)
   }
 
+  test("WINDOW RETENTION bounds the queryable windows and validates") {
+    import org.apache.spark.sql.functions._
+    val ev = sources.Tables.events(spark, sf)
+    // without retention the table serves every window; with RETENTION
+    // 2 HOURS only windows ending within 2h of the latest event remain
+    GraftSql.sql(spark,
+      """CREATE TABLE win_all AS
+        |SELECT event_type, WINDOWEND AS we, count(*) AS n
+        |FROM events WINDOW TUMBLING (SIZE 1 HOUR)
+        |GROUP BY event_type EMIT CHANGES;""".stripMargin)
+    GraftSql.sql(spark,
+      """CREATE TABLE win_ret AS
+        |SELECT event_type, WINDOWEND AS we, count(*) AS n
+        |FROM events WINDOW TUMBLING (SIZE 1 HOUR, RETENTION 2 HOURS)
+        |GROUP BY event_type EMIT CHANGES;""".stripMargin)
+    val hwm = ev.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val expected = spark.table("win_all")
+      .filter(col("we") > lit(hwm) - expr("INTERVAL 2 HOURS"))
+    val all = spark.table("win_all").count()
+    val ret = spark.table("win_ret").count()
+    assert(ret == expected.count() && ret < all,
+      s"retention kept $ret of $all windows")
+    // retention shorter than size + grace is a statement-time error
+    val err = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "CREATE TABLE win_short AS SELECT event_type, count(*) AS n " +
+          "FROM events WINDOW TUMBLING (SIZE 2 HOURS, GRACE PERIOD " +
+          "30 MINUTES, RETENTION 1 HOURS) GROUP BY event_type " +
+          "EMIT CHANGES;")
+    }
+    assert(err.getMessage.contains("RETENTION"), err.getMessage)
+    // the reader surfaces it for a streaming runner; literal-guarded
+    assert(ConnectorDdl.windowRetention(
+      "SELECT k, count(*) FROM s WINDOW HOPPING (SIZE 1 HOUR, ADVANCE " +
+        "BY 30 MINUTES, RETENTION 7 DAYS) GROUP BY k") == Some("7 DAY"))
+    assert(ConnectorDdl.windowRetention(
+      "SELECT 'RETENTION 7 DAYS' AS hint FROM s WINDOW TUMBLING " +
+        "(SIZE 1 HOUR) GROUP BY k").isEmpty)
+    // session windows validate retention against the gap
+    GraftSql.sql(spark,
+      """CREATE TABLE win_sess_ret AS
+        |SELECT user_id, count(*) AS n
+        |FROM events WINDOW SESSION (30 MINUTES, RETENTION 1 HOURS)
+        |GROUP BY user_id EMIT CHANGES;""".stripMargin)
+    assert(spark.table("win_sess_ret").count() > 0)
+    Seq("win_all", "win_ret", "win_sess_ret")
+      .foreach(spark.catalog.dropTempView)
+  }
+
   test("ksql introspection: SHOW TABLES / DESCRIBE / SHOW QUERIES / TERMINATE") {
     // SHOW TABLES is the complement of SHOW STREAMS: only
     // CTAS-declared TABLEs
