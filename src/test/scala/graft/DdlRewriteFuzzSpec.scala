@@ -69,6 +69,39 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("invocation-fn rewrite: arrows, FILTER(WHERE guard, lookalikes, 200 seeds") {
+    val arrowLiterals = Seq("'(x) => x'", "'a => b'",
+      "'FILTER (WHERE x)'", "'TRANSFORM(a, (x) => x)'", "'plain'")
+    val lookalikes = Seq("prefilter(x)", "transformed", "reduced(x)",
+      "array_sort_desc(x)", "encoded(x)", "ksql_filter(a, x -> x)")
+    val rnd = new Random(31)
+    (1 to 200).foreach { _ =>
+      val lit = arrowLiterals(rnd.nextInt(arrowLiterals.size))
+      val look = lookalikes(rnd.nextInt(lookalikes.size))
+      val sql = s"SELECT TRANSFORM(tags, (t) => UCASE(t)), $lit AS a, " +
+        s"$look, FILTER(m, (k, v) => v > 1), " +
+        s"count(x) FILTER (WHERE x > 0), " +
+        s"REDUCE(xs, 0, (s, x) => s + x), ARRAY_SORT(xs, 'DESC'), " +
+        s"ENCODE(s, 'utf8', 'hex') FROM src GROUP BY g"
+      val out = ConnectorDdl.rewriteKsqlFunctionNames(sql)
+      // literal spans survive byte-for-byte — incl. arrows inside them
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      // genuine invocation sites rewrote: prefixed names, Spark arrows,
+      // single-param parens stripped, multi-param parens kept
+      assert(out.contains("ksql_transform(tags, t -> UCASE(t))"), out)
+      assert(out.contains("ksql_filter(m, (k, v) -> v > 1)"), out)
+      assert(out.contains("ksql_reduce(xs, 0, (s, x) -> s + x)"), out)
+      assert(out.contains("ksql_array_sort(xs, 'DESC')"), out)
+      assert(out.contains("ksql_encode(s, 'utf8', 'hex')"), out)
+      // the aggregate FILTER clause is NOT the lambda filter
+      assert(out.contains("count(x) FILTER (WHERE x > 0)"), out)
+      // lookalike identifiers survive
+      if (!look.startsWith("ksql_filter")) assert(out.contains(look), out)
+      // idempotent: a second pass changes nothing
+      assert(ConnectorDdl.rewriteKsqlFunctionNames(out) == out, out)
+    }
+  }
+
   test("splitPartitionBy: only a genuine trailing clause is peeled") {
     // trailing clause → peeled
     assert(ConnectorDdl.splitPartitionBy(
