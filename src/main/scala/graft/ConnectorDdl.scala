@@ -946,6 +946,31 @@ object ConnectorDdl {
       seg = """(?i)\bREDUCE\s*\(""".r.replaceAllIn(seg, "ksql_reduce(")
       seg = """(?i)\bARRAY_SORT\s*\(""".r.replaceAllIn(seg, "ksql_array_sort(")
       seg = """(?i)\bENCODE\s*\(""".r.replaceAllIn(seg, "ksql_encode(")
+      // time functions whose Spark namesake differs: ksql
+      // FROM_UNIXTIME/UNIX_TIMESTAMP are MILLISECOND-based (Spark's
+      // are seconds, and FROM_UNIXTIME returns a formatted string);
+      // ksql DATEADD/DATESUB are 3-arg unit forms (Spark's dateadd is
+      // the 2-arg day add)
+      seg = """(?i)\bFROM_UNIXTIME\s*\(""".r
+        .replaceAllIn(seg, "ksql_from_unixtime(")
+      seg = """(?i)\bUNIX_TIMESTAMP\s*\(""".r
+        .replaceAllIn(seg, "ksql_unix_timestamp(")
+      // ksql time units are bare identifiers (DATEADD(DAYS, 5, d));
+      // an unresolvable bare column would fail analysis before the
+      // function builder ever runs, so the rewrite quotes the unit.
+      // TIMESTAMPADD exists in Spark's parser grammar but only with
+      // SINGULAR unit tokens (HOUR, not ksql's HOURS) — the quoting
+      // rewrite routes both spellings through the compat builders.
+      seg = """(?i)\bTIMESTAMPADD\s*\(\s*([A-Za-z]+)\s*,""".r
+        .replaceAllIn(seg, m => s"ksql_timestampadd('${m.group(1)}',")
+      seg = """(?i)\bDATEADD\s*\(\s*([A-Za-z]+)\s*,""".r
+        .replaceAllIn(seg, m => s"ksql_dateadd('${m.group(1)}',")
+      seg = """(?i)\bDATESUB\s*\(\s*([A-Za-z]+)\s*,""".r
+        .replaceAllIn(seg, m => s"ksql_datesub('${m.group(1)}',")
+      seg = """(?i)\bTIMESTAMPSUB\s*\(\s*([A-Za-z]+)\s*,""".r
+        .replaceAllIn(seg, m => s"timestampsub('${m.group(1)}',")
+      seg = """(?i)\bDATEADD\s*\(""".r.replaceAllIn(seg, "ksql_dateadd(")
+      seg = """(?i)\bDATESUB\s*\(""".r.replaceAllIn(seg, "ksql_datesub(")
       """(?i)\bREGEXP_EXTRACT\s*\(""".r.replaceAllIn(
         """(?i)\bSPLIT\s*\(""".r.replaceAllIn(
           """(?i)\bMASK\s*\(""".r.replaceAllIn(seg, "ksql_mask("),

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
 import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayFilter,
-  ArrayTransform, Expression, LambdaFunction, Literal, MapFilter,
-  TransformKeys, TransformValues, UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.types.StringType
+  ArrayTransform, Cast, Expression, LambdaFunction, Literal, MapFilter,
+  TimestampAdd, TransformKeys, TransformValues,
+  UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Second ksqlDB 0.28 compat pack: the INVOCATION (lambda) functions
@@ -257,9 +258,69 @@ object KsqlCompatExt {
       fn("isnotnull", fn("try_parse_json", exprs.head))
     },
 
+    // ---- time arithmetic (ksql is MILLISECOND-based where Spark is
+    // second-based, and its DATEADD/DATESUB are 3-arg — both reached
+    // through the dialect rewrite under ksql_ prefixes) ----
+    "ksql_from_unixtime" -> { exprs =>
+      arity("from_unixtime", "from_unixtime(milliseconds)", exprs, 1, 1)
+      fn("timestamp_millis", exprs.head) // ksql: ms → TIMESTAMP;
+      // Spark's namesake is seconds → formatted STRING
+    },
+    "ksql_unix_timestamp" -> { exprs =>
+      arity("unix_timestamp", "unix_timestamp([timestamp])", exprs, 0, 1)
+      // ksql: BIGINT milliseconds (of now when no argument); Spark's
+      // namesake returns SECONDS
+      fn("unix_millis",
+        if (exprs.isEmpty) fn("current_timestamp") else exprs.head)
+    },
+    "ksql_dateadd" -> { exprs =>
+      arity("dateadd", "dateadd(unit, n, date)", exprs, 3, 3)
+      // ksql returns DATE for date input; Spark's dateadd is the
+      // 2-arg date_add — different function entirely
+      Cast(TimestampAdd(unitName("dateadd", exprs.head),
+        exprs(1), Cast(exprs(2), TimestampType)), DateType)
+    },
+    "ksql_datesub" -> { exprs =>
+      arity("datesub", "datesub(unit, n, date)", exprs, 3, 3)
+      Cast(TimestampAdd(unitName("datesub", exprs.head),
+        fn("negative", exprs(1)), Cast(exprs(2), TimestampType)), DateType)
+    },
+    "ksql_timestampadd" -> { exprs =>
+      arity("timestampadd", "timestampadd(unit, n, timestamp)", exprs, 3, 3)
+      // Spark's own TIMESTAMPADD grammar takes only SINGULAR unit
+      // tokens; ksql spells HOURS/DAYS — the dialect rewrite quotes
+      // the unit into this builder for both spellings
+      TimestampAdd(unitName("timestampadd", exprs.head),
+        exprs(1), exprs(2))
+    },
+    "timestampsub" -> { exprs =>
+      arity("timestampsub", "timestampsub(unit, n, timestamp)", exprs, 3, 3)
+      TimestampAdd(unitName("timestampsub", exprs.head),
+        fn("negative", exprs(1)), exprs(2))
+    },
+    "convert_tz" -> { exprs =>
+      arity("convert_tz", "convert_tz(ts, fromZone, toZone)", exprs, 3, 3)
+      // ksql argument order is (ts, from, to); Spark's builtin is
+      // (from, to, ts)
+      fn("convert_timezone", exprs(1), exprs(2), exprs(0))
+    },
+
     // ---- aggregates ----
     "correlation" -> { exprs =>
       arity("correlation", "correlation(x, y)", exprs, 2, 2)
       fn("corr", exprs(0), exprs(1))
     })
+
+  /** ksql time units are bare identifiers (`DAYS`, `HOURS`) that the
+    * generic parser hands over as unresolved attributes; singularized
+    * for Spark's `TimestampAdd`. */
+  private def unitName(name: String, e: Expression): String = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if a.nameParts.length == 1 =>
+      a.nameParts.head.toUpperCase.stripSuffix("S")
+    case Literal(u: UTF8String, StringType) =>
+      u.toString.toUpperCase.stripSuffix("S")
+    case other => throw new IllegalArgumentException(
+      s"$name: expected a time unit (DAYS, HOURS, ...), got $other")
+  }
 }

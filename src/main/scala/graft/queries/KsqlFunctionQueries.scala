@@ -383,6 +383,47 @@ object KsqlFunctionQueries {
       |FROM events
       |GROUP BY event_type""".stripMargin
 
+  /** ksql's millisecond-based time arithmetic: UNIX_TIMESTAMP /
+    * FROM_UNIXTIME (ms, unlike Spark's second-based namesakes),
+    * 3-arg DATEADD/DATESUB/TIMESTAMPADD/TIMESTAMPSUB with ksql's
+    * PLURAL unit identifiers (quoted by the dialect rewrite — Spark's
+    * own TIMESTAMPADD grammar only accepts singular tokens), and
+    * CONVERT_TZ's (ts, from, to) argument order. Timestamp outputs
+    * are compared on the epoch-millisecond grid (exact integers both
+    * sides); date outputs as strings (no fractional part to
+    * format-skew). */
+  def timeArith(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_id,
+        |  CAST(UNIX_TIMESTAMP(ts) AS BIGINT) AS ts_ms,
+        |  CAST(UNIX_TIMESTAMP(FROM_UNIXTIME(UNIX_TIMESTAMP(ts)))
+        |    AS BIGINT) AS ms_roundtrip,
+        |  CAST(UNIX_TIMESTAMP(TIMESTAMPADD(HOURS,
+        |    CAST(user_id % 5 AS INT), ts)) AS BIGINT) AS add_hours_ms,
+        |  CAST(UNIX_TIMESTAMP(TIMESTAMPSUB(MINUTES, 30, ts)) AS BIGINT)
+        |    AS sub_min_ms,
+        |  CAST(DATEADD(DAYS, CAST(user_id % 10 AS INT), CAST(ts AS DATE))
+        |    AS STRING) AS d_add,
+        |  CAST(DATESUB(MONTHS, 1, CAST(ts AS DATE)) AS STRING) AS d_sub,
+        |  CAST(UNIX_TIMESTAMP(CAST(CONVERT_TZ(
+        |    CAST(ts AS TIMESTAMP_NTZ), 'UTC', 'America/New_York')
+        |    AS TIMESTAMP)) AS BIGINT) AS nyc_ms
+        |FROM events""".stripMargin)
+
+  val timeArithSql: String =
+    """SELECT event_id,
+      |  epoch_ms(ts) AS ts_ms,
+      |  epoch_ms(ts) AS ms_roundtrip,
+      |  epoch_ms(ts + (user_id % 5) * INTERVAL 1 HOUR) AS add_hours_ms,
+      |  epoch_ms(ts - INTERVAL 30 MINUTE) AS sub_min_ms,
+      |  CAST(CAST(CAST(ts AS DATE) + (user_id % 10) * INTERVAL 1 DAY
+      |    AS DATE) AS VARCHAR) AS d_add,
+      |  CAST(CAST(CAST(ts AS DATE) - INTERVAL 1 MONTH AS DATE)
+      |    AS VARCHAR) AS d_sub,
+      |  epoch_ms(timezone('America/New_York', timezone('UTC', ts)))
+      |    AS nyc_ms
+      |FROM events""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
@@ -392,7 +433,8 @@ object KsqlFunctionQueries {
     "q_ksql_lambda_funcs" -> lambdaFuncs _,
     "q_ksql_sort_encode" -> sortEncodeFuncs _,
     "q_ksql_json_funcs" -> jsonFuncs _,
-    "q_ksql_stats_aggs" -> statsAggs _)
+    "q_ksql_stats_aggs" -> statsAggs _,
+    "q_ksql_time_arith" -> timeArith _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
@@ -403,5 +445,6 @@ object KsqlFunctionQueries {
     "q_ksql_lambda_funcs" -> lambdaFuncsSql,
     "q_ksql_sort_encode" -> sortEncodeFuncsSql,
     "q_ksql_json_funcs" -> jsonFuncsSql,
-    "q_ksql_stats_aggs" -> statsAggsSql)
+    "q_ksql_stats_aggs" -> statsAggsSql,
+    "q_ksql_time_arith" -> timeArithSql)
 }

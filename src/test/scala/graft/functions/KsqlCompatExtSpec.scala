@@ -128,6 +128,40 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getInt(0) == 100)
   }
 
+  // ---- time arithmetic ----
+
+  test("FROM_UNIXTIME / UNIX_TIMESTAMP are millisecond-based, as in ksql") {
+    assert(one("SELECT CAST(FROM_UNIXTIME(1000) AS STRING)")
+      .getString(0) == "1970-01-01 00:00:01")
+    assert(one("SELECT UNIX_TIMESTAMP(TIMESTAMP'1970-01-01 00:00:02')")
+      .getLong(0) == 2000L)
+    // round trip: ms in = ms out
+    assert(one("SELECT UNIX_TIMESTAMP(FROM_UNIXTIME(123456789))")
+      .getLong(0) == 123456789L)
+    // 0-arg form = now in ms (sanity: within a plausible epoch range)
+    val now = one("SELECT UNIX_TIMESTAMP()").getLong(0)
+    assert(now > 1500000000000L)
+  }
+
+  test("DATEADD / DATESUB / TIMESTAMPSUB take ksql's (unit, n, t) form") {
+    assert(one("SELECT CAST(DATEADD(DAYS, 5, DATE'2020-01-01') AS STRING)")
+      .getString(0) == "2020-01-06")
+    assert(one("SELECT CAST(DATESUB(MONTHS, 1, DATE'2020-03-15') AS STRING)")
+      .getString(0) == "2020-02-15")
+    assert(one("SELECT CAST(TIMESTAMPADD(HOURS, 2, " +
+      "TIMESTAMP'2020-01-01 00:30:00') AS STRING)")
+      .getString(0) == "2020-01-01 02:30:00")
+    assert(one("SELECT CAST(TIMESTAMPSUB(MINUTES, 45, " +
+      "TIMESTAMP'2020-01-01 01:00:00') AS STRING)")
+      .getString(0) == "2020-01-01 00:15:00")
+  }
+
+  test("CONVERT_TZ uses ksql's (ts, from, to) argument order") {
+    assert(one("SELECT CAST(CONVERT_TZ(TIMESTAMP'2020-06-01 12:00:00', " +
+      "'UTC', 'America/New_York') AS STRING)")
+      .getString(0) == "2020-06-01 08:00:00")
+  }
+
   // ---- arrow rewrite hygiene ----
 
   test("'=>' inside a string literal is untouched") {
