@@ -169,6 +169,9 @@ object ConnectorDdl {
     // CREATE TYPE registry: lowercase name → fully-resolved Spark DDL
     // type string (ksql scalar spellings already translated)
     val types = new ConcurrentHashMap[String, String]()
+    // keys SET via the ksql quoted form, so SHOW PROPERTIES lists the
+    // session's own overrides (not the full Spark conf dump)
+    val setKeys = ConcurrentHashMap.newKeySet[String]()
   }
 
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
@@ -221,6 +224,12 @@ object ConnectorDdl {
   private val setRe =
     """(?is)\s*SET\s+'([^']+)'\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
   private val showStreamsRe = """(?is)\s*SHOW\s+STREAMS\s*;?\s*""".r
+  // ksql CLI `UNSET 'prop'` (the inverse of quoted SET) and
+  // `SHOW PROPERTIES` (the properties SET in this session — ksql
+  // lists its config surface; the analog here is the session's
+  // ksql-SET overrides, not every Spark conf)
+  private val unsetRe = """(?is)\s*UNSET\s+'([^']+)'\s*;?\s*""".r
+  private val showPropertiesRe = """(?is)\s*SHOW\s+PROPERTIES\s*;?\s*""".r
   // the rest of the ksql CLI session surface (ksqlDB 0.28 CLI around
   // reference README.md:340): relation introspection and persistent-
   // query management. DESCRIBE maps to a schema dump of the registered
@@ -1058,7 +1067,7 @@ object ConnectorDdl {
   /** True when [[sql]] will handle this statement (vs plain Spark SQL). */
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | dropRelationRe(_*) | showRe(_*)
-       | setRe(_*)
+       | setRe(_*) | unsetRe(_*) | showPropertiesRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
@@ -1172,7 +1181,20 @@ object ConnectorDdl {
         // `SET 'auto.offset.reset' = 'earliest'` lands here (the Kafka
         // source reads it back as its startingOffsets default)
         spark.conf.set(key, unescape(value))
+        state(spark).setKeys.add(key)
         Seq((key, unescape(value))).toDF("property", "value")
+      case unsetRe(key) =>
+        // back to the default: ksql UNSET clears the session override
+        try spark.conf.unset(key)
+        catch { case scala.util.control.NonFatal(_) => () } // static confs
+        state(spark).setKeys.remove(key)
+        Seq((key, "UNSET")).toDF("property", "status")
+      case showPropertiesRe() => {
+        import scala.jdk.CollectionConverters._
+        state(spark).setKeys.asScala.toSeq.sorted
+          .map(k => (k, spark.conf.getOption(k).getOrElse(""), "SESSION"))
+          .toDF("property", "value", "scope")
+      }
       case showStreamsRe() =>
         // ksql SHOW STREAMS ≈ the session's registered (temp) views,
         // minus views a CTAS declared as TABLEs (ksql lists those only

@@ -1293,6 +1293,21 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.nonEmpty && out.forall(!_.isNullAt(1)))
   }
 
+  test("SET / UNSET / SHOW PROPERTIES round-trip the session overrides") {
+    GraftSql.sql(spark, "SET 'graft.test.prop' = 'v1';")
+    GraftSql.sql(spark, "SET 'graft.test.other' = 'v2';")
+    val shown = GraftSql.sql(spark, "SHOW PROPERTIES;").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.test.prop").contains("v1") &&
+      shown.get("graft.test.other").contains("v2"))
+    GraftSql.sql(spark, "UNSET 'graft.test.prop';")
+    val after = GraftSql.sql(spark, "SHOW PROPERTIES;").collect()
+      .map(_.getString(0)).toSet
+    assert(!after.contains("graft.test.prop") &&
+      after.contains("graft.test.other"))
+    GraftSql.sql(spark, "UNSET 'graft.test.other';")
+  }
+
   test("DROP STREAM / DROP TABLE: kind-checked, bookkeeping cleared") {
     GraftSql.init(spark, sf)
     try {

@@ -168,6 +168,19 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT 'a => b'").getString(0) == "a => b")
   }
 
+  test("nested lambdas inside map-form bodies keep their own variables") {
+    // the inner array lambda's variable (w) is distinct from the
+    // outer map lambda's (k, v): the substitution rewrites only k/v
+    val r = one("SELECT TRANSFORM(MAP('ab', ARRAY(1, 2)), " +
+      "(k, v) => k, " +
+      "(k, v) => TRANSFORM(v, (w) => w * LENGTH(k)))")
+    assert(r.getMap[String, Seq[Int]](0) == Map("ab" -> Seq(2, 4)))
+    // reduce over a map whose body nests an array reduce
+    val r2 = one("SELECT REDUCE(MAP('x', ARRAY(1, 2), 'y', ARRAY(3)), " +
+      "0, (s, k, v) => s + REDUCE(v, 0, (a, b) => a + b) + LENGTH(k))")
+    assert(r2.getInt(0) == 8)
+  }
+
   test("lambda variables do not capture columns of the same name") {
     // a column literally named x next to a lambda variable x: the
     // lambda binds its own variable; the outer column is untouched
