@@ -955,6 +955,9 @@ object ConnectorDdl {
       seg = """(?i)\bREDUCE\s*\(""".r.replaceAllIn(seg, "ksql_reduce(")
       seg = """(?i)\bARRAY_SORT\s*\(""".r.replaceAllIn(seg, "ksql_array_sort(")
       seg = """(?i)\bENCODE\s*\(""".r.replaceAllIn(seg, "ksql_encode(")
+      // ksql SLICE's third arg is an inclusive end index; Spark's a
+      // length
+      seg = """(?i)\bSLICE\s*\(""".r.replaceAllIn(seg, "ksql_slice(")
       // time functions whose Spark namesake differs: ksql
       // FROM_UNIXTIME/UNIX_TIMESTAMP are MILLISECOND-based (Spark's
       // are seconds, and FROM_UNIXTIME returns a formatted string);

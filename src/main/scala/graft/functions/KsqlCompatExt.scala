@@ -247,7 +247,43 @@ object KsqlCompatExt {
       fn("map_from_arrays", exprs(0), exprs(1))
     },
 
+    "ksql_slice" -> { exprs =>
+      arity("slice", "slice(array, from, to)", exprs, 3, 3)
+      // ksql's third argument is the INCLUSIVE 1-based end index;
+      // Spark's slice takes a LENGTH
+      fn("slice", exprs(0), exprs(1),
+        fn("+", fn("-", exprs(2), exprs(1)), lit(1)))
+    },
+
     // ---- JSON ----
+    "json_array_contains" -> { exprs =>
+      arity("json_array_contains", "json_array_contains(jsonArray, value)",
+        exprs, 2, 2)
+      // Compare each element's JSON-scalar string form (via
+      // get_json_object, which strips quotes) against the search
+      // value's string form. A NULL search value matches JSON nulls —
+      // get_json_object renders those as the string 'null', which a
+      // genuine "null" STRING element also produces; that ambiguity
+      // is inherent to the scalar-form comparison and documented.
+      // Non-arrays → false, as in ksql.
+      val i = lv("__graft_i")
+      val e = lv("__graft_el")
+      val items = ArrayTransform(
+        fn("sequence", lit(0),
+          fn("-", fn("json_array_length", exprs(0)), lit(1))),
+        LambdaFunction(
+          fn("get_json_object", exprs(0),
+            fn("concat", lit("$["), Cast(i, StringType), lit("]"))),
+          Seq(i)))
+      val needle = Cast(exprs(1), StringType)
+      fn("coalesce",
+        fn("exists", items,
+          LambdaFunction(
+            fn("or", fn("equal_null", e, needle),
+              fn("and", fn("isnull", needle), fn("equal_null", e,
+                lit("null")))), Seq(e))),
+        lit(false))
+    },
     "to_json_string" -> { exprs =>
       arity("to_json_string", "to_json_string(struct|map|array)", exprs, 1, 1)
       fn("to_json", exprs.head) // complex types; ksql also accepts

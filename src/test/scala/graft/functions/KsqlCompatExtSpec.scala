@@ -107,6 +107,31 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getMap[String, Int](0) == Map("a" -> 1, "b" -> 2))
   }
 
+  test("SLICE takes ksql's inclusive 1-based end index, not a length") {
+    assert(one("SELECT SLICE(ARRAY(10, 20, 30, 40, 50), 2, 4)")
+      .getSeq[Int](0) == Seq(20, 30, 40))
+    assert(one("SELECT SLICE(ARRAY('a', 'b', 'c'), 1, 1)")
+      .getSeq[String](0) == Seq("a"))
+  }
+
+  test("JSON_ARRAY_CONTAINS compares JSON scalars, false for non-arrays") {
+    assert(one("SELECT JSON_ARRAY_CONTAINS('[1, 2, 3]', 2)").getBoolean(0))
+    assert(!one("SELECT JSON_ARRAY_CONTAINS('[1, 2, 3]', 4)").getBoolean(0))
+    assert(one("SELECT JSON_ARRAY_CONTAINS('[\"a\", \"b\"]', 'b')")
+      .getBoolean(0))
+    assert(one("SELECT JSON_ARRAY_CONTAINS('[1.5, 2.5]', 2.5)")
+      .getBoolean(0))
+    assert(one("SELECT JSON_ARRAY_CONTAINS('[true, false]', false)")
+      .getBoolean(0))
+    // a JSON null matches a NULL search value, as in ksql
+    assert(one("SELECT JSON_ARRAY_CONTAINS('[null]', " +
+      "CAST(NULL AS STRING))").getBoolean(0))
+    // not an array → false, not null/error
+    assert(!one("SELECT JSON_ARRAY_CONTAINS('{\"a\": 1}', 1)")
+      .getBoolean(0))
+    assert(!one("SELECT JSON_ARRAY_CONTAINS('nonsense', 1)").getBoolean(0))
+  }
+
   test("IS_JSON_STRING accepts objects/arrays/scalars, rejects junk") {
     assert(one("SELECT IS_JSON_STRING('{\"a\": 1}')").getBoolean(0))
     assert(one("SELECT IS_JSON_STRING('[1, 2]')").getBoolean(0))

@@ -370,4 +370,22 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$q:\n" + p.take(2000))
     }
   }
+
+  test("compat pack 2 (lambda/sort/encode/json/time) plans ZERO UDF nodes") {
+    // the invocation functions resolve to Spark's own HigherOrderFunction
+    // nodes (CodegenFallback by Spark's design — the same cost any
+    // Spark user pays for transform/filter/aggregate); everything else
+    // in the pack composes codegen'd builtins. What must never appear
+    // is a ScalaUDF / Python eval — the pack's whole point.
+    for (q <- Seq("q_ksql_lambda_funcs", "q_ksql_sort_encode",
+        "q_ksql_json_funcs", "q_ksql_stats_aggs", "q_ksql_time_arith")) {
+      val p = planOf(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q:\n" + p.take(2000))
+      // still a single narrow scan — no exchange sneaked in for the
+      // scalar packs (the stats agg legitimately shuffles once)
+      if (q != "q_ksql_stats_aggs")
+        assert(!p.contains("Exchange"), s"$q:\n" + p.take(2000))
+    }
+  }
 }
