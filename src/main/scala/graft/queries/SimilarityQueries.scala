@@ -167,6 +167,93 @@ object SimilarityQueries {
     } finally { e.unpersist(blocking = false); () }
   }
 
+  /** SemDeDup-style semantic dedup: assign every vector to its
+    * NEAREST per-label centroid (k-means-style cluster, NOT its own
+    * label), then compare pairs only WITHIN a cluster and flag the
+    * higher-id member of any pair above the similarity threshold —
+    * keep-lowest-id, the SemDeDup rule. The cluster is the blocking
+    * key: at 100 TB the pair join is per-cluster (corpus/k rows a
+    * side), never all-pairs, and the centroid table broadcasts.
+    * Determinism: centroids come from the exact 1e-6 grid
+    * ([[labelCentroids]]); assignment and pair scores round to 6dp
+    * with a label-ascending tie-break, so both engines pick identical
+    * clusters. τ = 0.4 is calibrated to this synthetic corpus (max
+    * pair cosine ≈ 0.51, so both branches are exercised; a production
+    * SemDeDup would sit at ≈ 0.95). */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val av = assignedVectors(s, d).persist()
+    try dedupSemanticOver(av).localCheckpoint()
+    finally { av.unpersist(blocking = false); () }
+  }
+
+  /** The un-checkpointed dataflow, for plan-property pinning: the
+    * assignment (k-wide broadcast nested loop) feeding the
+    * cluster-keyed pair join. */
+  private[graft] def dedupSemanticPlanOnly(s: SparkSession,
+                                           d: String): DataFrame =
+    dedupSemanticOver(assignedVectors(s, d))
+
+  /** (vec_id, emb, cluster): every vector labeled with its nearest
+    * centroid by 6dp-rounded cosine, ties to the smallest label. */
+  private def assignedVectors(s: SparkSession, d: String): DataFrame = {
+    val e = withEmb(s, d)
+    val cents = centroidArrays(s, d)
+      .select(col("label").as("c_label"), col("cemb"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("c_label"),
+        round(dot(col("emb"), col("cemb")) /
+          (norm(col("emb")) * norm(col("cemb"))), 6).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(c_label, struct(score, -c_label))").as("cluster"))
+    e.select(col("vec_id"), col("emb")).join(assigned, "vec_id")
+  }
+
+  private def dedupSemanticOver(av: DataFrame): DataFrame = {
+    val dups = av.as("a").join(av.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(round(dot(col("a.emb"), col("b.emb")) /
+        (norm(col("a.emb")) * norm(col("b.emb"))), 6) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("flag", lit(1L))
+    av.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("flag"), lit(0L)).as("is_dup"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH c AS (SELECT * FROM ($labelCentroidsSql) x),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      |carr AS (SELECT label AS c_label, list(centroid ORDER BY dim) cemb
+      |         FROM c GROUP BY label),
+      |scored AS (
+      |  SELECT e.vec_id, ca.c_label,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
+      |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) AS score
+      |  FROM e CROSS JOIN carr ca),
+      |r AS (SELECT vec_id, c_label,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY score DESC, c_label) rn
+      |      FROM scored),
+      |av AS (SELECT e.vec_id, e.emb, a.c_label AS cluster
+      |       FROM e JOIN (SELECT vec_id, c_label FROM r WHERE rn = 1) a
+      |       USING (vec_id)),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> a.emb[i]*b.emb[i])) /
+      |      (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) >= 0.4)
+      |SELECT av.vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN av.vec_id IN (SELECT vec_id FROM dup)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      |FROM av""".stripMargin
+
   val cosNearDupSql: String =
     s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] emb,
@@ -1134,6 +1221,7 @@ object SimilarityQueries {
     "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
+    "dedup_semantic" -> dedupSemantic _,
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
@@ -1155,5 +1243,6 @@ object SimilarityQueries {
     "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }

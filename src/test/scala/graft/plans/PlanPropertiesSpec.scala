@@ -371,6 +371,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semantic dedup: centroids broadcast, pair join keyed on cluster — no cartesian") {
+    val p = plan(graft.queries.SimilarityQueries
+      .dedupSemanticPlanOnly(spark, sf))
+    // the only nested-loop is the k-wide broadcast centroid
+    // assignment; the PAIR join must be an equi-join on cluster
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("compat pack 2 (lambda/sort/encode/json/time) plans ZERO UDF nodes") {
     // the invocation functions resolve to Spark's own HigherOrderFunction
     // nodes (CodegenFallback by Spark's design — the same cost any
