@@ -525,7 +525,67 @@ object TextQueries {
        |  CAST(CAST(SUM(n_tokens) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS mean_tokens
        |FROM j GROUP BY quality_score""".stripMargin
 
+  /** Bigram language-model scoring — the KenLM-proxy quality signal a
+    * pretraining pipeline computes per document: train add-one-smoothed
+    * bigram counts over the whole corpus (two map-side-combined
+    * aggregations — at 100 TB the count tables ARE the model, built in
+    * one shuffle each), then score every document's bigrams against
+    * them. All floating work happens on a fixed 1e-6 micro-nat grid
+    * AFTER an exact integer-ratio ln — floor(ln((c12+1)/(c1+V))·1e6) —
+    * so per-document sums are order-independent and engine-portable
+    * (a grid flip would need the two engines' ln to differ across a
+    * 1e-6 boundary: ~1e-9 per value). Output keeps the raw (n_bigrams,
+    * sum_micro_nats) pair rather than dividing, so no rounding-mode
+    * divergence can enter; the per-doc average is sum/n downstream. */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val t = Tables(s, d, "documents")
+      .select(col("doc_id"), toks.as("w"))
+    val uniC = t.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uniC.agg(count(lit(1)).cast("double").as("V"))
+    val pairs = t.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biC = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    pairs.join(biC, Seq("w1", "w2"))
+      .join(uniC, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c12").cast("double") + 1.0) /
+          (col("c1").cast("double") + col("V"))) * 1000000.0)
+          .cast(LongType).as("mu"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        sum(col("mu")).cast(LongType).as("sum_micro_nats"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') w
+      |  FROM documents),
+      |toks AS (SELECT unnest(w) w1 FROM t),
+      |uni AS (SELECT w1, count(*) c1 FROM toks GROUP BY w1),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) V FROM uni),
+      |pairs AS (
+      |  SELECT doc_id, p['w1'] w1, p['w2'] w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(w) - 1),
+      |      i -> {'w1': w[i], 'w2': w[i + 1]})) p
+      |    FROM t WHERE len(w) >= 2)),
+      |bi AS (SELECT w1, w2, count(*) c12 FROM pairs GROUP BY w1, w2)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CAST(floor(ln((CAST(c12 AS DOUBLE) + 1.0) /
+      |    (CAST(c1 AS DOUBLE) + V)) * 1000000.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_micro_nats
+      |FROM pairs JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigram_logprob" -> bigramLogprob _,
     "text_quality_calibration" -> qualityDupCalibration _,
     "text_pii_by_source" -> piiBySource _,
     "text_quality_histogram" -> qualityHistogram _,
@@ -542,6 +602,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "text_bigram_logprob" -> bigramLogprobSql,
     "text_quality_calibration" -> qualityDupCalibrationSql,
     "text_pii_by_source" -> piiBySourceSql,
     "text_quality_histogram" -> qualityHistogramSql,

@@ -52,7 +52,12 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 "curate_cap_sources", "curate_corpus_delta",
                 "curate_chunk_docs", "curate_shard_manifest",
                 "curate_epoch_plan", "dedup_repeated_spans",
-                "q_sessionize"))
+                "q_sessionize",
+                // round 10: the semantic dedup's centroid assignment
+                // (rounded-cosine argmax with label tie-break) must not
+                // move with partitioning, or clusters — and thus dup
+                // flags — would differ run to run
+                "dedup_semantic"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
