@@ -1293,6 +1293,36 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.nonEmpty && out.forall(!_.isNullAt(1)))
   }
 
+  test("round-10 surface composes in ONE pasted script: types, lambdas, drops") {
+    GraftSql.init(spark, sf)
+    val script =
+      """SET 'graft.script.prop' = 'on';
+        |CREATE TYPE money AS STRUCT<cents BIGINT, currency VARCHAR>;
+        |-- lambda arrows inside literals must survive the => rewrite
+        |CREATE STREAM r10_docs AS
+        |  SELECT doc_id,
+        |         '(x) => x' AS arrow_hint,
+        |         TRANSFORM(SPLIT(text, ' '), (w) => LENGTH(w)) AS lens,
+        |         REDUCE(SPLIT(text, ' '), 0, (s, w) => s + LENGTH(w)) AS chars
+        |  FROM documents EMIT CHANGES;
+        |SELECT count(*) AS n_long FROM r10_docs
+        |  WHERE ARRAY_LENGTH(FILTER(lens, (n) => n > 4)) > 3;
+        |SHOW PROPERTIES;
+        |DROP STREAM r10_docs;
+        |UNSET 'graft.script.prop';
+        |DROP TYPE money;""".stripMargin
+    val ran = GraftSql.script(spark, script)
+    assert(ran.length == 8, ran.map(_._1.take(30)).mkString("||"))
+    val arrows = ran(2)._2 // CREATE STREAM status row exists
+    assert(arrows.columns.contains("status"))
+    // the literal survived, the lambdas ran
+    val sel = ran(3)._2.collect().head
+    assert(sel.getLong(0) > 0)
+    val props = ran(4)._2.collect().map(_.getString(0))
+    assert(props.contains("graft.script.prop"))
+    assert(!spark.catalog.tableExists("r10_docs"))
+  }
+
   test("SET / UNSET / SHOW PROPERTIES round-trip the session overrides") {
     GraftSql.sql(spark, "SET 'graft.test.prop' = 'v1';")
     GraftSql.sql(spark, "SET 'graft.test.other' = 'v2';")
