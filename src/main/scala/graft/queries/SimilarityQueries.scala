@@ -223,6 +223,57 @@ object SimilarityQueries {
         coalesce(col("flag"), lit(0L)).as("is_dup"))
   }
 
+  /** Prototype selection (SSL-prototypes-style data pruning): the 3
+    * most CENTRAL vectors of every k-means-style cluster — rank by
+    * 6dp-rounded cosine to the assigned centroid, vec_id tie-break.
+    * The other half of the [[dedupSemantic]] curation pair: semantic
+    * dedup drops redundancy, prototype selection picks the exemplars
+    * a data-pruning pipeline keeps or up-weights. Per-cluster windows
+    * only — the corpus never sorts globally. */
+  def curatePrototypes(s: SparkSession, d: String): DataFrame = {
+    val cents = centroidArrays(s, d)
+      .select(col("label").as("cluster"), col("cemb"))
+    val scored = assignedVectors(s, d)
+      .join(broadcast(cents), Seq("cluster"))
+      .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
+        round(dot(col("emb"), col("cemb")) /
+          (norm(col("emb")) * norm(col("cemb"))), 6).as("centrality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("centrality").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("cluster"), col("rk").cast("long").as("rk"),
+        col("vec_id"), col("centrality"))
+  }
+
+  val curatePrototypesSql: String =
+    s"""WITH c AS (SELECT * FROM ($labelCentroidsSql) x),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      |carr AS (SELECT label AS c_label, list(centroid ORDER BY dim) cemb
+      |         FROM c GROUP BY label),
+      |scored AS (
+      |  SELECT e.vec_id, ca.c_label,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
+      |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) AS score
+      |  FROM e CROSS JOIN carr ca),
+      |r AS (SELECT vec_id, c_label,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY score DESC, c_label) rn
+      |      FROM scored),
+      |asg AS (SELECT vec_id, c_label AS cluster FROM r WHERE rn = 1),
+      |cent AS (
+      |  SELECT a.vec_id, a.cluster, s.score AS centrality
+      |  FROM asg a JOIN scored s
+      |    ON s.vec_id = a.vec_id AND s.c_label = a.cluster),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+      |                 ORDER BY centrality DESC, vec_id) rk FROM cent)
+      |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk,
+      |       vec_id, centrality
+      |FROM rk WHERE rk <= 3""".stripMargin
+
   val dedupSemanticSql: String =
     s"""WITH c AS (SELECT * FROM ($labelCentroidsSql) x),
       |e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
@@ -1222,6 +1273,7 @@ object SimilarityQueries {
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "dedup_semantic" -> dedupSemantic _,
+    "curate_prototypes" -> curatePrototypes _,
     "sim_label_centroids" -> labelCentroids _)
 
   def oracles: Map[String, String] = Map(
@@ -1244,5 +1296,6 @@ object SimilarityQueries {
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "curate_prototypes" -> curatePrototypesSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }
