@@ -102,6 +102,40 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("time-fn rewrite: unit quoting, literals safe, idempotent, 200 seeds") {
+    val timeLiterals = Seq("'DATEADD(DAYS, 1, d)'", "'UNIX_TIMESTAMP()'",
+      "'call FROM_UNIXTIME(0)'", "'TIMESTAMPADD(HOURS, 2, t)'", "'x'")
+    val lookalikes = Seq("my_dateadd(x)", "unix_timestamps",
+      "from_unixtime_ms(x)", "ksql_dateadd('DAY', 1, d)")
+    val rnd = new Random(41)
+    (1 to 200).foreach { _ =>
+      val lit = timeLiterals(rnd.nextInt(timeLiterals.size))
+      val look = lookalikes(rnd.nextInt(lookalikes.size))
+      val sql = s"SELECT DATEADD(DAYS, 5, d), DATESUB(MONTHS, 1, d), " +
+        s"TIMESTAMPADD(HOURS, 2, t), TIMESTAMPSUB(MINUTES, 3, t), " +
+        s"$lit AS a, $look, FROM_UNIXTIME(ms), UNIX_TIMESTAMP(t), " +
+        s"UNIX_TIMESTAMP(), SLICE(xs, 1, 3) FROM src"
+      val out = ConnectorDdl.rewriteKsqlFunctionNames(sql)
+      // unit quoting INTRODUCES literal spans, so span-list equality
+      // does not hold here — the invariant is that every ORIGINAL
+      // literal survives byte-for-byte (function spellings inside it
+      // untouched)
+      assert(out.contains(lit), s"in=$sql out=$out")
+      // units got quoted into the compat builders
+      assert(out.contains("ksql_dateadd('DAYS', 5, d)"), out)
+      assert(out.contains("ksql_datesub('MONTHS', 1, d)"), out)
+      assert(out.contains("ksql_timestampadd('HOURS', 2, t)"), out)
+      assert(out.contains("timestampsub('MINUTES', 3, t)"), out)
+      assert(out.contains("ksql_from_unixtime(ms)"), out)
+      assert(out.contains("ksql_unix_timestamp(t)"), out)
+      assert(out.contains("ksql_unix_timestamp()"), out)
+      assert(out.contains("ksql_slice(xs, 1, 3)"), out)
+      if (!look.startsWith("ksql_dateadd")) assert(out.contains(look), out)
+      // idempotent: a second pass changes nothing
+      assert(ConnectorDdl.rewriteKsqlFunctionNames(out) == out, out)
+    }
+  }
+
   test("splitPartitionBy: only a genuine trailing clause is peeled") {
     // trailing clause → peeled
     assert(ConnectorDdl.splitPartitionBy(
