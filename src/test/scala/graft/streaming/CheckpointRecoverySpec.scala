@@ -62,4 +62,71 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = store.df(spark).as[(String, String)].collect().toMap
     assert(rows == Map("a" -> "v2", "b" -> "w1"))
   }
+
+  test("fk-join membership state survives a restart: fan-out from recovery") {
+    import spark.implicits._
+    import CheckpointRecoverySpec.{FkA, FkB}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-fk-recover-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Option[String])]()
+    def gotSeq: Seq[(Long, String, Option[String])] = {
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+
+    // one combined feed: left member changes carry side="L", the
+    // right image side="R" — both sides of an fk join are streams
+    def startQuery(l: MemoryStream[(Long, Long, Option[FkA])],
+                   r: MemoryStream[(Long, Long, Option[FkB])]) = {
+      val joined = TableTableJoin.fkJoin[Long, Long, FkA, FkB](
+        TableChangelog.of(l.toDS()), _.fk, r.toDS())
+      joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             TableChangelog.Change[Long, TableTableJoin.Joined[FkA, FkB]]],
+           _: Long) =>
+            b.collect().foreach { ch =>
+              got.add((ch.key, ch.op,
+                ch.after.flatMap(_.right).map(_.rname)))
+            }
+        }
+        .start()
+    }
+
+    // batch 0: two members of fk group 10, right image N1 — each
+    // member emits a create joined to N1
+    val l1 = MemoryStream[(Long, Long, Option[FkA])]
+    val r1 = MemoryStream[(Long, Long, Option[FkB])]
+    l1.addData((1L, 1L, Some(FkA("a1", 10L))), (2L, 2L, Some(FkA("a2", 10L))))
+    r1.addData((10L, 1L, Some(FkB("N1"))))
+    val q1 = startQuery(l1, r1)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(gotSeq.count(_._3.contains("N1")) == 2, gotSeq)
+
+    // restart: fresh sources replay batch 0 (skipped via the offset
+    // log), then ONLY a right-side update arrives. The fan-out to
+    // both members can only come from membership state recovered
+    // from the checkpoint.
+    got.clear()
+    val l2 = MemoryStream[(Long, Long, Option[FkA])]
+    val r2 = MemoryStream[(Long, Long, Option[FkB])]
+    l2.addData((1L, 1L, Some(FkA("a1", 10L))), (2L, 2L, Some(FkA("a2", 10L))))
+    r2.addData((10L, 1L, Some(FkB("N1"))))
+    r2.addData((10L, 2L, Some(FkB("N2"))))
+    val q2 = startQuery(l2, r2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val revised = gotSeq.filter(_._3.contains("N2")).map(_._1).toSet
+    assert(revised == Set(1L, 2L),
+      s"expected recovered fan-out to both members, got $gotSeq")
+  }
+}
+
+object CheckpointRecoverySpec {
+  case class FkA(name: String, fk: Long)
+  case class FkB(rname: String)
 }
