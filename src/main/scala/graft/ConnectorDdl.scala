@@ -253,6 +253,13 @@ object ConnectorDdl {
   private val insertValuesRe =
     ("""(?is)\s*INSERT\s+INTO\s+(?:`([^`]+)`|([A-Za-z_]\w*))""" +
       """\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*""").r
+  // ksql `INSERT INTO <stream> SELECT … [EMIT CHANGES]`: the second
+  // persistent-query form — append a derived stream into an EXISTING
+  // one. The batch analog evaluates the select once (the same
+  // finite-input equivalence every CSAS rides) and appends the result.
+  private val insertSelectRe =
+    ("""(?is)\s*INSERT\s+INTO\s+(?:`([^`]+)`|([A-Za-z_]\w*))""" +
+      """\s+(SELECT\b.*?)(?:\s+EMIT\s+(?:CHANGES|FINAL))?\s*;?\s*""").r
   // ksql CLI `PRINT 'topic' [FROM BEGINNING] [LIMIT n]`: peek at a
   // topic's records. The topic's final dotted segment resolves to the
   // session relation of the same name (the streamDef convention);
@@ -1074,7 +1081,8 @@ object ConnectorDdl {
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
-       | insertValuesRe(_*) | createTypeRe(_*) | dropTypeRe(_*)
+       | insertValuesRe(_*) | insertSelectRe(_*)
+       | createTypeRe(_*) | dropTypeRe(_*)
        | showTypesRe(_*) | showFunctionsRe(_*)
        | describeFunctionRe(_*) => true
     case csasRe(kindStr, _, withProps, _, emit) =>
@@ -1331,6 +1339,49 @@ object ConnectorDdl {
           Seq((name.toLowerCase,
               kinds(spark).getOrDefault(name.toLowerCase, "STREAM"),
               "1 row", "INSERTED"))
+            .toDF("name", "kind", "rows", "status")
+        }
+      case insertSelectRe(qname, bname, selectBody) =>
+        // ksql INSERT INTO <stream> SELECT … — the second persistent-
+        // query form: a derived stream appended into an EXISTING one.
+        // The select rides the full ksql rewrite chain (function
+        // dialect, pseudo-columns, latest_by_offset, WINDOW, WITHIN)
+        // and its batch evaluation appends once (finite-input
+        // equivalence, as for every CSAS). The result is materialized
+        // via localCheckpoint so repeated inserts never stack plans.
+        // A real catalog table keeps Spark's own INSERT INTO … SELECT.
+        val name = pick(qname, bname)
+        val isTemp = spark.catalog.tableExists(name) &&
+          spark.catalog.listTables().collect()
+            .exists(t => t.isTemporary && t.name.equalsIgnoreCase(name))
+        if (!isTemp) {
+          if (spark.catalog.tableExists(name)) spark.sql(statement)
+          else throw new IllegalArgumentException(
+            s"cannot INSERT INTO $name: no such stream/table")
+        } else {
+          val target = spark.table(name)
+          val plain = rewriteWindowClause(spark,
+            rewriteLatestByOffset(rewritePseudoColumns(
+              rewriteKsqlFunctionNames(selectBody))))
+          val df = spark.sql(rewriteWithin(spark, plain))
+          val missing = target.columns.filterNot(c =>
+            df.columns.exists(_.equalsIgnoreCase(c)))
+          require(missing.isEmpty,
+            s"INSERT INTO $name: select is missing target column(s) " +
+              missing.mkString(", "))
+          val aligned = df.select(target.schema.fields.toIndexedSeq.map {
+            f =>
+              df.columns.find(_.equalsIgnoreCase(f.name))
+                .map(c => col(c).cast(f.dataType).as(f.name)).get
+          }: _*)
+          val appended = target.unionByName(aligned).localCheckpoint()
+          appended.createOrReplaceTempView(name)
+          // the VALUES accumulator (if any) is superseded by the
+          // materialized view content
+          state(spark).inserts.remove(name.toLowerCase)
+          Seq((name.toLowerCase,
+              kinds(spark).getOrDefault(name.toLowerCase, "STREAM"),
+              "select", "INSERTED"))
             .toDF("name", "kind", "rows", "status")
         }
       case streamDefRe(_, name, schemaList, body) =>

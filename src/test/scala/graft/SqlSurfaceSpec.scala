@@ -702,8 +702,10 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
         GraftSql.sql(spark, "INSERT INTO no_such_rel_xyz VALUES (1);")
       }
       assert(badRel.getMessage.contains("no such stream"), badRel.getMessage)
-      // the INSERT ... SELECT query form is NOT intercepted
-      assert(!ConnectorDdl.handles("INSERT INTO ins_s SELECT * FROM nation"))
+      // the INSERT ... SELECT query form is intercepted too (round
+      // 10, the second persistent-query form) — real catalog tables
+      // delegate to Spark inside the handler
+      assert(ConnectorDdl.handles("INSERT INTO ins_s SELECT * FROM nation"))
       // many inserts stay a FLAT base ∪ LocalRelation plan — the
       // union count must not grow with N (a per-insert unionByName
       // chain would re-analyze an N-deep plan on every statement)
@@ -1321,6 +1323,44 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val props = ran(4)._2.collect().map(_.getString(0))
     assert(props.contains("graft.script.prop"))
     assert(!spark.catalog.tableExists("r10_docs"))
+  }
+
+  test("INSERT INTO <stream> SELECT — the second persistent-query form") {
+    GraftSql.init(spark, sf)
+    try {
+      GraftSql.sql(spark,
+        "CREATE STREAM ins_tgt AS SELECT doc_id, source FROM documents " +
+          "WHERE doc_id < 10 EMIT CHANGES;")
+      val before = spark.table("ins_tgt").count()
+      // ksql dialect rides along (MASK) and EMIT CHANGES is accepted
+      GraftSql.sql(spark,
+        "INSERT INTO ins_tgt SELECT doc_id + 1000 AS doc_id, " +
+          "MASK(source) AS source FROM documents WHERE doc_id < 5 " +
+          "EMIT CHANGES;")
+      val after = spark.table("ins_tgt")
+      assert(after.count() == before + 5)
+      // the appended rows went through the dialect rewrite
+      val masked = after
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 1000)
+        .select("source").distinct().collect().map(_.getString(0))
+      assert(masked.nonEmpty && masked.forall(_.matches("xxxn+")), // srcN
+        masked.toSeq)
+      // column subset is rejected loudly
+      val e = intercept[IllegalArgumentException](
+        GraftSql.sql(spark,
+          "INSERT INTO ins_tgt SELECT doc_id FROM documents LIMIT 1;"))
+      assert(e.getMessage.contains("missing target column"), e.getMessage)
+      // unknown target
+      intercept[IllegalArgumentException](
+        GraftSql.sql(spark,
+          "INSERT INTO no_such_stream SELECT 1 AS x;"))
+      // repeated inserts accumulate without stacking (content check)
+      GraftSql.sql(spark,
+        "INSERT INTO ins_tgt SELECT doc_id + 2000 AS doc_id, source " +
+          "FROM documents WHERE doc_id < 3;")
+      assert(spark.table("ins_tgt").count() == before + 8)
+      GraftSql.sql(spark, "DROP STREAM ins_tgt;")
+    } finally GraftSql.initViews(spark, sf)
   }
 
   test("SET / UNSET / SHOW PROPERTIES round-trip the session overrides") {
