@@ -172,6 +172,9 @@ object ConnectorDdl {
     // keys SET via the ksql quoted form, so SHOW PROPERTIES lists the
     // session's own overrides (not the full Spark conf dump)
     val setKeys = ConcurrentHashMap.newKeySet[String]()
+    // DEFINE variable registry (lowercased names): `${name}`
+    // substitutes textually in every statement
+    val variables = new ConcurrentHashMap[String, String]()
   }
 
   // weak keys: a stopped-and-dropped SparkSession must not be pinned
@@ -253,6 +256,24 @@ object ConnectorDdl {
   private val insertValuesRe =
     ("""(?is)\s*INSERT\s+INTO\s+(?:`([^`]+)`|([A-Za-z_]\w*))""" +
       """\s*(?:\(([^)]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*""").r
+  // ksql variable substitution (0.18+): `DEFINE name = 'value'`,
+  // `UNDEFINE name`, `SHOW VARIABLES`; `${name}` substitutes
+  // TEXTUALLY before parsing — including inside string literals, as
+  // in the ksql CLI — via [[substituteVariables]].
+  private val defineRe =
+    """(?is)\s*DEFINE\s+([A-Za-z_]\w*)\s*=\s*'((?:[^']|'')*)'\s*;?\s*""".r
+  private val undefineRe =
+    """(?is)\s*UNDEFINE\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val showVariablesRe =
+    """(?is)\s*(?:SHOW|LIST)\s+VARIABLES\s*;?\s*""".r
+  // ksql CLI `RUN SCRIPT '<path>'`: execute a statement file through
+  // the session (the CLI's file-mode; GraftSql.script is the API)
+  private val runScriptRe =
+    """(?is)\s*RUN\s+SCRIPT\s+'([^']+)'\s*;?\s*""".r
+  private val describeConnectorRe =
+    (s"""(?is)\\s*DESCRIBE\\s+CONNECTOR\\s+$nameRe\\s*;?\\s*""").r
+  private val showPluginsRe =
+    """(?is)\s*(?:SHOW|LIST)\s+CONNECTOR\s+PLUGINS\s*;?\s*""".r
   // ksql `INSERT INTO <stream> SELECT … [EMIT CHANGES]`: the second
   // persistent-query form — append a derived stream into an EXISTING
   // one. The batch analog evaluates the select once (the same
@@ -934,6 +955,29 @@ object ConnectorDdl {
       .filter(s => commentFree(s).trim.nonEmpty).toSeq
   }
 
+  /** ksql variable substitution: every `${name}` whose lowercased name
+    * is DEFINEd in this session is replaced textually — including
+    * inside string literals, exactly as the ksql CLI substitutes
+    * before parsing. Undefined references pass through to Spark,
+    * whose OWN `${…}` substitution (`spark.sql.variable.substitute`,
+    * conf/env-backed) then applies — DEFINE simply has priority. A
+    * DEFINE statement itself is exempt (its value may legitimately
+    * contain `${…}` to compose with later definitions at use time —
+    * matching ksql, which stores the raw text). */
+  private[graft] def substituteVariables(spark: SparkSession,
+                                         statement: String): String =
+    statement match {
+      case defineRe(_, _) => statement
+      case _ =>
+        val vars = state(spark).variables
+        if (vars.isEmpty) statement
+        else """\$\{([A-Za-z_]\w*)\}""".r.replaceAllIn(statement, m =>
+          Option(vars.get(m.group(1).toLowerCase))
+            .map(java.util.regex.Matcher.quoteReplacement)
+            .getOrElse(java.util.regex.Matcher
+              .quoteReplacement(m.matched)))
+    }
+
   /** ksql function names whose Spark builtin namesake has DIFFERENT
     * semantics (ksql MASK masks non-alphanumerics to '-'; ksql SPLIT
     * takes a literal delimiter, Spark a regex; ksql REGEXP_EXTRACT
@@ -1078,6 +1122,8 @@ object ConnectorDdl {
   def handles(statement: String): Boolean = statement match {
     case createRe(_*) | dropRe(_*) | dropRelationRe(_*) | showRe(_*)
        | setRe(_*) | unsetRe(_*) | showPropertiesRe(_*)
+       | defineRe(_*) | undefineRe(_*) | showVariablesRe(_*)
+       | runScriptRe(_*) | describeConnectorRe(_*) | showPluginsRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
@@ -1194,6 +1240,54 @@ object ConnectorDdl {
         spark.conf.set(key, unescape(value))
         state(spark).setKeys.add(key)
         Seq((key, unescape(value))).toDF("property", "value")
+      case defineRe(name, value) =>
+        state(spark).variables.put(name.toLowerCase, unescape(value))
+        Seq((name.toLowerCase, unescape(value), "DEFINED"))
+          .toDF("variable", "value", "status")
+      case undefineRe(name) =>
+        state(spark).variables.remove(name.toLowerCase)
+        Seq((name.toLowerCase, "UNDEFINED")).toDF("variable", "status")
+      case showVariablesRe() => {
+        import scala.jdk.CollectionConverters._
+        state(spark).variables.asScala.toSeq.sorted
+          .toDF("variable", "value")
+      }
+      case runScriptRe(path) =>
+        // the CLI's file mode: the whole statement file runs through
+        // GraftSql.script (same splitter, same fail-fast contract)
+        val text = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val ran = GraftSql.script(spark, text)
+        ran.map { case (stmt, _) =>
+          (stmt.linesIterator.mkString(" ").take(60), "EXECUTED")
+        }.toDF("statement", "status")
+      case describeConnectorRe(qname, bname) =>
+        val name = pick(qname, bname)
+        connector(spark, name) match {
+          case Some(spec) =>
+            Seq((spec.name,
+                spec.kind match { case Source => "SOURCE"; case _ => "SINK" },
+                spec.connectorClass,
+                spec.props.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"$k=$v" }.mkString(","),
+                "RUNNING")).toDF("name", "kind", "class", "properties",
+              "state")
+          case None => throw new IllegalArgumentException(
+            s"connector $name does not exist")
+        }
+      case showPluginsRe() =>
+        // the plugins the reference deployment vendors
+        // (confluent-hub-components/*/manifest.json): Debezium
+        // Postgres + MongoDB 1.1.0 and the Confluent ES sink 10.0.1
+        Seq(
+          ("io.debezium.connector.postgresql.PostgresConnector",
+            "SOURCE", "1.1.0"),
+          ("io.debezium.connector.mongodb.MongoDbConnector",
+            "SOURCE", "1.1.0"),
+          ("io.confluent.connect.elasticsearch.ElasticsearchSinkConnector",
+            "SINK", "10.0.1"))
+          .toDF("class", "type", "version")
       case unsetRe(key) =>
         // back to the default: ksql UNSET clears the session override
         try spark.conf.unset(key)

@@ -50,7 +50,11 @@ object GraftSql {
     * `DROP CONNECTOR`, `SHOW CONNECTORS` — reference README.md:352-385,
     * 487-493) executes through [[ConnectorDdl]]; every other statement
     * is plain Spark SQL. */
-  def sql(spark: SparkSession, statement: String): DataFrame =
+  def sql(spark: SparkSession, statement0: String): DataFrame = {
+    // ksql variable substitution happens FIRST, textually, exactly as
+    // the CLI does — a DEFINE'd ${topic} works in connector DDL,
+    // CSAS bodies, and literals alike
+    val statement = ConnectorDdl.substituteVariables(spark, statement0)
     if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
     else
       // this entry point speaks the ksql DIALECT: the three ksql
@@ -59,6 +63,7 @@ object GraftSql {
       // ksql_mask/ksql_split/ksql_regexp_extract, outside literals).
       // Spark-native spellings remain reachable via spark.sql directly.
       spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
+  }
 
   /** Multi-statement script entry: split on `;` OUTSIDE string
     * literals, comments, and quoted identifiers (the same span grammar

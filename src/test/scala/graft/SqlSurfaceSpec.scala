@@ -1363,6 +1363,61 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally GraftSql.initViews(spark, sf)
   }
 
+  test("DEFINE / UNDEFINE / ${var} substitution, incl. inside literals") {
+    GraftSql.init(spark, sf)
+    GraftSql.sql(spark, "DEFINE src = 'documents';")
+    GraftSql.sql(spark, "DEFINE hi = 'hello';")
+    val vars = GraftSql.sql(spark, "SHOW VARIABLES;").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vars == Map("src" -> "documents", "hi" -> "hello"))
+    // substitutes in relation position AND inside a string literal
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) AS n, '${hi} world' AS g FROM ${src};")
+      .collect().head
+    assert(n.getLong(0) > 0 && n.getString(1) == "hello world")
+    // undefined references fall through to Spark's own ${...}
+    // substitution (conf/env-backed) — DEFINE has priority, Spark's
+    // layer keeps its native behavior
+    assert(GraftSql.sql(spark, "SELECT '${nope}' AS x;")
+      .collect().head.getString(0) != "hello world")
+    GraftSql.sql(spark, "UNDEFINE src;")
+    assert(GraftSql.sql(spark, "SHOW VARIABLES;").count() == 1)
+    GraftSql.sql(spark, "UNDEFINE hi;")
+  }
+
+  test("RUN SCRIPT executes a statement file through the session") {
+    GraftSql.init(spark, sf)
+    val f = java.nio.file.Files.createTempFile("graft-script-", ".sql")
+    java.nio.file.Files.write(f,
+      """DEFINE who = 'region';
+        |CREATE STREAM script_out AS SELECT r_regionkey FROM ${who}
+        |  EMIT CHANGES;""".stripMargin.getBytes)
+    val status = GraftSql.sql(spark, s"RUN SCRIPT '$f';").collect()
+    assert(status.length == 2 && status.forall(_.getString(1) == "EXECUTED"))
+    assert(spark.table("script_out").count() > 0)
+    GraftSql.sql(spark, "DROP STREAM script_out;")
+    GraftSql.sql(spark, "UNDEFINE who;")
+  }
+
+  test("DESCRIBE CONNECTOR and SHOW CONNECTOR PLUGINS") {
+    GraftSql.sql(spark,
+      """CREATE SOURCE CONNECTOR desc_me WITH (
+        |'connector.class' = 'io.debezium.connector.postgresql.PostgresConnector',
+        |'topic.prefix' = 'pg');""".stripMargin)
+    val d = GraftSql.sql(spark, "DESCRIBE CONNECTOR desc_me;")
+      .collect().head
+    assert(d.getString(0) == "desc_me" && d.getString(1) == "SOURCE" &&
+      d.getString(2).contains("PostgresConnector") &&
+      d.getString(3).contains("topic.prefix=pg"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "DESCRIBE CONNECTOR no_such;"))
+    val plugins = GraftSql.sql(spark, "SHOW CONNECTOR PLUGINS;")
+      .collect().map(_.getString(0))
+    assert(plugins.exists(_.contains("PostgresConnector")) &&
+      plugins.exists(_.contains("Elasticsearch")))
+    GraftSql.sql(spark, "DROP CONNECTOR desc_me;")
+  }
+
   test("SET / UNSET / SHOW PROPERTIES round-trip the session overrides") {
     GraftSql.sql(spark, "SET 'graft.test.prop' = 'v1';")
     GraftSql.sql(spark, "SET 'graft.test.other' = 'v2';")
