@@ -686,6 +686,64 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_u32"))
   }
 
+  /** Token budget for the temperature mix (larger than [[CapTokens]]
+    * so small sources land UNDER their α-boosted targets and keep
+    * everything — both branches of the min exercised). */
+  private[graft] val TempBudgetTokens = 16384L
+
+  /** α-temperature source mixing (α = 0.5) — the multilingual /
+    * multi-source pretraining recipe: per-source sampling weights
+    * `tokens^α` flatten the size distribution, so rare sources are
+    * up-weighted relative to proportional sampling and dominant ones
+    * capped. Every per-source keep-rate is derived as EXACT integer
+    * arithmetic: the α-weight is `floor(sqrt(tokens)·1e6)` (sqrt is
+    * correctly-rounded IEEE, so both engines grid identically), the
+    * target is `budget·w div Σw`, and the keep-rate the same
+    * u32-fraction draw [[capSources]] uses — no doubles survive into
+    * any comparison, so summation order can never flip a row. The
+    * draw is salted independently of every other sampling decision. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val weights = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .select(col("source"), col("total_tokens"),
+        floor(sqrt(col("total_tokens").cast("double")) * 1e6)
+          .cast(LongType).as("w"))
+    val sumW = weights.agg(sum(col("w")).as("sum_w"))
+    val rates = weights.crossJoin(broadcast(sumW))
+      .select(col("source"),
+        least(lit(4294967296L),
+          expr(s"(($TempBudgetTokens * w) div sum_w) * 4294967296L " +
+            "div total_tokens")).as("keep_u32"))
+    val bucket = Md5Key.column(concat(lit("temp:"), col("source"), lit(":"),
+      col("doc_id").cast(StringType)))
+    docs.join(broadcast(rates), "source")
+      .filter(bucket < col("keep_u32"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_u32"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |w AS (
+       |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(floor(sqrt(CAST(SUM(n_tokens) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+       |  FROM t GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    least(CAST(4294967296 AS BIGINT),
+       |      ((CAST($TempBudgetTokens AS BIGINT) * w)
+       |         // (SELECT SUM(w) FROM w)) * 4294967296 // total_tokens)
+       |      AS keep_u32
+       |  FROM w)
+       |SELECT t.doc_id, t.source, t.n_tokens, r.keep_u32
+       |FROM t JOIN r ON r.source = t.source
+       |WHERE ${Md5Key.sql("'temp:' || t.source || ':' || CAST(t.doc_id AS VARCHAR)")}
+       |      < r.keep_u32""".stripMargin
+
   val capSourcesSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, source,
@@ -865,6 +923,7 @@ object CurationQueries {
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
     "curate_cap_sources" -> capSources _,
+    "curate_temperature_mix" -> temperatureMix _,
     "curate_corpus_build_clean" -> corpusBuildClean _,
     "curate_length_buckets" -> lengthBuckets _,
     "curate_epoch_plan" -> epochPlan _,
@@ -885,6 +944,7 @@ object CurationQueries {
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,
     "curate_cap_sources" -> capSourcesSql,
+    "curate_temperature_mix" -> temperatureMixSql,
     "curate_corpus_build_clean" -> corpusBuildCleanSql,
     "curate_length_buckets" -> lengthBucketsSql,
     "curate_epoch_plan" -> epochPlanSql,
