@@ -52,7 +52,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 "curate_cap_sources", "curate_corpus_delta",
                 "curate_chunk_docs", "curate_shard_manifest",
                 "curate_epoch_plan", "dedup_repeated_spans",
-                "q_sessionize",
+                "q_sessionize", "curate_temperature_mix",
                 // round 10: the semantic dedup's centroid assignment
                 // (rounded-cosine argmax with label tie-break) must not
                 // move with partitioning, or clusters — and thus dup
