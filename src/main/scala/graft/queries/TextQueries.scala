@@ -37,6 +37,46 @@ object TextQueries {
       |  CAST(ceil(length(regexp_replace(text, '\s', '', 'g')) / 4.0) AS BIGINT) AS n_tokens_bpe
       |FROM documents""".stripMargin
 
+  /** GPT-2-style pretokenizer pattern, lookahead-free so Java regex
+    * (Spark) and RE2 (DuckDB) agree — both are leftmost-first on
+    * alternation: contraction suffixes, space-prefixed letter runs,
+    * digit runs, punctuation runs, residual whitespace. */
+  private[graft] val PretokenPattern =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Real subword-boundary pretokenization (the step BEFORE BPE merges
+    * — what [[tokenCount]]'s chars/4 only estimates): the GPT-2 regex
+    * applied per document, counting total and distinct pretokens plus
+    * milli-chars-per-pretoken as exact integer division. One narrow
+    * codegen'd scan; the regex engine differences (Java vs RE2) are
+    * neutralized by keeping the pattern inside both engines' common
+    * leftmost-first subset (no lookarounds, no backrefs). */
+  def pretokenize(s: SparkSession, d: String): DataFrame = {
+    val pts = regexp_extract_all(col("text"), lit(PretokenPattern), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(pts).cast(LongType).as("n_pretokens"),
+      size(array_distinct(pts)).cast(LongType).as("n_distinct"),
+      // positive-integer floor division: the double quotient is far
+      // from any integer boundary (spacing ≥ 1/n ≫ ulp), so the cast
+      // truncation equals DuckDB's integer //
+      ((length(col("text")) * 1000) / size(pts))
+        .cast(LongType).as("milli_chars_per_pt"))
+  }
+
+  val pretokenizeSql: String = {
+    val pat = PretokenPattern.replace("'", "''")
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)
+       |    AS n_pretokens,
+       |  CAST(len(list_distinct(regexp_extract_all(text, '$pat')))
+       |    AS BIGINT) AS n_distinct,
+       |  CAST((length(text) * 1000)
+       |    // len(regexp_extract_all(text, '$pat')) AS BIGINT)
+       |    AS milli_chars_per_pt
+       |FROM documents""".stripMargin
+  }
+
   private val enStop = Seq("the", "and", "of", "to", "a", "in", "is")
 
   /** Quality scoring: token/char stats, stopword ratio, and a banded
@@ -597,6 +637,7 @@ object TextQueries {
     "text_top_terms" -> topTerms _,
     "text_bpe_pairs" -> bpePairs _,
     "text_token_count" -> tokenCount _,
+    "text_pretokenize" -> pretokenize _,
     "text_quality" -> quality _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _)
@@ -614,6 +655,7 @@ object TextQueries {
     "text_top_terms" -> topTermsSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_token_count" -> tokenCountSql,
+    "text_pretokenize" -> pretokenizeSql,
     "text_quality" -> qualitySql,
     "text_langid" -> langIdSql,
     "text_fingerprint" -> fingerprintSql)
