@@ -624,7 +624,53 @@ object TextQueries {
       |FROM pairs JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+  /** Curriculum difficulty bucketing: documents ranked by the bigram
+    * LM signal ([[bigramLogprob]] — lower mean log-prob = harder) into
+    * 8 equi-depth buckets with per-bucket stats, the
+    * easy-to-hard ordering a curriculum-learning schedule consumes.
+    * The rank order is exact-integer (micro-nat sums, doc_id
+    * tie-break), so bucket membership is engine- and
+    * partitioning-stable. Scale note: EXACT equi-depth needs a global
+    * rank (the ntile here — fine at per-source/per-shard granularity);
+    * a 100 TB curriculum replaces it with approx_percentile boundary
+    * cuts broadcast as a width-8 lookup, trading exactness at the
+    * bucket edges for a boundary-free narrow scan — the same
+    * trade [[curate_train_order]]'s md5 shuffle makes against a true
+    * global sort. */
+  def difficultyBuckets(s: SparkSession, d: String): DataFrame =
+    bigramLogprob(s, d)
+      // difficulty = NEGATED mean log-prob per bigram, in milli-micro-
+      // nats: negating first keeps the integer division on POSITIVE
+      // operands, where Spark's `div` and DuckDB's `//` agree exactly
+      // (for negatives one truncates, the other floors)
+      .withColumn("difficulty",
+        expr("((-sum_micro_nats) * 1000) div n_bigrams").cast(LongType))
+      .withColumn("bucket", ntile(8).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("difficulty"), col("doc_id"))).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        min(col("difficulty")).cast(LongType).as("easiest"),
+        max(col("difficulty")).cast(LongType).as("hardest"),
+        sum(col("n_bigrams")).cast(LongType).as("tokens"))
+
+  val difficultyBucketsSql: String =
+    s"""WITH lp AS (SELECT * FROM ($bigramLogprobSql) x),
+       |m AS (SELECT doc_id, n_bigrams,
+       |        CAST(((-sum_micro_nats) * 1000) // n_bigrams AS BIGINT)
+       |          AS difficulty
+       |      FROM lp),
+       |b AS (SELECT *, ntile(8) OVER (ORDER BY difficulty, doc_id)
+       |        AS bucket FROM m)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(difficulty) AS BIGINT) AS easiest,
+       |  CAST(max(difficulty) AS BIGINT) AS hardest,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS tokens
+       |FROM b GROUP BY bucket""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_difficulty_buckets" -> difficultyBuckets _,
     "text_bigram_logprob" -> bigramLogprob _,
     "text_quality_calibration" -> qualityDupCalibration _,
     "text_pii_by_source" -> piiBySource _,
@@ -643,6 +689,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint _)
 
   def oracles: Map[String, String] = Map(
+    "curate_difficulty_buckets" -> difficultyBucketsSql,
     "text_bigram_logprob" -> bigramLogprobSql,
     "text_quality_calibration" -> qualityDupCalibrationSql,
     "text_pii_by_source" -> piiBySourceSql,
