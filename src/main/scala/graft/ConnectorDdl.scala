@@ -1183,9 +1183,10 @@ object ConnectorDdl {
               "DROPPED")).toDF("name", "kind", "note", "status")
         } else if (kind == "TABLE")
           // not a ksql relation: Spark-native DROP TABLE (the DELETE
-          // TOPIC suffix is ksql-only grammar and is peeled off)
+          // TOPIC suffix is ksql-only grammar and is peeled off;
+          // re-quoting keeps names that needed backquotes valid)
           spark.sql(s"DROP TABLE ${if (ifExists != null) "IF EXISTS " else ""}" +
-            s"$name")
+            s"`$name`")
         else if (ifExists != null)
           Seq((key, kind, "", "NOT FOUND")).toDF(
             "name", "kind", "note", "status")
