@@ -988,11 +988,21 @@ object ConnectorDdl {
     * rewrite requires `(` right after the bare name). */
   private[graft] def rewriteKsqlFunctionNames(statement: String): String =
     outsideLiterals(statement) { seg0 =>
+      // ksql STRUCT dereference `col->field` → Spark's dot. In this
+      // dialect `->` is struct access and `=>` the lambda arrow (the
+      // ksql grammar itself), so the two never collide on input; the
+      // rewrite is restricted to the no-whitespace identifier->identifier
+      // shape (ksql's conventional spelling) so the SPACED Spark
+      // lambda arrows the `=>` mapping emits below are never
+      // re-interpreted on a second pass — the rewrite stays
+      // idempotent. Chains (`a->b->c`) collapse left-to-right.
+      var seg = """(?<=[\w`])->(?=[A-Za-z_`])""".r
+        .replaceAllIn(seg0, ".")
       // ksql lambda arrows → Spark's (no other `=>` exists in either
       // dialect's grammar). Spark's parser accepts `x -> e` and
       // `(x, y) -> e` but NOT a parenthesized SINGLE parameter, which
       // is ksql's canonical spelling — strip those parens too.
-      var seg = seg0.replace("=>", "->")
+      seg = seg.replace("=>", "->")
       seg = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""".r
         .replaceAllIn(seg, m => s"${m.group(1)} ->")
       // the invocation functions and the codec/sort scalars whose

@@ -187,6 +187,21 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getString(0) == "2020-06-01 08:00:00")
   }
 
+  // ---- struct dereference ----
+
+  test("ksql col->field struct access maps to Spark's dot, chains too") {
+    val r = one("SELECT s->a + 1, s->nest->b FROM (SELECT " +
+      "NAMED_STRUCT('a', 41, 'nest', NAMED_STRUCT('b', 'x')) AS s)")
+    assert(r.getInt(0) == 42 && r.getString(1) == "x")
+    // a lambda (ksql => spelling) coexists with struct arrows in one
+    // statement — the two never collide
+    val r2 = one("SELECT TRANSFORM(ARRAY(s), (e) => e->a) " +
+      "FROM (SELECT NAMED_STRUCT('a', 7) AS s)")
+    assert(r2.getSeq[Int](0) == Seq(7))
+    // inside a literal, '->' is data
+    assert(one("SELECT 'a->b'").getString(0) == "a->b")
+  }
+
   // ---- arrow rewrite hygiene ----
 
   test("'=>' inside a string literal is untouched") {
