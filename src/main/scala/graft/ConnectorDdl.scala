@@ -978,6 +978,109 @@ object ConnectorDdl {
               .quoteReplacement(m.matched)))
     }
 
+  /** ksql literal-constructor syntax → Spark spellings, none of which
+    * Spark's parser accepts natively:
+    *
+    *  - `ARRAY[a, b]` → `array(a, b)` (bracket-matched, nestable)
+    *  - `STRUCT(f := v, …)` → `named_struct('f', v, …)`
+    *  - `MAP('k' := v, …)` → `map('k', v, …)`
+    *
+    * All matching runs on masked text (literals/comments blanked
+    * positionally), with explicit depth scans for the closing
+    * bracket/paren — a regex alone would be fooled by nesting. The
+    * loop rewrites one outermost construct per pass and re-masks, so
+    * nested constructors (an ARRAY inside a STRUCT value) resolve on
+    * later passes; STRUCT/MAP spans WITHOUT `:=` are left for Spark's
+    * own `struct`/`map` functions, which ARE those spellings. */
+  private[graft] def rewriteKsqlConstructors(statement: String): String = {
+    def matchSpan(masked: String, open: Int, oc: Char, cc: Char): Int = {
+      var d = 0
+      var i = open
+      while (i < masked.length) {
+        val ch = masked.charAt(i)
+        if (ch == oc) d += 1
+        else if (ch == cc) { d -= 1; if (d == 0) return i }
+        i += 1
+      }
+      throw new IllegalArgumentException(
+        s"unbalanced $oc$cc in: ${statement.take(80)}")
+    }
+    // indices (relative to span start) of depth-1 occurrences of `t`
+    def depth1(masked: String, from: Int, to: Int,
+               t: String): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var d = 0
+      var i = from
+      while (i < to) {
+        masked.charAt(i) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case _ =>
+            if (d == 1 && masked.startsWith(t, i)) out += i
+        }
+        i += 1
+      }
+      out.result()
+    }
+    var s = statement
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskLiterals(s)
+      """(?i)\bARRAY\s*\[""".r.findFirstMatchIn(masked) match {
+        case Some(m) =>
+          val close = matchSpan(masked, m.end - 1, '[', ']')
+          s = s.substring(0, m.start) + "array(" +
+            s.substring(m.end, close) + ")" + s.substring(close + 1)
+          changed = true
+        case None =>
+      }
+      if (!changed) {
+        // first STRUCT/MAP whose own argument level carries `:=`
+        val hit = """(?i)\b(STRUCT|MAP)\s*\(""".r.findAllMatchIn(masked)
+          .map { m =>
+            val close = matchSpan(masked, m.end - 1, '(', ')')
+            (m, close, depth1(masked, m.end - 1, close, ":="))
+          }
+          .find(_._3.nonEmpty)
+        hit.foreach { case (m, close, assigns) =>
+          val kind = m.group(1).toUpperCase
+          if (kind == "STRUCT") {
+            // field names become string literals: `f := v` → `'f', v`
+            var body = s.substring(m.end, close)
+            val base = m.end
+            // rewrite right-to-left so positions stay valid
+            assigns.reverse.foreach { pos =>
+              val rel = pos - base
+              // identifier (or backquoted name) directly before :=
+              val lhs = """([A-Za-z_]\w*|`[^`]+`)\s*$""".r
+                .findFirstMatchIn(body.substring(0, rel))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"STRUCT field before := must be a name: ${s.take(80)}"))
+              val name = lhs.matched.trim.stripPrefix("`").stripSuffix("`")
+              body = body.substring(0, lhs.start) + s"'$name', " +
+                body.substring(rel + 2)
+            }
+            s = s.substring(0, m.start) + "named_struct(" + body + ")" +
+              s.substring(close + 1)
+          } else {
+            // MAP keys are expressions: `k := v` → `k, v`
+            var body = s.substring(m.end, close)
+            val base = m.end
+            assigns.reverse.foreach { pos =>
+              val rel = pos - base
+              body = body.substring(0, rel) + "," + body.substring(rel + 2)
+            }
+            s = s.substring(0, m.start) + "map(" + body + ")" +
+              s.substring(close + 1)
+          }
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
   /** ksql function names whose Spark builtin namesake has DIFFERENT
     * semantics (ksql MASK masks non-alphanumerics to '-'; ksql SPLIT
     * takes a literal delimiter, Spark a regex; ksql REGEXP_EXTRACT
@@ -986,23 +1089,29 @@ object ConnectorDdl {
     * statements run verbatim through [[GraftSql.sql]]. Guarded by
     * [[outsideLiterals]]; `MASK_KEEP_LEFT` & co don't match (the
     * rewrite requires `(` right after the bare name). */
-  private[graft] def rewriteKsqlFunctionNames(statement: String): String =
+  private[graft] def rewriteKsqlFunctionNames(statement0: String): String = {
+    // constructor syntax first (positional, paren-matched on masked
+    // text) — the segment-wise rewrites below then see plain function
+    // calls
+    val statement = rewriteKsqlConstructors(statement0)
     outsideLiterals(statement) { seg0 =>
       // ksql STRUCT dereference `col->field` → Spark's dot. In this
-      // dialect `->` is struct access and `=>` the lambda arrow (the
-      // ksql grammar itself), so the two never collide on input; the
-      // rewrite is restricted to the no-whitespace identifier->identifier
-      // shape (ksql's conventional spelling) so the SPACED Spark
-      // lambda arrows the `=>` mapping emits below are never
-      // re-interpreted on a second pass — the rewrite stays
-      // idempotent. Chains (`a->b->c`) collapse left-to-right.
-      var seg = """(?<=[\w`])->(?=[A-Za-z_`])""".r
+      // dialect `->` on INPUT is always struct access — lambdas are
+      // spelled `=>` (the ksql grammar itself) — so the rewrite takes
+      // every no-whitespace `->` after an identifier/`)`/`]` (ksql's
+      // conventional spelling; `STRUCT(…)->f` included). The lambda
+      // mapping below emits its arrows WITH spaces, so a re-run can
+      // never mistake an emitted lambda arrow for a dereference —
+      // the rewrite stays idempotent. Chains (`a->b->c`) collapse
+      // left-to-right.
+      var seg = """(?<=[\w`\)\]])->(?=[A-Za-z_`])""".r
         .replaceAllIn(seg0, ".")
       // ksql lambda arrows → Spark's (no other `=>` exists in either
-      // dialect's grammar). Spark's parser accepts `x -> e` and
-      // `(x, y) -> e` but NOT a parenthesized SINGLE parameter, which
-      // is ksql's canonical spelling — strip those parens too.
-      seg = seg.replace("=>", "->")
+      // dialect's grammar), normalized to spaced form. Spark's parser
+      // accepts `x -> e` and `(x, y) -> e` but NOT a parenthesized
+      // SINGLE parameter, which is ksql's canonical spelling — strip
+      // those parens too.
+      seg = """[ \t]*=>[ \t]*""".r.replaceAllIn(seg, " -> ")
       seg = """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""".r
         .replaceAllIn(seg, m => s"${m.group(1)} ->")
       // the invocation functions and the codec/sort scalars whose
@@ -1050,6 +1159,7 @@ object ConnectorDdl {
           "ksql_split("),
         "ksql_regexp_extract(")
     }
+  }
 
   /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —
     * ROWTIME resolves case-insensitively against the propagated

@@ -187,6 +187,26 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getString(0) == "2020-06-01 08:00:00")
   }
 
+  // ---- constructor syntax ----
+
+  test("ksql ARRAY[..] / STRUCT(f := v) / MAP(k := v) constructors") {
+    assert(one("SELECT ARRAY[1, 2, 3]").getSeq[Int](0) == Seq(1, 2, 3))
+    // nested: an ARRAY inside a STRUCT value, dereferenced with ->
+    val r = one("SELECT STRUCT(a := 1 + 1, xs := ARRAY[10, 20])->xs")
+    assert(r.getSeq[Int](0) == Seq(10, 20))
+    assert(one("SELECT STRUCT(nest := STRUCT(b := 'x'))->nest->b")
+      .getString(0) == "x")
+    val m = one("SELECT MAP('a' := 1, 'b' := 1 + 1)")
+      .getMap[String, Int](0)
+    assert(m == Map("a" -> 1, "b" -> 2))
+    // a plain Spark map()/struct() call (no :=) is untouched
+    assert(one("SELECT MAP('a', 7)").getMap[String, Int](0) ==
+      Map("a" -> 7))
+    // literals keep constructor-looking text
+    assert(one("SELECT 'ARRAY[1]'").getString(0) == "ARRAY[1]")
+    assert(one("SELECT 'f := v'").getString(0) == "f := v")
+  }
+
   // ---- struct dereference ----
 
   test("ksql col->field struct access maps to Spark's dot, chains too") {
