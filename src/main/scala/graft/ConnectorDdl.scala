@@ -1094,7 +1094,7 @@ object ConnectorDdl {
     // text) — the segment-wise rewrites below then see plain function
     // calls
     val statement = rewriteKsqlConstructors(statement0)
-    outsideLiterals(statement) { seg0 =>
+    val named = outsideLiterals(statement) { seg0 =>
       // ksql STRUCT dereference `col->field` → Spark's dot. In this
       // dialect `->` on INPUT is always struct access — lambdas are
       // spelled `=>` (the ksql grammar itself) — so the rewrite takes
@@ -1128,6 +1128,11 @@ object ConnectorDdl {
       // ksql SLICE's third arg is an inclusive end index; Spark's a
       // length
       seg = """(?i)\bSLICE\s*\(""".r.replaceAllIn(seg, "ksql_slice(")
+      // ksql CHR decodes a full UTF8 codepoint; Spark's chr is mod-256
+      // ASCII. ksql INSTR takes Oracle-style position/occurrence args
+      // Spark's 2-arg namesake lacks.
+      seg = """(?i)\bCHR\s*\(""".r.replaceAllIn(seg, "ksql_chr(")
+      seg = """(?i)\bINSTR\s*\(""".r.replaceAllIn(seg, "ksql_instr(")
       // time functions whose Spark namesake differs: ksql
       // FROM_UNIXTIME/UNIX_TIMESTAMP are MILLISECOND-based (Spark's
       // are seconds, and FROM_UNIXTIME returns a formatted string);
@@ -1159,6 +1164,130 @@ object ConnectorDdl {
           "ksql_split("),
         "ksql_regexp_extract(")
     }
+    // subscripts LAST: struct dereferences are dots by now, so
+    // `s->arr[1]` wraps the whole path; ARRAY[..] constructors are
+    // long gone, so every remaining postfix bracket is an access
+    rewriteKsqlSubscripts(named)
+  }
+
+  /** ksql subscript syntax `base[idx]` → `try_element_at(base, idx)`.
+    *
+    * ksql container access is NOT Spark's bracket subscript: ksql
+    * arrays are ONE-indexed (reference engine ksqlDB 0.28 — negative
+    * indices count from the end), and both array index-out-of-range
+    * and map key-miss return NULL. Spark's native `a[i]` is ZERO-based
+    * and, under Spark 4's default ANSI mode, throws on an invalid
+    * index — so a ported ksql statement would silently read the wrong
+    * element or crash. `try_element_at` has exactly the ksql
+    * semantics for both container kinds (1-based, negative-from-end,
+    * NULL on miss).
+    *
+    * Mechanics: one leftmost subscript per pass on masked text
+    * ([[maskLiterals]] — literals/comments can't fool it), explicit
+    * depth scan to the matching `]` (index expressions nest:
+    * `m[a[1]]`), then a backward scan for the base primary —
+    * identifier, backquoted name, call/subscript suffix (`f(x)[1]`,
+    * rewritten chains `try_element_at(a, 1)[2]`), extended over
+    * dot-chains (`s.arr[1]`). A `[` not preceded by one of those is
+    * not an access and is left alone. Re-masking each pass keeps
+    * positions honest; the loop terminates because each pass removes
+    * one bracket pair and emits none. */
+  private[graft] def rewriteKsqlSubscripts(statement: String): String = {
+    val subscriptOpenRe = """[\w`\)\]]\s*\[""".r
+    // like maskLiterals, but QUOTED IDENTIFIERS stay identifier-shaped
+    // (backtick sentinels around 'x' filler) — a quoted name is a
+    // legitimate subscript base (`my col`[1]) and the backward scan
+    // must still see it; string literals and comments stay blanked.
+    def maskKeepQuotedIdents(src: String): String = {
+      val sb = new StringBuilder(src)
+      literalSpanRe.findAllMatchIn(src).foreach { m =>
+        val ident = src.charAt(m.start) == '`' || src.charAt(m.start) == '"'
+        var i = m.start
+        while (i < m.end) {
+          sb.setCharAt(i,
+            if (!ident) ' '
+            else if (i == m.start || i == m.end - 1) '`'
+            else 'x')
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    var s = statement
+    var changed = true
+    while (changed) {
+      changed = false
+      val masked = maskKeepQuotedIdents(s)
+      subscriptOpenRe.findFirstMatchIn(masked).foreach { m =>
+        val open = m.end - 1
+        // matching close bracket (depth scan; nestable)
+        var d = 0
+        var i = open
+        var close = -1
+        while (i < masked.length && close < 0) {
+          masked.charAt(i) match {
+            case '[' => d += 1
+            case ']' => d -= 1; if (d == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) throw new IllegalArgumentException(
+          s"unbalanced [] in: ${statement.take(80)}")
+        // backward scan from just before `[` for the base primary
+        def skipWsBack(j0: Int): Int = {
+          var j = j0
+          while (j > 0 && masked.charAt(j - 1).isWhitespace) j -= 1
+          j
+        }
+        var j = skipWsBack(open)
+        var more = true
+        while (more && j > 0) {
+          more = false
+          masked.charAt(j - 1) match {
+            case c @ (')' | ']') =>
+              val oc = if (c == ')') '(' else '['
+              var dd = 0
+              var k = j - 1
+              var op = -1
+              while (k >= 0 && op < 0) {
+                val ch = masked.charAt(k)
+                if (ch == c) dd += 1
+                else if (ch == oc) { dd -= 1; if (dd == 0) op = k }
+                k -= 1
+              }
+              if (op >= 0) {
+                j = op
+                // a call: include the function name before `(`
+                var k2 = skipWsBack(j)
+                val k2end = k2
+                while (k2 > 0 && (masked.charAt(k2 - 1).isLetterOrDigit ||
+                  masked.charAt(k2 - 1) == '_')) k2 -= 1
+                if (k2 < k2end) j = k2
+              }
+            case '`' =>
+              var k = j - 2
+              while (k >= 0 && masked.charAt(k) != '`') k -= 1
+              j = math.max(k, 0)
+            case c if c.isLetterOrDigit || c == '_' =>
+              while (j > 0 && (masked.charAt(j - 1).isLetterOrDigit ||
+                masked.charAt(j - 1) == '_')) j -= 1
+            case _ =>
+          }
+          val jw = skipWsBack(j)
+          if (jw > 0 && masked.charAt(jw - 1) == '.') {
+            j = jw - 1
+            more = true
+          }
+        }
+        val base = s.substring(j, open).trim
+        val idx = s.substring(open + 1, close)
+        s = s.substring(0, j) + s"try_element_at($base, $idx)" +
+          s.substring(close + 1)
+        changed = true
+      }
+    }
+    s
   }
 
   /** ksql's remaining pseudo-columns (0.28: ROWPARTITION, ROWOFFSET —

@@ -341,6 +341,66 @@ object KsqlCompatExt {
       fn("convert_timezone", exprs(1), exprs(2), exprs(0))
     },
 
+    // ---- remaining ksql string scalars whose Spark namesake differs ----
+    "ksql_chr" -> { exprs =>
+      arity("chr", "chr(codepoint | '\\uXXXX')", exprs, 1, 1)
+      exprs.head match {
+        case Literal(u: UTF8String, StringType) =>
+          // ksql's string form: a Java-unicode-escape spelling,
+          // decodable at build time
+          val decoded = """\\u([0-9A-Fa-f]{4})""".r.replaceAllIn(
+            u.toString, m => Integer.parseInt(m.group(1), 16).toChar.toString)
+          lit(decoded)
+        case e =>
+          // ksql CHR is a full UTF8-codepoint decoder (CHR(22909) =
+          // '好'); Spark's chr/char is mod-256 ASCII. Decode the
+          // codepoint exactly: int → 8-hex → 4 bytes → UTF-32
+          // (BOM-less Java UTF-32 reads big-endian, matching hex).
+          fn("decode",
+            fn("to_binary", fn("lpad", fn("hex", e), lit(8), lit("0")),
+              lit("hex")),
+            lit("UTF-32"))
+      }
+    },
+    "ksql_instr" -> { exprs =>
+      arity("instr", "instr(str, substr[, position[, occurrence]])",
+        exprs, 2, 4)
+      val s = exprs(0)
+      val sub = exprs(1)
+      if (exprs.length == 2) fn("locate", sub, s)
+      else {
+        // ksql's 3/4-arg INSTR (commons-lang ordinalIndexOf
+        // semantics: occurrences may OVERLAP — instr('aaa','aa',1,2)
+        // is 2, which rules out any split-based counting). Enumerate
+        // every occurrence start once, then pick: positive position →
+        // nth hit at or after it; negative → nth hit counting
+        // backward among starts ≤ length+pos+1 (search "backwards
+        // from the end"). All builtin HOFs — stays codegen-friendly.
+        val pos = exprs(2)
+        val occ = if (exprs.length == 4) exprs(3) else lit(1)
+        val n = fn("length", s)
+        val m = fn("length", sub)
+        val span = fn("+", fn("-", n, m), lit(1))
+        // sequence(1, max(span,1)) sliced to max(span,0) — Spark's
+        // sequence would DESCEND for span < 1, so clamp then trim
+        val starts = fn("slice",
+          fn("sequence", lit(1), fn("greatest", span, lit(1))),
+          lit(1), fn("greatest", span, lit(0)))
+        val i1 = lv("__graft_i1")
+        val all = fn("filter", starts,
+          LambdaFunction(fn("=", fn("substring", s, i1, m), sub), Seq(i1)))
+        val i2 = lv("__graft_i2")
+        val i3 = lv("__graft_i3")
+        val hits = fn("if", fn(">=", pos, lit(0)),
+          fn("filter", all,
+            LambdaFunction(fn(">=", i2, pos), Seq(i2))),
+          fn("reverse", fn("filter", all,
+            LambdaFunction(
+              fn("<=", i3, fn("+", fn("+", n, pos), lit(1))), Seq(i3)))))
+        fn("coalesce", fn("try_element_at", hits, occ), lit(0))
+      }
+    },
+
     // ---- aggregates ----
     "correlation" -> { exprs =>
       arity("correlation", "correlation(x, y)", exprs, 2, 2)

@@ -130,6 +130,52 @@ object CurationQueries {
       |FROM train t JOIN bench b ON t.sh = b.sh
       |GROUP BY t.doc_id""".stripMargin
 
+  /** Overlap-FRACTION decontamination (the PaLM/GPT-4 reporting rule,
+    * vs [[decontaminate]]'s any-hit evidence): per training document,
+    * what fraction of its distinct 5-gram shingles appears anywhere in
+    * the eval holdout, on an exact parts-per-thousand integer grid,
+    * plus the keep/drop verdict at the customary 70% threshold. The
+    * bench shingle SET is deduplicated then broadcast (an eval suite
+    * is tiny next to the corpus — at 100 TB this is the
+    * megabytes-vs-terabytes join orientation; beyond broadcast size,
+    * [[decontamBloom]]'s filter shape takes over), so the training
+    * side never shuffles: per-doc totals and hit counts are two
+    * map-side-combined aggs joined back on doc_id. */
+  def decontamOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = TextShingles.shingleHashSet(Tables.documents(s, d),
+      "doc_id", "text", 5)
+    val bench = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("sh")).distinct()
+    val train = sh.filter(col("doc_id") % 20 =!= 0)
+    val tot = train.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_shingles"))
+    val hit = train.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("__n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("__n_hit"), lit(0L)).as("n_contaminated"),
+        expr("CAST(coalesce(__n_hit, 0) * 1000 DIV n_shingles AS BIGINT)")
+          .as("overlap_ppt"),
+        expr("CAST(CASE WHEN coalesce(__n_hit, 0) * 1000 DIV n_shingles " +
+          "< 700 THEN 1 ELSE 0 END AS BIGINT)").as("keep_doc"))
+  }
+
+  val decontamOverlapSql: String =
+    s"""WITH ${TextShingles.shingleCte5Sql()},
+       |bench AS (SELECT DISTINCT sh.sh FROM sh WHERE doc_id % 20 = 0),
+       |train AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+       |tot AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
+       |hit AS (SELECT t.doc_id, COUNT(*) AS h
+       |        FROM train t JOIN bench b ON t.sh = b.sh GROUP BY t.doc_id)
+       |SELECT tot.doc_id,
+       |  CAST(tot.n AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(hit.h, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(coalesce(hit.h, 0) * 1000 // tot.n AS BIGINT) AS overlap_ppt,
+       |  CAST(CASE WHEN coalesce(hit.h, 0) * 1000 // tot.n < 700
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
+
   /** [[decontaminate]] with the 100 TB scan-pruning shape: a bloom
     * filter over the BENCHMARK shingle hashes (built by ONE small agg,
     * delivered to every task as a scalar-subquery literal) prunes the
@@ -932,6 +978,7 @@ object CurationQueries {
     "curate_stratified_sample" -> stratifiedSample _,
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
+    "curate_decontam_overlap" -> decontamOverlap _,
     "curate_decontam_bloom" -> decontamBloom _,
     "curate_pack_shards" -> packShards _,
     "curate_mix_sources" -> mixSources _,
@@ -953,6 +1000,7 @@ object CurationQueries {
     "curate_stratified_sample" -> stratifiedSampleSql,
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
+    "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_decontam_bloom" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
     "curate_mix_sources" -> mixSourcesSql,

@@ -424,6 +424,80 @@ object KsqlFunctionQueries {
       |    AS nyc_ms
       |FROM events""".stripMargin
 
+  /** ksql subscript syntax end-to-end: ONE-based array access,
+    * negative from-the-end indices, NULL on out-of-range, map key
+    * access — the dialect rewrite maps `base[idx]` onto
+    * `try_element_at`, which is exactly ksql's rule (Spark's native
+    * bracket is 0-based and ANSI-throws on misses, so a ported ksql
+    * statement would silently be off by one). DuckDB lists are
+    * 1-based with the same NULL/negative rules, so the oracle spells
+    * the accesses natively. */
+  def subscripts(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  SPLIT(text, ' ')[1] AS first_word,
+        |  SPLIT(text, ' ')[-1] AS last_word,
+        |  SPLIT(text, ' ')[1000] AS beyond,
+        |  SPLIT(text, ' ')[CAST(doc_id %
+        |    CAST(ARRAY_LENGTH(SPLIT(text, ' ')) AS BIGINT) AS INT) + 1]
+        |    AS cyc_word,
+        |  CAST(MAP('en' := 1, 'de' := 2, 'fr' := 3)[lang] AS BIGINT)
+        |    AS lang_code,
+        |  ARRAY['alpha', 'beta', 'gamma'][CAST(doc_id % 3 AS INT) + 1]
+        |    AS arr_cyc
+        |FROM documents""".stripMargin)
+
+  val subscriptsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+      |SELECT doc_id,
+      |  w[1] AS first_word,
+      |  w[-1] AS last_word,
+      |  w[1000] AS beyond,
+      |  w[CAST(doc_id % len(w) AS INT) + 1] AS cyc_word,
+      |  CAST(CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+      |       WHEN 'fr' THEN 3 END AS BIGINT) AS lang_code,
+      |  (['alpha', 'beta', 'gamma'])[CAST(doc_id % 3 AS INT) + 1]
+      |    AS arr_cyc
+      |FROM t""".stripMargin
+
+  /** CHR (full-codepoint, incl. CJK — Spark's own chr is mod-256
+    * ASCII, hence the compat builder), LEN, and the Oracle-style
+    * 3/4-arg INSTR family incl. backward (negative-position) search.
+    * DuckDB's chr IS codepoint-based; the INSTR position/occurrence
+    * forms are spelled as a filtered position list (single-char
+    * needle, so overlap doesn't arise in the oracle). */
+  def chrInstr(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  CHR(CAST(65 + doc_id % 26 AS INT)) AS chr_az,
+        |  CHR(CAST(19968 + doc_id % 100 AS INT)) AS chr_cjk,
+        |  CAST(LEN(text) AS BIGINT) AS text_len,
+        |  CAST(INSTR(text, 'e') AS BIGINT) AS instr2,
+        |  CAST(INSTR(text, 'e', 5) AS BIGINT) AS instr_pos,
+        |  CAST(INSTR(text, 'e', 1, 3) AS BIGINT) AS instr_occ,
+        |  CAST(INSTR(text, 'e', -1) AS BIGINT) AS instr_back,
+        |  CAST(INSTR(text, 'e', -1, 2) AS BIGINT) AS instr_back2
+        |FROM documents""".stripMargin)
+
+  val chrInstrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(range(1, greatest(length(text), 1) + 1),
+      |      i -> text[i:i] = 'e') AS hits
+      |  FROM documents)
+      |SELECT doc_id,
+      |  chr(65 + CAST(doc_id % 26 AS INT)) AS chr_az,
+      |  chr(19968 + CAST(doc_id % 100 AS INT)) AS chr_cjk,
+      |  CAST(length(text) AS BIGINT) AS text_len,
+      |  CAST(coalesce(hits[1], 0) AS BIGINT) AS instr2,
+      |  CAST(coalesce(list_filter(hits, i -> i >= 5)[1], 0) AS BIGINT)
+      |    AS instr_pos,
+      |  CAST(coalesce(hits[3], 0) AS BIGINT) AS instr_occ,
+      |  CAST(coalesce(hits[-1], 0) AS BIGINT) AS instr_back,
+      |  CAST(coalesce(hits[-2], 0) AS BIGINT) AS instr_back2
+      |FROM t""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
@@ -434,7 +508,9 @@ object KsqlFunctionQueries {
     "q_ksql_sort_encode" -> sortEncodeFuncs _,
     "q_ksql_json_funcs" -> jsonFuncs _,
     "q_ksql_stats_aggs" -> statsAggs _,
-    "q_ksql_time_arith" -> timeArith _)
+    "q_ksql_time_arith" -> timeArith _,
+    "q_ksql_subscripts" -> subscripts _,
+    "q_ksql_chr_instr" -> chrInstr _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
@@ -446,5 +522,7 @@ object KsqlFunctionQueries {
     "q_ksql_sort_encode" -> sortEncodeFuncsSql,
     "q_ksql_json_funcs" -> jsonFuncsSql,
     "q_ksql_stats_aggs" -> statsAggsSql,
-    "q_ksql_time_arith" -> timeArithSql)
+    "q_ksql_time_arith" -> timeArithSql,
+    "q_ksql_subscripts" -> subscriptsSql,
+    "q_ksql_chr_instr" -> chrInstrSql)
 }

@@ -252,6 +252,194 @@ object TextQueries {
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       |FROM p GROUP BY pair""".stripMargin
 
+  /** The FULL iterated BPE vocabulary trainer ([[bpePairs]] is its
+    * single counting step): K=8 merge rounds over the pre-aggregated
+    * vocabulary, returning the learned merge table (merge_rank, pair,
+    * n) — the artifact a tokenizer trainer ships.
+    *
+    * Scale shape: the corpus collapses to |vocab| rows ONCE (the only
+    * corpus-wide scan + shuffle); every training round then runs over
+    * the cached vocab relation — a narrow re-segmentation + a
+    * map-side-combined pair count whose key space is the symbol-bigram
+    * alphabet. The per-round driver sync is ONE row (the argmax
+    * winner) — the trainer's inherent sequential dependency, same as
+    * any BPE implementation; everything else stays distributed.
+    *
+    * Merge application is EXACT greedy left-to-right BPE, spelled as
+    * one builtin `replace` per round: symbols are double-space-joined
+    * with double-space padding, and the pattern `' x  y '` consumes
+    * only ONE outer space on each side, so adjacent matches keep their
+    * boundary and leftmost non-overlapping replacement equals the
+    * greedy list-scan (verified in BpeSpec against a reference
+    * implementation). DuckDB's `replace` has identical semantics, so
+    * the oracle unrolls the same 8 rounds as chained CTEs. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 8
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("freq"))
+      .withColumn("rep",
+        concat(lit("  "), array_join(split(col("word"), ""), "  "),
+          lit("  ")))
+      .select("freq", "rep")
+      .persist()
+    try {
+      var cur = vocab
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      (1 to K).foreach { k =>
+        val top = cur
+          .select(col("freq"), split(trim(col("rep")), "  ").as("syms"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> " +
+              "concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("freq").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).collect()
+        val (pair, n) = (top.head.getString(0), top.head.getLong(1))
+        merges += ((k.toLong, pair, n))
+        val Array(x, y) = pair.split(' ') // symbols never contain spaces
+        cur = cur.withColumn("rep",
+          call_function("replace", col("rep"),
+            lit(s" $x  $y "), lit(s" $x$y ")))
+      }
+      merges.result().toDF("merge_rank", "pair", "n")
+    } finally { vocab.unpersist(); () }
+  }
+
+  val bpeTrainSql: String = {
+    val stages = (1 to 8).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(rep), '  ') AS syms
+         |          FROM v${k - 1})
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY pair),
+         |w$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |v$k AS (
+         |  SELECT freq, replace(rep,
+         |    ' ' || string_split(w$k.pair, ' ')[1] || '  ' ||
+         |      string_split(w$k.pair, ' ')[2] || ' ',
+         |    ' ' || replace(w$k.pair, ' ', '') || ' ') AS rep
+         |  FROM v${k - 1}, w$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 8)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, pair, n FROM w$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |        FROM documents)
+       |  WHERE len(word) >= 2 GROUP BY word),
+       |v0 AS (SELECT freq,
+       |  '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+       |    AS rep FROM wf),
+       |$stages
+       |$out""".stripMargin
+  }
+
+  /** BPE merge list applied per word (hierarchical: later merges
+    * consume earlier merges' symbols) — shared by the encoder query
+    * and its oracle. Fixed model parameters, scale-factor-independent
+    * by design: an encoder is parameterized by a TRAINED merge table,
+    * not by the corpus it happens to run over. */
+  private[queries] val EncoderMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
+  /** BPE ENCODING with a fixed trained merge table: every word maps to
+    * its greedy segmentation under [[EncoderMerges]], applied in rank
+    * order — one chained builtin `replace` per merge over the
+    * double-space symbol representation (see [[bpeTrain]] for why
+    * that spelling is exactly greedy BPE). Pure narrow codegen'd
+    * expressions, zero shuffle, zero state: the per-document token
+    * counts a packing/budgeting pipeline needs at 100 TB. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val repW = "concat('  ', array_join(split(w, ''), '  '), '  ')"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"split(trim($chained), '  ')"
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .selectExpr("doc_id",
+        s"CAST(aggregate(transform(toks, w -> size($encW)), 0, " +
+          "(acc, x) -> acc + x) AS BIGINT) AS n_tokens",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        s"array_join(transform(slice(toks, 1, 3), " +
+          s"w -> array_join($encW, '|')), ' ') AS enc_first3")
+  }
+
+  val bpeEncodeSql: String = {
+    val repW = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"string_split(trim($chained), '  ')"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(toks, w -> len($encW)))
+       |    AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  array_to_string(list_transform(toks[1:3],
+       |    w -> array_to_string($encW, '|')), ' ') AS enc_first3
+       |FROM t""".stripMargin
+  }
+
+  /** Hashed-feature LINEAR CLASSIFIER inference — the fasttext-style
+    * quality/domain filter every pretraining pipeline runs per
+    * document, as one narrow codegen'd expression (zero shuffle, zero
+    * UDFs): each token hashes into a 4096-bucket feature space
+    * ([[graft.functions.Md5Key]] — the engine-portable hash, so the
+    * oracle computes bit-equal buckets), each bucket carries a
+    * deterministic weight ((b·2654435761) mod 1001 − 500, a fixed
+    * Knuth-multiplicative surrogate for trained parameters — inference
+    * cost and plan shape are identical to a real weight table), and
+    * the document score is the bag-of-words weight sum. Integer
+    * throughout: raw score, per-token milli-score, and the sign
+    * verdict — no float summation order to diverge on. At 100 TB a
+    * REAL model's weights arrive the same way: a few-MB broadcast
+    * array indexed by the same hash expression. */
+  def classifierScore(s: SparkSession, d: String): DataFrame = {
+    val w = "CAST(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) " +
+      "% 4096 * 2654435761 % 1001 - 500 AS BIGINT)"
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .selectExpr("doc_id",
+        s"aggregate(transform(toks, t -> $w), CAST(0 AS BIGINT), " +
+          "(acc, x) -> acc + x) AS score",
+        "CAST(size(toks) AS BIGINT) AS n_tokens")
+      .selectExpr("doc_id", "score", "n_tokens",
+        "CAST(score * 1000 DIV n_tokens AS BIGINT) AS score_milli_per_tok",
+        "CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_doc")
+  }
+
+  val classifierScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(list_sum(list_transform(toks, t ->
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096
+      |      * 2654435761 % 1001 - 500)) AS BIGINT) AS score,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(list_sum(list_transform(toks, t ->
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096
+      |      * 2654435761 % 1001 - 500)) AS BIGINT) * 1000
+      |    // CAST(len(toks) AS BIGINT) AS BIGINT) AS score_milli_per_tok,
+      |  CAST(CASE WHEN list_sum(list_transform(toks, t ->
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096
+      |      * 2654435761 % 1001 - 500)) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep_doc
+      |FROM t""".stripMargin
+
   /** PII scrubbing: emails, IPv4 literals, and 7+ digit runs masked
     * with typed placeholders — the pretraining-corpus hygiene pass.
     * Deliberately NO `\b` boundaries: Java's `\b` is Unicode-aware
@@ -682,6 +870,9 @@ object TextQueries {
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
     "text_bpe_pairs" -> bpePairs _,
+    "text_bpe_train" -> bpeTrain _,
+    "text_bpe_encode" -> bpeEncode _,
+    "text_classifier_score" -> classifierScore _,
     "text_token_count" -> tokenCount _,
     "text_pretokenize" -> pretokenize _,
     "text_quality" -> quality _,
@@ -701,6 +892,9 @@ object TextQueries {
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_encode" -> bpeEncodeSql,
+    "text_classifier_score" -> classifierScoreSql,
     "text_token_count" -> tokenCountSql,
     "text_pretokenize" -> pretokenizeSql,
     "text_quality" -> qualitySql,

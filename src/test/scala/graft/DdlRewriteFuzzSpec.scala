@@ -256,4 +256,64 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
         "struct(offset, v))"), out)
     }
   }
+
+  test("subscript rewrite: ksql 1-based access maps onto try_element_at") {
+    def rw(sql: String): String = ConnectorDdl.rewriteKsqlFunctionNames(sql)
+    // plain column, dot-chain, backquoted name
+    assert(rw("SELECT arr[1] FROM t") ==
+      "SELECT try_element_at(arr, 1) FROM t")
+    assert(rw("SELECT s.arr[2] FROM t") ==
+      "SELECT try_element_at(s.arr, 2) FROM t")
+    assert(rw("SELECT `my col`[1] FROM t") ==
+      "SELECT try_element_at(`my col`, 1) FROM t")
+    // struct dereference runs first: the whole path is the base
+    assert(rw("SELECT s->arr[2] FROM t") ==
+      "SELECT try_element_at(s.arr, 2) FROM t")
+    // call result as base; SPLIT is also renamed by the same pass
+    assert(rw("SELECT SPLIT(text, ' ')[1] FROM t") ==
+      "SELECT try_element_at(ksql_split(text, ' '), 1) FROM t")
+    // chains and nesting
+    assert(rw("SELECT a[1][2] FROM t") ==
+      "SELECT try_element_at(try_element_at(a, 1), 2) FROM t")
+    assert(rw("SELECT m[a[1]] FROM t") ==
+      "SELECT try_element_at(m, try_element_at(a, 1)) FROM t")
+    // ARRAY literal constructor rewrites first, then the subscript
+    assert(rw("SELECT ARRAY[10, 20][2] FROM t") ==
+      "SELECT try_element_at(array(10, 20), 2) FROM t")
+    // map key access: the literal inside the brackets survives
+    assert(rw("SELECT m['k''s'] FROM t") ==
+      "SELECT try_element_at(m, 'k''s') FROM t")
+    // negative (from-the-end) index passes through
+    assert(rw("SELECT arr[-1] FROM t") ==
+      "SELECT try_element_at(arr, -1) FROM t")
+  }
+
+  test("subscript rewrite: literals, comments, and non-access brackets alone") {
+    def rw(sql: String): String = ConnectorDdl.rewriteKsqlSubscripts(sql)
+    // bracket text inside literals and comments is data, not syntax
+    val lit = "SELECT '[not an index]' AS a, arr[1] FROM t"
+    assert(rw(lit) ==
+      "SELECT '[not an index]' AS a, try_element_at(arr, 1) FROM t")
+    val cmt = "SELECT arr[2] -- arr[9] in a comment\nFROM t"
+    assert(rw(cmt) ==
+      "SELECT try_element_at(arr, 2) -- arr[9] in a comment\nFROM t")
+    // a bracket NOT preceded by a primary is not an access
+    assert(rw("SELECT a, [1]") == "SELECT a, [1]")
+    // idempotent: a second pass finds nothing
+    val once = rw("SELECT m[k][1] FROM t")
+    assert(rw(once) == once)
+    // fuzz: hostile literals never change, genuine sites always do
+    val rnd = new Random(41)
+    val subLits = Seq("'a[1]'", "'it''s m[k]'", "'[1,2,3]'", "'plain'")
+    (1 to 200).foreach { _ =>
+      val l1 = subLits(rnd.nextInt(subLits.size))
+      val l2 = subLits(rnd.nextInt(subLits.size))
+      val sql = s"SELECT $l1 AS a, arr[${rnd.nextInt(9) + 1}], " +
+        s"$l2 AS b, m['key'] FROM t"
+      val out = rw(sql)
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      assert(out.contains("try_element_at(arr, "), out)
+      assert(out.contains("try_element_at(m, 'key')"), out)
+    }
+  }
 }

@@ -243,9 +243,112 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("lambda variables do not capture columns of the same name") {
     // a column literally named x next to a lambda variable x: the
-    // lambda binds its own variable; the outer column is untouched
-    val r = one("SELECT TRANSFORM(ARRAY(10), (x) => x + 1)[0] + x " +
+    // lambda binds its own variable; the outer column is untouched.
+    // The subscript is ksql's — ONE-based.
+    val r = one("SELECT TRANSFORM(ARRAY(10), (x) => x + 1)[1] + x " +
       "FROM VALUES (100) AS t(x)")
     assert(r.getInt(0) == 111)
+  }
+
+  // ---- ksql subscripts (dialect rewrite → try_element_at) ----
+
+  test("ksql subscripts: 1-based, negative from the end, NULL on miss") {
+    val r = one("SELECT ARRAY[10, 20, 30][1], ARRAY[10, 20, 30][-1], " +
+      "ARRAY[10, 20, 30][7], MAP('a' := 1)['a'], MAP('a' := 1)['zz']")
+    assert(r.getInt(0) == 10)
+    assert(r.getInt(1) == 30)
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) == 1)
+    assert(r.isNullAt(4))
+  }
+
+  // ---- CHR / LEN / INSTR ----
+
+  test("CHR decodes full UTF8 codepoints (not Spark's mod-256 chr)") {
+    val r = one("SELECT CHR(75), CHR(22909), CHR('\\u004B'), LEN('héllo')")
+    assert(r.getString(0) == "K")
+    assert(r.getString(1) == "好")
+    assert(r.getString(2) == "K")
+    assert(r.getInt(3) == 5)
+  }
+
+  test("INSTR: 2-arg locate, position/occurrence forms, overlap, backward") {
+    val r = one("SELECT INSTR('abcabc', 'bc'), " +
+      "INSTR('abcabc', 'abc', 2), " +
+      "INSTR('abcabc', 'abc', 1, 2), " +
+      "INSTR('aaa', 'aa', 1, 2), " + // overlapping occurrences count
+      "INSTR('abcabc', 'abc', -1), " +
+      "INSTR('abcabc', 'abc', -1, 2), " +
+      "INSTR('abcabc', 'abc', -4), " +
+      "INSTR('abcabc', 'zz', 1)")
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 4)
+    assert(r.getInt(2) == 4)
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 4)
+    assert(r.getInt(5) == 1)
+    assert(r.getInt(6) == 1)
+    assert(r.getInt(7) == 0)
+  }
+
+  test("INSTR matches indexOf/lastIndexOf reference across 300 cases") {
+    // independent reference: commons-lang ordinalIndexOf semantics
+    // spelled directly with Java indexOf/lastIndexOf stepping
+    def refInstr(s: String, sub: String, pos: Int, occ: Int): Int =
+      if (pos >= 0) {
+        var from = math.max(pos - 1, 0)
+        var found = -1
+        (1 to occ).foreach { _ =>
+          if (from <= s.length) {
+            found = s.indexOf(sub, from)
+            from = found + 1
+          } else found = -1
+          if (found < 0) return 0
+        }
+        found + 1
+      } else {
+        var from = s.length + pos
+        var found = -1
+        (1 to occ).foreach { _ =>
+          if (from >= 0) {
+            found = s.lastIndexOf(sub, from)
+            from = found - 1
+          } else found = -1
+          if (found < 0) return 0
+        }
+        found + 1
+      }
+    val rnd = new scala.util.Random(91)
+    def randStr(n: Int): String =
+      (1 to n).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+    val cases = (1 to 300).map { _ =>
+      val s = randStr(rnd.nextInt(8) + 1)
+      val sub = randStr(rnd.nextInt(3) + 1)
+      val pos0 = rnd.nextInt(2 * s.length + 1) - s.length
+      val pos = if (pos0 == 0) 1 else pos0
+      val occ = rnd.nextInt(3) + 1
+      (s, sub, pos, occ)
+    }
+    val values = cases
+      .map { case (s, sub, p, o) => s"('$s', '$sub', $p, $o)" }
+      .mkString(", ")
+    val rows = GraftSql.sql(spark,
+      s"SELECT s, sub, p, o, INSTR(s, sub, p, o) AS r " +
+        s"FROM (VALUES $values) AS t(s, sub, p, o)").collect()
+    rows.foreach { row =>
+      val (s, sub, p, o) =
+        (row.getString(0), row.getString(1), row.getInt(2), row.getInt(3))
+      assert(row.getInt(4) == refInstr(s, sub, p, o),
+        s"instr('$s', '$sub', $p, $o)")
+    }
+  }
+
+  test("ksql subscripts: chains, nesting, struct paths, function bases") {
+    assert(one("SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]][2][1]")
+      .getInt(0) == 3)
+    assert(one("SELECT STRUCT(arr := ARRAY[5, 6])->arr[2]").getInt(0) == 6)
+    assert(one("SELECT SPLIT('a-b-c', '-')[2]").getString(0) == "b")
+    assert(one("SELECT MAP('k' := ARRAY[7, 8])['k'][ARRAY[2][1]]")
+      .getInt(0) == 8)
   }
 }

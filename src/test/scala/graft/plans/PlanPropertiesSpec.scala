@@ -398,4 +398,24 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(!p.contains("Exchange"), s"$q:\n" + p.take(2000))
     }
   }
+
+  test("subscripts / chr-instr / classifier / encoder: narrow, UDF-free, no exchange") {
+    for (q <- Seq("q_ksql_subscripts", "q_ksql_chr_instr",
+        "text_classifier_score", "text_bpe_encode")) {
+      val p = planOf(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q:\n" + p.take(2000))
+      assert(!p.contains("Exchange"), s"$q:\n" + p.take(2000))
+    }
+  }
+
+  test("overlap decontamination broadcasts the eval shingle set; train side never shuffles rows") {
+    val p = planOf("curate_decontam_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the only exchanges are the two per-doc aggregations' hash
+    // repartitions and the final doc_id join — never a shingle-keyed
+    // shuffle of the training side
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
