@@ -1164,10 +1164,104 @@ object ConnectorDdl {
           "ksql_split("),
         "ksql_regexp_extract(")
     }
-    // subscripts LAST: struct dereferences are dots by now, so
+    // subscripts next-to-last: struct dereferences are dots by now, so
     // `s->arr[1]` wraps the whole path; ARRAY[..] constructors are
-    // long gone, so every remaining postfix bracket is an access
-    rewriteKsqlSubscripts(named)
+    // long gone, so every remaining postfix bracket is an access.
+    // Multi-EXPLODE zipping runs on the fully rewritten text (its
+    // generated spelling is already Spark-native).
+    rewriteKsqlMultiExplode(rewriteKsqlSubscripts(named))
+  }
+
+  /** ksql TABLE-FUNCTION zip semantics: a select list with MULTIPLE
+    * `EXPLODE(...)` items explodes them in LOCKSTEP — row count =
+    * longest array, shorter arrays null-padded (ksqlDB's documented
+    * multiple-table-function rule). Spark admits only ONE generator
+    * per select, so two verbatim EXPLODEs fail analysis; this rewrite
+    * collapses them into a single `inline(transform(...))` over a
+    * 1-based index sequence, `try_element_at` supplying the ksql
+    * null-padding. Null/absent arrays count as length 0 (ksql
+    * explodes nothing for them).
+    *
+    * Scope (conservative, matching how ksql statements are written):
+    * only depth-0 select-list items of the exact shape
+    * `EXPLODE(expr) [AS alias]` participate; one EXPLODE alone is
+    * left to Spark's own generator handling; unaliased items get
+    * ksql's generated-column naming (`ksql_col_<position>`). All
+    * scanning runs on masked text with explicit paren matching. */
+  private[graft] def rewriteKsqlMultiExplode(statement: String): String = {
+    val masked = maskLiterals(statement)
+    val sel = """(?i)\bSELECT\b""".r.findAllMatchIn(masked)
+      .find(m => atDepth0(masked, m.start)).getOrElse(return statement)
+    val from = """(?i)\bFROM\b""".r.findAllMatchIn(masked)
+      .find(m => m.start > sel.end && atDepth0(masked, m.start))
+      .getOrElse(return statement)
+    val listStart = sel.end
+    val listEnd = from.start
+    // depth-0 comma positions inside the select list
+    val bounds = Seq.newBuilder[Int]
+    var d = 0
+    var i = listStart
+    while (i < listEnd) {
+      masked.charAt(i) match {
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
+        case ',' if d == 0 => bounds += i
+        case _ =>
+      }
+      i += 1
+    }
+    val cuts = listStart +: bounds.result().map(_ + 1) :+ (listEnd + 1)
+    val items = cuts.sliding(2).map { case Seq(a, b) =>
+      (a, b - 1) // [start, endExclusive) of the item text
+    }.toSeq
+    val explodeHeadRe = """(?is)^\s*EXPLODE\s*\(""".r
+    val aliasTailRe =
+      """(?is)^\s*(?:AS\s+([A-Za-z_]\w*|`[^`]+`))?\s*$""".r
+    // parse each item; Some((expr, aliasOpt)) when it is a pure
+    // EXPLODE item
+    val parsed = items.map { case (a, b) =>
+      val m = explodeHeadRe.findFirstMatchIn(masked.substring(a, b))
+      m.flatMap { h =>
+        val open = a + h.end - 1
+        var dd = 0
+        var j = open
+        var close = -1
+        while (j < b && close < 0) {
+          masked.charAt(j) match {
+            case '(' => dd += 1
+            case ')' => dd -= 1; if (dd == 0) close = j
+            case _ =>
+          }
+          j += 1
+        }
+        if (close < 0) None
+        else aliasTailRe.findFirstMatchIn(masked.substring(close + 1, b))
+          .map(t => (statement.substring(open + 1, close),
+            Option(t.group(1)).map(_.stripPrefix("`").stripSuffix("`"))))
+      }
+    }
+    if (parsed.count(_.isDefined) < 2) return statement
+    val cols = parsed.zipWithIndex.collect { case (Some((e, al)), ix) =>
+      (e.trim, al.getOrElse(s"ksql_col_$ix"))
+    }
+    val len = s"coalesce(greatest(${cols.map(c => s"size(${c._1})")
+      .mkString(", ")}), 0)"
+    val fields = cols.map { case (e, a) =>
+      s"'$a', try_element_at($e, __graft_zi)"
+    }.mkString(", ")
+    // slice-trim guards sequence's descending-when-empty behavior
+    val zipItem = s"inline(transform(slice(sequence(1, " +
+      s"greatest($len, 1)), 1, greatest($len, 0)), " +
+      s"__graft_zi -> named_struct($fields)))"
+    // splice: first EXPLODE item becomes the zip; others drop
+    val keep = items.zip(parsed).zipWithIndex.flatMap {
+      case (((a, b), p), ix) =>
+        if (p.isEmpty) Some(statement.substring(a, b))
+        else if (ix == parsed.indexWhere(_.isDefined)) Some(zipItem)
+        else None
+    }
+    statement.substring(0, listStart) + " " + keep.map(_.trim)
+      .mkString(", ") + " " + statement.substring(listEnd)
   }
 
   /** ksql subscript syntax `base[idx]` → `try_element_at(base, idx)`.

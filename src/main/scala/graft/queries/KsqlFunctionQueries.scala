@@ -498,6 +498,31 @@ object KsqlFunctionQueries {
       |  CAST(coalesce(hits[-2], 0) AS BIGINT) AS instr_back2
       |FROM t""".stripMargin
 
+  /** ksql MULTI-TABLE-FUNCTION semantics: two EXPLODEs in one select
+    * list explode in lockstep (row count = longest array, shorter
+    * null-padded) — Spark admits one generator per select, so the
+    * dialect rewrite collapses them into a single
+    * inline(transform(...)) zip ([[graft.ConnectorDdl
+    * .rewriteKsqlMultiExplode]]). DuckDB/Postgres multiple unnests in
+    * a select list have exactly the ksql zip rule, so the oracle
+    * spells them natively. The BIGINT casts ride inside the arrays
+    * (a ksql lambda / DuckDB list_transform), since the zip items
+    * must be bare EXPLODE(...) calls. */
+  def multiExplode(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  EXPLODE(SPLIT(text, ' ')) AS word,
+        |  EXPLODE(TRANSFORM(GENERATE_SERIES(1, CAST(doc_id % 4 AS INT) + 1),
+        |    (x) => CAST(x AS BIGINT))) AS series_val
+        |FROM documents""".stripMargin)
+
+  val multiExplodeSql: String =
+    """SELECT doc_id,
+      |  unnest(string_split(text, ' ')) AS word,
+      |  unnest(list_transform(generate_series(1, CAST(doc_id % 4 AS INT) + 1),
+      |    x -> CAST(x AS BIGINT))) AS series_val
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncs _,
     "q_ksql_time_json_url" -> ksqlTimeJsonUrl _,
@@ -510,7 +535,8 @@ object KsqlFunctionQueries {
     "q_ksql_stats_aggs" -> statsAggs _,
     "q_ksql_time_arith" -> timeArith _,
     "q_ksql_subscripts" -> subscripts _,
-    "q_ksql_chr_instr" -> chrInstr _)
+    "q_ksql_chr_instr" -> chrInstr _,
+    "q_ksql_multi_explode" -> multiExplode _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_scalar_funcs" -> ksqlScalarFuncsSql,
@@ -524,5 +550,6 @@ object KsqlFunctionQueries {
     "q_ksql_stats_aggs" -> statsAggsSql,
     "q_ksql_time_arith" -> timeArithSql,
     "q_ksql_subscripts" -> subscriptsSql,
-    "q_ksql_chr_instr" -> chrInstrSql)
+    "q_ksql_chr_instr" -> chrInstrSql,
+    "q_ksql_multi_explode" -> multiExplodeSql)
 }

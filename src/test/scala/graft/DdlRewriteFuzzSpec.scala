@@ -288,6 +288,35 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
       "SELECT try_element_at(arr, -1) FROM t")
   }
 
+  test("multi-explode rewrite: literals safe, single explode untouched, zip emitted") {
+    def rw(sql: String): String = ConnectorDdl.rewriteKsqlMultiExplode(sql)
+    // single EXPLODE: Spark's native generator path — no rewrite
+    val single = "SELECT id, EXPLODE(split(a, ',')) AS x FROM t"
+    assert(rw(single) == single)
+    // non-item EXPLODE mentions (literals) never trigger
+    val litOnly = "SELECT 'EXPLODE(a), EXPLODE(b)' AS s, x FROM t"
+    assert(rw(litOnly) == litOnly)
+    // two EXPLODEs collapse to one inline zip; scalar items survive
+    val rnd = new Random(53)
+    val expLits = Seq("'EXPLODE(a)'", "'x, EXPLODE(y) AS z'", "'plain'")
+    (1 to 200).foreach { _ =>
+      val l1 = expLits(rnd.nextInt(expLits.size))
+      val sql = s"SELECT id, $l1 AS tag, EXPLODE(split(a, ',')) AS x, " +
+        "EXPLODE(split(b, ',')) AS y FROM t"
+      val out = rw(sql)
+      // the zip legitimately REPEATS the exploded exprs (and adds
+      // alias literals), so span equality doesn't hold — instead: the
+      // hostile literal survives verbatim as its own select item
+      assert(out.contains(s"$l1 AS tag"), s"in=$sql out=$out")
+      assert(out.contains("inline(transform(slice(sequence(1,"), out)
+      // idempotent: a second pass changes nothing
+      assert(ConnectorDdl.rewriteKsqlMultiExplode(out) == out, out)
+      assert(out.contains("'x', try_element_at(split(a, ',')"), out)
+      assert(out.contains("'y', try_element_at(split(b, ',')"), out)
+      assert(out.contains("id,") && out.contains("AS tag"), out)
+    }
+  }
+
   test("subscript rewrite: literals, comments, and non-access brackets alone") {
     def rw(sql: String): String = ConnectorDdl.rewriteKsqlSubscripts(sql)
     // bracket text inside literals and comments is data, not syntax

@@ -351,4 +351,47 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT MAP('k' := ARRAY[7, 8])['k'][ARRAY[2][1]]")
       .getInt(0) == 8)
   }
+
+  // ---- multi-EXPLODE zip semantics ----
+
+  test("two EXPLODEs zip in lockstep, shorter null-padded (ksql rule)") {
+    val rows = GraftSql.sql(spark,
+      "SELECT id, EXPLODE(SPLIT(a, ',')) AS x, EXPLODE(SPLIT(b, ',')) AS y " +
+        "FROM (VALUES (1, 'p,q,r', 'u,v')) AS t(id, a, b)").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1),
+      Option(r.getString(2)).orNull)).toSeq ==
+      Seq((1, "p", "u"), (1, "q", "v"), (1, "r", null)))
+  }
+
+  test("three EXPLODEs + scalar columns; unaliased gets ksql_col_<pos>") {
+    val df = GraftSql.sql(spark,
+      "SELECT id, EXPLODE(ARRAY[1, 2]) AS e1, UPPER(tag) AS t, " +
+        "EXPLODE(ARRAY['a']), EXPLODE(ARRAY[10, 20, 30]) AS e3 " +
+        "FROM (VALUES (7, 'z')) AS t(id, tag)")
+    // the zipped columns expand together at the FIRST explode's
+    // position (inline's shape); aliases and ksql's generated
+    // ksql_col_<position> names are preserved
+    assert(df.columns.toSeq ==
+      Seq("id", "e1", "ksql_col_3", "e3", "t"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(3)).toSeq == Seq(10, 20, 30))
+    assert(rows.map(r => if (r.isNullAt(1)) 0 else r.getInt(1)).toSeq ==
+      Seq(1, 2, 0))
+    assert(rows.forall(r => r.getInt(0) == 7 && r.getString(4) == "Z"))
+  }
+
+  test("a single EXPLODE stays on Spark's native generator path") {
+    val rows = GraftSql.sql(spark,
+      "SELECT EXPLODE(SPLIT('x,y', ',')) AS v").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("x", "y"))
+  }
+
+  test("empty and null arrays explode to zero rows under the zip") {
+    val rows = GraftSql.sql(spark,
+      "SELECT EXPLODE(FILTER(ARRAY[1], (x) => x > 9)) AS a, " +
+        "EXPLODE(CAST(NULL AS ARRAY<INT>)) AS b FROM (VALUES (0)) t(z)")
+      .collect()
+    assert(rows.isEmpty)
+  }
 }
