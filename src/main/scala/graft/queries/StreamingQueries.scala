@@ -331,6 +331,18 @@ object StreamingQueries {
     runToTable(pairs, "complete")
   }
 
+  /** Streaming classifier INFERENCE — [[TextQueries.classifierScore]]'s
+    * projection verbatim over the document stream, append mode: the
+    * fasttext-style quality gate applied at ingest time. Stateless
+    * narrow expressions, so there is NO state store at any scale —
+    * the cheapest possible streaming operator shape — and the batch
+    * oracle applies unchanged. */
+  def streamClassifierScore(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    runToTable(TextQueries.classifierProjection(docs), "append")
+  }
+
   /** Streaming stateful deduplication (dropDuplicates with per-key
     * state), append mode. event_id is unique so the deduped stream
     * must equal the input relation — state behavior is what's tested. */
@@ -978,6 +990,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
     "stream_bpe_pairs" -> streamBpePairs _,
+    "stream_classifier_score" -> streamClassifierScore _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
@@ -1000,6 +1013,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
+    "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,

@@ -407,10 +407,16 @@ object TextQueries {
     * verdict — no float summation order to diverge on. At 100 TB a
     * REAL model's weights arrive the same way: a few-MB broadcast
     * array indexed by the same hash expression. */
-  def classifierScore(s: SparkSession, d: String): DataFrame = {
+  def classifierScore(s: SparkSession, d: String): DataFrame =
+    classifierProjection(Tables.documents(s, d))
+
+  /** The classifier as a projection over ANY (doc_id, text) relation —
+    * batch and streaming twins share it verbatim (stateless narrow
+    * expressions, so the streaming form needs no state at all). */
+  private[queries] def classifierProjection(docs: DataFrame): DataFrame = {
     val w = "CAST(CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) " +
       "% 4096 * 2654435761 % 1001 - 500 AS BIGINT)"
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .selectExpr("doc_id",
         s"aggregate(transform(toks, t -> $w), CAST(0 AS BIGINT), " +

@@ -1468,4 +1468,32 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!spark.catalog.tableExists("region"))
     } finally GraftSql.initViews(spark, sf)
   }
+
+  test("CSAS with multiple EXPLODEs: the zip rewrite reaches persistent queries") {
+    GraftSql.init(spark, sf)
+    try {
+      GraftSql.sql(spark,
+        """CREATE STREAM word_series AS
+          |    SELECT doc_id,
+          |           EXPLODE(SPLIT(text, ' ')) AS word,
+          |           EXPLODE(GENERATE_SERIES(1, 2)) AS copy_nr
+          |    FROM documents
+          |    EMIT CHANGES;""".stripMargin)
+      val df = spark.table("word_series")
+      assert(df.columns.toSeq == Seq("doc_id", "word", "copy_nr"))
+      // lockstep: row count = sum over docs of max(#words, 2); with
+      // every doc having ≥ 2 words this is the total word count
+      val expected = spark.sql(
+        "SELECT CAST(SUM(greatest(size(split(trim(text), '\\\\s+')), 2)) " +
+          "AS BIGINT) FROM documents").collect().head.getLong(0)
+      assert(df.count() == expected)
+      // beyond the series length the zip null-pads
+      assert(df.filter("copy_nr IS NULL").count() > 0)
+      assert(df.filter("word IS NULL").count() == 0 ||
+        df.filter("word IS NULL").count() < df.count())
+    } finally {
+      GraftSql.sql(spark, "DROP STREAM IF EXISTS word_series;")
+      ()
+    }
+  }
 }
