@@ -358,6 +358,66 @@ object CurationQueries {
        |       - greatest(start_offset, sid * $ShardTokens) AS BIGINT) AS tokens_in_shard
        |FROM x""".stripMargin
 
+  /** Z-ORDER layout keys — the lakehouse multi-dimensional clustering
+    * trick (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of
+    * two per-document dimensions into a Morton code so that sorting by
+    * ONE key co-locates documents similar in BOTH — files then carry
+    * tight min/max ranges on each dimension and engine data-skipping
+    * prunes on either predicate. Dimensions here: the length class
+    * (padding-waste governor for packing) and the hashed language
+    * (domain-filter governor). The oracle-checkable output is the
+    * LAYOUT QUALITY metric, not the file bytes: per 8-bit z-prefix
+    * (the file assignment at 256 files), the doc count and each
+    * dimension's min/max span — z-ordering is working iff the spans
+    * are a small fraction of the 0..255 domain. Bit-spreading is the
+    * classic mask cascade (0x0F0F/0x3333/0x5555), spelled identically
+    * in both engines' integer bit ops; everything is a pure function
+    * of the row, so a 100 TB rebuild assigns identical codes with
+    * zero coordination (the sort itself is the one range exchange an
+    * OPTIMIZE pays by design). */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    def spread(x: String): String = {
+      val s1 = s"(($x | shiftleft($x, 4)) & 3855)"
+      val s2 = s"(($s1 | shiftleft($s1, 2)) & 13107)"
+      s"(($s2 | shiftleft($s2, 1)) & 21845)"
+    }
+    val a = "CAST(least(length(text) DIV 8, 255) AS BIGINT)"
+    val b = "(CAST(conv(substr(md5(lang), 1, 8), 16, 10) AS BIGINT) % 256)"
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"$a AS dim_len", s"$b AS dim_lang")
+      .selectExpr("doc_id", "dim_len", "dim_lang",
+        s"(${spread("dim_len")} | shiftleft(${spread("dim_lang")}, 1)) " +
+          "AS zcode")
+      .groupBy(expr("CAST(zcode DIV 256 AS BIGINT)").as("z_prefix"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        (max(col("dim_len")) - min(col("dim_len"))).cast(LongType)
+          .as("span_len"),
+        (max(col("dim_lang")) - min(col("dim_lang"))).cast(LongType)
+          .as("span_lang"))
+  }
+
+  val zorderLayoutSql: String = {
+    def spread(x: String): String = {
+      val s1 = s"(($x | ($x << 4)) & 3855)"
+      val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+      s"(($s2 | ($s2 << 1)) & 21845)"
+    }
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CAST(least(length(text) // 8, 255) AS BIGINT) AS dim_len,
+       |    (('0x' || substr(md5(lang), 1, 8))::BIGINT % 256) AS dim_lang
+       |  FROM documents),
+       |z AS (
+       |  SELECT doc_id, dim_len, dim_lang,
+       |    (${spread("dim_len")} | (${spread("dim_lang")} << 1)) AS zcode
+       |  FROM k)
+       |SELECT CAST(zcode // 256 AS BIGINT) AS z_prefix,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MAX(dim_len) - MIN(dim_len) AS BIGINT) AS span_len,
+       |  CAST(MAX(dim_lang) - MIN(dim_lang) AS BIGINT) AS span_lang
+       |FROM z GROUP BY z_prefix""".stripMargin
+  }
+
   /** Shards for [[trainOrder]]'s deterministic global shuffle. */
   private val ShuffleShards = 1024L
 
@@ -979,6 +1039,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
     "curate_decontam_overlap" -> decontamOverlap _,
+    "curate_zorder_layout" -> zorderLayout _,
     "curate_decontam_bloom" -> decontamBloom _,
     "curate_pack_shards" -> packShards _,
     "curate_mix_sources" -> mixSources _,
@@ -1001,6 +1062,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
+    "curate_zorder_layout" -> zorderLayoutSql,
     "curate_decontam_bloom" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
     "curate_mix_sources" -> mixSourcesSql,

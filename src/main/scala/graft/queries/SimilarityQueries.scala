@@ -167,6 +167,76 @@ object SimilarityQueries {
     } finally { e.unpersist(blocking = false); () }
   }
 
+  /** Near-dup THRESHOLD SWEEP — the tuning curve a pipeline runs
+    * before committing to a dedup cutoff: for every cosine decile
+    * band over the sign-LSH candidate pairs ([[cosNearDup]]'s bucket
+    * join, unfiltered), the pair count, the distinct vectors
+    * involved, and the cumulative pairs at-or-above the band (what a
+    * threshold at that band would flag). ONE aggregation pass: each
+    * pair contributes its two endpoints to the band's exploded rows,
+    * so n_pairs = rows/2 and n_docs = COUNT(DISTINCT) ride the same
+    * shuffle; the final cumulative window orders ≤ 21 band rows —
+    * driver-scale, not corpus-scale. Banding floors the 6dp-rounded
+    * cosine ×10: both engines floor the SAME double, so the band is
+    * engine-portable wherever the rounded cosine is. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketF = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketF.as("bucket"))
+      .persist()
+    try {
+      val banded = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(
+          floor(round(graft.functions.GraftFunctions.cosineSim(s,
+            col("a.embedding"), col("b.embedding")), 6) * 10)
+            .cast("long").as("band"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .select(col("band"),
+          explode(array(col("vec_a"), col("vec_b"))).as("v"))
+      val g = banded.groupBy(col("band"))
+        .agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_pairs"),
+          countDistinct(col("v")).cast("long").as("n_docs"))
+      g.withColumn("cum_pairs",
+          sum(col("n_pairs")).over(Window.orderBy(col("band").desc))
+            .cast("long"))
+        .localCheckpoint()
+    } finally { e.unpersist(blocking = false); () }
+  }
+
+  val thresholdSweepSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] emb,
+       |    concat(
+       |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) bucket
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT CAST(floor(round(
+       |    list_sum(list_transform(generate_series(1, $EmbeddingDim),
+       |      i -> a.emb[i]*b.emb[i])) /
+       |    (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) * 10)
+       |    AS BIGINT) AS band,
+       |    a.vec_id va, b.vec_id vb
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |x AS (SELECT band, unnest([va, vb]) AS v FROM banded),
+       |g AS (SELECT band, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       |        CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs
+       |      FROM x GROUP BY band)
+       |SELECT band, n_pairs, n_docs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY band DESC) AS BIGINT) AS cum_pairs
+       |FROM g""".stripMargin
+
   /** SemDeDup-style semantic dedup: assign every vector to its
     * NEAREST per-label centroid (k-means-style cluster, NOT its own
     * label), then compare pairs only WITHIN a cluster and flag the
@@ -1272,6 +1342,7 @@ object SimilarityQueries {
     "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
+    "sim_threshold_sweep" -> thresholdSweep _,
     "dedup_semantic" -> dedupSemantic _,
     "curate_prototypes" -> curatePrototypes _,
     "sim_label_centroids" -> labelCentroids _)
@@ -1295,6 +1366,7 @@ object SimilarityQueries {
     "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
+    "sim_threshold_sweep" -> thresholdSweepSql,
     "dedup_semantic" -> dedupSemanticSql,
     "curate_prototypes" -> curatePrototypesSql,
     "sim_label_centroids" -> labelCentroidsSql)

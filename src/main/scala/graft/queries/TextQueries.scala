@@ -393,6 +393,113 @@ object TextQueries {
        |FROM t""".stripMargin
   }
 
+  /** Character-level ENTROPY per document — the information-density
+    * quality signal (gibberish and boilerplate sit at the extremes;
+    * compression-ratio filters are this in disguise). Total entropy in
+    * MICRO-NATS as an exact integer: Σ over characters of
+    * c·⌊ln(n/c)·1e6⌋ — the [[bigramLogprob]] grid trick, so
+    * per-document sums are order-independent and engine-portable (a
+    * flip needs the two engines' ln to differ across a 1e-6 boundary
+    * on the same integer ratio). Kept as the (n_chars, micro-nat sum)
+    * pair; H = sum/n/1e6 downstream. Shuffle profile: two
+    * map-side-combined aggs + one equi-join, all keyed on doc_id. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"))
+    counts.join(totals, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast(LongType).as("n_chars"),
+        sum(expr("c * CAST(floor(ln(n / c) * 1000000) AS BIGINT)"))
+          .cast(LongType).as("entropy_micro_nats"))
+  }
+
+  val charEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |c AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+      |t AS (SELECT doc_id, SUM(c) AS n FROM c GROUP BY doc_id)
+      |SELECT c.doc_id,
+      |  CAST(MAX(t.n) AS BIGINT) AS n_chars,
+      |  CAST(SUM(c.c * CAST(floor(ln(t.n / c.c) * 1000000) AS BIGINT))
+      |    AS BIGINT) AS entropy_micro_nats
+      |FROM c JOIN t ON c.doc_id = t.doc_id
+      |GROUP BY c.doc_id""".stripMargin
+
+  /** Corpus COMPOSITION REPORT — the go/no-go table a data lead reads
+    * before a training run: classifier verdict × language cross-tab
+    * with document and token mass. Reuses [[classifierProjection]]
+    * joined back to the language column; two shuffles total (the
+    * classifier is narrow, the cross-tab keys on ≤ |langs|·2 rows). */
+  def compositionReport(s: SparkSession, d: String): DataFrame = {
+    val scored = classifierProjection(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_tokens"), col("keep_doc"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(scored, "doc_id")
+      .groupBy(col("lang"), col("keep_doc"))
+      .agg(count(lit(1)).cast(LongType).as("docs"),
+        sum(col("n_tokens")).cast(LongType).as("tokens"))
+  }
+
+  // lazy: references classifierScoreSql, declared later in this object
+  lazy val compositionReportSql: String =
+    s"""WITH s AS ($classifierScoreSql)
+       |SELECT d.lang, s.keep_doc,
+       |  CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(s.n_tokens) AS BIGINT) AS tokens
+       |FROM documents d JOIN s ON d.doc_id = s.doc_id
+       |GROUP BY d.lang, s.keep_doc""".stripMargin
+
+  /** Tokenizer FERTILITY by language — the standard tokenizer-eval
+    * metric (subword tokens per word; higher = the vocabulary serves
+    * that language worse): [[bpeEncode]]'s fixed-merge encoder summed
+    * per language on an exact integer grid (milli-tokens-per-word =
+    * Σtokens·1000 DIV Σwords). One narrow scan + one map-side-combined
+    * agg over ≤ |languages| keys — at 100 TB the reduce side is a
+    * handful of rows. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val repW = "concat('  ', array_join(split(w, ''), '  '), '  ')"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"split(trim($chained), '  ')"
+    Tables.documents(s, d)
+      .select(col("lang"), toks.as("toks"))
+      .selectExpr("lang",
+        s"aggregate(transform(toks, w -> size($encW)), 0, " +
+          "(acc, x) -> acc + x) AS __t",
+        "size(toks) AS __w")
+      .groupBy(col("lang"))
+      .agg(sum(col("__t")).cast(LongType).as("n_tokens"),
+        sum(col("__w")).cast(LongType).as("n_words"))
+      .selectExpr("lang", "n_tokens", "n_words",
+        "CAST(n_tokens * 1000 DIV n_words AS BIGINT) AS fertility_milli")
+  }
+
+  val bpeFertilitySql: String = {
+    val repW = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"string_split(trim($chained), '  ')"
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |p AS (SELECT lang,
+       |        list_sum(list_transform(toks, w -> len($encW))) AS t,
+       |        len(toks) AS w
+       |      FROM t)
+       |SELECT lang,
+       |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(w) AS BIGINT) AS n_words,
+       |  CAST(CAST(SUM(t) AS BIGINT) * 1000 // CAST(SUM(w) AS BIGINT)
+       |    AS BIGINT) AS fertility_milli
+       |FROM p GROUP BY lang""".stripMargin
+  }
+
   /** Hashed-feature LINEAR CLASSIFIER inference — the fasttext-style
     * quality/domain filter every pretraining pipeline runs per
     * document, as one narrow codegen'd expression (zero shuffle, zero
@@ -879,6 +986,9 @@ object TextQueries {
     "text_bpe_train" -> bpeTrain _,
     "text_bpe_encode" -> bpeEncode _,
     "text_classifier_score" -> classifierScore _,
+    "text_bpe_fertility" -> bpeFertility _,
+    "text_char_entropy" -> charEntropy _,
+    "text_composition_report" -> compositionReport _,
     "text_token_count" -> tokenCount _,
     "text_pretokenize" -> pretokenize _,
     "text_quality" -> quality _,
@@ -901,6 +1011,9 @@ object TextQueries {
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
     "text_classifier_score" -> classifierScoreSql,
+    "text_bpe_fertility" -> bpeFertilitySql,
+    "text_char_entropy" -> charEntropySql,
+    "text_composition_report" -> compositionReportSql,
     "text_token_count" -> tokenCountSql,
     "text_pretokenize" -> pretokenizeSql,
     "text_quality" -> qualitySql,
