@@ -57,7 +57,14 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // (rounded-cosine argmax with label tie-break) must not
                 // move with partitioning, or clusters — and thus dup
                 // flags — would differ run to run
-                "dedup_semantic"))
+                "dedup_semantic",
+                // round 10 second half: the z-order code (claimed a
+                // pure row function — zero-coordination rebuilds), the
+                // BPE trainer (argmax winners must not move with the
+                // pair-count partitioning), and the classifier (hash
+                // buckets + integer sums)
+                "curate_zorder_layout", "text_bpe_train",
+                "text_classifier_score", "sim_threshold_sweep"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
