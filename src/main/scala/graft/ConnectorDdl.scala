@@ -1133,6 +1133,8 @@ object ConnectorDdl {
       // Spark's 2-arg namesake lacks.
       seg = """(?i)\bCHR\s*\(""".r.replaceAllIn(seg, "ksql_chr(")
       seg = """(?i)\bINSTR\s*\(""".r.replaceAllIn(seg, "ksql_instr(")
+      // ksql ROUND(v) yields BIGINT; Spark's keeps the input type
+      seg = """(?i)\bROUND\s*\(""".r.replaceAllIn(seg, "ksql_round(")
       // time functions whose Spark namesake differs: ksql
       // FROM_UNIXTIME/UNIX_TIMESTAMP are MILLISECOND-based (Spark's
       // are seconds, and FROM_UNIXTIME returns a formatted string);

@@ -112,6 +112,14 @@ object GraftSql {
     * top-k aggregate carries its k in the name (`topk_by_score_3`),
     * matching the width-suffix policy of the native registrations, so
     * SQL callers can't silently assume a configurable k. */
+  /** Compat names that deliberately SHADOW a Spark builtin with a
+    * semantics-compatible superset (ksql-only extra arities). */
+  private val overrideNames = Set("array_join")
+
+  private val compatOverridesInstalled =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerFunctions(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     // registration is skipped when the name is already bound (same
@@ -126,11 +134,18 @@ object GraftSql {
     }
     // ksqlDB builtin-function compatibility pack (builtin-expression
     // compositions — stays codegen'd; see KsqlCompat for the three
-    // ksql_-prefixed divergent-semantics names)
+    // ksql_-prefixed divergent-semantics names). Names in
+    // `overrideNames` shadow a Spark BUILTIN with a compatible
+    // SUPERSET (extra ksql arities only — e.g. 1-arg array_join), so
+    // the absent() guard would wrongly skip them: they install once
+    // per session, tracked by the weak flag below (repeat init stays
+    // silent and cheap, the round-9 watch item).
+    val firstInstall = !compatOverridesInstalled.containsKey(spark)
     graft.functions.KsqlCompat.builders.foreach { case (name, builder) =>
-      if (absent(name))
+      if (if (overrideNames.contains(name)) firstInstall else absent(name))
         registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    compatOverridesInstalled.put(spark, java.lang.Boolean.TRUE)
     // latest/earliest_by_offset go through a registry BUILDER (not
     // udf.register, which pins one arity) so the ksqlDB 0.28
     // optional-boolean form is callable:

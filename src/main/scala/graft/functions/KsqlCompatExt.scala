@@ -401,6 +401,30 @@ object KsqlCompatExt {
       }
     },
 
+    // ---- shared-name SUPERSETS (override Spark's registration with
+    // compatible semantics: extra ksql arities only) ----
+    "array_join" -> { exprs =>
+      arity("array_join", "array_join(array[, delimiter[, nullRepl]])",
+        exprs, 1, 3)
+      // ksql's 1-arg form defaults the delimiter to ',' — Spark's
+      // builtin requires it. 2/3-arg forms are identical; constructed
+      // DIRECTLY (an UnresolvedFunction back onto this name would
+      // re-enter this builder forever).
+      new org.apache.spark.sql.catalyst.expressions.ArrayJoin(
+        exprs(0),
+        if (exprs.length >= 2) exprs(1) else lit(","),
+        if (exprs.length == 3) Some(exprs(2)) else None)
+    },
+    "ksql_round" -> { exprs =>
+      arity("round", "round(value[, decimalPlaces])", exprs, 1, 2)
+      // ksql ROUND(v) returns BIGINT (half-up); Spark's round keeps
+      // the input type — a ported projection would change type. The
+      // 2-arg form matches Spark's and passes through.
+      if (exprs.length == 2) fn("round", exprs(0), exprs(1))
+      else Cast(fn("round", exprs.head),
+        org.apache.spark.sql.types.LongType)
+    },
+
     // ---- aggregates ----
     "correlation" -> { exprs =>
       arity("correlation", "correlation(x, y)", exprs, 2, 2)

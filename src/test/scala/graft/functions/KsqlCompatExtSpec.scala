@@ -352,6 +352,28 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getInt(0) == 8)
   }
 
+  // ---- shared-name supersets: ARRAY_JOIN 1-arg, ROUND's BIGINT ----
+
+  test("ARRAY_JOIN defaults the delimiter to ',' like ksql; 2/3-arg unchanged") {
+    val r = one("SELECT ARRAY_JOIN(ARRAY['a', 'b', 'c']), " +
+      "ARRAY_JOIN(ARRAY['a', 'b'], '-'), " +
+      "ARRAY_JOIN(ARRAY['a', NULL, 'c'], '-', 'x')")
+    assert(r.getString(0) == "a,b,c")
+    assert(r.getString(1) == "a-b")
+    assert(r.getString(2) == "a-x-c")
+  }
+
+  test("ROUND(v) returns BIGINT (ksql); ROUND(v, n) keeps Spark's double") {
+    val df = GraftSql.sql(spark,
+      "SELECT ROUND(2.6) AS r1, ROUND(-2.5) AS r2, " +
+        "ROUND(2.345e0, 2) AS r3")
+    assert(df.schema("r1").dataType.typeName == "long")
+    val r = df.collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == -3L) // half-up away from zero, ksql/Spark alike
+    assert(math.abs(r.getDouble(2) - 2.35) < 1e-9)
+  }
+
   // ---- multi-EXPLODE zip semantics ----
 
   test("two EXPLODEs zip in lockstep, shorter null-padded (ksql rule)") {
