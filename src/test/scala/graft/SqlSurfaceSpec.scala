@@ -1325,6 +1325,37 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.catalog.tableExists("r10_docs"))
   }
 
+  test("round-10 second-half surface composes in ONE pasted script: subscripts, chr/instr, round, multi-explode") {
+    GraftSql.init(spark, sf)
+    val script =
+      """-- bracket text inside a literal must survive the subscript rewrite
+        |CREATE STREAM r10b_docs AS
+        |  SELECT doc_id,
+        |         'arr[1] in a literal' AS bracket_hint,
+        |         SPLIT(text, ' ')[1] AS head_word,
+        |         SPLIT(text, ' ')[-1] AS tail_word,
+        |         CHR(CAST(65 + doc_id % 26 AS INT)) AS letter,
+        |         CAST(INSTR(text, 'e', -1) AS BIGINT) AS last_e,
+        |         ROUND(CAST(doc_id AS DOUBLE) / 7) AS septile
+        |  FROM documents EMIT CHANGES;
+        |SELECT count(*) AS n FROM r10b_docs WHERE head_word IS NOT NULL;
+        |SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS w,
+        |       EXPLODE(GENERATE_SERIES(1, 2)) AS c
+        |  FROM documents WHERE doc_id = 1;
+        |DROP STREAM r10b_docs;""".stripMargin
+    val ran = GraftSql.script(spark, script)
+    assert(ran.length == 4, ran.map(_._1.take(30)).mkString("||"))
+    // the CSAS view is dropped by the script's last statement; check
+    // through the script's own SELECT results instead
+    val n = ran(1)._2.collect().head.getLong(0)
+    assert(n > 0)
+    val zip = ran(2)._2
+    assert(zip.columns.toSeq == Seq("doc_id", "w", "c"))
+    val rows = zip.collect()
+    assert(rows.nonEmpty && rows.exists(_.isNullAt(2))) // null-padded
+    assert(!spark.catalog.tableExists("r10b_docs"))
+  }
+
   test("INSERT INTO <stream> SELECT — the second persistent-query form") {
     GraftSql.init(spark, sf)
     try {
