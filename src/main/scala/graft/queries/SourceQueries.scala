@@ -75,6 +75,72 @@ object SourceQueries {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
 
+  /** SCHEMA EVOLUTION read — the lake reality that a 100 TB table's
+    * files were written across schema versions: batch 1 lands without
+    * a column, batch 2 adds it; `mergeSchema` unions the file
+    * footers and the reader sees one schema with NULLs where the old
+    * files lack the column. The oracle derives the same union from
+    * the source table (n_regionkey < 3 → v1 files, missing the
+    * `n_len` column → NULL). No full-table rewrite on evolution —
+    * exactly how additive schema changes must land at scale. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft-evolve-")
+    val n = Tables.nation(s, d)
+    // wipe, then land two schema generations side by side
+    val v1 = n.filter(col("n_regionkey") < 3)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val v2 = n.filter(col("n_regionkey") >= 3)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        length(col("n_name")).cast("long").as("n_len"))
+    v1.write.mode("overwrite").parquet(out)
+    v2.write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("n_len"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  CASE WHEN n_regionkey >= 3 THEN CAST(length(n_name) AS BIGINT)
+      |       END AS n_len
+      |FROM nation""".stripMargin
+
+  /** DYNAMIC PARTITION OVERWRITE — the idempotent-backfill primitive:
+    * rewriting ONE partition must leave every other partition's files
+    * untouched (static overwrite mode would drop the whole table).
+    * Land customers partitioned by segment, overwrite just BUILDING
+    * with a transformed copy, and read the table back: BUILDING shows
+    * the rewrite, the rest the original load. At 100 TB this is the
+    * difference between a per-day backfill touching one directory and
+    * clobbering years of data. */
+  def dynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("graft-dynover-")
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+    c.write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    val old = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_acctbal", round(col("c_acctbal") * 2, 2))
+        .write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    } finally {
+      old.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    }
+    s.read.parquet(out)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+  }
+
+  val dynamicOverwriteSql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_mktsegment = 'BUILDING'
+      |       THEN round(c_acctbal * 2, 2) ELSE c_acctbal END AS c_acctbal,
+      |  c_mktsegment
+      |FROM customer""".stripMargin
+
   /** The joined-but-not-yet-aggregated frame of [[bucketedJoin]],
     * exposed so the plan spec can assert the join itself needs NO
     * exchange (the aggregation after it legitimately shuffles). */
@@ -122,6 +188,8 @@ object SourceQueries {
     "src_json_roundtrip" -> jsonRoundtrip _,
     "src_orc_roundtrip" -> orcRoundtrip _,
     "src_partitioned_parquet" -> partitionedParquet _,
+    "src_schema_evolution" -> schemaEvolution _,
+    "src_dynamic_overwrite" -> dynamicOverwrite _,
     "src_bucketed_join" -> bucketedJoin _)
 
   def oracles: Map[String, String] = Map(
@@ -129,5 +197,7 @@ object SourceQueries {
     "src_json_roundtrip" -> jsonRoundtripSql,
     "src_orc_roundtrip" -> orcRoundtripSql,
     "src_partitioned_parquet" -> partitionedParquetSql,
+    "src_schema_evolution" -> schemaEvolutionSql,
+    "src_dynamic_overwrite" -> dynamicOverwriteSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }
