@@ -70,4 +70,30 @@ class AqeSkewJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       count(lit(1)).as("n"), sum(col("dv")).as("s")).collect().head
     assert(viaJoin == expect, s"$viaJoin vs $expect")
   }
+
+  test("AQE coalesces a many-partition shuffle down to the data's real size") {
+    // the flip side of the skew split: a 32-partition session
+    // (production sizing) aggregating a tiny relation must NOT run 32
+    // reduce tasks — AQE's coalescing collapses the post-shuffle
+    // partitions to the advisory size, which is why a fixed
+    // spark.sql.shuffle.partitions is safe at every SF. The spec's
+    // session disables coalescing for the skew tests, so this one
+    // runs in a child session with it on.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+    val agg = s2.range(0, 1000)
+      .select(pmod(col("id"), lit(10)).as("k"))
+      .groupBy("k").count()
+    assert(agg.collect().length == 10)
+    // the coalesced read lives inside AdaptiveSparkPlanExec's final
+    // plan (not reachable by a plain collect over executedPlan), so
+    // pin the rendered final plan: the 32-reducer exchange is read
+    // back through an 'AQEShuffleRead coalesced' node
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(2000))
+    assert(p.contains("AQEShuffleRead coalesced"), p.take(2000))
+    assert(p.contains("hashpartitioning(k#") && p.contains(", 32)"),
+      p.take(2000))
+  }
 }

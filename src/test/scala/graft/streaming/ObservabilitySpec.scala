@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.util.concurrent.{ConcurrentLinkedQueue, TimeUnit}
+
+import org.apache.spark.sql.{Observation, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OPS surface a 100 TB deployment watches: `Dataset.observe`
+  * rides metrics on the data plan itself (no second scan — the
+  * aggregates are computed by the same tasks that process the rows)
+  * and, for streams, every micro-batch's observed metrics arrive in
+  * the `QueryProgressEvent`, where a monitor alerts on row-rate or
+  * data-quality drift. Pinned here because a conf or API regression
+  * would silently blind production monitoring: the numbers must be
+  * exact (the observation is the same data the batch processed, not
+  * a sample), and per-batch attribution must be correct.
+  */
+class ObservabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("observability")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("batch observe: exact row count + domain stats with no second scan") {
+    val obs = Observation("stats")
+    val df = spark.range(0, 1000)
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(col("id")).as("id_sum"),
+        count_if(col("id") % 7 === 0).as("sevens"))
+      .filter(col("id") % 2 === 0)
+    // the observation sees PRE-filter rows: it measures the point in
+    // the plan where it is attached
+    assert(df.count() == 500)
+    assert(obs.get("rows") == 1000L)
+    assert(obs.get("id_sum") == 499500L)
+    assert(obs.get("sevens") == 143L)
+  }
+
+  test("streaming observe: per-batch metrics arrive in QueryProgressEvent") {
+    import spark.implicits._
+    val seen = new ConcurrentLinkedQueue[Row]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("batch_stats")) seen.add(m.get("batch_stats"))
+      }
+    }
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().select(col("value"))
+      .observe("batch_stats", count(lit(1)).as("rows"),
+        max(col("value")).as("max_v"))
+      .writeStream.format("memory").queryName("obs_sink")
+      .outputMode("append").start()
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(10L, 20L)
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.nanoTime() + TimeUnit.SECONDS.toNanos(30)
+      while (seen.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val metrics = seen.toArray(Array.empty[Row])
+        .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("max_v")))
+      assert(metrics.contains((3L, 3L)) && metrics.contains((2L, 20L)),
+        metrics.mkString(", "))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      spark.catalog.dropTempView("obs_sink")
+      ()
+    }
+  }
+}
