@@ -393,6 +393,54 @@ object TextQueries {
        |FROM t""".stripMargin
   }
 
+  /** VOCABULARY COVERAGE — per source, what fraction of token
+    * occurrences a top-K frequency vocabulary covers (the
+    * out-of-vocabulary rate, exact parts-per-million): the diagnostic
+    * that sizes a tokenizer's vocab and flags domain drift between
+    * sources. Scale shape: the corpus-wide term count is one
+    * map-side-combined agg; the top-K cut is a count-ordered LIMIT
+    * (runs as a top-K merge, no global sort); the membership join
+    * BROADCASTS the K-row vocab so the per-source pass never
+    * shuffles token rows — at 100 TB the token stream is huge and the
+    * vocab is kilobytes, the only sane orientation. Tie-break at the
+    * count boundary is lexicographic, so both engines cut the
+    * identical vocabulary. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val VocabK = 1000
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("term"))
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(VocabK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L))
+          .cast(LongType).as("n_oov"))
+      .selectExpr("source", "n_tokens", "n_oov",
+        "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm")
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS n FROM tok GROUP BY term)
+      |  ORDER BY n DESC, term ASC LIMIT 1000)
+      |SELECT tok.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  CAST(CAST(SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+      |    AS oov_ppm
+      |FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+      |GROUP BY tok.source""".stripMargin
+
   /** Character-level ENTROPY per document — the information-density
     * quality signal (gibberish and boilerplate sit at the extremes;
     * compression-ratio filters are this in disguise). Total entropy in
@@ -988,6 +1036,7 @@ object TextQueries {
     "text_classifier_score" -> classifierScore _,
     "text_bpe_fertility" -> bpeFertility _,
     "text_char_entropy" -> charEntropy _,
+    "text_vocab_coverage" -> vocabCoverage _,
     "text_composition_report" -> compositionReport _,
     "text_token_count" -> tokenCount _,
     "text_pretokenize" -> pretokenize _,
@@ -1013,6 +1062,7 @@ object TextQueries {
     "text_classifier_score" -> classifierScoreSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_char_entropy" -> charEntropySql,
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_composition_report" -> compositionReportSql,
     "text_token_count" -> tokenCountSql,
     "text_pretokenize" -> pretokenizeSql,

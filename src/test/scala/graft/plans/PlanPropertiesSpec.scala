@@ -409,6 +409,13 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocab coverage broadcasts the top-K vocabulary; the LIMIT is a top-K merge, not a global sort") {
+    val p = planOf("text_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("overlap decontamination broadcasts the eval shingle set; train side never shuffles rows") {
     val p = planOf("curate_decontam_overlap")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
