@@ -15,23 +15,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * capability — the guide's preference-ladder path (c): LogicalPlan +
   * SparkStrategy + SparkPlan, registered via SparkSessionExtensions).
   *
-  * Semantics: LEFT OUTER backward as-of — for each left row, the
-  * single right row with equal key and the greatest right-time ≤
-  * left-time; null right side if none.
+  * Semantics: LEFT OUTER as-of with the pandas `merge_asof` surface —
+  * for each left row, the single right row with equal key and
+  *   - `backward` (default): the greatest right-time ≤ left-time;
+  *   - `forward`: the smallest right-time ≥ left-time;
+  *   - `nearest`: whichever of those two is closer in time
+  *     (exact tie → backward, the pandas rule);
+  * optionally bounded by `tolerance` (max |Δtime| in the time
+  * column's native units — microseconds for timestamps); null right
+  * side if none qualifies. Rows tied on (key, time) are
+  * interchangeable for matching: deterministic outputs should project
+  * the matched TIME (or other functionally-dependent values), as the
+  * intra-tie file order is not defined after a shuffle.
   *
   * Physical: sort-merge. `requiredChildDistribution` clusters both
   * sides by key and `requiredChildOrdering` sorts by (key, time), so
   * EnsureRequirements plans one shuffle + sort per side; the merge is
   * then a single forward pass per co-located partition pair — state is
-  * ONE remembered row, versus the window-function formulation which
-  * buffers whole partitions, or the equi-join + groupBy-max which
-  * shuffles the join product. At 100 TB: shuffle is linear in input,
-  * no join explosion, no skew amplification beyond the key
-  * distribution itself.
+  * ONE remembered row plus a peek at the stream head (the forward
+  * candidate), versus the window-function formulation which buffers
+  * whole partitions, or the equi-join + groupBy-max which shuffles the
+  * join product. At 100 TB: shuffle is linear in input, no join
+  * explosion, no skew amplification beyond the key distribution
+  * itself; all three directions share the identical single pass.
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        direction: String = "backward",
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -42,16 +54,21 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTime: Expression, rightTime: Expression)
+                        leftTime: Expression, rightTime: Expression,
+                        direction: String,
+                        tolerance: Option[Long])
     extends BinaryExecNode {
+
+  require(Set("backward", "forward", "nearest").contains(direction),
+    s"as-of direction must be backward|forward|nearest, got $direction")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -87,6 +104,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       throw new IllegalArgumentException(s"as-of join key/time type: $other")
   }
 
+  /** |a - b| as a double — only needed by `nearest`/`tolerance`, so
+    * string times stay legal for plain backward/forward. */
+  private def distFor(dt: DataType): (Any, Any) => Double = dt match {
+    case LongType | IntegerType | ShortType | ByteType | TimestampType |
+         TimestampNTZType | DateType =>
+      (a, b) => math.abs(a.asInstanceOf[Number].longValue() -
+        b.asInstanceOf[Number].longValue()).toDouble
+    case DoubleType | FloatType =>
+      (a, b) => math.abs(a.asInstanceOf[Number].doubleValue() -
+        b.asInstanceOf[Number].doubleValue())
+    case other => throw new IllegalArgumentException(
+      s"as-of nearest/tolerance needs a numeric or time column, got $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
@@ -94,7 +125,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val keyOrd = ordFor(leftKey.dataType)
     val timeOrd = ordFor(leftTime.dataType)
-    val leftOut = left.output
+    val needDist = direction == "nearest" || tolerance.isDefined
+    val dist: (Any, Any) => Double =
+      if (needDist) distFor(leftTime.dataType) else null
+    val tol = tolerance.map(_.toDouble)
+    val dir = direction
     val rightOut = right.output
     val allOut = output
 
@@ -106,14 +141,21 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
       val rBuf = rIt.buffered
-      // one remembered candidate: the latest right row seen whose key
-      // equals matchKey (both iterators ascend by (key, time))
-      var matchRow: InternalRow = null
-      var matchKey: Any = null
+      // one remembered candidate: the latest right row seen with
+      // time STRICTLY BELOW the current left time (both iterators
+      // ascend by (key, time)); the stream head supplies the ≥ side
+      var backRow: InternalRow = null
+      var backKey: Any = null
+      var backTime: Any = null
+
+      def within(rt: Any, lt: Any): Boolean =
+        tol.forall(t => dist(rt, lt) <= t)
 
       lIt.map { l =>
         val lk = lKeyB.eval(l)
         val lt = lTimeB.eval(l)
+        var fwdRow: InternalRow = null
+        var fwdTime: Any = null
         if (lk != null && lt != null) {
           var continue = true
           while (continue && rBuf.hasNext) {
@@ -124,17 +166,44 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else {
               val c = keyOrd.compare(rk, lk)
               if (c < 0) { rBuf.next(); () } // key fully behind: discard
-              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
-                matchRow = rBuf.next().copy()
-                matchKey = rKeyB.eval(matchRow)
-              } else continue = false
+              else if (c == 0 && timeOrd.compare(rt, lt) < 0) {
+                backRow = rBuf.next().copy()
+                backKey = rKeyB.eval(backRow)
+                backTime = rTimeB.eval(backRow)
+              } else {
+                // head is (key == lk, time ≥ lt) or a later key: the
+                // forward candidate if the key matches. NOT consumed —
+                // it may serve later left rows too.
+                if (c == 0) { fwdRow = head; fwdTime = rt }
+                continue = false
+              }
             }
           }
         }
-        val rightSide =
-          if (lk != null && matchRow != null && keyOrd.compare(matchKey, lk) == 0)
-            matchRow
-          else nullRight
+        val haveBack = lk != null && backRow != null &&
+          keyOrd.compare(backKey, lk) == 0
+        // a right row at EXACTLY the left time sits at the stream
+        // head (strict < consumption): it is the best "≤" match too
+        val backAtTie = fwdRow != null && timeOrd.compare(fwdTime, lt) == 0
+        val rightSide: InternalRow = dir match {
+          case "backward" =>
+            if (backAtTie && within(fwdTime, lt)) fwdRow
+            else if (haveBack && within(backTime, lt)) backRow
+            else nullRight
+          case "forward" =>
+            if (fwdRow != null && within(fwdTime, lt)) fwdRow else nullRight
+          case "nearest" =>
+            val b = if (haveBack && within(backTime, lt)) backRow else null
+            val f = if (fwdRow != null && within(fwdTime, lt)) fwdRow
+              else null
+            if (backAtTie) fwdRow // exact tie is distance 0 both ways
+            else if (b != null && f != null)
+              // strictly-closer forward wins; ties go backward
+              if (dist(fwdTime, lt) < dist(backTime, lt)) f else b
+            else if (b != null) b
+            else if (f != null) f
+            else nullRight
+        }
         proj(joined(l, rightSide))
       }
     }
@@ -150,7 +219,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftKey: Column, rightKey: Column,
-           leftTime: Column, rightTime: Column): DataFrame = {
+           leftTime: Column, rightTime: Column,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "as-of join requires disjoint column names; rename the right side")
     val spark = left.sparkSession
@@ -161,7 +232,8 @@ object AsOf {
     val plan = AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
       GraftBridge.expression(leftKey), GraftBridge.expression(rightKey),
-      GraftBridge.expression(leftTime), GraftBridge.expression(rightTime))
+      GraftBridge.expression(leftTime), GraftBridge.expression(rightTime),
+      direction, tolerance)
     GraftBridge.ofRows(left.sparkSession, plan)
   }
 }

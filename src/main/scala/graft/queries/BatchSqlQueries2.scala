@@ -182,6 +182,66 @@ object BatchSqlQueries2 {
       |           '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
       |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
 
+  /** FORWARD as-of through the same custom operator: every purchase
+    * matched to the same user's EARLIEST 'view' at-or-after it (the
+    * what-happened-next lookup). Oracle = correlated min. */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    graft.plans.AsOf.join(purchases, views,
+        purchases("user_id"), views("v_user"),
+        purchases("ts"), views("v_ts"), direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("next_view_ts"))
+  }
+
+  val asofForwardSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime((SELECT min(v.ts) FROM events v
+      |            WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |              AND v.ts >= p.ts),
+      |           '%Y-%m-%d %H:%M:%S.%f') AS next_view_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
+  /** NEAREST as-of with a 7-day tolerance: each purchase matched to
+    * the temporally closest 'click' within the window, distance ties
+    * going backward (the pandas rule). The oracle ranks candidates by
+    * the exact integer (2·|Δµs| + forward-flag) key — the same total
+    * order the operator applies — then arg_min picks the match. */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    graft.plans.AsOf.join(purchases, clicks,
+        purchases("user_id"), clicks("c_user"),
+        purchases("ts"), clicks("c_ts"),
+        direction = "nearest", tolerance = Some(sevenDaysUs))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("nearest_click_ts"))
+  }
+
+  val asofNearestSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime((SELECT arg_min(c.ts,
+      |              2 * abs(epoch_us(c.ts) - epoch_us(p.ts)) +
+      |              CASE WHEN c.ts > p.ts THEN 1 ELSE 0 END)
+      |            FROM events c
+      |            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |              AND abs(epoch_us(c.ts) - epoch_us(p.ts))
+      |                  <= 7 * 24 * 3600 * 1000000::BIGINT),
+      |           '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
   /** As-of lookup within a stream: for each event, the same user's
     * most recent signup time at-or-before it (running conditional max
     * over an ordered frame — the windowed form of an as-of join). */
@@ -333,6 +393,8 @@ object BatchSqlQueries2 {
     "q_sketch_agg" -> sketchAgg _,
     "q_topk_per_key" -> topkPerKey _,
     "q_asof_join_custom" -> asofJoinCustom _,
+    "q_asof_forward" -> asofForward _,
+    "q_asof_nearest" -> asofNearest _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -349,6 +411,8 @@ object BatchSqlQueries2 {
     "q_salted_join" -> saltedJoinSql,
     "q_topk_per_key" -> topkPerKeySql,
     "q_asof_join_custom" -> asofJoinCustomSql,
+    "q_asof_forward" -> asofForwardSql,
+    "q_asof_nearest" -> asofNearestSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

@@ -88,4 +88,77 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     safeIds.foreach { id => assert(got(id) == expected(id), s"id=$id") }
   }
+
+  test("forward as-of: earliest right row at-or-after; null when none") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 10:05:00")), // exact tie: inclusive
+      (3L, 100L, ts("2024-01-01 10:07:00")), // nothing after
+      (4L, 200L, ts("2024-01-01 09:00:00")))
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 09:59:00"), 10.0),
+      (100L, ts("2024-01-01 10:05:00"), 11.0),
+      (100L, ts("2024-01-01 10:06:00"), 12.0),
+      (200L, ts("2024-01-01 09:30:00"), 5.0))
+      .toDF("q_sym", "q_ts", "px")
+    val got = AsOf.join(trades, quotes,
+        trades("sym"), quotes("q_sym"), trades("t_ts"), quotes("q_ts"),
+        direction = "forward")
+      .select($"trade_id", $"px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(11.0), 2L -> Some(11.0), 3L -> None, 4L -> Some(5.0)))
+  }
+
+  test("nearest as-of: closer side wins, exact distance-tie goes backward") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // back 1m vs fwd 5m → back
+      (2L, 100L, ts("2024-01-01 10:04:30")), // back 5.5m vs fwd 30s → fwd
+      (3L, 100L, ts("2024-01-01 10:05:30")), // 30s each way → backward
+      (4L, 200L, ts("2024-01-01 09:00:00"))) // forward only
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 09:59:00"), 10.0),
+      (100L, ts("2024-01-01 10:05:00"), 11.0),
+      (100L, ts("2024-01-01 10:06:00"), 12.0),
+      (200L, ts("2024-01-01 09:30:00"), 5.0))
+      .toDF("q_sym", "q_ts", "px")
+    val got = AsOf.join(trades, quotes,
+        trades("sym"), quotes("q_sym"), trades("t_ts"), quotes("q_ts"),
+        direction = "nearest")
+      .select($"trade_id", $"px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(
+      1L -> Some(10.0), 2L -> Some(11.0), 3L -> Some(11.0),
+      4L -> Some(5.0)))
+  }
+
+  test("tolerance bounds the match distance in the time column's units") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // back match 1m old: inside
+      (2L, 100L, ts("2024-01-01 11:00:00"))) // back match 54m old: out
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 09:59:00"), 10.0),
+      (100L, ts("2024-01-01 10:06:00"), 12.0))
+      .toDF("q_sym", "q_ts", "px")
+    val fiveMinUs = 5L * 60 * 1000000
+    val got = AsOf.join(trades, quotes,
+        trades("sym"), quotes("q_sym"), trades("t_ts"), quotes("q_ts"),
+        direction = "backward", tolerance = Some(fiveMinUs))
+      .select($"trade_id", $"px")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got == Map(1L -> Some(10.0), 2L -> None))
+    val near = AsOf.join(trades, quotes,
+        trades("sym"), quotes("q_sym"), trades("t_ts"), quotes("q_ts"),
+        direction = "nearest", tolerance = Some(fiveMinUs))
+      .select($"trade_id", $"px")
+      .as[(Long, Option[Double])].collect().toMap
+    // trade 1's nearest is backward 1m; trade 2 has nothing within 5m
+    assert(near == Map(1L -> Some(10.0), 2L -> None))
+  }
 }
