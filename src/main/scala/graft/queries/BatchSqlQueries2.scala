@@ -264,6 +264,48 @@ object BatchSqlQueries2 {
       |    '%Y-%m-%d %H:%M:%S.%f') AS asof_signup_ts
       |FROM events""".stripMargin
 
+  /** RANGE (interval-containment) JOIN via BINNING — the scale-safe
+    * spelling of a non-equi join Spark would otherwise plan as a
+    * BroadcastNestedLoopJoin (quadratic, and impossible once neither
+    * side broadcasts): each supplier's ±100 balance band explodes to
+    * the fixed-width bins it overlaps (≤ 3 rows at width 100), the
+    * probe side computes its SINGLE bin, and the join is a plain
+    * equi-join on the bin followed by the exact BETWEEN filter. A
+    * (probe, range) pair meets in exactly one bin — the probe's — so
+    * no dedup is needed. Customers with no matching supplier survive
+    * through the left join back (count 0). The oracle spells the
+    * naive BETWEEN join directly — DuckDB's IEJoin handles it at
+    * oracle scale. */
+  def rangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val BinW = 100.0
+    val ranges = Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 100).as("lo"), (col("s_acctbal") + 100).as("hi"))
+      .withColumn("bin", explode(expr(
+        s"sequence(CAST(floor(lo / $BinW) AS BIGINT), " +
+          s"CAST(floor(hi / $BinW) AS BIGINT))")))
+    val probes = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        expr(s"CAST(floor(c_acctbal / $BinW) AS BIGINT)").as("bin"))
+    val hits = probes.join(ranges, "bin")
+      .where(col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).cast(LongType).as("n_sup"),
+        min(col("s_suppkey")).as("min_sup"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(hits, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_sup"), lit(0L)).as("n_sup"), col("min_sup"))
+  }
+
+  val rangeJoinBinnedSql: String =
+    """SELECT c.c_custkey,
+      |  CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_sup,
+      |  MIN(s.s_suppkey) AS min_sup
+      |FROM customer c LEFT JOIN supplier s
+      |  ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+      |GROUP BY c.c_custkey""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -395,6 +437,7 @@ object BatchSqlQueries2 {
     "q_asof_join_custom" -> asofJoinCustom _,
     "q_asof_forward" -> asofForward _,
     "q_asof_nearest" -> asofNearest _,
+    "q_range_join_binned" -> rangeJoinBinned _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -413,6 +456,7 @@ object BatchSqlQueries2 {
     "q_asof_join_custom" -> asofJoinCustomSql,
     "q_asof_forward" -> asofForwardSql,
     "q_asof_nearest" -> asofNearestSql,
+    "q_range_join_binned" -> rangeJoinBinnedSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

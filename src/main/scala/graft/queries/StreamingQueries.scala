@@ -331,6 +331,42 @@ object StreamingQueries {
     runToTable(pairs, "complete")
   }
 
+  /** Streaming OOV MONITOR — the frozen-tokenizer drift alarm: the
+    * top-K vocabulary is computed ONCE from the reference corpus
+    * (batch, exactly [[TextQueries.vocabCoverage]]'s cut) and
+    * broadcast against the INCOMING document stream; per-source token
+    * and OOV counts accumulate in update mode. A rising OOV rate on a
+    * source is how a production ingest discovers domain drift before
+    * the tokenizer does. State = one row per source; the token stream
+    * itself never shuffles (broadcast membership + map-side partial
+    * counts). Same oracle as the batch query — the stream replays the
+    * same corpus. */
+  def streamVocabOov(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val VocabK = 1000
+    val vocab = Tables.documents(s, d)
+      .select(explode(graft.functions.TextShingles.tokens(col("text")))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(VocabK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    val agg = docs
+      .select(col("source"),
+        explode(graft.functions.TextShingles.tokens(col("text")))
+          .as("term"))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L))
+          .cast(LongType).as("n_oov"))
+      .selectExpr("source", "n_tokens", "n_oov",
+        "CAST(n_oov * 1000000 DIV n_tokens AS BIGINT) AS oov_ppm")
+    runToTable(agg, "complete")
+  }
+
   /** Streaming classifier INFERENCE — [[TextQueries.classifierScore]]'s
     * projection verbatim over the document stream, append mode: the
     * fasttext-style quality gate applied at ingest time. Stateless
@@ -991,6 +1027,7 @@ object StreamingQueries {
     "stream_neardup" -> streamNeardup _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
+    "stream_vocab_oov" -> streamVocabOov _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
@@ -1014,6 +1051,7 @@ object StreamingQueries {
     "stream_neardup" -> streamNeardupSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
+    "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,

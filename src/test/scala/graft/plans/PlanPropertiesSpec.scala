@@ -409,6 +409,15 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("binned range join: equi-join on the bin, never a nested-loop over intervals") {
+    val p = planOf("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    // the containment predicate survives as a post-join filter on the
+    // equi-joined bins
+    assert(p.toLowerCase.contains("join"), p.take(2000))
+  }
+
   test("vocab coverage broadcasts the top-K vocabulary; the LIMIT is a top-K merge, not a global sort") {
     val p = planOf("text_vocab_coverage")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
