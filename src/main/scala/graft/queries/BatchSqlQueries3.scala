@@ -102,6 +102,53 @@ object BatchSqlQueries3 {
       |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)/100.0 AS trailing_30d_spend
       |FROM orders""".stripMargin
 
+  /** SCD TYPE-2 dimension build — the warehouse history table a CDC
+    * changelog feeds: per user, each run of consecutive identical
+    * states collapses to one versioned row with [valid_from,
+    * valid_to) bounds (valid_to null on the current version). Change
+    * points come from lag() (state differs from the previous event),
+    * bounds from lead() over just the change points — two window
+    * passes sharing ONE (user_id)-partitioned sort, no self-join. At
+    * 100 TB this is the standard one-shuffle dimension-history
+    * rebuild; the incremental form applies the same window per
+    * micro-batch partition-locally. Timestamps are formatted so the
+    * hash compares exact microseconds. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts"), col("event_id"))
+      .withColumn("__prev", lag(col("state"), 1).over(order))
+      .filter(col("__prev").isNull || col("__prev") =!= col("state"))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    events
+      .withColumn("__to", lead(col("ts"), 1).over(order))
+      .select(col("user_id"), col("state"),
+        date_format(col("ts"), fmt).as("valid_from"),
+        date_format(col("__to"), fmt).as("valid_to"),
+        when(col("__to").isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, state, ts, event_id FROM marked
+      |  WHERE prev IS NULL OR prev <> state)
+      |SELECT user_id, state,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  strftime(lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_current
+      |FROM chg""".stripMargin
+
   /** ksqlDB `EARLIEST_BY_OFFSET` + `LATEST_BY_OFFSET` side by side:
     * first/last value per key in offset order — both are single-pass
     * declarative aggregates (`min_by`/`max_by`) with map-side
@@ -345,6 +392,7 @@ object BatchSqlQueries3 {
     "q_latest_k_by_offset" -> latestKByOffset _,
     "q_collect_agg" -> collectAgg _,
     "q_range_frame" -> rangeFrame _,
+    "q_scd2_history" -> scd2History _,
     "q_union_all" -> unionAll _,
     "q_cross_join" -> crossJoinSmall _,
     "q_null_handling" -> nullHandling _,
@@ -360,6 +408,7 @@ object BatchSqlQueries3 {
     "q_latest_k_by_offset" -> latestKByOffsetSql,
     "q_collect_agg" -> collectAggSql,
     "q_range_frame" -> rangeFrameSql,
+    "q_scd2_history" -> scd2HistorySql,
     "q_union_all" -> unionAllSql,
     "q_cross_join" -> crossJoinSql,
     "q_null_handling" -> nullHandlingSql,
