@@ -570,6 +570,110 @@ object StreamingQueries {
     * the one-shot answer. */
   val streamSessionizeSql: String = BatchSqlQueries3.oracles("q_sessionize")
 
+  case class Scd2In(user_id: Long, event_id: Long, state: String, us: Long,
+                    ts: java.sql.Timestamp)
+  case class Scd2Ev(us: Long, event_id: Long, state: String)
+  case class Scd2St(buf: Seq[Scd2Ev])
+  case class Scd2Out(user_id: Long, state: String, from_us: Long,
+                     to_us: Option[Long], is_current: Long)
+
+  /** How far the watermark must run past a trailing version before it
+    * is published as the OPEN (current) row. On this finite replay the
+    * flush sentinel blows past it; a production feed would publish
+    * open versions through update-mode upserts instead and use append
+    * emission only for CLOSED versions. */
+  private val Scd2OpenDelayUs = 365L * 86400L * 1000000L
+
+  /** Streaming SCD TYPE-2 — [[BatchSqlQueries3.scd2History]] built
+    * CONTINUOUSLY from the event stream: one `flatMapGroupsWithState`
+    * per user holds only the not-yet-closed tail of its history; a
+    * version row emits (append, final) once the watermark passes the
+    * NEXT version's start — at that point no admissible event can
+    * open an earlier boundary, so its [valid_from, valid_to) is
+    * immutable. Closed versions leave state immediately: steady-state
+    * memory is the open tail per key, not the history. Emission
+    * timing is watermark-driven (event-time timeouts wake idle
+    * groups), and the finite-input flush sentinel closes the last
+    * versions so the stream's total output equals the batch oracle
+    * exactly. */
+  def streamScd2(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val flush = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"),
+      -1L, -1L, "x"))
+    val in = eventsStream(s, d)
+      .select(col("ts").cast(TimestampType).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+      .unionByName(flush.toDF().toDF("ts", "user_id", "event_id",
+        "event_type"))
+      .withWatermark("ts", "35 days")
+    val core = in
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("us"),
+        col("ts")) // keeps the watermark column in the plan
+      .as[Scd2In]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Scd2In], st: GroupState[Scd2St]) =>
+          val prior = st.getOption.getOrElse(Scd2St(Seq.empty))
+          val wmUs = st.getCurrentWatermarkMs() * 1000L
+          val buf = (prior.buf ++ it.filter(_.us > wmUs)
+              .map(e => Scd2Ev(e.us, e.event_id, e.state)))
+            .sortBy(e => (e.us, e.event_id))
+          // versions = runs of consecutive identical state:
+          // (state, fromUs, lastUs)
+          val versions =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+          buf.foreach { e =>
+            if (versions.nonEmpty && versions.last._1 == e.state)
+              versions(versions.length - 1) =
+                versions.last.copy(_3 = e.us)
+            else versions += ((e.state, e.us, e.us))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+          var k = 0
+          var blocked = false
+          while (k < versions.length && !blocked) {
+            val hasNext = k + 1 < versions.length
+            if (hasNext && wmUs >= versions(k + 1)._2) {
+              // valid_to fixed: nothing can arrive before next.from
+              out += Scd2Out(uid, versions(k)._1, versions(k)._2,
+                Some(versions(k + 1)._2), 0L)
+              k += 1
+            } else if (!hasNext &&
+                wmUs > versions(k)._3 + Scd2OpenDelayUs) {
+              out += Scd2Out(uid, versions(k)._1, versions(k)._2, None, 1L)
+              k += 1
+            } else blocked = true
+          }
+          val keepFromUs =
+            if (k < versions.length) versions(k)._2 else Long.MaxValue
+          val remaining = buf.filter(_.us >= keepFromUs)
+          if (remaining.isEmpty) st.remove()
+          else {
+            st.update(Scd2St(remaining))
+            // wake when the watermark can first close something more
+            val nextPointUs =
+              if (k + 1 < versions.length) versions(k + 1)._2
+              else versions(k)._3 + Scd2OpenDelayUs
+            st.setTimeoutTimestamp(math.max(nextPointUs / 1000L + 1,
+              st.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }.toDF()
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    runToTable(core, "append")
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("state"),
+        date_format(timestamp_micros(col("from_us")), fmt).as("valid_from"),
+        date_format(timestamp_micros(col("to_us")), fmt).as("valid_to"),
+        col("is_current"))
+  }
+
   /** Streaming `LATEST/EARLIEST_BY_OFFSET(value, N)` — the 2-arg ksql
     * array aggregate under UPDATE-mode streaming, through the
     * K-BOUNDED [[graft.functions.LatestKByOffsetAgg]]: per-key state
@@ -1028,6 +1132,7 @@ object StreamingQueries {
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
+    "stream_scd2" -> streamScd2 _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
@@ -1052,6 +1157,7 @@ object StreamingQueries {
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
+    "stream_scd2" -> BatchSqlQueries3.scd2HistorySql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
