@@ -258,4 +258,20 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a == b,
       s"changelogs diverged:\n  fkJoin   = $a\n  fkJoinTws = $b")
   }
+
+  test("stream_scd2 matches the batch history under RocksDB state") {
+    // the open-tail-only SCD2 state (buffered unclosed versions per
+    // user) lives in RocksDB; final emissions must equal the one-shot
+    // batch build row for row
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamScd2(spark, d)
+      .as[(Long, String, String, Option[String], Long)]
+      .collect().sorted.toSeq
+    val expected = graft.queries.BatchSqlQueries3.scd2History(spark, d)
+      .as[(Long, String, String, Option[String], Long)]
+      .collect().sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} rows, expected=${expected.size}")
+  }
 }
