@@ -149,6 +149,67 @@ object BatchSqlQueries3 {
       |    AS is_current
       |FROM chg""".stripMargin
 
+  /** Point-in-time read over the SCD2 history ([[scd2History]]'s
+    * consumer side): each user's state AS OF a fixed instant —
+    * `valid_from ≤ T < valid_to` (open versions unbounded). The
+    * canonical time-travel lookup a feature store serves; one filter
+    * over the history, no window. */
+  def scd2AsOf(s: SparkSession, d: String): DataFrame = {
+    val t = "2024-02-15 00:00:00"
+    scd2History(s, d)
+      .filter(col("valid_from") <= lit(t) &&
+        (col("valid_to").isNull || col("valid_to") > lit(t)))
+      .select(col("user_id"), col("state").as("state_asof"),
+        col("valid_from"))
+  }
+
+  val scd2AsOfSql: String =
+    s"""WITH h AS ($scd2HistorySql)
+       |SELECT user_id, state AS state_asof, valid_from
+       |FROM h
+       |WHERE valid_from <= '2024-02-15 00:00:00'
+       |  AND (valid_to IS NULL OR valid_to > '2024-02-15 00:00:00')"""
+      .stripMargin
+
+  /** GAPS-AND-ISLANDS: per user, contiguous runs of ACTIVE DAYS
+    * (consecutive calendar days with ≥1 event) — the classic
+    * streak/retention shape. The grouping key is the
+    * day − dense_rank trick: within a user, consecutive days share
+    * (day_n − rank), so one window + one groupBy finds every island
+    * without self-joins; both engines agree exactly on the integer
+    * day grid. */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(col("ts").cast(DateType), lit("2024-01-01").cast(DateType))
+          .cast(LongType).as("day_n"))
+      .distinct()
+      .withColumn("__grp", col("day_n") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("__grp"))
+      .agg(min(col("day_n")).as("island_start"),
+        max(col("day_n")).as("island_end"),
+        count(lit(1)).cast(LongType).as("days_active"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+        col("days_active"))
+  }
+
+  val gapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS day_n
+      |  FROM events),
+      |grp AS (
+      |  SELECT user_id, day_n,
+      |    day_n - dense_rank() OVER (PARTITION BY user_id ORDER BY day_n)
+      |      AS g
+      |  FROM days)
+      |SELECT user_id, MIN(day_n) AS island_start, MAX(day_n) AS island_end,
+      |  CAST(COUNT(*) AS BIGINT) AS days_active
+      |FROM grp GROUP BY user_id, g""".stripMargin
+
   /** ksqlDB `EARLIEST_BY_OFFSET` + `LATEST_BY_OFFSET` side by side:
     * first/last value per key in offset order — both are single-pass
     * declarative aggregates (`min_by`/`max_by`) with map-side
@@ -393,6 +454,8 @@ object BatchSqlQueries3 {
     "q_collect_agg" -> collectAgg _,
     "q_range_frame" -> rangeFrame _,
     "q_scd2_history" -> scd2History _,
+    "q_scd2_asof" -> scd2AsOf _,
+    "q_gaps_islands" -> gapsIslands _,
     "q_union_all" -> unionAll _,
     "q_cross_join" -> crossJoinSmall _,
     "q_null_handling" -> nullHandling _,
@@ -409,6 +472,8 @@ object BatchSqlQueries3 {
     "q_collect_agg" -> collectAggSql,
     "q_range_frame" -> rangeFrameSql,
     "q_scd2_history" -> scd2HistorySql,
+    "q_scd2_asof" -> scd2AsOfSql,
+    "q_gaps_islands" -> gapsIslandsSql,
     "q_union_all" -> unionAllSql,
     "q_cross_join" -> crossJoinSql,
     "q_null_handling" -> nullHandlingSql,
