@@ -210,6 +210,129 @@ object BatchSqlQueries3 {
       |  CAST(COUNT(*) AS BIGINT) AS days_active
       |FROM grp GROUP BY user_id, g""".stripMargin
 
+  /** DATA-QUALITY CHECK SUITE (the Deequ/Great-Expectations shape): a
+    * fixed battery of constraints evaluated in ONE pass per table —
+    * each check is an aggregate over the same scan, so the whole
+    * suite costs one job per table however many constraints it
+    * carries (the only sane shape at 100 TB; a per-check scan
+    * multiplies cost by the suite size). Violation COUNTS, not
+    * booleans, so the report localizes severity. Referential
+    * integrity is the one two-table check: orders→customer spelled as
+    * a broadcast-friendly left-anti count. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val customer = Tables.customer(s, d)
+    def row(table: String, check: String, violations: DataFrame): DataFrame =
+      violations.selectExpr(s"'$table' AS table_name",
+        s"'$check' AS check_name", "CAST(v AS BIGINT) AS violations")
+    val ordersChecks = orders.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nk"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("rng"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("dom"))
+    val custChecks = customer.agg(
+      sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("nk"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("dup"),
+      sum(when(col("c_acctbal") < -1000, 1L).otherwise(0L)).as("rng"))
+    val orphans = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    row("orders", "key_not_null", ordersChecks.selectExpr("nk AS v"))
+      .unionByName(row("orders", "key_unique",
+        ordersChecks.selectExpr("dup AS v")))
+      .unionByName(row("orders", "price_positive",
+        ordersChecks.selectExpr("rng AS v")))
+      .unionByName(row("orders", "status_in_domain",
+        ordersChecks.selectExpr("dom AS v")))
+      .unionByName(row("customer", "key_not_null",
+        custChecks.selectExpr("nk AS v")))
+      .unionByName(row("customer", "key_unique",
+        custChecks.selectExpr("dup AS v")))
+      .unionByName(row("customer", "acctbal_range",
+        custChecks.selectExpr("rng AS v")))
+      .unionByName(row("orders", "fk_customer_exists", orphans))
+  }
+
+  val dqChecksSql: String =
+    """WITH o AS (
+      |  SELECT
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nk,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup,
+      |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS rng,
+      |    SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+      |        THEN 1 ELSE 0 END) AS dom
+      |  FROM orders),
+      |c AS (
+      |  SELECT
+      |    SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS nk,
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) AS dup,
+      |    SUM(CASE WHEN c_acctbal < -1000 THEN 1 ELSE 0 END) AS rng
+      |  FROM customer),
+      |orph AS (
+      |  SELECT COUNT(*) AS v FROM orders
+      |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+      |SELECT 'orders' AS table_name, 'key_not_null' AS check_name,
+      |  CAST(nk AS BIGINT) AS violations FROM o
+      |UNION ALL SELECT 'orders', 'key_unique', CAST(dup AS BIGINT) FROM o
+      |UNION ALL SELECT 'orders', 'price_positive', CAST(rng AS BIGINT) FROM o
+      |UNION ALL SELECT 'orders', 'status_in_domain', CAST(dom AS BIGINT) FROM o
+      |UNION ALL SELECT 'customer', 'key_not_null', CAST(nk AS BIGINT) FROM c
+      |UNION ALL SELECT 'customer', 'key_unique', CAST(dup AS BIGINT) FROM c
+      |UNION ALL SELECT 'customer', 'acctbal_range', CAST(rng AS BIGINT) FROM c
+      |UNION ALL SELECT 'orders', 'fk_customer_exists', CAST(v AS BIGINT)
+      |  FROM orph""".stripMargin
+
+  /** MERGE INTO semantics (upsert + delete in one pass) over plain
+    * parquet relations — the warehouse-maintenance statement spelled
+    * as its relational core: ONE full-outer join on the key, then a
+    * CASE per MERGE clause (matched+delete → drop, matched+update →
+    * source values, not-matched → insert, target-only → carry). The
+    * change set is derived deterministically from the key so the
+    * oracle replays it: %10==3 doubles the balance, %10==7 deletes,
+    * %10==1 inserts a fresh key. At 100 TB this is one key-partitioned
+    * shuffle of each side — exactly what table-format MERGE executes
+    * under the hood (plus file rewrite, which [[graft.streaming
+    * .KeyedParquetSink]] owns in this engine). */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.customer(s, d)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("bal"))
+    val changes = Tables.customer(s, d)
+      .filter((col("c_custkey") % 10).isin(1, 3, 7))
+      .select(
+        when(col("c_custkey") % 10 === 1, col("c_custkey") + 10000000L)
+          .otherwise(col("c_custkey")).as("s_key"),
+        col("c_name").as("s_name"),
+        when(col("c_custkey") % 10 === 3, col("c_acctbal") * 2)
+          .when(col("c_custkey") % 10 === 1, col("c_acctbal") + 1)
+          .otherwise(col("c_acctbal")).as("s_bal"),
+        (col("c_custkey") % 10 === 7).as("s_del"))
+    target.join(changes, col("key") === col("s_key"), "full_outer")
+      .filter(!coalesce(col("s_del"), lit(false))) // matched+delete drops
+      .select(
+        coalesce(col("key"), col("s_key")).as("custkey"),
+        coalesce(col("s_name"), col("name")).as("name"),
+        coalesce(col("s_bal"), col("bal")).as("acctbal"))
+  }
+
+  val mergeUpsertSql: String =
+    """WITH chg AS (
+      |  SELECT CASE WHEN c_custkey % 10 = 1 THEN c_custkey + 10000000
+      |              ELSE c_custkey END AS s_key,
+      |    c_name AS s_name,
+      |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal * 2
+      |         WHEN c_custkey % 10 = 1 THEN c_acctbal + 1
+      |         ELSE c_acctbal END AS s_bal,
+      |    (c_custkey % 10 = 7) AS s_del
+      |  FROM customer
+      |  WHERE c_custkey % 10 IN (1, 3, 7))
+      |SELECT coalesce(t.c_custkey, c.s_key) AS custkey,
+      |  coalesce(c.s_name, t.c_name) AS name,
+      |  coalesce(c.s_bal, t.c_acctbal) AS acctbal
+      |FROM customer t FULL OUTER JOIN chg c ON t.c_custkey = c.s_key
+      |WHERE NOT coalesce(c.s_del, false)""".stripMargin
+
   /** ksqlDB `EARLIEST_BY_OFFSET` + `LATEST_BY_OFFSET` side by side:
     * first/last value per key in offset order — both are single-pass
     * declarative aggregates (`min_by`/`max_by`) with map-side
@@ -456,6 +579,8 @@ object BatchSqlQueries3 {
     "q_scd2_history" -> scd2History _,
     "q_scd2_asof" -> scd2AsOf _,
     "q_gaps_islands" -> gapsIslands _,
+    "q_dq_checks" -> dqChecks _,
+    "q_merge_upsert" -> mergeUpsert _,
     "q_union_all" -> unionAll _,
     "q_cross_join" -> crossJoinSmall _,
     "q_null_handling" -> nullHandling _,
@@ -474,6 +599,8 @@ object BatchSqlQueries3 {
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_asof" -> scd2AsOfSql,
     "q_gaps_islands" -> gapsIslandsSql,
+    "q_dq_checks" -> dqChecksSql,
+    "q_merge_upsert" -> mergeUpsertSql,
     "q_union_all" -> unionAllSql,
     "q_cross_join" -> crossJoinSql,
     "q_null_handling" -> nullHandlingSql,
