@@ -358,6 +358,67 @@ object CurationQueries {
        |       - greatest(start_offset, sid * $ShardTokens) AS BIGINT) AS tokens_in_shard
        |FROM x""".stripMargin
 
+  /** END-TO-END PIPELINE FUNNEL — the per-source attrition table a
+    * data lead reads after a curation run: documents in → surviving
+    * exact dedup (min-id canonical per content hash) → surviving
+    * decontamination (eval holdout removed; contaminated ≥70% overlap
+    * dropped, [[decontamOverlap]]'s gate verbatim) → surviving the
+    * quality classifier, plus the token mass that finally ships. Every
+    * gate REUSES the operator it audits — the funnel cannot drift from
+    * the pipeline. Shuffle profile: one window over the content hash,
+    * two doc_id equi-joins, one ≤|sources| cross-tab. */
+  def pipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("__h"))
+      .withColumn("__k1",
+        (col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("__h"))))
+          .cast(LongType))
+    val ov = decontamOverlap(s, d)
+      .select(col("doc_id"), col("keep_doc").as("__k2"))
+    val cls = TextQueries.classifierScore(s, d)
+      .select(col("doc_id"), col("keep_doc").as("__k3"), col("n_tokens"))
+    val surviving = col("__k1") === 1 && col("doc_id") % 20 =!= 0 &&
+      coalesce(col("__k2"), lit(0L)) === 1
+    k1.join(ov, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(LongType).as("docs_in"),
+        sum(col("__k1")).cast(LongType).as("after_dedup"),
+        sum(when(surviving, 1L).otherwise(0L)).cast(LongType)
+          .as("after_decontam"),
+        sum(when(surviving && col("__k3") === 1, 1L).otherwise(0L))
+          .cast(LongType).as("kept_docs"),
+        sum(when(surviving && col("__k3") === 1, col("n_tokens"))
+          .otherwise(0L)).cast(LongType).as("kept_tokens"))
+  }
+
+  lazy val pipelineFunnelSql: String =
+    s"""WITH k1 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+       |         THEN 1 ELSE 0 END AS k1
+       |  FROM documents),
+       |ov AS ($decontamOverlapSql),
+       |cls AS (${TextQueries.classifierScoreSql})
+       |SELECT k1.source,
+       |  CAST(COUNT(*) AS BIGINT) AS docs_in,
+       |  CAST(SUM(k1.k1) AS BIGINT) AS after_dedup,
+       |  CAST(SUM(CASE WHEN k1.k1 = 1 AND k1.doc_id % 20 <> 0
+       |      AND coalesce(ov.keep_doc, 0) = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS after_decontam,
+       |  CAST(SUM(CASE WHEN k1.k1 = 1 AND k1.doc_id % 20 <> 0
+       |      AND coalesce(ov.keep_doc, 0) = 1 AND cls.keep_doc = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(CASE WHEN k1.k1 = 1 AND k1.doc_id % 20 <> 0
+       |      AND coalesce(ov.keep_doc, 0) = 1 AND cls.keep_doc = 1
+       |      THEN cls.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM k1
+       |LEFT JOIN ov ON k1.doc_id = ov.doc_id
+       |JOIN cls ON k1.doc_id = cls.doc_id
+       |GROUP BY k1.source""".stripMargin
+
   /** Z-ORDER layout keys — the lakehouse multi-dimensional clustering
     * trick (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of
     * two per-document dimensions into a Morton code so that sorting by
@@ -1040,6 +1101,7 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminate _,
     "curate_decontam_overlap" -> decontamOverlap _,
     "curate_zorder_layout" -> zorderLayout _,
+    "curate_pipeline_funnel" -> pipelineFunnel _,
     "curate_decontam_bloom" -> decontamBloom _,
     "curate_pack_shards" -> packShards _,
     "curate_mix_sources" -> mixSources _,
@@ -1063,6 +1125,7 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminateSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_zorder_layout" -> zorderLayoutSql,
+    "curate_pipeline_funnel" -> pipelineFunnelSql,
     "curate_decontam_bloom" -> decontaminateSql,
     "curate_pack_shards" -> packShardsSql,
     "curate_mix_sources" -> mixSourcesSql,
