@@ -477,6 +477,20 @@ object TextQueries {
       |FROM c JOIN t ON c.doc_id = t.doc_id
       |GROUP BY c.doc_id""".stripMargin
 
+  /** [[charEntropy]]'s NATIVE form — the same integers from ONE
+    * narrow pass ([[graft.functions.CharEntropy]]): the composed
+    * dataflow pays two corpus shuffles (char counts, per-doc totals)
+    * for what is a per-row fold; this pays none. Shares
+    * [[charEntropySql]] verbatim — the oracle can't tell them apart,
+    * which is the point (EntropyParitySpec pins row-level equality
+    * between the two spellings too). */
+  def charEntropyNative(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.CharEntropy(s, col("text")).as("__e"))
+      .select(col("doc_id"), col("__e.n_chars").as("n_chars"),
+        col("__e.entropy_micro_nats").as("entropy_micro_nats"))
+
   /** Corpus COMPOSITION REPORT — the go/no-go table a data lead reads
     * before a training run: classifier verdict × language cross-tab
     * with document and token mass. Reuses [[classifierProjection]]
@@ -1036,6 +1050,7 @@ object TextQueries {
     "text_classifier_score" -> classifierScore _,
     "text_bpe_fertility" -> bpeFertility _,
     "text_char_entropy" -> charEntropy _,
+    "text_char_entropy_native" -> charEntropyNative _,
     "text_vocab_coverage" -> vocabCoverage _,
     "text_composition_report" -> compositionReport _,
     "text_token_count" -> tokenCount _,
@@ -1062,6 +1077,7 @@ object TextQueries {
     "text_classifier_score" -> classifierScoreSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_char_entropy" -> charEntropySql,
+    "text_char_entropy_native" -> charEntropySql,
     "text_vocab_coverage" -> vocabCoverageSql,
     "text_composition_report" -> compositionReportSql,
     "text_token_count" -> tokenCountSql,

@@ -409,6 +409,13 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native char-entropy is a zero-exchange narrow scan (the composed form shuffles twice)") {
+    val p = planOf("text_char_entropy_native")
+    assert(!p.contains("Exchange"), p.take(2000))
+    val composed = planOf("text_char_entropy")
+    assert(composed.contains("Exchange"), composed.take(2000))
+  }
+
   test("binned range join: equi-join on the bin, never a nested-loop over intervals") {
     val p = planOf("q_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
