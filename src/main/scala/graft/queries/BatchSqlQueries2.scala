@@ -306,6 +306,42 @@ object BatchSqlQueries2 {
       |  ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
       |GROUP BY c.c_custkey""".stripMargin
 
+  /** Sketch MERGEABILITY — the property that makes sketches work on a
+    * cluster: per-source Datasketches HLL partials
+    * (`hll_sketch_agg`), unioned (`hll_union_agg`), must estimate the
+    * cardinality one sketch built over everything estimates — that
+    * agreement is what lets 1000 executors sketch independently and a
+    * coordinator merge. Exact estimate EQUALITY holds only in sparse
+    * mode (it did at sf≤0.01 but not at sf0.1, where the union takes
+    * the dense path), so the contract pinned here is the honest one:
+    * merged within 1% of direct, and both within 5% of exact. The
+    * query emits the verdicts plus the exact distinct count (the
+    * oracle-checkable anchors); estimates stay in-engine because
+    * DuckDB's HLL is a different sketch family. */
+  def sketchMergeable(s: SparkSession, d: String): DataFrame = {
+    val events = Tables.events(s, d)
+    val perSource = events.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+    val direct = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+        .as("direct"),
+        countDistinct(col("user_id")).cast(LongType).as("n_exact"))
+    perSource.crossJoin(direct)
+      .select(col("n_exact"),
+        when(abs(col("merged") - col("direct")) * 100 <= col("direct"),
+          1L).otherwise(0L).as("merged_near_direct"),
+        // estimate sanity: within 5% of exact (k=12 default HLL)
+        when(abs(col("merged") - col("n_exact")) * 20 <= col("n_exact"),
+          1L).otherwise(0L).as("merged_within_5pct"))
+  }
+
+  val sketchMergeableSql: String =
+    """SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  CAST(1 AS BIGINT) AS merged_near_direct,
+      |  CAST(1 AS BIGINT) AS merged_within_5pct
+      |FROM events""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -438,6 +474,7 @@ object BatchSqlQueries2 {
     "q_asof_forward" -> asofForward _,
     "q_asof_nearest" -> asofNearest _,
     "q_range_join_binned" -> rangeJoinBinned _,
+    "q_sketch_mergeable" -> sketchMergeable _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -457,6 +494,7 @@ object BatchSqlQueries2 {
     "q_asof_forward" -> asofForwardSql,
     "q_asof_nearest" -> asofNearestSql,
     "q_range_join_binned" -> rangeJoinBinnedSql,
+    "q_sketch_mergeable" -> sketchMergeableSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,
