@@ -1135,6 +1135,15 @@ object ConnectorDdl {
       seg = """(?i)\bINSTR\s*\(""".r.replaceAllIn(seg, "ksql_instr(")
       // ksql ROUND(v) yields BIGINT; Spark's keeps the input type
       seg = """(?i)\bROUND\s*\(""".r.replaceAllIn(seg, "ksql_round(")
+      // ksql TRUNC is the NUMERIC toward-zero truncation; Spark's
+      // trunc is the date one (date_trunc is underscore-prefixed and
+      // unaffected by the \b boundary)
+      seg = """(?i)\bTRUNC\s*\(""".r.replaceAllIn(seg, "ksql_trunc(")
+      // ksql REGEXP_EXTRACT_ALL is (pattern, input[, group]) — the
+      // `(` must follow the bare name, so this never collides with
+      // the plain REGEXP_EXTRACT rewrite below
+      seg = """(?i)\bREGEXP_EXTRACT_ALL\s*\(""".r
+        .replaceAllIn(seg, "ksql_regexp_extract_all(")
       // time functions whose Spark namesake differs: ksql
       // FROM_UNIXTIME/UNIX_TIMESTAMP are MILLISECOND-based (Spark's
       // are seconds, and FROM_UNIXTIME returns a formatted string);

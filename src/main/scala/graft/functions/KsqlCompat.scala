@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
+  LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -188,8 +189,15 @@ object KsqlCompat {
     },
     "entries" -> { exprs =>
       arity("entries", "entries(map[, sorted])", exprs, 1, 2)
-      val e = fn("map_entries", exprs.head)
-      // sorted=true → sorted by key (struct sort = field order)
+      // ksql names the entry-struct fields K and V (ksqlDB's Entries
+      // UDF), so `e->K` in ported statements resolves; sorted=true →
+      // sorted by key (struct sort = field order, K first)
+      val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
+      def part(p: String) = UnresolvedNamedLambdaVariable(Seq("__graft_en", p))
+      val e = fn("transform", fn("map_entries", exprs.head),
+        LambdaFunction(
+          fn("named_struct", lit("K"), part("key"), lit("V"), part("value")),
+          Seq(en)))
       exprs.lift(1).fold(e)(sorted => fn("if", sorted, fn("sort_array", e), e))
     },
     "generate_series" -> { exprs =>

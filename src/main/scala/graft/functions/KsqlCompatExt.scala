@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ArrayFilter,
   ArrayTransform, Cast, Expression, LambdaFunction, Literal, MapFilter,
   TimestampAdd, TransformKeys, TransformValues,
   UnresolvedNamedLambdaVariable}
-import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, DoubleType, StringType,
+  TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Second ksqlDB 0.28 compat pack: the INVOCATION (lambda) functions
@@ -245,6 +246,83 @@ object KsqlCompatExt {
     "as_map" -> { exprs =>
       arity("as_map", "as_map(keys, values)", exprs, 2, 2)
       fn("map_from_arrays", exprs(0), exprs(1))
+    },
+
+    // ---- bytes codecs / string-map / regex-all / date formatting ----
+    // ksql's BYTES string API: TO_BYTES parses a string representation
+    // into bytes, FROM_BYTES renders bytes back (lowercase hex, per
+    // ksqlDB's BytesUtils — the same convention ksql_encode follows).
+    "to_bytes" -> { exprs =>
+      arity("to_bytes", "to_bytes(str, encoding)", exprs, 2, 2)
+      decodeTo("to_bytes", exprs(0), literalString("to_bytes", exprs(1)))
+    },
+    "from_bytes" -> { exprs =>
+      arity("from_bytes", "from_bytes(bytes, encoding)", exprs, 2, 2)
+      encodeFrom("from_bytes", exprs(0), literalString("from_bytes", exprs(1)))
+    },
+    "split_to_map" -> { exprs =>
+      arity("split_to_map", "split_to_map(str, entryDelim, kvDelim)",
+        exprs, 3, 3)
+      // ksql: LITERAL delimiters (same regex-escape as ksql_split);
+      // entries without the kv delimiter are dropped; a key present
+      // multiple times keeps its LATEST value. Spark's str_to_map is
+      // regex-delimited and throws on duplicate keys (ANSI
+      // mapKeyDedupPolicy), so the merge is spelled from primitives:
+      // reverse the entry list, then keep only each key's FIRST
+      // (= originally last) entry before map_from_entries.
+      val (s, ed, kd) = (exprs(0), exprs(1), exprs(2))
+      val escaped =
+        fn("regexp_replace", ed, lit("([^A-Za-z0-9])"), lit("\\\\$1"))
+      def keyOf(e: Expression): Expression =
+        fn("substring", e, lit(1), fn("-", fn("locate", kd, e), lit(1)))
+      def valOf(e: Expression): Expression =
+        fn("substring", e, fn("+", fn("locate", kd, e), fn("length", kd)))
+      val x = lv("__graft_x")
+      val withKv = ArrayFilter(fn("split", s, escaped, lit(-1)),
+        LambdaFunction(fn(">", fn("locate", kd, x), lit(0)), Seq(x)))
+      val rev = fn("reverse", withKv)
+      val k = lv("__graft_k")
+      val keys = ArrayTransform(rev, LambdaFunction(keyOf(k), Seq(k)))
+      val e2 = lv("__graft_e")
+      val i2 = lv("__graft_i")
+      val firstOcc = ArrayFilter(rev, LambdaFunction(
+        fn("=", fn("array_position", keys, keyOf(e2)), fn("+", i2, lit(1))),
+        Seq(e2, i2)))
+      val q = lv("__graft_q")
+      fn("map_from_entries", ArrayTransform(firstOcc,
+        LambdaFunction(fn("struct", keyOf(q), valOf(q)), Seq(q))))
+    },
+    "ksql_regexp_extract_all" -> { exprs =>
+      // ksql argument order is (pattern, input[, group]) with group
+      // defaulting to 0 — Spark's namesake is (input, pattern[, idx])
+      // defaulting idx to 1, hence the prefix + dialect rewrite.
+      arity("ksql_regexp_extract_all",
+        "ksql_regexp_extract_all(pattern, str[, group])", exprs, 2, 3)
+      fn("regexp_extract_all", exprs(1), exprs(0),
+        exprs.lift(2).getOrElse(lit(0)))
+    },
+    "format_date" -> { exprs =>
+      arity("format_date", "format_date(date, format)", exprs, 2, 2)
+      fn("date_format", exprs(0), exprs(1))
+    },
+    "parse_date" -> { exprs =>
+      arity("parse_date", "parse_date(str, format)", exprs, 2, 2)
+      fn("to_date", exprs(0), exprs(1))
+    },
+    "ksql_trunc" -> { exprs =>
+      // ksql numeric TRUNC (toward zero): 1-arg form yields BIGINT
+      // (like ROUND); 2-arg form truncates to decimalPlaces and stays
+      // DOUBLE. Spark's only trunc is the date one — the dialect
+      // rewrite routes bare TRUNC( here.
+      arity("trunc", "trunc(value[, decimalPlaces])", exprs, 1, 2)
+      val v = exprs.head
+      def toZero(scaled: Expression): Expression =
+        fn("if", fn(">=", v, lit(0)), fn("floor", scaled), fn("ceil", scaled))
+      if (exprs.length == 1) toZero(v)
+      else {
+        val p = fn("power", lit(10.0), exprs(1))
+        fn("/", Cast(toZero(fn("*", v, p)), DoubleType), p)
+      }
     },
 
     "ksql_slice" -> { exprs =>

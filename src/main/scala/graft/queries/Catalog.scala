@@ -11,7 +11,8 @@ object Catalog {
       BatchSqlQueries3.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
       TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
-      TableJoinQueries.defs ++ KsqlFunctionQueries.defs
+      TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
+      KsqlFunctionQueries2.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -20,5 +21,6 @@ object Catalog {
       TextQueries.oracles ++ MultimodalQueries.oracles ++
       StreamingQueries.oracles ++ SourceQueries.oracles ++
       CleaningQueries.oracles ++ CurationQueries.oracles ++
-      TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles
+      TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
+      KsqlFunctionQueries2.oracles
 }

@@ -85,13 +85,67 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("array_length, entries(sorted), generate_series, field") {
     assert(one("SELECT array_length(array(1, 2, 3))").getInt(0) == 3)
     assert(one("SELECT array_length(cast(null as array<int>))").isNullAt(0))
-    val ent = one(
-      "SELECT entries(map('b', 2, 'a', 1), true)").getSeq[Row](0)
+    val entDf = spark.sql("SELECT entries(map('b', 2, 'a', 1), true) AS e")
+    val ent = entDf.collect().head.getSeq[Row](0)
     assert(ent.map(r => (r.getString(0), r.getInt(1))) == Seq("a" -> 1, "b" -> 2))
+    // ksql names the entry-struct fields K and V (so e->K resolves)
+    assert(ent.head.schema.fieldNames.toSeq == Seq("K", "V"))
     assert(one("SELECT generate_series(2, 8, 3)").getSeq[Int](0) == Seq(2, 5, 8))
     assert(one("SELECT field('de', 'en', 'de', 'fr')").getInt(0) == 2)
     assert(one("SELECT field('xx', 'en', 'de')").getInt(0) == 0)
     assert(one("SELECT field(cast(null as string), 'en')").getInt(0) == 0)
+  }
+
+  test("to_bytes / from_bytes: hex (lowercase), base64, utf8, ascii") {
+    assert(one("SELECT from_bytes(to_bytes('Hi!', 'utf8'), 'hex')")
+      .getString(0) == "486921")
+    assert(one("SELECT from_bytes(to_bytes('486921', 'hex'), 'utf8')")
+      .getString(0) == "Hi!")
+    assert(one("SELECT from_bytes(to_bytes('Hi!', 'utf8'), 'base64')")
+      .getString(0) == "SGkh")
+    assert(one("SELECT from_bytes(to_bytes('SGkh', 'base64'), 'ascii')")
+      .getString(0) == "Hi!")
+    // unsupported encoding is rejected at build time, ksql-style
+    assertThrows[Exception](one("SELECT to_bytes('x', 'utf16')"))
+  }
+
+  test("split_to_map: literal delimiters, last duplicate key wins") {
+    val m = one("SELECT split_to_map('a:=1/b:=2/a:=3', '/', ':=')")
+      .getMap[String, String](0)
+    assert(m == Map("a" -> "3", "b" -> "2"))
+    // entries without the kv delimiter are dropped
+    assert(one("SELECT split_to_map('a:1/junk/b:2', '/', ':')")
+      .getMap[String, String](0) == Map("a" -> "1", "b" -> "2"))
+    // delimiters are literal (no regex): '.' splits on the dot itself
+    assert(one("SELECT split_to_map('a.x|b.y', '|', '.')")
+      .getMap[String, String](0) == Map("a" -> "x", "b" -> "y"))
+    assert(one("SELECT split_to_map(cast(null as string), '/', ':')")
+      .isNullAt(0))
+  }
+
+  test("ksql_regexp_extract_all: pattern-first, group defaults to 0") {
+    assert(one("SELECT ksql_regexp_extract_all('\\\\d+', 'a1b22c333')")
+      .getSeq[String](0) == Seq("1", "22", "333"))
+    assert(one(
+      "SELECT ksql_regexp_extract_all('([a-z])(\\\\d)', 'a1 b2', 2)")
+      .getSeq[String](0) == Seq("1", "2"))
+  }
+
+  test("ksql_trunc: toward zero; 1-arg is BIGINT, 2-arg keeps decimals") {
+    assert(one("SELECT ksql_trunc(3.9d)").getLong(0) == 3L)
+    assert(one("SELECT ksql_trunc(-3.9d)").getLong(0) == -3L) // vs floor -4
+    assert(one("SELECT ksql_trunc(1.239d, 2)").getDouble(0) == 1.23)
+    assert(one("SELECT ksql_trunc(-1.239d, 2)").getDouble(0) == -1.23)
+    // the dialect rewrite routes bare TRUNC( here (Spark's trunc is
+    // the date one), and ROUND stays BIGINT-returning alongside it
+    assert(oneKsql("SELECT TRUNC(CAST(-2.7 AS DOUBLE)) AS t, " +
+      "ROUND(CAST(-2.7 AS DOUBLE)) AS r FROM (VALUES (1))")
+      .toSeq == Seq(-2L, -3L))
+  }
+
+  test("format_date / parse_date round-trip") {
+    assert(one("SELECT format_date(parse_date('11/03/2024', 'dd/MM/yyyy'), " +
+      "'yyyy-MM-dd')").getString(0) == "2024-03-11")
   }
 
   test("array_concat / regexp_split_to_array / map_union") {
