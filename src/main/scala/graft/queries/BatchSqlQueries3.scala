@@ -567,7 +567,47 @@ object BatchSqlQueries3 {
       |FROM t WHERE next_type IS NOT NULL
       |GROUP BY event_type, next_type""".stripMargin
 
+  /** OHLC candlestick bars — the canonical Kafka-ETL time-series
+    * rollup (the reference's events topic is exactly this shape:
+    * reference README.md stream of (event_id, ts, value)): per
+    * (event_type, 1 h tumbling window), open/close are the values of
+    * the FIRST/LAST event in OFFSET order (`min_by`/`max_by` on the
+    * monotone event_id — ksql's EARLIEST_BY_OFFSET/LATEST_BY_OFFSET
+    * picked per window), high/low the extremes, volume an
+    * order-independent exact-grid sum. One shuffle on the grouping
+    * keys with full map-side partial aggregation — min_by/max_by
+    * partials are a single (value, ord) pair per key, so the shuffle
+    * carries O(groups), not O(rows), at any scale. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open_px"),
+        max(col("value")).as("high_px"),
+        min(col("value")).as("low_px"),
+        max_by(col("value"), col("event_id")).as("close_px"),
+        count(lit(1)).as("n_trades"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0)
+          .as("volume"))
+      .select(
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("open_px"), col("high_px"), col("low_px"),
+        col("close_px"), col("n_trades"), col("volume"))
+
+  val ohlcBarsSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+      |    AS window_start,
+      |  event_type,
+      |  arg_min("value", event_id) AS open_px,
+      |  max("value") AS high_px,
+      |  min("value") AS low_px,
+      |  arg_max("value", event_id) AS close_px,
+      |  COUNT(*) AS n_trades,
+      |  SUM(CAST(floor("value"*1000000) AS BIGINT))/1000000.0 AS volume
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ohlc_bars" -> ohlcBars _,
     "q_cohort_retention" -> cohortRetention _,
     "q_event_transitions" -> eventTransitions _,
     "q_sessionize" -> sessionize _,
@@ -588,6 +628,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_ohlc_bars" -> ohlcBarsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_event_transitions" -> eventTransitionsSql,
     "q_sessionize" -> sessionizeSql,

@@ -103,6 +103,31 @@ object StreamingQueries {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Streaming OHLC candlestick bars — twin of q_ohlc_bars (same
+    * oracle): per (event_type, 1 h tumbling window), open/close via
+    * `min_by`/`max_by` on the monotone event_id (offset order — the
+    * windowed EARLIEST/LATEST_BY_OFFSET), high/low/volume alongside,
+    * complete mode. The min_by/max_by state per window-key is one
+    * (value, ord) pair — bounded regardless of event volume. */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open_px"),
+        max(col("value")).as("high_px"),
+        min(col("value")).as("low_px"),
+        max_by(col("value"), col("event_id")).as("close_px"),
+        count(lit(1)).as("n_trades"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0)
+          .as("volume"))
+    runToTable(agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("open_px"), col("high_px"), col("low_px"),
+        col("close_px"), col("n_trades"), col("volume"))
+  }
+
   /** Hopping windows (1 h / 15 min) — streaming twin of q_hopping_agg,
     * same oracle: each event expands to 4 overlapping windows before
     * the stateful agg (ksqlDB `WINDOW HOPPING (SIZE 1 HOUR, ADVANCE BY
@@ -1126,6 +1151,7 @@ object StreamingQueries {
     "stream_sessionize" -> streamSessionize _,
     "stream_corpus_build" -> streamCorpusBuild _,
     "stream_tumbling_agg" -> tumblingAgg _,
+    "stream_ohlc_bars" -> ohlcBars _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
@@ -1151,6 +1177,7 @@ object StreamingQueries {
     "stream_sessionize" -> streamSessionizeSql,
     "stream_corpus_build" -> CurationQueries.corpusBuildSql,
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
+    "stream_ohlc_bars" -> BatchSqlQueries3.ohlcBarsSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
