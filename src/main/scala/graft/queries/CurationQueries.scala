@@ -1084,7 +1084,37 @@ object CurationQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Dense, contiguous, deterministic global row IDs (0..N−1) in a
+    * total order — the shard/example-ID assignment every training-data
+    * export needs — WITHOUT the single-partition collapse a bare
+    * `row_number() OVER (ORDER BY …)` costs (one task sees 100 TB).
+    * The scale shape: range-repartition on the order key + per-
+    * partition sort (what a distributed sort does anyway), then
+    * `zipWithIndex` — which runs a per-partition COUNT job (P counter
+    * rows to the driver), prefix-sums the offsets, and stamps
+    * offset+local-index per partition with zero extra shuffles. The
+    * order key (n_chars DESC, doc_id) is total, so the assignment is
+    * unique and both engines agree exactly. RDD use here is the
+    * genuine per-partition imperative case: a running counter folded
+    * over each partition's iterator. */
+  def stableIds(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(32, col("n_chars").desc, col("doc_id"))
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id"))
+    sorted.as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((docId, nChars), idx) => (docId, nChars, idx) }
+      .toDF("doc_id", "n_chars", "stable_id")
+  }
+
+  val stableIdsSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1
+      |    AS BIGINT) AS stable_id
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_stable_ids" -> stableIds _,
     "curate_dataset_split" -> datasetSplit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
@@ -1109,6 +1139,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_stable_ids" -> stableIdsSql,
     "curate_dataset_split" -> datasetSplitSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,

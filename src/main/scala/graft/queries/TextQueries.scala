@@ -215,6 +215,45 @@ object TextQueries {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Heavy hitters through a COUNT-MIN SKETCH, with the sketch's
+    * error contract verified in-query. The scale design is the point:
+    * at 100 TB the sketch is the only O(1)-state way to ask "how
+    * often does X occur" without keying a shuffle on an unbounded
+    * term domain — each partition folds its tokens into a fixed
+    * w×d counter grid, partials merge by cell-wise addition (order-
+    * independent, so the result is deterministic under the fixed
+    * seed regardless of partitioning), and the driver receives one
+    * ~KB-sized object however big the corpus is. The exact top-20
+    * pass exists to VERIFY the sketch: for every heavy term the
+    * estimate must sit in [n, n + eps·N] (the classic CM guarantee;
+    * eps=1e-4, depth from confidence=0.999, N = total token count).
+    * The driver-side probe loop touches exactly 20 rows — the top-k
+    * report, small by construction. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d).select(explode(toks).as("term"))
+    val top = Tables.documents(s, d)
+      .select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+    val total = words.count()
+    val cms = words.stat.countMinSketch("term",
+      eps = 0.0001, confidence = 0.999, seed = 42)
+    val slack = math.ceil(0.0001 * total).toLong
+    val rows = top.collect().toSeq.map { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(t)
+      (t, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
+    }
+    import s.implicits._
+    rows.toDF("term", "n", "ok_lower", "ok_upper")
+  }
+
+  val heavyHittersSql: String =
+    """SELECT t AS term, COUNT(*) AS n,
+      |  CAST(1 AS BIGINT) AS ok_lower, CAST(1 AS BIGINT) AS ok_upper
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
+      |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
+
   /** One counting iteration of distributed BPE vocabulary training:
     * corpus-wide adjacent character-pair frequencies, weighted by word
     * frequency. The scale move is the word-frequency pre-aggregation:
@@ -1044,6 +1083,7 @@ object TextQueries {
     "text_repetition" -> repetition _,
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
+    "text_heavy_hitters" -> heavyHitters _,
     "text_bpe_pairs" -> bpePairs _,
     "text_bpe_train" -> bpeTrain _,
     "text_bpe_encode" -> bpeEncode _,
@@ -1071,6 +1111,7 @@ object TextQueries {
     "text_repetition" -> repetitionSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
+    "text_heavy_hitters" -> heavyHittersSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_encode" -> bpeEncodeSql,
