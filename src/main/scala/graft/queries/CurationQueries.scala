@@ -1113,8 +1113,52 @@ object CurationQueries {
       |    AS BIGINT) AS stable_id
       |FROM documents""".stripMargin
 
+  /** Weighted sampling without replacement — Efraimidis–Spirakis
+    * (A-ES) priority sampling: each row draws a deterministic
+    * pseudo-uniform u from [[Md5Key]] and competes on key u^(1/w)
+    * (spelled as the monotone-equivalent ln(u)/w, numerically better
+    * near u→1); the top-k keys per source ARE a weighted-without-
+    * replacement sample. This is THE distributed weighted-reservoir:
+    * the priority is a pure per-row function — no coordination, no
+    * global state, any partitioning — and the selection is one
+    * per-group top-k (rank window over the source-keyed shuffle).
+    * Weight here is n_chars (longer docs proportionally likelier),
+    * the usual token-mass-weighted curation draw. Determinism
+    * cross-engine: md5 gives bit-equal u; the ln/division ulp noise
+    * (≤1e-16 relative) is orders below the ~1e-8 priority gaps a
+    * few-thousand-row stratum produces, so both engines elect the
+    * same k. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val M = 1L << 20
+    val u = (Md5Key.column(col("doc_id").cast(StringType)) % M + 1)
+      .cast(DoubleType) / (M + 1).toDouble
+    val pri = log(u) / col("n_chars").cast(DoubleType)
+    val ranked = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"), pri.as("pri"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("pri").desc, col("doc_id"))))
+      .filter(col("rk") <= 10)
+    ranked.select(col("source"), col("doc_id"), col("n_chars"),
+      col("rk").cast(LongType).as("rk"))
+  }
+
+  val weightedSampleSql: String = {
+    val u = s"((${Md5Key.sql("CAST(doc_id AS VARCHAR)")} % 1048576 + 1)" +
+      " / 1048577.0)"
+    s"""WITH p AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ln($u) / n_chars AS pri
+       |  FROM documents)
+       |SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY source ORDER BY pri DESC, doc_id) AS rn FROM p)
+       |WHERE rn <= 10""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_stable_ids" -> stableIds _,
+    "curate_weighted_sample" -> weightedSample _,
     "curate_dataset_split" -> datasetSplit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
@@ -1140,6 +1184,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "curate_stable_ids" -> stableIdsSql,
+    "curate_weighted_sample" -> weightedSampleSql,
     "curate_dataset_split" -> datasetSplitSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,

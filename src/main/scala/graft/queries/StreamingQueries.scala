@@ -356,6 +356,41 @@ object StreamingQueries {
     runToTable(pairs, "complete")
   }
 
+  /** Streaming heavy hitters — the CONTINUOUS-monitoring form of
+    * [[TextQueries.heavyHitters]] (same oracle): the token stream
+    * folds into Spark's builtin `count_min_sketch` aggregate as
+    * streaming state, so the "how often does X occur" monitor carries
+    * a FIXED w×d counter grid across micro-batches however long the
+    * stream runs — cell-wise merge is order-independent, so under the
+    * same seed the stream's sketch is bit-identical to the batch
+    * one-shot and the classic [n, n + eps·N] contract is verified
+    * against exact streaming counts the same way. Two complete-mode
+    * queries (exact per-term counts; the one-row sketch), then the
+    * 20-row driver-side probe. */
+  def streamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    def terms = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+      .select(explode(graft.functions.TextShingles.tokens(col("text")))
+        .as("term"))
+    val counts = runToTable(
+      terms.groupBy(col("term")).agg(count(lit(1)).as("n")), "complete")
+    val skBytes = runToTable(
+      terms.agg(expr("count_min_sketch(term, 0.0001d, 0.999d, 42)")
+        .as("sk")), "complete")
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+    val total = counts.agg(sum(col("n"))).collect().head.getLong(0)
+    val slack = math.ceil(0.0001 * total).toLong
+    import s.implicits._
+    counts.orderBy(col("n").desc, col("term")).limit(20).collect().toSeq
+      .map { r =>
+        val (t, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(t)
+        (t, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
+      }
+      .toDF("term", "n", "ok_lower", "ok_upper")
+  }
+
   /** Streaming OOV MONITOR — the frozen-tokenizer drift alarm: the
     * top-K vocabulary is computed ONCE from the reference corpus
     * (batch, exactly [[TextQueries.vocabCoverage]]'s cut) and
@@ -1158,6 +1193,7 @@ object StreamingQueries {
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
+    "stream_heavy_hitters" -> streamHeavyHitters _,
     "stream_scd2" -> streamScd2 _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
@@ -1184,6 +1220,7 @@ object StreamingQueries {
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
+    "stream_heavy_hitters" -> TextQueries.heavyHittersSql,
     "stream_scd2" -> BatchSqlQueries3.scd2HistorySql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,

@@ -24,7 +24,8 @@ class CatalogSpec extends AnyFunSuite {
       BatchSqlQueries2.defs, BatchSqlQueries3.defs, DedupQueries.defs,
       SimilarityQueries.defs, TextQueries.defs, MultimodalQueries.defs,
       StreamingQueries.defs, SourceQueries.defs, CleaningQueries.defs,
-      CurationQueries.defs, TableJoinQueries.defs, KsqlFunctionQueries.defs)
+      CurationQueries.defs, TableJoinQueries.defs, KsqlFunctionQueries.defs,
+      KsqlFunctionQueries2.defs)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
