@@ -105,6 +105,59 @@ object SourceQueries {
       |       END AS n_len
       |FROM nation""".stripMargin
 
+  /** DYNAMIC PARTITION PRUNING — the 100 TB scan-killer for star
+    * joins: the fact table is partitioned on the join key, the
+    * dimension's selective filter runs FIRST (broadcast), and the
+    * optimizer injects the surviving key set into the fact scan's
+    * PartitionFilters at RUNTIME — unmatched partitions are never
+    * read, no static predicate required. Here orders lands
+    * partitioned by order year, a derived year-dimension keeps only
+    * high-volume years, and the join key is the partition column; the
+    * plan carries `dynamicpruning` on the fact scan (pinned in
+    * PlanPropertiesSpec via [[dppPlan]]) reusing the dimension's
+    * broadcast. The dimension's filter is on an AGGREGATE (order
+    * count), deliberately NOT a function of the key — a deterministic
+    * key predicate would propagate through the join constraint and
+    * prune STATICALLY, which is the easy case; runtime pruning is the
+    * one that matters when the surviving key set is only known from
+    * data. The oracle spells the semantics as a HAVING subquery. */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    val (fact, dim) = dppPlan(s, d)
+    fact.join(broadcast(dim), col("o_year") === col("y"))
+      .groupBy(col("o_year").cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100).cast("long")) / 100.0)
+          .as("revenue"))
+  }
+
+  /** The (partitioned fact scan, filtered year dim) pair of
+    * [[dppPrune]] — exposed so the plan spec can pin the
+    * `dynamicpruning` partition filter on the exact same dataflow. */
+  private[graft] def dppPlan(s: SparkSession,
+                             d: String): (DataFrame, DataFrame) = {
+    val out = tmp("graft-dpp-")
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val fact = s.read.parquet(out)
+    val dim = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 100)
+      .select(col("y"))
+    (fact, dim)
+  }
+
+  val dppPruneSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  COUNT(*) AS n,
+      |  SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      |FROM orders
+      |WHERE year(o_orderdate) IN (
+      |  SELECT year(o_orderdate) FROM orders
+      |  GROUP BY 1 HAVING COUNT(*) > 100)
+      |GROUP BY 1""".stripMargin
+
   /** DYNAMIC PARTITION OVERWRITE — the idempotent-backfill primitive:
     * rewriting ONE partition must leave every other partition's files
     * untouched (static overwrite mode would drop the whole table).
@@ -190,6 +243,7 @@ object SourceQueries {
     "src_partitioned_parquet" -> partitionedParquet _,
     "src_schema_evolution" -> schemaEvolution _,
     "src_dynamic_overwrite" -> dynamicOverwrite _,
+    "src_dpp_prune" -> dppPrune _,
     "src_bucketed_join" -> bucketedJoin _)
 
   def oracles: Map[String, String] = Map(
@@ -199,5 +253,6 @@ object SourceQueries {
     "src_partitioned_parquet" -> partitionedParquetSql,
     "src_schema_evolution" -> schemaEvolutionSql,
     "src_dynamic_overwrite" -> dynamicOverwriteSql,
+    "src_dpp_prune" -> dppPruneSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }

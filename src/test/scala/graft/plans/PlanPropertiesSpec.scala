@@ -43,6 +43,17 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       readSchema)
   }
 
+  test("dpp: the fact scan carries a runtime dynamicpruning partition filter") {
+    val p = planOf("src_dpp_prune")
+    // the pruning subquery is injected into the PARTITION filters of
+    // the fact scan (so unmatched year directories are never read),
+    // not as a post-scan row filter
+    val partFilters = p.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(partFilters.contains("dynamicpruning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("the enrichment join broadcasts the dimension, never shuffles the fact (J1)") {
     val p = planOf("j1_enrich_left_join")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -204,6 +204,35 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got=${got.size} pairs, batch=${batch.size}")
   }
 
+  test("stream_ohlc_bars matches the batch bars under RocksDB state") {
+    // min_by/max_by windowed state — one (value, ord) pair per
+    // window-key in RocksDB; final bars must equal the batch rollup
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val stream = graft.queries.StreamingQueries.ohlcBars(spark, d)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.BatchSqlQueries3.ohlcBars(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream == batch,
+      s"stream=${stream.size} bars, batch=${batch.size}")
+  }
+
+  test("stream_heavy_hitters sketch state survives RocksDB across batches") {
+    // the count-min grid is the streaming state object; under RocksDB
+    // the serialized buffer round-trips per batch — the final 20-row
+    // contract (exact counts + in-bound estimates) must still hold
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamHeavyHitters(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    assert(got.forall { case (_, _, lo, hi) => lo == 1L && hi == 1L },
+      got.mkString(", "))
+    val batch = graft.queries.TextQueries.heavyHitters(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("fkJoin and fkJoinTws emit byte-identical changelogs on the same input") {
     import spark.implicits._
     import TableTableJoinSpec.{Cust, Nat}
