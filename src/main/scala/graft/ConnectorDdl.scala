@@ -291,6 +291,13 @@ object ConnectorDdl {
       """(?:LIMIT\s+(\d+)\s*)?;?\s*""").r
   private val terminateRe =
     """(?is)\s*TERMINATE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
+  // ksql PAUSE/RESUME of persistent queries (by name/id, or ALL):
+  // stop-with-checkpoint / restart-from-checkpoint via
+  // [[graft.streaming.QueryControl]]
+  private val pauseRe =
+    """(?is)\s*PAUSE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
+  private val resumeRe =
+    """(?is)\s*RESUME\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
   // ksql `EXPLAIN <name>` (a registered stream/table: statement text +
   // Spark's formatted plan) or `EXPLAIN <select>` (the select, run
   // through the same ksql rewrites, explained). Spark's own EXPLAIN
@@ -1480,6 +1487,7 @@ object ConnectorDdl {
        | runScriptRe(_*) | describeConnectorRe(_*) | showPluginsRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
+       | pauseRe(_*) | resumeRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
        | insertValuesRe(_*) | insertSelectRe(_*)
        | createTypeRe(_*) | dropTypeRe(_*)
@@ -1677,11 +1685,20 @@ object ConnectorDdl {
           .map(f => (name.toLowerCase, kind, f.name, f.dataType.sql))
           .toDF("name", "kind", "field", "type")
       case showQueriesRe() =>
-        // ksql SHOW QUERIES: the session's running persistent queries
-        spark.streams.active.toSeq
+        // ksql SHOW QUERIES: the session's running persistent queries,
+        // plus paused-but-resumable registrations (QueryControl)
+        (spark.streams.active.toSeq
           .map(q => (q.id.toString, Option(q.name).getOrElse(""),
-            "RUNNING"))
+            "RUNNING")) ++
+          graft.streaming.QueryControl.paused(spark)
+            .map(n => ("", n, "PAUSED")))
           .toDF("query_id", "name", "status")
+      case pauseRe(quotedId, bareId) =>
+        graft.streaming.QueryControl.pause(spark, pick(quotedId, bareId))
+          .toDF("name", "status")
+      case resumeRe(quotedId, bareId) =>
+        graft.streaming.QueryControl.resume(spark, pick(quotedId, bareId))
+          .toDF("name", "status")
       case printRe(topic, _, limit) =>
         // ksql PRINT: peek at the relation backing the topic
         val rel = topic.split('.').last

@@ -391,6 +391,37 @@ object StreamingQueries {
       .toDF("term", "n", "ok_lower", "ok_upper")
   }
 
+  /** Streaming A-ES weighted sampling — the continuous twin of
+    * [[CurationQueries.weightedSample]] (same oracle): priorities are
+    * pure per-row functions (md5-keyed uniform, ln(u)/n_chars), so
+    * the stream needs NO sampling coordination — state is one
+    * k-bounded [[graft.functions.TopKByScore]] buffer per source
+    * (≤10 (pri, id) pairs, fixed size forever), updated in complete
+    * mode as batches arrive. The winners join back to the static
+    * table for their attributes post-materialization. */
+  def streamWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/{documents}.parquet")
+    val M = 1L << 20
+    val u = (graft.functions.Md5Key.column(col("doc_id").cast(StringType))
+      % M + 1).cast(DoubleType) / (M + 1).toDouble
+    val topk = udaf(new graft.functions.TopKByScore(10))
+    val agg = docs
+      .select(col("source"), col("doc_id"),
+        (log(u) / col("n_chars").cast(DoubleType)).as("pri"))
+      .groupBy(col("source"))
+      .agg(topk(col("pri"), col("doc_id")).as("top"))
+    runToTable(agg, "complete")
+      .select(col("source"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("source"), col("z.ids").as("doc_id"),
+        (col("pos") + 1).cast(LongType).as("rk"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+  }
+
   /** Streaming OOV MONITOR — the frozen-tokenizer drift alarm: the
     * top-K vocabulary is computed ONCE from the reference corpus
     * (batch, exactly [[TextQueries.vocabCoverage]]'s cut) and
@@ -1194,6 +1225,7 @@ object StreamingQueries {
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
     "stream_heavy_hitters" -> streamHeavyHitters _,
+    "stream_weighted_sample" -> streamWeightedSample _,
     "stream_scd2" -> streamScd2 _,
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
@@ -1221,6 +1253,7 @@ object StreamingQueries {
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
     "stream_heavy_hitters" -> TextQueries.heavyHittersSql,
+    "stream_weighted_sample" -> CurationQueries.weightedSampleSql,
     "stream_scd2" -> BatchSqlQueries3.scd2HistorySql,
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,

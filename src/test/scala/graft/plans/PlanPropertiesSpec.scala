@@ -43,6 +43,20 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       readSchema)
   }
 
+  test("join strategy hints steer the planner away from the broadcast default") {
+    // the operator-control surface a 100 TB tuning pass reaches for:
+    // nation is broadcast-sized, so unhinted planning picks BHJ; the
+    // hints must override to shuffled-hash and sort-merge respectively
+    // (e.g. when the build side blows the driver or a sort is free)
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    val key = c("c_nationkey") === n("n_nationkey")
+    assert(plan(c.join(n, key)).contains("BroadcastHashJoin"))
+    assert(plan(c.join(n.hint("shuffle_hash"), key))
+      .contains("ShuffledHashJoin"))
+    assert(plan(c.join(n.hint("merge"), key)).contains("SortMergeJoin"))
+  }
+
   test("dpp: the fact scan carries a runtime dynamicpruning partition filter") {
     val p = planOf("src_dpp_prune")
     // the pruning subquery is injected into the PARTITION filters of
