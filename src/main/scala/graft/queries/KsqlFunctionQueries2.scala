@@ -193,13 +193,50 @@ object KsqlFunctionQueries2 {
       |  CAST(round(pi() * 10000) AS BIGINT) AS pi_e4
       |FROM events""".stripMargin
 
+  /** The shared-name string scalars a ported statement leans on —
+    * CONCAT_WS / INITCAP / LPAD / RPAD / TRIM / REPLACE /
+    * REGEXP_REPLACE (global in both ksql and Spark; DuckDB needs the
+    * 'g' flag) / UCASE / LCASE — semantics identical between ksql and
+    * Spark's namesakes, pinned here so the equivalence is a verified
+    * fact rather than an assumption (DuckDB lacks initcap, so the
+    * oracle spells it algebraically over the known token shapes). */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  CONCAT_WS('-', source, lang, CAST(doc_id AS STRING)) AS cw,
+        |  INITCAP(CONCAT(lang, ' ', source)) AS ic,
+        |  LPAD(source, 8, '*') AS lp,
+        |  RPAD(lang, 5, '.') AS rp,
+        |  TRIM(CONCAT('  ', source, '  ')) AS tr,
+        |  REPLACE(source, 'src', 'origin_') AS rep,
+        |  REGEXP_REPLACE(source, '[0-9]', '#') AS rr,
+        |  UCASE(lang) AS uc,
+        |  LCASE(CONCAT(UCASE(source), 'X')) AS lc
+        |FROM documents""".stripMargin)
+
+  val stringFuncsSql: String =
+    """SELECT doc_id,
+      |  source || '-' || lang || '-' || CAST(doc_id AS VARCHAR) AS cw,
+      |  upper(substr(lang, 1, 1)) || substr(lang, 2) || ' Src' ||
+      |    substr(source, 4) AS ic,
+      |  lpad(source, 8, '*') AS lp,
+      |  rpad(lang, 5, '.') AS rp,
+      |  source AS tr,
+      |  'origin_' || substr(source, 4) AS rep,
+      |  regexp_replace(source, '[0-9]', '#', 'g') AS rr,
+      |  upper(lang) AS uc,
+      |  lower(upper(source)) || 'x' AS lc
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ksql_array_ops" -> arrayOps _,
     "q_ksql_bytes_strmap" -> bytesStrMap _,
-    "q_ksql_math_funcs" -> mathFuncs _)
+    "q_ksql_math_funcs" -> mathFuncs _,
+    "q_ksql_string_funcs" -> stringFuncs _)
 
   def oracles: Map[String, String] = Map(
     "q_ksql_array_ops" -> arrayOpsSql,
     "q_ksql_bytes_strmap" -> bytesStrMapSql,
-    "q_ksql_math_funcs" -> mathFuncsSql)
+    "q_ksql_math_funcs" -> mathFuncsSql,
+    "q_ksql_string_funcs" -> stringFuncsSql)
 }
