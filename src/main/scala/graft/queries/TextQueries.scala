@@ -231,21 +231,26 @@ object TextQueries {
     * report, small by construction. */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d).select(explode(toks).as("term"))
-    val top = Tables.documents(s, d)
-      .select(explode(toks).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term")).limit(20)
-    val total = words.count()
-    val cms = words.stat.countMinSketch("term",
-      eps = 0.0001, confidence = 0.999, seed = 42)
-    val slack = math.ceil(0.0001 * total).toLong
-    val rows = top.collect().toSeq.map { r =>
-      val (t, n) = (r.getString(0), r.getLong(1))
-      val est = cms.estimateCount(t)
-      (t, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
-    }
-    import s.implicits._
-    rows.toDF("term", "n", "ok_lower", "ok_upper")
+    // one corpus scan builds the vocab-sized counts relation; N and
+    // the top-20 both derive from it (persisted so the two actions
+    // don't re-scan the corpus). The sketch pass is the second and
+    // last corpus scan — the one that would remain alone at 100 TB.
+    val counts = words.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val total = counts.agg(sum(col("n"))).collect().head.getLong(0)
+      val top = counts.orderBy(col("n").desc, col("term")).limit(20)
+      val cms = words.stat.countMinSketch("term",
+        eps = 0.0001, confidence = 0.999, seed = 42)
+      val slack = math.ceil(0.0001 * total).toLong
+      val rows = top.collect().toSeq.map { r =>
+        val (t, n) = (r.getString(0), r.getLong(1))
+        val est = cms.estimateCount(t)
+        (t, n, if (est >= n) 1L else 0L, if (est <= n + slack) 1L else 0L)
+      }
+      import s.implicits._
+      rows.toDF("term", "n", "ok_lower", "ok_upper")
+    } finally { counts.unpersist(); () }
   }
 
   val heavyHittersSql: String =

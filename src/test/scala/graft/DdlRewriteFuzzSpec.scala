@@ -48,8 +48,10 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
   test("function-name rewrite: literals survive, partial names alone, across 200 seeds") {
     val fnLiterals = Seq("'MASK(secret)'", "'call SPLIT(a, b) later'",
       "'REGEXP_EXTRACT docs'", "'it''s a MASK(x)'", "'plain'")
+    // note: regexp_extract_all is NOT a lookalike — since round 10 it
+    // is a genuine rewrite site (ksql's pattern-first arg order)
     val fnLookalikes = Seq("mask_keep_left(name, 2)", "ksql_mask(name)",
-      "unmask(name)", "masked", "split_count", "regexp_extract_all(x, 'a')")
+      "unmask(name)", "masked", "split_count", "my_regexp_extract_all(x)")
     val rnd = new Random(23)
     (1 to 200).foreach { _ =>
       val lit = fnLiterals(rnd.nextInt(fnLiterals.size))
@@ -65,6 +67,27 @@ class DdlRewriteFuzzSpec extends AnyFunSuite {
       // lookalikes survive byte-for-byte (modulo the genuine rewrites)
       if (!look.startsWith("ksql_mask")) assert(out.contains(look), out)
       // idempotent: a second pass changes nothing
+      assert(ConnectorDdl.rewriteKsqlFunctionNames(out) == out, out)
+    }
+  }
+
+  test("TRUNC / REGEXP_EXTRACT_ALL rewrites: literals safe, date_trunc alone, 200 seeds") {
+    val lits = Seq("'TRUNC(x)'", "'use REGEXP_EXTRACT_ALL here'",
+      "'it''s TRUNC(2.5) o''clock'", "'plain'")
+    val looks = Seq("date_trunc('hour', ts)", "ksql_trunc(v)",
+      "my_regexp_extract_all(x)", "truncated")
+    val rnd = new Random(31)
+    (1 to 200).foreach { _ =>
+      val lit = lits(rnd.nextInt(lits.size))
+      val look = looks(rnd.nextInt(looks.size))
+      val sql = s"SELECT TRUNC(v, 2), $lit AS a, $look, " +
+        s"REGEXP_EXTRACT_ALL('(\\d)', txt, 1) FROM src"
+      val out = ConnectorDdl.rewriteKsqlFunctionNames(sql)
+      assert(literalSpans(out) == literalSpans(sql), s"in=$sql out=$out")
+      assert(out.contains("ksql_trunc(v, 2)"), out)
+      assert(out.contains("ksql_regexp_extract_all("), out)
+      // date_trunc and other lookalikes survive byte-for-byte
+      if (!look.startsWith("ksql_trunc")) assert(out.contains(look), out)
       assert(ConnectorDdl.rewriteKsqlFunctionNames(out) == out, out)
     }
   }
