@@ -298,6 +298,15 @@ object ConnectorDdl {
     """(?is)\s*PAUSE\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
   private val resumeRe =
     """(?is)\s*RESUME\s+(?:`([^`]+)`|([\w-]+))\s*;?\s*""".r
+  // ksql `ALTER STREAM|TABLE <name> ADD [COLUMN] <col> <type>[, ADD
+  // …]`: widen the relation's schema; existing records read NULL for
+  // the new columns (additive evolution — same rule the lake applies
+  // via mergeSchema)
+  private val alterRe =
+    ("""(?is)\s*ALTER\s+(STREAM|TABLE)\s+(?:`([^`]+)`|([A-Za-z_]\w*))""" +
+      """\s+(ADD\s+.+?)\s*;?\s*""").r
+  private val alterAddRe =
+    """(?is)\s*ADD\s+(?:COLUMN\s+)?(?:`([^`]+)`|([A-Za-z_]\w*))\s+(.+?)\s*""".r
   // ksql `EXPLAIN <name>` (a registered stream/table: statement text +
   // Spark's formatted plan) or `EXPLAIN <select>` (the select, run
   // through the same ksql rewrites, explained). Spark's own EXPLAIN
@@ -1487,7 +1496,7 @@ object ConnectorDdl {
        | runScriptRe(_*) | describeConnectorRe(_*) | showPluginsRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
-       | pauseRe(_*) | resumeRe(_*)
+       | pauseRe(_*) | resumeRe(_*) | alterRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
        | insertValuesRe(_*) | insertSelectRe(_*)
        | createTypeRe(_*) | dropTypeRe(_*)
@@ -1693,6 +1702,43 @@ object ConnectorDdl {
           graft.streaming.QueryControl.paused(spark)
             .map(n => ("", n, "PAUSED")))
           .toDF("query_id", "name", "status")
+      case alterRe(kindStr, qname, bname, clauses) =>
+        val name = pick(qname, bname)
+        val key = name.toLowerCase
+        val kind = kindStr.toUpperCase
+        if (!spark.catalog.tableExists(name) ||
+            spark.sessionState.catalog.getTempView(key).isEmpty)
+          throw new IllegalArgumentException(
+            s"$kind $name does not exist in the session")
+        // ksql rejects ALTER STREAM on a table and vice versa
+        Option(kinds(spark).get(key)).filter(_ != kind).foreach(d =>
+          throw new IllegalArgumentException(s"$name is a $d — ALTER $d"))
+        // clause list splits on commas BEFORE each ADD — the types
+        // themselves may carry commas (MAP<K,V>, STRUCT<...>)
+        val cols = clauses.split("""(?i),\s*(?=ADD\b)""").toSeq.map {
+          case alterAddRe(q, b, typeBody) =>
+            val resolved = ksqlType(resolveTypes(spark, typeBody.trim))
+            val dt =
+              try org.apache.spark.sql.types.StructType
+                .fromDDL(s"__t $resolved").head.dataType
+              catch { case e: Exception =>
+                throw new IllegalArgumentException(
+                  s"ALTER $kind $name: cannot parse type '$typeBody'", e) }
+            (pick(q, b), dt)
+          case other => throw new IllegalArgumentException(
+            s"ALTER $kind $name: cannot parse clause '${other.trim}' " +
+              "(expected ADD [COLUMN] <name> <type>)")
+        }
+        val widened = cols.foldLeft(spark.table(name)) { case (df, (c, dt)) =>
+          if (df.columns.exists(_.equalsIgnoreCase(c)))
+            throw new IllegalArgumentException(
+              s"column $c already exists on $name")
+          df.withColumn(c,
+            org.apache.spark.sql.functions.lit(null).cast(dt))
+        }
+        widened.createOrReplaceTempView(name)
+        cols.map { case (c, dt) => (key, kind, c, dt.sql, "ALTERED") }
+          .toDF("name", "kind", "column", "type", "status")
       case pauseRe(quotedId, bareId) =>
         graft.streaming.QueryControl.pause(spark, pick(quotedId, bareId))
           .toDF("name", "status")

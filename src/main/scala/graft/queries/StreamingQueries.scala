@@ -197,6 +197,39 @@ object StreamingQueries {
   def tumblingFinal(s: SparkSession, d: String): DataFrame =
     eventsWindowFinal(s, d, window(col("ts"), "1 hour"))
 
+  /** EMIT FINAL OHLC bars — the production publication shape for
+    * candlesticks: each hour's bar emits exactly once, CLOSED, when
+    * the watermark passes its end (complete-mode bars re-update on
+    * every batch; a downstream chart wants the final print). Same
+    * min_by/max_by offset-order state as [[ohlcBars]], same batch
+    * oracle. */
+  def ohlcFinal(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val flush = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double, Long)]
+    flush.addData((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"),
+      "__flush", 0.0, -1L))
+    emitFinal(
+      eventsStream(s, d)
+        .select(col("ts").cast(TimestampType).as("ts"), col("event_type"),
+          col("value"), col("event_id")),
+      flush.toDF().toDF("ts", "event_type", "value", "event_id"),
+      Seq(window(col("ts"), "1 hour"), col("event_type")),
+      Seq(min_by(col("value"), col("event_id")).as("open_px"),
+        max(col("value")).as("high_px"),
+        min(col("value")).as("low_px"),
+        max_by(col("value"), col("event_id")).as("close_px"),
+        count(lit(1)).as("n_trades"),
+        (sum(floor(col("value") * 1000000).cast(LongType)) / 1000000.0)
+          .as("volume")),
+      col("event_type") =!= "__flush")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("open_px"), col("high_px"), col("low_px"),
+        col("close_px"), col("n_trades"), col("volume"))
+  }
+
   /** EMIT FINAL for hopping windows; oracle = the batch hopping agg. */
   def hoppingFinal(s: SparkSession, d: String): DataFrame =
     eventsWindowFinal(s, d, window(col("ts"), "1 hour", "15 minutes"))
@@ -1218,6 +1251,7 @@ object StreamingQueries {
     "stream_corpus_build" -> streamCorpusBuild _,
     "stream_tumbling_agg" -> tumblingAgg _,
     "stream_ohlc_bars" -> ohlcBars _,
+    "stream_ohlc_final" -> ohlcFinal _,
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
@@ -1246,6 +1280,7 @@ object StreamingQueries {
     "stream_corpus_build" -> CurationQueries.corpusBuildSql,
     "stream_tumbling_agg" -> BatchSqlQueries.tumblingAggSql,
     "stream_ohlc_bars" -> BatchSqlQueries3.ohlcBarsSql,
+    "stream_ohlc_final" -> BatchSqlQueries3.ohlcBarsSql,
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,

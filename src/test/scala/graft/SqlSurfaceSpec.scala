@@ -815,6 +815,41 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ksql ALTER STREAM ADD COLUMN widens the schema; guards hold") {
+    GraftSql.sql(spark,
+      "CREATE STREAM alter_s (id INT, name VARCHAR) WITH " +
+        "(kafka_topic='alter.topic', value_format='json');")
+    try {
+      GraftSql.sql(spark, "INSERT INTO alter_s VALUES (1, 'a');")
+      val st = GraftSql.sql(spark,
+        "ALTER STREAM alter_s ADD COLUMN score DOUBLE, " +
+          "ADD COLUMN tags MAP<VARCHAR, INT>;").collect()
+      assert(st.map(r => (r.getString(2), r.getString(4))).toSeq ==
+        Seq(("score", "ALTERED"), ("tags", "ALTERED")), st.mkString(","))
+      val schema = spark.table("alter_s").schema
+      assert(schema.fieldNames.toSeq ==
+        Seq("id", "name", "score", "tags"), schema.sql)
+      assert(schema("tags").dataType.sql == "MAP<STRING, INT>",
+        schema("tags").dataType.sql)
+      // existing records read NULL for the new columns
+      val row = spark.table("alter_s").collect().head
+      assert(row.getInt(0) == 1 && row.isNullAt(2) && row.isNullAt(3))
+      // kind guard, duplicate column, unknown relation all loud
+      assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "ALTER TABLE alter_s ADD COLUMN x INT;"))
+        .getMessage.contains("STREAM"))
+      assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "ALTER STREAM alter_s ADD COLUMN name VARCHAR;"))
+        .getMessage.contains("already exists"))
+      assert(intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "ALTER STREAM nope_s ADD COLUMN x INT;"))
+        .getMessage.contains("does not exist"))
+    } finally {
+      GraftSql.sql(spark, "DROP STREAM IF EXISTS alter_s;")
+      ()
+    }
+  }
+
   test("GraftSql.script runs a multi-statement session; ';' in literals survives") {
     val out = GraftSql.script(spark,
       """-- a ksql-session-shaped script
