@@ -158,6 +158,43 @@ object SourceQueries {
       |  GROUP BY 1 HAVING COUNT(*) > 100)
       |GROUP BY 1""".stripMargin
 
+  /** PARQUET BLOOM FILTERS + ZSTD — the storage-layer knobs a 100 TB
+    * point-lookup table ships with: per-column bloom filters let the
+    * reader skip whole row groups on equality probes over
+    * high-cardinality keys (dictionary/min-max stats can't — every
+    * row group spans the full key range after a shuffle), and zstd
+    * trades a little CPU for the best scan-byte ratio of the built-in
+    * codecs. The write options are the whole engine surface
+    * (`parquet.bloom.filter.enabled#col`, `compression=zstd`); the
+    * footer actually carrying the bloom offsets and ZSTD codec is
+    * pinned in ParquetLayoutSpec, and this query proves the
+    * round-trip is lossless under both. */
+  def bloomParquet(s: SparkSession, d: String): DataFrame = {
+    val out = bloomParquetPath(s, d)
+    s.read.parquet(out)
+      .filter(col("c_custkey") % 100 === 7)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Writes (once per call) the bloom-filtered zstd customer table
+    * and returns its path — shared with ParquetLayoutSpec so the
+    * footer pins inspect the exact files the query reads. */
+  private[graft] def bloomParquetPath(s: SparkSession, d: String): String = {
+    val out = tmp("graft-bloom-")
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#c_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#c_custkey", "20000")
+      .option("compression", "zstd")
+      .parquet(out)
+    out
+  }
+
+  val bloomParquetSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey % 100 = 7""".stripMargin
+
   /** DYNAMIC PARTITION OVERWRITE — the idempotent-backfill primitive:
     * rewriting ONE partition must leave every other partition's files
     * untouched (static overwrite mode would drop the whole table).
@@ -244,6 +281,7 @@ object SourceQueries {
     "src_schema_evolution" -> schemaEvolution _,
     "src_dynamic_overwrite" -> dynamicOverwrite _,
     "src_dpp_prune" -> dppPrune _,
+    "src_bloom_parquet" -> bloomParquet _,
     "src_bucketed_join" -> bucketedJoin _)
 
   def oracles: Map[String, String] = Map(
@@ -254,5 +292,6 @@ object SourceQueries {
     "src_schema_evolution" -> schemaEvolutionSql,
     "src_dynamic_overwrite" -> dynamicOverwriteSql,
     "src_dpp_prune" -> dppPruneSql,
+    "src_bloom_parquet" -> bloomParquetSql,
     "src_bucketed_join" -> bucketedJoinSql)
 }
