@@ -228,13 +228,40 @@ object KsqlFunctionQueries2 {
       |  lower(upper(source)) || 'x' AS lc
       |FROM documents""".stripMargin
 
+  /** ksql CAST fidelity — the Java error model the dialect executor
+    * scopes in (legacy eval mode): a failed string parse yields NULL
+    * (ANSI would throw CAST_INVALID_INPUT and kill the persistent
+    * query a ksql user expects to keep running), a narrowing overflow
+    * WRAPS (ksqlDB's SqlCasts call .intValue()), and double→int
+    * truncates toward zero (DuckDB's cast ROUNDS, so the oracle
+    * spells the expected values algebraically). */
+  def castFidelity(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  CAST(CAST(CONCAT('x', lang) AS INT) AS BIGINT) AS bad_int,
+        |  CAST(CAST('12' AS INT) + doc_id AS BIGINT) AS good_int,
+        |  CAST(CAST(2147483647 + doc_id + 1 AS INT) AS BIGINT) AS wrapped,
+        |  CAST(CAST(CAST(4.9 AS DOUBLE) + doc_id AS INT) AS BIGINT)
+        |    AS trunc_d
+        |FROM documents""".stripMargin)
+
+  val castFidelitySql: String =
+    """SELECT doc_id,
+      |  CAST(NULL AS BIGINT) AS bad_int,
+      |  CAST(12 + doc_id AS BIGINT) AS good_int,
+      |  CAST(doc_id - 2147483648 AS BIGINT) AS wrapped,
+      |  CAST(doc_id + 4 AS BIGINT) AS trunc_d
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ksql_cast_fidelity" -> castFidelity _,
     "q_ksql_array_ops" -> arrayOps _,
     "q_ksql_bytes_strmap" -> bytesStrMap _,
     "q_ksql_math_funcs" -> mathFuncs _,
     "q_ksql_string_funcs" -> stringFuncs _)
 
   def oracles: Map[String, String] = Map(
+    "q_ksql_cast_fidelity" -> castFidelitySql,
     "q_ksql_array_ops" -> arrayOpsSql,
     "q_ksql_bytes_strmap" -> bytesStrMapSql,
     "q_ksql_math_funcs" -> mathFuncsSql,

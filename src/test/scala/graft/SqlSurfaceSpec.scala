@@ -815,6 +815,19 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ksql CAST error model: dialect yields null/wrap where Spark ANSI throws") {
+    // through the dialect: Java cast semantics (ksqlDB's SqlCasts)
+    val r = GraftSql.sql(spark,
+      "SELECT CAST('abc' AS INT) AS bad, " +
+        "CAST(CAST(2147483648 AS BIGINT) AS INT) AS wrapped " +
+        "FROM (VALUES (1))").collect().head
+    assert(r.isNullAt(0) && r.getInt(1) == Int.MinValue, r.toString)
+    // the session conf is untouched: Spark-native users keep ANSI
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    assertThrows[Exception](
+      spark.sql("SELECT CAST('abc' AS INT)").collect())
+  }
+
   test("ksql ALTER STREAM ADD COLUMN widens the schema; guards hold") {
     GraftSql.sql(spark,
       "CREATE STREAM alter_s (id INT, name VARCHAR) WITH " +
