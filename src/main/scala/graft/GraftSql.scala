@@ -55,32 +55,34 @@ object GraftSql {
     // the CLI does — a DEFINE'd ${topic} works in connector DDL,
     // CSAS bodies, and literals alike
     val statement = ConnectorDdl.substituteVariables(spark, statement0)
-    if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
-    else {
-      // this entry point speaks the ksql DIALECT: the three ksql
-      // function names whose Spark namesake differs are mapped to the
-      // compat registrations (MASK/SPLIT/REGEXP_EXTRACT →
-      // ksql_mask/ksql_split/ksql_regexp_extract, outside literals).
-      // Spark-native spellings remain reachable via spark.sql directly.
-      //
-      // ksql's CAST/arithmetic error model is Java's — null on a
-      // failed string parse, WRAP on narrowing overflow (ksqlDB's
-      // SqlCasts call .intValue()), the record logged rather than the
-      // query killed — which is exactly Spark's LEGACY eval mode;
-      // under Spark 4's ANSI default a ported statement would THROW
-      // instead. Scope legacy mode to this statement's parse+analysis
-      // (eval modes are captured into the expression tree there; the
-      // eager .schema forces analysis inside the scope), leaving the
-      // session conf untouched for Spark-native users.
-      val ansiKey = "spark.sql.ansi.enabled"
-      val prev = spark.conf.get(ansiKey)
-      spark.conf.set(ansiKey, "false")
-      try {
-        val df = spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
-        df.schema
-        df
-      } finally spark.conf.set(ansiKey, prev)
-    }
+    // ksql's CAST/arithmetic error model is Java's — null on a failed
+    // string parse, WRAP on narrowing overflow (ksqlDB's SqlCasts
+    // call .intValue()), the record logged rather than the query
+    // killed — which is exactly Spark's LEGACY eval mode; under
+    // Spark 4's ANSI default a ported statement would THROW instead.
+    // Scope legacy mode to the statement's parse+analysis — BOTH
+    // branches: plain selects and the CSAS/INSERT-SELECT bodies the
+    // DDL layer parses (eval modes are captured into the expression
+    // tree at parse; the eager .schema forces analysis inside the
+    // scope) — leaving the session conf untouched for Spark-native
+    // users.
+    val ansiKey = "spark.sql.ansi.enabled"
+    val prev = spark.conf.get(ansiKey)
+    spark.conf.set(ansiKey, "false")
+    try {
+      val df =
+        if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
+        else
+          // this entry point speaks the ksql DIALECT: the three ksql
+          // function names whose Spark namesake differs map to the
+          // compat registrations (MASK/SPLIT/REGEXP_EXTRACT →
+          // ksql_mask/ksql_split/ksql_regexp_extract, outside
+          // literals). Spark-native spellings remain reachable via
+          // spark.sql directly.
+          spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
+      df.schema
+      df
+    } finally spark.conf.set(ansiKey, prev)
   }
 
   /** Multi-statement script entry: split on `;` OUTSIDE string
