@@ -92,6 +92,13 @@ object SourceQueries {
     val v2 = n.filter(col("n_regionkey") >= 3)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
         length(col("n_name")).cast("long").as("n_len"))
+    // the registry-style gate production applies before accepting a
+    // new schema version (the reference's Schema Registry enforces
+    // BACKWARD by default): v2 must stay readable alongside v1 files
+    val issues = graft.sources.SchemaCompat.backwardIssues(
+      v1.schema, v2.schema)
+    require(issues.isEmpty,
+      s"schema evolution rejected: ${issues.mkString("; ")}")
     v1.write.mode("overwrite").parquet(out)
     v2.write.mode("append").parquet(out)
     s.read.option("mergeSchema", "true").parquet(out)
