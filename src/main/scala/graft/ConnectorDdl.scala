@@ -458,10 +458,12 @@ object ConnectorDdl {
   private def ksqlType(t: String): String = t.toUpperCase match {
     case "TEXT" | "VARCHAR" | "STRING" => "STRING"
     case "INT" | "INTEGER" => "INT"
+    case "BYTES" => "BINARY" // ksql's binary scalar is Spark's BINARY
     case g if g.contains('<') => // MAP<K,V> / STRUCT<…> / ARRAY<T>:
       // translate the scalar names inside the generic, keep the shape
       g.replaceAll("\\bVARCHAR\\b|\\bTEXT\\b", "STRING")
         .replaceAll("\\bINTEGER\\b", "INT")
+        .replaceAll("\\bBYTES\\b", "BINARY")
     case other => other // BIGINT, DOUBLE, BOOLEAN, TIMESTAMP, DATE, …
   }
 

@@ -815,6 +815,30 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ksql BYTES type maps to BINARY in stream DDL (bare and generic)") {
+    GraftSql.sql(spark,
+      "CREATE STREAM bytes_s (id INT, payload BYTES, " +
+        "blobs ARRAY<BYTES>) WITH " +
+        "(kafka_topic='bytes.topic', value_format='json');")
+    try {
+      val schema = spark.table("bytes_s").schema
+      assert(schema("payload").dataType ==
+        org.apache.spark.sql.types.BinaryType, schema.sql)
+      assert(schema("blobs").dataType.sql == "ARRAY<BINARY>", schema.sql)
+      // the bytes codec family round-trips through the typed column
+      GraftSql.sql(spark,
+        "INSERT INTO bytes_s VALUES (1, TO_BYTES('hi', 'utf8'), " +
+          "array(TO_BYTES('07', 'hex')));")
+      val row = GraftSql.sql(spark,
+        "SELECT FROM_BYTES(payload, 'utf8') AS p, " +
+          "FROM_BYTES(blobs[1], 'hex') AS b FROM bytes_s").collect().head
+      assert(row.getString(0) == "hi" && row.getString(1) == "07", row)
+    } finally {
+      GraftSql.sql(spark, "DROP STREAM IF EXISTS bytes_s;")
+      ()
+    }
+  }
+
   test("ksql CAST error model: dialect yields null/wrap where Spark ANSI throws") {
     // through the dialect: Java cast semantics (ksqlDB's SqlCasts)
     val r = GraftSql.sql(spark,
