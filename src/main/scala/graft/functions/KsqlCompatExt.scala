@@ -362,6 +362,17 @@ object KsqlCompatExt {
                 lit("null")))), Seq(e))),
         lit(false))
     },
+    "json_records" -> { exprs =>
+      arity("json_records", "json_records(json)", exprs, 1, 1)
+      JsonRecords(exprs.head)
+    },
+    "json_concat" -> { exprs =>
+      // variadic in ksql; both merge rules are associative, and a
+      // NULL from a mixed pair propagates through the fold
+      arity("json_concat", "json_concat(json, json[, ...])",
+        exprs, 2, Int.MaxValue)
+      exprs.reduceLeft(JsonConcat(_, _))
+    },
     "to_json_string" -> { exprs =>
       arity("to_json_string", "to_json_string(struct|map|array)", exprs, 1, 1)
       fn("to_json", exprs.head) // complex types; ksql also accepts

@@ -253,7 +253,40 @@ object KsqlFunctionQueries2 {
       |  CAST(doc_id + 4 AS BIGINT) AS trunc_d
       |FROM documents""".stripMargin
 
+  /** JSON_RECORDS (map of keys → SERIALIZED-JSON values — quotes and
+    * braces intact, which no get_json_object composition reproduces)
+    * and JSON_CONCAT (object merge right-wins / array concat / mixed
+    * → NULL), the two Jackson-backed native expressions
+    * ([[graft.functions.JsonRecords]], [[graft.functions.JsonConcat]]),
+    * end-to-end through the dialect over the events props column. */
+  def jsonRecords(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT event_id,
+        |  ELEMENT_AT(JSON_RECORDS(props), 'k') AS rec_k,
+        |  CAST(CARDINALITY(JSON_RECORDS(props)) AS BIGINT) AS n_rec,
+        |  ELEMENT_AT(JSON_RECORDS(JSON_CONCAT(props,
+        |    CONCAT('{"u":', CAST(user_id AS STRING), ',"k":-1}'))), 'k')
+        |    AS k_after,
+        |  ELEMENT_AT(JSON_RECORDS(JSON_CONCAT(props,
+        |    CONCAT('{"u":"', CAST(user_id AS STRING), '"}'))), 'u')
+        |    AS rec_u,
+        |  JSON_CONCAT('[1,2]', CONCAT('[', CAST(user_id AS STRING), ']'))
+        |    AS arr_cat,
+        |  JSON_CONCAT(props, '[1]') AS mixed_null
+        |FROM events""".stripMargin)
+
+  val jsonRecordsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS VARCHAR) AS rec_k,
+      |  CAST(1 AS BIGINT) AS n_rec,
+      |  '-1' AS k_after,
+      |  '"' || CAST(user_id AS VARCHAR) || '"' AS rec_u,
+      |  '[1,2,' || CAST(user_id AS VARCHAR) || ']' AS arr_cat,
+      |  CAST(NULL AS VARCHAR) AS mixed_null
+      |FROM events""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ksql_json_records" -> jsonRecords _,
     "q_ksql_cast_fidelity" -> castFidelity _,
     "q_ksql_array_ops" -> arrayOps _,
     "q_ksql_bytes_strmap" -> bytesStrMap _,
@@ -261,6 +294,7 @@ object KsqlFunctionQueries2 {
     "q_ksql_string_funcs" -> stringFuncs _)
 
   def oracles: Map[String, String] = Map(
+    "q_ksql_json_records" -> jsonRecordsSql,
     "q_ksql_cast_fidelity" -> castFidelitySql,
     "q_ksql_array_ops" -> arrayOpsSql,
     "q_ksql_bytes_strmap" -> bytesStrMapSql,

@@ -96,6 +96,28 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT field(cast(null as string), 'en')").getInt(0) == 0)
   }
 
+  test("json_records keeps serialized-JSON values; json_concat merges/concats/nulls") {
+    val m = one("""SELECT json_records('{"a": "x", "n": 7, "o": {"b": 1}}')""")
+      .getMap[String, String](0)
+    // values stay SERIALIZED — quotes and braces intact (the part
+    // get_json_object compositions cannot reproduce)
+    assert(m == Map("a" -> "\"x\"", "n" -> "7", "o" -> "{\"b\":1}"), m)
+    assert(one("SELECT json_records('[1,2]')").isNullAt(0))
+    assert(one("SELECT json_records('not json')").isNullAt(0))
+    // objects merge right-wins; variadic folds left
+    assert(one("""SELECT json_concat('{"a":1,"b":2}', '{"b":3}')""")
+      .getString(0) == "{\"a\":1,\"b\":3}")
+    assert(one(
+      """SELECT json_concat('{"a":1}', '{"b":2}', '{"a":9}')""")
+      .getString(0) == "{\"a\":9,\"b\":2}")
+    assert(one("SELECT json_concat('[1]', '[2,3]')").getString(0) == "[1,2,3]")
+    // mixed kinds, scalars, invalid → NULL (and propagate through)
+    assert(one("""SELECT json_concat('{"a":1}', '[1]')""").isNullAt(0))
+    assert(one("SELECT json_concat('1', '2')").isNullAt(0))
+    assert(one("""SELECT json_concat('{"a":1}', '[1]', '{"b":2}')""")
+      .isNullAt(0))
+  }
+
   test("to_bytes / from_bytes: hex (lowercase), base64, utf8, ascii") {
     assert(one("SELECT from_bytes(to_bytes('Hi!', 'utf8'), 'hex')")
       .getString(0) == "486921")
