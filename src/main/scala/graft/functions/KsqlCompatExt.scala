@@ -362,6 +362,18 @@ object KsqlCompatExt {
                 lit("null")))), Seq(e))),
         lit(false))
     },
+    "int_from_bytes" -> { exprs =>
+      arity("int_from_bytes", "int_from_bytes(bytes)", exprs, 1, 1)
+      NumFromBytes(exprs.head, org.apache.spark.sql.types.IntegerType)
+    },
+    "bigint_from_bytes" -> { exprs =>
+      arity("bigint_from_bytes", "bigint_from_bytes(bytes)", exprs, 1, 1)
+      NumFromBytes(exprs.head, org.apache.spark.sql.types.LongType)
+    },
+    "double_from_bytes" -> { exprs =>
+      arity("double_from_bytes", "double_from_bytes(bytes)", exprs, 1, 1)
+      NumFromBytes(exprs.head, org.apache.spark.sql.types.DoubleType)
+    },
     "json_records" -> { exprs =>
       arity("json_records", "json_records(json)", exprs, 1, 1)
       JsonRecords(exprs.head)

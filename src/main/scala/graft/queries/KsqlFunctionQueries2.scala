@@ -117,7 +117,12 @@ object KsqlFunctionQueries2 {
         |    AS BIGINT) AS epoch_days,
         |  TRUNC(CAST(doc_id AS DOUBLE) / 7) AS trunc0,
         |  TRUNC(CAST(3 - doc_id AS DOUBLE) / 7) AS trunc_neg,
-        |  ROUND(TRUNC(doc_id / 7.0, 2) * 10000) AS trunc2_e4
+        |  ROUND(TRUNC(doc_id / 7.0, 2) * 10000) AS trunc2_e4,
+        |  CAST(INT_FROM_BYTES(TO_BYTES(
+        |    LPAD(CAST(doc_id AS STRING), 8, '0'), 'hex')) AS BIGINT)
+        |    AS ifb,
+        |  CAST(DOUBLE_FROM_BYTES(TO_BYTES('3ff8000000000000', 'hex'))
+        |    * doc_id * 2 AS BIGINT) AS dfb3
         |FROM documents""".stripMargin)
 
   val bytesStrMapSql: String =
@@ -138,7 +143,9 @@ object KsqlFunctionQueries2 {
       |  CAST(trunc(CAST(doc_id AS DOUBLE) / 7) AS BIGINT) AS trunc0,
       |  CAST(trunc(CAST(3 - doc_id AS DOUBLE) / 7) AS BIGINT) AS trunc_neg,
       |  CAST(round(floor(doc_id / 7.0 * 100) / 100 * 10000) AS BIGINT)
-      |    AS trunc2_e4
+      |    AS trunc2_e4,
+      |  ('0x' || lpad(CAST(doc_id AS VARCHAR), 8, '0'))::BIGINT AS ifb,
+      |  CAST(doc_id * 3 AS BIGINT) AS dfb3
       |FROM documents""".stripMargin
 
   /** The ksql math scalar surface — ABS/CEIL/FLOOR/EXP/LN/POWER/SIGN/

@@ -131,6 +131,21 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](one("SELECT to_bytes('x', 'utf16')"))
   }
 
+  test("int/bigint/double_from_bytes: big-endian decode; wrong width → null") {
+    assert(one("SELECT int_from_bytes(to_bytes('0000002a', 'hex'))")
+      .getInt(0) == 42)
+    assert(one("SELECT int_from_bytes(to_bytes('ffffffff', 'hex'))")
+      .getInt(0) == -1) // signed, like ksql's ByteBuffer.getInt
+    assert(one("SELECT bigint_from_bytes(to_bytes('000000000000002a', 'hex'))")
+      .getLong(0) == 42L)
+    // IEEE-754 bit pattern of 1.5 is 0x3FF8000000000000
+    assert(one("SELECT double_from_bytes(to_bytes('3ff8000000000000', 'hex'))")
+      .getDouble(0) == 1.5)
+    // wrong payload width → null (the record-error model), not a crash
+    assert(one("SELECT int_from_bytes(to_bytes('2a', 'hex'))").isNullAt(0))
+    assert(one("SELECT double_from_bytes(to_bytes('00', 'hex'))").isNullAt(0))
+  }
+
   test("split_to_map: literal delimiters, last duplicate key wins") {
     val m = one("SELECT split_to_map('a:=1/b:=2/a:=3', '/', ':=')")
       .getMap[String, String](0)
