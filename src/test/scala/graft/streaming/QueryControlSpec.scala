@@ -76,6 +76,46 @@ class QueryControlSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PAUSE ALL / RESUME ALL cover every registered running query") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feeds = Seq("qc_all_a", "qc_all_b").map { n =>
+      val feed = MemoryStream[Long]
+      val out = Files.createTempDirectory(s"graft-$n-out-").toString
+      val ckpt = Files.createTempDirectory(s"graft-$n-ckpt-").toString
+      QueryControl.register(spark, n, () =>
+        feed.toDF().toDF("v").writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .queryName(n).start())
+      (n, feed, out)
+    }
+    try {
+      feeds.foreach { case (n, feed, _) =>
+        feed.addData(1L)
+        spark.streams.active.find(_.name == n).get.processAllAvailable()
+      }
+      val paused = GraftSql.sql(spark, "PAUSE ALL;").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(paused == Seq("qc_all_a", "qc_all_b"), paused)
+      assert(spark.streams.active.forall(q =>
+        !q.name.startsWith("qc_all_")))
+      val resumed = GraftSql.sql(spark, "RESUME ALL;").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(resumed == Seq("qc_all_a", "qc_all_b"), resumed)
+      feeds.foreach { case (n, feed, out) =>
+        feed.addData(2L)
+        spark.streams.active.find(_.name == n).get.processAllAvailable()
+        assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+          Seq(1L, 2L), n)
+      }
+      // RESUME ALL with nothing paused is a no-op, not an error
+      assert(GraftSql.sql(spark, "RESUME ALL;").collect().isEmpty)
+    } finally {
+      GraftSql.sql(spark, "TERMINATE ALL;")
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("pause refuses unregistered queries, naming TERMINATE") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
