@@ -606,7 +606,31 @@ object BatchSqlQueries3 {
       |  SUM(CAST(floor("value"*1000000) AS BIGINT))/1000000.0 AS volume
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** GROUPING() / GROUPING_ID() over a rollup — the ANSI affordance
+    * that tells a rollup-generated NULL apart from a NULL in the data
+    * (the one thing the bare subtotal rows can't): grouping(col) is 1
+    * exactly on the rows where col was rolled away, and grouping_id()
+    * is the bitmask over the rollup columns in declaration order —
+    * identical semantics in DuckDB's multi-arg GROUPING. */
+  def groupingId(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("b", col("user_id") % 3)
+      .rollup(col("event_type"), col("b"))
+      .agg(grouping(col("event_type")).cast(LongType).as("g_type"),
+        grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("b").cast(LongType).as("b"),
+        col("g_type"), col("gid"), col("n"))
+
+  val groupingIdSql: String =
+    """SELECT event_type, CAST(user_id % 3 AS BIGINT) AS b,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(event_type, user_id % 3) AS BIGINT) AS gid,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY ROLLUP(event_type, user_id % 3)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_grouping_id" -> groupingId _,
     "q_ohlc_bars" -> ohlcBars _,
     "q_cohort_retention" -> cohortRetention _,
     "q_event_transitions" -> eventTransitions _,
@@ -628,6 +652,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_grouping_id" -> groupingIdSql,
     "q_ohlc_bars" -> ohlcBarsSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_event_transitions" -> eventTransitionsSql,
