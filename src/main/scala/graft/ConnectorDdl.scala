@@ -459,11 +459,17 @@ object ConnectorDdl {
     case "TEXT" | "VARCHAR" | "STRING" => "STRING"
     case "INT" | "INTEGER" => "INT"
     case "BYTES" => "BINARY" // ksql's binary scalar is Spark's BINARY
+    // ksql TIME = millis-of-day; Spark 4.1's TIME type is feature-
+    // gated off, so the engine stores the Connect wire value itself
+    // (org.apache.kafka.connect.data.Time: int32 ms since midnight) —
+    // PARSE_TIME/FORMAT_TIME convert (graft.functions.TimeCompat)
+    case "TIME" => "INT"
     case g if g.contains('<') => // MAP<K,V> / STRUCT<…> / ARRAY<T>:
       // translate the scalar names inside the generic, keep the shape
       g.replaceAll("\\bVARCHAR\\b|\\bTEXT\\b", "STRING")
         .replaceAll("\\bINTEGER\\b", "INT")
         .replaceAll("\\bBYTES\\b", "BINARY")
+        .replaceAll("\\bTIME\\b", "INT")
     case other => other // BIGINT, DOUBLE, BOOLEAN, TIMESTAMP, DATE, …
   }
 

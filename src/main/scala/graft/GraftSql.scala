@@ -64,12 +64,13 @@ object GraftSql {
     // branches: plain selects and the CSAS/INSERT-SELECT bodies the
     // DDL layer parses (eval modes are captured into the expression
     // tree at parse; the eager .schema forces analysis inside the
-    // scope) — leaving the session conf untouched for Spark-native
-    // users.
-    val ansiKey = "spark.sql.ansi.enabled"
-    val prev = spark.conf.get(ansiKey)
-    spark.conf.set(ansiKey, "false")
-    try {
+    // scope). The override is a THREAD-LOCAL SQLConf clone
+    // (GraftBridge.withStatementConf) — the shared session conf is
+    // never touched, so a concurrent Spark-native query on the same
+    // session can neither observe ANSI-off nor lose its own setting
+    // to an interleaved restore.
+    org.apache.spark.sql.GraftBridge.withStatementConf(
+      spark, Map("spark.sql.ansi.enabled" -> "false")) {
       val df =
         if (ConnectorDdl.handles(statement)) ConnectorDdl.sql(spark, statement)
         else
@@ -82,7 +83,7 @@ object GraftSql {
           spark.sql(ConnectorDdl.rewriteKsqlFunctionNames(statement))
       df.schema
       df
-    } finally spark.conf.set(ansiKey, prev)
+    }
   }
 
   /** Multi-statement script entry: split on `;` OUTSIDE string

@@ -2,8 +2,9 @@ package graft.functions
 
 import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
-  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData,
@@ -20,12 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    quotes, objects/arrays their braces — `get_json_object` strips
   *    all of that, so no composition reproduces it). Non-object or
   *    invalid input → NULL.
-  *  - `JSON_CONCAT(a, b[, ...])` → two objects merge shallowly with
-  *    the RIGHT side winning duplicate keys; two arrays concatenate;
-  *    any other combination (or invalid JSON) → NULL. Registered
-  *    variadic by left-folding the binary node (both rules are
-  *    associative, and a NULL from a mixed pair propagates — the ksql
-  *    result for any mixed chain).
+  *  - `JSON_CONCAT(a, b[, ...])` → ksql follows PostgreSQL's `||`
+  *    rule: if EVERY input deserializes to an object, merge shallowly
+  *    left-to-right (later keys win); otherwise every non-array input
+  *    (object, scalar, or JSON null alike) is wrapped into a
+  *    single-element array and the arrays are concatenated —
+  *    `JSON_CONCAT('{"a":1}','[1]')` → `[{"a":1},1]`,
+  *    `JSON_CONCAT('1','2')` → `[1,2]`. SQL NULL or unparseable input
+  *    → NULL. The expression is variadic (NOT a fold of a binary op:
+  *    the wrap rule is not associative — `('{"a":1}','{"b":2}','[1]')`
+  *    must give `[{"a":1},{"b":2},1]`, while a left fold would first
+  *    merge the two objects).
   *
   * Both are scalar Catalyst expressions with Jackson-backed `eval`
   * (CodegenFallback — same trade as [[CharEntropy]]: a native
@@ -75,34 +81,60 @@ case class JsonRecords(child: Expression)
       newChild: Expression): JsonRecords = copy(child = newChild)
 }
 
-case class JsonConcat(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class JsonConcat(children: Seq[Expression])
+    extends Expression with CodegenFallback {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"json_concat expects strings, got $other")
+    children.find(_.dataType != StringType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"json_concat expects strings, got ${c.dataType.simpleString}")
+      case None if children.size < 2 => TypeCheckResult.TypeCheckFailure(
+        "json_concat expects at least 2 arguments")
+      case None => TypeCheckResult.TypeCheckSuccess
     }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val merged = (JsonCompat.parse(l.asInstanceOf[UTF8String].toString),
-      JsonCompat.parse(r.asInstanceOf[UTF8String].toString)) match {
-      case (Some(a: ObjectNode), Some(b: ObjectNode)) =>
-        val out = a.deepCopy(); out.setAll(b); Some(out)
-      case (Some(a: ArrayNode), Some(b: ArrayNode)) =>
-        val out = a.deepCopy(); out.addAll(b); Some(out)
-      case _ => None // mixed kinds, scalars, or invalid → NULL
+  override def eval(input: InternalRow): Any = {
+    val nodes = new Array[JsonNode](children.size)
+    var i = 0
+    while (i < nodes.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null // SQL NULL input → NULL
+      JsonCompat.parse(v.asInstanceOf[UTF8String].toString) match {
+        case Some(n) => nodes(i) = n
+        case None => return null // unparseable → NULL
+      }
+      i += 1
     }
-    merged
-      .map(n => UTF8String.fromString(JsonCompat.mapper.writeValueAsString(n)))
-      .orNull
+    val out: JsonNode =
+      if (nodes.forall(_.isInstanceOf[ObjectNode])) {
+        // all objects: shallow merge, later keys win (PG || on objects).
+        // deepCopy is generic <T extends JsonNode> T — the explicit
+        // type keeps scalac from inferring T = Nothing
+        val merged: ObjectNode = nodes.head.asInstanceOf[ObjectNode].deepCopy()
+        nodes.tail.foreach { n => // setAll is generic too — pin T
+          merged.setAll[ObjectNode](n.asInstanceOf[ObjectNode]); ()
+        }
+        merged
+      } else {
+        // any non-object present: wrap non-arrays (objects, scalars,
+        // JSON null) into 1-element arrays and concatenate
+        val arr = JsonCompat.mapper.createArrayNode()
+        nodes.foreach {
+          case a: ArrayNode => arr.addAll(a)
+          // addAll(singletonList) keeps overload resolution
+          // unambiguous for scalac (ArrayNode.add has ~12 overloads)
+          case other =>
+            arr.addAll(java.util.Collections.singletonList(other))
+        }
+        arr
+      }
+    UTF8String.fromString(JsonCompat.mapper.writeValueAsString(out))
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): JsonConcat =
-    copy(left = newLeft, right = newRight)
+      newChildren: IndexedSeq[Expression]): JsonConcat =
+    copy(children = newChildren)
 }

@@ -309,6 +309,16 @@ object KsqlCompatExt {
       arity("parse_date", "parse_date(str, format)", exprs, 2, 2)
       fn("to_date", exprs(0), exprs(1))
     },
+    // ksql TIME type surface: TIME is INT millis-of-day in this engine
+    // (the Connect wire format — see [[graft.functions.TimeCompat]])
+    "parse_time" -> { exprs =>
+      arity("parse_time", "parse_time(str, format)", exprs, 2, 2)
+      ParseTime(exprs(0), exprs(1))
+    },
+    "format_time" -> { exprs =>
+      arity("format_time", "format_time(time, format)", exprs, 2, 2)
+      FormatTime(exprs(0), exprs(1))
+    },
     "ksql_trunc" -> { exprs =>
       // ksql numeric TRUNC (toward zero): 1-arg form yields BIGINT
       // (like ROUND); 2-arg form truncates to decimalPlaces and stays
@@ -379,11 +389,10 @@ object KsqlCompatExt {
       JsonRecords(exprs.head)
     },
     "json_concat" -> { exprs =>
-      // variadic in ksql; both merge rules are associative, and a
-      // NULL from a mixed pair propagates through the fold
+      // variadic in ksql; the wrap rule makes n-ary NOT a binary fold
       arity("json_concat", "json_concat(json, json[, ...])",
         exprs, 2, Int.MaxValue)
-      exprs.reduceLeft(JsonConcat(_, _))
+      JsonConcat(exprs)
     },
     "to_json_string" -> { exprs =>
       arity("to_json_string", "to_json_string(struct|map|array)", exprs, 1, 1)
@@ -518,11 +527,17 @@ object KsqlCompatExt {
     },
     "ksql_round" -> { exprs =>
       arity("round", "round(value[, decimalPlaces])", exprs, 1, 2)
-      // ksql ROUND(v) returns BIGINT (half-up); Spark's round keeps
-      // the input type — a ported projection would change type. The
-      // 2-arg form matches Spark's and passes through.
+      // ksql ROUND(v) returns BIGINT with Math.round semantics —
+      // halves toward POSITIVE infinity (ROUND(-2.5) = -2; ksqlDB's
+      // Round uses HALF_UP for positives, HALF_DOWN for negatives),
+      // which floor(v + 0.5) reproduces exactly. Spark's round rounds
+      // half away from zero AND keeps the input type, so a ported
+      // projection would change both value and type. The 2-arg form
+      // matches Spark's and passes through.
       if (exprs.length == 2) fn("round", exprs(0), exprs(1))
-      else Cast(fn("round", exprs.head),
+      else Cast(
+        fn("floor", fn("+", Cast(exprs.head,
+          org.apache.spark.sql.types.DoubleType), lit(0.5d))),
         org.apache.spark.sql.types.LongType)
     },
 

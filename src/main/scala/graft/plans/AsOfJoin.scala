@@ -180,12 +180,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             }
           }
         }
-        val haveBack = lk != null && backRow != null &&
-          keyOrd.compare(backKey, lk) == 0
+        // a null key or null time can never match any right row: short-
+        // circuit BEFORE haveBack/within — a stale backRow from an
+        // earlier same-key left row must not leak in, and dist(_, null)
+        // (tolerance path) would NPE
+        val rightSide: InternalRow = if (lk == null || lt == null) nullRight
+        else {
+        val haveBack = backRow != null && keyOrd.compare(backKey, lk) == 0
         // a right row at EXACTLY the left time sits at the stream
         // head (strict < consumption): it is the best "≤" match too
         val backAtTie = fwdRow != null && timeOrd.compare(fwdTime, lt) == 0
-        val rightSide: InternalRow = dir match {
+        dir match {
           case "backward" =>
             if (backAtTie && within(fwdTime, lt)) fwdRow
             else if (haveBack && within(backTime, lt)) backRow
@@ -203,6 +208,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else if (b != null) b
             else if (f != null) f
             else nullRight
+        }
         }
         proj(joined(l, rightSide))
       }

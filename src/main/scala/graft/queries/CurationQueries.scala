@@ -903,7 +903,7 @@ object CurationQueries {
        |  SELECT source,
        |    least(CAST(4294967296 AS BIGINT),
        |      ((CAST($TempBudgetTokens AS BIGINT) * w)
-       |         // (SELECT SUM(w) FROM w)) * 4294967296 // total_tokens)
+       |         // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) * 4294967296 // total_tokens)
        |      AS keep_u32
        |  FROM w)
        |SELECT t.doc_id, t.source, t.n_tokens, r.keep_u32

@@ -263,7 +263,8 @@ object KsqlFunctionQueries2 {
   /** JSON_RECORDS (map of keys → SERIALIZED-JSON values — quotes and
     * braces intact, which no get_json_object composition reproduces)
     * and JSON_CONCAT (object merge right-wins / array concat / mixed
-    * → NULL), the two Jackson-backed native expressions
+    * kinds wrap non-arrays into 1-element arrays, PG `||` style), the
+    * two Jackson-backed native expressions
     * ([[graft.functions.JsonRecords]], [[graft.functions.JsonConcat]]),
     * end-to-end through the dialect over the events props column. */
   def jsonRecords(s: SparkSession, d: String): DataFrame =
@@ -279,7 +280,7 @@ object KsqlFunctionQueries2 {
         |    AS rec_u,
         |  JSON_CONCAT('[1,2]', CONCAT('[', CAST(user_id AS STRING), ']'))
         |    AS arr_cat,
-        |  JSON_CONCAT(props, '[1]') AS mixed_null
+        |  JSON_CONCAT(props, '[1]') AS mixed_wrap
         |FROM events""".stripMargin)
 
   val jsonRecordsSql: String =
@@ -289,7 +290,8 @@ object KsqlFunctionQueries2 {
       |  '-1' AS k_after,
       |  '"' || CAST(user_id AS VARCHAR) || '"' AS rec_u,
       |  '[1,2,' || CAST(user_id AS VARCHAR) || ']' AS arr_cat,
-      |  CAST(NULL AS VARCHAR) AS mixed_null
+      |  '[{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+      |    || '},1]' AS mixed_wrap
       |FROM events""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

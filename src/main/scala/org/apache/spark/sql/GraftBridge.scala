@@ -22,6 +22,20 @@ object GraftBridge {
     * its argument expressions — the only way to give one SQL name an
     * optional (literal-switched) argument, which udf.register's fixed
     * arity cannot express. */
+  /** Run `f` with a THREAD-LOCAL SQLConf override (a clone of the
+    * session conf with `overrides` applied). Everything on the calling
+    * thread that consults `SQLConf.get` — parser eval-mode capture,
+    * analysis — sees the override; the shared session conf is never
+    * mutated, so concurrent statements on the same SparkSession cannot
+    * observe a half-toggled value or a lost restore. */
+  def withStatementConf[T](spark: SparkSession,
+                           overrides: Map[String, String])(f: => T): T = {
+    val cloned =
+      spark.asInstanceOf[classic.SparkSession].sessionState.conf.clone()
+    overrides.foreach { case (k, v) => cloned.setConfString(k, v) }
+    internal.SQLConf.withExistingConf(cloned)(f)
+  }
+
   def scalaAggregator(
       agg: expressions.UserDefinedFunction,
       children: Seq[Expression]): Expression =

@@ -370,7 +370,10 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.schema("r1").dataType.typeName == "long")
     val r = df.collect().head
     assert(r.getLong(0) == 3L)
-    assert(r.getLong(1) == -3L) // half-up away from zero, ksql/Spark alike
+    // Math.round semantics: halves toward POSITIVE infinity (ksqlDB's
+    // Round uses HALF_UP for positives, HALF_DOWN for negatives) —
+    // Spark's own round() would give -3 here
+    assert(r.getLong(1) == -2L)
     assert(math.abs(r.getDouble(2) - 2.35) < 1e-9)
   }
 

@@ -111,10 +111,19 @@ class KsqlCompatSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT json_concat('{"a":1}', '{"b":2}', '{"a":9}')""")
       .getString(0) == "{\"a\":9,\"b\":2}")
     assert(one("SELECT json_concat('[1]', '[2,3]')").getString(0) == "[1,2,3]")
-    // mixed kinds, scalars, invalid → NULL (and propagate through)
-    assert(one("""SELECT json_concat('{"a":1}', '[1]')""").isNullAt(0))
-    assert(one("SELECT json_concat('1', '2')").isNullAt(0))
+    // mixed kinds / scalars follow PG ||: non-arrays wrap into
+    // 1-element arrays and everything concatenates (ksqlDB 0.28)
+    assert(one("""SELECT json_concat('{"a":1}', '[1]')""")
+      .getString(0) == """[{"a":1},1]""")
+    assert(one("SELECT json_concat('1', '2')").getString(0) == "[1,2]")
+    // n-ary is NOT a binary fold: the two objects stay separate
     assert(one("""SELECT json_concat('{"a":1}', '[1]', '{"b":2}')""")
+      .getString(0) == """[{"a":1},1,{"b":2}]""")
+    assert(one("""SELECT json_concat('"s"', 'null', '[2]')""")
+      .getString(0) == """["s",null,2]""")
+    // NULL only for SQL NULL or unparseable input
+    assert(one("""SELECT json_concat('{"a":1}', 'not json')""").isNullAt(0))
+    assert(one("""SELECT json_concat(cast(null as string), '[1]')""")
       .isNullAt(0))
   }
 

@@ -136,6 +136,42 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       4L -> Some(5.0)))
   }
 
+  test("null left key or time always yields a null right side " +
+      "(no stale candidate leak, no NPE under tolerance)") {
+    import spark.implicits._
+    // trade 2 has a null time AFTER a same-key trade that establishes
+    // a back-candidate; trade 4 has a null key. Both must join to
+    // nothing, in every direction, with and without tolerance (the
+    // tolerance path used to eval dist(backTime, null)).
+    val trades = Seq(
+      (1L, Option(100L), Option(ts("2024-01-01 10:00:00"))),
+      (2L, Option(100L), Option.empty[Timestamp]),
+      (3L, Option(100L), Option(ts("2024-01-01 10:07:00"))),
+      (4L, Option.empty[Long], Option(ts("2024-01-01 10:00:00"))))
+      .toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (100L, ts("2024-01-01 09:59:00"), 10.0),
+      (100L, ts("2024-01-01 10:06:00"), 12.0))
+      .toDF("q_sym", "q_ts", "px")
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(60L * 60 * 1000000))) {
+      val got = AsOf.join(trades, quotes,
+          trades("sym"), quotes("q_sym"), trades("t_ts"), quotes("q_ts"),
+          direction = dir, tolerance = tol)
+        .select($"trade_id", $"px")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got(2L).isEmpty, s"dir=$dir tol=$tol null-time row matched")
+      assert(got(4L).isEmpty, s"dir=$dir tol=$tol null-key row matched")
+      val expected = dir match {
+        case "backward" => Map(1L -> Some(10.0), 3L -> Some(12.0))
+        case "forward" => Map(1L -> Some(12.0), 3L -> None)
+        case "nearest" => Map(1L -> Some(10.0), 3L -> Some(12.0))
+      }
+      assert(got(1L) == expected(1L) && got(3L) == expected(3L),
+        s"dir=$dir tol=$tol valid rows regressed: $got")
+    }
+  }
+
   test("tolerance bounds the match distance in the time column's units") {
     import spark.implicits._
     val trades = Seq(

@@ -44,6 +44,22 @@ def main(sf_dir, out_dir):
         try:
             d = con.sql(sql)
             dcols = [c.lower() for c in d.columns]
+            # dtype guard: DuckDB silently widens SUM(BIGINT) arithmetic
+            # to HUGEINT, which the driver's pandas hasher renders as
+            # float ('2520113214.0' != '2520113214') — fail LOUDLY on
+            # any oracle column type the hasher can't round-trip
+            # (the curate_temperature_mix r10 bug class).
+            bad_types = [
+                (c, str(t)) for c, t in zip(d.columns, d.types)
+                if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")
+                or str(t) in ("UHUGEINT",)
+            ]
+            if bad_types:
+                print(f"FAIL {name}: oracle column type(s) unsafe for the "
+                      f"pandas hasher — add CAST(... AS BIGINT/DOUBLE): "
+                      f"{bad_types}")
+                fail += 1
+                continue
             drows = d.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
