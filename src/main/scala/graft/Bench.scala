@@ -91,12 +91,23 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${err.getMessage}")
         None
-      } else Some(name -> times.min)
+      } else Some(name -> times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query MIN (contention-immune cost estimate, the cross-round
+    // comparison stat) AND MEDIAN (so one-off scheduler noise is
+    // distinguishable from real regression IN-BAND — round 11's
+    // variance cluster was undiagnosable from min alone)
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
+      .mkString("{", ",", "}")
+    val qsMedian = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     // the full per-query map goes to a FILE: the driver's tail capture
     // truncates one huge stdout line mid-key (BENCH_r07 recovered only
     // 57/143 timings), so stdout carries a short parseable line with a
@@ -106,9 +117,11 @@ object Bench {
       s""""heap_max_mb":$maxHeapMb,"sf":"$sfDir""""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
+    // both stats land in the FILE; the stdout line stays short (no
+    // per-query maps — the driver's tail capture truncates long lines)
     java.nio.file.Files.write(outFile,
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$meta}"""
-        .getBytes("UTF-8"))
+      (s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_median":$qsMedian,$meta}""").getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries_file":"${outFile.toAbsolutePath}",$meta}""")
     spark.stop()
   }

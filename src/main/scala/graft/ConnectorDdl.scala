@@ -469,7 +469,11 @@ object ConnectorDdl {
       g.replaceAll("\\bVARCHAR\\b|\\bTEXT\\b", "STRING")
         .replaceAll("\\bINTEGER\\b", "INT")
         .replaceAll("\\bBYTES\\b", "BINARY")
-        .replaceAll("\\bTIME\\b", "INT")
+        // TIME only in TYPE position: a type is followed by `,` / `>`
+        // / end-of-spelling, while a STRUCT FIELD literally named TIME
+        // is followed by its own type (whitespace + word) and must NOT
+        // be rewritten (STRUCT<TIME TIMESTAMP> keeps its column name)
+        .replaceAll("\\bTIME\\b(?=\\s*(?:[,>]|$))", "INT")
     case other => other // BIGINT, DOUBLE, BOOLEAN, TIMESTAMP, DATE, …
   }
 

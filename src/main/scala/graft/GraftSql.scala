@@ -135,7 +135,9 @@ object GraftSql {
     * SQL callers can't silently assume a configurable k. */
   /** Compat names that deliberately SHADOW a Spark builtin with a
     * semantics-compatible superset (ksql-only extra arities). */
-  private val overrideNames = Set("array_join")
+  // uuid/random: ksql arities + the spark.graft.randomSeed seeded mode
+  // are a superset of the Spark builtins they shadow
+  private val overrideNames = Set("array_join", "uuid", "random")
 
   private val compatOverridesInstalled =
     java.util.Collections.synchronizedMap(

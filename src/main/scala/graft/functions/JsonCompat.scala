@@ -88,7 +88,11 @@ case class JsonConcat(children: Seq[Expression])
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
-    children.find(_.dataType != StringType) match {
+    // NullType is accepted: an untyped NULL literal operand is an
+    // always-NULL input, and ksqlDB accepts JSON_CONCAT(NULL, '[1]')
+    // and returns NULL — the eval path already short-circuits on it
+    children.find(c =>
+        c.dataType != StringType && c.dataType != NullType) match {
       case Some(c) => TypeCheckResult.TypeCheckFailure(
         s"json_concat expects strings, got ${c.dataType.simpleString}")
       case None if children.size < 2 => TypeCheckResult.TypeCheckFailure(

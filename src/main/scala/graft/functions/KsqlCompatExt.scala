@@ -527,18 +527,40 @@ object KsqlCompatExt {
     },
     "ksql_round" -> { exprs =>
       arity("round", "round(value[, decimalPlaces])", exprs, 1, 2)
-      // ksql ROUND(v) returns BIGINT with Math.round semantics —
-      // halves toward POSITIVE infinity (ROUND(-2.5) = -2; ksqlDB's
-      // Round uses HALF_UP for positives, HALF_DOWN for negatives),
-      // which floor(v + 0.5) reproduces exactly. Spark's round rounds
-      // half away from zero AND keeps the input type, so a ported
-      // projection would change both value and type. The 2-arg form
-      // matches Spark's and passes through.
-      if (exprs.length == 2) fn("round", exprs(0), exprs(1))
-      else Cast(
-        fn("floor", fn("+", Cast(exprs.head,
-          org.apache.spark.sql.types.DoubleType), lit(0.5d))),
-        org.apache.spark.sql.types.LongType)
+      // ksql ROUND rounds halves toward POSITIVE infinity in both
+      // arities (HALF_UP for positives, HALF_DOWN for negatives:
+      // ROUND(-2.5) = -2, ROUND(-2.55, 1) = -2.5) and its integral
+      // 1-arg overload is identity. Spark's round (half away from
+      // zero, type-preserving) matches neither, so both arities go to
+      // the native [[KsqlRound1]]/[[KsqlRound2]] expressions — exact
+      // on BIGINTs beyond 2^53 and at the Math.round double boundary.
+      if (exprs.length == 2)
+        KsqlRound2(exprs(0),
+          Cast(exprs(1), org.apache.spark.sql.types.IntegerType))
+      else KsqlRound1(exprs.head)
+    },
+
+    // ---- nondeterministic scalars ----
+    "uuid" -> { exprs =>
+      // ksql UUID() → random v4 string; UUID(bytes) → 16-byte
+      // reinterpretation ([[UuidFromBytes]]). Constructed DIRECTLY on
+      // Spark's Uuid expression (an UnresolvedFunction back onto
+      // "uuid" would re-enter this builder forever); with no seed the
+      // analyzer's ResolveRandomSeed assigns one per query, exactly as
+      // for the builtin. `spark.graft.randomSeed` pins it (seeded
+      // deterministic mode — reproducible corpus builds).
+      arity("uuid", "uuid([bytes])", exprs, 0, 1)
+      if (exprs.length == 1) UuidFromBytes(exprs.head)
+      else org.apache.spark.sql.catalyst.expressions.Uuid(graftSeed())
+    },
+    "random" -> { exprs =>
+      // ksql RANDOM() → DOUBLE in [0, 1), Spark's own Rand PRNG;
+      // seeded by spark.graft.randomSeed when set (else a fresh seed
+      // per analysis, the builtin's behavior).
+      arity("random", "random()", exprs, 0, 0)
+      org.apache.spark.sql.catalyst.expressions.Rand(
+        Literal(graftSeed().getOrElse(scala.util.Random.nextLong()),
+          org.apache.spark.sql.types.LongType))
     },
 
     // ---- aggregates ----
@@ -546,6 +568,17 @@ object KsqlCompatExt {
       arity("correlation", "correlation(x, y)", exprs, 2, 2)
       fn("corr", exprs(0), exprs(1))
     })
+
+  /** Engine extension: `spark.graft.randomSeed` pins UUID()/RANDOM()
+    * to a deterministic seed so corpus builds that sample or tag with
+    * them are reproducible run-over-run (given the same partitioning —
+    * Spark's standard seeded-RNG contract). Read at ANALYSIS time on
+    * the driver (builders run inside the analyzer), so each statement
+    * binds its seed once. */
+  private def graftSeed(): Option[Long] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.randomSeed"))
+      .map(_.toLong)
 
   /** ksql time units are bare identifiers (`DAYS`, `HOURS`) that the
     * generic parser hands over as unresolved attributes; singularized

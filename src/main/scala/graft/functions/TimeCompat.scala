@@ -59,7 +59,9 @@ case class ParseTime(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      // NullType: an untyped NULL literal is an always-NULL operand
+      case (StringType | NullType, StringType | NullType) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"parse_time expects (string, string), got $other")
     }
@@ -72,7 +74,11 @@ case class ParseTime(left: Expression, right: Expression)
         cache.get(f.asInstanceOf[UTF8String].toString))
       (t.toNanoOfDay / 1000000L).toInt
     } catch {
-      case _: java.time.format.DateTimeParseException => null
+      // DateTimeException covers parse failures AND date-bearing
+      // patterns (e.g. 'yyyy-MM-dd' → UnsupportedTemporalTypeException
+      // when LocalTime lacks the field) — both follow the documented
+      // NULL-on-error model, never killing the query.
+      case _: java.time.DateTimeException => null
       case _: IllegalArgumentException => null // bad pattern
     }
 
@@ -90,7 +96,7 @@ case class FormatTime(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (IntegerType | LongType, StringType) =>
+      case (IntegerType | LongType | NullType, StringType | NullType) =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"format_time expects (int millis-of-day, string), got $other")
@@ -105,7 +111,15 @@ case class FormatTime(left: Expression, right: Expression)
       try UTF8String.fromString(
         LocalTime.ofNanoOfDay(millis * 1000000L)
           .format(cache.get(f.asInstanceOf[UTF8String].toString)))
-      catch { case _: IllegalArgumentException => null } // bad pattern
+      catch {
+        // a pattern that is valid for ofPattern but asks for date
+        // fields (e.g. 'yyyy-MM-dd') throws
+        // UnsupportedTemporalTypeException (a DateTimeException) from
+        // LocalTime.format — the documented contract is NULL, not a
+        // query-killing exception
+        case _: java.time.DateTimeException => null
+        case _: IllegalArgumentException => null // bad pattern
+      }
   }
 
   override protected def withNewChildrenInternal(

@@ -294,7 +294,54 @@ object KsqlFunctionQueries2 {
       |    || '},1]' AS mixed_wrap
       |FROM events""".stripMargin
 
+  /** The ksql `TIME` type surface ([[graft.functions.TimeCompat]]):
+    * `PARSE_TIME` → INT millis-of-day (the Connect wire format,
+    * `org.apache.kafka.connect.data.Time`), `FORMAT_TIME` back to
+    * string, and the NULL-on-error model on BOTH sides — invalid
+    * clock values, date-bearing patterns (the r11 uncaught-
+    * DateTimeException edge), and out-of-range millis all yield NULL
+    * without killing the query. The oracle spells millis-of-day as
+    * plain integer arithmetic. */
+  def timeType(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  PARSE_TIME(CONCAT(LPAD(CAST(doc_id % 24 AS STRING), 2, '0'), ':',
+        |                    LPAD(CAST(doc_id % 60 AS STRING), 2, '0'), ':',
+        |                    LPAD(CAST((doc_id * 7) % 60 AS STRING), 2, '0')),
+        |             'HH:mm:ss') AS t_ms,
+        |  FORMAT_TIME(CAST((doc_id * 9973) % 86400000 AS INT),
+        |              'HH:mm:ss') AS t_str,
+        |  FORMAT_TIME(PARSE_TIME('23:59:59', 'HH:mm:ss'),
+        |              'HH:mm:ss') AS rt_max,
+        |  FORMAT_TIME(CAST(0 AS INT), 'HH:mm:ss') AS rt_midnight,
+        |  PARSE_TIME('25:00:00', 'HH:mm:ss') AS bad_hour,
+        |  PARSE_TIME('2020-01-01', 'yyyy-MM-dd') AS datey_parse,
+        |  FORMAT_TIME(CAST(-1 AS INT), 'HH:mm:ss') AS neg_ms,
+        |  FORMAT_TIME(CAST(86400000 AS INT), 'HH:mm:ss') AS over_ms,
+        |  FORMAT_TIME(CAST(doc_id % 1000 AS INT), 'yyyy-MM-dd') AS datey_fmt
+        |FROM documents""".stripMargin)
+
+  val timeTypeSql: String =
+    """SELECT doc_id,
+      |  CAST((doc_id % 24) * 3600000 + (doc_id % 60) * 60000
+      |       + ((doc_id * 7) % 60) * 1000 AS INTEGER) AS t_ms,
+      |  lpad(CAST(((doc_id * 9973) % 86400000) // 3600000 AS VARCHAR),
+      |       2, '0') || ':' ||
+      |  lpad(CAST((((doc_id * 9973) % 86400000) // 60000) % 60 AS VARCHAR),
+      |       2, '0') || ':' ||
+      |  lpad(CAST((((doc_id * 9973) % 86400000) // 1000) % 60 AS VARCHAR),
+      |       2, '0') AS t_str,
+      |  '23:59:59' AS rt_max,
+      |  '00:00:00' AS rt_midnight,
+      |  CAST(NULL AS INTEGER) AS bad_hour,
+      |  CAST(NULL AS INTEGER) AS datey_parse,
+      |  CAST(NULL AS VARCHAR) AS neg_ms,
+      |  CAST(NULL AS VARCHAR) AS over_ms,
+      |  CAST(NULL AS VARCHAR) AS datey_fmt
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ksql_time_type" -> timeType _,
     "q_ksql_json_records" -> jsonRecords _,
     "q_ksql_cast_fidelity" -> castFidelity _,
     "q_ksql_array_ops" -> arrayOps _,
@@ -303,6 +350,7 @@ object KsqlFunctionQueries2 {
     "q_ksql_string_funcs" -> stringFuncs _)
 
   def oracles: Map[String, String] = Map(
+    "q_ksql_time_type" -> timeTypeSql,
     "q_ksql_json_records" -> jsonRecordsSql,
     "q_ksql_cast_fidelity" -> castFidelitySql,
     "q_ksql_array_ops" -> arrayOpsSql,

@@ -839,6 +839,42 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ksql TIME type maps to INT millis-of-day in stream DDL; struct FIELD named TIME survives") {
+    // TIME lands as the Connect wire format (int32 ms since midnight,
+    // org.apache.kafka.connect.data.Time) in bare and generic type
+    // positions — but a struct FIELD literally named TIME must keep
+    // its NAME and its own type (the r11 regex rewrote it to INT)
+    GraftSql.sql(spark,
+      "CREATE STREAM time_s (id INT, t TIME, tarr ARRAY<TIME>, " +
+        "ev STRUCT<TIME TIMESTAMP, at TIME>) WITH " +
+        "(kafka_topic='time.topic', value_format='json');")
+    try {
+      val schema = spark.table("time_s").schema
+      assert(schema("t").dataType == org.apache.spark.sql.types.IntegerType,
+        schema.sql)
+      assert(schema("tarr").dataType.sql == "ARRAY<INT>", schema.sql)
+      val ev = schema("ev").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(ev.fieldNames.map(_.toUpperCase).toSeq == Seq("TIME", "AT"),
+        ev.sql)
+      assert(ev.fields(0).dataType ==
+        org.apache.spark.sql.types.TimestampType, ev.sql)
+      assert(ev.fields(1).dataType ==
+        org.apache.spark.sql.types.IntegerType, ev.sql)
+      // PARSE_TIME writes the wire value; FORMAT_TIME round-trips it
+      GraftSql.sql(spark, "INSERT INTO time_s (id, t) VALUES " +
+        "(1, PARSE_TIME('12:34:56', 'HH:mm:ss'));")
+      val row = GraftSql.sql(spark,
+        "SELECT t, FORMAT_TIME(t, 'HH:mm:ss') AS s FROM time_s")
+        .collect().head
+      assert(row.getInt(0) == (12 * 3600 + 34 * 60 + 56) * 1000, row)
+      assert(row.getString(1) == "12:34:56", row)
+    } finally {
+      GraftSql.sql(spark, "DROP STREAM IF EXISTS time_s;")
+      ()
+    }
+  }
+
   test("ksql CAST error model: dialect yields null/wrap where Spark ANSI throws") {
     // through the dialect: Java cast semantics (ksqlDB's SqlCasts)
     val r = GraftSql.sql(spark,

@@ -363,7 +363,7 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2) == "a-x-c")
   }
 
-  test("ROUND(v) returns BIGINT (ksql); ROUND(v, n) keeps Spark's double") {
+  test("ROUND(v) returns BIGINT (ksql); ROUND(v, n) keeps double") {
     val df = GraftSql.sql(spark,
       "SELECT ROUND(2.6) AS r1, ROUND(-2.5) AS r2, " +
         "ROUND(2.345e0, 2) AS r3")
@@ -375,6 +375,68 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Spark's own round() would give -3 here
     assert(r.getLong(1) == -2L)
     assert(math.abs(r.getDouble(2) - 2.35) < 1e-9)
+  }
+
+  test("ROUND edges: integral identity, Math.round boundary, sign split in 2-arg") {
+    val r = GraftSql.sql(spark,
+      // 2^53 + 1: a double can't hold it — identity must NOT detour
+      // through DOUBLE (the r11 floor(v+0.5) spelling returned ...992)
+      "SELECT ROUND(CAST(9007199254740993 AS BIGINT)) AS big, " +
+        // largest double < 0.5: Math.round gives 0, but in double
+        // arithmetic v + 0.5 rounds UP to 1.0 so floor(v+0.5) gave 1
+        "ROUND(0.49999999999999994e0) AS boundary, " +
+        // ksql's 2-arg form uses the SAME HALF_UP-positive /
+        // HALF_DOWN-negative split as 1-arg: -2.55 at 1 place → -2.5
+        // (Spark's round gives -2.6, half away from zero)
+        "ROUND(-2.55e0, 1) AS neg2, ROUND(2.55e0, 1) AS pos2, " +
+        // negative decimalPlaces round to tens/hundreds
+        "ROUND(1250.0e0, -2) AS hundreds, " +
+        "ROUND(CAST(7 AS INT)) AS int_id, ROUND(NULL) AS nul")
+      .collect().head
+    assert(r.getLong(0) == 9007199254740993L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getDouble(2) == -2.5)
+    assert(r.getDouble(3) == 2.6)
+    assert(r.getDouble(4) == 1300.0) // HALF_UP at the tens boundary
+    assert(r.getLong(5) == 7L)
+    assert(r.isNullAt(6))
+  }
+
+  // ---- UUID / RANDOM ----
+
+  test("UUID(): v4 shape; UUID(bytes) 16-byte reinterpretation; RANDOM() in [0,1)") {
+    val r = one("SELECT UUID() AS u, RANDOM() AS rnd, " +
+      "UUID(CAST('0123456789abcdef' AS BINARY)) AS ub, " +
+      "UUID(CAST('abc' AS BINARY)) AS bad")
+    assert(r.getString(0).matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+    val d = r.getDouble(1)
+    assert(d >= 0.0 && d < 1.0)
+    // 16 ASCII bytes '0123456789abcdef' as big-endian msb/lsb
+    assert(r.getString(2) == "30313233-3435-3637-3839-616263646566")
+    assert(r.isNullAt(3)) // wrong width → NULL, ksql's contract
+  }
+
+  test("spark.graft.randomSeed pins UUID()/RANDOM() for reproducible builds") {
+    spark.conf.set("spark.graft.randomSeed", "42")
+    try {
+      def draw(): Seq[String] = GraftSql.sql(spark,
+        "SELECT UUID() AS u, RANDOM() AS rnd FROM range(5)")
+        .collect().toSeq.map(_.toString)
+      val a = draw()
+      val b = draw()
+      assert(a == b, "seeded mode must reproduce identical draws")
+      assert(a.distinct.size == 5, "per-row draws must still differ")
+    } finally spark.conf.unset("spark.graft.randomSeed")
+    // unseeded: two analyses draw different seeds
+    val u1 = one("SELECT UUID()").getString(0)
+    val u2 = one("SELECT UUID()").getString(0)
+    assert(u1 != u2)
+  }
+
+  test("JSON_CONCAT accepts an untyped NULL literal operand (→ NULL)") {
+    assert(one("SELECT JSON_CONCAT(NULL, '[1]')").isNullAt(0))
+    assert(one("SELECT JSON_CONCAT('[1]', NULL, '[2]')").isNullAt(0))
   }
 
   // ---- multi-EXPLODE zip semantics ----

@@ -288,6 +288,54 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"changelogs diverged:\n  fkJoin   = $a\n  fkJoinTws = $b")
   }
 
+  test("StatefulEnrichJoin keeps its customer image in RocksDB across batches") {
+    // the last stateful operator missing from the provider matrix:
+    // the flatMapGroupsWithState customer image must survive a batch
+    // boundary in RocksDB (batch 1's orders look up batch 0's image),
+    // the within-batch offset ordering must hold, and a tombstone
+    // written to RocksDB must null later lookups
+    import java.sql.Timestamp
+    import RocksDBStateSpec.{SejCust, SejOrd}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val cFeed = MemoryStream[SejCust]
+    val oFeed = MemoryStream[SejOrd]
+    // batch 0: image v1, plus a same-batch update — order A (offset 10)
+    // must see the pre-update image, order B (offset 30) the update
+    cFeed.addData(SejCust("5", "fred", 34, "false", 1),
+      SejCust("5", "frederick", 35, "false", 20))
+    oFeed.addData(SejOrd("5", "A", 1.0, "usd", ts("2020-04-03 11:20:00"), 10),
+      SejOrd("5", "B", 2.0, "usd", ts("2020-04-03 11:21:00"), 30))
+    val joined = StatefulEnrichJoin(spark, cFeed.toDF(), oFeed.toDF())
+    val name = s"sej_rocks_${System.nanoTime()}"
+    val q = joined.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+      // batch 1: order C must read the batch-0 image FROM RocksDB
+      oFeed.addData(SejOrd("5", "C", 3.0, "usd", ts("2020-04-03 11:22:00"), 40))
+      q.processAllAvailable()
+      // batch 2: tombstone, then batch 3's order sees null fields
+      cFeed.addData(SejCust("5", null, null, "true", 50))
+      q.processAllAvailable()
+      oFeed.addData(SejOrd("5", "D", 4.0, "usd", ts("2020-04-03 11:23:00"), 60))
+      q.processAllAvailable()
+      val byId = spark.table(name).as[EnrichedOrder].collect()
+        .map(o => o.order_id -> o.customer_name).toMap
+      assert(byId("A").contains("fred"), byId.toString)
+      assert(byId("B").contains("frederick"), byId.toString)
+      assert(byId("C").contains("frederick"), byId.toString)
+      assert(byId("D").isEmpty, byId.toString)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("stream_scd2 matches the batch history under RocksDB state") {
     // the open-tail-only SCD2 state (buffered unclosed versions per
     // user) lives in RocksDB; final emissions must equal the one-shot
@@ -303,4 +351,12 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got == expected,
       s"got=${got.size} rows, expected=${expected.size}")
   }
+}
+
+object RocksDBStateSpec {
+  // top-level (encoder-friendly) inputs for the StatefulEnrichJoin test
+  case class SejCust(id: String, name: String, age: java.lang.Integer,
+                     __deleted: String, offset: Long)
+  case class SejOrd(customer_id: String, order_id: String, price: Double,
+                    currency: String, o_ts: java.sql.Timestamp, offset: Long)
 }
