@@ -74,4 +74,78 @@ class KsqlCompatPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getSeq[String](6) == expectedSplit, s"split('$s', 'ab')")
     }
   }
+
+  // ---- JSON_CONCAT vs an independent PG-`||` model ----
+
+  /** PostgreSQL `||` model, written independently of the expression:
+    * SQL NULL or unparseable operand → NULL; all-objects → shallow
+    * merge built key-by-key left-to-right (later keys win, first
+    * occurrence keeps its position); any non-object present → wrap
+    * every non-array into a 1-element array and concatenate. Parsing
+    * and serialization share [[JsonCompat.mapper]] (the rule under
+    * test is the n-ary merge-vs-wrap DECISION, not Jackson). */
+  private def modelConcat(ops: Seq[Option[String]]): Option[String] = {
+    val parsed = ops.map(_.flatMap(JsonCompat.parse))
+    if (parsed.exists(_.isEmpty)) None
+    else {
+      val ns = parsed.map(_.get)
+      val om = JsonCompat.mapper
+      val out: com.fasterxml.jackson.databind.JsonNode =
+        if (ns.forall(_.isObject)) {
+          val o = om.createObjectNode()
+          ns.foreach { n =>
+            val it = n.fields()
+            while (it.hasNext) {
+              val e = it.next()
+              o.set[com.fasterxml.jackson.databind.node.ObjectNode](
+                e.getKey, e.getValue)
+              ()
+            }
+          }
+          o
+        } else {
+          val a = om.createArrayNode()
+          ns.foreach { n =>
+            if (n.isArray) n.forEach(el => { a.add(el); () })
+            else { a.add(n); () }
+          }
+          a
+        }
+      Some(om.writeValueAsString(out))
+    }
+  }
+
+  test("JSON_CONCAT matches the PG || model on 300 generated operand mixes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val operandGen: Gen[Option[String]] = Gen.frequency(
+      6 -> Gen.oneOf("{}", """{"a":1}""", """{"a":{"x":[1]},"b":2}""",
+        """{"b":3,"c":[1,2]}""", """{"c":null}""").map(Option(_)),
+      5 -> Gen.oneOf("[]", "[1,2]", """[[1],{"a":1}]""",
+        """["s",null]""").map(Option(_)),
+      4 -> Gen.oneOf("1", "-2.5", "\"str\"", "true", "null").map(Option(_)),
+      2 -> Gen.oneOf("{oops", "[1,", "tru").map(Option(_)),
+      1 -> Gen.const(None))
+    val caseGen: Gen[List[Option[String]]] =
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, operandGen))
+    // deterministic sample: the suite must not flake on a lucky seed
+    val cases: List[List[Option[String]]] =
+      Gen.listOfN(300, caseGen)(Gen.Parameters.default, Seed(7L)).get
+    // one wide projection → a single analysis + eval pass
+    val cols = cases.zipWithIndex.map { case (ops, i) =>
+      val args = ops.map {
+        case Some(s) => "'" + s + "'"
+        case None => "NULL"
+      }.mkString(", ")
+      s"JSON_CONCAT($args) AS c$i"
+    }
+    val row = spark.sql("SELECT " + cols.mkString(", ")).collect().head
+    cases.zipWithIndex.foreach { case (ops, i) =>
+      modelConcat(ops) match {
+        case None => assert(row.isNullAt(i), s"case $i $ops: expected NULL")
+        case Some(exp) =>
+          assert(row.getString(i) == exp, s"case $i $ops")
+      }
+    }
+  }
 }

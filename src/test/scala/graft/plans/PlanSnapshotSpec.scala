@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EXPLAIN-diff regression guard over the most expensive catalog
+  * queries: each query's STATIC physical plan (AQE off — the
+  * deterministic pre-runtime shape) is reduced to a signature of the
+  * scale-relevant node counts, and the committed snapshot below pins
+  * an upper bound. A refactor that silently adds a shuffle, degrades a
+  * broadcast join to sort-merge, or introduces a nested-loop/cartesian
+  * product fails HERE, mechanically, instead of surfacing as a bench
+  * regression two rounds later.
+  *
+  * Bounds are UPPER bounds (fewer shuffles than pinned is an
+  * improvement, not a failure); CartesianProduct is globally forbidden.
+  * To regenerate after an intentional plan change, run with
+  * SPARK_GRAFT_PLAN_REGEN=1 — the suite prints the current snapshot
+  * literal instead of asserting. */
+class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-snapshot")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // static plans: AQE rewrites happen at runtime and would make the
+    // snapshot depend on row counts; the guard pins the planner output
+    .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (shuffle exchanges, sort-merge joins, broadcast nested-loop
+    * joins) — the three shapes that hurt at 100 TB. */
+  private case class Sig(shuffles: Int, smj: Int, bnlj: Int)
+
+  private def signature(name: String): Sig = {
+    val df = graft.queries.Catalog.queries(name)(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val names = plan.collectWithSubqueries {
+      case p => p.getClass.getSimpleName
+    }
+    def n(c: String) = names.count(_ == c)
+    assert(n("CartesianProductExec") == 0,
+      s"$name: CartesianProduct in the plan — forbidden at any scale")
+    Sig(n("ShuffleExchangeExec"), n("SortMergeJoinExec"),
+      n("BroadcastNestedLoopJoinExec"))
+  }
+
+  /** The committed snapshot: the 20 most expensive BATCH queries of
+    * the round-11 bench (streaming plans are pinned by their own
+    * specs), upper-bounding (shuffles, sort-merge joins, broadcast
+    * NLJs) in the static plan at sf0.001. */
+  // NB: several builders materialize intermediate stages eagerly
+  // (localCheckpoint / write-then-read), so their RETURNED plan is the
+  // final stage only — a 0 here pins "the returned stage stays
+  // shuffle-free", not "the whole pipeline is". The BNLJs in the two
+  // sim_* rows are crossJoin(broadcast(<query vector / ADC table>))
+  // scalar patterns — broadcast of a tiny side, not data×data.
+  private val pinned: Map[String, Sig] = Map(
+    "curate_corpus_build" -> Sig(8, 1, 0),
+    "curate_corpus_build_clean" -> Sig(12, 4, 0),
+    "curate_canonical_docs" -> Sig(1, 0, 0),
+    "curate_dataset_card" -> Sig(5, 2, 0),
+    "sim_ann_recall" -> Sig(5, 0, 7),
+    "sim_ann_ivfpq" -> Sig(1, 0, 1),
+    "dedup_minhash_lsh" -> Sig(0, 0, 0),
+    "dedup_components" -> Sig(0, 0, 0),
+    "dedup_cluster_sizes" -> Sig(3, 0, 0),
+    "dedup_semantic" -> Sig(0, 0, 0),
+    "text_composition_report" -> Sig(1, 0, 0),
+    "text_heavy_hitters" -> Sig(0, 0, 0),
+    "text_fingerprint" -> Sig(0, 0, 0),
+    "q_salted_join" -> Sig(0, 0, 0),
+    "q_semi_join" -> Sig(0, 0, 0),
+    "q_session_window" -> Sig(1, 0, 0),
+    "q_ksql_multi_explode" -> Sig(0, 0, 0),
+    "q_scalar_subquery" -> Sig(1, 0, 0),
+    "q1_pricing_summary" -> Sig(1, 0, 0),
+    "src_bucketed_join" -> Sig(1, 0, 0))
+
+  test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
+    val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
+    val actual = pinned.keys.toSeq.sorted.map(n => n -> signature(n))
+    if (regen) {
+      val lit = actual.map { case (n, s) =>
+        s"""    "$n" -> Sig(${s.shuffles}, ${s.smj}, ${s.bnlj})"""
+      }.mkString(",\n")
+      System.err.println(s"[plan-snapshot] current:\n$lit")
+    } else {
+      val gained = actual.filter { case (n, s) =>
+        val p = pinned(n)
+        s.shuffles > p.shuffles || s.smj > p.smj || s.bnlj > p.bnlj
+      }
+      assert(gained.isEmpty,
+        gained.map { case (n, s) =>
+          s"$n: now $s, pinned ${pinned(n)}"
+        }.mkString("plans regressed:\n  ", "\n  ",
+          "\n(rerun with SPARK_GRAFT_PLAN_REGEN=1 to print the new " +
+            "snapshot if the change is intentional)"))
+    }
+  }
+}
