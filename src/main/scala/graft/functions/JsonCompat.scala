@@ -12,9 +12,14 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData,
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The two ksqlDB 0.28 JSON builtins whose semantics need a real JSON
+/** The ksqlDB 0.28 JSON builtins whose semantics need a real JSON
   * parser rather than a builtin composition (reference stack: ksqlDB
   * 0.28, docker-compose.yml:83):
+  *
+  *  - `JSON_ITEMS(jsonArray)` → ARRAY<STRING> of the array elements'
+  *    SERIALIZED-JSON forms (`"x"` keeps its quotes, objects their
+  *    braces, JSON null becomes the string `null`). Non-array or
+  *    invalid input → NULL.
   *
   *  - `JSON_RECORDS(json)` → MAP<STRING, STRING> of the top-level
   *    object's keys to their SERIALIZED-JSON values (`"x"` keeps its
@@ -79,6 +84,40 @@ case class JsonRecords(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): JsonRecords = copy(child = newChild)
+}
+
+/** `JSON_ITEMS(jsonArray)` → ARRAY<STRING> of serialized elements
+  * (ksqlDB 0.28 JsonItems). Non-array or invalid JSON → NULL. */
+case class JsonItems(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      // NullType: an untyped NULL literal is an always-NULL operand
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"json_items expects a string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    JsonCompat.parse(input.asInstanceOf[UTF8String].toString) match {
+      case Some(a: ArrayNode) =>
+        val items = new Array[Any](a.size())
+        var i = 0
+        while (i < items.length) {
+          items(i) = UTF8String.fromString(a.get(i).toString)
+          i += 1
+        }
+        new GenericArrayData(items)
+      case _ => null // non-array or invalid JSON, per ksql
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): JsonItems = copy(child = newChild)
 }
 
 case class JsonConcat(children: Seq[Expression])

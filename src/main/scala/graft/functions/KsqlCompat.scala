@@ -270,6 +270,24 @@ object KsqlCompat {
       arity("url_decode_param", "url_decode_param(str)", exprs, 1, 1)
       fn("url_decode", exprs.head)
     },
+    "as_value" -> { exprs =>
+      arity("as_value", "as_value(keyColumn)", exprs, 1, 1)
+      // ksql: copies a KEY column into the VALUE of a CSAS result row.
+      // This engine's relational model doesn't split key from value —
+      // every column is a value column and keying is a property of the
+      // sink/grouping — so the marker is an identity on the
+      // expression; a ported statement keeps its meaning.
+      exprs.head
+    },
+    "url_extract_parameter" -> { exprs =>
+      arity("url_extract_parameter",
+        "url_extract_parameter(url, parameter)", exprs, 2, 2)
+      // ksql reads java.net.URI.getQuery() — the DECODED query — then
+      // splits on & / =, so the extracted value arrives
+      // percent-decoded; Spark's parse_url extracts the RAW substring,
+      // hence the url_decode on top. Absent parameter → NULL (both).
+      fn("url_decode", fn("parse_url", exprs.head, lit("QUERY"), exprs(1)))
+    },
 
     // ---- geo ----
     "geo_distance" -> { exprs =>

@@ -388,6 +388,10 @@ object KsqlCompatExt {
       arity("json_records", "json_records(json)", exprs, 1, 1)
       JsonRecords(exprs.head)
     },
+    "json_items" -> { exprs =>
+      arity("json_items", "json_items(jsonArray)", exprs, 1, 1)
+      JsonItems(exprs.head)
+    },
     "json_concat" -> { exprs =>
       // variadic in ksql; the wrap rule makes n-ary NOT a binary fold
       arity("json_concat", "json_concat(json, json[, ...])",

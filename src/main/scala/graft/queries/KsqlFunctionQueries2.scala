@@ -340,7 +340,53 @@ object KsqlFunctionQueries2 {
       |  CAST(NULL AS VARCHAR) AS datey_fmt
       |FROM documents""".stripMargin
 
+  /** `JSON_ITEMS` ([[graft.functions.JsonItems]] — array elements in
+    * SERIALIZED-JSON form, quotes/braces intact; non-array → NULL) and
+    * `URL_EXTRACT_PARAMETER` (named query-string parameter,
+    * percent-DECODED as ksql's URI.getQuery-based extraction yields;
+    * absent parameter → NULL), end-to-end through the dialect. The
+    * inputs are constructed from columns so the oracle can spell every
+    * expected value algebraically — no JSON/URL library needed on the
+    * DuckDB side. */
+  def jsonItemsUrl(s: SparkSession, d: String): DataFrame =
+    run(s, d,
+      """SELECT doc_id,
+        |  ARRAY_JOIN(JSON_ITEMS(CONCAT('[', CAST(doc_id AS STRING), ',"',
+        |    lang, '",{"a":', CAST(doc_id % 7 AS STRING), '},null]')), '|')
+        |    AS items,
+        |  CAST(ARRAY_LENGTH(JSON_ITEMS(CONCAT('[', CAST(doc_id AS STRING),
+        |    ',[1,2],true]'))) AS BIGINT) AS n_items,
+        |  ARRAY_JOIN(JSON_ITEMS(CONCAT('{"a":', CAST(doc_id AS STRING),
+        |    '}'))) AS non_array,
+        |  ARRAY_JOIN(JSON_ITEMS(CONCAT('[', lang))) AS invalid_json,
+        |  URL_EXTRACT_PARAMETER(CONCAT('https://ex.com/p/', source,
+        |    '?lang=', lang, '&id=', CAST(doc_id AS STRING),
+        |    '&tag=a%20b'), 'lang') AS p_lang,
+        |  URL_EXTRACT_PARAMETER(CONCAT('https://ex.com/p/', source,
+        |    '?lang=', lang, '&id=', CAST(doc_id AS STRING),
+        |    '&tag=a%20b'), 'id') AS p_id,
+        |  URL_EXTRACT_PARAMETER(CONCAT('https://ex.com/p/', source,
+        |    '?lang=', lang, '&id=', CAST(doc_id AS STRING),
+        |    '&tag=a%20b'), 'tag') AS p_tag_decoded,
+        |  URL_EXTRACT_PARAMETER(CONCAT('https://ex.com/p/', source,
+        |    '?lang=', lang), 'missing') AS p_missing
+        |FROM documents""".stripMargin)
+
+  val jsonItemsUrlSql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id AS VARCHAR) || '|"' || lang || '"|{"a":' ||
+      |    CAST(doc_id % 7 AS VARCHAR) || '}|null' AS items,
+      |  CAST(3 AS BIGINT) AS n_items,
+      |  CAST(NULL AS VARCHAR) AS non_array,
+      |  CAST(NULL AS VARCHAR) AS invalid_json,
+      |  lang AS p_lang,
+      |  CAST(doc_id AS VARCHAR) AS p_id,
+      |  'a b' AS p_tag_decoded,
+      |  CAST(NULL AS VARCHAR) AS p_missing
+      |FROM documents""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ksql_json_items_url" -> jsonItemsUrl _,
     "q_ksql_time_type" -> timeType _,
     "q_ksql_json_records" -> jsonRecords _,
     "q_ksql_cast_fidelity" -> castFidelity _,
@@ -350,6 +396,7 @@ object KsqlFunctionQueries2 {
     "q_ksql_string_funcs" -> stringFuncs _)
 
   def oracles: Map[String, String] = Map(
+    "q_ksql_json_items_url" -> jsonItemsUrlSql,
     "q_ksql_time_type" -> timeTypeSql,
     "q_ksql_json_records" -> jsonRecordsSql,
     "q_ksql_cast_fidelity" -> castFidelitySql,

@@ -481,4 +481,42 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(rows.isEmpty)
   }
+
+  // ---- JSON_ITEMS ----
+
+  test("JSON_ITEMS keeps each element's serialized-JSON form") {
+    assert(one("""SELECT JSON_ITEMS('[1,"x",{"a":2},[3],null]')""")
+      .getSeq[String](0) == Seq("1", "\"x\"", "{\"a\":2}", "[3]", "null"))
+    assert(one("SELECT JSON_ITEMS('[]')").getSeq[String](0) == Seq.empty)
+  }
+
+  test("JSON_ITEMS: non-array, invalid, and SQL-NULL inputs → NULL") {
+    assert(one("""SELECT JSON_ITEMS('{"a":1}')""").isNullAt(0))
+    assert(one("SELECT JSON_ITEMS('nope[')").isNullAt(0))
+    assert(one("SELECT JSON_ITEMS('42')").isNullAt(0))
+    assert(one("SELECT JSON_ITEMS(NULL)").isNullAt(0)) // untyped NULL
+  }
+
+  // ---- AS_VALUE ----
+
+  test("AS_VALUE is identity in the unified relational model") {
+    val r = one("SELECT AS_VALUE(7 + 1) AS k, AS_VALUE('x') AS s")
+    assert(r.getInt(0) == 8 && r.getString(1) == "x")
+  }
+
+  // ---- URL_EXTRACT_PARAMETER ----
+
+  test("URL_EXTRACT_PARAMETER extracts and percent-decodes the value") {
+    val url = "'https://h.io/p?a=1&b=x%20y&c='"
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($url, 'a')")
+      .getString(0) == "1")
+    // ksql decodes via URI.getQuery before splitting — %20 → space
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($url, 'b')")
+      .getString(0) == "x y")
+    // absent parameter → NULL
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($url, 'zz')").isNullAt(0))
+    // no query string at all → NULL
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p', 'a')")
+      .isNullAt(0))
+  }
 }
