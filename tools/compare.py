@@ -6,7 +6,7 @@ runs each oracle SQL in DuckDB against the sf tables, and compares:
 row count, column names (sorted), and a hash over sorted rows with
 columns sorted by name.
 """
-import sys, json, glob, hashlib
+import os, sys, json, glob, hashlib
 import duckdb
 
 def canon(v):
@@ -32,7 +32,12 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver SF dirs are single files; generated ones (ScaleGen's
+        # sf1) are Spark-written DIRECTORIES of part files — DuckDB
+        # needs the glob for those
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
