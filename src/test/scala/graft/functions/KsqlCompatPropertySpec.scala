@@ -148,4 +148,82 @@ class KsqlCompatPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  // ---- ROUND vs the sign-split BigDecimal model ----
+
+  /** ksql's rounding rule, written directly on the DECIMAL string of
+    * the value (shortest double repr, like ksql's own
+    * BigDecimal.valueOf path): halves toward +∞ — HALF_UP for v ≥ 0,
+    * HALF_DOWN for v < 0 — at the target scale. Independent of the
+    * expression's type dispatch and codegen, which are what the fuzz
+    * pins: every (value, scale, SQL type) combination must route to
+    * the same decimal answer. */
+  private def modelRound(v: java.math.BigDecimal, scale: Int): java.math.BigDecimal =
+    v.setScale(scale,
+      if (v.signum < 0) java.math.RoundingMode.HALF_DOWN
+      else java.math.RoundingMode.HALF_UP)
+
+  test("ROUND: 300 (value, scale, type) combos match the sign-split model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // grids that land on .5 / .05 / .005 boundaries plus off-grid
+    // values; magnitudes stay far below 2^53 so the double-literal
+    // spelling is exact
+    val valueGen: Gen[java.math.BigDecimal] = Gen.frequency(
+      4 -> Gen.choose(-2000L, 2000L).map(n =>
+        java.math.BigDecimal.valueOf(n, 1)),   // x.y incl. x.5
+      4 -> Gen.choose(-20000L, 20000L).map(n =>
+        java.math.BigDecimal.valueOf(n, 2)),   // x.yz incl. x.y5
+      3 -> Gen.choose(-200000L, 200000L).map(n =>
+        java.math.BigDecimal.valueOf(n, 3)),
+      2 -> Gen.choose(-1000000L, 1000000L).map(java.math.BigDecimal.valueOf),
+      1 -> Gen.choose(-999L, 999L).map(n =>
+        java.math.BigDecimal.valueOf(n * 50, 1))) // hundreds for s<0
+    val comboGen: Gen[(java.math.BigDecimal, Int, Int)] = for {
+      v <- valueGen
+      s <- Gen.choose(-2, 4)
+      kind <- Gen.choose(0, 2) // 0 = 1-arg double, 1 = 2-arg double,
+                               // 2 = 1-arg decimal literal
+    } yield (v, s, kind)
+    val cases = Gen.listOfN(300, comboGen)(
+      Gen.Parameters.default, Seed(13L)).get
+    val cols = cases.zipWithIndex.map { case ((v, s, kind), i) =>
+      val lit = v.toPlainString
+      kind match {
+        case 0 => s"ROUND(CAST($lit AS DOUBLE)) AS c$i"
+        case 1 => s"ROUND(CAST($lit AS DOUBLE), $s) AS c$i"
+        case 2 => s"ROUND($lit) AS c$i" // plain literal → DecimalType
+      }
+    }
+    val row = GraftSql.sql(spark,
+      "SELECT " + cols.mkString(", ")).collect().head
+    cases.zipWithIndex.foreach { case ((v, s, kind), i) =>
+      kind match {
+        case 0 | 2 =>
+          val exp = modelRound(v, 0).longValue
+          assert(row.getLong(i) == exp, s"case $i ROUND($v) kind=$kind")
+        case 1 =>
+          val exp = modelRound(v, s).doubleValue
+          assert(row.getDouble(i) == exp, s"case $i ROUND($v, $s)")
+      }
+    }
+  }
+
+  test("ROUND 1-arg BIGINT identity holds beyond 2^53 on 100 seeded longs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.frequency(
+      3 -> Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+      1 -> Gen.oneOf(9007199254740993L, -9007199254740993L,
+        Long.MaxValue - 1, Long.MinValue + 1, 0L))
+    val vals = Gen.listOfN(100, gen)(Gen.Parameters.default, Seed(17L)).get
+    val cols = vals.zipWithIndex.map { case (v, i) =>
+      s"ROUND(CAST($v AS BIGINT)) AS c$i"
+    }
+    val row = GraftSql.sql(spark,
+      "SELECT " + cols.mkString(", ")).collect().head
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(row.getLong(i) == v, s"case $i ROUND(${v}L) must be identity")
+    }
+  }
 }
