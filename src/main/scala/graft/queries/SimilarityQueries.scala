@@ -279,6 +279,63 @@ object SimilarityQueries {
     e.select(col("vec_id"), col("emb")).join(assigned, "vec_id")
   }
 
+  /** SemDeDup's scale path. The exact [[dedupSemantic]] pairs ALL
+    * vectors sharing a cluster — correct, but when cluster COUNT is
+    * fixed (here: the corpus's label set) cluster SIZE grows with the
+    * corpus and the pair join is quadratic per cluster: measured
+    * 1.5 s → 155 s for 10× vectors at the r12 sf1 decade. Production
+    * SemDeDup caps effective cluster size; this variant adds a second
+    * blocking level INSIDE each cluster — BANDED sign-LSH, the vector
+    * analog of [[graft.queries.DedupQueries]]'s MinHash banding: 8
+    * bands of 4 hyperplanes (sign of dims 1..32), a pair is a
+    * candidate when ANY band's 4-bit signature matches within the
+    * cluster. OR-of-ANDs keeps recall high where the single
+    * 8-bit AND-bucket of [[annSignLsh]] would collapse it (for two
+    * vectors at angle θ each hyperplane agrees with prob 1−θ/π; at
+    * the 0.4 threshold an all-8 AND keeps ~2% of true pairs, 8
+    * OR'd 4-bit bands ~75%). Candidates are generated as ID pairs
+    * first and embeddings joined back once — the banding explode
+    * never shuffles vector payloads. The band rule is deterministic,
+    * so the DuckDB oracle replicates the approximation EXACTLY — a
+    * verified approximate operator, not an unverifiable heuristic.
+    * Same output contract as dedup_semantic: (vec_id, cluster,
+    * is_dup). */
+  def dedupSemanticLsh(s: SparkSession, d: String): DataFrame = {
+    val bands = array((0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat((1 to 4).map(j =>
+          when(element_at(col("emb"), b * 4 + j) >= 0, "1")
+            .otherwise("0")): _*).as("sig"))
+    }: _*)
+    val av = assignedVectors(s, d).persist()
+    try {
+      val sigs = av
+        .select(col("vec_id"), col("cluster"), explode(bands).as("bd"))
+        .select(col("vec_id"), col("cluster"),
+          col("bd.band").as("band"), col("bd.sig").as("sig"))
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.band") === col("b.band") &&
+            col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+        .distinct()
+      val emb = av.select(col("vec_id"), col("emb"))
+      val dups = cand
+        .join(emb.select(col("vec_id").as("ida"), col("emb").as("ea")), "ida")
+        .join(emb.select(col("vec_id").as("idb"), col("emb").as("eb")), "idb")
+        .filter(round(dot(col("ea"), col("eb")) /
+          (norm(col("ea")) * norm(col("eb"))), 6) >= 0.4)
+        .select(col("idb").as("vec_id")).distinct()
+        .withColumn("flag", lit(1L))
+      av.select(col("vec_id"), col("cluster"))
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          coalesce(col("flag"), lit(0L)).as("is_dup"))
+        .localCheckpoint()
+    } finally { av.unpersist(blocking = false); () }
+  }
+
   private def dedupSemanticOver(av: DataFrame): DataFrame = {
     val dups = av.as("a").join(av.as("b"),
         col("a.cluster") === col("b.cluster") &&
@@ -366,6 +423,53 @@ object SimilarityQueries {
       |dup AS (
       |  SELECT DISTINCT b.vec_id
       |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE round(
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> a.emb[i]*b.emb[i])) /
+      |      (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) >= 0.4)
+      |SELECT av.vec_id, CAST(cluster AS BIGINT) AS cluster,
+      |  CAST(CASE WHEN av.vec_id IN (SELECT vec_id FROM dup)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+      |FROM av""".stripMargin
+
+  /** Oracle for [[dedupSemanticLsh]]: identical to the exact
+    * dedup_semantic oracle except candidates come from the
+    * deterministic 8×4-bit banded sign-LSH join. */
+  val dedupSemanticLshSql: String =
+    s"""WITH c AS (SELECT * FROM ($labelCentroidsSql) x),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] emb FROM embeddings),
+      |carr AS (SELECT label AS c_label, list(centroid ORDER BY dim) cemb
+      |         FROM c GROUP BY label),
+      |scored AS (
+      |  SELECT e.vec_id, ca.c_label,
+      |    round(
+      |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*cemb[i])) /
+      |      (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+      |       sqrt(list_sum(list_transform(cemb, x -> x*x)))), 6) AS score
+      |  FROM e CROSS JOIN carr ca),
+      |r AS (SELECT vec_id, c_label,
+      |        row_number() OVER (PARTITION BY vec_id
+      |                           ORDER BY score DESC, c_label) rn
+      |      FROM scored),
+      |av AS (SELECT e.vec_id, e.emb, a.c_label AS cluster
+      |       FROM e JOIN (SELECT vec_id, c_label FROM r WHERE rn = 1) a
+      |       USING (vec_id)),
+      |sigs AS (
+      |  SELECT vec_id, cluster, band,
+      |    concat(
+      |      CASE WHEN emb[band*4+1] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN emb[band*4+2] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN emb[band*4+3] >= 0 THEN '1' ELSE '0' END,
+      |      CASE WHEN emb[band*4+4] >= 0 THEN '1' ELSE '0' END) sig
+      |  FROM av, (SELECT unnest(generate_series(0, 7)) band) bnd),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id ida, b.vec_id idb
+      |  FROM sigs a JOIN sigs b ON a.cluster = b.cluster
+      |    AND a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      |dup AS (
+      |  SELECT DISTINCT cd.idb AS vec_id
+      |  FROM cand cd JOIN av a ON a.vec_id = cd.ida
+      |    JOIN av b ON b.vec_id = cd.idb
       |  WHERE round(
       |      list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> a.emb[i]*b.emb[i])) /
       |      (sqrt(list_sum(list_transform(a.emb, x -> x*x))) *
@@ -1344,6 +1448,7 @@ object SimilarityQueries {
     "sim_cos_neardup" -> cosNearDup _,
     "sim_threshold_sweep" -> thresholdSweep _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_lsh" -> dedupSemanticLsh _,
     "curate_prototypes" -> curatePrototypes _,
     "sim_label_centroids" -> labelCentroids _)
 
@@ -1368,6 +1473,7 @@ object SimilarityQueries {
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_threshold_sweep" -> thresholdSweepSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_lsh" -> dedupSemanticLshSql,
     "curate_prototypes" -> curatePrototypesSql,
     "sim_label_centroids" -> labelCentroidsSql)
 }
