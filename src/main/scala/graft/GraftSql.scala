@@ -185,6 +185,14 @@ object GraftSql {
       udaf(new graft.functions.HistogramAgg))
     if (absent("topk_by_score_3")) spark.udf.register("topk_by_score_3",
       udaf(new graft.functions.TopKByScore(3)))
+    // mergeable deterministic quantile sketch (decimal grid): build
+    // from grid integers / union-merge stored sketches — see
+    // graft.functions.DecimalSketch for the grid contract
+    if (absent("decimal_sketch")) spark.udf.register("decimal_sketch",
+      udaf(new graft.functions.DecimalSketchAgg))
+    if (absent("decimal_sketch_merge"))
+      spark.udf.register("decimal_sketch_merge",
+        udaf(new graft.functions.DecimalSketchMergeAgg))
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,

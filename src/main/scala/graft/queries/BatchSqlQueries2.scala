@@ -342,6 +342,58 @@ object BatchSqlQueries2 {
       |  CAST(1 AS BIGINT) AS merged_within_5pct
       |FROM events""".stripMargin
 
+  /** Mergeable deterministic quantile sketch ([[graft.functions.DecimalSketch]]):
+    * per-group sketches over the integer-cents grid, PLUS an `ALL` row
+    * produced by union-merging the per-group partials — the lossless
+    * re-aggregation path that makes stored per-slice sketches a 100 TB
+    * pre-aggregation. Quantile extraction is relational (explode →
+    * window cumsum → rank scan), so the DuckDB oracle replicates the
+    * whole pipeline EXACTLY — unlike the log-γ grid of DDSketch, the
+    * decimal grid has no libm boundary and the sketch answer
+    * hash-compares across engines. */
+  def decsketchQuantiles(s: SparkSession, d: String): DataFrame = {
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val skMerge = udaf(new graft.functions.DecimalSketchMergeAgg)
+    val cents = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val perGrp = cents.groupBy(col("grp"))
+      .agg(sk(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    // the ALL row never re-reads rows: it merges the 3 per-group maps
+    val merged = perGrp
+      .agg(skMerge(col("sketch")).as("sketch"), sum(col("n")).as("n"))
+      .select(lit("ALL").as("grp"), col("sketch"), col("n"))
+    graft.functions.DecimalSketch.quantileScan(
+      perGrp.unionByName(merged), Seq("grp"), Seq(0.5, 0.9, 0.99), "cents")
+  }
+
+  /** Replicates the decimal-grid bucketing with pure integer/string
+    * arithmetic (`'1' || repeat('0', digits-3)` builds the power of
+    * ten — no libm pow), then the same cumsum rank scan. */
+  val decsketchQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |g AS (SELECT grp, cents FROM v UNION ALL SELECT 'ALL', cents FROM v),
+      |b AS (
+      |  SELECT grp,
+      |    CASE WHEN abs(cents) < 1000 THEN cents
+      |         ELSE cents - cents % CAST('1' || repeat('0',
+      |                length(CAST(abs(cents) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM g),
+      |h AS (SELECT grp, bkt, COUNT(*) AS cnt FROM b GROUP BY grp, bkt),
+      |nn AS (SELECT grp, COUNT(*) AS n FROM g GROUP BY grp),
+      |c AS (SELECT grp, bkt,
+      |        SUM(cnt) OVER (PARTITION BY grp ORDER BY bkt) AS cum
+      |      FROM h),
+      |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      |SELECT c.grp, qq.q, MIN(c.bkt) AS cents, CAST(nn.n AS BIGINT) AS n
+      |FROM c JOIN nn USING (grp) CROSS JOIN qq
+      |WHERE c.cum >= ceil(qq.q * nn.n)
+      |GROUP BY c.grp, qq.q, nn.n""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -475,6 +527,7 @@ object BatchSqlQueries2 {
     "q_asof_nearest" -> asofNearest _,
     "q_range_join_binned" -> rangeJoinBinned _,
     "q_sketch_mergeable" -> sketchMergeable _,
+    "q_decsketch_quantiles" -> decsketchQuantiles _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -495,6 +548,7 @@ object BatchSqlQueries2 {
     "q_asof_nearest" -> asofNearestSql,
     "q_range_join_binned" -> rangeJoinBinnedSql,
     "q_sketch_mergeable" -> sketchMergeableSql,
+    "q_decsketch_quantiles" -> decsketchQuantilesSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

@@ -1156,7 +1156,57 @@ object CurationQueries {
        |WHERE rn <= 10""".stripMargin
   }
 
+  /** Per-source outlier trimming driven by the mergeable
+    * [[graft.functions.DecimalSketch]]: each source's p90 length
+    * threshold comes from its sketch (bucket of the exact p90 — see
+    * the sketch's monotone-grid contract), and the corpus is flagged
+    * against the broadcast threshold table. The 100 TB shape is the
+    * point: the sketch pass is a bounded-state partial aggregation
+    * (map-side combine to ≤17k counters per source), the threshold
+    * table is |sources| rows broadcast back, and the corpus itself is
+    * never shuffled — versus the naive percentile_approx-per-source +
+    * window spelling that shuffles every row. In production the
+    * per-source sketches would be the STORED artifact, so retuning the
+    * trim quantile re-reads sketches, not the corpus. */
+  def sketchTrim(s: SparkSession, d: String): DataFrame = {
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val sketches = docs.groupBy(col("source"))
+      .agg(sk(col("n_chars")).as("sketch"), count(lit(1)).as("n"))
+    val thr = graft.functions.DecimalSketch
+      .quantileScan(sketches, Seq("source"), Seq(0.9), "thr")
+      .select(col("source"), col("thr"))
+    docs.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("thr"),
+        (col("n_chars") <= col("thr")).cast(LongType).as("kept"))
+  }
+
+  /** Replicates the decimal-grid p90 (integer/string power-of-ten,
+    * no libm) and the threshold join. */
+  val sketchTrimSql: String =
+    """WITH b AS (
+      |  SELECT source, n_chars,
+      |    CASE WHEN abs(n_chars) < 1000 THEN n_chars
+      |         ELSE n_chars - n_chars % CAST('1' || repeat('0',
+      |                length(CAST(abs(n_chars) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM documents),
+      |h AS (SELECT source, bkt, COUNT(*) AS cnt FROM b GROUP BY source, bkt),
+      |nn AS (SELECT source, COUNT(*) AS n FROM b GROUP BY source),
+      |c AS (SELECT source, bkt,
+      |        SUM(cnt) OVER (PARTITION BY source ORDER BY bkt) AS cum
+      |      FROM h),
+      |t AS (SELECT c.source, MIN(c.bkt) AS thr
+      |      FROM c JOIN nn USING (source)
+      |      WHERE c.cum >= ceil(0.9::DOUBLE * nn.n)
+      |      GROUP BY c.source)
+      |SELECT d.doc_id, d.source, d.n_chars, t.thr,
+      |  CAST(CASE WHEN d.n_chars <= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM documents d JOIN t USING (source)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
     "curate_weighted_sample" -> weightedSample _,
     "curate_dataset_split" -> datasetSplit _,
@@ -1183,6 +1233,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_sketch_trim" -> sketchTrimSql,
     "curate_stable_ids" -> stableIdsSql,
     "curate_weighted_sample" -> weightedSampleSql,
     "curate_dataset_split" -> datasetSplitSql,

@@ -843,6 +843,73 @@ object StreamingQueries {
     store.df(s)
   }
 
+  /** Streaming [[graft.functions.DecimalSketch]]: per-event-type
+    * mergeable quantile sketches under UPDATE-mode aggregation. The
+    * per-key state is the bounded bucket map (≤ ~17k counters however
+    * long the stream runs — the streaming-safe shape approx_percentile
+    * lacks), each micro-batch upserts the key's refreshed sketch into
+    * the snapshot store, and quantile extraction happens OUTSIDE the
+    * stream as the same relational rank scan the batch
+    * q_decsketch_quantiles uses — the stored sketch is the reusable
+    * artifact, queryable for any quantile later. Because the sketch
+    * merge is lossless, the finite-input stream result equals the
+    * batch-over-everything oracle exactly. */
+  def streamDecsketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("sketch", MapType(LongType, LongType)),
+      StructField("n", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "event_type")
+    val agg = eventsStream(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(sk(col("cents")).as("sketch"),
+        count(lit(1)).cast(LongType).as("n"))
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    graft.functions.DecimalSketch.quantileScan(
+      store.df(s), Seq("event_type"), Seq(0.5, 0.95), "cents")
+  }
+
+  /** Batch oracle for [[streamDecsketch]]: the decimal-grid bucketing
+    * and rank scan over the whole events table (same integer/string
+    * power-of-ten spelling as q_decsketch_quantiles). */
+  val streamDecsketchSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN abs(cents) < 1000 THEN cents
+      |         ELSE cents - cents % CAST('1' || repeat('0',
+      |                length(CAST(abs(cents) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM v),
+      |h AS (SELECT event_type, bkt, COUNT(*) AS cnt FROM b GROUP BY event_type, bkt),
+      |nn AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type),
+      |c AS (SELECT event_type, bkt,
+      |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum
+      |      FROM h),
+      |qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+      |SELECT c.event_type, qq.q, MIN(c.bkt) AS cents, CAST(nn.n AS BIGINT) AS n
+      |FROM c JOIN nn USING (event_type) CROSS JOIN qq
+      |WHERE c.cum >= ceil(qq.q * nn.n)
+      |GROUP BY c.event_type, qq.q, nn.n""".stripMargin
+
   /** A2/A3 streaming form: update-mode latest-by-offset aggregation
     * materialized into a SnapshotStore via foreachBatch — the final
     * table state must equal the batch arg_max oracle. */
@@ -1264,6 +1331,7 @@ object StreamingQueries {
     "stream_dedup_bounded" -> streamDedupBounded _,
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
+    "stream_decsketch" -> streamDecsketch _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1293,6 +1361,7 @@ object StreamingQueries {
     "stream_dedup_bounded" -> streamDedupBoundedSql,
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
+    "stream_decsketch" -> streamDecsketchSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,

@@ -157,6 +157,33 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       queries.BatchSqlQueries3.latestKByOffset(spark, sf))
   }
 
+  test("aggregator-backed SQL aggregates: decimal_sketch family") {
+    GraftSql.registerFunctions(spark)
+    import org.apache.spark.sql.functions._
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    // SQL build == DSL build, per group
+    sameRows(
+      spark.sql(
+        """SELECT l_returnflag AS grp,
+          |  decimal_sketch(CAST(round(l_extendedprice*100) AS BIGINT)) AS sketch
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("grp")).agg(sk(col("cents")).as("sketch")))
+    // lossless merge: union-merging the per-group sketches in SQL
+    // equals sketching the whole table directly
+    sameRows(
+      spark.sql(
+        """SELECT decimal_sketch_merge(sketch) AS m FROM (
+          |  SELECT l_returnflag,
+          |    decimal_sketch(CAST(round(l_extendedprice*100) AS BIGINT)) AS sketch
+          |  FROM lineitem GROUP BY l_returnflag)""".stripMargin),
+      spark.sql(
+        """SELECT decimal_sketch(CAST(round(l_extendedprice*100) AS BIGINT)) AS m
+          |FROM lineitem""".stripMargin))
+  }
+
   test("connector DDL: the reference's CREATE SOURCE CONNECTOR statements run 1:1") {
     // reference README.md:352-366 verbatim (minus the Connect-internal
     // credentials, which parse the same way)

@@ -1,0 +1,148 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The three contracts that make [[DecimalSketch]] an exactly-
+  * verifiable mergeable quantile sketch:
+  *
+  *  1. the grid is monotone + idempotent, so bucket order = value
+  *     order and quantile(sketch, q) == bucket(exactQuantile(xs, q))
+  *     — the sketch answer is a FUNCTION of the exact answer, which
+  *     is why a DuckDB oracle can hash-match it;
+  *  2. the merge is lossless and partition-invariant: any split of
+  *     the input, merged in any order, yields the identical map;
+  *  3. the worst-case relative error is < 1% at SigDigits=3.
+  */
+class DecimalSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("decimal-sketch")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  import DecimalSketch.bucket
+
+  private def modelSketch(xs: Seq[Long]): Map[Long, Long] =
+    xs.groupBy(bucket).map { case (b, vs) => b -> vs.size.toLong }
+
+  /** Lower rank-based quantile: value at rank ceil(q·N) in sort order. */
+  private def exactQuantile(xs: Seq[Long], q: Double): Long = {
+    val sorted = xs.sorted
+    val r = math.ceil(q * sorted.size).toLong max 1L
+    sorted((r - 1).toInt)
+  }
+
+  test("bucket: unit cases at the grid edges") {
+    assert(bucket(0L) == 0L)
+    assert(bucket(7L) == 7L)
+    assert(bucket(999L) == 999L)     // below the ceiling: exact
+    assert(bucket(1000L) == 1000L)
+    assert(bucket(1005L) == 1000L)   // first lossy decade
+    assert(bucket(1999L) == 1990L)
+    assert(bucket(99999L) == 99900L)
+    assert(bucket(123456789L) == 123000000L)
+    assert(bucket(-7L) == -7L)
+    assert(bucket(-1005L) == -1000L) // toward zero, mirrored
+    assert(bucket(-99999L) == -99900L)
+    assert(bucket(Long.MaxValue) == 9220000000000000000L)
+  }
+
+  test("bucket: monotone and idempotent on random pairs") {
+    val rnd = new Random(4242)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong() % 1000000000000L
+      val b = rnd.nextLong() % 1000000000000L
+      assert(bucket(bucket(a)) == bucket(a), s"idempotence at $a")
+      if (a <= b) assert(bucket(a) <= bucket(b), s"monotone at ($a, $b)")
+    }
+  }
+
+  test("quantile(sketch, q) == bucket(exact lower-rank quantile)") {
+    val rnd = new Random(99)
+    for (trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(500)
+      // magnitudes spanning exact (<1000) and lossy decades, signed
+      val xs = Seq.fill(n)(
+        (rnd.nextLong() % math.pow(10, 1 + rnd.nextInt(9)).toLong))
+      val sk = modelSketch(xs)
+      for (q <- Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+        assert(DecimalSketch.quantile(sk, q) == bucket(exactQuantile(xs, q)),
+          s"trial $trial q=$q xs.size=$n")
+      }
+    }
+  }
+
+  test("merge is lossless and order/split-invariant") {
+    val rnd = new Random(7)
+    val agg = new DecimalSketchAgg
+    val mergeAgg = new DecimalSketchMergeAgg
+    for (trial <- 1 to 30) {
+      val xs = Seq.fill(1 + rnd.nextInt(400))(rnd.nextLong() % 10000000L)
+      val whole = modelSketch(xs)
+      // split into k random parts, sketch each, merge in shuffled order
+      val k = 1 + rnd.nextInt(6)
+      val parts = xs.groupBy(_ => rnd.nextInt(k)).values.toSeq
+      val partials = parts.map(p =>
+        p.foldLeft(agg.zero)((m, v) => agg.reduce(m, v)))
+      val merged = rnd.shuffle(partials)
+        .foldLeft(mergeAgg.zero)(mergeAgg.merge)
+      assert(merged == whole, s"trial $trial k=$k")
+    }
+  }
+
+  test("relative error < 1% on positive values") {
+    val rnd = new Random(11)
+    val xs = Seq.fill(5000)(1L + (rnd.nextLong() % 999999999999L).abs)
+    val sk = modelSketch(xs)
+    for (q <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val exact = exactQuantile(xs, q).toDouble
+      val approx = DecimalSketch.quantile(sk, q).toDouble
+      assert(approx <= exact, s"q=$q: sketch answer must lower-bound")
+      assert((exact - approx) / exact < 0.01,
+        s"q=$q: exact=$exact approx=$approx")
+    }
+  }
+
+  test("distributed udaf matches the driver-side model across partitionings") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    val xs = Seq.fill(3000)(rnd.nextLong() % 100000000L)
+    val model = modelSketch(xs)
+    val sk = udaf(new DecimalSketchAgg)
+    for (parts <- Seq(1, 4, 13)) {
+      val got = xs.toDF("v").repartition(parts)
+        .agg(sk(col("v")).as("sketch"))
+        .as[Map[Long, Long]].head()
+      assert(got == model, s"parts=$parts")
+    }
+    // null inputs are ignored
+    val nulls = spark.sql(
+      "SELECT CAST(NULL AS BIGINT) AS v UNION ALL SELECT CAST(NULL AS BIGINT)")
+    val gotN = xs.toDF("v").unionAll(nulls).repartition(5)
+      .agg(sk(col("v")).as("sketch")).as[Map[Long, Long]].head()
+    assert(gotN == model)
+  }
+
+  test("merge udaf over stored per-slice sketches == sketch of concatenation") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    val rows = Seq.fill(2000)((rnd.nextInt(7), rnd.nextLong() % 10000000L))
+    val sk = udaf(new DecimalSketchAgg)
+    val skMerge = udaf(new DecimalSketchMergeAgg)
+    val perSlice = rows.toDF("slice", "v")
+      .groupBy(col("slice")).agg(sk(col("v")).as("sketch"))
+    val merged = perSlice.agg(skMerge(col("sketch")).as("m"))
+      .as[Map[Long, Long]].head()
+    assert(merged == modelSketch(rows.map(_._2)))
+  }
+}
