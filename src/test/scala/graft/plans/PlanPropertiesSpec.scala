@@ -112,6 +112,19 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.toLowerCase.contains("rangepartitioning"), p.take(3000))
   }
 
+  test("sketch trim: threshold table broadcasts; the corpus is never sort-merge joined") {
+    val p = planOf("curate_sketch_trim")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("semantic LSH dedup: banded candidates join on (cluster, band, sig) — no cartesian") {
+    val p = planOf("dedup_semantic_lsh")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("source mixing and repetition scoring are shuffle-free narrow scans") {
     for (q <- Seq("curate_mix_sources", "text_repetition")) {
       val p = planOf(q)
