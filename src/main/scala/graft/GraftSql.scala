@@ -193,6 +193,9 @@ object GraftSql {
     if (absent("decimal_sketch_merge"))
       spark.udf.register("decimal_sketch_merge",
         udaf(new graft.functions.DecimalSketchMergeAgg))
+    if (absent("decimal_sketch_weighted"))
+      spark.udf.register("decimal_sketch_weighted",
+        udaf(new graft.functions.DecimalSketchWeightedAgg))
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,

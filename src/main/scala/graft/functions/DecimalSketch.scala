@@ -122,6 +122,39 @@ class DecimalSketchAgg
     ExpressionEncoder[Map[Long, Long]]()
 }
 
+/** One (value, weight) observation for [[DecimalSketchWeightedAgg]]. */
+case class WeightedGridValue(value: java.lang.Long, weight: java.lang.Long)
+
+/** Weighted variant: each row contributes `weight` to its value's
+  * bucket, so quantiles are over the WEIGHT mass, not row count —
+  * "median document length weighted by tokens", "quantity-weighted
+  * price percentiles". Identical to sketching the value repeated
+  * `weight` times (pinned by property test), with the same lossless
+  * merge and bounded state; rank scans must use N = Σweight. Rows
+  * with a null value/weight or weight ≤ 0 are ignored. */
+class DecimalSketchWeightedAgg
+    extends Aggregator[WeightedGridValue, Map[Long, Long], Map[Long, Long]] {
+  override def zero: Map[Long, Long] = Map.empty
+  override def reduce(m: Map[Long, Long],
+                      a: WeightedGridValue): Map[Long, Long] =
+    if (a == null || a.value == null || a.weight == null ||
+        a.weight.longValue() <= 0L) m
+    else {
+      val b = DecimalSketch.bucket(a.value.longValue())
+      m.updated(b, m.getOrElse(b, 0L) + a.weight.longValue())
+    }
+  override def merge(x: Map[Long, Long],
+                     y: Map[Long, Long]): Map[Long, Long] =
+    y.foldLeft(x) { case (m, (b, c)) =>
+      m.updated(b, m.getOrElse(b, 0L) + c)
+    }
+  override def finish(r: Map[Long, Long]): Map[Long, Long] = r
+  override def bufferEncoder: Encoder[Map[Long, Long]] =
+    ExpressionEncoder[Map[Long, Long]]()
+  override def outputEncoder: Encoder[Map[Long, Long]] =
+    ExpressionEncoder[Map[Long, Long]]()
+}
+
 /** Union-merge already-built sketches (the re-aggregation path over
   * stored per-slice sketches). Null sketches are ignored. Lossless:
   * merging per-slice sketches equals sketching the concatenation. */

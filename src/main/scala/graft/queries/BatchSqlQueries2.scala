@@ -394,6 +394,48 @@ object BatchSqlQueries2 {
       |WHERE c.cum >= ceil(qq.q * nn.n)
       |GROUP BY c.grp, qq.q, nn.n""".stripMargin
 
+  /** Weighted [[graft.functions.DecimalSketch]]: quantity-weighted
+    * price percentiles — each row contributes its l_quantity to the
+    * price bucket, so the p50 answers "the price point below which
+    * half the UNITS (not half the line items) were sold". Same
+    * bounded state and lossless merge as the unweighted form; the
+    * rank scan runs over N = Σquantity. */
+  def decsketchWeighted(s: SparkSession, d: String): DataFrame = {
+    val sk = udaf(new graft.functions.DecimalSketchWeightedAgg)
+    val rows = Tables.lineitem(s, d).select(
+      col("l_returnflag").as("grp"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("cents"),
+      col("l_quantity").cast(LongType).as("w"))
+    val perGrp = rows.groupBy(col("grp"))
+      .agg(sk(col("cents"), col("w")).as("sketch"), sum(col("w")).as("n"))
+    graft.functions.DecimalSketch.quantileScan(
+      perGrp, Seq("grp"), Seq(0.5, 0.9), "cents")
+  }
+
+  val decsketchWeightedSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+      |         CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT grp, w,
+      |    CASE WHEN abs(cents) < 1000 THEN cents
+      |         ELSE cents - cents % CAST('1' || repeat('0',
+      |                length(CAST(abs(cents) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM v),
+      |h AS (SELECT grp, bkt, SUM(w) AS cnt FROM b GROUP BY grp, bkt),
+      |nn AS (SELECT grp, SUM(w) AS n FROM b GROUP BY grp),
+      |c AS (SELECT grp, bkt,
+      |        SUM(cnt) OVER (PARTITION BY grp ORDER BY bkt) AS cum
+      |      FROM h),
+      |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+      |SELECT c.grp, qq.q, MIN(c.bkt) AS cents, CAST(nn.n AS BIGINT) AS n
+      |FROM c JOIN nn USING (grp) CROSS JOIN qq
+      |WHERE c.cum >= ceil(qq.q * nn.n)
+      |GROUP BY c.grp, qq.q, nn.n""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -528,6 +570,7 @@ object BatchSqlQueries2 {
     "q_range_join_binned" -> rangeJoinBinned _,
     "q_sketch_mergeable" -> sketchMergeable _,
     "q_decsketch_quantiles" -> decsketchQuantiles _,
+    "q_decsketch_weighted" -> decsketchWeighted _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -549,6 +592,7 @@ object BatchSqlQueries2 {
     "q_range_join_binned" -> rangeJoinBinnedSql,
     "q_sketch_mergeable" -> sketchMergeableSql,
     "q_decsketch_quantiles" -> decsketchQuantilesSql,
+    "q_decsketch_weighted" -> decsketchWeightedSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

@@ -133,6 +133,55 @@ class DecimalSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotN == model)
   }
 
+  test("weighted sketch == sketch of the value repeated weight times") {
+    val rnd = new Random(47)
+    val agg = new DecimalSketchWeightedAgg
+    for (trial <- 1 to 30) {
+      val rows = Seq.fill(1 + rnd.nextInt(200))(
+        (rnd.nextLong() % 10000000L, 1L + rnd.nextInt(9)))
+      val weighted = rows.foldLeft(agg.zero) { case (m, (v, w)) =>
+        agg.reduce(m, WeightedGridValue(v, w))
+      }
+      val expanded = modelSketch(rows.flatMap { case (v, w) =>
+        Seq.fill(w.toInt)(v)
+      })
+      assert(weighted == expanded, s"trial $trial")
+      // and quantiles over the weight mass agree with the expansion
+      val exp = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      for (q <- Seq(0.1, 0.5, 0.9))
+        assert(DecimalSketch.quantile(weighted, q) ==
+          bucket(exactQuantile(exp, q)), s"trial $trial q=$q")
+    }
+  }
+
+  test("weighted sketch: weight 1 == unweighted; weight <= 0 and nulls ignored") {
+    val agg = new DecimalSketchWeightedAgg
+    val xs = Seq(5L, 1005L, -42L, 99999L)
+    val w1 = xs.foldLeft(agg.zero)((m, v) =>
+      agg.reduce(m, WeightedGridValue(v, 1L)))
+    assert(w1 == modelSketch(xs))
+    val ignored = Seq(
+      WeightedGridValue(7L, 0L), WeightedGridValue(7L, -3L),
+      WeightedGridValue(null, 5L), WeightedGridValue(7L, null))
+    assert(ignored.foldLeft(w1)(agg.reduce) == w1)
+  }
+
+  test("weighted udaf is partition-invariant and matches the model") {
+    import spark.implicits._
+    val rnd = new Random(53)
+    val rows = Seq.fill(2000)((rnd.nextLong() % 10000000L, 1L + rnd.nextInt(20)))
+    val model = modelSketch(rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v)
+    })
+    val sk = udaf(new DecimalSketchWeightedAgg)
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("v", "w").repartition(parts)
+        .agg(sk(col("v"), col("w")).as("sketch"))
+        .as[Map[Long, Long]].head()
+      assert(got == model, s"parts=$parts")
+    }
+  }
+
   test("merge udaf over stored per-slice sketches == sketch of concatenation") {
     import spark.implicits._
     val rnd = new Random(31)
