@@ -436,6 +436,74 @@ object BatchSqlQueries2 {
       |WHERE c.cum >= ceil(qq.q * nn.n)
       |GROUP BY c.grp, qq.q, nn.n""".stripMargin
 
+  /** Distribution-drift scoring over stored [[graft.functions.DecimalSketch]]s:
+    * total-variation distance between each event type's value
+    * distribution and the global mix, computed ENTIRELY from the
+    * sketches — the rows are gone after one bounded-state pass, and
+    * the drift math is pure integer arithmetic. TVD is chosen over
+    * PSI/KL/KS exactly because it needs no libm log: the scaled form
+    * Σ|ct·Ng − cg·Nt| is exact in BIGINT, so the oracle hash-matches,
+    * and the normalized TVD = scaled / (2·Nt·Ng) ∈ [0,1] is one IEEE
+    * division both engines agree on. The production shape: per-slice
+    * sketches are the stored artifact; a drift gate (retrain trigger,
+    * data-quality alarm) re-reads sketches, never rows — the same
+    * pattern as [[graft.sources.IvfIndex]]'s centroid-drift gate but
+    * for full distributions rather than means. */
+  def sketchDrift(s: SparkSession, d: String): DataFrame = {
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val skMerge = udaf(new graft.functions.DecimalSketchMergeAgg)
+    val perType = Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(sk(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    val global = perType
+      .agg(skMerge(col("sketch")).as("sketch"), sum(col("n")).as("ng"))
+      .select(col("ng"), explode(col("sketch")).as(Seq("bkt", "cg")))
+    // global bucket set ⊇ each type's (merge is a union), so the
+    // global side is the spine: |types| × |buckets| rows, all tiny
+    val spine = perType.select(col("event_type"), col("n").as("nt"))
+      .crossJoin(broadcast(global))
+    val typed = perType.select(col("event_type"),
+      explode(col("sketch")).as(Seq("bkt", "ct")))
+    spine.join(typed, Seq("event_type", "bkt"), "left")
+      .na.fill(0L, Seq("ct"))
+      .groupBy(col("event_type"), col("nt"), col("ng"))
+      .agg(sum(abs(col("ct") * col("ng") - col("cg") * col("nt")))
+        .as("tvd_scaled"))
+      .select(col("event_type"), col("tvd_scaled"),
+        (col("tvd_scaled") / (lit(2.0) * col("nt") * col("ng"))).as("tvd"),
+        col("nt").as("n"))
+  }
+
+  val sketchDriftSql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN abs(cents) < 1000 THEN cents
+      |         ELSE cents - cents % CAST('1' || repeat('0',
+      |                length(CAST(abs(cents) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM v),
+      |t AS (SELECT event_type, bkt, COUNT(*) AS ct FROM b GROUP BY event_type, bkt),
+      |nt AS (SELECT event_type, COUNT(*) AS nt FROM b GROUP BY event_type),
+      |g AS (SELECT bkt, COUNT(*) AS cg FROM b GROUP BY bkt),
+      |ng AS (SELECT COUNT(*) AS ng FROM b),
+      |spine AS (
+      |  SELECT nt.event_type, nt.nt, g.bkt, g.cg, ng.ng
+      |  FROM nt CROSS JOIN g CROSS JOIN ng),
+      |j AS (
+      |  SELECT s.event_type, s.nt, s.ng,
+      |         abs(COALESCE(t.ct, 0) * s.ng - s.cg * s.nt) AS term
+      |  FROM spine s LEFT JOIN t
+      |    ON t.event_type = s.event_type AND t.bkt = s.bkt)
+      |SELECT event_type, CAST(SUM(term) AS BIGINT) AS tvd_scaled,
+      |       CAST(SUM(term) AS BIGINT) / (2.0::DOUBLE * nt * ng) AS tvd,
+      |       nt AS n
+      |FROM j GROUP BY event_type, nt, ng""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -571,6 +639,7 @@ object BatchSqlQueries2 {
     "q_sketch_mergeable" -> sketchMergeable _,
     "q_decsketch_quantiles" -> decsketchQuantiles _,
     "q_decsketch_weighted" -> decsketchWeighted _,
+    "q_sketch_drift" -> sketchDrift _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -593,6 +662,7 @@ object BatchSqlQueries2 {
     "q_sketch_mergeable" -> sketchMergeableSql,
     "q_decsketch_quantiles" -> decsketchQuantilesSql,
     "q_decsketch_weighted" -> decsketchWeightedSql,
+    "q_sketch_drift" -> sketchDriftSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,
