@@ -451,17 +451,23 @@ object BatchSqlQueries2 {
     * for full distributions rather than means. */
   def sketchDrift(s: SparkSession, d: String): DataFrame = {
     val sk = udaf(new graft.functions.DecimalSketchAgg)
-    val skMerge = udaf(new graft.functions.DecimalSketchMergeAgg)
     val perType = Tables.events(s, d)
       .select(col("event_type"),
         round(col("value") * 100).cast(LongType).as("cents"))
       .groupBy(col("event_type"))
       .agg(sk(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    tvdAgainstGlobal(perType)
+  }
+
+  /** The drift tail shared with the streaming monitor: from a
+    * (event_type, sketch, n) table, TVD of each type vs the merged
+    * global. Global bucket set ⊇ each type's (merge is a union), so
+    * the global side is the spine: |types| × |buckets| rows, tiny. */
+  private[queries] def tvdAgainstGlobal(perType: DataFrame): DataFrame = {
+    val skMerge = udaf(new graft.functions.DecimalSketchMergeAgg)
     val global = perType
       .agg(skMerge(col("sketch")).as("sketch"), sum(col("n")).as("ng"))
       .select(col("ng"), explode(col("sketch")).as(Seq("bkt", "cg")))
-    // global bucket set ⊇ each type's (merge is a union), so the
-    // global side is the spine: |types| × |buckets| rows, all tiny
     val spine = perType.select(col("event_type"), col("n").as("nt"))
       .crossJoin(broadcast(global))
     val typed = perType.select(col("event_type"),

@@ -854,8 +854,15 @@ object StreamingQueries {
     * artifact, queryable for any quantile later. Because the sketch
     * merge is lossless, the finite-input stream result equals the
     * batch-over-everything oracle exactly. */
-  def streamDecsketch(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def streamDecsketch(s: SparkSession, d: String): DataFrame =
+    graft.functions.DecimalSketch.quantileScan(
+      decsketchStore(s, d), Seq("event_type"), Seq(0.5, 0.95), "cents")
+
+  /** The shared streaming leg of the sketch twins: update-mode
+    * per-event-type DecimalSketch aggregation materialized into a
+    * snapshot store, returned as the final (event_type, sketch, n)
+    * table. Per-key state is the bounded bucket map. */
+  private def decsketchStore(s: SparkSession, d: String): DataFrame = {
     val sk = udaf(new graft.functions.DecimalSketchAgg)
     val schema = StructType(Seq(
       StructField("event_type", StringType),
@@ -881,9 +888,17 @@ object StreamingQueries {
       s.streams.resetTerminated()
       deleteRecursively(ckpt)
     }
-    graft.functions.DecimalSketch.quantileScan(
-      store.df(s), Seq("event_type"), Seq(0.5, 0.95), "cents")
+    store.df(s)
   }
+
+  /** Streaming drift monitor: the same stored per-type sketches,
+    * finalized through the batch TVD tail — the gate a training
+    * pipeline would run after each ingest window, re-reading only
+    * sketches. Finite input ⇒ equals the batch q_sketch_drift oracle
+    * exactly (the sketch merge is lossless, so WHERE the micro-batch
+    * boundaries fell cannot show through). */
+  def streamSketchDrift(s: SparkSession, d: String): DataFrame =
+    BatchSqlQueries2.tvdAgainstGlobal(decsketchStore(s, d))
 
   /** Batch oracle for [[streamDecsketch]]: the decimal-grid bucketing
     * and rank scan over the whole events table (same integer/string
@@ -1332,6 +1347,7 @@ object StreamingQueries {
     "stream_latest_by_key" -> streamLatestByKey _,
     "stream_latest_k" -> streamLatestK _,
     "stream_decsketch" -> streamDecsketch _,
+    "stream_sketch_drift" -> streamSketchDrift _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1362,6 +1378,7 @@ object StreamingQueries {
     "stream_latest_by_key" -> PipelineQueries.latestByKeySql,
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
     "stream_decsketch" -> streamDecsketchSql,
+    "stream_sketch_drift" -> BatchSqlQueries2.sketchDriftSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,

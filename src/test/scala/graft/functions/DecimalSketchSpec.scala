@@ -182,6 +182,31 @@ class DecimalSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sketches survive a parquet round trip and re-aggregate losslessly") {
+    import spark.implicits._
+    val rnd = new Random(61)
+    val rows = Seq.fill(1500)((rnd.nextInt(5), rnd.nextLong() % 10000000L))
+    val sk = udaf(new DecimalSketchAgg)
+    val skMerge = udaf(new DecimalSketchMergeAgg)
+    val dir = java.nio.file.Files.createTempDirectory("decsketch-rt")
+      .toString
+    try {
+      // the production artifact: one sketch row per slice, on disk
+      rows.toDF("slice", "v").groupBy(col("slice"))
+        .agg(sk(col("v")).as("sketch"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = spark.read.parquet(dir)
+        .agg(skMerge(col("sketch")).as("m"))
+        .as[Map[Long, Long]].head()
+      assert(merged == modelSketch(rows.map(_._2)))
+      for (q <- Seq(0.5, 0.9))
+        assert(DecimalSketch.quantile(merged, q) ==
+          bucket(exactQuantile(rows.map(_._2), q)))
+    } finally {
+      graft.queries.StreamingQueries.deleteRecursively(dir)
+    }
+  }
+
   test("merge udaf over stored per-slice sketches == sketch of concatenation") {
     import spark.implicits._
     val rnd = new Random(31)
