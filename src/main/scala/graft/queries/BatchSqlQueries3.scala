@@ -629,7 +629,54 @@ object BatchSqlQueries3 {
       |  COUNT(*) AS n
       |FROM events GROUP BY ROLLUP(event_type, user_id % 3)""".stripMargin
 
+  /** Row-pattern matching (MATCH_RECOGNIZE-lite, the SQL:2016 /
+    * Flink-CEP capability Spark lacks natively) via SEQUENCE FOLDING:
+    * each user's event history collapses to one ordered string (one
+    * char per event type), and the pattern engine is plain regexp —
+    * `v+c*p` counts view→click*→purchase funnels, `p.*e` flags an
+    * error anywhere after a purchase. This composes the building
+    * blocks Spark DOES have into whole-history pattern semantics the
+    * funnel/transition queries can't express (arbitrary regex over
+    * the full sequence, not fixed stage pairs). Scale shape: ONE
+    * shuffle on the entity key, per-key payload bounded by events-
+    * per-user (sessionize first when histories are unbounded); the
+    * regex runs codegen'd per row, no driver-side graph. Patterns
+    * stay in the RE2 ∩ java.util.regex common dialect (greedy
+    * quantifiers, no backrefs), so the DuckDB oracle replicates the
+    * match semantics exactly — ordering is pinned by (ts, event_id)
+    * with micro-aligned, tie-free timestamps in the testdata. */
+  def patternMatch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_id"), unix_micros(col("ts")).as("us"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    ev.groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("ch")))),
+        x => x.getField("ch")), "").as("seq"))
+      .select(col("user_id"), col("seq"),
+        length(col("seq")).cast(LongType).as("seq_len"),
+        size(regexp_extract_all(col("seq"), lit("v+c*p"), lit(0)))
+          .cast(LongType).as("n_funnel"),
+        col("seq").rlike("p.*e").cast(LongType).as("err_after_purchase"))
+  }
+
+  val patternMatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, substring(event_type, 1, 1) AS ch, ts, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id, seq,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_funnel,
+      |  CAST(CASE WHEN regexp_matches(seq, 'p.*e') THEN 1 ELSE 0 END
+      |       AS BIGINT) AS err_after_purchase
+      |FROM s""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pattern_match" -> patternMatch _,
     "q_grouping_id" -> groupingId _,
     "q_ohlc_bars" -> ohlcBars _,
     "q_cohort_retention" -> cohortRetention _,
@@ -652,6 +699,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_pattern_match" -> patternMatchSql,
     "q_grouping_id" -> groupingIdSql,
     "q_ohlc_bars" -> ohlcBarsSql,
     "q_cohort_retention" -> cohortRetentionSql,

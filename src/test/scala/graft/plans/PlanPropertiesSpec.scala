@@ -125,6 +125,15 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("pattern match: whole-history regex rides ONE entity-key exchange") {
+    val p = planOf("q_pattern_match")
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(nExchanges <= 1, s"expected <=1 hash exchange, got $nExchanges:\n" +
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("source mixing and repetition scoring are shuffle-free narrow scans") {
     for (q <- Seq("curate_mix_sources", "text_repetition")) {
       val p = planOf(q)
