@@ -900,6 +900,56 @@ object StreamingQueries {
   def streamSketchDrift(s: SparkSession, d: String): DataFrame =
     BatchSqlQueries2.tvdAgainstGlobal(decsketchStore(s, d))
 
+  /** Streaming CEP: the [[graft.streaming.PatternMatch]] automaton
+    * (incremental `v+c*p` funnel count + `p.*e` flag, constant per-key
+    * state) run over the event stream; per-batch running snapshots
+    * upsert by key, and on finite input the final table must equal the
+    * batch regex-over-folded-history oracle — which hash-verifies the
+    * automaton⇄regex equivalence on real data, on top of the fuzz pin
+    * in `PatternMatchSpec`. */
+  def streamPatternMatch(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    val out = graft.streaming.PatternMatch.table(s, ev)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("seq_len", LongType),
+      StructField("n_funnel", LongType),
+      StructField("err_after_purchase", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "user_id")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    store.df(s)
+  }
+
+  /** The batch pattern-match oracle minus the folded string (the
+    * stream never materializes it — that is the point). */
+  val streamPatternMatchSql: String =
+    """WITH e AS (
+      |  SELECT user_id, substring(event_type, 1, 1) AS ch, ts, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS seq
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'v+c*p')) AS BIGINT) AS n_funnel,
+      |  CAST(CASE WHEN regexp_matches(seq, 'p.*e') THEN 1 ELSE 0 END
+      |       AS BIGINT) AS err_after_purchase
+      |FROM s""".stripMargin
+
   /** Batch oracle for [[streamDecsketch]]: the decimal-grid bucketing
     * and rank scan over the whole events table (same integer/string
     * power-of-ten spelling as q_decsketch_quantiles). */
@@ -1348,6 +1398,7 @@ object StreamingQueries {
     "stream_latest_k" -> streamLatestK _,
     "stream_decsketch" -> streamDecsketch _,
     "stream_sketch_drift" -> streamSketchDrift _,
+    "stream_pattern_match" -> streamPatternMatch _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1379,6 +1430,7 @@ object StreamingQueries {
     "stream_latest_k" -> BatchSqlQueries3.latestKByOffsetSql,
     "stream_decsketch" -> streamDecsketchSql,
     "stream_sketch_drift" -> BatchSqlQueries2.sketchDriftSql,
+    "stream_pattern_match" -> streamPatternMatchSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,
