@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -675,7 +676,111 @@ object BatchSqlQueries3 {
       |       AS BIGINT) AS err_after_purchase
       |FROM s""".stripMargin
 
+  /** Events per PAA window for [[saxMotif]] (count-based tumbling, so
+    * window membership is a pure function of the row's rank — no
+    * ragged time-bucket edges). */
+  private val SaxW = 8
+
+  /** SAX motif discovery (Lin et al.'s Symbolic Aggregate
+    * approXimation, the standard time-series indexing/mining
+    * transform) made exactly-verifiable: per event type, the value
+    * series (integer cents, (ts, event_id) order) is piecewise-
+    * aggregated into [[SaxW]]-event window SUMS (sums, not means —
+    * the integer grid stays exact), symbolized into a 4-letter
+    * alphabet by the series' own rank-based quartiles (value at rank
+    * ⌈qN⌉ — deterministic under ties, and 0.25/0.5/0.75 are exact
+    * binary doubles so ⌈qN⌉ matches across engines), and scanned for
+    * the most frequent letter TRIGRAM — the motif. Everything after
+    * the one per-series shuffle is window-count-sized; at 100 TB the
+    * partition key is the series id and the same plan serves millions
+    * of series. Complements [[ohlcBars]] (shape summary) and
+    * `q_pattern_match` (known pattern): motif discovery finds the
+    * recurring shape NOBODY named in advance. */
+  def saxMotif(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val sums = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("wid", expr(s"(rn - 1) div $SaxW"))
+      .groupBy(col("event_type"), col("wid"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") === SaxW) // drop the ragged tail window
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("s"), col("wid"))
+    val ranked = sums
+      .withColumn("nw", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("rr", row_number().over(wRank))
+    val bps = ranked.groupBy(col("event_type"), col("nw")).agg(
+      min(when(col("rr") === ceil(lit(0.25) * col("nw")), col("s"))).as("b1"),
+      min(when(col("rr") === ceil(lit(0.5) * col("nw")), col("s"))).as("b2"),
+      min(when(col("rr") === ceil(lit(0.75) * col("nw")), col("s"))).as("b3"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("wid"))
+    val words = sums.join(bps, Seq("event_type"))
+      .withColumn("ltr",
+        when(col("s") < col("b1"), "a").when(col("s") < col("b2"), "b")
+          .when(col("s") < col("b3"), "c").otherwise("d"))
+      .withColumn("word", concat(col("ltr"),
+        lead(col("ltr"), 1).over(wSeq), lead(col("ltr"), 2).over(wSeq)))
+      .filter(col("word").isNotNull)
+    val wBest = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_occ").desc, col("motif"))
+    words.groupBy(col("event_type"), col("nw"),
+        col("word").as("motif"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("pick", row_number().over(wBest))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("motif"), col("n_occ"),
+        col("nw").as("n_windows"))
+  }
+
+  val saxMotifSql: String =
+    s"""WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sums AS (
+      |  SELECT event_type, (rn - 1) // $SaxW AS wid,
+      |         SUM(cents) AS s, COUNT(*) AS cnt
+      |  FROM e GROUP BY event_type, (rn - 1) // $SaxW
+      |  HAVING COUNT(*) = $SaxW),
+      |ranked AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS nw,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY s, wid) AS rr
+      |  FROM sums),
+      |bps AS (
+      |  SELECT event_type, nw,
+      |    MIN(CASE WHEN rr = ceil(0.25::DOUBLE * nw) THEN s END) AS b1,
+      |    MIN(CASE WHEN rr = ceil(0.5::DOUBLE * nw) THEN s END) AS b2,
+      |    MIN(CASE WHEN rr = ceil(0.75::DOUBLE * nw) THEN s END) AS b3
+      |  FROM ranked GROUP BY event_type, nw),
+      |ltr AS (
+      |  SELECT s.event_type, s.wid, b.nw,
+      |    CASE WHEN s.s < b.b1 THEN 'a' WHEN s.s < b.b2 THEN 'b'
+      |         WHEN s.s < b.b3 THEN 'c' ELSE 'd' END AS ltr
+      |  FROM sums s JOIN bps b USING (event_type)),
+      |words AS (
+      |  SELECT event_type, nw,
+      |    ltr || lead(ltr, 1) OVER w || lead(ltr, 2) OVER w AS word
+      |  FROM ltr
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY wid)),
+      |cnts AS (
+      |  SELECT event_type, nw, word AS motif, COUNT(*) AS n_occ
+      |  FROM words WHERE word IS NOT NULL
+      |  GROUP BY event_type, nw, word)
+      |SELECT event_type, motif, n_occ, nw AS n_windows
+      |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |        ORDER BY n_occ DESC, motif) AS pick FROM cnts)
+      |WHERE pick = 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax_motif" -> saxMotif _,
     "q_pattern_match" -> patternMatch _,
     "q_grouping_id" -> groupingId _,
     "q_ohlc_bars" -> ohlcBars _,
@@ -699,6 +804,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_sax_motif" -> saxMotifSql,
     "q_pattern_match" -> patternMatchSql,
     "q_grouping_id" -> groupingIdSql,
     "q_ohlc_bars" -> ohlcBarsSql,
