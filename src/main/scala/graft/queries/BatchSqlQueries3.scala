@@ -679,7 +679,7 @@ object BatchSqlQueries3 {
   /** Events per PAA window for [[saxMotif]] (count-based tumbling, so
     * window membership is a pure function of the row's rank — no
     * ragged time-bucket edges). */
-  private val SaxW = 8
+  private[queries] val SaxW = 8
 
   /** SAX motif discovery (Lin et al.'s Symbolic Aggregate
     * approXimation, the standard time-series indexing/mining
@@ -696,28 +696,44 @@ object BatchSqlQueries3 {
     * of series. Complements [[ohlcBars]] (shape summary) and
     * `q_pattern_match` (known pattern): motif discovery finds the
     * recurring shape NOBODY named in advance. */
-  def saxMotif(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-    val sums = Tables.events(s, d)
+  /** The typed event frame the SAX stages consume (shared with the
+    * streaming twin, which reads the same columns off the stream). */
+  private[queries] def saxEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
         col("event_id"),
         round(col("value") * 100).cast(LongType).as("cents"))
-      .withColumn("rn", row_number().over(wOrd))
+
+  /** PAA stage: complete [[SaxW]]-event window sums per series. */
+  private[queries] def saxSums(ev: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(wOrd))
       .withColumn("wid", expr(s"(rn - 1) div $SaxW"))
       .groupBy(col("event_type"), col("wid"))
       .agg(sum(col("cents")).as("s"), count(lit(1)).as("cnt"))
       .filter(col("cnt") === SaxW) // drop the ragged tail window
+  }
+
+  /** Symbolization breakpoints: per-series rank-based quartiles of
+    * the window sums — the TRAINED artifact the streaming twin joins
+    * against (broadcast; |series| rows). */
+  private[queries] def saxBreakpoints(sums: DataFrame): DataFrame = {
     val wRank = Window.partitionBy(col("event_type"))
       .orderBy(col("s"), col("wid"))
-    val ranked = sums
+    sums
       .withColumn("nw", count(lit(1))
         .over(Window.partitionBy(col("event_type"))))
       .withColumn("rr", row_number().over(wRank))
-    val bps = ranked.groupBy(col("event_type"), col("nw")).agg(
-      min(when(col("rr") === ceil(lit(0.25) * col("nw")), col("s"))).as("b1"),
-      min(when(col("rr") === ceil(lit(0.5) * col("nw")), col("s"))).as("b2"),
-      min(when(col("rr") === ceil(lit(0.75) * col("nw")), col("s"))).as("b3"))
+      .groupBy(col("event_type"), col("nw")).agg(
+        min(when(col("rr") === ceil(lit(0.25) * col("nw")), col("s"))).as("b1"),
+        min(when(col("rr") === ceil(lit(0.5) * col("nw")), col("s"))).as("b2"),
+        min(when(col("rr") === ceil(lit(0.75) * col("nw")), col("s"))).as("b3"))
+  }
+
+  def saxMotif(s: SparkSession, d: String): DataFrame = {
+    val sums = saxSums(saxEvents(s, d))
+    val bps = saxBreakpoints(sums)
     val wSeq = Window.partitionBy(col("event_type")).orderBy(col("wid"))
     val words = sums.join(bps, Seq("event_type"))
       .withColumn("ltr",

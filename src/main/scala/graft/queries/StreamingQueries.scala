@@ -934,6 +934,48 @@ object StreamingQueries {
     store.df(s)
   }
 
+  /** Streaming SAX motif mining ([[graft.streaming.SaxMotif]]): the
+    * rank-quartile breakpoints are TRAINED batch-side (a global
+    * property no stream can compute online — same artifact/inference
+    * split as the IVF lifecycle), attached to the stream by a
+    * broadcast stream-static join, and the symbolization + trigram
+    * tracking runs as a constant-space automaton (partial-window sum,
+    * two letters, ≤64 trigram counters per series). On finite input
+    * the final motif table equals the batch q_sax_motif oracle. */
+  def streamSaxMotif(s: SparkSession, d: String): DataFrame = {
+    val bps = BatchSqlQueries3.saxBreakpoints(
+        BatchSqlQueries3.saxSums(BatchSqlQueries3.saxEvents(s, d)))
+      .select(col("event_type"), col("b1"), col("b2"), col("b3"))
+    val ev = eventsStream(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val joined = ev.join(broadcast(bps), "event_type")
+      .select(col("event_type"), col("us"), col("event_id"),
+        col("cents"), col("b1"), col("b2"), col("b3"))
+    val out = graft.streaming.SaxMotif.table(s, joined,
+      BatchSqlQueries3.SaxW)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("motif", StringType),
+      StructField("n_occ", LongType),
+      StructField("n_windows", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "event_type")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    store.df(s)
+  }
+
   /** The batch pattern-match oracle minus the folded string (the
     * stream never materializes it — that is the point). */
   val streamPatternMatchSql: String =
@@ -1399,6 +1441,7 @@ object StreamingQueries {
     "stream_decsketch" -> streamDecsketch _,
     "stream_sketch_drift" -> streamSketchDrift _,
     "stream_pattern_match" -> streamPatternMatch _,
+    "stream_sax_motif" -> streamSaxMotif _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1431,6 +1474,7 @@ object StreamingQueries {
     "stream_decsketch" -> streamDecsketchSql,
     "stream_sketch_drift" -> BatchSqlQueries2.sketchDriftSql,
     "stream_pattern_match" -> streamPatternMatchSql,
+    "stream_sax_motif" -> BatchSqlQueries3.saxMotifSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,
