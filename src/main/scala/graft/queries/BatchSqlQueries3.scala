@@ -795,7 +795,96 @@ object BatchSqlQueries3 {
       |        ORDER BY n_occ DESC, motif) AS pick FROM cnts)
       |WHERE pick = 1""".stripMargin
 
+  /** Symbolic time-series similarity (the SAX payoff beyond motifs:
+    * once series are words, similarity search is SET ALGEBRA, not
+    * DTW): pairwise Jaccard over each series' DISTINCT trigram
+    * vocabulary. The join key is the word itself — candidate pairs
+    * come from an equi-join on trigrams (never series × series), the
+    * same bucket-first discipline as every dedup operator; at 100 TB
+    * with millions of series the word relation shuffles once and hot
+    * words AQE-split. Jaccard stays exact: intersection/union counts
+    * are BIGINT, the ratio is one IEEE division. */
+  def saxSimilarity(s: SparkSession, d: String): DataFrame = {
+    val sums = saxSums(saxEvents(s, d))
+    val bps = saxBreakpoints(sums)
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("wid"))
+    val words = sums.join(bps, Seq("event_type"))
+      .withColumn("ltr",
+        when(col("s") < col("b1"), "a").when(col("s") < col("b2"), "b")
+          .when(col("s") < col("b3"), "c").otherwise("d"))
+      .withColumn("word", concat(col("ltr"),
+        lead(col("ltr"), 1).over(wSeq), lead(col("ltr"), 2).over(wSeq)))
+      .filter(col("word").isNotNull)
+      .select(col("event_type"), col("word")).distinct()
+    val vocab = words.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nv"))
+    val inter = words.as("a")
+      .join(words.as("b"), col("a.word") === col("b.word") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(vocab.select(col("event_type").as("type_a"),
+        col("nv").as("nv_a")), Seq("type_a"))
+      .join(vocab.select(col("event_type").as("type_b"),
+        col("nv").as("nv_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        col("nv_a"), col("nv_b"),
+        (col("n_common") /
+          (col("nv_a") + col("nv_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val saxSimilaritySql: String =
+    s"""WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |         CAST(round(value*100) AS BIGINT) AS cents,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sums AS (
+      |  SELECT event_type, (rn - 1) // $SaxW AS wid,
+      |         SUM(cents) AS s, COUNT(*) AS cnt
+      |  FROM e GROUP BY event_type, (rn - 1) // $SaxW
+      |  HAVING COUNT(*) = $SaxW),
+      |ranked AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS nw,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY s, wid) AS rr
+      |  FROM sums),
+      |bps AS (
+      |  SELECT event_type, nw,
+      |    MIN(CASE WHEN rr = ceil(0.25::DOUBLE * nw) THEN s END) AS b1,
+      |    MIN(CASE WHEN rr = ceil(0.5::DOUBLE * nw) THEN s END) AS b2,
+      |    MIN(CASE WHEN rr = ceil(0.75::DOUBLE * nw) THEN s END) AS b3
+      |  FROM ranked GROUP BY event_type, nw),
+      |ltr AS (
+      |  SELECT s.event_type, s.wid,
+      |    CASE WHEN s.s < b.b1 THEN 'a' WHEN s.s < b.b2 THEN 'b'
+      |         WHEN s.s < b.b3 THEN 'c' ELSE 'd' END AS ltr
+      |  FROM sums s JOIN bps b USING (event_type)),
+      |words AS (
+      |  SELECT DISTINCT event_type,
+      |    ltr || lead(ltr, 1) OVER w || lead(ltr, 2) OVER w AS word
+      |  FROM ltr
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY wid)),
+      |wv AS (SELECT event_type, word FROM words WHERE word IS NOT NULL),
+      |vocab AS (SELECT event_type, COUNT(*) AS nv FROM wv GROUP BY event_type),
+      |inter AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         COUNT(*) AS n_common
+      |  FROM wv a JOIN wv b
+      |    ON a.word = b.word AND a.event_type < b.event_type
+      |  GROUP BY a.event_type, b.event_type)
+      |SELECT i.type_a, i.type_b, i.n_common, va.nv AS nv_a, vb.nv AS nv_b,
+      |  i.n_common / CAST(va.nv + vb.nv - i.n_common AS DOUBLE) AS jaccard
+      |FROM inter i
+      |  JOIN vocab va ON va.event_type = i.type_a
+      |  JOIN vocab vb ON vb.event_type = i.type_b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax_similarity" -> saxSimilarity _,
     "q_sax_motif" -> saxMotif _,
     "q_pattern_match" -> patternMatch _,
     "q_grouping_id" -> groupingId _,
@@ -820,6 +909,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_sax_similarity" -> saxSimilaritySql,
     "q_sax_motif" -> saxMotifSql,
     "q_pattern_match" -> patternMatchSql,
     "q_grouping_id" -> groupingIdSql,
