@@ -1205,7 +1205,50 @@ object CurationQueries {
       |  CAST(CASE WHEN d.n_chars <= t.thr THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM documents d JOIN t USING (source)""".stripMargin
 
+  /** Corpus-composition drift: total-variation distance between each
+    * SOURCE's language mix and the global mix — the categorical
+    * sibling of the numeric `q_sketch_drift`, and the gate a
+    * curation pipeline runs when a new crawl lands ("did src14
+    * suddenly turn 80% one language?"). Same exact-arithmetic TVD:
+    * Σ|ct·Ng − cg·Nt| in BIGINT, one IEEE division to normalize, so
+    * the gate itself hash-verifies. Everything after the two narrow
+    * count aggregations is |sources|×|langs| rows. */
+  def langDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("lang"))
+    val t = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ct"))
+    val nt = docs.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+    val g = docs.groupBy(col("lang")).agg(count(lit(1)).as("cg"))
+      .crossJoin(docs.agg(count(lit(1)).as("ng")))
+    nt.crossJoin(broadcast(g))
+      .join(t, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("ct"))
+      .groupBy(col("source"), col("nt"), col("ng"))
+      .agg(sum(abs(col("ct") * col("ng") - col("cg") * col("nt")))
+        .as("tvd_scaled"))
+      .select(col("source"), col("tvd_scaled"),
+        (col("tvd_scaled") / (lit(2.0) * col("nt") * col("ng"))).as("tvd"),
+        col("nt").as("n_docs"))
+  }
+
+  val langDriftSql: String =
+    """WITH t AS (SELECT source, lang, COUNT(*) AS ct
+      |           FROM documents GROUP BY source, lang),
+      |nt AS (SELECT source, COUNT(*) AS nt FROM documents GROUP BY source),
+      |g AS (SELECT lang, COUNT(*) AS cg FROM documents GROUP BY lang),
+      |ng AS (SELECT COUNT(*) AS ng FROM documents),
+      |j AS (
+      |  SELECT n.source, n.nt, gg.ng,
+      |         abs(COALESCE(t.ct, 0) * gg.ng - g.cg * n.nt) AS term
+      |  FROM nt n CROSS JOIN g CROSS JOIN ng gg
+      |  LEFT JOIN t ON t.source = n.source AND t.lang = g.lang)
+      |SELECT source, CAST(SUM(term) AS BIGINT) AS tvd_scaled,
+      |       CAST(SUM(term) AS BIGINT) / (2.0::DOUBLE * nt * ng) AS tvd,
+      |       nt AS n_docs
+      |FROM j GROUP BY source, nt, ng""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
     "curate_weighted_sample" -> weightedSample _,
@@ -1233,6 +1276,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,
     "curate_stable_ids" -> stableIdsSql,
     "curate_weighted_sample" -> weightedSampleSql,
