@@ -182,6 +182,25 @@ class DecimalSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("relational quantileScan == driver-side quantile on random sketches") {
+    import spark.implicits._
+    val rnd = new Random(67)
+    val qs = Seq(0.1, 0.5, 0.99)
+    // random sketches: keys on the grid (bucket-idempotent), counts >= 1
+    val sketches = (0 until 12).map { g =>
+      val m = (0 until 1 + rnd.nextInt(40)).map { _ =>
+        bucket(rnd.nextLong() % 100000000L) -> (1L + rnd.nextInt(50))
+      }.toMap
+      (g.toLong, m, m.values.sum)
+    }
+    val df = sketches.toDF("grp", "sketch", "n")
+    val got = DecimalSketch.quantileScan(df, Seq("grp"), qs, "v")
+      .as[(Long, Double, Long, Long)].collect()
+      .map { case (g, q, v, _) => (g, q) -> v }.toMap
+    for ((g, m, _) <- sketches; q <- qs)
+      assert(got((g, q)) == DecimalSketch.quantile(m, q), s"grp=$g q=$q")
+  }
+
   test("sketches survive a parquet round trip and re-aggregate losslessly") {
     import spark.implicits._
     val rnd = new Random(61)
