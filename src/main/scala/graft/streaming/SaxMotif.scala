@@ -62,6 +62,7 @@ object SaxMotif {
   /** rows: [[SaxIn]] stream → one running [[MotifRow]] per series per
     * batch (series with < 3 complete windows emit nothing yet). */
   def table(spark: SparkSession, rows: DataFrame, w: Int): Dataset[MotifRow] = {
+    require(w >= 1, s"PAA window must be >= 1 event, got $w")
     import spark.implicits._
     rows.as[SaxIn]
       .groupByKey(_.event_type)
