@@ -191,6 +191,53 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got=${got.size} rows, expected=${expected.size}")
   }
 
+  test("stream_pattern_match CEP automaton state survives RocksDB across batches") {
+    // the constant-space NFA state (phase + flags + counters) is held
+    // per user in RocksDB; the final table must equal the batch
+    // regex-over-folded-history result
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamPatternMatch(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = graft.queries.BatchSqlQueries3.patternMatch(spark, d)
+      .select(col("user_id"), col("seq_len"), col("n_funnel"),
+        col("err_after_purchase"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} rows, expected=${expected.size}")
+  }
+
+  test("stream_sax_motif automaton state survives RocksDB across batches") {
+    // partial-window sum + two letters + <=64 trigram counters per
+    // series in RocksDB; final motifs must equal the batch SAX query
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamSaxMotif(spark, d)
+      .as[(String, String, Long, Long)].collect().toSet
+    val expected = graft.queries.BatchSqlQueries3.saxMotif(spark, d)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} rows, expected=${expected.size}")
+  }
+
+  test("stream_decsketch bounded bucket-map state survives RocksDB across batches") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries.streamDecsketch(spark, d)
+      .as[(String, Double, Long, Long)].collect().toSet
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val batch = graft.sources.Tables.events(spark, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(sk(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    val expected = graft.functions.DecimalSketch
+      .quantileScan(batch, Seq("event_type"), Seq(0.5, 0.95), "cents")
+      .as[(String, Double, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} rows, expected=${expected.size}")
+  }
+
   test("stream_bpe_pairs matches the batch pair counts under RocksDB state") {
     // update-mode grouped sum keyed on the symbol pair: state is one
     // count per distinct bigram, held in RocksDB across micro-batches
