@@ -808,6 +808,8 @@ object BatchSqlQueries3 {
     val sums = saxSums(saxEvents(s, d))
     val bps = saxBreakpoints(sums)
     val wSeq = Window.partitionBy(col("event_type")).orderBy(col("wid"))
+    // feeds three branches (self-join a/b + vocab): persist per the
+    // multi-branch convention, detach the result, release the cache
     val words = sums.join(bps, Seq("event_type"))
       .withColumn("ltr",
         when(col("s") < col("b1"), "a").when(col("s") < col("b2"), "b")
@@ -816,24 +818,28 @@ object BatchSqlQueries3 {
         lead(col("ltr"), 1).over(wSeq), lead(col("ltr"), 2).over(wSeq)))
       .filter(col("word").isNotNull)
       .select(col("event_type"), col("word")).distinct()
-    val vocab = words.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("nv"))
-    val inter = words.as("a")
-      .join(words.as("b"), col("a.word") === col("b.word") &&
-        col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"),
-        col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(vocab.select(col("event_type").as("type_a"),
-        col("nv").as("nv_a")), Seq("type_a"))
-      .join(vocab.select(col("event_type").as("type_b"),
-        col("nv").as("nv_b")), Seq("type_b"))
-      .select(col("type_a"), col("type_b"), col("n_common"),
-        col("nv_a"), col("nv_b"),
-        (col("n_common") /
-          (col("nv_a") + col("nv_b") - col("n_common")).cast("double"))
-          .as("jaccard"))
+      .persist()
+    try {
+      val vocab = words.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nv"))
+      val inter = words.as("a")
+        .join(words.as("b"), col("a.word") === col("b.word") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(vocab.select(col("event_type").as("type_a"),
+          col("nv").as("nv_a")), Seq("type_a"))
+        .join(vocab.select(col("event_type").as("type_b"),
+          col("nv").as("nv_b")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_common"),
+          col("nv_a"), col("nv_b"),
+          (col("n_common") /
+            (col("nv_a") + col("nv_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .localCheckpoint()
+    } finally { words.unpersist(blocking = false); () }
   }
 
   val saxSimilaritySql: String =
