@@ -976,6 +976,56 @@ object StreamingQueries {
     store.df(s)
   }
 
+  /** Streaming corpus-composition monitor: per-source (source, lang)
+    * counts accumulate under update-mode aggregation (state = one
+    * counter per live pair, the categorical analog of the sketch
+    * bucket map), each batch upserts the refreshed counts, and the
+    * TVD-vs-global finalize runs OUTSIDE the stream on the stored
+    * counts — the drift gate a curation pipeline evaluates per ingest
+    * window. Finite input ⇒ equals the batch curate_lang_drift
+    * oracle. */
+  def streamLangDrift(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("source"), col("lang"))
+    val agg = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ct"))
+      .withColumn("pair", concat_ws("", col("source"), col("lang")))
+    val schema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("lang", StringType),
+      StructField("ct", LongType),
+      StructField("pair", StringType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "pair")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    val t = store.df(s).select(col("source"), col("lang"), col("ct"))
+    val nt = t.groupBy(col("source")).agg(sum(col("ct")).as("nt"))
+    val g = t.groupBy(col("lang")).agg(sum(col("ct")).as("cg"))
+      .crossJoin(t.agg(sum(col("ct")).as("ng")))
+    nt.crossJoin(broadcast(g))
+      .join(t, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("ct"))
+      .groupBy(col("source"), col("nt"), col("ng"))
+      .agg(sum(abs(col("ct") * col("ng") - col("cg") * col("nt")))
+        .as("tvd_scaled"))
+      .select(col("source"), col("tvd_scaled"),
+        (col("tvd_scaled") / (lit(2.0) * col("nt") * col("ng"))).as("tvd"),
+        col("nt").as("n_docs"))
+  }
+
   /** The batch pattern-match oracle minus the folded string (the
     * stream never materializes it — that is the point). */
   val streamPatternMatchSql: String =
@@ -1442,6 +1492,7 @@ object StreamingQueries {
     "stream_sketch_drift" -> streamSketchDrift _,
     "stream_pattern_match" -> streamPatternMatch _,
     "stream_sax_motif" -> streamSaxMotif _,
+    "stream_lang_drift" -> streamLangDrift _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1475,6 +1526,7 @@ object StreamingQueries {
     "stream_sketch_drift" -> BatchSqlQueries2.sketchDriftSql,
     "stream_pattern_match" -> streamPatternMatchSql,
     "stream_sax_motif" -> BatchSqlQueries3.saxMotifSql,
+    "stream_lang_drift" -> CurationQueries.langDriftSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,
