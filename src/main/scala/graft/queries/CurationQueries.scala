@@ -1247,7 +1247,37 @@ object CurationQueries {
       |       nt AS n_docs
       |FROM j GROUP BY source, nt, ng""".stripMargin
 
+  /** k-anonymity audit — the governance gate the PII scrub
+    * (`text_pii_scrub`) does NOT give you: scrubbing hides direct
+    * identifiers, but a row is still re-identifiable when its
+    * QUASI-identifier combination is rare. Per (event_type, day)
+    * group: row count, exact distinct-user count, and the k<5 at-risk
+    * flag a release review reads. Exact distinct is deliberate (an
+    * audit cannot approximate); Spark plans it as the two-phase
+    * expand-distinct, so the shuffle carries (group, user) pairs once
+    * — at 100 TB the usual move is pre-aggregating by (group, user)
+    * first, which is exactly what the expansion does. */
+  def kanonAudit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("event_type"), col("day"), col("n_rows"),
+        col("n_users"),
+        (col("n_users") < 5).cast(LongType).as("at_risk"))
+
+  val kanonAuditSql: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(CASE WHEN COUNT(DISTINCT user_id) < 5 THEN 1 ELSE 0 END
+      |       AS BIGINT) AS at_risk
+      |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_kanon_audit" -> kanonAudit _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -1276,6 +1306,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,
     "curate_stable_ids" -> stableIdsSql,
