@@ -124,6 +124,51 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(revised == Set(1L, 2L),
       s"expected recovered fan-out to both members, got $gotSeq")
   }
+
+  test("CEP automaton phase survives a restart: a funnel spanning the crash") {
+    import spark.implicits._
+    import PatternMatch.{EventIn, MatchRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-cep-recover-").toString
+    val store = new SnapshotStore(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("seq_len",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_funnel",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("err_after_purchase",
+          org.apache.spark.sql.types.LongType))), keyField = "user_id")
+
+    def startQuery(f: MemoryStream[EventIn]) =
+      PatternMatch.table(spark, f.toDF())
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+
+    // batch 0 leaves user 7 mid-candidate (v then c: phase = InVC)
+    val b0 = Seq(EventIn(7L, 1000L, 1L, "v"), EventIn(7L, 2000L, 2L, "c"))
+    val feed = MemoryStream[EventIn]
+    val q1 = startQuery(feed)
+    feed.addData(b0)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: the completing 'p' (then an 'e') arrives AFTER the
+    // crash — the funnel can only count 1 if the NFA phase was
+    // recovered from the checkpoint, not re-derived from batch 1
+    val feed2 = MemoryStream[EventIn]
+    feed2.addData(b0) // replayed batch 0 (skipped by the offset log)
+    feed2.addData(Seq(EventIn(7L, 3000L, 3L, "p"), EventIn(7L, 4000L, 4L, "e")))
+    val q2 = startQuery(feed2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val row = store.df(spark).as[MatchRow].collect().head
+    assert(row == MatchRow(7L, 4L, 1L, 1L), row)
+  }
 }
 
 object CheckpointRecoverySpec {
