@@ -510,6 +510,55 @@ object BatchSqlQueries2 {
       |       nt AS n
       |FROM j GROUP BY event_type, nt, ng""".stripMargin
 
+  /** The inverse sketch query: quantiles answer "value at rank q";
+    * this answers "how much mass sits at or below value T" — the
+    * corpus question ("what fraction of documents fit in a 512-token
+    * context?") asked of the price sketch. CDF at the grid's
+    * resolution: thresholds are chosen ON the grid (they are their
+    * own buckets), the ≤-mass is a plain filtered sum over the
+    * exploded sketch, and the fraction is one IEEE division — all
+    * from stored sketches, rows long gone. */
+  def sketchCdf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sk = udaf(new graft.functions.DecimalSketchAgg)
+    val sketches = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+      .groupBy(col("grp"))
+      .agg(sk(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    val ts = Seq(1000000L, 3000000L, 6000000L).toDF("t") // $10k/$30k/$60k
+    sketches
+      .select(col("grp"), col("n"),
+        explode(col("sketch")).as(Seq("bkt", "cnt")))
+      .join(broadcast(ts), col("bkt") <= col("t"))
+      .groupBy(col("grp"), col("t"), col("n"))
+      .agg(sum(col("cnt")).as("n_le"))
+      .select(col("grp"), col("t"), col("n_le"),
+        (col("n_le") / col("n").cast(DoubleType)).as("frac"), col("n"))
+  }
+
+  val sketchCdfSql: String =
+    """WITH v AS (
+      |  SELECT l_returnflag AS grp,
+      |         CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT grp,
+      |    CASE WHEN abs(cents) < 1000 THEN cents
+      |         ELSE cents - cents % CAST('1' || repeat('0',
+      |                length(CAST(abs(cents) AS VARCHAR)) - 3) AS BIGINT)
+      |    END AS bkt
+      |  FROM v),
+      |h AS (SELECT grp, bkt, COUNT(*) AS cnt FROM b GROUP BY grp, bkt),
+      |nn AS (SELECT grp, COUNT(*) AS n FROM b GROUP BY grp),
+      |tt AS (SELECT unnest([1000000, 3000000, 6000000]) AS t)
+      |SELECT h.grp, CAST(tt.t AS BIGINT) AS t,
+      |  CAST(SUM(h.cnt) AS BIGINT) AS n_le,
+      |  CAST(SUM(h.cnt) AS BIGINT) / CAST(nn.n AS DOUBLE) AS frac,
+      |  CAST(nn.n AS BIGINT) AS n
+      |FROM h JOIN nn USING (grp) JOIN tt ON h.bkt <= tt.t
+      |GROUP BY h.grp, tt.t, nn.n""".stripMargin
+
   /** Explicit GROUPING SETS through the SQL entry point. */
   def groupingSets(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "lineitem")
@@ -646,6 +695,7 @@ object BatchSqlQueries2 {
     "q_decsketch_quantiles" -> decsketchQuantiles _,
     "q_decsketch_weighted" -> decsketchWeighted _,
     "q_sketch_drift" -> sketchDrift _,
+    "q_sketch_cdf" -> sketchCdf _,
     "q_asof_prev_signup" -> asofPrevSignup _,
     "q_grouping_sets" -> groupingSets _,
     "q_array_funcs" -> arrayFuncs _,
@@ -669,6 +719,7 @@ object BatchSqlQueries2 {
     "q_decsketch_quantiles" -> decsketchQuantilesSql,
     "q_decsketch_weighted" -> decsketchWeightedSql,
     "q_sketch_drift" -> sketchDriftSql,
+    "q_sketch_cdf" -> sketchCdfSql,
     "q_asof_prev_signup" -> asofPrevSignupSql,
     "q_grouping_sets" -> groupingSetsSql,
     "q_array_funcs" -> arrayFuncsSql,

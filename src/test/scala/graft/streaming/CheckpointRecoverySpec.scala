@@ -169,6 +169,55 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = store.df(spark).as[MatchRow].collect().head
     assert(row == MatchRow(7L, 4L, 1L, 1L), row)
   }
+
+  test("SAX partial-window sum survives a restart: a PAA window spanning the crash") {
+    import spark.implicits._
+    import SaxMotif.{MotifRow, SaxIn}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-sax-recover-").toString
+    val store = new SnapshotStore(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("motif",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_occ",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_windows",
+          org.apache.spark.sql.types.LongType))), keyField = "event_type")
+
+    def startQuery(f: MemoryStream[SaxIn]) =
+      SaxMotif.table(spark, f.toDF(), 2)
+        .toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+
+    def in(i: Int, c: Long): SaxIn =
+      SaxIn("t", i.toLong * 1000, i.toLong, c, 100L, 200L, 300L)
+
+    // batch 0: window 1 completes (10+20=30 → 'a'); event 3 (150)
+    // starts window 2 and stays a PARTIAL SUM in state at the crash
+    val b0 = Seq(in(1, 10L), in(2, 20L), in(3, 150L))
+    val feed = MemoryStream[SaxIn]
+    val q1 = startQuery(feed)
+    feed.addData(b0)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: event 4 (100) completes window 2 — its letter is 'c'
+    // (sum 250) ONLY if the partial 150 was recovered; events 5+6
+    // complete window 3 (110 → 'b') and the first trigram appears
+    val feed2 = MemoryStream[SaxIn]
+    feed2.addData(b0) // replayed batch 0 (skipped by the offset log)
+    feed2.addData(Seq(in(4, 100L), in(5, 50L), in(6, 60L)))
+    val q2 = startQuery(feed2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val row = store.df(spark).as[MotifRow].collect().head
+    assert(row == MotifRow("t", "acb", 1L, 3L), row)
+  }
 }
 
 object CheckpointRecoverySpec {
