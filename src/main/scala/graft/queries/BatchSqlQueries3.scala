@@ -408,7 +408,7 @@ object BatchSqlQueries3 {
       |FROM events GROUP BY user_id""".stripMargin
 
   /** Session gap for [[sessionize]], microseconds (30 minutes). */
-  private val SessionGapUs = 1800L * 1000000L
+  private[queries] val SessionGapUs = 1800L * 1000000L
 
   /** Gap-based sessionization — assign every EVENT its per-user
     * session number (a new session starts when the gap since the
@@ -889,7 +889,69 @@ object BatchSqlQueries3 {
       |  JOIN vocab va ON va.event_type = i.type_a
       |  JOIN vocab vb ON vb.event_type = i.type_b""".stripMargin
 
+  /** Session-scoped row-pattern matching — MATCH_RECOGNIZE's pattern
+    * WINDOW semantics, the production CEP form: a match may not span
+    * a session gap (>30 min), so `q_pattern_match`'s whole-history
+    * fold becomes a per-(user, session) fold and the per-user report
+    * aggregates over sessions. A funnel straddling a gap counts ZERO
+    * here and one there — that difference is the semantics under
+    * test. Same single entity-key shuffle: the gaps-and-islands
+    * numbering, the per-session fold, and the per-user rollup all
+    * ride one hashpartitioning(user_id). */
+  def patternSessions(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ch"))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(wOrd) > SessionGapUs ||
+          lag(col("us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(wOrd))
+    val perSession = sess.groupBy(col("user_id"), col("sess"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("ch")))),
+        x => x.getField("ch")), "").as("seq"))
+      .select(col("user_id"),
+        size(regexp_extract_all(col("seq"), lit("v+c*p"), lit(0)))
+          .cast(LongType).as("n_funnel"),
+        col("seq").rlike("p.*e").cast(LongType).as("err_sess"),
+        length(col("seq")).cast(LongType).as("len"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_funnel")).as("n_funnel"),
+        sum(col("err_sess")).as("n_err_sessions"),
+        sum(col("len")).as("n_events"))
+  }
+
+  val patternSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, substring(event_type, 1, 1) AS ch,
+      |         epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+      |                   OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+      |              ORDER BY us, event_id) AS sess
+      |  FROM m),
+      |ps AS (
+      |  SELECT user_id, sess,
+      |         string_agg(ch, '' ORDER BY us, event_id) AS seq
+      |  FROM sess GROUP BY user_id, sess)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(len(regexp_extract_all(seq, 'v+c*p'))) AS BIGINT) AS n_funnel,
+      |  CAST(SUM(CASE WHEN regexp_matches(seq, 'p.*e') THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_err_sessions,
+      |  CAST(SUM(length(seq)) AS BIGINT) AS n_events
+      |FROM ps GROUP BY user_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pattern_sessions" -> patternSessions _,
     "q_sax_similarity" -> saxSimilarity _,
     "q_sax_motif" -> saxMotif _,
     "q_pattern_match" -> patternMatch _,
@@ -915,6 +977,7 @@ object BatchSqlQueries3 {
     "q_regexp_strings" -> regexpStrings _)
 
   def oracles: Map[String, String] = Map(
+    "q_pattern_sessions" -> patternSessionsSql,
     "q_sax_similarity" -> saxSimilaritySql,
     "q_sax_motif" -> saxMotifSql,
     "q_pattern_match" -> patternMatchSql,

@@ -934,6 +934,41 @@ object StreamingQueries {
     store.df(s)
   }
 
+  /** Streaming session-scoped CEP ([[graft.streaming.PatternMatch.sessionTable]]):
+    * the automaton closes the open session at a >30-min gap, so a
+    * match can never span sessions — pattern-window semantics with
+    * the same constant per-key state (plus one timestamp). Finite
+    * input ⇒ equals the batch gaps-and-islands + per-session regex
+    * oracle. */
+  def streamPatternSessions(s: SparkSession, d: String): DataFrame = {
+    val ev = eventsStream(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      substring(col("event_type"), 1, 1).as("ch"))
+    val out = graft.streaming.PatternMatch.sessionTable(s, ev,
+      BatchSqlQueries3.SessionGapUs)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_sessions", LongType),
+      StructField("n_funnel", LongType),
+      StructField("n_err_sessions", LongType),
+      StructField("n_events", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "user_id")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    store.df(s)
+  }
+
   /** Streaming SAX motif mining ([[graft.streaming.SaxMotif]]): the
     * rank-quartile breakpoints are TRAINED batch-side (a global
     * property no stream can compute online — same artifact/inference
@@ -1491,6 +1526,7 @@ object StreamingQueries {
     "stream_decsketch" -> streamDecsketch _,
     "stream_sketch_drift" -> streamSketchDrift _,
     "stream_pattern_match" -> streamPatternMatch _,
+    "stream_pattern_sessions" -> streamPatternSessions _,
     "stream_sax_motif" -> streamSaxMotif _,
     "stream_lang_drift" -> streamLangDrift _,
     "stream_static_join" -> streamStaticJoin _,
@@ -1525,6 +1561,7 @@ object StreamingQueries {
     "stream_decsketch" -> streamDecsketchSql,
     "stream_sketch_drift" -> BatchSqlQueries2.sketchDriftSql,
     "stream_pattern_match" -> streamPatternMatchSql,
+    "stream_pattern_sessions" -> BatchSqlQueries3.patternSessionsSql,
     "stream_sax_motif" -> BatchSqlQueries3.saxMotifSql,
     "stream_lang_drift" -> CurationQueries.langDriftSql,
     "stream_static_join" -> streamStaticJoinSql,

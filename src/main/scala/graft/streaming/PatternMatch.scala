@@ -72,6 +72,80 @@ object PatternMatch {
   case class MatchRow(user_id: Long, seq_len: Long, n_funnel: Long,
                       err_after_purchase: Long)
 
+  /** Session-scoped automaton state: the [[PatternState]] machinery
+    * plus the session bookkeeping — the pattern resets at a gap, so a
+    * match may not span sessions (MATCH_RECOGNIZE's pattern-window
+    * semantics). `lastUs` detects the gap; closed-session aggregates
+    * accumulate; the OPEN session's phase/flags live alongside. Still
+    * constant space per key. */
+  case class SessionState(phase: Int, seenP: Boolean, errAfterP: Boolean,
+                          curLen: Long, lastUs: Long, nFunnel: Long,
+                          nClosedSessions: Long, nClosedErr: Long,
+                          nEvents: Long)
+
+  val sessionZero: SessionState =
+    SessionState(Idle, seenP = false, errAfterP = false, 0L, Long.MinValue,
+      0L, 0L, 0L, 0L)
+
+  /** One sessionized step: close the open session first when the gap
+    * since the previous event exceeds `gapUs`. */
+  def stepSession(st0: SessionState, c: Char, us: Long,
+                  gapUs: Long): SessionState = {
+    val st =
+      if (st0.lastUs != Long.MinValue && us - st0.lastUs > gapUs)
+        st0.copy(phase = Idle, seenP = false, errAfterP = false,
+          curLen = 0L,
+          nClosedSessions = st0.nClosedSessions + 1L,
+          nClosedErr = st0.nClosedErr + (if (st0.errAfterP) 1L else 0L))
+      else st0
+    val matched = c == 'p' && st.phase != Idle
+    val phase = c match {
+      case 'v' => InV
+      case 'c' => if (st.phase == Idle) Idle else InVC
+      case _ => Idle
+    }
+    st.copy(
+      phase = phase,
+      seenP = st.seenP || c == 'p',
+      errAfterP = st.errAfterP || (c == 'e' && st.seenP),
+      curLen = st.curLen + 1L,
+      lastUs = us,
+      nFunnel = st.nFunnel + (if (matched) 1L else 0L),
+      nEvents = st.nEvents + 1L)
+  }
+
+  case class SessionRow(user_id: Long, n_sessions: Long, n_funnel: Long,
+                        n_err_sessions: Long, n_events: Long)
+
+  /** The report view of a [[SessionState]]: the open session counts
+    * as a session (the batch fold sees it too). */
+  def sessionReport(key: Long, st: SessionState): SessionRow =
+    SessionRow(key,
+      st.nClosedSessions + (if (st.curLen > 0) 1L else 0L),
+      st.nFunnel,
+      st.nClosedErr + (if (st.errAfterP) 1L else 0L),
+      st.nEvents)
+
+  /** Sessionized twin of [[table]]: same input shape, pattern scoped
+    * to ≤`gapUs` sessions. */
+  def sessionTable(spark: SparkSession, events: DataFrame,
+                   gapUs: Long): Dataset[SessionRow] = {
+    import spark.implicits._
+    events.as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, in: Iterator[EventIn], state: GroupState[SessionState]) =>
+          val st0 = state.getOption.getOrElse(sessionZero)
+          val st = in.toSeq.sortBy(e => (e.us, e.event_id))
+            .foldLeft(st0) { (s, e) =>
+              val c = if (e.ch == null || e.ch.isEmpty) ' ' else e.ch.charAt(0)
+              stepSession(s, c, e.us, gapUs)
+            }
+          state.update(st)
+          Iterator.single(sessionReport(key, st))
+      }
+  }
+
   /** events: (user_id, us, event_id, ch) → one running [[MatchRow]]
     * per key per batch (append emission; upsert by key downstream). */
   def table(spark: SparkSession, events: DataFrame): Dataset[MatchRow] = {

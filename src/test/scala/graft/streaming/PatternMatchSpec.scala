@@ -66,6 +66,36 @@ class PatternMatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n("") == 0L)
   }
 
+  test("sessionized automaton == per-session regex model on fuzzed gapped series") {
+    val rnd = new Random(101)
+    val gapUs = 1000L
+    for (trial <- 1 to 1000) {
+      // random chars with random inter-event gaps straddling the cutoff
+      var us = 0L
+      val events = Seq.fill(rnd.nextInt(50)) {
+        us += 1 + rnd.nextInt(2000) // gaps 1..2000 vs cutoff 1000
+        (us, "vvvcccppse"(rnd.nextInt(10)))
+      }
+      val st = events.foldLeft(PatternMatch.sessionZero) {
+        case (s, (t, c)) => PatternMatch.stepSession(s, c, t, gapUs)
+      }
+      val got = PatternMatch.sessionReport(1L, st)
+      // model: split into sessions at gap > cutoff, regex per session
+      val sessions = events.foldLeft(Seq.empty[Seq[(Long, Char)]]) {
+        case (acc, (t, c)) =>
+          if (acc.nonEmpty && t - acc.last.last._1 <= gapUs)
+            acc.init :+ (acc.last :+ (t, c))
+          else acc :+ Seq((t, c))
+      }
+      val seqs = sessions.map(_.map(_._2).mkString)
+      val nFunnel = seqs.map(regexModel(_)._1).sum
+      val nErr = seqs.count(regexModel(_)._2)
+      assert(got == PatternMatch.SessionRow(1L, sessions.size.toLong,
+        nFunnel, nErr.toLong, events.size.toLong),
+        s"trial $trial seqs=$seqs got=$got")
+    }
+  }
+
   test("any micro-batch split of an in-order history == single batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
