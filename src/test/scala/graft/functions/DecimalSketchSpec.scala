@@ -201,6 +201,17 @@ class DecimalSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got((g, q)) == DecimalSketch.quantile(m, q), s"grp=$g q=$q")
   }
 
+  test("error contracts: empty-sketch quantile refuses; q outside (0,1] stays total") {
+    intercept[IllegalArgumentException] {
+      DecimalSketch.quantile(Map.empty, 0.5)
+    }
+    val sk = Map(100L -> 2L, 5000L -> 1L)
+    // q=0 clamps to rank 1; q>1 overshoots every rank and falls
+    // through to the max bucket — total, never an exception
+    assert(DecimalSketch.quantile(sk, 0.0) == 100L)
+    assert(DecimalSketch.quantile(sk, 5.0) == 5000L)
+  }
+
   test("sketches survive a parquet round trip and re-aggregate losslessly") {
     import spark.implicits._
     val rnd = new Random(61)
