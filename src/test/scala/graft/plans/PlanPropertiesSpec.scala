@@ -125,13 +125,26 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  // formatted explain separates the node name from its arguments, so
+  // count actual Exchange NODES (\"(n) Exchange\"), not the node+args
+  // string — the latter never matches and would make the pin vacuous
+  private def nExchanges(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).length
+
   test("pattern match: whole-history regex rides ONE entity-key exchange") {
     val p = planOf("q_pattern_match")
-    val nExchanges = "Exchange hashpartitioning".r
-      .findAllIn(p).length
-    assert(nExchanges <= 1, s"expected <=1 hash exchange, got $nExchanges:\n" +
+    assert(nExchanges(p) == 1, s"expected exactly 1 exchange:\n" +
       p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("session patterns: islands + per-session fold + rollup share ONE exchange") {
+    // hashpartitioning(user_id) satisfies the (user_id, sess) and
+    // (user_id) clusterings downstream — subset rule — so the whole
+    // chain plans exactly one shuffle
+    val p = planOf("q_pattern_sessions")
+    assert(nExchanges(p) == 1, s"expected exactly 1 exchange:\n" +
+      p.take(3000))
   }
 
   test("source mixing and repetition scoring are shuffle-free narrow scans") {
