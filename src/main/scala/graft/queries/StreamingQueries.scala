@@ -1061,6 +1061,61 @@ object StreamingQueries {
         col("nt").as("n_docs"))
   }
 
+  /** Streaming symbolic similarity: the SAME SAX automaton emits each
+    * series' distinct trigram VOCABULARY (≤64 words by construction —
+    * the 4-letter alphabet closes the key space), and pairwise
+    * Jaccard over the stored vocabularies is set algebra outside the
+    * stream. Completes the SAX triple (motif, similarity) in both
+    * execution modes against one oracle. */
+  def streamSaxSimilarity(s: SparkSession, d: String): DataFrame = {
+    val bps = BatchSqlQueries3.saxBreakpoints(
+        BatchSqlQueries3.saxSums(BatchSqlQueries3.saxEvents(s, d)))
+      .select(col("event_type"), col("b1"), col("b2"), col("b3"))
+    val ev = eventsStream(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val joined = ev.join(broadcast(bps), "event_type")
+      .select(col("event_type"), col("us"), col("event_id"),
+        col("cents"), col("b1"), col("b2"), col("b3"))
+    val out = graft.streaming.SaxMotif.vocabTable(s, joined,
+      BatchSqlQueries3.SaxW)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("words", StringType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "event_type")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      out.toDF().writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    val wv = store.df(s).select(col("event_type"),
+      explode(split(col("words"), ",")).as("word"))
+    val vocab = wv.groupBy(col("event_type")).agg(count(lit(1)).as("nv"))
+    wv.as("a")
+      .join(wv.as("b"), col("a.word") === col("b.word") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(vocab.select(col("event_type").as("type_a"),
+        col("nv").as("nv_a")), Seq("type_a"))
+      .join(vocab.select(col("event_type").as("type_b"),
+        col("nv").as("nv_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        col("nv_a"), col("nv_b"),
+        (col("n_common") /
+          (col("nv_a") + col("nv_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** The batch pattern-match oracle minus the folded string (the
     * stream never materializes it — that is the point). */
   val streamPatternMatchSql: String =
@@ -1528,6 +1583,7 @@ object StreamingQueries {
     "stream_pattern_match" -> streamPatternMatch _,
     "stream_pattern_sessions" -> streamPatternSessions _,
     "stream_sax_motif" -> streamSaxMotif _,
+    "stream_sax_similarity" -> streamSaxSimilarity _,
     "stream_lang_drift" -> streamLangDrift _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
@@ -1563,6 +1619,7 @@ object StreamingQueries {
     "stream_pattern_match" -> streamPatternMatchSql,
     "stream_pattern_sessions" -> BatchSqlQueries3.patternSessionsSql,
     "stream_sax_motif" -> BatchSqlQueries3.saxMotifSql,
+    "stream_sax_similarity" -> BatchSqlQueries3.saxSimilaritySql,
     "stream_lang_drift" -> CurationQueries.langDriftSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,

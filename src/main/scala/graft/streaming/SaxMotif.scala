@@ -61,6 +61,31 @@ object SaxMotif {
 
   /** rows: [[SaxIn]] stream → one running [[MotifRow]] per series per
     * batch (series with < 3 complete windows emit nothing yet). */
+  case class VocabRow(event_type: String, words: String)
+
+  /** The similarity-side emission from the SAME automaton state: the
+    * series' distinct trigram VOCABULARY (the counts map's key set,
+    * ≤64 words — sorted and comma-joined so the row is a stable
+    * scalar). Downstream, pairwise Jaccard over stored vocabularies
+    * is plain set algebra — the streaming twin of `q_sax_similarity`. */
+  def vocabTable(spark: SparkSession, rows: DataFrame,
+                 w: Int): Dataset[VocabRow] = {
+    require(w >= 1, s"PAA window must be >= 1 event, got $w")
+    import spark.implicits._
+    rows.as[SaxIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, in: Iterator[SaxIn], state: GroupState[SaxState]) =>
+          val st0 = state.getOption.getOrElse(zero)
+          val st = in.toSeq.sortBy(e => (e.us, e.event_id))
+            .foldLeft(st0)(step(_, _, w))
+          state.update(st)
+          if (st.counts.isEmpty) Iterator.empty
+          else Iterator.single(
+            VocabRow(key, st.counts.keys.toSeq.sorted.mkString(",")))
+      }
+  }
+
   def table(spark: SparkSession, rows: DataFrame, w: Int): Dataset[MotifRow] = {
     require(w >= 1, s"PAA window must be >= 1 event, got $w")
     import spark.implicits._
