@@ -282,11 +282,14 @@ object KsqlCompat {
     "url_extract_parameter" -> { exprs =>
       arity("url_extract_parameter",
         "url_extract_parameter(url, parameter)", exprs, 2, 2)
-      // ksql reads java.net.URI.getQuery() — the DECODED query — then
-      // splits on & / =, so the extracted value arrives
-      // percent-decoded; Spark's parse_url extracts the RAW substring,
-      // hence the url_decode on top. Absent parameter → NULL (both).
-      fn("url_decode", fn("parse_url", exprs.head, lit("QUERY"), exprs(1)))
+      // ksql reads java.net.URI.getQuery() — the query decoded as a
+      // WHOLE ('+' preserved) — then splits on & / =. A composed
+      // url_decode(parse_url(...)) diverges on '+' (becomes space)
+      // and on %26/%3D inside values (decode-after-split vs ksql's
+      // split-after-decode), so this maps to a dedicated expression
+      // that reproduces the decode-then-split pipeline exactly
+      // ([[UrlExtractParameterKsql]]; ADVICE r12).
+      UrlExtractParameterKsql(exprs.head, exprs(1))
     },
 
     // ---- geo ----

@@ -1026,7 +1026,13 @@ object StreamingQueries {
       .select(col("source"), col("lang"))
     val agg = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("ct"))
-      .withColumn("pair", concat_ws("", col("source"), col("lang")))
+      // Composite store key: the separator must be a character that
+      // cannot appear in either value, or distinct (source, lang)
+      // pairs whose concatenation collides (("s1","ab") vs
+      // ("s1a","b")) would share a key and silently merge counts.
+      // NUL is spelled as an escape so no raw control byte hides in
+      // the source text.
+      .withColumn("pair", concat_ws("\u0000", col("source"), col("lang")))
     val schema = StructType(Seq(
       StructField("source", StringType),
       StructField("lang", StringType),

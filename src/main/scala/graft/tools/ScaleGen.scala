@@ -52,7 +52,34 @@ object ScaleGen {
   /** Dimension tables copied verbatim (fixed-cardinality in TPC-H). */
   private val verbatim = Seq("region", "nation")
 
+  /** Fail fast if any shifted column's source range exceeds its
+    * assumed per-copy shift (ADVICE r12): the shifts encode the
+    * seed=42 layout's DOMAIN sizes (e.g. o_custkey shifts by the
+    * customer domain, which orders alone cannot reveal), so they
+    * cannot simply be recomputed from this one table — but they CAN
+    * be validated against it. Running ScaleGen on an input whose keys
+    * exceed the assumed ranges (e.g. re-scaling an already-scaled
+    * output) would otherwise silently produce cross-copy key
+    * collisions and corrupt referential structure. One single-row agg
+    * per table — bounded driver work at any scale. */
+  private[tools] def assertShiftable(df: DataFrame, table: String): Unit = {
+    val m = shifts.getOrElse(table, Map.empty)
+    if (m.nonEmpty) {
+      val keys = m.keys.toSeq.sorted
+      val aggs = keys.map(k => max(col(k).cast("long")).as(k))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+      keys.zipWithIndex.foreach { case (k, i) =>
+        val mx = row.getLong(i)
+        require(mx < m(k),
+          s"ScaleGen: $table.$k max=$mx >= shift=${m(k)} — source keys " +
+            "exceed the assumed seed layout (already-scaled input?); " +
+            "refusing to write cross-copy colliding keys")
+      }
+    }
+  }
+
   def scaleTable(df: DataFrame, table: String, factor: Int): DataFrame = {
+    assertShiftable(df, table)
     val replicated = df
       .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
     val shifted = shifts.getOrElse(table, Map.empty).foldLeft(replicated) {

@@ -519,4 +519,29 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p', 'a')")
       .isNullAt(0))
   }
+
+  test("URL_EXTRACT_PARAMETER follows ksql's decode-then-split edges") {
+    // a literal '+' in a value stays '+' (URI.getQuery does not touch
+    // it); URLDecoder-based mappings would emit a space (ADVICE r12)
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?t=a+b', 't')")
+      .getString(0) == "a+b")
+    // %26 ('&') decodes BEFORE the split, so it terminates the value —
+    // and the decoded tail becomes its own pair
+    val amp = "'https://h.io/p?a=1%262&z=9'"
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, 'a')").getString(0) == "1")
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, '2')").isNullAt(0))
+    assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, 'z')").getString(0) == "9")
+    // %3D ('=') decodes before the split too; the value splits at the
+    // FIRST '=' so the rest of the pair survives verbatim
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?a=b%3Dc', 'a')")
+      .getString(0) == "b=c")
+    // valueless parameter (no '=') → NULL; explicit empty value → ''
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?flag&a=1', 'flag')")
+      .isNullAt(0))
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?e=&a=1', 'e')")
+      .getString(0) == "")
+    // malformed URL → NULL, never an error
+    assert(one("SELECT URL_EXTRACT_PARAMETER('ht tp://bad url^', 'a')")
+      .isNullAt(0))
+  }
 }

@@ -72,6 +72,27 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shared == 0, s"$shared tokens shared across copies")
   }
 
+  test("out-of-range source keys are rejected before any write") {
+    // re-scaling an already-scaled output is the advice's corruption
+    // scenario: keys exceed the seed layout's domain, so per-copy
+    // ranges would overlap across copies
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val rescaled = ScaleGen.scaleTable(orders, "orders", factor)
+    val e = intercept[IllegalArgumentException] {
+      ScaleGen.scaleTable(rescaled, "orders", factor)
+    }
+    assert(e.getMessage.contains("orders.o_orderkey") ||
+      e.getMessage.contains("orders.o_custkey"),
+      s"error should name the offending column: ${e.getMessage}")
+    // a single out-of-domain foreign key is enough to refuse
+    val poisoned = orders.withColumn("o_custkey",
+      when(col("o_orderkey") === 0, lit(15000L)).otherwise(col("o_custkey")))
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleGen.scaleTable(poisoned, "orders", factor)
+    }
+    assert(e2.getMessage.contains("o_custkey"))
+  }
+
   test("embedding copies preserve the norm and never equal the original") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val se = ScaleGen.scaleTable(emb, "embeddings", factor)
