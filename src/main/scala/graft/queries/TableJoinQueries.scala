@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
 import graft.sources.Tables
-import graft.streaming.{TableChangelog, TableTableJoin}
+import graft.streaming.{TableAggregate, TableChangelog, TableTableJoin}
 
 /** Table–table joins with changelog semantics — the last ksqlDB join
   * family (ksqlDB 0.28, reference docker-compose.yml:83) — as
@@ -172,7 +172,78 @@ object TableJoinQueries {
       |LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
       |  ON c.c_nationkey = n.n_nationkey""".stripMargin
 
+  // ---- table aggregation (adder/subtractor) -------------------------
+
+  /** Batch form of `CREATE TABLE agg AS SELECT status, COUNT(*),
+    * SUM(price) FROM orders_by_customer GROUP BY status` — aggregate
+    * OVER A TABLE, ksqlDB's last table family: the grouped set is the
+    * latest-by-offset snapshot (one row per customer), not the order
+    * stream, so a customer's newer order RETRACTS their older one
+    * from its group. Declaratively that is snapshot-then-groupBy; the
+    * two aggregations share the o_custkey exchange only when keys
+    * align, and the second groupBy is over ≤|status| groups — a
+    * partial-agg-friendly shape at any scale. Money on the cents grid,
+    * AVG as exact integer division of the grid sums. */
+  def tableAgg(s: SparkSession, d: String): DataFrame = {
+    val snap = Relational.latestByKey(Tables.orders(s, d),
+      col("o_custkey"), col("o_orderkey"),
+      "last_status" -> col("o_orderstatus"),
+      "price_cents" -> round(col("o_totalprice") * 100).cast("long"))
+    snap.groupBy(col("last_status"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("price_cents")).as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n_keys"))
+  }
+
+  val tableAggSql: String =
+    """SELECT last_status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |       CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+      |       CAST(SUM(price_cents) // COUNT(*) AS BIGINT) AS avg_cents
+      |FROM (SELECT o_custkey,
+      |             arg_max(o_orderstatus, o_orderkey) AS last_status,
+      |             arg_max(CAST(round(o_totalprice*100) AS BIGINT),
+      |                     o_orderkey) AS price_cents
+      |      FROM orders GROUP BY o_custkey)
+      |GROUP BY last_status""".stripMargin
+
+  /** Streaming twin: the real adder/subtractor pipeline —
+    * orders changelog → [[graft.streaming.TableChangelog]] (retraction
+    * records) → [[graft.streaming.TableAggregate]] (grouped COUNT/SUM
+    * with subtract-on-update) — run to completion, the aggregate table
+    * reconstructed FROM ITS OWN changelog. Same oracle as the batch
+    * form iff every retraction was applied exactly. */
+  def streamTableAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = TableChangelog.of(ordersStatusChangelog(s, d))
+    val agg = TableAggregate.of[Long, OrdStatus, String](
+      changes, _.status, _.cents)
+    val t = StreamingQueries.runToTable(agg.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("last_status"),
+        col("after.cnt").as("n_keys"),
+        col("after.sum").as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n_keys"))
+  }
+
   // ---- streaming inputs --------------------------------------------
+
+  /** Source rows for the table aggregation: the latest order's status
+    * (the GROUP BY column) and price on the cents grid (the measure —
+    * integer so adder/subtractor arithmetic is exact). */
+  case class OrdStatus(status: String, cents: Long)
+
+  /** The orders table as a changelog carrying the aggregation payload:
+    * key = o_custkey, offset = o_orderkey. */
+  private def ordersStatusChangelog(s: SparkSession,
+                                    d: String): Dataset[(Long, Long, Option[OrdStatus])] = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$d/orders.parquet").schema
+    s.readStream.schema(raw).parquet(s"$d/{orders}.parquet")
+      .select(col("o_custkey"), col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")).as("v"))
+      .as[(Long, Long, OrdStatus)]
+      .map { case (k, off, v) => (k, off, Option(v)) }
+  }
 
   /** The orders table as a keyed-versioned changelog stream:
     * key = o_custkey, offset = o_orderkey (globally unique, so
@@ -320,6 +391,8 @@ object TableJoinQueries {
     "q_table_table_full" -> tableTableFull _,
     "q_table_fk_join" -> tableFkJoin _,
     "q_table_fk_left" -> tableFkLeft _,
+    "q_table_agg" -> tableAgg _,
+    "stream_table_agg" -> streamTableAgg _,
     "stream_table_changelog" -> streamTableChangelog _,
     "stream_table_table_join" -> streamTableTableJoin _,
     "stream_table_table_inner" -> streamTableTableInner _,
@@ -333,6 +406,8 @@ object TableJoinQueries {
     "q_table_table_full" -> tableTableFullSql,
     "q_table_fk_join" -> tableFkJoinSql,
     "q_table_fk_left" -> tableFkLeftSql,
+    "q_table_agg" -> tableAggSql,
+    "stream_table_agg" -> tableAggSql,
     "stream_table_changelog" -> streamTableChangelogSql,
     "stream_table_table_join" -> tableTableJoinSql,
     "stream_table_table_inner" -> tableTableInnerSql,

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import scala.reflect.runtime.universe.TypeTag
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import TableChangelog.Change
+
+/** Aggregation OVER A TABLE — the last ksqlDB table family
+  * (`CREATE TABLE agg AS SELECT g, COUNT(*), SUM(x) FROM a_table
+  * GROUP BY g`; ksqlDB 0.28, reference docker-compose.yml:83). Unlike
+  * a stream aggregation, the input rows are UPDATES to keyed state: a
+  * key's new value must first RETRACT the old value's contribution
+  * from the group it previously belonged to, then add the new one —
+  * Kafka Streams' `KGroupedTable.aggregate(adder, subtractor)`. This
+  * is why ksql restricts table aggregations to subtractable functions
+  * (COUNT / SUM, and AVG as their quotient): cross-key delta order is
+  * arbitrary, and only commutative group operations survive that.
+  *
+  * Input is the retraction-aware changelog [[TableChangelog.of]]
+  * emits (op + BEFORE and AFTER images — exactly the information the
+  * subtractor needs, so the aggregate never stores the source table).
+  * Each change splits into ≤2 group deltas: (group(before), −1,
+  * −measure(before)) and (group(after), +1, +measure(after)); a key
+  * whose update MOVES it between groups thus retracts from the old
+  * group and adds to the new one, and a delete retracts only.
+  *
+  * Spark shape: one `flatMap` (narrow) then one
+  * `flatMapGroupsWithState` keyed by GROUP — the same single
+  * co-shuffle an update-mode `groupBy(g)` pays. State = one
+  * (cnt, sum, seq) triple per ever-seen group (the RocksDB row
+  * Kafka Streams keeps; retained at cnt=0 so the per-group `seq`
+  * stays monotone across delete/re-create and
+  * [[TableChangelog.latestState]] reconstruction stays max_by-safe).
+  * The measure is a LONG (integer grid, e.g. cents): adder/subtractor
+  * arithmetic must be exact, or groups whose members all leave would
+  * keep floating-point residue instead of returning to zero.
+  *
+  * Emission is micro-batch compressed: all of a batch's deltas to one
+  * group collapse into a single `c`/`u`/`d` record (before-state →
+  * after-state), mirroring Spark update-mode semantics. Kafka Streams
+  * emits finer-grained intermediates under cache-off configs; the
+  * FINAL reconstruction is identical, and batch compression is what
+  * makes the emitted records deterministic under any cross-key
+  * delta order. A batch whose deltas net to zero for a group emits
+  * nothing (the `now != emitted` discipline of the join operators).
+  */
+object TableAggregate {
+
+  /** Per-group running aggregate: row count and exact integer sum. */
+  case class GroupAgg(cnt: Long, sum: Long)
+
+  /** Stored per group: current aggregate + next change seq. */
+  case class AggState(cnt: Long, sum: Long, seq: Long)
+
+  /** Changelog of `SELECT group, COUNT(*), SUM(measure) … GROUP BY
+    * group` over the table the input changelog describes. */
+  def of[K, V, G: Encoder: TypeTag](
+      changes: Dataset[Change[K, V]], group: V => G, measure: V => Long)(
+      implicit deltaEnc: Encoder[(G, Long, Long)]): Dataset[Change[G, GroupAgg]] = {
+    implicit val stateEnc: Encoder[AggState] = Encoders.product[AggState]
+    implicit val outEnc: Encoder[Change[G, GroupAgg]] =
+      Encoders.product[Change[G, GroupAgg]]
+    val deltas = changes.flatMap { ch =>
+      val sub = ch.before.map(v => (group(v), -1L, -measure(v)))
+      val add = ch.after.map(v => (group(v), 1L, measure(v)))
+      sub.toSeq ++ add.toSeq
+    }
+    deltas.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: G, it: Iterator[(G, Long, Long)], st: GroupState[AggState]) =>
+          val cur = st.getOption.getOrElse(AggState(0L, 0L, 0L))
+          var dc = 0L
+          var ds = 0L
+          it.foreach { case (_, c, s) => dc += c; ds += s }
+          val ncnt = cur.cnt + dc
+          val nsum = cur.sum + ds
+          require(ncnt >= 0L,
+            s"TableAggregate: group $g count went negative ($ncnt) — " +
+              "input is not a consistent table changelog")
+          if (ncnt == cur.cnt && nsum == cur.sum) Iterator.empty
+          else {
+            val before = if (cur.cnt > 0L) Some(GroupAgg(cur.cnt, cur.sum)) else None
+            val after = if (ncnt > 0L) Some(GroupAgg(ncnt, nsum)) else None
+            st.update(AggState(ncnt, if (ncnt == 0L) 0L else nsum, cur.seq + 1L))
+            (before, after) match {
+              case (None, Some(_)) =>
+                Iterator.single(Change(g, "c", None, after, cur.seq))
+              case (Some(_), Some(_)) =>
+                Iterator.single(Change(g, "u", before, after, cur.seq))
+              case (Some(_), None) =>
+                Iterator.single(Change(g, "d", before, None, cur.seq))
+              case (None, None) => Iterator.empty // cnt stayed 0 (sum-only
+              // noise on an empty group = inconsistent input): no record
+            }
+          }
+      }
+  }
+}

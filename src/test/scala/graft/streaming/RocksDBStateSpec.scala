@@ -74,6 +74,33 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("TableAggregate adder/subtractor state survives RocksDB across batches") {
+    import spark.implicits._
+    import TableAggregateSpec.Acct
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Long, Long, Option[Acct])]
+    val agg = TableAggregate.of[Long, Acct, String](
+      TableChangelog.of(feed.toDS()), _.grp, _.bal)
+    val name = s"rocks_tagg_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      feed.addData((1L, 1L, Some(Acct("g", 10L))), (2L, 2L, Some(Acct("g", 5L))))
+      q.processAllAvailable()
+      // batch 2 retracts key 1's old balance from RocksDB-held state
+      feed.addData((1L, 3L, Some(Acct("g", 20L))))
+      q.processAllAvailable()
+      feed.addData((2L, 4L, None)) // and batch 3 subtracts a tombstone
+      q.processAllAvailable()
+      val st = TableChangelog.latestState(spark.table(name)).collect()
+        .map(r => (r.getString(0),
+          (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+      assert(st == Map("g" -> ((1L, 20L))))
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+    } finally q.stop()
+  }
+
   test("table-table joins (changelog + pk + fk) run on RocksDB state across batches") {
     import spark.implicits._
     import TableTableJoinSpec.{Cust, Ev, Nat, Ord}
