@@ -12,7 +12,7 @@ object Catalog {
       TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
       TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
-      KsqlFunctionQueries2.defs
+      KsqlFunctionQueries2.defs ++ SketchQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -22,5 +22,5 @@ object Catalog {
       StreamingQueries.oracles ++ SourceQueries.oracles ++
       CleaningQueries.oracles ++ CurationQueries.oracles ++
       TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
-      KsqlFunctionQueries2.oracles
+      KsqlFunctionQueries2.oracles ++ SketchQueries.oracles
 }

@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType,
+  StructField, StructType}
+
+import graft.functions.{KmvSketchAgg, Md5Key}
+
+/** KMV (k-minimum-values) distinct-count sketch algebra over the
+  * documents corpus — the mergeable cardinality layer of a curation
+  * pipeline (vocabulary sizes per source, cross-source vocabulary
+  * overlap) computed WITHOUT ever shuffling the token sets:
+  *
+  *  - per-source sketch: one ≤k-long partial per (source × partition),
+  *    map-side combined — SUM-like shuffle volume at any corpus size;
+  *  - set algebra: union / intersection / Jaccard come from the
+  *    per-source sketches alone (k smallest of a union is computable
+  *    from the two k-smallest lists), so the pairwise stage joins
+  *    |sources| aggregated rows, never raw data.
+  *
+  * Determinism contract ([[graft.functions.Md5Key]]): hashes are
+  * md5-u32, estimators are exact integer arithmetic
+  * ((k−1)·2^32 DIV h_k; ppm grids), so every statistic — including the
+  * ESTIMATES — is hash-verifiable against a DuckDB oracle that
+  * computes the same sketch via window ranks. */
+object SketchQueries {
+
+  /** Sketch size: big enough that real sources saturate it (the
+    * estimator path) while the pairwise stage stays 256-long arrays. */
+  private val K = 256
+
+  /** (k−1)·2^32 — the saturated estimator's integer numerator. */
+  private val EstNum: Long = (K - 1).toLong * 4294967296L
+
+  private def tokenHashes(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), Md5Key.column(col("tok")).as("h"))
+
+  /** Per-source distinct-vocabulary estimate, with the exact count
+    * alongside (the sketch's accuracy is part of the verified output:
+    * both engines compute the same k-th order statistic, so the
+    * estimate itself hashes). */
+  def kmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(K))
+    tokenHashes(s, d).groupBy(col("source"))
+      .agg(kmv(col("h")).as("sk"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .select(col("source"),
+        size(col("sk")).cast("long").as("n_held"),
+        element_at(col("sk"), -1).as("kth_hash"),
+        col("exact_distinct"))
+      .withColumn("est_distinct",
+        when(col("n_held") < K, col("n_held"))
+          .otherwise(expr(s"$EstNum DIV kth_hash")))
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT DISTINCT source, ${Md5Key.sql("tok")} AS h
+       |  FROM toks WHERE tok <> ''),
+       |ranked AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hashes),
+       |agg AS (
+       |  SELECT source,
+       |         COUNT(*) AS exact_distinct,
+       |         COUNT(CASE WHEN rn <= $K THEN 1 END) AS n_held,
+       |         MAX(CASE WHEN rn <= $K THEN h END) AS kth_hash
+       |  FROM ranked GROUP BY source)
+       |SELECT source, CAST(n_held AS BIGINT) AS n_held,
+       |       CAST(kth_hash AS BIGINT) AS kth_hash,
+       |       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |       CAST(CASE WHEN n_held < $K THEN n_held
+       |            ELSE $EstNum // kth_hash END AS BIGINT) AS est_distinct
+       |FROM agg""".stripMargin
+
+  /** Pairwise cross-source vocabulary overlap from the SKETCHES alone:
+    * union sketch = k smallest of the two k-min lists (array algebra),
+    * ρ = members of the union sketch present on BOTH sides, Jaccard ≈
+    * ρ/k_u on a ppm grid, intersection ≈ ρ·|A∪B|est DIV k_u. The join
+    * is |sources|² over ≤K-long arrays with the right side broadcast —
+    * the raw corpus is touched once, in the sketch pass. */
+  def kmvJaccard(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(K))
+    val sk = tokenHashes(s, d).groupBy(col("source"))
+      .agg(kmv(col("h")).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, K))
+      .withColumn("k_u", size(col("u")).cast("long"))
+      .withColumn("rho_num", size(array_intersect(
+        array_intersect(col("u"), col("sk_a")), col("sk_b"))).cast("long"))
+      .withColumn("union_est",
+        when(col("k_u") < K, col("k_u"))
+          .otherwise(expr(s"$EstNum DIV element_at(u, -1)")))
+      .select(col("source_a"), col("source_b"), col("k_u"), col("rho_num"),
+        col("union_est"),
+        expr("rho_num * 1000000 DIV k_u").as("jaccard_ppm"),
+        expr("rho_num * union_est DIV k_u").as("intersect_est"))
+  }
+
+  val kmvJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT DISTINCT source, ${Md5Key.sql("tok")} AS h
+       |  FROM toks WHERE tok <> ''),
+       |ranked AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hashes),
+       |sk AS (SELECT source, h FROM ranked WHERE rn <= $K),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |memb AS (
+       |  SELECT p.sa, p.sb, s.h, COUNT(DISTINCT s.source) AS m
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |uni AS (
+       |  SELECT sa, sb, h, m,
+       |         row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |  FROM memb),
+       |agg AS (
+       |  SELECT sa, sb, COUNT(*) AS k_u, MAX(h) AS umax,
+       |         SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS rho_num
+       |  FROM uni WHERE rn <= $K GROUP BY 1, 2)
+       |SELECT sa AS source_a, sb AS source_b,
+       |       CAST(k_u AS BIGINT) AS k_u,
+       |       CAST(rho_num AS BIGINT) AS rho_num,
+       |       CAST(CASE WHEN k_u < $K THEN k_u
+       |            ELSE $EstNum // umax END AS BIGINT) AS union_est,
+       |       CAST(rho_num * 1000000 // k_u AS BIGINT) AS jaccard_ppm,
+       |       CAST(rho_num * (CASE WHEN k_u < $K THEN k_u
+       |            ELSE $EstNum // umax END) // k_u AS BIGINT)
+       |         AS intersect_est
+       |FROM agg""".stripMargin
+
+  /** Streaming twin of the distinct estimate: the SAME mergeable
+    * aggregate runs under update-mode state (per-source state = one
+    * ≤K-long sketch — bounded whatever the stream length), each batch
+    * upserts the refreshed sketch, and the estimator runs OUTSIDE the
+    * stream on the stored sketches. Finite input ⇒ equals the batch
+    * sketch; the oracle is the batch oracle minus the exact count
+    * (a streaming exact-distinct would need unbounded state — the
+    * sketch existing is the point). */
+  def streamKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(K))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val toks = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), Md5Key.column(col("tok")).as("h"))
+    val agg = toks.groupBy(col("source")).agg(kmv(col("h")).as("sk"))
+    val schema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("sk", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "source")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    store.df(s)
+      .select(col("source"),
+        size(col("sk")).cast("long").as("n_held"),
+        element_at(col("sk"), -1).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_held") < K, col("n_held"))
+          .otherwise(expr(s"$EstNum DIV kth_hash")))
+  }
+
+  val streamKmvDistinctSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT DISTINCT source, ${Md5Key.sql("tok")} AS h
+       |  FROM toks WHERE tok <> ''),
+       |ranked AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hashes),
+       |agg AS (
+       |  SELECT source,
+       |         COUNT(CASE WHEN rn <= $K THEN 1 END) AS n_held,
+       |         MAX(CASE WHEN rn <= $K THEN h END) AS kth_hash
+       |  FROM ranked GROUP BY source)
+       |SELECT source, CAST(n_held AS BIGINT) AS n_held,
+       |       CAST(kth_hash AS BIGINT) AS kth_hash,
+       |       CAST(CASE WHEN n_held < $K THEN n_held
+       |            ELSE $EstNum // kth_hash END AS BIGINT) AS est_distinct
+       |FROM agg""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> kmvDistinct _,
+    "sketch_kmv_jaccard" -> kmvJaccard _,
+    "stream_kmv_distinct" -> streamKmvDistinct _)
+
+  def oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> kmvDistinctSql,
+    "sketch_kmv_jaccard" -> kmvJaccardSql,
+    "stream_kmv_distinct" -> streamKmvDistinctSql)
+}
