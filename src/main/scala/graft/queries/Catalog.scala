@@ -12,7 +12,8 @@ object Catalog {
       TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
       TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
-      KsqlFunctionQueries2.defs ++ SketchQueries.defs
+      KsqlFunctionQueries2.defs ++ SketchQueries.defs ++
+      RetrievalQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -22,5 +23,6 @@ object Catalog {
       StreamingQueries.oracles ++ SourceQueries.oracles ++
       CleaningQueries.oracles ++ CurationQueries.oracles ++
       TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
-      KsqlFunctionQueries2.oracles ++ SketchQueries.oracles
+      KsqlFunctionQueries2.oracles ++ SketchQueries.oracles ++
+      RetrievalQueries.oracles
 }

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+  StringType, StructField, StructType}
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** Inverted-index retrieval over the documents corpus — the search
+  * primitive a curation pipeline uses for quality filtering and
+  * targeted decontamination ("which documents score highest for this
+  * term?"). BM25-shaped scoring on an EXACT integer grid:
+  *
+  *   idf_ppm(t) = ((N − df)·2 + 1) · 10^6 DIV (df·2 + 1)
+  *     — the BM25 idf ratio (N − df + ½)/(df + ½) made integral
+  *       (×2 numerator and denominator), on a ppm grid, WITHOUT the
+  *       log: log is monotone, so per-term rankings are unchanged,
+  *       and the grid arithmetic is bit-equal across engines (the
+  *       libm-free determinism discipline every sketch here follows);
+  *   sat(tf)    = tf·2000 DIV (tf + 1)
+  *     — BM25's saturating term frequency with k1 = 1 (b = 0; length
+  *       normalization is a documented non-goal of this variant), on
+  *       a ‰ grid;
+  *   score      = idf_ppm · sat(tf)  (≤ ~2·10^13 — exact in BIGINT
+  *       and in the double payload of the top-k aggregator).
+  *
+  * Query terms are data-derived and deterministic: global df ranks
+  * 21–30 (ties by term) — mid-frequency terms, below the stopword-ish
+  * head, guaranteed present at every SF.
+  *
+  * Scale shape: the tf relation (the inverted index) is one
+  * explode + two-phase grouped count; query terms are found with a
+  * bounded top-30 (TakeOrdered — no global sort) and broadcast back,
+  * so the scoring join prunes to 10 posting lists however large the
+  * corpus; per-term top-5 runs through the k-bounded TopKByScore
+  * aggregator (map-side ≤5-row partials), with the row_number window
+  * as the oracle spelling. */
+object RetrievalQueries {
+
+  private val K = 5 // postings returned per query term
+  private val RankLo = 21
+  private val RankHi = 30
+
+  /** The full integer score over materialized columns n_docs/df/tf —
+    * Spark `DIV` here, DuckDB `//` in the oracle, same parse. */
+  private val ScoreExpr: Column = expr(
+    "(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))" +
+      " * (tf * 2000 DIV (tf + 1))")
+
+  /** (doc_id, term, tf) — the inverted index relation. */
+  private def tfRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextShingles.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-5 documents per mid-frequency query term, integer BM25. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // bounded top-30 by df (TakeOrdered), ranked locally over 30 rows
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"))
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN n)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+       |FROM (SELECT term, doc_id, score,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY score DESC, doc_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Streaming twin: INCREMENTAL index maintenance. Each document row
+    * expands to its (term, tf, doc_id) postings inside the row (a
+    * narrow pass — tf is a property of one document, so no streaming
+    * pre-aggregation is needed), and ONE update-mode aggregation per
+    * term maintains df (each doc arrives exactly once, so row count
+    * IS document frequency) plus a 5-bounded posting head ordered by
+    * (tf desc, doc asc) — packed into the aggregator's double score
+    * as tf·2^32 − doc_id, exact below 2^53. Per-term state is O(k):
+    * the index head, not the index. Scoring runs OUTSIDE the stream
+    * on the stored heads: idf is constant per term and sat(tf) is
+    * monotone, so the stored (tf desc, doc asc) order IS the final
+    * (score desc, doc asc) order — same oracle as the batch form. */
+  def streamBm25TopK(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"),
+        col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .select(col("term"), col("doc_id"), col("tf"),
+        (col("tf").cast(DoubleType) * lit(4294967296.0) -
+          col("doc_id").cast(DoubleType)).as("ord"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"),
+        col("top.scores").as("ords"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ords", ArrayType(DoubleType)),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    // finalize on the stored index heads (|vocab| rows, 5 postings each)
+    val idx = store.df(s)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val qsel = idx
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"), col("ords"), col("ids"))
+    qsel.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("n_docs"),
+        posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("pos", "z")))
+      .withColumn("tf",
+        floor((col("z.ords") + col("z.ids")) / lit(4294967296.0))
+          .cast(LongType))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"), ScoreExpr.as("score"))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25_topk" -> bm25TopK _,
+    "stream_bm25_topk" -> streamBm25TopK _)
+
+  def oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25TopKSql,
+    "stream_bm25_topk" -> bm25TopKSql)
+}

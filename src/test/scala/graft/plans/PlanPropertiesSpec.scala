@@ -501,4 +501,36 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // shuffle of the training side
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("table aggregation: snapshot + regroup are both two-phase, join-free") {
+    val p = planOf("q_table_agg")
+    // exactly the two key exchanges (o_custkey, then last_status) —
+    // retraction semantics cost nothing extra in the batch form
+    assert(nExchanges(p) == 2, s"expected exactly 2 exchanges:\n${p.take(3000)}")
+    assert(p.contains("partial_"), p.take(3000)) // map-side combine
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("KMV jaccard: pairwise stage joins broadcast sketches — raw tokens shuffle once per side") {
+    val p = planOf("sketch_kmv_jaccard")
+    // the token relation aggregates into per-source sketches (object
+    // hash agg with map-side partials); the |sources|^2 stage is a
+    // broadcast nested-loop over ≤K-long arrays, never a cartesian of
+    // data-sized inputs
+    assert(p.toLowerCase.contains("partial_kmvsketchagg"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(nExchanges(p) <= 2, s"sketch aggs only:\n${p.take(3000)}")
+  }
+
+  test("BM25: query terms via bounded TakeOrdered + broadcast; top-k is a bounded aggregate") {
+    val p = planOf("text_bm25_topk")
+    // df-rank selection must not global-sort the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // posting lists prune through a broadcast join of the 10 terms
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // per-term top-5 is the k-bounded aggregator, not a corpus window
+    assert(p.toLowerCase.contains("partial_topkbyscore"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
