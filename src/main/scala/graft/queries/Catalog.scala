@@ -13,7 +13,7 @@ object Catalog {
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
       TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
       KsqlFunctionQueries2.defs ++ SketchQueries.defs ++
-      RetrievalQueries.defs
+      RetrievalQueries.defs ++ ChangePointQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -24,5 +24,5 @@ object Catalog {
       CleaningQueries.oracles ++ CurationQueries.oracles ++
       TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
       KsqlFunctionQueries2.oracles ++ SketchQueries.oracles ++
-      RetrievalQueries.oracles
+      RetrievalQueries.oracles ++ ChangePointQueries.oracles
 }

@@ -128,6 +128,44 @@ class TableAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == oneShot)
   }
 
+  test("fuzz: random upsert/delete histories match the brute-force final table (8 histories)") {
+    val rnd = new scala.util.Random(1302)
+    val groups = Vector("g0", "g1", "g2", "g3")
+    for (_ <- 1 to 8) {
+      val nOps = 12 + rnd.nextInt(20)
+      val hist: Seq[(Long, Long, Option[Acct])] =
+        (1 to nOps).map { off =>
+          val key = rnd.nextInt(5).toLong
+          if (rnd.nextInt(4) == 0) (key, off.toLong, None) // tombstone
+          else (key, off.toLong,
+            Some(Acct(groups(rnd.nextInt(groups.size)), rnd.nextInt(100).toLong)))
+        }
+      // brute force: final table = last value per key, then groupBy
+      val table = hist.groupBy(_._1).values
+        .flatMap(_.maxBy(_._2)._3).toSeq
+      val expect = table.groupBy(_.grp).map { case (g, vs) =>
+        (g, (vs.size.toLong, vs.map(_.bal).sum)) }
+      // random slicing into micro-batches
+      val nSlices = 1 + rnd.nextInt(5)
+      val marks = hist.map(_ => rnd.nextInt(nSlices))
+      val slices = (0 until nSlices).map(i =>
+        hist.zip(marks).collect { case (h, m) if m == i => h })
+        .filter(_.nonEmpty)
+      val (feed, q, _, name) = harness()
+      try {
+        slices.foreach { sl => feed.addData(sl: _*); q.processAllAvailable() }
+        val got = TableChangelog.latestState(spark.table(name))
+          .collect().map(r => (r.getString(0),
+            (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))).toMap
+        assert(got == expect, s"history=$hist slices=$slices")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+        spark.streams.resetTerminated()
+      }
+    }
+  }
+
   test("inconsistent changelog input (retraction on an empty group) fails fast") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
