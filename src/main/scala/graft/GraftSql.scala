@@ -196,6 +196,13 @@ object GraftSql {
     if (absent("decimal_sketch_weighted"))
       spark.udf.register("decimal_sketch_weighted",
         udaf(new graft.functions.DecimalSketchWeightedAgg))
+    // KMV distinct-count sketch (k in the name per the k-bounded
+    // naming policy): build over md5-u32 hash longs; the set algebra
+    // (union / Jaccard / estimate) is plain array SQL over the
+    // sketch column — see graft.functions.KmvSketch for the integer
+    // estimator contract
+    if (absent("kmv_sketch_256")) spark.udf.register("kmv_sketch_256",
+      udaf(new graft.functions.KmvSketchAgg(256)))
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,

@@ -13,7 +13,8 @@ object Catalog {
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
       TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
       KsqlFunctionQueries2.defs ++ SketchQueries.defs ++
-      RetrievalQueries.defs ++ ChangePointQueries.defs
+      RetrievalQueries.defs ++ ChangePointQueries.defs ++
+      SeasonalQueries.defs
 
   def oracles: Map[String, String] =
     PipelineQueries.oracles ++ BatchSqlQueries.oracles ++
@@ -24,5 +25,6 @@ object Catalog {
       CleaningQueries.oracles ++ CurationQueries.oracles ++
       TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
       KsqlFunctionQueries2.oracles ++ SketchQueries.oracles ++
-      RetrievalQueries.oracles ++ ChangePointQueries.oracles
+      RetrievalQueries.oracles ++ ChangePointQueries.oracles ++
+      SeasonalQueries.oracles
 }

@@ -101,7 +101,16 @@ object ChangePointQueries {
   /** Streaming twin: hourly counters accumulate under update-mode
     * state, the CUSUM closed form evaluates outside the stream on the
     * stored counter table. Finite input ⇒ equals the batch oracle. */
-  def streamCusumChangepoint(s: SparkSession, d: String): DataFrame = {
+  def streamCusumChangepoint(s: SparkSession, d: String): DataFrame =
+    cusumOf(hourlyStore(s, d))
+
+  /** The shared streaming leg of the hourly-series monitors (CUSUM,
+    * seasonal decomposition): update-mode per-(series, hour) counter
+    * aggregation materialized into a snapshot store — state is one
+    * counter per live (series, hour), bounded by the covered time
+    * span, not the stream — returned as the (event_type, hts, x)
+    * counter table the batch finalizers consume. */
+  private[queries] def hourlyStore(s: SparkSession, d: String): DataFrame = {
     val hourly = StreamingQueries.eventsStream(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hts"))
       .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("x"))
@@ -127,7 +136,7 @@ object ChangePointQueries {
       s.streams.resetTerminated()
       StreamingQueries.deleteRecursively(ckpt)
     }
-    cusumOf(store.df(s).select(col("event_type"), col("hts"), col("x")))
+    store.df(s).select(col("event_type"), col("hts"), col("x"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -82,6 +82,24 @@ class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(KmvSketch.insert(sat, 99L, k) eq sat)
   }
 
+  test("SQL-reachable: kmv_sketch_256 + array-SQL estimator match the model") {
+    import spark.implicits._
+    graft.GraftSql.registerFunctions(spark)
+    val xs = sample(2000, 10000000L)
+    xs.toDF("h").createOrReplaceTempView("kmv_in")
+    try {
+      val r = spark.sql(
+        """SELECT size(sk) AS n_held, element_at(sk, -1) AS kth,
+          |       CASE WHEN size(sk) < 256 THEN CAST(size(sk) AS BIGINT)
+          |            ELSE 1095216660480 DIV element_at(sk, -1) END AS est
+          |FROM (SELECT kmv_sketch_256(h) AS sk FROM kmv_in)""".stripMargin)
+        .as[(Int, Long, Long)].collect().head
+      val m = model(xs, 256)
+      assert(r._1 == m.size && r._2 == m.last)
+      assert(r._3 == KmvSketch.estimate(m, 256))
+    } finally spark.catalog.dropTempView("kmv_in")
+  }
+
   test("Spark aggregate is invariant to input partitioning") {
     import spark.implicits._
     val kmv = udaf(new KmvSketchAgg(32))
