@@ -523,6 +523,28 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nExchanges(p) <= 2, s"sketch aggs only:\n${p.take(3000)}")
   }
 
+  test("CUSUM: all four running windows share ONE per-series sort; stats broadcast back") {
+    val p = planOf("q_cusum_changepoint")
+    // the windows layer (pp feeds min(pp), pn feeds max(pn)) but ALL
+    // of them ride ONE (event_type, hts) sort behind ONE exchange —
+    // the closed form's whole point is that no sequential operator
+    // and no per-layer re-sort appears
+    assert("""\(\d+\) Sort""".r.findAllIn(p).length == 1,
+      s"expected ONE sort:\n${p.take(3000)}")
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 3, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // per-series mu
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("seasonal decomposition: per-series windows only; seasonal/scale tables broadcast") {
+    val p = planOf("q_seasonal_decompose")
+    assert(p.contains("ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING") ||
+      p.contains("specifiedwindowframe(RowFrame, -12, 12)"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
   test("BM25: query terms via bounded TakeOrdered + broadcast; top-k is a bounded aggregate") {
     val p = planOf("text_bm25_topk")
     // df-rank selection must not global-sort the vocabulary
