@@ -218,6 +218,52 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     val row = store.df(spark).as[MotifRow].collect().head
     assert(row == MotifRow("t", "acb", 1L, 3L), row)
   }
+
+  test("table-aggregate: a retraction arriving AFTER restart subtracts from recovered state") {
+    import spark.implicits._
+    import TableAggregateSpec.Acct
+    import TableAggregate.GroupAgg
+    import TableChangelog.Change
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-tagg-recover-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      Change[String, GroupAgg]]()
+
+    def startQuery(f: MemoryStream[(Long, Long, Option[Acct])]) =
+      TableAggregate.of[Long, Acct, String](
+        TableChangelog.of(f.toDS()), _.grp, _.bal)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Change[String, GroupAgg]],
+                         _: Long) => b.collect().foreach(got.add); () }
+        .start()
+
+    val b0 = Seq((1L, 1L, Some(Acct("g", 10L))), (2L, 2L, Some(Acct("g", 5L))))
+    val feed = MemoryStream[(Long, Long, Option[Acct])]
+    val q1 = startQuery(feed)
+    feed.addData(b0: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: key 1 MOVES g→h. Correctness needs BOTH stateful
+    // operators to recover — the changelog stage must produce key 1's
+    // before-image (g, 10) from ITS state, and the aggregate stage
+    // must subtract it from g's recovered (2, 15)
+    val feed2 = MemoryStream[(Long, Long, Option[Acct])]
+    feed2.addData(b0: _*) // replayed batch 0 (skipped by the offset log)
+    feed2.addData((1L, 3L, Some(Acct("h", 20L))))
+    val q2 = startQuery(feed2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val changes = got.asScala.toSeq
+    assert(changes.contains(
+      Change("g", "u", Some(GroupAgg(2L, 15L)), Some(GroupAgg(1L, 5L)), 1L)),
+      changes)
+    assert(changes.contains(
+      Change("h", "c", None, Some(GroupAgg(1L, 20L)), 0L)), changes)
+  }
 }
 
 object CheckpointRecoverySpec {
