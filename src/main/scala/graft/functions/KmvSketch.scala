@@ -46,6 +46,25 @@ class KmvSketchAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
     ExpressionEncoder[Seq[Long]]()
 }
 
+/** Merge STORED sketches (the DecimalSketchMergeAgg pattern): a
+  * second-level aggregation unions previously-built sketch columns
+  * without re-reading rows — k smallest of a union is computable from
+  * the per-side k-min lists, so a rollup from (source, lang)-level
+  * artifacts to lang-level estimates touches only |groups| arrays. */
+class KmvSketchMergeAgg(k: Int) extends Aggregator[Seq[Long], Seq[Long], Seq[Long]] {
+  require(k >= 2, s"KMV needs k >= 2, got $k")
+  override def zero: Seq[Long] = Vector.empty
+  override def reduce(b: Seq[Long], sk: Seq[Long]): Seq[Long] =
+    KmvSketch.union(b, if (sk == null) Vector.empty else sk, k)
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+    KmvSketch.union(x, y, k)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 object KmvSketch {
 
   /** Insert one hash into an ascending distinct ≤k buffer. Saturated

@@ -147,6 +147,61 @@ object SketchQueries {
        |         AS intersect_est
        |FROM agg""".stripMargin
 
+  /** Sketch ROLLUP — the mergeable-artifact lifecycle: sketches built
+    * once at (source, lang) grain are UNION-MERGED up to lang grain
+    * ([[graft.functions.KmvSketchMergeAgg]]) without re-reading any
+    * rows — k smallest of a union is computable from the per-side
+    * k-min lists, so the second aggregation touches |groups| arrays.
+    * This is how per-(source, day) artifacts answer any later slice
+    * at 100 TB. The exact per-lang count rides along, so the verified
+    * output pins that the two-level merge equals the direct sketch. */
+  def kmvRollup(s: SparkSession, d: String): DataFrame = {
+    val kmv = udaf(new KmvSketchAgg(K))
+    val kmvMerge = udaf(new graft.functions.KmvSketchMergeAgg(K))
+    val hashes = s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), col("lang"), Md5Key.column(col("tok")).as("h"))
+    val grain = hashes.groupBy(col("source"), col("lang"))
+      .agg(kmv(col("h")).as("sk"))
+    val exact = hashes.groupBy(col("lang"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    grain.groupBy(col("lang")).agg(kmvMerge(col("sk")).as("sk"))
+      .join(broadcast(exact), Seq("lang"))
+      .select(col("lang"),
+        size(col("sk")).cast("long").as("n_held"),
+        element_at(col("sk"), -1).as("kth_hash"),
+        col("exact_distinct"))
+      .withColumn("est_distinct",
+        when(col("n_held") < K, col("n_held"))
+          .otherwise(expr(s"$EstNum DIV kth_hash")))
+  }
+
+  val kmvRollupSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |hashes AS (
+       |  SELECT DISTINCT lang, ${Md5Key.sql("tok")} AS h
+       |  FROM toks WHERE tok <> ''),
+       |ranked AS (
+       |  SELECT lang, h,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       |  FROM hashes),
+       |agg AS (
+       |  SELECT lang,
+       |         COUNT(*) AS exact_distinct,
+       |         COUNT(CASE WHEN rn <= $K THEN 1 END) AS n_held,
+       |         MAX(CASE WHEN rn <= $K THEN h END) AS kth_hash
+       |  FROM ranked GROUP BY lang)
+       |SELECT lang, CAST(n_held AS BIGINT) AS n_held,
+       |       CAST(kth_hash AS BIGINT) AS kth_hash,
+       |       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |       CAST(CASE WHEN n_held < $K THEN n_held
+       |            ELSE $EstNum // kth_hash END AS BIGINT) AS est_distinct
+       |FROM agg""".stripMargin
+
   /** Streaming twin of the distinct estimate: the SAME mergeable
     * aggregate runs under update-mode state (per-source state = one
     * ≤K-long sketch — bounded whatever the stream length), each batch
@@ -215,10 +270,12 @@ object SketchQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_jaccard" -> kmvJaccard _,
+    "sketch_kmv_rollup" -> kmvRollup _,
     "stream_kmv_distinct" -> streamKmvDistinct _)
 
   def oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_jaccard" -> kmvJaccardSql,
+    "sketch_kmv_rollup" -> kmvRollupSql,
     "stream_kmv_distinct" -> streamKmvDistinctSql)
 }

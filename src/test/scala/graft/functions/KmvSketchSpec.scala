@@ -100,6 +100,28 @@ class KmvSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.catalog.dropTempView("kmv_in")
   }
 
+  test("two-level rollup (build at fine grain, merge up) equals the direct sketch") {
+    import spark.implicits._
+    val k = 24
+    val kmv = udaf(new KmvSketchAgg(k))
+    val kmvMerge = udaf(new KmvSketchMergeAgg(k))
+    // (coarse, fine, h): sketch per (coarse, fine), merge to coarse
+    val data = sample(4000, 5000L).zipWithIndex.map { case (h, i) =>
+      (s"c${i % 3}", s"f${i % 7}", h) }
+    val df = data.toDF("coarse", "fine", "h")
+    val direct = df.groupBy(col("coarse")).agg(kmv(col("h")).as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    val rolled = df.groupBy(col("coarse"), col("fine"))
+      .agg(kmv(col("h")).as("sk"))
+      .groupBy(col("coarse")).agg(kmvMerge(col("sk")).as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(rolled == direct)
+    // and both equal the model over the coarse group's raw values
+    val byCoarse = data.groupBy(_._1).map { case (c, vs) =>
+      (c, model(vs.map(_._3), k)) }
+    assert(direct == byCoarse)
+  }
+
   test("Spark aggregate is invariant to input partitioning") {
     import spark.implicits._
     val kmv = udaf(new KmvSketchAgg(32))
