@@ -83,7 +83,16 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_ksql_multi_explode" -> Sig(0, 0, 0),
     "q_scalar_subquery" -> Sig(1, 0, 0),
     "q1_pricing_summary" -> Sig(1, 0, 0),
-    "src_bucketed_join" -> Sig(1, 0, 0))
+    "src_bucketed_join" -> Sig(1, 0, 0),
+    // round-13 batch families (the BNLJs are broadcast of aggregated
+    // sketch/scalar sides: |sources| rows / 1 row — never data×data)
+    "q_table_agg" -> Sig(2, 0, 0),
+    "sketch_kmv_distinct" -> Sig(2, 0, 0),
+    "sketch_kmv_jaccard" -> Sig(1, 0, 1),
+    "sketch_kmv_rollup" -> Sig(4, 0, 0),
+    "text_bm25_topk" -> Sig(5, 0, 1),
+    "q_cusum_changepoint" -> Sig(3, 0, 0),
+    "q_seasonal_decompose" -> Sig(4, 0, 0))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
