@@ -107,6 +107,72 @@ object RetrievalQueries {
        |      FROM scored)
        |WHERE rn <= $K""".stripMargin
 
+  /** Conjunctive (AND) multi-term retrieval: five 2-term queries pair
+    * adjacent df ranks (21+22, …, 29+30); a document qualifies only
+    * if it matches BOTH terms (the distinct-match count equals the
+    * query arity — the classic conjunctive gate), and qualifying docs
+    * score by the SUM of per-term integer BM25. Scale shape mirrors
+    * the single-term form — the 10-term broadcast prunes the index to
+    * the relevant posting lists, the conjunctive gate is one grouped
+    * count over (query, doc), and per-query top-3 is the k-bounded
+    * aggregator. */
+  def bm25Conjunctive(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
+      .select(col("qid"), col("term"), col("df"))
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ScoreExpr)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("score")).as("qscore"))
+      .filter(col("n_matched") === 2) // conjunctive: ALL terms present
+      .groupBy(col("qid"))
+      .agg(topk(col("qscore").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
+  val bm25ConjunctiveSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (
+       |  SELECT (r - $RankLo) // 2 + 1 AS qid, term, df
+       |  FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |scored AS (
+       |  SELECT s.qid, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN n),
+       |conj AS (
+       |  SELECT qid, doc_id, CAST(SUM(score) AS BIGINT) AS qscore
+       |  FROM scored GROUP BY 1, 2 HAVING COUNT(*) = 2)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+       |       doc_id, qscore AS score
+       |FROM (SELECT qid, doc_id, qscore,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY qscore DESC, doc_id) AS rn
+       |      FROM conj)
+       |WHERE rn <= 3""".stripMargin
+
   /** Streaming twin: INCREMENTAL index maintenance. Each document row
     * expands to its (term, tf, doc_id) postings inside the row (a
     * narrow pass — tf is a property of one document, so no streaming
@@ -176,9 +242,11 @@ object RetrievalQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
+    "text_bm25_conjunctive" -> bm25Conjunctive _,
     "stream_bm25_topk" -> streamBm25TopK _)
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
+    "text_bm25_conjunctive" -> bm25ConjunctiveSql,
     "stream_bm25_topk" -> bm25TopKSql)
 }
