@@ -545,6 +545,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(3000))
   }
 
+  test("sliding cardinality: sketch agg + ONE merge window, join-free") {
+    val p = planOf("sketch_kmv_sliding")
+    // scan → two-phase sketch agg → one (event_type) exchange + sort →
+    // one Window merging ≤24 arrays per row; no join anywhere
+    assert(nExchanges(p) == 2, s"expected 2 exchanges:\n${p.take(3000)}")
+    assert("""\(\d+\) Window""".r.findAllIn(p).length == 1, p.take(3000))
+    assert("""\(\d+\) Sort""".r.findAllIn(p).length == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
   test("BM25: query terms via bounded TakeOrdered + broadcast; top-k is a bounded aggregate") {
     val p = planOf("text_bm25_topk")
     // df-rank selection must not global-sort the vocabulary
