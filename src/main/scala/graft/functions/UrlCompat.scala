@@ -28,12 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * This expression reproduces the decode-then-split pipeline exactly:
   * `?a=1%262` yields `1` for `a` (the decoded `&` splits), and
-  * `?t=a+b` yields `a+b` verbatim. Remaining micro-edges are chosen,
-  * not inherited: a valueless parameter (`?a` or a match whose pair
-  * has no `=`) yields NULL, `?a=` yields the empty string, and a
-  * value containing a decoded `=` splits at the FIRST `=` only
-  * (`?a=b=c` → `b=c`). Malformed URLs (URISyntaxException) and URLs
-  * without a query yield NULL, as does an absent parameter.
+  * `?t=a+b` yields `a+b` verbatim. Pair handling mirrors ksql's UDF
+  * (ADVICE r13): each `&`-pair is split on EVERY `=` (trailing empty
+  * parts kept), and only pairs whose split yields exactly TWO parts
+  * participate — a valueless parameter (`?a`) or a value containing a
+  * decoded `=` (`?a=b=c`, three parts) is SKIPPED and the scan
+  * continues to later pairs, so `?a=b%3Dc&a=x` yields `x` and
+  * `?a=b%3Dc` alone yields NULL. `?a=` splits to (`a`, ``) — two
+  * parts — and yields the empty string. Malformed URLs
+  * (URISyntaxException) and URLs without a query yield NULL, as does
+  * an absent parameter.
   */
 case class UrlExtractParameterKsql(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -56,17 +60,17 @@ case class UrlExtractParameterKsql(left: Expression, right: Expression)
       catch { case _: URISyntaxException => null }
     if (query == null) null
     else {
-      // First matching pair wins, as in ksql's stream-findFirst.
+      // First arity-2 matching pair wins (ksql's findFirst over pairs
+      // filtered to exactly two '='-split parts); other pairs — even
+      // ones whose name matches — are skipped and the scan continues.
       val it = query.split("&").iterator
       var res: Any = null
       var found = false
       while (it.hasNext && !found) {
-        val pair = it.next()
-        val eq = pair.indexOf('=')
-        val name = if (eq < 0) pair else pair.substring(0, eq)
-        if (name == param) {
+        val parts = it.next().split("=", -1) // keep trailing empties
+        if (parts.length == 2 && parts(0) == param) {
           found = true
-          if (eq >= 0) res = UTF8String.fromString(pair.substring(eq + 1))
+          res = UTF8String.fromString(parts(1))
         }
       }
       res

@@ -27,9 +27,13 @@ import graft.sources.Tables
   * functions — the batch spelling is pure windows sharing ONE
   * per-series sort, no sequential operator, no recursion; the fuzz
   * spec pins closed form ≡ recurrence on random series. All
-  * arithmetic is exact integers (micro-unit value grid; μ and the
-  * slack k = μ/20 by integer division of non-negative sums; h = μ),
-  * so both engines agree bit-for-bit.
+  * arithmetic is exact integers (micro-unit value grid; h = μ), and
+  * μ and the slack k = μ/20 use the same 2^40-shift FLOOR-division
+  * spelling as [[SeasonalQueries]] (ADVICE r13): Spark `DIV`
+  * truncates toward zero while DuckDB `//` floors, so a series with
+  * negative values would silently desync the two engines under the
+  * naive spelling — the positivity shift makes both compute the
+  * floor mean bit-for-bit regardless of sign.
   *
   * Scale shape: hourly pre-aggregation collapses the event stream to
   * |series|×|hours| rows before any window; the window sorts WITHIN a
@@ -41,6 +45,11 @@ import graft.sources.Tables
   * re-scoring its counter table per ingest window. */
 object ChangePointQueries {
 
+  /** 2^40 — the positivity shift for signed floor-means (see
+    * [[SeasonalQueries]] for the floor((Σ+nB)/n) = B + floor(Σ/n)
+    * identity that makes truncation equal floor). */
+  private val B = 1099511627776L
+
   private def hourlyBatch(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hts"))
@@ -48,13 +57,13 @@ object ChangePointQueries {
 
   /** The shared finalize: per-series mean/slack, centered prefixes,
     * prefix-extremum CUSUM, alarms at h = μ. */
-  private def cusumOf(hourly: DataFrame): DataFrame = {
+  private[queries] def cusumOf(hourly: DataFrame): DataFrame = {
     val stats = hourly.groupBy(col("event_type"))
-      .agg(expr("SUM(x) DIV COUNT(*)").as("mu"))
+      .agg(expr(s"(SUM(x) + COUNT(*) * ${B}L) DIV COUNT(*) - ${B}L").as("mu"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("hts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hourly.join(broadcast(stats), Seq("event_type"))
-      .withColumn("slack", expr("mu DIV 20"))
+      .withColumn("slack", expr(s"(mu + 20 * ${B}L) DIV 20 - ${B}L"))
       .withColumn("pp", sum(col("x") - col("mu") - col("slack")).over(w))
       .withColumn("pn", sum(col("x") - col("mu") + col("slack")).over(w))
       .withColumn("s_pos", col("pp") - least(lit(0L), min(col("pp")).over(w)))
@@ -75,10 +84,14 @@ object ChangePointQueries {
       |         CAST(SUM(CAST(floor("value" * 1000000) AS BIGINT)) AS BIGINT) AS x
       |  FROM events GROUP BY 1, 2),
       |stats AS (
-      |  SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+      |  SELECT event_type,
+      |         CAST((SUM(x) + COUNT(*) * 1099511627776) // COUNT(*)
+      |              - 1099511627776 AS BIGINT) AS mu
       |  FROM hourly GROUP BY 1),
       |y AS (
-      |  SELECT h.event_type, h.hts, h.x, s.mu, CAST(s.mu // 20 AS BIGINT) AS slack
+      |  SELECT h.event_type, h.hts, h.x, s.mu,
+      |         CAST((s.mu + 20 * 1099511627776) // 20
+      |              - 1099511627776 AS BIGINT) AS slack
       |  FROM hourly h JOIN stats s USING (event_type)),
       |p AS (
       |  SELECT event_type, hts, x, mu,

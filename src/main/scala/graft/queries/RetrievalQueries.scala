@@ -50,6 +50,11 @@ object RetrievalQueries {
     "(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))" +
       " * (tf * 2000 DIV (tf + 1))")
 
+  /** The same score over a PRE-saturated `sat` column (the streaming
+    * head stores sat(tf), not tf — see [[streamBm25TopK]]). */
+  private val ScoreFromSatExpr: Column = expr(
+    "(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1)) * sat")
+
   /** (doc_id, term, tf) — the inverted index relation. */
   private def tfRel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -179,12 +184,17 @@ object RetrievalQueries {
     * pre-aggregation is needed), and ONE update-mode aggregation per
     * term maintains df (each doc arrives exactly once, so row count
     * IS document frequency) plus a 5-bounded posting head ordered by
-    * (tf desc, doc asc) — packed into the aggregator's double score
-    * as tf·2^32 − doc_id, exact below 2^53. Per-term state is O(k):
-    * the index head, not the index. Scoring runs OUTSIDE the stream
-    * on the stored heads: idf is constant per term and sat(tf) is
-    * monotone, so the stored (tf desc, doc asc) order IS the final
-    * (score desc, doc asc) order — same oracle as the batch form. */
+    * (sat(tf) desc, doc asc) — packed into the aggregator's double
+    * score as sat(tf)·2^32 − doc_id (sat ≤ 1999, so the pack stays
+    * below 2^43 — exact in a double). The head MUST order by the
+    * SATURATED tf, not raw tf (ADVICE r13): sat is monotone but not
+    * injective (distinct tf collide from 62/63 up), and the oracle
+    * breaks score ties by doc_id asc — a raw-tf head would prefer the
+    * higher-tf doc of a sat-tied pair and diverge at the k-boundary.
+    * Per-term state is O(k): the index head, not the index. Scoring
+    * runs OUTSIDE the stream on the stored heads: idf is constant per
+    * term, so (sat desc, doc asc) IS the final (score desc, doc asc)
+    * order, ties included — same oracle as the batch form. */
   def streamBm25TopK(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(K))
     val raw = s.read.parquet(s"$d/documents.parquet").schema
@@ -195,8 +205,9 @@ object RetrievalQueries {
         col("w"))
       .withColumn("tf", size(filter(col("w"), t => t === col("term")))
         .cast(LongType))
-      .select(col("term"), col("doc_id"), col("tf"),
-        (col("tf").cast(DoubleType) * lit(4294967296.0) -
+      .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
+      .select(col("term"), col("doc_id"),
+        (col("sat").cast(DoubleType) * lit(4294967296.0) -
           col("doc_id").cast(DoubleType)).as("ord"))
     val agg = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
@@ -233,11 +244,11 @@ object RetrievalQueries {
     qsel.crossJoin(broadcast(nDocs))
       .select(col("term"), col("df"), col("n_docs"),
         posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("pos", "z")))
-      .withColumn("tf",
+      .withColumn("sat",
         floor((col("z.ords") + col("z.ids")) / lit(4294967296.0))
           .cast(LongType))
       .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("z.ids").as("doc_id"), ScoreExpr.as("score"))
+        col("z.ids").as("doc_id"), ScoreFromSatExpr.as("score"))
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -69,11 +69,15 @@ object ScaleGen {
       val aggs = keys.map(k => max(col(k).cast("long")).as(k))
       val row = df.agg(aggs.head, aggs.tail: _*).collect().head
       keys.zipWithIndex.foreach { case (k, i) =>
-        val mx = row.getLong(i)
-        require(mx < m(k),
-          s"ScaleGen: $table.$k max=$mx >= shift=${m(k)} — source keys " +
-            "exceed the assumed seed layout (already-scaled input?); " +
-            "refusing to write cross-copy colliding keys")
+        // max() over an empty table is NULL — vacuously shiftable
+        // (nothing to collide), not an NPE (ADVICE r13).
+        if (!row.isNullAt(i)) {
+          val mx = row.getLong(i)
+          require(mx < m(k),
+            s"ScaleGen: $table.$k max=$mx >= shift=${m(k)} — source keys " +
+              "exceed the assumed seed layout (already-scaled input?); " +
+              "refusing to write cross-copy colliding keys")
+        }
       }
     }
   }

@@ -531,10 +531,16 @@ class KsqlCompatExtSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, 'a')").getString(0) == "1")
     assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, '2')").isNullAt(0))
     assert(one(s"SELECT URL_EXTRACT_PARAMETER($amp, 'z')").getString(0) == "9")
-    // %3D ('=') decodes before the split too; the value splits at the
-    // FIRST '=' so the rest of the pair survives verbatim
+    // %3D ('=') decodes before the split too; ksql splits the pair on
+    // EVERY '=' and only arity-2 pairs participate, so a=b=c (three
+    // parts) is skipped — NULL alone, a later clean pair's value wins
     assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?a=b%3Dc', 'a')")
-      .getString(0) == "b=c")
+      .isNullAt(0))
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?a=b%3Dc&a=x', 'a')")
+      .getString(0) == "x")
+    // a name-matching pair of the wrong arity does NOT stop the scan
+    assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?a&a=2', 'a')")
+      .getString(0) == "2")
     // valueless parameter (no '=') → NULL; explicit empty value → ''
     assert(one("SELECT URL_EXTRACT_PARAMETER('https://h.io/p?flag&a=1', 'flag')")
       .isNullAt(0))

@@ -63,6 +63,35 @@ class CusumSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mu and slack are FLOOR means even on negative sums (ADVICE r13)") {
+    // A series whose sum is negative: naive Spark DIV would truncate
+    // toward zero (-7/2 = -3) while the DuckDB oracle floors (-4); the
+    // 2^40-shift spelling must floor on BOTH engines. Model the oracle
+    // with Math.floorDiv and check the query's CUSUM values follow it.
+    import spark.implicits._
+    val hourly = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -5L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), -2L),
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3L),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -41L),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L))
+      .toDF("event_type", "hts", "x")
+    val out = ChangePointQueries.cusumOf(hourly)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val xs = sorted.map(_._3)
+      val mu = Math.floorDiv(xs.sum, xs.size.toLong) // DuckDB // semantics
+      val k = Math.floorDiv(mu, 20L)
+      assert(mu < 0, "fixture must exercise the negative-mean path")
+      val (sp, sn) = recurrence(xs, mu, k)
+      sorted.zip(sp.zip(sn)).foreach { case ((_, h, _, qp, qn), (p, n)) =>
+        assert(qp == p && qn == n, s"at $h (floor-mean mu=$mu k=$k)")
+      }
+    }
+  }
+
   test("the batch query's alarms equal the recurrence over its own hourly series") {
     val sf = "/root/testdata/sf0.001"
     val out = Catalog.queries("q_cusum_changepoint")(spark, sf)

@@ -93,6 +93,15 @@ class ScaleGenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("o_custkey"))
   }
 
+  test("an empty source table passes the shiftability gate (ADVICE r13)") {
+    // max() over an empty table returns NULL; that's a vacuous pass
+    // (no keys, no collisions), not a NullPointerException
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val empty = orders.filter(col("o_orderkey") < 0)
+    val out = ScaleGen.scaleTable(empty, "orders", factor)
+    assert(out.count() == 0)
+  }
+
   test("embedding copies preserve the norm and never equal the original") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val se = ScaleGen.scaleTable(emb, "embeddings", factor)
