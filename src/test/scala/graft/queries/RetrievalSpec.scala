@@ -40,12 +40,20 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       (900L, 63), (10L, 62)).map { case (id, tf) =>
       (id, Seq.fill(tf)("q01").mkString(" "))
     }
-    val rest = (2 to 10).flatMap { q =>
+    // q02: six docs with IDENTICAL tf=10 but growing lengths (unique
+    // filler terms, df=1 each, far below the rank-21..30 selection) —
+    // full BM25 must rank the shorter doc higher; b=0 sees them tied
+    val q02 = (1 to 6).map { j =>
+      val id = 200L + j
+      val pad = (1 to (j - 1) * 30).map(p => s"z${id}x$p")
+      (id, (Seq.fill(10)("q02") ++ pad).mkString(" "))
+    }
+    val rest = (3 to 10).flatMap { q =>
       (1 to 6).map { j =>
         (1000L + q * 10 + j, Seq.fill(j)(f"q$q%02d").mkString(" "))
       }
     }
-    (stopDocs ++ q01 ++ rest).toDF("doc_id", "text")
+    (stopDocs ++ q01 ++ q02 ++ rest).toDF("doc_id", "text")
       .repartition(2)
       .write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
@@ -74,5 +82,59 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = Catalog.queries("stream_bm25_topk")(spark, dir)
       .collect().map(_.toSeq).toSet
     assert(b == s)
+  }
+
+  // ---- length-normalized BM25 (k1 = 1.2, b = 0.75) ----
+
+  private def q02Rows(name: String): Seq[(Long, Long, Long)] =
+    Catalog.queries(name)(spark, dir)
+      .filter("term = 'q02'")
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score")))
+      .sortBy(_._1).toSeq
+
+  test("full BM25 ranks equal-tf docs by length: shortest first, strictly") {
+    val rows = q02Rows("text_bm25_full")
+    assert(rows.map(_._2) == Seq(201L, 202L, 203L, 204L, 205L),
+      s"expected ascending-length order, got $rows")
+    val scores = rows.map(_._3)
+    assert(scores == scores.sorted.reverse && scores.distinct == scores,
+      s"scores must strictly decrease with doc length: $scores")
+  }
+
+  test("b = 0 (text_bm25_topk) sees the same equal-tf docs as exact ties") {
+    val rows = q02Rows("text_bm25_topk")
+    // no length signal: identical scores, ties broken by doc_id asc
+    assert(rows.map(_._2) == Seq(201L, 202L, 203L, 204L, 205L))
+    assert(rows.map(_._3).distinct.size == 1, s"expected tied scores: $rows")
+  }
+
+  test("full-BM25 batch and stream agree on every term of the fixture") {
+    val b = Catalog.queries("text_bm25_full")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val s = Catalog.queries("stream_bm25_full")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(b == s)
+  }
+
+  test("b = 0 rank order reduces to tf order under cross-multiplication") {
+    // with cDl = 0 the tfn comparison 22·tfA·D/(cTf·tfA·D + c·D) vs
+    // same-for-B cross-multiplies to tfA·(10·tfB+12) vs tfB·(10·tfA+12)
+    // = 12·tfA vs 12·tfB — exactly the tf order. Fuzz the EXACT
+    // rational comparator (no floor) against plain tf comparison.
+    val rnd = new scala.util.Random(140214)
+    def cmp(tfA: Long, tfB: Long): Int = {
+      // exact rational: numA/denA vs numB/denB with cDl = 0, D cancels
+      val (numA, denA) = (22 * tfA, 10 * tfA + 12)
+      val (numB, denB) = (22 * tfB, 10 * tfB + 12)
+      java.lang.Long.compare(numA * denB, numB * denA)
+    }
+    for (_ <- 1 to 2000) {
+      val a = 1L + rnd.nextInt(100000)
+      val b = 1L + rnd.nextInt(100000)
+      assert(cmp(a, b).sign == java.lang.Long.compare(a, b).sign,
+        s"b=0 BM25 order must equal tf order: tfA=$a tfB=$b")
+    }
   }
 }
