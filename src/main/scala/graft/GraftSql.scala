@@ -203,6 +203,15 @@ object GraftSql {
     // estimator contract
     if (absent("kmv_sketch_256")) spark.udf.register("kmv_sketch_256",
       udaf(new graft.functions.KmvSketchAgg(256)))
+    // Misra-Gries heavy-hitter sketch (k-bounded naming policy): a
+    // <=64-counter map<term,count> summary; merge stored sketches
+    // with the _merge form. Estimates are bounds, not exact counts —
+    // see graft.functions.MgSketch for the candidates-then-exact
+    // protocol a deterministic caller should follow
+    if (absent("mg_sketch_64")) spark.udf.register("mg_sketch_64",
+      udaf(new graft.functions.MgSketchAgg(64)))
+    if (absent("mg_sketch_merge_64")) spark.udf.register("mg_sketch_merge_64",
+      udaf(new graft.functions.MgSketchMergeAgg(64)))
     // the k-bounded 2-arg family, k in the name per the same policy —
     // the bounded-state spelling a STREAMING SQL caller should reach
     // for (the ksql-layer rewrite of literal-N forms uses collect_list,

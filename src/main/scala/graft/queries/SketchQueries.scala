@@ -327,17 +327,125 @@ object SketchQueries {
        |            ELSE $EstNum // kth_hash END AS BIGINT) AS est_distinct
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Misra–Gries frequency sketch — the heavy-hitter member of the
+  // sketch triad (cardinality = KMV above, quantiles = DecimalSketch,
+  // frequency = MG; VERDICT r13 next-round #3). See
+  // [[graft.functions.MgSketch]] for the bounds and the deterministic
+  // candidates-then-exact protocol these queries implement.
+  // ---------------------------------------------------------------
+
+  /** MG counter budget. 64 counters ⇒ every term holding ≥ 1/64 of a
+    * source's tokens is guaranteed held whatever the partitioning. */
+  private val MgK = 64
+
+  /** Per-source heavy terms (share ≥ 1/64) via the MG sketch: pass 1
+    * folds each source's token stream into a ≤64-counter summary
+    * (map-side combined — SUM-like shuffle however big the corpus)
+    * plus the exact token total; pass 2 exact-counts ONLY the ≤64
+    * candidates per source (broadcast semi-join — the only rows that
+    * reach the counting agg are candidate matches) and gates on
+    * n·64 ≥ N. The MG completeness bound makes that output the EXACT
+    * heavy set, deterministically, with per-term state never
+    * exceeding 64 counters — the two-pass candidates-then-verify
+    * shape every production heavy-hitter pipeline uses. NOTE on sf1
+    * (ScaleGen): token suffixing dilutes every term's global share
+    * ~10×, so the ≥1/64 heavy set is legitimately EMPTY there — the
+    * gate still hash-verifies (both engines produce zero rows). */
+  def mgTopK(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MgSketchAgg(MgK))
+    def words = s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextShingles.tokens(col("text"))).as("term"))
+    val sk = words.groupBy(col("source"))
+      .agg(mg(col("term")).as("sk"), count(lit(1)).as("n_total"))
+    val cand = sk.select(col("source"), col("n_total"),
+      explode(map_keys(col("sk"))).as("term"))
+    words.join(broadcast(cand), Seq("source", "term"))
+      .groupBy(col("source"), col("term"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * MgK >= col("n_total"))
+      .select(col("source"), col("term"), col("n"),
+        expr("n * 1000 DIV n_total").as("share_permille"))
+  }
+
+  val mgTopKSql: String =
+    s"""WITH w AS (
+       |  SELECT source,
+       |         unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tot AS (SELECT source, COUNT(*) AS n_total FROM w GROUP BY 1),
+       |c AS (SELECT source, term, COUNT(*) AS n FROM w GROUP BY 1, 2)
+       |SELECT c.source, c.term, CAST(c.n AS BIGINT) AS n,
+       |       CAST(c.n * 1000 // t.n_total AS BIGINT) AS share_permille
+       |FROM c JOIN tot t ON c.source = t.source
+       |WHERE c.n * $MgK >= t.n_total""".stripMargin
+
+  /** Streaming twin: the CONTINUOUS bounded-state heavy-hitter
+    * monitor — per-source MG summaries accumulate as update-mode
+    * aggregation state (≤64 counters + one total per source, FIXED
+    * forever — unlike `stream_heavy_hitters`, whose exact complete-
+    * mode count keys state on the whole vocabulary), each batch
+    * upserts the refreshed sketch, and the candidates-then-exact
+    * finalize runs OUTSIDE the stream at gate time (the CUSUM
+    * counter-store pattern). Finite input ⇒ same exact heavy set,
+    * same oracle as the batch form. */
+  def streamMgTopK(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MgSketchAgg(MgK))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val words = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextShingles.tokens(col("text"))).as("term"))
+    val agg = words.groupBy(col("source"))
+      .agg(mg(col("term")).as("sk"), count(lit(1)).as("n_total"))
+    val schema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("sk",
+        org.apache.spark.sql.types.MapType(StringType, LongType)),
+      StructField("n_total", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "source")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val cand = store.df(s).select(col("source"), col("n_total"),
+      explode(map_keys(col("sk"))).as("term"))
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"),
+        explode(graft.functions.TextShingles.tokens(col("text"))).as("term"))
+      .join(broadcast(cand), Seq("source", "term"))
+      .groupBy(col("source"), col("term"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * MgK >= col("n_total"))
+      .select(col("source"), col("term"), col("n"),
+        expr("n * 1000 DIV n_total").as("share_permille"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_jaccard" -> kmvJaccard _,
     "sketch_kmv_rollup" -> kmvRollup _,
     "sketch_kmv_sliding" -> kmvSliding _,
-    "stream_kmv_distinct" -> streamKmvDistinct _)
+    "stream_kmv_distinct" -> streamKmvDistinct _,
+    "sketch_mg_topk" -> mgTopK _,
+    "stream_mg_topk" -> streamMgTopK _)
 
   def oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvDistinctSql,
     "sketch_kmv_jaccard" -> kmvJaccardSql,
     "sketch_kmv_rollup" -> kmvRollupSql,
     "sketch_kmv_sliding" -> kmvSlidingSql,
-    "stream_kmv_distinct" -> streamKmvDistinctSql)
+    "stream_kmv_distinct" -> streamKmvDistinctSql,
+    "sketch_mg_topk" -> mgTopKSql,
+    "stream_mg_topk" -> mgTopKSql)
 }

@@ -566,6 +566,17 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("MG heavy hitters: candidate verification is a broadcast semi-pass") {
+    val p = planOf("sketch_mg_topk")
+    // the exact pass must key on the <=64-per-source candidate set via
+    // a broadcast join — not shuffle the corpus against itself
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the sketch pass is a partial-aggregated udaf (map-side <=64-entry
+    // partials), not a window or sort over the corpus
+    assert(p.toLowerCase.contains("partial_mgsketchagg"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("full BM25 keeps the same bounded shape; length stats stay broadcast") {
     val p = planOf("text_bm25_full")
     // identical scale skeleton to text_bm25_topk: bounded term
