@@ -18,6 +18,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The bounded rank/cumulation windows (RetrievalQueries' <=30-row
+    // df-rank selections, SimilarityQueries' |bands|-bounded threshold
+    // sweep, CurationQueries' bucket-total prefix sum) intentionally
+    // run unpartitioned over tiny relations; WindowExec warns per
+    // execution and the spam buries real warnings in this log
+    // (VERDICT r13). partitionBy(lit(1)) is constant-folded away by
+    // the optimizer, so silence the logger, not the plan.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/session warm-up outside the timed region (codegen + scan
     // machinery JIT); queries run in stable name order
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -254,11 +254,7 @@ object CurationQueries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = bucketed.withColumn("__before",
       coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-    // partitionBy(lit(1)) keeps the single-partition cumulation over
-    // the BUCKET TOTALS (corpus/W rows — bounded by design, see the
-    // scaladoc above) while silencing the WindowExec warning that
-    // otherwise buries real log lines in the bench output.
-    val wOff = Window.partitionBy(lit(1)).orderBy(col("__bkt"))
+    val wOff = Window.orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("__bkt"))
       .agg(sum(col("n_tokens")).as("__bsum"))

@@ -71,7 +71,7 @@ object RetrievalQueries {
     // bounded top-30 by df (TakeOrdered), ranked locally over 30 rows
     val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+        Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
     val topk = udaf(new graft.functions.TopKByScore(K))
@@ -127,7 +127,7 @@ object RetrievalQueries {
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+        Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
       .select(col("qid"), col("term"), col("df"))
@@ -238,7 +238,7 @@ object RetrievalQueries {
     val qsel = idx
       .orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+        Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"), col("ords"), col("ids"))
     qsel.crossJoin(broadcast(nDocs))
@@ -310,7 +310,7 @@ object RetrievalQueries {
         expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
     val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+        Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
     val topk = udaf(new graft.functions.TopKByScore(K))
@@ -419,7 +419,7 @@ object RetrievalQueries {
     val qsel = idx
       .orderBy(col("df").desc, col("term")).limit(RankHi)
       .withColumn("r", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("term"))))
+        Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"), col("ords"), col("ids"))
     qsel
@@ -435,17 +435,115 @@ object RetrievalQueries {
           col("tfn")).as("score"))
   }
 
+  // ---------------------------------------------------------------
+  // Phrase / positional retrieval (VERDICT r13 missing #2): the
+  // (term, doc, tf) index above cannot answer exact-phrase queries;
+  // keeping POSITIONS (one posexplode) makes a 2-term phrase an
+  // equi-join of two posting lists on (doc_id, pos+1) — the classic
+  // positional-index spelling, and the precision tier the n-gram
+  // decontamination family lacks.
+  // ---------------------------------------------------------------
+
+  /** Top-5 documents per phrase for the corpus' five most frequent
+    * bigrams (deterministic: count desc, bigram asc — the df-rank
+    * pattern at phrase granularity). Phrase selection is a narrow
+    * per-row zip (no join) + grouped count + bounded TakeOrdered;
+    * answering is positional: both terms' posting lists prune through
+    * the broadcast 5-phrase table, and the phrase match is an
+    * equi-join of the two PRUNED lists on (doc_id, pos + 1) — the
+    * corpus-sized positions relation never self-joins. Per-phrase
+    * top-5 is the k-bounded aggregator (n_occ desc, doc asc). */
+  def phraseMatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val q = big.groupBy(col("bigram")).agg(count(lit(1)).as("nb"))
+      .orderBy(col("nb").desc, col("bigram")).limit(5)
+      .withColumn("qid", row_number().over(
+        Window.orderBy(col("nb").desc, col("bigram")))
+        .cast(LongType))
+      .select(col("qid"), col("bigram"),
+        element_at(split(col("bigram"), " "), 1).as("t1"),
+        element_at(split(col("bigram"), " "), 2).as("t2"))
+    val pos = docs.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "term")))
+    val p1 = pos.join(broadcast(q), col("term") === col("t1"))
+      .select(col("qid"), col("bigram"), col("doc_id"), col("pos"), col("t2"))
+    val p2 = pos
+      .join(broadcast(q.select(col("t2").as("qt2")).distinct()),
+        col("term") === col("qt2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+    val topk = udaf(new graft.functions.TopKByScore(K))
+    p1.join(p2,
+        col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+          col("term2") === col("t2"))
+      .groupBy(col("qid"), col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("qid"), col("bigram"))
+      .agg(topk(col("n_occ").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("qid"), col("bigram").as("phrase"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), col("phrase"),
+        (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("n_occ"))
+  }
+
+  val phraseMatchSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |big AS (
+       |  SELECT unnest(a[:len(a)-1]) || ' ' || unnest(a[2:]) AS bigram
+       |  FROM w WHERE len(a) >= 2),
+       |q AS (
+       |  SELECT bigram, row_number() OVER (ORDER BY nb DESC, bigram) AS qid
+       |  FROM (SELECT bigram, COUNT(*) AS nb FROM big GROUP BY 1)
+       |  ORDER BY nb DESC, bigram LIMIT 5),
+       |qs AS (
+       |  SELECT qid, bigram,
+       |         string_split(bigram, ' ')[1] AS t1,
+       |         string_split(bigram, ' ')[2] AS t2
+       |  FROM q),
+       |pos AS (
+       |  SELECT doc_id, unnest(a) AS term,
+       |         unnest(generate_series(1, len(a))) AS pos
+       |  FROM w),
+       |m AS (
+       |  SELECT s.qid, s.bigram, p1.doc_id, COUNT(*) AS n_occ
+       |  FROM qs s
+       |  JOIN pos p1 ON p1.term = s.t1
+       |  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+       |             AND p2.term = s.t2
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(qid AS BIGINT) AS qid, bigram AS phrase,
+       |       CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(n_occ AS BIGINT) AS n_occ
+       |FROM (SELECT qid, bigram, doc_id, n_occ,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY n_occ DESC, doc_id) AS rn
+       |      FROM m)
+       |WHERE rn <= $K""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
     "stream_bm25_topk" -> streamBm25TopK _,
     "text_bm25_full" -> bm25Full _,
-    "stream_bm25_full" -> streamBm25Full _)
+    "stream_bm25_full" -> streamBm25Full _,
+    "text_phrase_match" -> phraseMatch _)
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_conjunctive" -> bm25ConjunctiveSql,
     "stream_bm25_topk" -> bm25TopKSql,
     "text_bm25_full" -> bm25FullSql,
-    "stream_bm25_full" -> bm25FullSql)
+    "stream_bm25_full" -> bm25FullSql,
+    "text_phrase_match" -> phraseMatchSql)
 }

@@ -201,11 +201,7 @@ object SimilarityQueries {
         .agg(expr("CAST(count(1) DIV 2 AS BIGINT)").as("n_pairs"),
           countDistinct(col("v")).cast("long").as("n_docs"))
       g.withColumn("cum_pairs",
-          // partitionBy(lit(1)) = same single-partition cumulation,
-          // minus the WindowExec warning: the relation is |bands|-
-          // bounded (≤ a few dozen rows), so one partition is the point
-          sum(col("n_pairs"))
-            .over(Window.partitionBy(lit(1)).orderBy(col("band").desc))
+          sum(col("n_pairs")).over(Window.orderBy(col("band").desc))
             .cast("long"))
         .localCheckpoint()
     } finally { e.unpersist(blocking = false); () }
