@@ -224,6 +224,51 @@ object TableJoinQueries {
       .withColumn("avg_cents", expr("sum_cents DIV n_keys"))
   }
 
+  /** MIN/MAX aggregation over the same table — the aggregates ksqlDB
+    * CANNOT express over tables (no subtractor exists for max; see
+    * [[graft.streaming.TableAggregate.ofMinMax]] for the value-count
+    * retraction that makes this engine strictly more capable). Batch
+    * form: snapshot-then-groupBy, MIN/MAX alongside the count. */
+  def tableAggMinMax(s: SparkSession, d: String): DataFrame = {
+    val snap = Relational.latestByKey(Tables.orders(s, d),
+      col("o_custkey"), col("o_orderkey"),
+      "last_status" -> col("o_orderstatus"),
+      "price_cents" -> round(col("o_totalprice") * 100).cast("long"))
+    snap.groupBy(col("last_status"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("price_cents")).as("min_cents"),
+        max(col("price_cents")).as("max_cents"))
+  }
+
+  val tableAggMinMaxSql: String =
+    """SELECT last_status, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |       CAST(MIN(price_cents) AS BIGINT) AS min_cents,
+      |       CAST(MAX(price_cents) AS BIGINT) AS max_cents
+      |FROM (SELECT o_custkey,
+      |             arg_max(o_orderstatus, o_orderkey) AS last_status,
+      |             arg_max(CAST(round(o_totalprice*100) AS BIGINT),
+      |                     o_orderkey) AS price_cents
+      |      FROM orders GROUP BY o_custkey)
+      |GROUP BY last_status""".stripMargin
+
+  /** Streaming twin: changelog → retraction records → value-count
+    * MIN/MAX state ([[graft.streaming.TableAggregate.ofMinMax]]) —
+    * a customer's newer order retracts the old price from its status
+    * group's value map, and MIN/MAX re-derive exactly even when the
+    * retracted price WAS the group extremum. Same oracle as batch. */
+  def streamTableAggMinMax(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val changes = TableChangelog.of(ordersStatusChangelog(s, d))
+    val agg = TableAggregate.ofMinMax[Long, OrdStatus, String](
+      changes, _.status, _.cents)
+    val t = StreamingQueries.runToTable(agg.toDF(), "append")
+    TableChangelog.latestState(t)
+      .select(col("key").as("last_status"),
+        col("after.cnt").as("n_keys"),
+        col("after.min").as("min_cents"),
+        col("after.max").as("max_cents"))
+  }
+
   // ---- streaming inputs --------------------------------------------
 
   /** Source rows for the table aggregation: the latest order's status
@@ -392,6 +437,8 @@ object TableJoinQueries {
     "q_table_fk_join" -> tableFkJoin _,
     "q_table_fk_left" -> tableFkLeft _,
     "q_table_agg" -> tableAgg _,
+    "q_table_agg_minmax" -> tableAggMinMax _,
+    "stream_table_agg_minmax" -> streamTableAggMinMax _,
     "stream_table_agg" -> streamTableAgg _,
     "stream_table_changelog" -> streamTableChangelog _,
     "stream_table_table_join" -> streamTableTableJoin _,
@@ -407,6 +454,8 @@ object TableJoinQueries {
     "q_table_fk_join" -> tableFkJoinSql,
     "q_table_fk_left" -> tableFkLeftSql,
     "q_table_agg" -> tableAggSql,
+    "q_table_agg_minmax" -> tableAggMinMaxSql,
+    "stream_table_agg_minmax" -> tableAggMinMaxSql,
     "stream_table_agg" -> tableAggSql,
     "stream_table_changelog" -> streamTableChangelogSql,
     "stream_table_table_join" -> tableTableJoinSql,

@@ -166,6 +166,136 @@ class TableAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- MIN/MAX with value-count retraction --------------------------
+
+  private def minMaxHarness() = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Long, Long, Option[Acct])]
+    val out = TableAggregate.ofMinMax[Long, Acct, String](
+      TableChangelog.of(feed.toDS()), _.grp, _.bal)
+    val name = s"tmm_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    def rows() = spark.table(name)
+      .as[Change[String, TableAggregate.MinMaxAgg]].collect()
+      .sortBy(c => (c.key, c.seq)).toSeq
+    (feed, q, rows _, name)
+  }
+
+  private def mmState(name: String): Map[String, (Long, Long, Long)] =
+    TableChangelog.latestState(spark.table(name))
+      .collect().map(r => (r.getString(0),
+        (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+          r.getStruct(1).getLong(2)))).toMap
+
+  test("MIN/MAX: retracting the extremum re-derives the runner-up; death, rebirth, interior swaps") {
+    import TableAggregate.MinMaxAgg
+    val (feed, q, rows, name) = minMaxHarness()
+    try {
+      feed.addData((1L, 10L, Some(Acct("a", 100L))),
+        (2L, 11L, Some(Acct("a", 50L))), (3L, 12L, Some(Acct("b", 7L))))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        Change("a", "c", None, Some(MinMaxAgg(2L, 50L, 100L)), 0L),
+        Change("b", "c", None, Some(MinMaxAgg(1L, 7L, 7L)), 0L)))
+
+      // THE case no running scalar survives: the group MAX (100)
+      // retracts; the value-count map re-derives max = 60
+      feed.addData((1L, 20L, Some(Acct("a", 60L))))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "a").last ==
+        Change("a", "u", Some(MinMaxAgg(2L, 50L, 100L)),
+          Some(MinMaxAgg(2L, 50L, 60L)), 1L))
+
+      // group move: b dies with a d record, a gains a new MIN
+      feed.addData((3L, 21L, Some(Acct("a", 7L))))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "b").last ==
+        Change("b", "d", Some(MinMaxAgg(1L, 7L, 7L)), None, 1L))
+      assert(rows().filter(_.key == "a").last ==
+        Change("a", "u", Some(MinMaxAgg(2L, 50L, 60L)),
+          Some(MinMaxAgg(3L, 7L, 60L)), 2L))
+
+      // INTERIOR swap: 50 → 55 changes neither cnt nor min nor max —
+      // no record may be emitted, but the map MUST persist the swap
+      val n = rows().size
+      feed.addData((2L, 30L, Some(Acct("a", 55L))))
+      q.processAllAvailable()
+      assert(rows().size == n, "interior value swap must not emit")
+      // ...because the next retraction depends on it: 55 leaves (its
+      // key tombstones) — if the swap was lost this would fail the
+      // negative-multiplicity guard or emit a wrong aggregate
+      feed.addData((2L, 31L, None))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "a").last ==
+        Change("a", "u", Some(MinMaxAgg(3L, 7L, 60L)),
+          Some(MinMaxAgg(2L, 7L, 60L)), 3L))
+
+      // duplicate values hold by MULTIPLICITY: two keys at 60, one
+      // leaves, max stays 60; the second leaves, max falls to 7
+      feed.addData((4L, 40L, Some(Acct("a", 60L))))
+      q.processAllAvailable()
+      feed.addData((1L, 41L, None))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "a").last ==
+        Change("a", "u", Some(MinMaxAgg(3L, 7L, 60L)),
+          Some(MinMaxAgg(2L, 7L, 60L)), 5L))
+      feed.addData((4L, 42L, None))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "a").last ==
+        Change("a", "u", Some(MinMaxAgg(2L, 7L, 60L)),
+          Some(MinMaxAgg(1L, 7L, 7L)), 6L))
+
+      // rebirth of b: seq CONTINUES (2) so max_by(seq) reconstruction
+      // never resurrects the dead image
+      feed.addData((9L, 50L, Some(Acct("b", 3L))))
+      q.processAllAvailable()
+      assert(rows().filter(_.key == "b").last ==
+        Change("b", "c", None, Some(MinMaxAgg(1L, 3L, 3L)), 2L))
+      assert(mmState(name) ==
+        Map("a" -> ((1L, 7L, 7L)), "b" -> ((1L, 3L, 3L))))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
+  test("MIN/MAX fuzz: random histories match brute force under random slicing (8 histories)") {
+    val rnd = new scala.util.Random(1403)
+    val groups = Vector("g0", "g1", "g2")
+    for (_ <- 1 to 8) {
+      val nOps = 12 + rnd.nextInt(20)
+      val hist: Seq[(Long, Long, Option[Acct])] =
+        (1 to nOps).map { off =>
+          val key = rnd.nextInt(5).toLong
+          if (rnd.nextInt(4) == 0) (key, off.toLong, None)
+          else (key, off.toLong,
+            Some(Acct(groups(rnd.nextInt(groups.size)),
+              rnd.nextInt(20).toLong))) // small domain → real duplicates
+        }
+      val table = hist.groupBy(_._1).values
+        .flatMap(_.maxBy(_._2)._3).toSeq
+      val expect = table.groupBy(_.grp).map { case (g, vs) =>
+        (g, (vs.size.toLong, vs.map(_.bal).min, vs.map(_.bal).max)) }
+      val nSlices = 1 + rnd.nextInt(5)
+      val marks = hist.map(_ => rnd.nextInt(nSlices))
+      val slices = (0 until nSlices).map(i =>
+        hist.zip(marks).collect { case (h, m) if m == i => h })
+        .filter(_.nonEmpty)
+      val (feed, q, _, name) = minMaxHarness()
+      try {
+        slices.foreach { sl => feed.addData(sl: _*); q.processAllAvailable() }
+        assert(mmState(name) == expect, s"history=$hist slices=$slices")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+        spark.streams.resetTerminated()
+      }
+    }
+  }
+
   test("inconsistent changelog input (retraction on an empty group) fails fast") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
