@@ -566,6 +566,15 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("perceptual near-dup: banded equi-join blocking, never all-pairs") {
+    val p = planOf("mm_phash_neardup")
+    // candidates come from the (band_no, band_val) equi-join and the
+    // verify legs join on doc ids — a cartesian/NLJ over the corpus
+    // would mean the blocking collapsed
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("MG heavy hitters: candidate verification is a broadcast semi-pass") {
     val p = planOf("sketch_mg_topk")
     // the exact pass must key on the <=64-per-source candidate set via

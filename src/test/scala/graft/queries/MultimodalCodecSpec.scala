@@ -95,4 +95,59 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((44100.0, 2L, 22050L, 0.5)))
     assert(got(3L) == ((-1.0, -1L, -1L, -1.0))) // degrades, not fails
   }
+
+  /** A textured image whose aHash is structurally non-trivial (a flat
+    * fill hashes to all-zero bands): gradient background + blocks. */
+  private def renderScene(seed: Int, perturb: Boolean): Array[Byte] = {
+    val (w, h) = (160, 120)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    val g = img.createGraphics()
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / w + y * 128 / h) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    for (_ <- 1 to 12) { // content blocks
+      g.setColor(new java.awt.Color(rnd.nextInt(256), rnd.nextInt(256),
+        rnd.nextInt(256)))
+      g.fillRect(rnd.nextInt(w - 20), rnd.nextInt(h - 20),
+        10 + rnd.nextInt(20), 10 + rnd.nextInt(20))
+    }
+    if (perturb) { // a small local edit: one extra 6x6 block
+      g.setColor(java.awt.Color.RED)
+      g.fillRect(5, 5, 6, 6)
+    }
+    g.dispose()
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "png", out))
+    out.toByteArray
+  }
+
+  private def hamming(a: org.apache.spark.sql.Row,
+                      b: org.apache.spark.sql.Row): Int =
+    (1 to 4).map(i =>
+      java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))).sum
+
+  test("real aHash: a perturbed copy stays within the hamming gate, a different image falls far outside") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, renderScene(7, perturb = false)),
+      (2L, renderScene(7, perturb = true)),   // near-dup of 1
+      (3L, renderScene(99, perturb = false)), // different content
+      (4L, "not an image".getBytes("UTF-8"))) // undecodable
+    val got = MultimodalQueries
+      .imageAHash(rows.toDF("doc_id", "payload").repartition(3),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the perturbed copy is a near-dup under the catalog gate (<= 6)
+    assert(hamming(got(1L), got(2L)) <= 6,
+      s"near-dup too far: ${hamming(got(1L), got(2L))}")
+    // a different scene is far outside it
+    assert(hamming(got(1L), got(3L)) > 6,
+      s"distinct images too close: ${hamming(got(1L), got(3L))}")
+    // a non-trivial hash: the base image must set SOME band bits
+    assert((1 to 4).exists(i => got(1L).getLong(i) != 0L))
+    // undecodable payloads degrade to all-zero bands (never block)
+    assert((1 to 4).forall(i => got(4L).getLong(i) == 0L))
+  }
 }
