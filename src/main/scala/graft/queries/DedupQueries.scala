@@ -421,6 +421,83 @@ object DedupQueries {
     }
   }
 
+  /** Opt-in two-rule connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): alternate
+    *
+    *   large-star(u): emit (v, m) for every neighbor v > u,
+    *   small-star(u): emit (v, m) for every neighbor v ≤ u plus (u, m),
+    *
+    * with m = min(Γ(u) ∪ {u}), until the edge set is stable — each
+    * component collapses to a star rooted at its minimum in O(log n)
+    * rounds WHATEVER the graph diameter, where min-label propagation
+    * ([[componentsOver]]) needs O(diameter) rounds and carries a
+    * runaway backstop. Dedup clusters are shallow, so the default
+    * stays min-label; this variant is the long-chain-safe spelling
+    * (fuzzed against a union-find model in TwoStarComponentsSpec).
+    * Each round is two join+groupBy passes over the EDGE relation —
+    * never the corpus. */
+  private[graft] def twoStarComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    graft.util.Confs.withShufflePartitions(s, 4) {
+      def canon(e: DataFrame): DataFrame = e
+        .filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi"))
+        .distinct()
+      def both(e: DataFrame): DataFrame =
+        e.select(col("lo").as("u"), col("hi").as("v"))
+          .unionAll(e.select(col("hi").as("u"), col("lo").as("v")))
+      def withMin(e: DataFrame): DataFrame = {
+        val b = both(e)
+        b.join(
+          b.groupBy(col("u")).agg(min(col("v")).as("mn"))
+            .select(col("u"), least(col("mn"), col("u")).as("m")),
+          Seq("u"))
+      }
+      def largeStar(e: DataFrame): DataFrame =
+        canon(withMin(e).filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+      def smallStar(e: DataFrame): DataFrame = {
+        val wm = withMin(e)
+        canon(wm.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(wm.select(col("u"), col("m").as("v")).distinct()))
+      }
+      // localCheckpoint per round: each star references its input
+      // several times, so un-truncated lineage would GROW
+      // GEOMETRICALLY across rounds (an O(log n)-round algorithm with
+      // an O(c^rounds)-sized plan is no bargain) — the eager
+      // checkpoint materializes the (tiny) edge relation and cuts the
+      // plan back to a scan every round
+      var edges = canon(pairs.select(col("doc_a").as("u"),
+        col("doc_b").as("v"))).localCheckpoint()
+      var converged = edges.isEmpty
+      while (!converged) {
+        val next = smallStar(largeStar(edges)).localCheckpoint()
+        // set equality: same size and no new members
+        converged = edges.count() == next.count() &&
+          next.exceptAll(edges).isEmpty
+        edges = next
+      }
+      // at the fixpoint every component is a star rooted at its min
+      edges.select(col("hi").as("doc_id"), col("lo").as("component"))
+        .unionAll(edges.select(col("lo"), col("lo")).distinct())
+        .distinct()
+        .localCheckpoint()
+    }
+  }
+
+  /** Catalog entry for the two-rule variant — same LSH-candidates →
+    * Jaccard-verified pair pipeline and the SAME transitive-closure
+    * oracle as [[components]]; only the cluster-collapse algorithm
+    * differs. */
+  def componentsTwoStar(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    twoStarComponents(jaccardPairs(docs,
+        candidates = Some(minhashLshOver(docs)), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
   val componentsSql: String =
     s"""WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') words FROM documents),
@@ -643,6 +720,7 @@ object DedupQueries {
     "dedup_repeated_spans" -> repeatedSpans _,
     "dedup_rate_by_source" -> dedupRateBySource _,
     "dedup_components" -> components _,
+    "dedup_components_twostar" -> componentsTwoStar _,
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
@@ -655,6 +733,7 @@ object DedupQueries {
     "dedup_repeated_spans" -> repeatedSpansSql,
     "dedup_rate_by_source" -> dedupRateBySourceSql,
     "dedup_components" -> componentsSql,
+    "dedup_components_twostar" -> componentsSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
