@@ -479,6 +479,38 @@ object SketchQueries {
         expr("n * 1000 DIV n_total").as("share_permille"))
   }
 
+  /** MG sketch ROLLUP — the mergeable-artifact lifecycle for the
+    * frequency sketch (the [[kmvRollup]] pattern): summaries built
+    * once at (source, lang) grain are MERGED up to source grain with
+    * [[graft.functions.MgSketchMergeAgg]] without re-reading rows —
+    * the Agarwal et al. merge keeps the combined-N/(k+1) bound, so
+    * every ≥N_source/64-heavy term is still held by the MERGED
+    * summary, and the candidates-then-exact protocol returns the
+    * SAME exact heavy set as the direct sketch. Sharing
+    * [[mgTopKSql]] as the oracle pins precisely that: a two-level
+    * artifact merge is indistinguishable from a one-shot sketch at
+    * the verified output. */
+  def mgRollup(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MgSketchAgg(MgK))
+    val mgMerge = udaf(new graft.functions.MgSketchMergeAgg(MgK))
+    def words = s.read.parquet(s"$d/documents.parquet")
+      .select(col("source"), col("lang"),
+        explode(graft.functions.TextShingles.tokens(col("text"))).as("term"))
+    val grain = words.groupBy(col("source"), col("lang"))
+      .agg(mg(col("term")).as("sk"), count(lit(1)).as("n"))
+    val rolled = grain.groupBy(col("source"))
+      .agg(mgMerge(col("sk")).as("sk"), sum(col("n")).as("n_total"))
+    val cand = rolled.select(col("source"), col("n_total"),
+      explode(map_keys(col("sk"))).as("term"))
+    words.select(col("source"), col("term"))
+      .join(broadcast(cand), Seq("source", "term"))
+      .groupBy(col("source"), col("term"), col("n_total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * MgK >= col("n_total"))
+      .select(col("source"), col("term"), col("n"),
+        expr("n * 1000 DIV n_total").as("share_permille"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_jaccard" -> kmvJaccard _,
@@ -487,6 +519,7 @@ object SketchQueries {
     "stream_kmv_sliding" -> streamKmvSliding _,
     "stream_kmv_distinct" -> streamKmvDistinct _,
     "sketch_mg_topk" -> mgTopK _,
+    "sketch_mg_rollup" -> mgRollup _,
     "stream_mg_topk" -> streamMgTopK _)
 
   def oracles: Map[String, String] = Map(
@@ -497,5 +530,6 @@ object SketchQueries {
     "stream_kmv_sliding" -> kmvSlidingSql,
     "stream_kmv_distinct" -> streamKmvDistinctSql,
     "sketch_mg_topk" -> mgTopKSql,
+    "sketch_mg_rollup" -> mgTopKSql,
     "stream_mg_topk" -> mgTopKSql)
 }

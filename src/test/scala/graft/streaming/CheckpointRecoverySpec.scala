@@ -264,6 +264,50 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(changes.contains(
       Change("h", "c", None, Some(GroupAgg(1L, 20L)), 0L)), changes)
   }
+
+  test("MIN/MAX table-aggregate: retracting the recovered EXTREMUM after restart re-derives the runner-up") {
+    import spark.implicits._
+    import TableAggregateSpec.Acct
+    import TableAggregate.MinMaxAgg
+    import TableChangelog.Change
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-tmm-recover-").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      Change[String, MinMaxAgg]]()
+
+    def startQuery(f: MemoryStream[(Long, Long, Option[Acct])]) =
+      TableAggregate.ofMinMax[Long, Acct, String](
+        TableChangelog.of(f.toDS()), _.grp, _.bal)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Change[String, MinMaxAgg]],
+                         _: Long) => b.collect().foreach(got.add); () }
+        .start()
+
+    val b0 = Seq((1L, 1L, Some(Acct("g", 100L))), (2L, 2L, Some(Acct("g", 5L))))
+    val feed = MemoryStream[(Long, Long, Option[Acct])]
+    val q1 = startQuery(feed)
+    feed.addData(b0: _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart: key 1's update retracts the group MAXIMUM (100). The
+    // VALUE-COUNT MAP {100→1, 5→1} must come back from the checkpoint
+    // for the runner-up (5) to be re-derivable — a scalar (cnt, min,
+    // max) recovery could never produce max = 5 here
+    val feed2 = MemoryStream[(Long, Long, Option[Acct])]
+    feed2.addData(b0: _*) // replayed batch 0 (skipped by the offset log)
+    feed2.addData((1L, 3L, Some(Acct("g", 4L))))
+    val q2 = startQuery(feed2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val changes = got.asScala.toSeq
+    assert(changes.contains(
+      Change("g", "u", Some(MinMaxAgg(2L, 5L, 100L)),
+        Some(MinMaxAgg(2L, 4L, 5L)), 1L)), changes)
+  }
 }
 
 object CheckpointRecoverySpec {

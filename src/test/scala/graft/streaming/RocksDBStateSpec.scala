@@ -101,6 +101,58 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("MIN/MAX value-count map state survives RocksDB across batches") {
+    import spark.implicits._
+    import TableAggregateSpec.Acct
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(Long, Long, Option[Acct])]
+    val agg = TableAggregate.ofMinMax[Long, Acct, String](
+      TableChangelog.of(feed.toDS()), _.grp, _.bal)
+    val name = s"rocks_tmm_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      feed.addData((1L, 1L, Some(Acct("g", 100L))), (2L, 2L, Some(Acct("g", 5L))))
+      q.processAllAvailable()
+      // the RETRACTED EXTREMUM case across a batch boundary: the
+      // value-count map holding {100, 5} lives in RocksDB; key 1's
+      // update must re-derive max = 5 from the recovered map
+      feed.addData((1L, 3L, Some(Acct("g", 4L))))
+      q.processAllAvailable()
+      val st = TableChangelog.latestState(spark.table(name)).collect()
+        .map(r => (r.getString(0),
+          (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1),
+            r.getStruct(1).getLong(2)))).toMap
+      assert(st == Map("g" -> ((2L, 4L, 5L))))
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDBStateStoreProvider"))
+    } finally q.stop()
+  }
+
+  test("Misra-Gries update-mode sketch state survives RocksDB across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val feed = MemoryStream[(String, String)] // (source, term)
+    val mg = udaf(new graft.functions.MgSketchAgg(4))
+    val agg = feed.toDF().toDF("source", "term")
+      .groupBy(col("source")).agg(mg(col("term")).as("sk"))
+    val name = s"rocks_mg_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      feed.addData(("s", "a"), ("s", "a"), ("s", "b"))
+      q.processAllAvailable()
+      // batch 2 folds into the RocksDB-held <=4-counter map: 'a' must
+      // still carry its prior count
+      feed.addData(("s", "a"), ("s", "c"))
+      q.processAllAvailable()
+      val sk = spark.table(name)
+        .collect().head.getAs[Map[String, Long]]("sk")
+      assert(sk("a") == 3L && sk("b") == 1L && sk("c") == 1L)
+      assert(sk.size <= 4)
+    } finally q.stop()
+  }
+
   test("table-table joins (changelog + pk + fk) run on RocksDB state across batches") {
     import spark.implicits._
     import TableTableJoinSpec.{Cust, Ev, Nat, Ord}
