@@ -327,27 +327,40 @@ object MultimodalQueries {
     * the verify leg joins the ≤|cand| pairs back to the 4-band hash
     * relation and gates on Σ bit_count(xor) ≤ 6. Never all-pairs, at
     * any corpus size. */
-  def phashNearDup(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.sources.Tables.documents(s, d)
+  /** The (doc_id, band_no, band_val) perceptual-hash band relation of
+    * ANY (doc_id, text-payload) relation — batch or STREAMING: the
+    * whole 64-cell grid is a property of ONE document, so it computes
+    * as a narrow per-row pass (hash each bigram feature once into its
+    * cell id, then each band's 16 bits come from bounded
+    * filter-counts over the cell-id array) — NO explode, NO grouped
+    * aggregation, so it plans on an unbounded source AND removes two
+    * shuffles from the batch plan. Shared by the batch near-dup join
+    * and the streaming first-wins registry. */
+  private[graft] def phashBands(docs0: DataFrame): DataFrame =
+    docs0
       .select(col("doc_id"),
         graft.functions.TextShingles.tokens(col("text")).as("w"))
-    val bg = docs.filter(size(col("w")) >= 2)
-      .select(col("doc_id"), (size(col("w")) - 1).cast(LongType).as("n_feat"),
-        explode(zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bigram"))
-    val grid = bg
-      .select(col("doc_id"), col("n_feat"),
-        (graft.functions.Md5Key.column(col("bigram")) % 64).as("cell"))
-      .groupBy(col("doc_id"), col("n_feat"), col("cell"))
-      .agg(count(lit(1)).as("b"))
-    val bits = grid
-      .withColumn("bit", (col("b") > expr("n_feat DIV 64")).cast(LongType))
-    val bands = bits
-      .groupBy(col("doc_id"), expr("cell DIV 16").as("band_no"))
-      .agg(sum(expr("bit * shiftleft(1L, CAST(cell % 16 AS INT))"))
-        .as("band_val"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bigrams", zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => concat(x, lit(" "), y)))
+      // one md5 per feature; cells are 0..63
+      .withColumn("cellids", expr(
+        "transform(bigrams, b -> " +
+          "CAST(conv(substring(md5(b), 1, 8), 16, 10) AS BIGINT) % 64)"))
+      .withColumn("mu", expr("CAST(size(bigrams) AS BIGINT) DIV 64"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), 0L, " +
+          "(acc, k) -> acc + IF(" +
+          "size(filter(cellids, c -> c = CAST(j * 16 + k AS BIGINT))) > mu, " +
+          "shiftleft(1L, k), 0L)))"))
+        .as(Seq("band_no", "band_val")))
+      .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
+        col("band_val"))
+
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    val bands = phashBands(graft.sources.Tables.documents(s, d))
     val h = bands.groupBy(col("doc_id"))
       .agg(
         coalesce(max(when(col("band_no") === 0, col("band_val"))), lit(0L)).as("b0"),
@@ -375,7 +388,9 @@ object MultimodalQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  val phashNearDupSql: String =
+  /** The band-relation CTEs (through `bands`) shared by the batch
+    * near-dup oracle and the streaming registry oracle. */
+  private val phashBandsCteSql: String =
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
        |  FROM documents),
@@ -397,7 +412,10 @@ object MultimodalQueries {
        |  SELECT doc_id, CAST(cell // 16 AS BIGINT) AS band_no,
        |         CAST(SUM(bit * (1 << CAST(cell % 16 AS INT))) AS BIGINT)
        |           AS band_val
-       |  FROM bits GROUP BY 1, 2),
+       |  FROM bits GROUP BY 1, 2)""".stripMargin
+
+  val phashNearDupSql: String =
+    s"""$phashBandsCteSql,
        |h AS (
        |  SELECT doc_id,
        |         COALESCE(MAX(CASE WHEN band_no=0 THEN band_val END), 0) AS b0,
@@ -421,13 +439,51 @@ object MultimodalQueries {
        |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
        |    <= $HammingMax""".stripMargin
 
+  /** Streaming twin of the perceptual near-dup — the INGEST-time
+    * gate: as payloads arrive, each of a document's non-zero hash
+    * bands claims its (band_no, band_val) bucket first-wins
+    * ([[StreamingQueries.neardupCore]], the stream_neardup registry —
+    * state per bucket is ONE long); a document whose bucket was
+    * already claimed by an earlier payload is flagged with the count
+    * of its collided bands. This is candidate-level dedup (band
+    * collision = perceptual near-dup candidate) — the batch query's
+    * hamming verify runs at compaction time on the flagged set. Zero
+    * bands never register (no signal — the batch exclusion, same
+    * reason). Oracle: the EXISTS-earlier spelling over the same band
+    * CTE. */
+  def streamPhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val bands = phashBands(docs)
+      .filter(col("band_val") =!= 0L)
+      .select(col("doc_id"), col("band_no").cast("int").as("band"),
+        col("band_val").cast(StringType).as("sig"))
+    StreamingQueries.runToTable(
+        StreamingQueries.neardupCore(bands), "append")
+      .filter(col("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+  }
+
+  val streamPhashNearDupSql: String =
+    s"""$phashBandsCteSql
+       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands
+       |FROM bands a
+       |WHERE a.band_val <> 0
+       |  AND EXISTS (SELECT 1 FROM bands b
+       |              WHERE b.band_no = a.band_no
+       |                AND b.band_val = a.band_val AND b.band_val <> 0
+       |                AND b.doc_id < a.doc_id)
+       |GROUP BY a.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_modality_card" -> modalityCard _,
     "mm_resolution_gate" -> resolutionGate _,
     "mm_media_meta" -> mediaMeta _,
     "mm_embed_stub" -> embedStub _,
     "mm_frame_sample" -> frameSample _,
-    "mm_phash_neardup" -> phashNearDup _)
+    "mm_phash_neardup" -> phashNearDup _,
+    "stream_mm_phash" -> streamPhashNearDup _)
 
   def oracles: Map[String, String] = Map(
     "mm_modality_card" -> modalityCardSql,
@@ -435,5 +491,6 @@ object MultimodalQueries {
     "mm_media_meta" -> mediaMetaSql,
     "mm_embed_stub" -> embedStubSql,
     "mm_frame_sample" -> frameSampleSql,
-    "mm_phash_neardup" -> phashNearDupSql)
+    "mm_phash_neardup" -> phashNearDupSql,
+    "stream_mm_phash" -> streamPhashNearDupSql)
 }
