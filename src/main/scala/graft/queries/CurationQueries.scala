@@ -286,6 +286,82 @@ object CurationQueries {
       |       CAST(COUNT(*) AS BIGINT) AS n_grams
       |FROM grp GROUP BY doc_id, island""".stripMargin
 
+  /** Total sample budget for [[neymanAlloc]]. */
+  private val NeymanBudget = 100L
+
+  /** Neyman-allocation stratified sampling — the survey-statistics
+    * optimum: stratum h gets n·(N_h·σ_h)/Σ(N_j·σ_j) of the budget
+    * (variable strata get more draws than uniform ones). Made EXACT:
+    * N_h·σ_h = √(N_h·Σx² − (Σx)²) — the variance numerator IS
+    * (N_h·σ_h)², all integer — and the integer square root uses the
+    * float-sqrt-then-correct spelling (s₀ = ⌊sqrt(double)⌋, then ±1
+    * integer-comparison corrections), which is exact on BOTH engines
+    * whatever their sqrt rounding. Draws are the md5-rank A-ES
+    * pattern: per-stratum rank by md5(doc_id) — deterministic,
+    * partition-invariant, reproducible at any cluster size. Scale
+    * shape: one grouped moment pass (map-side combined), a broadcast
+    * |strata|-row allocation table back, per-stratum rank windows
+    * (sort WITHIN a stratum; for mega-strata the md5-threshold cut
+    * replaces the window — the [[weightedSample]] note). */
+  def neymanAlloc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val st = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("vnum", expr("nh * sxx - sx * sx"))
+      .withColumn("s0",
+        expr("CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "s0 + IF((s0 + 1) * (s0 + 1) <= vnum, 1, 0)" +
+          " - IF(s0 * s0 > vnum, 1, 0)"))
+    val tw = st.agg(sum(col("w")).as("tw"))
+    val alloc = st.crossJoin(broadcast(tw))
+      .select(col("source"),
+        expr(s"least(nh, $NeymanBudget * w DIV tw)").as("n_alloc"))
+    docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(
+          graft.functions.Md5Key.column(col("doc_id").cast("string")),
+          col("doc_id"))).cast(LongType))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("rk") <= col("n_alloc"))
+      .select(col("source"), col("doc_id"), col("n_alloc"))
+  }
+
+  val neymanAllocSql: String =
+    s"""WITH st AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+       |         CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY 1),
+       |v AS (SELECT source, nh, nh * sxx - sx * sx AS vnum FROM st),
+       |sq AS (
+       |  SELECT source, nh, vnum,
+       |         CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT) AS s0
+       |  FROM v),
+       |wt AS (
+       |  SELECT source, nh,
+       |         s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= vnum THEN 1 ELSE 0 END)
+       |            - (CASE WHEN s0 * s0 > vnum THEN 1 ELSE 0 END) AS w
+       |  FROM sq),
+       |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wt),
+       |alloc AS (
+       |  SELECT source,
+       |         LEAST(nh, $NeymanBudget * w // tw) AS n_alloc
+       |  FROM wt CROSS JOIN tw),
+       |rk AS (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY ${graft.functions.Md5Key.sql(
+                   "CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, CAST(a.n_alloc AS BIGINT) AS n_alloc
+       |FROM rk r JOIN alloc a ON r.source = a.source
+       |WHERE r.rk <= a.n_alloc""".stripMargin
+
   /** Tokens per training shard for [[packShards]] (package-visible so
     * tests assert the exact-budget invariant against THE constant). */
   private[graft] val ShardTokens = 8192L
@@ -1374,6 +1450,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
     "curate_decontam_span" -> decontamSpan _,
+    "curate_neyman_alloc" -> neymanAlloc _,
     "curate_decontam_overlap" -> decontamOverlap _,
     "curate_zorder_layout" -> zorderLayout _,
     "curate_pipeline_funnel" -> pipelineFunnel _,
@@ -1404,6 +1481,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
     "curate_decontam_span" -> decontamSpanSql,
+    "curate_neyman_alloc" -> neymanAllocSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_zorder_layout" -> zorderLayoutSql,
     "curate_pipeline_funnel" -> pipelineFunnelSql,

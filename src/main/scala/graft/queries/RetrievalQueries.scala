@@ -531,13 +531,128 @@ object RetrievalQueries {
        |      FROM m)
        |WHERE rn <= $K""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the hybrid-
+  // search combinator: merge the top-K lists of MULTIPLE retrievers
+  // by summed reciprocal ranks, rrf(d) = Σ_lists 1/(60 + rank_d).
+  // Here the two retrievers are the engine's own BM25 variants (b = 0
+  // and the length-normalized full form — exactly the "fuse lexical
+  // retrievers that disagree on normalization" case), on an integer
+  // grid: 10^6 DIV (60 + rank), exact in BIGINT.
+  // ---------------------------------------------------------------
+
+  private val RrfK = 60L // the standard RRF damping constant
+  private val ListK = 20 // candidates taken from each retriever
+
+  /** Top-5 fused documents per query term: each retriever contributes
+    * a 20-bounded list (the k-bounded aggregator — map-side ≤20-row
+    * partials, never a corpus window), the lists full-outer join on
+    * (term, doc), and absent-from-a-list docs simply lack that list's
+    * contribution (standard RRF). All ranking deterministic:
+    * (score desc, doc asc) within lists, (rrf desc, doc asc) at the
+    * fuse. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    val tf = tfDlRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"))
+    val topk20 = udaf(new graft.functions.TopKByScore(ListK))
+    val scored = tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+    def listOf(score: Column, rankName: String): DataFrame = scored
+      .withColumn("score", score)
+      .groupBy(col("term"))
+      .agg(topk20(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(col("top.ids")).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as(rankName))
+    val a = listOf(ScoreExpr, "rank_a")
+    val b = listOf(FullScoreExpr, "rank_b")
+    val topk5 = udaf(new graft.functions.TopKByScore(K))
+    a.join(b, Seq("term", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
+      .groupBy(col("term"))
+      .agg(topk5(col("rrf").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("rrf_score"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+       |  FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM tok GROUP BY 1, 2, 3),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(CAST(len(a) AS BIGINT)) * 1000 // COUNT(*) AS BIGINT)
+       |           AS davg
+       |  FROM w),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score_a,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((22 * t.tf * n.davg * 1000)
+       |              // (10 * t.tf * n.davg + 3 * n.davg + 9000 * t.dl))
+       |           AS score_b
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN stats n),
+       |la AS (
+       |  SELECT term, doc_id, rn AS rank_a
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_a DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= $ListK),
+       |lb AS (
+       |  SELECT term, doc_id, rn AS rank_b
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_b DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= $ListK),
+       |fused AS (
+       |  SELECT COALESCE(la.term, lb.term) AS term,
+       |         COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+       |         COALESCE(1000000 // ($RrfK + rank_a), 0)
+       |           + COALESCE(1000000 // ($RrfK + rank_b), 0) AS rrf
+       |  FROM la FULL JOIN lb
+       |    ON la.term = lb.term AND la.doc_id = lb.doc_id)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(rrf AS BIGINT) AS rrf_score
+       |FROM (SELECT term, doc_id, rrf,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY rrf DESC, doc_id) AS rn
+       |      FROM fused)
+       |WHERE rn <= $K""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
     "stream_bm25_topk" -> streamBm25TopK _,
     "text_bm25_full" -> bm25Full _,
     "stream_bm25_full" -> streamBm25Full _,
-    "text_phrase_match" -> phraseMatch _)
+    "text_phrase_match" -> phraseMatch _,
+    "text_rrf_fusion" -> rrfFusion _)
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
@@ -545,5 +660,6 @@ object RetrievalQueries {
     "stream_bm25_topk" -> bm25TopKSql,
     "text_bm25_full" -> bm25FullSql,
     "stream_bm25_full" -> bm25FullSql,
-    "text_phrase_match" -> phraseMatchSql)
+    "text_phrase_match" -> phraseMatchSql,
+    "text_rrf_fusion" -> rrfFusionSql)
 }

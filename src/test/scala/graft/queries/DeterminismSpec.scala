@@ -83,4 +83,33 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(sameRows(baseDf, otherDf),
         s"$q changed rows when shuffle partitioning changed")
     }
+
+  test("the float-sqrt-then-correct integer sqrt is exact (isqrt fuzz)") {
+    // curate_neyman_alloc computes w = isqrt(vnum) as
+    // floor(sqrt(double)) +- integer-comparison corrections; that must
+    // equal the true integer sqrt for ANY vnum both engines can hold,
+    // whatever the platform's sqrt rounding. Fuzz around the hard
+    // spots: perfect squares and their +-1 neighbors, huge values
+    // where the double grid is >1 apart, and random longs.
+    val rnd = new scala.util.Random(140501)
+    def spelled(v: Long): Long = {
+      val s0 = math.floor(math.sqrt(v.toDouble)).toLong
+      s0 + (if ((s0 + 1) * (s0 + 1) <= v) 1L else 0L) -
+        (if (s0 * s0 > v) 1L else 0L)
+    }
+    def isqrt(v: Long): Long = {
+      val r = math.sqrt(v.toDouble).toLong
+      Seq(r - 2, r - 1, r, r + 1, r + 2)
+        .filter(x => x >= 0 && x * x <= v && x <= 3037000499L).max
+    }
+    val cases = Seq(0L, 1L, 2L, 3L, 4L) ++
+      (1 to 2000).map(_ => { val r = rnd.nextLong(3037000499L); r * r }) ++
+      (1 to 2000).map(_ => { val r = rnd.nextLong(3037000499L); r * r - 1 })
+        .filter(_ >= 0) ++
+      (1 to 2000).map(_ => { val r = rnd.nextLong(3037000499L); r * r + 1 }) ++
+      (1 to 2000).map(_ => rnd.nextLong(Long.MaxValue))
+    cases.foreach { v =>
+      assert(spelled(v) == isqrt(v), s"isqrt mismatch at $v")
+    }
+  }
 }
