@@ -327,15 +327,44 @@ object MultimodalQueries {
     * the verify leg joins the ≤|cand| pairs back to the 4-band hash
     * relation and gates on Σ bit_count(xor) ≤ 6. Never all-pairs, at
     * any corpus size. */
-  /** The (doc_id, band_no, band_val) perceptual-hash band relation of
-    * ANY (doc_id, text-payload) relation — batch or STREAMING: the
-    * whole 64-cell grid is a property of ONE document, so it computes
-    * as a narrow per-row pass (hash each bigram feature once into its
-    * cell id, then each band's 16 bits come from bounded
-    * filter-counts over the cell-id array) — NO explode, NO grouped
-    * aggregation, so it plans on an unbounded source AND removes two
-    * shuffles from the batch plan. Shared by the batch near-dup join
-    * and the streaming first-wins registry. */
+  /** The (doc_id, band_no, band_val) perceptual-hash band relation,
+    * GROUPED spelling — explode the features, hash-aggregate the grid
+    * two-phase (map-side partials collapse each doc to ≤64 cells
+    * before any shuffle), pack bands. O(features) CPU — the fast
+    * batch path (the narrow spelling below pays O(64·features)
+    * comparisons; measured 3× slower at sf0.1). NOT streamable:
+    * grouped aggregation mid-stream forbids downstream stateful ops. */
+  private[graft] def phashBandsBatch(docs0: DataFrame): DataFrame = {
+    val bg = docs0
+      .select(col("doc_id"),
+        graft.functions.TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), (size(col("w")) - 1).cast(LongType).as("n_feat"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    bg
+      .select(col("doc_id"), col("n_feat"),
+        (graft.functions.Md5Key.column(col("bigram")) % 64).as("cell"))
+      .groupBy(col("doc_id"), col("n_feat"), col("cell"))
+      .agg(count(lit(1)).as("b"))
+      .withColumn("bit", (col("b") > expr("n_feat DIV 64")).cast(LongType))
+      .groupBy(col("doc_id"), expr("cell DIV 16").as("band_no"))
+      .agg(sum(expr("bit * shiftleft(1L, CAST(cell % 16 AS INT))"))
+        .as("band_val"))
+  }
+
+  /** The same band relation as a NARROW per-row pass — the whole
+    * 64-cell grid is a property of one document, so it can compute
+    * inside the row (one md5 per feature into a cell-id array, each
+    * band's 16 bits from bounded filter-counts): no explode, no
+    * grouped aggregation, so it plans on an UNBOUNDED source — the
+    * streaming registry's input. Costs O(64·features) comparisons per
+    * row, which is why the batch query uses [[phashBandsBatch]].
+    * Output-identical to the grouped spelling (zero bands included
+    * either way downstream of the coalesce/filter discipline) — both
+    * legs verify against the same oracle CTEs at every SF. */
   private[graft] def phashBands(docs0: DataFrame): DataFrame =
     docs0
       .select(col("doc_id"),
@@ -360,7 +389,7 @@ object MultimodalQueries {
         col("band_val"))
 
   def phashNearDup(s: SparkSession, d: String): DataFrame = {
-    val bands = phashBands(graft.sources.Tables.documents(s, d))
+    val bands = phashBandsBatch(graft.sources.Tables.documents(s, d))
     val h = bands.groupBy(col("doc_id"))
       .agg(
         coalesce(max(when(col("band_no") === 0, col("band_val"))), lit(0L)).as("b0"),
