@@ -645,6 +645,90 @@ object RetrievalQueries {
        |      FROM fused)
        |WHERE rn <= $K""".stripMargin
 
+  /** Streaming twin of [[rrfFusion]]: ONE update-mode aggregation per
+    * term maintains BOTH retrievers' 20-bounded posting heads — two
+    * k-bounded buffers in the same state row, one ordered by the b = 0
+    * saturation pack (sat·2^32 − doc), one by the length-normalized
+    * pack (tfn·2^32 − doc; D is the stream's normalizer parameter, as
+    * in [[streamBm25Full]]) — so per-term state is O(2k) however long
+    * the stream runs. idf is constant per term, so each stored head's
+    * order IS its retriever's (score desc, doc asc) list order, ties
+    * included (the r13 sat-tie discipline), and the RRF fuse runs
+    * OUTSIDE the stream on the stored heads. Same oracle as the batch
+    * fusion. */
+  def streamRrfFusion(s: SparkSession, d: String): DataFrame = {
+    val topk20 = udaf(new graft.functions.TopKByScore(ListK))
+    val dAvg = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
+      .collect().head.getLong(0) // bounded: ONE corpus stat
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(array_distinct(col("w"))).as("term"), col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .withColumn("D", lit(dAvg))
+      .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
+      .withColumn("tfn", tfnPermille(22, 10, 3, 9000))
+      .select(col("term"), col("doc_id"),
+        (col("sat").cast(DoubleType) * lit(4294967296.0) -
+          col("doc_id").cast(DoubleType)).as("ord_a"),
+        (col("tfn").cast(DoubleType) * lit(4294967296.0) -
+          col("doc_id").cast(DoubleType)).as("ord_b"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        topk20(col("ord_a"), col("doc_id")).as("ta"),
+        topk20(col("ord_b"), col("doc_id")).as("tb"))
+      .select(col("term"), col("df"),
+        col("ta.ids").as("ids_a"), col("tb.ids").as("ids_b"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ids_a", ArrayType(LongType)),
+      StructField("ids_b", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val qsel = store.df(s)
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("ids_a"), col("ids_b"))
+    def ranksOf(idsCol: String, rankName: String): DataFrame = qsel
+      .select(col("term"), posexplode(col(idsCol)).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as(rankName))
+    val topk5 = udaf(new graft.functions.TopKByScore(K))
+    ranksOf("ids_a", "rank_a")
+      .join(ranksOf("ids_b", "rank_b"), Seq("term", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
+      .groupBy(col("term"))
+      .agg(topk5(col("rrf").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("rrf_score"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
@@ -652,7 +736,8 @@ object RetrievalQueries {
     "text_bm25_full" -> bm25Full _,
     "stream_bm25_full" -> streamBm25Full _,
     "text_phrase_match" -> phraseMatch _,
-    "text_rrf_fusion" -> rrfFusion _)
+    "text_rrf_fusion" -> rrfFusion _,
+    "stream_rrf_fusion" -> streamRrfFusion _)
 
   def oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25TopKSql,
@@ -661,5 +746,6 @@ object RetrievalQueries {
     "text_bm25_full" -> bm25FullSql,
     "stream_bm25_full" -> bm25FullSql,
     "text_phrase_match" -> phraseMatchSql,
-    "text_rrf_fusion" -> rrfFusionSql)
+    "text_rrf_fusion" -> rrfFusionSql,
+    "stream_rrf_fusion" -> rrfFusionSql)
 }
