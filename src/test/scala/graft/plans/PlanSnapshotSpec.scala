@@ -92,6 +92,17 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "sketch_kmv_rollup" -> Sig(4, 0, 0),
     "text_bm25_topk" -> Sig(5, 0, 1),
     "text_bm25_full" -> Sig(5, 0, 1),
+    // round-14 batch families. BNLJs are broadcast 1-row stat sides;
+    // text_rrf_fusion's one SMJ is the FULL OUTER list-merge join of
+    // two <=(10 terms x 20 docs)-row bounded lists (Spark cannot
+    // broadcast-hash a full outer join) - bounded by construction
+    "text_rrf_fusion" -> Sig(10, 1, 2),
+    "text_phrase_match" -> Sig(3, 0, 0),
+    "sketch_mg_topk" -> Sig(2, 0, 0),
+    "sketch_mg_rollup" -> Sig(3, 0, 0),
+    "mm_phash_neardup" -> Sig(6, 0, 0),
+    "curate_neyman_alloc" -> Sig(4, 0, 1),
+    "curate_decontam_span" -> Sig(2, 0, 0),
     "q_cusum_changepoint" -> Sig(3, 0, 0),
     "q_seasonal_decompose" -> Sig(4, 0, 0))
 
