@@ -311,7 +311,20 @@ object CurationQueries {
       .agg(count(lit(1)).as("nh"),
         sum(col("n_chars")).as("sx"),
         sum(col("n_chars") * col("n_chars")).as("sxx"))
-      .withColumn("vnum", expr("nh * sxx - sx * sx"))
+      // GRID BOUND (ADVICE r14): the variance numerator nh·Σx² − (Σx)²
+      // wraps BIGINT once Σx > ⌊√(2^63)⌋ = 3,037,000,499 (or once
+      // nh·Σx² itself overflows) — Spark (non-ANSI) wraps SILENTLY
+      // while DuckDB errors, so past the bound the engines diverge
+      // with no signal. Guard it explicitly: one comparison per
+      // STRATUM row (|strata| rows total — free), raising instead of
+      // wrapping. A corpus whose per-stratum Σ n_chars exceeds ~3e9
+      // rescales the measure first (e.g. kilochars), exactly like the
+      // BM25 grid-bound discipline.
+      .withColumn("vnum", expr(
+        "IF(sx > 3037000499L OR sxx > 9223372036854775807L DIV GREATEST(nh, 1L), " +
+          "CAST(raise_error('neymanAlloc: stratum moment exceeds the exact " +
+          "BIGINT grid (sx > 3.037e9 or nh*sxx > 2^63) - rescale n_chars') " +
+          "AS BIGINT), nh * sxx - sx * sx)"))
       .withColumn("s0",
         expr("CAST(floor(sqrt(CAST(vnum AS DOUBLE))) AS BIGINT)"))
       .withColumn("w", expr(

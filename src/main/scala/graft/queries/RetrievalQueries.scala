@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+import org.apache.spark.sql.types.{ArrayType, LongType,
   StringType, StructField, StructType}
 
 import graft.functions.TextShingles
@@ -74,12 +74,12 @@ object RetrievalQueries {
         Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     tf.join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", ScoreExpr)
       .groupBy(col("term"))
-      .agg(topk(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
       .select(col("term"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("pos", "z")))
@@ -131,15 +131,15 @@ object RetrievalQueries {
       .filter(col("r") >= RankLo)
       .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
       .select(col("qid"), col("term"), col("df"))
-    val topk = udaf(new graft.functions.TopKByScore(3))
+    val topk = udaf(new graft.functions.TopKByScoreLong(3))
     tf.join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score", ScoreExpr)
       .groupBy(col("qid"), col("doc_id"))
-      .agg(count(lit(1)).as("n_matched"), sum(col("score")).as("qscore"))
+      .agg(count(lit(1)).as("n_matched"), sum(col("score")).cast(LongType).as("qscore"))
       .filter(col("n_matched") === 2) // conjunctive: ALL terms present
       .groupBy(col("qid"))
-      .agg(topk(col("qscore").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk(col("qscore"), col("doc_id")).as("top"))
       .select(col("qid"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("pos", "z")))
@@ -196,7 +196,7 @@ object RetrievalQueries {
     * term, so (sat desc, doc asc) IS the final (score desc, doc asc)
     * order, ties included — same oracle as the batch form. */
   def streamBm25TopK(s: SparkSession, d: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     val raw = s.read.parquet(s"$d/documents.parquet").schema
     val postings = s.readStream.schema(raw)
       .parquet(s"$d/{documents}.parquet")
@@ -207,8 +207,7 @@ object RetrievalQueries {
         .cast(LongType))
       .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
       .select(col("term"), col("doc_id"),
-        (col("sat").cast(DoubleType) * lit(4294967296.0) -
-          col("doc_id").cast(DoubleType)).as("ord"))
+        (col("sat") * lit(4294967296L) - col("doc_id")).as("ord"))
     val agg = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
       .select(col("term"), col("df"),
@@ -216,7 +215,7 @@ object RetrievalQueries {
     val schema = StructType(Seq(
       StructField("term", StringType),
       StructField("df", LongType),
-      StructField("ords", ArrayType(DoubleType)),
+      StructField("ords", ArrayType(LongType)),
       StructField("ids", ArrayType(LongType))))
     val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
     val ckpt = StreamingQueries.scratchDir("graft-sq-")
@@ -244,9 +243,7 @@ object RetrievalQueries {
     qsel.crossJoin(broadcast(nDocs))
       .select(col("term"), col("df"), col("n_docs"),
         posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("pos", "z")))
-      .withColumn("sat",
-        floor((col("z.ords") + col("z.ids")) / lit(4294967296.0))
-          .cast(LongType))
+      .withColumn("sat", expr("(z.ords + z.ids) DIV 4294967296"))
       .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
         col("z.ids").as("doc_id"), ScoreFromSatExpr.as("score"))
   }
@@ -269,7 +266,9 @@ object RetrievalQueries {
   // (tfn ≤ 2199; 22·tf·D·1000 ≤ 2.2e4·tf·D stays far below 2^63 for
   // any realistic dl/avgdl, since D is bounded by avgdl — a corpus
   // PROPERTY — not by corpus size). score = idf_ppm · tfn_permille
-  // (< 2^53 through sf1, exact in the aggregator's double payload).
+  // (≤ ~2.2e12 · idf growth — exact in BIGINT through the LONG-scored
+  // top-k aggregator at any corpus size; ADVICE r14 removed the old
+  // 2^53 double-payload bound).
   // b = 0 collapses the dl term to a constant and the cross-multiplied
   // comparison reduces to tf vs tf — pinned in Bm25FullSpec.
   // ---------------------------------------------------------------
@@ -313,12 +312,12 @@ object RetrievalQueries {
         Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     tf.join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("score", FullScoreExpr)
       .groupBy(col("term"))
-      .agg(topk(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
       .select(col("term"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("pos", "z")))
@@ -364,15 +363,15 @@ object RetrievalQueries {
   /** Streaming twin of [[bm25Full]]: the [[streamBm25TopK]] design —
     * per-term O(k) posting heads under update-mode state — with the
     * head ordered by the LENGTH-NORMALIZED saturation tfn_permille
-    * (packed as tfn·2^32 − doc_id; tfn ≤ 2199 keeps the pack below
-    * 2^43, exact in a double). tfn needs the normalizer D at ingest
+    * (packed as tfn·2^32 − doc_id into the LONG-scored aggregator;
+    * exact BIGINT at any corpus size, doc_id < 2^32 — ADVICE r14). tfn needs the normalizer D at ingest
     * time; D is a PARAMETER of the stream — computed here by one
     * bounded 1-row batch agg over the same table (in production: the
     * previous corpus snapshot's avgdl, exactly how search engines pin
     * their length normalizer between index rebuilds). idf only scales
     * per-term scores, so it stays outside the stream entirely. */
   def streamBm25Full(s: SparkSession, d: String): DataFrame = {
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     val statsRow = Tables.documents(s, d)
       .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
       .agg(count(lit(1)).as("n_docs"),
@@ -390,8 +389,7 @@ object RetrievalQueries {
       .withColumn("D", lit(dAvg))
       .withColumn("tfn", tfnPermille(22, 10, 3, 9000))
       .select(col("term"), col("doc_id"),
-        (col("tfn").cast(DoubleType) * lit(4294967296.0) -
-          col("doc_id").cast(DoubleType)).as("ord"))
+        (col("tfn") * lit(4294967296L) - col("doc_id")).as("ord"))
     val agg = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
       .select(col("term"), col("df"),
@@ -399,7 +397,7 @@ object RetrievalQueries {
     val schema = StructType(Seq(
       StructField("term", StringType),
       StructField("df", LongType),
-      StructField("ords", ArrayType(DoubleType)),
+      StructField("ords", ArrayType(LongType)),
       StructField("ids", ArrayType(LongType))))
     val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
     val ckpt = StreamingQueries.scratchDir("graft-sq-")
@@ -425,9 +423,7 @@ object RetrievalQueries {
     qsel
       .select(col("term"), col("df"),
         posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("pos", "z")))
-      .withColumn("tfn",
-        floor((col("z.ords") + col("z.ids")) / lit(4294967296.0))
-          .cast(LongType))
+      .withColumn("tfn", expr("(z.ords + z.ids) DIV 4294967296"))
       .withColumn("n_docs", lit(nDocs))
       .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
         col("z.ids").as("doc_id"),
@@ -478,14 +474,14 @@ object RetrievalQueries {
         col("term") === col("qt2"))
       .select(col("doc_id").as("d2"), col("pos").as("pos2"),
         col("term").as("term2"))
-    val topk = udaf(new graft.functions.TopKByScore(K))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     p1.join(p2,
         col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
           col("term2") === col("t2"))
       .groupBy(col("qid"), col("bigram"), col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
       .groupBy(col("qid"), col("bigram"))
-      .agg(topk(col("n_occ").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk(col("n_occ"), col("doc_id")).as("top"))
       .select(col("qid"), col("bigram").as("phrase"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("p", "z")))
@@ -563,26 +559,26 @@ object RetrievalQueries {
         Window.orderBy(col("df").desc, col("term"))))
       .filter(col("r") >= RankLo)
       .select(col("term"), col("df"))
-    val topk20 = udaf(new graft.functions.TopKByScore(ListK))
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(ListK))
     val scored = tf.join(broadcast(q), Seq("term"))
       .crossJoin(broadcast(stats))
     def listOf(score: Column, rankName: String): DataFrame = scored
       .withColumn("score", score)
       .groupBy(col("term"))
-      .agg(topk20(col("score").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk20(col("score"), col("doc_id")).as("top"))
       .select(col("term"),
         posexplode(col("top.ids")).as(Seq("p", "doc_id")))
       .select(col("term"), col("doc_id"),
         (col("p") + 1).cast(LongType).as(rankName))
     val a = listOf(ScoreExpr, "rank_a")
     val b = listOf(FullScoreExpr, "rank_b")
-    val topk5 = udaf(new graft.functions.TopKByScore(K))
+    val topk5 = udaf(new graft.functions.TopKByScoreLong(K))
     a.join(b, Seq("term", "doc_id"), "full")
       .withColumn("rrf",
         coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
           coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
       .groupBy(col("term"))
-      .agg(topk5(col("rrf").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk5(col("rrf"), col("doc_id")).as("top"))
       .select(col("term"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("pos", "z")))
@@ -649,15 +645,15 @@ object RetrievalQueries {
     * term maintains BOTH retrievers' 20-bounded posting heads — two
     * k-bounded buffers in the same state row, one ordered by the b = 0
     * saturation pack (sat·2^32 − doc), one by the length-normalized
-    * pack (tfn·2^32 − doc; D is the stream's normalizer parameter, as
-    * in [[streamBm25Full]]) — so per-term state is O(2k) however long
+    * pack (tfn·2^32 − doc; both exact LONG packs — ADVICE r14; D is
+    * the stream's normalizer parameter, as in [[streamBm25Full]]) — so per-term state is O(2k) however long
     * the stream runs. idf is constant per term, so each stored head's
     * order IS its retriever's (score desc, doc asc) list order, ties
     * included (the r13 sat-tie discipline), and the RRF fuse runs
     * OUTSIDE the stream on the stored heads. Same oracle as the batch
     * fusion. */
   def streamRrfFusion(s: SparkSession, d: String): DataFrame = {
-    val topk20 = udaf(new graft.functions.TopKByScore(ListK))
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(ListK))
     val dAvg = Tables.documents(s, d)
       .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
       .agg(expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
@@ -674,10 +670,8 @@ object RetrievalQueries {
       .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
       .withColumn("tfn", tfnPermille(22, 10, 3, 9000))
       .select(col("term"), col("doc_id"),
-        (col("sat").cast(DoubleType) * lit(4294967296.0) -
-          col("doc_id").cast(DoubleType)).as("ord_a"),
-        (col("tfn").cast(DoubleType) * lit(4294967296.0) -
-          col("doc_id").cast(DoubleType)).as("ord_b"))
+        (col("sat") * lit(4294967296L) - col("doc_id")).as("ord_a"),
+        (col("tfn") * lit(4294967296L) - col("doc_id")).as("ord_b"))
     val agg = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"),
         topk20(col("ord_a"), col("doc_id")).as("ta"),
@@ -713,14 +707,14 @@ object RetrievalQueries {
       .select(col("term"), posexplode(col(idsCol)).as(Seq("p", "doc_id")))
       .select(col("term"), col("doc_id"),
         (col("p") + 1).cast(LongType).as(rankName))
-    val topk5 = udaf(new graft.functions.TopKByScore(K))
+    val topk5 = udaf(new graft.functions.TopKByScoreLong(K))
     ranksOf("ids_a", "rank_a")
       .join(ranksOf("ids_b", "rank_b"), Seq("term", "doc_id"), "full")
       .withColumn("rrf",
         coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
           coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
       .groupBy(col("term"))
-      .agg(topk5(col("rrf").cast(DoubleType), col("doc_id")).as("top"))
+      .agg(topk5(col("rrf"), col("doc_id")).as("top"))
       .select(col("term"),
         posexplode(arrays_zip(col("top.scores"), col("top.ids")))
           .as(Seq("pos", "z")))

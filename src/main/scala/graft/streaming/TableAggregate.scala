@@ -141,12 +141,27 @@ object TableAggregate {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (g: G, it: Iterator[(G, Long, Long)], st: GroupState[MinMaxState]) =>
           val cur = st.getOption.getOrElse(MinMaxState(Map.empty, 0L))
-          val nvals = it.foldLeft(cur.vals) { case (m, (_, c, v)) =>
-            val n = m.getOrElse(v, 0L) + c
-            require(n >= 0L,
-              s"TableAggregateMinMax: group $g value $v multiplicity went " +
-                s"negative ($n) — input is not a consistent table changelog")
-            if (n == 0L) m - v else m.updated(v, n)
+          // Pre-aggregate the batch's deltas PER VALUE before touching
+          // state (ADVICE r14): TableChangelog.of emits intermediate u
+          // records when a key changes twice in one micro-batch, and the
+          // group-iterator order after the shuffle is not contractually
+          // stable — so a same-batch subtract may precede its matching
+          // add. Summing per value first makes the fold order-free, and
+          // non-negativity is asserted only on the FINAL multiplicity,
+          // where a consistent changelog guarantees it.
+          val deltaByVal = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+          it.foreach { case (_, c, v) =>
+            deltaByVal.update(v, deltaByVal.getOrElse(v, 0L) + c)
+          }
+          val nvals = deltaByVal.foldLeft(cur.vals) { case (m, (v, dc)) =>
+            if (dc == 0L) m
+            else {
+              val n = m.getOrElse(v, 0L) + dc
+              require(n >= 0L,
+                s"TableAggregateMinMax: group $g value $v multiplicity went " +
+                  s"negative ($n) — input is not a consistent table changelog")
+              if (n == 0L) m - v else m.updated(v, n)
+            }
           }
           val before = aggOf(cur.vals)
           val after = aggOf(nvals)

@@ -586,6 +586,62 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("unpartitioned Windows appear only over limit-bounded or allowlisted-bounded inputs (ADVICE r14)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    // Bench/Verify silence WindowExec's no-partition-defined WARN (the
+    // bounded rank windows spam it); this guard re-imposes the check at
+    // the PLAN level, so a future genuinely unpartitioned corpus-sized
+    // window — the exact single-task scale regression this repo
+    // polices — fails here instead of going unwarned. An unpartitioned
+    // Window is legal only when its input is provably bounded: a
+    // limit/TakeOrdered in its subtree, or an entry in the allowlist
+    // below naming a grouped relation whose cardinality is bounded by
+    // CONSTRUCTION, justified at the builder. Plans are inspected
+    // pre-AQE (sparkPlan): AdaptiveSparkPlanExec hides its input tree
+    // from collect until execution.
+    val allowlisted: Map[String, Int] = Map(
+      // the corpus/4096 bucket-TOTAL prefix sum of the distributed
+      // two-level pack (CurationQueries.packShardsOver: the only
+      // unpartitioned window runs over per-bucket totals, ~1 row per
+      // 4096 docs — aggregate-bounded, never corpus rows)
+      "curate_pack_shards" -> 1,
+      "curate_pack_overflow" -> 1,
+      "curate_corpus_build" -> 1,
+      "curate_corpus_delta" -> 1)
+    val windowQueries = Seq(
+      "text_bm25_topk", "text_bm25_full", "text_bm25_conjunctive",
+      "text_rrf_fusion", "text_phrase_match", "sketch_kmv_sliding",
+      "q_window_functions", "q_ntile_first_last", "q_range_frame",
+      "q_topk_per_key", "q_gaps_islands", "q_ohlc_bars", "q_scd2_history",
+      "q_sessionize", "q_event_funnel", "q_cohort_retention",
+      "q_sax_motif", "q_seasonal_decompose", "q_cusum_changepoint",
+      "curate_neyman_alloc", "curate_pack_shards", "curate_pack_overflow",
+      "curate_train_order", "curate_stratified_sample", "curate_dataset_split",
+      "curate_temperature_mix", "curate_mix_sources", "curate_cap_sources",
+      "curate_decontam_span", "curate_chunk_docs", "curate_epoch_plan",
+      "curate_corpus_build", "curate_corpus_delta",
+      "sim_threshold_sweep", "sim_kmeans_step", "sim_hard_negatives",
+      "dedup_cluster_sizes", "dedup_rate_by_source", "text_quality_histogram",
+      "text_term_rarity", "text_top_terms", "text_bpe_train",
+      "text_bpe_encode", "text_bpe_fertility", "stream_bpe_pairs")
+    for (qn <- windowQueries) {
+      val plan = graft.queries.Catalog.queries(qn)(spark, sf)
+        .queryExecution.sparkPlan
+      val unpartitioned = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.forall(_.foldable) => w
+      }
+      val unbounded = unpartitioned.filterNot(w => w.collectFirst {
+        case _: GlobalLimitExec => ()
+        case _: TakeOrderedAndProjectExec => ()
+      }.isDefined)
+      assert(unbounded.size <= allowlisted.getOrElse(qn, 0),
+        s"$qn: ${unbounded.size} unpartitioned Window(s) over a " +
+          s"non-limit-bounded input (allowlisted: ${allowlisted.getOrElse(qn, 0)}).\n" +
+          unbounded.map(_.simpleStringWithNodeId()).mkString("\n"))
+    }
+  }
+
   test("full BM25 keeps the same bounded shape; length stats stay broadcast") {
     val p = planOf("text_bm25_full")
     // identical scale skeleton to text_bm25_topk: bounded term

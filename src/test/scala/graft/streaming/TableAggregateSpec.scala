@@ -262,6 +262,33 @@ class TableAggregateSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MIN/MAX: a key changing twice in ONE batch nets its intermediate images (ADVICE r14)") {
+    import TableAggregate.MinMaxAgg
+    val (feed, q, rows, name) = minMaxHarness()
+    try {
+      feed.addData((1L, 10L, Some(Acct("a", 5L))))
+      q.processAllAvailable()
+      // ONE batch, two changes of the same key: 5 -> 9 -> 3. The
+      // changelog emits the intermediate u records (-5,+9) then
+      // (-9,+3); under an adversarial group-iterator order the -9 can
+      // precede its +9, so value 9's multiplicity is TRANSIENTLY
+      // negative — the per-value pre-aggregation must net the batch's
+      // deltas (9 nets to 0) instead of crashing mid-fold, and the
+      // compressed emission is a single u: 5 -> 3.
+      feed.addData((1L, 20L, Some(Acct("a", 9L))),
+        (1L, 21L, Some(Acct("a", 3L))))
+      q.processAllAvailable()
+      assert(rows().last ==
+        Change("a", "u", Some(MinMaxAgg(1L, 5L, 5L)),
+          Some(MinMaxAgg(1L, 3L, 3L)), 1L))
+      assert(mmState(name) == Map("a" -> ((1L, 3L, 3L))))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("MIN/MAX fuzz: random histories match brute force under random slicing (8 histories)") {
     val rnd = new scala.util.Random(1403)
     val groups = Vector("g0", "g1", "g2")
