@@ -13,7 +13,7 @@ object Catalog {
       SourceQueries.defs ++ CleaningQueries.defs ++ CurationQueries.defs ++
       TableJoinQueries.defs ++ KsqlFunctionQueries.defs ++
       KsqlFunctionQueries2.defs ++ SketchQueries.defs ++
-      RetrievalQueries.defs ++ ChangePointQueries.defs ++
+      RetrievalQueries.defs ++ HybridQueries.defs ++ ChangePointQueries.defs ++
       SeasonalQueries.defs
 
   def oracles: Map[String, String] =
@@ -25,6 +25,6 @@ object Catalog {
       CleaningQueries.oracles ++ CurationQueries.oracles ++
       TableJoinQueries.oracles ++ KsqlFunctionQueries.oracles ++
       KsqlFunctionQueries2.oracles ++ SketchQueries.oracles ++
-      RetrievalQueries.oracles ++ ChangePointQueries.oracles ++
+      RetrievalQueries.oracles ++ HybridQueries.oracles ++ ChangePointQueries.oracles ++
       SeasonalQueries.oracles
 }

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType,
+  StructField, StructType}
+
+import graft.functions.TextShingles
+import graft.sources.Tables
+
+/** HYBRID dense+sparse retrieval (VERDICT r14 next-round #1) — the
+  * production hybrid-search shape: the SAME queries run through the
+  * engine's lexical retriever (integer BM25 over the inverted index,
+  * [[RetrievalQueries]]) AND its dense retriever (IVF probe over the
+  * published vector index, [[SimilarityQueries]]/
+  * [[graft.sources.IvfIndex]]), and the two 20-bounded candidate lists
+  * merge by reciprocal-rank fusion (Cormack et al., SIGIR 2009 — the
+  * [[RetrievalQueries.rrfFusion]] combinator, integer 10^6 grid).
+  * This ties the engine's two retrieval families together: lexical
+  * recall for exact vocabulary matches, dense recall for semantic
+  * neighbors, RRF as the score-scale-free merge.
+  *
+  * Queries are the deterministic df-rank terms (global ranks 21–30 —
+  * the [[RetrievalQueries]] convention), each paired with its
+  * md5-derived query VECTOR: qm[i] = md5_u32(term ":" i) mod 2000001 −
+  * 10^6 — 64 integer MICROS components, a pure function of the term,
+  * identical in both engines (the [[graft.functions.Md5Key]]
+  * discipline lifted to vectors). The dense score is the exact BIGINT
+  * dot ⟨qm, floor-micros(embedding)⟩ — maximum-inner-product
+  * retrieval on an integer grid, zero IEEE ambiguity anywhere in the
+  * dense leg. Corpus alignment: vec_id ≡ doc_id (the embeddings table
+  * is the documents table's embedding column, row for row), so the
+  * fuse key is (term, doc_id).
+  *
+  * Scale shape (100 TB): the lexical leg is the pinned BM25 skeleton —
+  * bounded TakeOrdered term selection broadcast back over the posting
+  * lists, k-bounded LONG top-k aggregation. The dense leg probes the
+  * PUBLISHED index artifact: routing scores the O(ncells) centroid
+  * table against the ≤10 query vectors (a bounded collect — the
+  * standard ANN query-router step), and the vector scan prunes to the
+  * ≤ terms×nprobe probed cell DIRECTORIES at planning time
+  * (PartitionFilters — plan-pinned); candidates never leave their
+  * cells, the corpus never cross-joins anything. The fuse is a FULL
+  * OUTER merge of two ≤ terms×20-row bounded lists (the documented
+  * bounded-by-construction SMJ of `text_rrf_fusion`). */
+object HybridQueries {
+
+  private val Dim = SimilarityQueries.EmbeddingDim
+  private val NProbe = 2
+
+  /** The md5-grid query vector, a pure function of the `term` column:
+    * 64 integer micros in [−10^6, 10^6]. Spark spelling of
+    * [[graft.functions.Md5Key]] lifted over dims; the oracle uses the
+    * matching DuckDB spelling. */
+  private def qvecExpr: Column = expr(
+    s"transform(sequence(0, ${Dim - 1}), i -> " +
+      "CAST(conv(substring(md5(concat(term, ':', CAST(i AS STRING))), 1, 8), " +
+      "16, 10) AS BIGINT) % 2000001 - 1000000)")
+
+  /** Exact BIGINT dot product over two array<long> columns. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** The ≤10-row query-term relation: global df ranks 21–30. */
+  private def qsel(s: SparkSession, d: String): DataFrame = {
+    val tf = RetrievalQueries.tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    df.orderBy(col("df").desc, col("term")).limit(RetrievalQueries.RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RetrievalQueries.RankLo)
+      .select(col("term"), col("df"))
+  }
+
+  /** Lexical 20-bounded candidate list: (term, doc_id, rank_a) under
+    * integer BM25 (b = 0), rank order (score desc, doc asc). */
+  private def lexicalList(s: SparkSession, d: String,
+                          q: DataFrame): DataFrame = {
+    val tf = RetrievalQueries.tfRel(s, d)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(
+      RetrievalQueries.ListK))
+    tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", RetrievalQueries.ScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk20(col("score"), col("doc_id")).as("top"))
+      .select(col("term"), posexplode(col("top.ids")).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as("rank_a"))
+  }
+
+  /** Route every query vector to its NProbe best cells against a
+    * (label, cemb) centroid table: returns the collected (term, cell)
+    * pairs — ≤ terms×NProbe rows, the bounded ANN router step. The
+    * comparison is the exact BIGINT dot of the query micros with the
+    * FLOOR-MICROS centroid (per-dim floor(centroid·10^6) — the same
+    * doubles in both engines, so the floors agree bit-for-bit). */
+  private def routeCells(s: SparkSession, centroids: DataFrame,
+                         q: DataFrame): Seq[(String, Int)] = {
+    val cm = centroids.select(col("label"),
+      transform(col("cemb"), x => floor(x * 1000000).cast(LongType)).as("cm"))
+    q.select(col("term"), qvecExpr.as("qm"))
+      .crossJoin(broadcast(cm))
+      .withColumn("rdot", dotL(col("qm"), col("cm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("rdot").desc, col("label"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("term"), col("label").cast("int"))
+      .collect().toSeq.map(r => (r.getString(0), r.getInt(1)))
+  }
+
+  /** Dense 20-bounded candidate list from a cell-partitioned vector
+    * layout: the scan prunes to the probed cells (static IN-filter on
+    * the partition column → PartitionFilters), each term scores ONLY
+    * its own probed cells through the broadcast routing table, and the
+    * per-term top-20 is the k-bounded LONG aggregator. */
+  private def denseList(s: SparkSession, vectorsPath: String,
+                        routed: Seq[(String, Int)]): DataFrame = {
+    import s.implicits._
+    val cells = routed.map(_._2).distinct
+    val routeDf = routed.toDF("term", "cell")
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(
+      RetrievalQueries.ListK))
+    s.read.parquet(vectorsPath)
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(routeDf), Seq("cell"))
+      .withColumn("qm", qvecExpr)
+      .withColumn("em",
+        transform(col("emb"), x => floor(x * 1000000).cast(LongType)))
+      .withColumn("sc", dotL(col("qm"), col("em")))
+      .groupBy(col("term"))
+      .agg(topk20(col("sc"), col("vec_id")).as("top"))
+      .select(col("term"), posexplode(col("top.ids")).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as("rank_b"))
+  }
+
+  /** RRF merge of the two bounded lists — identical integer grid and
+    * ordering to [[RetrievalQueries.rrfFusion]]. */
+  private def fuse(a: DataFrame, b: DataFrame): DataFrame = {
+    val topk5 = udaf(new graft.functions.TopKByScoreLong(
+      RetrievalQueries.K))
+    a.join(b, Seq("term", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(expr(s"1000000 DIV (${RetrievalQueries.RrfK} + rank_a)"),
+          lit(0L)) +
+          coalesce(expr(s"1000000 DIV (${RetrievalQueries.RrfK} + rank_b)"),
+            lit(0L)))
+      .groupBy(col("term"))
+      .agg(topk5(col("rrf"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"), col("z.scores").as("rrf_score"))
+  }
+
+  /** Top-5 hybrid results per query term: lexical BM25 list + IVF
+    * dense list over the published index artifact, RRF-fused. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val q = qsel(s, d)
+    val layout = SimilarityQueries.sharedIvfLayout(s, d)
+    val routed = routeCells(s, s.read.parquet(layout.centroids), q)
+    fuse(lexicalList(s, d, q), denseList(s, layout.vectors, routed))
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q
+       |         WHERE r BETWEEN ${RetrievalQueries.RankLo}
+       |           AND ${RetrievalQueries.RankHi}),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score_a
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN n),
+       |la AS (
+       |  SELECT term, doc_id, rn AS rank_a
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_a DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= ${RetrievalQueries.ListK}),
+       |qv AS (
+       |  SELECT term,
+       |         list_transform(generate_series(0, ${Dim - 1}),
+       |           i -> ('0x' || substr(md5(term || ':' || CAST(i AS VARCHAR)),
+       |                 1, 8))::BIGINT % 2000001 - 1000000) AS qm
+       |  FROM qsel),
+       |cent AS (${SimilarityQueries.labelCentroidsSql}),
+       |cmarr AS (
+       |  SELECT label,
+       |         list(CAST(floor(centroid * 1000000) AS BIGINT)
+       |              ORDER BY dim) AS cm
+       |  FROM cent GROUP BY label),
+       |route AS (
+       |  SELECT term, label FROM (
+       |    SELECT term, label,
+       |           row_number() OVER (PARTITION BY term
+       |             ORDER BY rdot DESC, label) AS rn
+       |    FROM (SELECT v.term, c.label,
+       |            list_sum(list_transform(generate_series(1, $Dim),
+       |              i -> v.qm[i] * c.cm[i])) AS rdot
+       |          FROM qv v CROSS JOIN cmarr c))
+       |  WHERE rn <= $NProbe),
+       |e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> CAST(floor(x * 1000000) AS BIGINT)) AS em
+       |  FROM embeddings),
+       |dense AS (
+       |  SELECT r.term, e.vec_id AS doc_id,
+       |         list_sum(list_transform(generate_series(1, $Dim),
+       |           i -> v.qm[i] * e.em[i])) AS sc
+       |  FROM route r JOIN qv v USING (term) JOIN e ON e.label = r.label),
+       |lb AS (
+       |  SELECT term, doc_id, rn AS rank_b
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY sc DESC, doc_id) AS rn FROM dense)
+       |  WHERE rn <= ${RetrievalQueries.ListK}),
+       |fused AS (
+       |  SELECT COALESCE(la.term, lb.term) AS term,
+       |         COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+       |         COALESCE(1000000 // (${RetrievalQueries.RrfK} + rank_a), 0)
+       |           + COALESCE(1000000 // (${RetrievalQueries.RrfK} + rank_b), 0)
+       |           AS rrf
+       |  FROM la FULL JOIN lb
+       |    ON la.term = lb.term AND la.doc_id = lb.doc_id)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(rrf AS BIGINT) AS rrf_score
+       |FROM (SELECT term, doc_id, rrf,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY rrf DESC, doc_id) AS rn
+       |      FROM fused)
+       |WHERE rn <= ${RetrievalQueries.K}""".stripMargin
+
+  /** Streaming twin: BOTH retrieval families are built by streaming
+    * ingest, then fused at query time — the end-to-end shape of a live
+    * hybrid search stack. The lexical leg is the
+    * [[RetrievalQueries.streamBm25TopK]] design with a 20-bounded head
+    * (ONE update-mode aggregation per term: df + the LONG sat-pack
+    * posting head — O(k) state per term forever). The dense leg is the
+    * [[SimilarityQueries.streamIvfIngest]] pattern: embeddings arrive
+    * as a stream, each micro-batch homes its vectors under the FIXED
+    * published routing table (cell = label — per-row work) and appends
+    * replay-idempotently into the cell-partitioned layout
+    * ([[graft.sources.IvfIndex.appendBatch]]). When both streams
+    * drain, the finalize runs OUTSIDE the streams: lexical ranks come
+    * straight off the stored heads (idf is constant per term, so the
+    * sat-pack order IS the score order, ties included), the dense
+    * probe routes/prunes/scores the streamed-in layout exactly as the
+    * batch leg, and the RRF fuse is unchanged. Finite input ⇒ both
+    * legs equal their batch twins, so the SAME oracle verifies the
+    * whole streaming composition. */
+  def streamHybridRrf(s: SparkSession, d: String): DataFrame = {
+    // lexical leg: per-term (df, 20-bounded sat-pack head) state
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(
+      RetrievalQueries.ListK))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"),
+        col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
+      .select(col("term"), col("doc_id"),
+        (col("sat") * lit(4294967296L) - col("doc_id")).as("ord"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), topk20(col("ord"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckptLex = StreamingQueries.scratchDir("graft-sq-")
+    val qLex = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckptLex)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try qLex.processAllAvailable()
+    finally {
+      qLex.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckptLex)
+    }
+
+    // dense leg: streaming ingest into a scratch layout under the
+    // fixed routing table (the retrain-artifact convention)
+    val root = java.nio.file.Paths.get(
+      StreamingQueries.scratchDir("graft-hyb-ivf-"))
+    val layout = graft.sources.IvfIndex.Layout(
+      centroids = root.resolve("centroids").toString,
+      vectors = root.resolve("vectors").toString)
+    val ckptIvf = StreamingQueries.scratchDir("graft-hyb-ck-")
+    try {
+      SimilarityQueries.centroidArrays(s, d)
+        .write.mode("overwrite").parquet(layout.centroids)
+      val eschema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val estream = s.readStream.schema(eschema)
+        .parquet(s"$d/{embeddings}.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"), col("label"))
+      val qIvf = graft.util.Confs.withShufflePartitions(s, 4) {
+        estream.writeStream.outputMode("append")
+          .option("checkpointLocation", ckptIvf)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.sources.IvfIndex.appendBatch(layout,
+              b.withColumn("cell", col("label")), id)
+          }
+          .start()
+      }
+      try qIvf.processAllAvailable()
+      finally {
+        qIvf.stop()
+        s.streams.resetTerminated()
+      }
+
+      // finalize outside the streams; materialize before the scratch
+      // layout is deleted
+      val qsel10 = store.df(s)
+        .orderBy(col("df").desc, col("term")).limit(RetrievalQueries.RankHi)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("df").desc, col("term"))))
+        .filter(col("r") >= RetrievalQueries.RankLo)
+        .select(col("term"), col("ids"))
+      val la = qsel10
+        .select(col("term"), posexplode(col("ids")).as(Seq("p", "doc_id")))
+        .select(col("term"), col("doc_id"),
+          (col("p") + 1).cast(LongType).as("rank_a"))
+      val routed = routeCells(s, s.read.parquet(layout.centroids),
+        qsel10.select(col("term")))
+      fuse(la, denseList(s, layout.vectors, routed)).localCheckpoint()
+    } finally Seq(root.toString, ckptIvf)
+      .foreach(StreamingQueries.deleteRecursively)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hybrid_rrf" -> hybridRrf _,
+    "stream_hybrid_rrf" -> streamHybridRrf _)
+
+  def oracles: Map[String, String] = Map(
+    "text_hybrid_rrf" -> hybridRrfSql,
+    "stream_hybrid_rrf" -> hybridRrfSql)
+}

@@ -40,13 +40,13 @@ import graft.sources.Tables
   * as the oracle spelling. */
 object RetrievalQueries {
 
-  private val K = 5 // postings returned per query term
-  private val RankLo = 21
-  private val RankHi = 30
+  private[queries] val K = 5 // postings returned per query term
+  private[queries] val RankLo = 21
+  private[queries] val RankHi = 30
 
   /** The full integer score over materialized columns n_docs/df/tf —
     * Spark `DIV` here, DuckDB `//` in the oracle, same parse. */
-  private val ScoreExpr: Column = expr(
+  private[queries] val ScoreExpr: Column = expr(
     "(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))" +
       " * (tf * 2000 DIV (tf + 1))")
 
@@ -56,7 +56,7 @@ object RetrievalQueries {
     "(((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1)) * sat")
 
   /** (doc_id, term, tf) — the inverted index relation. */
-  private def tfRel(s: SparkSession, d: String): DataFrame =
+  private[queries] def tfRel(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextShingles.tokens(col("text"))).as("term"))
@@ -537,8 +537,8 @@ object RetrievalQueries {
   // grid: 10^6 DIV (60 + rank), exact in BIGINT.
   // ---------------------------------------------------------------
 
-  private val RrfK = 60L // the standard RRF damping constant
-  private val ListK = 20 // candidates taken from each retriever
+  private[queries] val RrfK = 60L // the standard RRF damping constant
+  private[queries] val ListK = 20 // candidates taken from each retriever
 
   /** Top-5 fused documents per query term: each retriever contributes
     * a 20-bounded list (the k-bounded aggregator — map-side ≤20-row

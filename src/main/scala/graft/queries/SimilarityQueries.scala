@@ -33,7 +33,7 @@ object SimilarityQueries {
   private[graft] def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  private def withEmb(s: SparkSession, d: String): DataFrame =
+  private[queries] def withEmb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
         col("label"))
@@ -516,7 +516,7 @@ object SimilarityQueries {
     * TakeOrdered. */
   /** Per-label centroids as (label, 64-dim array) — the coarse cells
     * shared by the IVF index and the hard-negative miner. */
-  private def centroidArrays(s: SparkSession, d: String): DataFrame =
+  private[queries] def centroidArrays(s: SparkSession, d: String): DataFrame =
     labelCentroids(s, d).groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         x => x.getField("centroid")).as("cemb"))
@@ -589,13 +589,18 @@ object SimilarityQueries {
       .limit(5)
   }
 
+  /** The ONE memoized per-corpus index build (cell = label) — shared
+    * by the indexed ANN probe and the hybrid retrieval's dense leg, so
+    * both query families probe the same published artifact. */
+  private[queries] def sharedIvfLayout(s: SparkSession,
+                                       d: String): graft.sources.IvfIndex.Layout =
+    graft.sources.IvfIndex.ensure(d,
+      centroidArrays(s, d),
+      withEmb(s, d).withColumn("cell", col("label")))
+
   private def annIvfIndexedProbe(s: SparkSession, d: String,
                                  nprobe: Int): DataFrame =
-    probeLayout(s,
-      graft.sources.IvfIndex.ensure(d,
-        centroidArrays(s, d),
-        withEmb(s, d).withColumn("cell", col("label"))),
-      d, nprobe)
+    probeLayout(s, sharedIvfLayout(s, d), d, nprobe)
 
   def annIvfIndexed(s: SparkSession, d: String): DataFrame =
     annIvfIndexedProbe(s, d, 1)

@@ -586,6 +586,24 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("hybrid retrieval: dense probe prunes to probed cells, lists stay k-bounded, no corpus cartesian") {
+    val p = planOf("text_hybrid_rrf")
+    // the dense leg must scan the published index with a static cell
+    // IN-filter -> partition pruning at planning time (the routed
+    // cells), never the whole vector corpus
+    val partFilters = p.linesIterator
+      .filter(_.trim.startsWith("PartitionFilters:")).mkString("\n")
+    assert(partFilters.contains("cell"), p.take(3000))
+    // lexical term selection stays the bounded TakeOrdered skeleton
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // posting lists + routed cells prune through broadcast joins
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // both candidate lists and the fuse run through the k-bounded
+    // LONG top-k aggregator, not corpus windows
+    assert(p.toLowerCase.contains("partial_topkbyscorelong"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("unpartitioned Windows appear only over limit-bounded or allowlisted-bounded inputs (ADVICE r14)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
