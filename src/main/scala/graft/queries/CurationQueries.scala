@@ -226,7 +226,6 @@ object CurationQueries {
     * unchanged); islands are a per-doc window over the (tiny) hit
     * relation. */
   def decontamSpan(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 5)
@@ -239,6 +238,15 @@ object CurationQueries {
     val hits = grams.filter(col("doc_id") % 20 =!= 0)
       .join(bench, Seq("g"))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"))
+    spanIslands(hits)
+  }
+
+  /** Merge matched 5-gram positions into contaminated SPANS: the
+    * per-doc gaps-and-islands window over the (tiny) hit relation —
+    * shared by the batch query and the streaming twin's finalize, so
+    * the island rule has exactly one spelling. */
+  private def spanIslands(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("prev", lag(col("pos"), 1).over(w))
@@ -285,6 +293,43 @@ object CurationQueries {
       |       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
       |       CAST(COUNT(*) AS BIGINT) AS n_grams
       |FROM grp GROUP BY doc_id, island""".stripMargin
+
+  /** Streaming twin of [[decontamSpan]] (VERDICT r14 next-round #3):
+    * span excision at INGEST time — the corpus-build stream gains the
+    * ability to excise leaked benchmark spans as documents arrive.
+    * The benchmark 5-gram strings are a STATIC side (built once from
+    * the held-out split — in production, the frozen eval-suite
+    * artifact) joined stream-static against each arriving document's
+    * posexploded grams: Spark broadcasts the static side under every
+    * micro-batch, the join is STATELESS (append mode — no watermark,
+    * no state store), so ingest cost per document is gram extraction
+    * plus a broadcast-hash probe. Documents arrive WHOLE (one row =
+    * one doc), so all of a doc's hits surface in its own micro-batch
+    * and the island merge is per-doc work at finalize — the shared
+    * [[spanIslands]] spelling over the drained hit table; no
+    * cross-batch state exists anywhere in the pipeline. Finite input
+    * ⇒ the hit relation equals the batch join's, so the SAME oracle
+    * verifies the streaming composition. */
+  def streamDecontamSpan(s: SparkSession, d: String): DataFrame = {
+    def gramsOf(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 5), i -> " +
+          "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+        .as(Seq("pos", "g")))
+    val bench = gramsOf(Tables.documents(s, d)
+        .filter(col("doc_id") % 20 === 0))
+      .select(col("g")).distinct()
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .filter(col("doc_id") % 20 =!= 0)
+    val hits = gramsOf(stream)
+      .join(broadcast(bench), Seq("g"))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"))
+    spanIslands(StreamingQueries.runToTable(hits, "append"))
+  }
 
   /** Total sample budget for [[neymanAlloc]]. */
   private val NeymanBudget = 100L
@@ -1463,6 +1508,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocs _,
     "curate_decontaminate" -> decontaminate _,
     "curate_decontam_span" -> decontamSpan _,
+    "stream_decontam_span" -> streamDecontamSpan _,
     "curate_neyman_alloc" -> neymanAlloc _,
     "curate_decontam_overlap" -> decontamOverlap _,
     "curate_zorder_layout" -> zorderLayout _,
@@ -1494,6 +1540,7 @@ object CurationQueries {
     "curate_canonical_docs" -> canonicalDocsSql,
     "curate_decontaminate" -> decontaminateSql,
     "curate_decontam_span" -> decontamSpanSql,
+    "stream_decontam_span" -> decontamSpanSql,
     "curate_neyman_alloc" -> neymanAllocSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_zorder_layout" -> zorderLayoutSql,

@@ -723,6 +723,204 @@ object RetrievalQueries {
         col("z.scores").cast(LongType).as("rrf_score"))
   }
 
+  // ---------------------------------------------------------------
+  // n-term phrases + proximity windows (VERDICT r14 next-round #2):
+  // [[phraseMatch]] answers exactly 2-term phrases; a 3+-term phrase
+  // is the SAME positional index with one more chained (doc_id,
+  // pos + i) equi-join, and the order-free "terms within k positions"
+  // proximity query is the same pruned posting lists under a distance
+  // band — the two shapes real IR users hit immediately after exact
+  // bigrams.
+  // ---------------------------------------------------------------
+
+  /** Top-5 documents per 3-term phrase for the corpus' five most
+    * frequent trigrams (count desc, trigram asc — the [[phraseMatch]]
+    * selection at trigram granularity). Phrase answering chains THREE
+    * broadcast-pruned posting lists on (doc_id, pos + 1) and
+    * (doc_id, pos + 2) — each join leg prunes through the ≤5-phrase
+    * broadcast before touching positions, so the corpus-sized
+    * positions relation never self-joins; an n-term phrase is n − 1
+    * such chained equi-joins, each a hash join keyed on (doc, pos).
+    * Per-phrase top-5 is the k-bounded LONG aggregator. */
+  def phraseNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+    val tri = docs.filter(size(col("w")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 3), i -> " +
+          "concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("trigram"))
+    val q = tri.groupBy(col("trigram")).agg(count(lit(1)).as("nt"))
+      .orderBy(col("nt").desc, col("trigram")).limit(5)
+      .withColumn("qid", row_number().over(
+        Window.orderBy(col("nt").desc, col("trigram"))).cast(LongType))
+      .select(col("qid"), col("trigram"),
+        element_at(split(col("trigram"), " "), 1).as("t1"),
+        element_at(split(col("trigram"), " "), 2).as("t2"),
+        element_at(split(col("trigram"), " "), 3).as("t3"))
+    val pos = docs.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "term")))
+    val p1 = pos.join(broadcast(q), col("term") === col("t1"))
+      .select(col("qid"), col("trigram"), col("doc_id"), col("pos"),
+        col("t2"), col("t3"))
+    val p2 = pos
+      .join(broadcast(q.select(col("t2").as("qt2")).distinct()),
+        col("term") === col("qt2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+    val p3 = pos
+      .join(broadcast(q.select(col("t3").as("qt3")).distinct()),
+        col("term") === col("qt3"))
+      .select(col("doc_id").as("d3"), col("pos").as("pos3"),
+        col("term").as("term3"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    p1.join(p2,
+        col("d2") === col("doc_id") && col("pos2") === col("pos") + 1 &&
+          col("term2") === col("t2"))
+      .join(p3,
+        col("d3") === col("doc_id") && col("pos3") === col("pos") + 2 &&
+          col("term3") === col("t3"))
+      .groupBy(col("qid"), col("trigram"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy(col("qid"), col("trigram"))
+      .agg(topk(col("n_occ"), col("doc_id")).as("top"))
+      .select(col("qid"), col("trigram").as("phrase"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), col("phrase"),
+        (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").as("n_occ"))
+  }
+
+  val phraseNgramSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tri AS (
+       |  SELECT unnest(a[:len(a)-2]) || ' ' || unnest(a[2:len(a)-1])
+       |           || ' ' || unnest(a[3:]) AS trigram
+       |  FROM w WHERE len(a) >= 3),
+       |q AS (
+       |  SELECT trigram, row_number() OVER (ORDER BY nt DESC, trigram) AS qid
+       |  FROM (SELECT trigram, COUNT(*) AS nt FROM tri GROUP BY 1)
+       |  ORDER BY nt DESC, trigram LIMIT 5),
+       |qs AS (
+       |  SELECT qid, trigram,
+       |         string_split(trigram, ' ')[1] AS t1,
+       |         string_split(trigram, ' ')[2] AS t2,
+       |         string_split(trigram, ' ')[3] AS t3
+       |  FROM q),
+       |pos AS (
+       |  SELECT doc_id, unnest(a) AS term,
+       |         unnest(generate_series(1, len(a))) AS pos
+       |  FROM w),
+       |m AS (
+       |  SELECT s.qid, s.trigram, p1.doc_id, COUNT(*) AS n_occ
+       |  FROM qs s
+       |  JOIN pos p1 ON p1.term = s.t1
+       |  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+       |             AND p2.term = s.t2
+       |  JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+       |             AND p3.term = s.t3
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(qid AS BIGINT) AS qid, trigram AS phrase,
+       |       CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(n_occ AS BIGINT) AS n_occ
+       |FROM (SELECT qid, trigram, doc_id, n_occ,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY n_occ DESC, doc_id) AS rn
+       |      FROM m)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Positions-apart band for [[proximity]]. */
+  private val ProxWindow = 8L
+
+  /** Order-free proximity retrieval: the five 2-term queries of
+    * [[bm25Conjunctive]] (adjacent df ranks paired), but instead of
+    * the whole-document conjunctive gate, a match is a PAIR of
+    * positions at distance ≤ 8 in either order — "the terms appear
+    * NEAR each other", the standard proximity operator between exact
+    * phrase and bag-of-words. Scale shape: both posting lists prune
+    * through the broadcast query table; the pair join is an equi-join
+    * keyed on doc_id (hash-joinable — only docs containing a query
+    * term reach it) with the distance band as a residual filter; the
+    * per-(query, doc) close-pair count aggregates two-phase, and
+    * top-5 per query is the k-bounded LONG aggregator. */
+  def proximity(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
+    val qp = q.groupBy(col("qid"))
+      .agg(min(when(col("r") % 2 === 1, col("term"))).as("t1"),
+        min(when(col("r") % 2 === 0, col("term"))).as("t2"))
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+    val p1 = pos.join(broadcast(qp), col("term") === col("t1"))
+      .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
+    val p2 = pos
+      .join(broadcast(qp.select(col("t2").as("qt2")).distinct()),
+        col("term") === col("qt2"))
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"),
+        col("term").as("term2"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    p1.join(p2,
+        col("d2") === col("doc_id") && col("term2") === col("t2") &&
+          abs(col("pos2") - col("pos")) <= ProxWindow)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_close"))
+      .groupBy(col("qid"))
+      .agg(topk(col("n_close"), col("doc_id")).as("top"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").as("n_close"))
+  }
+
+  val proximitySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(a) AS term FROM w),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (
+       |  SELECT (r - $RankLo) // 2 + 1 AS qid, term, r
+       |  FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |qp AS (
+       |  SELECT qid,
+       |         MIN(CASE WHEN r % 2 = 1 THEN term END) AS t1,
+       |         MIN(CASE WHEN r % 2 = 0 THEN term END) AS t2
+       |  FROM qsel GROUP BY qid),
+       |pos AS (
+       |  SELECT doc_id, unnest(a) AS term,
+       |         unnest(generate_series(1, len(a))) AS pos
+       |  FROM w),
+       |m AS (
+       |  SELECT s.qid, p1.doc_id, COUNT(*) AS n_close
+       |  FROM qp s
+       |  JOIN pos p1 ON p1.term = s.t1
+       |  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = s.t2
+       |             AND abs(p2.pos - p1.pos) <= $ProxWindow
+       |  GROUP BY 1, 2)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+       |       doc_id, CAST(n_close AS BIGINT) AS n_close
+       |FROM (SELECT qid, doc_id, n_close,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY n_close DESC, doc_id) AS rn
+       |      FROM m)
+       |WHERE rn <= $K""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
@@ -730,6 +928,8 @@ object RetrievalQueries {
     "text_bm25_full" -> bm25Full _,
     "stream_bm25_full" -> streamBm25Full _,
     "text_phrase_match" -> phraseMatch _,
+    "text_phrase_ngram" -> phraseNgram _,
+    "text_proximity" -> proximity _,
     "text_rrf_fusion" -> rrfFusion _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
@@ -740,6 +940,8 @@ object RetrievalQueries {
     "text_bm25_full" -> bm25FullSql,
     "stream_bm25_full" -> bm25FullSql,
     "text_phrase_match" -> phraseMatchSql,
+    "text_phrase_ngram" -> phraseNgramSql,
+    "text_proximity" -> proximitySql,
     "text_rrf_fusion" -> rrfFusionSql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }
