@@ -388,8 +388,12 @@ object MultimodalQueries {
       .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
         col("band_val"))
 
-  def phashNearDup(s: SparkSession, d: String): DataFrame = {
-    val bands = phashBandsBatch(graft.sources.Tables.documents(s, d))
+  /** The banded near-dup pipeline over ANY (doc_id, band_no, band_val)
+    * 4x16-bit hash-band relation — blocking candidates from the
+    * non-zero-band equi-join, exact popcount verify at the gate.
+    * Shared by the image/payload perceptual hash and the audio
+    * fingerprint, so the no-cartesian discipline has one spelling. */
+  private[graft] def bandedNearDup(bands: DataFrame): DataFrame = {
     val h = bands.groupBy(col("doc_id"))
       .agg(
         coalesce(max(when(col("band_no") === 0, col("band_val"))), lit(0L)).as("b0"),
@@ -416,6 +420,9 @@ object MultimodalQueries {
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  def phashNearDup(s: SparkSession, d: String): DataFrame =
+    bandedNearDup(phashBandsBatch(graft.sources.Tables.documents(s, d)))
 
   /** The band-relation CTEs (through `bands`) shared by the batch
     * near-dup oracle and the streaming registry oracle. */
@@ -505,6 +512,258 @@ object MultimodalQueries {
        |                AND b.doc_id < a.doc_id)
        |GROUP BY a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Audio perceptual fingerprint (VERDICT r14 next-round #4): images
+  // have aHash near-dup; this closes modality symmetry for audio. The
+  // hash is an 8-frame x 8-sequency WALSH band-energy sign hash: pool
+  // the sample sequence to a 64-slot grid of slice sums (time frames),
+  // correlate each frame against the 8 square-wave (Walsh/sequency)
+  // basis functions — the integer-exact stand-in for a DFT band split,
+  // libm-free so both engines compute it bit-for-bit — and set bit
+  // (frame, band) when that coefficient's magnitude exceeds the mean
+  // magnitude (cross-multiplied: |c|*64 > sum|c| — no division
+  // anywhere). 64 bits pack as four 16-bit hamming bands, and near-dup
+  // runs the SAME banded blocking + popcount verify as the image path
+  // ([[bandedNearDup]]). The real leg ([[audioFingerprint]]) decodes
+  // WAV/AIFF PCM via javax.sound onto the same grid, proven on real
+  // in-memory tones in MultimodalCodecSpec; the catalog leg runs the
+  // identical math over a deterministic sample stand-in (one
+  // md5-derived signed-byte sample per token — the corpus has no real
+  // audio bytes and the DuckDB oracle must reproduce the decode).
+  // ---------------------------------------------------------------
+
+  /** The (doc_id, band_no, band_val) audio-fingerprint band relation —
+    * a NARROW per-row pass (the whole 64-cell grid is a property of
+    * one document: pooling, Walsh, threshold, and packing all compute
+    * inside the row), so ONE spelling serves the batch query and the
+    * streaming registry's unbounded input. Cost is O(samples + 64·8)
+    * per row. */
+  private[graft] def audioFpBands(docs0: DataFrame): DataFrame =
+    docs0
+      .select(col("doc_id"),
+        graft.functions.TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      // deterministic PCM stand-in: one signed-byte sample per token
+      .withColumn("smp", expr(
+        "transform(w, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) " +
+          "AS BIGINT) % 256 - 128)"))
+      .withColumn("n", size(col("w")).cast(LongType))
+      // pool to the 64-slot grid: slice SUMS (a band energy is a sum;
+      // slice lengths differ by at most one sample)
+      .withColumn("p", expr(
+        "transform(sequence(0, 63), g -> aggregate(slice(smp, " +
+          "CAST(g * n DIV 64 AS INT) + 1, " +
+          "CAST((g + 1) * n DIV 64 - g * n DIV 64 AS INT)), " +
+          "0L, (acc, x) -> acc + x))"))
+      // 8x8 Walsh: cell k = (frame k DIV 8, sequency k % 8); the basis
+      // sign at offset j is parity of popcount(j AND band)
+      .withColumn("c", expr(
+        "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), 0L, " +
+          "(acc, j) -> acc + element_at(p, CAST(k DIV 8 AS INT) * 8 + j + 1) " +
+          "* (1 - 2 * pmod(bit_count(j & pmod(k, 8)), 2))))"))
+      .withColumn("asum", expr("aggregate(c, 0L, (acc, x) -> acc + abs(x))"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), 0L, " +
+          "(acc, i) -> acc + IF(abs(element_at(c, j * 16 + i + 1)) * 64 " +
+          "> asum, shiftleft(1L, i), 0L)))"))
+        .as(Seq("band_no", "band_val")))
+      .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
+        col("band_val"))
+
+  /** Audio near-dup pairs over the fingerprint bands — the
+    * [[bandedNearDup]] pipeline: banded equi-join candidates, popcount
+    * verify ≤ [[HammingMax]], never all-pairs. */
+  def audioFpNearDup(s: SparkSession, d: String): DataFrame =
+    bandedNearDup(audioFpBands(graft.sources.Tables.documents(s, d)))
+
+  /** The band CTEs shared by the audio near-dup oracle and its
+    * streaming-registry oracle. */
+  private val audioFpBandsCteSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |smp AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n,
+       |         list_transform(a, t ->
+       |           ('0x' || substr(md5(t), 1, 8))::BIGINT % 256 - 128) AS s
+       |  FROM w WHERE len(a) >= 1),
+       |pool AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 63), g ->
+       |           COALESCE(list_sum(
+       |             s[CAST(g * n // 64 + 1 AS BIGINT) :
+       |               CAST((g + 1) * n // 64 AS BIGINT)]), 0)) AS p
+       |  FROM smp),
+       |wal AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 63), k ->
+       |           list_sum(list_transform(generate_series(0, 7), j ->
+       |             p[(k // 8) * 8 + j + 1]
+       |               * (1 - 2 * (bit_count(j & (k % 8)) % 2))))) AS c
+       |  FROM pool),
+       |ab AS (
+       |  SELECT doc_id, c,
+       |         list_sum(list_transform(c, x -> abs(x))) AS asum
+       |  FROM wal),
+       |bands AS (
+       |  SELECT doc_id, CAST(t.j AS BIGINT) AS band_no,
+       |         CAST(list_sum(list_transform(generate_series(0, 15), i ->
+       |           CASE WHEN abs(c[t.j * 16 + i + 1]) * 64 > asum
+       |                THEN (1 << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+       |           AS band_val
+       |  FROM ab, (SELECT unnest(generate_series(0, 3)) AS j) t)""".stripMargin
+
+  val audioFpNearDupSql: String =
+    s"""$audioFpBandsCteSql,
+       |h AS (
+       |  SELECT doc_id,
+       |         COALESCE(MAX(CASE WHEN band_no=0 THEN band_val END), 0) AS b0,
+       |         COALESCE(MAX(CASE WHEN band_no=1 THEN band_val END), 0) AS b1,
+       |         COALESCE(MAX(CASE WHEN band_no=2 THEN band_val END), 0) AS b2,
+       |         COALESCE(MAX(CASE WHEN band_no=3 THEN band_val END), 0) AS b3
+       |  FROM bands GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_no = b.band_no AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.band_val <> 0)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |         AS BIGINT) AS hamming
+       |FROM cand c JOIN h x ON x.doc_id = c.doc_a
+       |            JOIN h y ON y.doc_id = c.doc_b
+       |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |    <= $HammingMax""".stripMargin
+
+  /** Streaming twin — the ingest-time audio near-dup gate, exactly the
+    * [[streamPhashNearDup]] shape: [[audioFpBands]] is already a
+    * narrow per-row pass, so it plans on the unbounded source
+    * directly; non-zero bands claim (band_no, band_val) buckets
+    * first-wins, later collisions flag with their collided-band
+    * count. */
+  def streamAudioFp(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val bands = audioFpBands(docs)
+      .filter(col("band_val") =!= 0L)
+      .select(col("doc_id"), col("band_no").cast("int").as("band"),
+        col("band_val").cast(StringType).as("sig"))
+    StreamingQueries.runToTable(
+        StreamingQueries.neardupCore(bands), "append")
+      .filter(col("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+  }
+
+  val streamAudioFpSql: String =
+    s"""$audioFpBandsCteSql
+       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands
+       |FROM bands a
+       |WHERE a.band_val <> 0
+       |  AND EXISTS (SELECT 1 FROM bands b
+       |              WHERE b.band_no = a.band_no
+       |                AND b.band_val = a.band_val AND b.band_val <> 0
+       |                AND b.doc_id < a.doc_id)
+       |GROUP BY a.doc_id""".stripMargin
+
+  /** The scalar 8x8 Walsh band-energy sign hash over ANY integer
+    * sample sequence — the one spelling of the fingerprint math,
+    * consumed by the REAL decode leg below; [[audioFpBands]] computes
+    * the identical function columnar-side (both verified against the
+    * same expectations in MultimodalCodecSpec). */
+  private[graft] def walshBands(samples: Array[Long]): Array[Long] = {
+    val n = samples.length
+    val p = new Array[Long](64)
+    var g = 0
+    while (g < 64) {
+      var i = (g.toLong * n / 64).toInt
+      val end = ((g + 1).toLong * n / 64).toInt
+      var acc = 0L
+      while (i < end) { acc += samples(i); i += 1 }
+      p(g) = acc
+      g += 1
+    }
+    val c = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      var acc = 0L
+      var j = 0
+      while (j < 8) {
+        val sign =
+          if (java.lang.Integer.bitCount(j & (k % 8)) % 2 == 0) 1L else -1L
+        acc += p((k / 8) * 8 + j) * sign
+        j += 1
+      }
+      c(k) = acc
+      k += 1
+    }
+    var asum = 0L
+    c.foreach(x => asum += math.abs(x))
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (math.abs(c(i)) * 64 > asum) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
+  }
+
+  /** REAL audio fingerprint: decode 16-bit signed PCM (WAV/AIFF/AU via
+    * javax.sound — every JVM), take channel 0 onto the deterministic
+    * sample grid, hash with [[walshBands]]. Partition-batched like
+    * [[audioMeta]]; undecodable or non-16-bit payloads degrade to
+    * all-zero bands (blocked on nothing — zero bands never generate
+    * candidates). Exercised on real in-memory tones in
+    * MultimodalCodecSpec: a lightly perturbed copy lands within the
+    * hamming gate, a different signal far outside. */
+  def audioFingerprint(audio: DataFrame, idCol: String,
+                       payloadCol: String): DataFrame = {
+    val s = audio.sparkSession
+    import s.implicits._
+    audio.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val bands =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              if (f.getSampleSizeInBits != 16 ||
+                  f.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                new Array[Long](4)
+              else {
+                val data = ais.readAllBytes()
+                val fs = f.getFrameSize
+                val nf = data.length / fs
+                val samples = new Array[Long](nf)
+                var i = 0
+                while (i < nf) {
+                  val off = i * fs // channel 0 = first 2 bytes of frame
+                  val sm =
+                    if (f.isBigEndian)
+                      ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                    else
+                      ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                  samples(i) = sm.toLong
+                  i += 1
+                }
+                walshBands(samples)
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => new Array[Long](4)
+          }
+        AHashBands(id, bands(0), bands(1), bands(2), bands(3))
+      })
+      .toDF()
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_modality_card" -> modalityCard _,
     "mm_resolution_gate" -> resolutionGate _,
@@ -512,7 +771,9 @@ object MultimodalQueries {
     "mm_embed_stub" -> embedStub _,
     "mm_frame_sample" -> frameSample _,
     "mm_phash_neardup" -> phashNearDup _,
-    "stream_mm_phash" -> streamPhashNearDup _)
+    "stream_mm_phash" -> streamPhashNearDup _,
+    "mm_audio_fp" -> audioFpNearDup _,
+    "stream_mm_audio_fp" -> streamAudioFp _)
 
   def oracles: Map[String, String] = Map(
     "mm_modality_card" -> modalityCardSql,
@@ -521,5 +782,7 @@ object MultimodalQueries {
     "mm_embed_stub" -> embedStubSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_phash_neardup" -> phashNearDupSql,
-    "stream_mm_phash" -> streamPhashNearDupSql)
+    "stream_mm_phash" -> streamPhashNearDupSql,
+    "mm_audio_fp" -> audioFpNearDupSql,
+    "stream_mm_audio_fp" -> streamAudioFpSql)
 }

@@ -575,6 +575,14 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("audio fingerprint near-dup: banded equi-join blocking, never all-pairs") {
+    val p = planOf("mm_audio_fp")
+    // same discipline as the image path: candidates only from the
+    // (band_no, band_val) equi-join, verify legs join on doc ids
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("MG heavy hitters: candidate verification is a broadcast semi-pass") {
     val p = planOf("sketch_mg_topk")
     // the exact pass must key on the <=64-per-source candidate set via

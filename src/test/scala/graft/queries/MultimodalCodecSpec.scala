@@ -150,4 +150,75 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     // undecodable payloads degrade to all-zero bands (never block)
     assert((1 to 4).forall(i => got(4L).getLong(i) == 0L))
   }
+
+  /** A structured tone: a sum of two square waves (periods p1, p2
+    * samples) with a slow amplitude ramp — spectrally non-trivial on
+    * the Walsh (sequency) grid, so the fingerprint sets real bits. */
+  private def renderTone(p1: Int, p2: Int, perturb: Boolean): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = 16000
+    val fmt = new AudioFormat(16000f, 16, 1, true, false) // mono 16-bit LE
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val sq1 = if ((i / p1) % 2 == 0) 6000 else -6000
+      val sq2 = if ((i / p2) % 2 == 0) 2500 else -2500
+      val ramp = 1.0 + 0.5 * i / n
+      var v = ((sq1 + sq2) * ramp).toInt
+      if (perturb) v += (i * 31 % 7 - 3) * 40 // small deterministic noise
+      val s = math.max(-32768, math.min(32767, v)).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio fingerprint: a perturbed tone stays within the hamming gate, a different tone falls outside") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, renderTone(80, 23, perturb = false)),
+      (2L, renderTone(80, 23, perturb = true)),   // near-dup of 1
+      (3L, renderTone(11, 301, perturb = false)), // different spectrum
+      (4L, "definitely not audio".getBytes("UTF-8")))
+    val got = MultimodalQueries
+      .audioFingerprint(rows.toDF("doc_id", "payload").repartition(3),
+        "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(hamming(got(1L), got(2L)) <= 6,
+      s"near-dup too far: ${hamming(got(1L), got(2L))}")
+    assert(hamming(got(1L), got(3L)) > 6,
+      s"distinct tones too close: ${hamming(got(1L), got(3L))}")
+    assert((1 to 4).exists(i => got(1L).getLong(i) != 0L))
+    assert((1 to 4).forall(i => got(4L).getLong(i) == 0L))
+  }
+
+  test("columnar audioFpBands equals the scalar walshBands spelling on the same samples") {
+    import spark.implicits._
+    // the catalog leg's md5 stand-in samples, recomputed scalar-side:
+    // both paths must produce identical band values
+    val texts = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"))
+    val df = texts.toDF("doc_id", "text")
+    val colSide = MultimodalQueries.audioFpBands(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5u32(t: String): Long = {
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    texts.foreach { case (id, text) =>
+      val samples = text.trim.split("\\s+").map(t => md5u32(t) % 256 - 128)
+      val bands = MultimodalQueries.walshBands(samples)
+      (0 to 3).foreach { b =>
+        assert(colSide((id, b.toLong)) == bands(b),
+          s"doc $id band $b: columnar ${colSide((id, b.toLong))} vs scalar ${bands(b)}")
+      }
+    }
+  }
 }
