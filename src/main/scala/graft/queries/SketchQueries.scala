@@ -511,6 +511,134 @@ object SketchQueries {
         expr("n * 1000 DIV n_total").as("share_permille"))
   }
 
+  /** MG counter budget for the SLIDING heavy-hitter queries: 16
+    * counters ⇒ every user holding ≥ 1/16 of a trailing-24 h frame's
+    * events is guaranteed held by the frame's merged sketch. */
+  private val MgWinK = 16
+
+  /** Sliding-window heavy hitters (VERDICT r14 next-round #7 — the
+    * missing sliding member of the frequency family, completing
+    * window symmetry across all three sketch tiers): per-(series,
+    * hour) MG summaries merge over a trailing-24 h RANGE frame
+    * ([[kmvSliding]]'s shape with the frequency sketch as payload),
+    * then the [[mgTopK]] candidates-then-exact protocol runs PER
+    * WINDOW: the merged frame sketch holds every ≥ N_frame/16 user
+    * (Agarwal-merge bound, any topology), the ≤16 candidates per
+    * window join back to the tiny per-hour exact-count relation
+    * (grouped once — never the raw events again) under the same RANGE
+    * band, and the exact n·16 ≥ N_frame gate makes the output the
+    * exact per-frame heavy set, deterministically. Scale: hourly
+    * sketches are ≤16 counters each; the window merges ≤24 of them
+    * per row; candidates (|hours|·16 rows — bounded by the covered
+    * time span, never by users or events) BROADCAST against the
+    * hourly count relation. */
+  def mgSliding(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MgSketchAgg(MgWinK))
+    val hourly = graft.sources.Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hts"))
+      .agg(mg(col("user_id").cast("string")).as("sk"),
+        count(lit(1)).as("n"))
+    mgSlidingOf(s, d, hourly)
+  }
+
+  /** The shared RANGE-merge + candidates-then-exact finalize over an
+    * (event_type, hts, sk, n) hourly-summary relation — consumed by
+    * the batch one-shot above and the streaming counter-store twin. */
+  private def mgSlidingOf(s: SparkSession, d: String,
+                          hourly: DataFrame): DataFrame = {
+    val mgMerge = udaf(new graft.functions.MgSketchMergeAgg(MgWinK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hsec"))
+      .rangeBetween(-23L * 3600L, 0L)
+    val cand = hourly.withColumn("hsec", unix_timestamp(col("hts")))
+      .withColumn("wsk", mgMerge(col("sk")).over(w))
+      .withColumn("n_frame", sum(col("n")).over(w))
+      .select(col("event_type"), col("hts"), col("n_frame"),
+        explode(map_keys(col("wsk"))).as("user"))
+    val hourlyCnt = graft.sources.Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hts2"),
+        col("user_id").cast("string").as("user"))
+      .agg(count(lit(1)).as("c"))
+    hourlyCnt
+      .join(broadcast(cand), Seq("event_type", "user"))
+      .filter(col("hts2") >= col("hts") - expr("INTERVAL 23 HOURS") &&
+        col("hts2") <= col("hts"))
+      .groupBy(col("event_type"), col("hts"), col("user"), col("n_frame"))
+      .agg(sum(col("c")).as("n"))
+      .filter(col("n") * MgWinK >= col("n_frame"))
+      .select(col("event_type"),
+        date_format(col("hts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("user").cast(LongType).as("user_id"),
+        col("n").cast(LongType).as("n"),
+        expr("n * 1000 DIV n_frame").as("share_permille"))
+  }
+
+  val mgSlidingSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hts, user_id
+       |  FROM events),
+       |hours AS (SELECT DISTINCT event_type, hts FROM e),
+       |frame AS (
+       |  SELECT h.event_type, h.hts, p.user_id
+       |  FROM hours h JOIN e p
+       |    ON p.event_type = h.event_type
+       |   AND p.hts >= h.hts - INTERVAL 23 HOUR AND p.hts <= h.hts),
+       |tot AS (SELECT event_type, hts, COUNT(*) AS n_frame
+       |        FROM frame GROUP BY 1, 2),
+       |cnt AS (SELECT event_type, hts, user_id, COUNT(*) AS n
+       |        FROM frame GROUP BY 1, 2, 3)
+       |SELECT c.event_type, strftime(c.hts, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       CAST(c.user_id AS BIGINT) AS user_id, CAST(c.n AS BIGINT) AS n,
+       |       CAST(c.n * 1000 // t.n_frame AS BIGINT) AS share_permille
+       |FROM cnt c JOIN tot t
+       |  ON c.event_type = t.event_type AND c.hts = t.hts
+       |WHERE c.n * $MgWinK >= t.n_frame""".stripMargin
+
+  /** Streaming twin: per-(series, hour) MG summaries accumulate as
+    * update-mode aggregation state (≤16 counters + one total per live
+    * (series, hour) — bounded by the covered TIME SPAN × k, the
+    * [[streamKmvSliding]] counter-store pattern with a frequency
+    * payload), each batch upserts the refreshed hourly summaries, and
+    * the RANGE-merge + candidates-then-exact finalize runs OUTSIDE the
+    * stream on the stored rows (exact counts from the grouped hourly
+    * relation, as [[streamMgTopK]]'s exact pass). Finite input ⇒ the
+    * stored summaries are valid MG sketches of each hour, so the gate
+    * emits the same exact heavy set — one oracle for both. */
+  def streamMgSliding(s: SparkSession, d: String): DataFrame = {
+    val mg = udaf(new graft.functions.MgSketchAgg(MgWinK))
+    val hourly = StreamingQueries.eventsStream(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hts"))
+      .agg(mg(col("user_id").cast("string")).as("sk"),
+        count(lit(1)).as("n"))
+      .withColumn("k",
+        concat_ws("\u0000", col("event_type"),
+          date_format(col("hts"), "yyyy-MM-dd HH:mm:ss")))
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("hts", org.apache.spark.sql.types.TimestampType),
+      StructField("sk",
+        org.apache.spark.sql.types.MapType(StringType, LongType)),
+      StructField("n", LongType),
+      StructField("k", StringType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "k")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      hourly.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    mgSlidingOf(s, d,
+      store.df(s).select(col("event_type"), col("hts"), col("sk"), col("n")))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> kmvDistinct _,
     "sketch_kmv_jaccard" -> kmvJaccard _,
@@ -519,6 +647,8 @@ object SketchQueries {
     "stream_kmv_sliding" -> streamKmvSliding _,
     "stream_kmv_distinct" -> streamKmvDistinct _,
     "sketch_mg_topk" -> mgTopK _,
+    "sketch_mg_sliding" -> mgSliding _,
+    "stream_mg_sliding" -> streamMgSliding _,
     "sketch_mg_rollup" -> mgRollup _,
     "stream_mg_topk" -> streamMgTopK _)
 
@@ -530,6 +660,8 @@ object SketchQueries {
     "stream_kmv_sliding" -> kmvSlidingSql,
     "stream_kmv_distinct" -> streamKmvDistinctSql,
     "sketch_mg_topk" -> mgTopKSql,
+    "sketch_mg_sliding" -> mgSlidingSql,
+    "stream_mg_sliding" -> mgSlidingSql,
     "sketch_mg_rollup" -> mgTopKSql,
     "stream_mg_topk" -> mgTopKSql)
 }

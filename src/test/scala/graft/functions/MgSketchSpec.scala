@@ -120,6 +120,27 @@ class MgSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach(o => assert(o == want, s"got $o, want $want"))
   }
 
+  test("mutable aggregator buffer = the pure-function fold, same order (r15 allocation cut)") {
+    val rnd = new Random(71503)
+    for (_ <- 1 to 20) {
+      val k = 4 + rnd.nextInt(61)
+      val xs = stream(rnd, 200 + rnd.nextInt(2000))
+      val agg = new MgSketchAgg(k)
+      val viaBuf = agg.finish(xs.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)))
+      val viaPure = xs.foldLeft(Map.empty[String, Long])(
+        (m, t) => MgSketch.insert(m, t, k))
+      assert(viaBuf == viaPure, s"k=$k insert drift")
+      // merge parity: split in two, merge buffers vs pure merge
+      val (l, r) = xs.splitAt(xs.size / 2)
+      val bl = l.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+      val br = r.foldLeft(agg.zero)((b, t) => agg.reduce(b, t))
+      val mergedBuf = agg.finish(agg.merge(bl, br))
+      val pl = l.foldLeft(Map.empty[String, Long])((m, t) => MgSketch.insert(m, t, k))
+      val pr = r.foldLeft(Map.empty[String, Long])((m, t) => MgSketch.insert(m, t, k))
+      assert(mergedBuf == MgSketch.merge(pl, pr, k), s"k=$k merge drift")
+    }
+  }
+
   test("merge caps at k and preserves combined totals' bound") {
     val rnd = new Random(140304)
     for (_ <- 1 to 200) {
