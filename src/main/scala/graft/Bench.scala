@@ -78,20 +78,46 @@ object Bench {
     // runs is the contention-immune estimate of the query's cost
     val runsPerQuery =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val escalateRuns = 5
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // a query failing EVERY run is omitted from the timings map (its
     // name is in `failed`) — recording 0.0 would read as "instant";
     // a query that succeeded at least once reports its min and is NOT
     // in `failed`, so the two lists stay unambiguous
     var maxHeapMb = 0L
     var done = 0
+    val escalated = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.flatMap { case (name, fn) =>
       var err: Throwable = null
-      val times = (1 to runsPerQuery).flatMap { _ =>
+      def run(): Option[Double] = {
         sweep()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => err = e; None }
       }
+      val first = (1 to runsPerQuery).flatMap(_ => run())
+      // Variance guard (VERDICT r14 next #5): the streaming fixtures
+      // are micro-batch latency-sensitive to box state — the r13/r14
+      // jitter episodes (stream_pipeline_golden, stream_interval_left)
+      // were single readings 2×+ off on untouched code. When min and
+      // median of the first runs diverge >1.5×, escalate to 5 total
+      // runs so one noisy run can't dominate the per-query stat; the
+      // reported stat stays the MIN over all runs (the contention-
+      // immune cross-round comparison number — a median would still
+      // carry sustained ambient load), with medians alongside.
+      val times =
+        if (first.size >= 2 && first.size < escalateRuns &&
+            median(first) > first.min * 1.5) {
+          escalated += name
+          System.err.println(f"[bench] $name%s variance guard: " +
+            f"min=${first.min}%.2f median=${median(first)}%.2f — " +
+            s"escalating to $escalateRuns runs")
+          first ++ (first.size until escalateRuns).flatMap(_ => run())
+        } else first
       maxHeapMb = math.max(maxHeapMb, usedHeapMb())
       done += 1
       if (done % 25 == 0)
@@ -107,11 +133,6 @@ object Bench {
     // comparison stat) AND MEDIAN (so one-off scheduler noise is
     // distinguishable from real regression IN-BAND — round 11's
     // variance cluster was undiagnosable from min alone)
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     val qsMedian = results.map { case (k, ts) => s"\"" + k + "\":" + median(ts) }
@@ -122,7 +143,9 @@ object Bench {
     // truncates one huge stdout line mid-key (BENCH_r07 recovered only
     // 57/143 timings), so stdout carries a short parseable line with a
     // pointer and the complete JSON lands in bench_out.json next to it
+    val escalatedJson = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val meta = s""""failed":$failedJson,"runs":$runsPerQuery,""" +
+      s""""escalated":$escalatedJson,""" +
       s""""calibration_q1_sec":$calibration,""" +
       s""""heap_max_mb":$maxHeapMb,"sf":"$sfDir""""
     val outFile = java.nio.file.Paths.get(

@@ -474,9 +474,13 @@ object DedupQueries {
       var converged = edges.isEmpty
       while (!converged) {
         val next = smallStar(largeStar(edges)).localCheckpoint()
-        // set equality: same size and no new members
-        converged = edges.count() == next.count() &&
-          next.exceptAll(edges).isEmpty
+        // set equality in ONE job (VERDICT r14 stretch #8): both
+        // relations are canonical (distinct) edge sets, so they are
+        // equal iff the symmetric difference is empty — one action
+        // per round instead of the former count + exceptAll pair,
+        // halving per-round driver latency
+        converged = next.exceptAll(edges)
+          .unionAll(edges.exceptAll(next)).isEmpty
         edges = next
       }
       // at the fixpoint every component is a star rooted at its min
