@@ -331,6 +331,52 @@ object CurationQueries {
     spanIslands(StreamingQueries.runToTable(hits, "append"))
   }
 
+  /** Span EXCISION — the consumer of [[decontamSpan]]'s output and the
+    * operation that makes span-level decontamination worth its
+    * precision: REMOVE the leaked span, KEEP the document (versus
+    * [[decontaminate]]'s drop-the-doc verdict). Tokens whose position
+    * falls inside any matched island are filtered out and the cleaned
+    * text is rebuilt; the output reports the removal accounting a
+    * curation audit wants (tokens before / removed / cleaned text).
+    * Scale shape: the span relation is tiny (contaminated docs only),
+    * so the docs⋈spans join is a broadcast; the rebuild is per-row
+    * array work. */
+  def exciseSpans(s: SparkSession, d: String): DataFrame = {
+    val spans = decontamSpan(s, d).groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(spans), Seq("doc_id"))
+      .withColumn("keep", expr(
+        "filter(sequence(0, size(w) - 1), i -> NOT exists(sp, " +
+          "x -> i >= x.span_start AND i <= x.span_end))"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        (size(col("w")) - size(col("keep"))).cast(LongType).as("n_removed"),
+        expr("concat_ws(' ', transform(keep, i -> w[CAST(i AS INT)]))")
+          .as("clean_text"))
+  }
+
+  val exciseSpansSql: String =
+    s"""WITH spans AS ($decontamSpanSql),
+       |sp AS (
+       |  SELECT doc_id, list([span_start, span_end]) AS sp
+       |  FROM spans GROUP BY doc_id),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |k AS (
+       |  SELECT w.doc_id, a,
+       |         list_filter(generate_series(0, CAST(len(a) AS BIGINT) - 1),
+       |           i -> len(list_filter(sp, x ->
+       |                  i >= x[1] AND i <= x[2])) = 0) AS keep
+       |  FROM w JOIN sp ON w.doc_id = sp.doc_id)
+       |SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens,
+       |       CAST(len(a) - len(keep) AS BIGINT) AS n_removed,
+       |       COALESCE(array_to_string(list_transform(keep, i -> a[i + 1]),
+       |           ' '), '') AS clean_text
+       |FROM k""".stripMargin
+
   /** Total sample budget for [[neymanAlloc]]. */
   private val NeymanBudget = 100L
 
@@ -1509,6 +1555,7 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminate _,
     "curate_decontam_span" -> decontamSpan _,
     "stream_decontam_span" -> streamDecontamSpan _,
+    "curate_excise_spans" -> exciseSpans _,
     "curate_neyman_alloc" -> neymanAlloc _,
     "curate_decontam_overlap" -> decontamOverlap _,
     "curate_zorder_layout" -> zorderLayout _,
@@ -1541,6 +1588,7 @@ object CurationQueries {
     "curate_decontaminate" -> decontaminateSql,
     "curate_decontam_span" -> decontamSpanSql,
     "stream_decontam_span" -> decontamSpanSql,
+    "curate_excise_spans" -> exciseSpansSql,
     "curate_neyman_alloc" -> neymanAllocSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_zorder_layout" -> zorderLayoutSql,

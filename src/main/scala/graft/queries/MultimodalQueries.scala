@@ -543,29 +543,39 @@ object MultimodalQueries {
       .select(col("doc_id"),
         graft.functions.TextShingles.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
-      // deterministic PCM stand-in: one signed-byte sample per token
-      .withColumn("smp", expr(
-        "transform(w, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) " +
-          "AS BIGINT) % 256 - 128)"))
-      .withColumn("n", size(col("w")).cast(LongType))
-      // pool to the 64-slot grid: slice SUMS (a band energy is a sum;
-      // slice lengths differ by at most one sample)
-      .withColumn("p", expr(
-        "transform(sequence(0, 63), g -> aggregate(slice(smp, " +
-          "CAST(g * n DIV 64 AS INT) + 1, " +
-          "CAST((g + 1) * n DIV 64 - g * n DIV 64 AS INT)), " +
-          "0L, (acc, x) -> acc + x))"))
-      // 8x8 Walsh: cell k = (frame k DIV 8, sequency k % 8); the basis
-      // sign at offset j is parity of popcount(j AND band)
-      .withColumn("c", expr(
-        "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), 0L, " +
-          "(acc, j) -> acc + element_at(p, CAST(k DIV 8 AS INT) * 8 + j + 1) " +
-          "* (1 - 2 * pmod(bit_count(j & pmod(k, 8)), 2))))"))
-      .withColumn("asum", expr("aggregate(c, 0L, (acc, x) -> acc + abs(x))"))
+      // The whole grid computes in ONE nested expression, each
+      // intermediate bound EXACTLY ONCE via the single-element-array
+      // lambda trick (transform(array(X), x -> …) evaluates X once and
+      // binds it as the lambda variable). Plain withColumn chaining is
+      // a trap here: CollapseProject inlines each intermediate into
+      // every reference site, so the samples would re-hash 64×, the
+      // pool re-evaluate 512×, and the Walsh grid re-evaluate ~80×
+      // per row — measured as a multi-hour interpreted-HOF stall at
+      // sf1 where the bound form runs in seconds.
+      //   smp  : one signed-byte sample per token (md5 grid)
+      //   p    : 64 time-slice sums (band energies are sums)
+      //   c    : 8 frames × 8 sequency Walsh coefficients
+      //   asum : Σ|c| — the threshold normalizer
+      //   out  : four 16-bit sign-bit packs (|c|·64 > Σ|c|)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), 0L, " +
+        "element_at(transform(array(" +
+          "transform(w, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) " +
+          "AS BIGINT) % 256 - 128)), smp -> " +
+        "element_at(transform(array(" +
+          "transform(sequence(0, 63), g -> aggregate(slice(smp, " +
+          "CAST(g * size(smp) DIV 64 AS INT) + 1, " +
+          "CAST((g + 1) * size(smp) DIV 64 - g * size(smp) DIV 64 AS INT)), " +
+          "0L, (acc, x) -> acc + x))), p -> " +
+        "element_at(transform(array(" +
+          "transform(sequence(0, 63), k -> aggregate(sequence(0, 7), 0L, " +
+          "(acc, j) -> acc + element_at(p, CAST(k DIV 8 AS INT) * 8 + j + 1) " +
+          "* (1 - 2 * pmod(bit_count(j & pmod(k, 8)), 2))))), c -> " +
+        "element_at(transform(array(" +
+          "aggregate(c, 0L, (acc, x) -> acc + abs(x))), asum -> " +
+          "transform(sequence(0, 3), j -> aggregate(sequence(0, 15), 0L, " +
           "(acc, i) -> acc + IF(abs(element_at(c, j * 16 + i + 1)) * 64 " +
-          "> asum, shiftleft(1L, i), 0L)))"))
+          "> asum, shiftleft(1L, i), 0L)))" +
+        "), 1)), 1)), 1)), 1)"))
         .as(Seq("band_no", "band_val")))
       .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
         col("band_val"))

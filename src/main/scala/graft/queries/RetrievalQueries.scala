@@ -921,6 +921,221 @@ object RetrievalQueries {
        |      FROM m)
        |WHERE rn <= $K""".stripMargin
 
+  /** Boolean NOT retrieval: the conjunctive query pairs with EXCLUSION
+    * semantics — documents containing the include term t1 but NOT the
+    * exclude term t2, scored by t1's integer BM25. The exclusion is a
+    * LEFT ANTI join of the include hits against the exclude posting
+    * list on (query, doc) — both lists already pruned through the
+    * broadcast query table, so the anti-join touches only candidate
+    * rows, never the corpus. Completes the AND/NEAR/NOT boolean
+    * operator set over the same positional/inverted index. */
+  def booleanNot(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
+    val qp = q.groupBy(col("qid"))
+      .agg(min(when(col("r") % 2 === 1, col("term"))).as("t1"),
+        min(when(col("r") % 2 === 1, col("df"))).as("df"),
+        min(when(col("r") % 2 === 0, col("term"))).as("t2"))
+    val inc = tf.join(broadcast(qp), col("term") === col("t1"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ScoreExpr)
+      .select(col("qid"), col("doc_id"), col("score"))
+    val exc = tf
+      .join(broadcast(qp.select(col("qid").as("xqid"), col("t2"))),
+        col("term") === col("t2"))
+      .select(col("xqid").as("qid"), col("doc_id"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    inc.join(exc, Seq("qid", "doc_id"), "left_anti")
+      .groupBy(col("qid"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").as("score"))
+  }
+
+  val booleanNotSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (
+       |  SELECT (r - $RankLo) // 2 + 1 AS qid, term, df, r
+       |  FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |qp AS (
+       |  SELECT qid,
+       |         MIN(CASE WHEN r % 2 = 1 THEN term END) AS t1,
+       |         MIN(CASE WHEN r % 2 = 1 THEN df END) AS df,
+       |         MIN(CASE WHEN r % 2 = 0 THEN term END) AS t2
+       |  FROM qsel GROUP BY qid),
+       |inc AS (
+       |  SELECT s.qid, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score
+       |  FROM tf t JOIN qp s ON t.term = s.t1 CROSS JOIN n),
+       |exc AS (
+       |  SELECT s.qid, t.doc_id
+       |  FROM tf t JOIN qp s ON t.term = s.t2),
+       |kept AS (
+       |  SELECT i.qid, i.doc_id, i.score
+       |  FROM inc i
+       |  WHERE NOT EXISTS (SELECT 1 FROM exc e
+       |                    WHERE e.qid = i.qid AND e.doc_id = i.doc_id))
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rn AS BIGINT) AS rank,
+       |       doc_id, CAST(score AS BIGINT) AS score
+       |FROM (SELECT qid, doc_id, score,
+       |             row_number() OVER (PARTITION BY qid
+       |               ORDER BY score DESC, doc_id) AS rn
+       |      FROM kept)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Streaming twin of [[phraseMatch]]: the phrase set (the corpus'
+    * top bigrams) is the FROZEN QUERY ARTIFACT — one bounded batch
+    * pass, exactly how [[streamBm25Full]] pins its normalizer D — and
+    * each arriving document counts its own phrase occurrences
+    * NARROWLY (the whole count is a property of one row: a bounded
+    * filter over the token array per broadcast phrase), so ingest is
+    * a stateless stream-static broadcast join + per-row arithmetic.
+    * ONE update-mode aggregation per phrase keeps the 5-bounded doc
+    * head ordered by the LONG pack n_occ·2^32 − doc_id — O(k) state
+    * per phrase forever. Same oracle as the batch form. */
+  def streamPhraseMatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val q = big.groupBy(col("bigram")).agg(count(lit(1)).as("nb"))
+      .orderBy(col("nb").desc, col("bigram")).limit(5)
+      .withColumn("qid", row_number().over(
+        Window.orderBy(col("nb").desc, col("bigram")))
+        .cast(LongType))
+      .select(col("qid"), col("bigram"),
+        element_at(split(col("bigram"), " "), 1).as("t1"),
+        element_at(split(col("bigram"), " "), 2).as("t2"))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    val hits = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .join(broadcast(q)) // stream-static: |phrases| = 5 rows
+      .withColumn("n_occ", expr(
+        "CAST(size(filter(sequence(1, size(w) - 1), " +
+          "i -> w[i - 1] = t1 AND w[i] = t2)) AS BIGINT)"))
+      .filter(col("n_occ") > 0)
+      .select(col("qid"), col("bigram"), col("doc_id"),
+        (col("n_occ") * lit(4294967296L) - col("doc_id")).as("ord"))
+    val agg = hits.groupBy(col("qid"), col("bigram"))
+      .agg(topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("qid"), col("bigram"),
+        col("top.scores").as("ords"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("bigram", StringType),
+      StructField("ords", ArrayType(LongType)),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "bigram")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val qq = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try qq.processAllAvailable()
+    finally {
+      qq.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    store.df(s)
+      .select(col("qid"), col("bigram").as("phrase"),
+        posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("p", "z")))
+      .select(col("qid"), col("phrase"),
+        (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        expr("(z.ords + z.ids) DIV 4294967296").as("n_occ"))
+  }
+
+  /** Streaming twin of [[proximity]]: the query pairs are the frozen
+    * artifact; each arriving document counts its own close pairs
+    * NARROWLY (positions of both terms live inside the row — a
+    * bounded ±8 window scan per t1 hit), stateless broadcast join at
+    * ingest, per-query 5-bounded LONG-pack head as the only state.
+    * Same oracle as the batch form. */
+  def streamProximity(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .withColumn("qid", expr(s"(r - $RankLo) DIV 2 + 1"))
+    val qp = q.groupBy(col("qid"))
+      .agg(min(when(col("r") % 2 === 1, col("term"))).as("t1"),
+        min(when(col("r") % 2 === 0, col("term"))).as("t2"))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    val hits = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(qp)) // stream-static: |queries| = 5 rows
+      .withColumn("n_close", expr(
+        "aggregate(sequence(0, size(w) - 1), 0L, (acc, i) -> " +
+          s"acc + IF(w[i] = t1, CAST(size(filter(" +
+          s"sequence(GREATEST(i - $ProxWindow, 0), " +
+          s"LEAST(i + $ProxWindow, size(w) - 1)), " +
+          "j -> w[j] = t2)) AS BIGINT), 0L))"))
+      .filter(col("n_close") > 0)
+      .select(col("qid"), col("doc_id"),
+        (col("n_close") * lit(4294967296L) - col("doc_id")).as("ord"))
+    val agg = hits.groupBy(col("qid"))
+      .agg(topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("qid"),
+        col("top.scores").as("ords"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("qid", LongType),
+      StructField("ords", ArrayType(LongType)),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "qid")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val qq = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try qq.processAllAvailable()
+    finally {
+      qq.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    store.df(s)
+      .select(col("qid"),
+        posexplode(arrays_zip(col("ords"), col("ids"))).as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        expr("(z.ords + z.ids) DIV 4294967296").as("n_close"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
@@ -930,6 +1145,9 @@ object RetrievalQueries {
     "text_phrase_match" -> phraseMatch _,
     "text_phrase_ngram" -> phraseNgram _,
     "text_proximity" -> proximity _,
+    "text_boolean_not" -> booleanNot _,
+    "stream_phrase_match" -> streamPhraseMatch _,
+    "stream_proximity" -> streamProximity _,
     "text_rrf_fusion" -> rrfFusion _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
@@ -942,6 +1160,9 @@ object RetrievalQueries {
     "text_phrase_match" -> phraseMatchSql,
     "text_phrase_ngram" -> phraseNgramSql,
     "text_proximity" -> proximitySql,
+    "text_boolean_not" -> booleanNotSql,
+    "stream_phrase_match" -> phraseMatchSql,
+    "stream_proximity" -> proximitySql,
     "text_rrf_fusion" -> rrfFusionSql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }

@@ -104,7 +104,17 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "curate_neyman_alloc" -> Sig(4, 0, 1),
     "curate_decontam_span" -> Sig(2, 0, 0),
     "q_cusum_changepoint" -> Sig(3, 0, 0),
-    "q_seasonal_decompose" -> Sig(4, 0, 0))
+    "q_seasonal_decompose" -> Sig(4, 0, 0),
+    // r15 rows. text_hybrid_rrf's 1 SMJ is the FULL OUTER fuse of two
+    // <=terms*20-row bounded lists (Spark cannot broadcast-hash full
+    // outer — the documented text_rrf_fusion pattern) and its 1 BNLJ
+    // is the 1-row corpus-stat broadcast; the dense leg itself is
+    // partition-pruned broadcast joins (pinned in PlanPropertiesSpec).
+    "text_hybrid_rrf" -> Sig(9, 1, 1),
+    "text_phrase_ngram" -> Sig(3, 0, 0),
+    "text_proximity" -> Sig(4, 0, 0),
+    "mm_audio_fp" -> Sig(2, 0, 0),
+    "sketch_mg_sliding" -> Sig(4, 0, 0))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")

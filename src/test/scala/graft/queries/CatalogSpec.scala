@@ -26,7 +26,7 @@ class CatalogSpec extends AnyFunSuite {
       StreamingQueries.defs, SourceQueries.defs, CleaningQueries.defs,
       CurationQueries.defs, TableJoinQueries.defs, KsqlFunctionQueries.defs,
       KsqlFunctionQueries2.defs, SketchQueries.defs, RetrievalQueries.defs,
-      ChangePointQueries.defs, SeasonalQueries.defs)
+      HybridQueries.defs, ChangePointQueries.defs, SeasonalQueries.defs)
     val names = all.flatMap(_.keys)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
