@@ -349,11 +349,62 @@ object HybridQueries {
       .foreach(StreamingQueries.deleteRecursively)
   }
 
+  /** Cross-encoder RERANK stage over the hybrid results — the second
+    * half of the production retrieval stack (recall via cheap hybrid
+    * candidates, precision via an expensive scorer run on k candidates
+    * ONLY). The scorer here is a deterministic integer stand-in for a
+    * cross-encoder — position-weighted term evidence over the FULL
+    * document text, ce(term, doc) = Σ_{p : w[p] = term} 10^6 DIV
+    * (10 + p), early mentions scoring higher — but the PLUMBING is the
+    * real shape: the ≤ terms×5 candidate set broadcasts INTO the
+    * corpus scan (only candidate documents pay the expensive pass,
+    * however large the corpus), the per-pair score is a narrow per-row
+    * fold over the raw text, and the final rerank is a per-term window
+    * over ≤5 rows. A real cross-encoder swaps the fold for a
+    * partition-batched model call ([[MultimodalQueries.embedStub]]'s
+    * mapPartitions shape); nothing else changes. */
+  def hybridRerank(s: SparkSession, d: String): DataFrame = {
+    val cand = hybridRrf(s, d)
+      .select(col("term"), col("doc_id"), col("rrf_score"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("ce_score", expr(
+        "aggregate(sequence(0, size(w) - 1), 0L, (acc, p) -> " +
+          "acc + IF(w[p] = term, 1000000 DIV (10 + p), 0L))"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("ce_score").desc, col("doc_id"))).cast(LongType))
+      .select(col("term"), col("rank"), col("doc_id"), col("ce_score"),
+        col("rrf_score"))
+  }
+
+  val hybridRerankSql: String =
+    s"""WITH hyb AS (SELECT * FROM ($hybridRrfSql) x),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |ce AS (
+       |  SELECT h.term, h.doc_id, h.rrf_score,
+       |         CAST(COALESCE(list_sum(list_transform(
+       |             generate_series(1, len(a)),
+       |             p -> CASE WHEN a[p] = h.term
+       |                  THEN 1000000 // (10 + p - 1) ELSE 0 END)), 0)
+       |           AS BIGINT) AS ce_score
+       |  FROM hyb h JOIN w ON w.doc_id = h.doc_id)
+       |SELECT term,
+       |       CAST(row_number() OVER (PARTITION BY term
+       |         ORDER BY ce_score DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, ce_score, rrf_score
+       |FROM ce""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf _,
-    "stream_hybrid_rrf" -> streamHybridRrf _)
+    "stream_hybrid_rrf" -> streamHybridRrf _,
+    "text_hybrid_rerank" -> hybridRerank _)
 
   def oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
-    "stream_hybrid_rrf" -> hybridRrfSql)
+    "stream_hybrid_rrf" -> hybridRrfSql,
+    "text_hybrid_rerank" -> hybridRerankSql)
 }

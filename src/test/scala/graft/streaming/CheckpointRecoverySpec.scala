@@ -219,6 +219,59 @@ class CheckpointRecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row == MotifRow("t", "acb", 1L, 3L), row)
   }
 
+  test("k-bounded LONG-pack top-k head survives a restart: post-crash arrivals displace correctly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-recover-topk-").toString
+    val store = new SnapshotStore(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("scores",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.types.StructField("ids",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))), keyField = "g")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopKByScoreLong(3))
+    val feed = MemoryStream[(String, Long, Long)]
+    def startQuery(f: MemoryStream[(String, Long, Long)]) =
+      f.toDF().toDF("g", "score", "id")
+        .groupBy(org.apache.spark.sql.functions.col("g"))
+        .agg(topk(org.apache.spark.sql.functions.col("score"),
+          org.apache.spark.sql.functions.col("id")).as("top"))
+        .select(org.apache.spark.sql.functions.col("g"),
+          org.apache.spark.sql.functions.col("top.scores").as("scores"),
+          org.apache.spark.sql.functions.col("top.ids").as("ids"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+
+    val q1 = startQuery(feed)
+    feed.addData(("t", 50L, 1L), ("t", 30L, 2L), ("t", 40L, 3L))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint; the new batch must (a) displace the
+    // recovered minimum (30@2) with a higher score, (b) reject a score
+    // below the recovered floor, and (c) break a tie against a
+    // RECOVERED entry by id asc — all three only work if the full
+    // (scores, ids) buffer came back intact
+    val feed2 = MemoryStream[(String, Long, Long)]
+    feed2.addData(("t", 50L, 1L), ("t", 30L, 2L), ("t", 40L, 3L))
+    feed2.addData(("t", 45L, 9L), ("t", 10L, 8L), ("t", 50L, 7L))
+    val q2 = startQuery(feed2)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = store.df(spark).as[(String, Seq[Long], Seq[Long])]
+      .collect().map { case (g, sc, ids) => g -> ((sc, ids)) }.toMap
+    // final head: 50@1 (tie with 50@7 broken by id), 50@7, 45@9
+    assert(rows("t") == ((Seq(50L, 50L, 45L), Seq(1L, 7L, 9L))), rows)
+  }
+
   test("table-aggregate: a retraction arriving AFTER restart subtracts from recovered state") {
     import spark.implicits._
     import TableAggregateSpec.Acct

@@ -359,6 +359,21 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("LONG-pack top-k posting-head state survives RocksDB across batches (r15)") {
+    // the TopKBufL head is the streaming state object of the whole
+    // retrieval family (hybrid / phrase / proximity / bm25 heads);
+    // under RocksDB the product-encoded k-bounded buffer round-trips
+    // per micro-batch, and the finalized ranks must equal the batch
+    // positional-index query bit-for-bit
+    val d = "/root/testdata/sf0.001"
+    val stream = graft.queries.RetrievalQueries.streamPhraseMatch(spark, d)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.RetrievalQueries.phraseMatch(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty && stream == batch,
+      s"stream=${stream.size} rows, batch=${batch.size}")
+  }
+
   test("fkJoin and fkJoinTws emit byte-identical changelogs on the same input") {
     import spark.implicits._
     import TableTableJoinSpec.{Cust, Nat}
