@@ -398,13 +398,56 @@ object HybridQueries {
        |       doc_id, ce_score, rrf_score
        |FROM ce""".stripMargin
 
+  /** Snippet generation over the hybrid results — the user-facing
+    * search-result stage: a ±3-token window around the query term's
+    * FIRST occurrence in each candidate document. Same candidate-
+    * broadcast shape as [[hybridRerank]] (only the ≤ terms×5 candidate
+    * docs pay the text pass); dense-side candidates that never mention
+    * the term (a semantic hit with no lexical overlap — exactly what
+    * dense retrieval contributes) surface with first_pos 0 and an
+    * empty snippet, which is itself the signal a search UI uses to
+    * fall back to a document-head preview. */
+  def hybridSnippets(s: SparkSession, d: String): DataFrame = {
+    val cand = hybridRrf(s, d)
+      .select(col("term"), col("rank"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("first_pos", array_position(col("w"), col("term")))
+      .withColumn("snippet", when(col("first_pos") === 0, lit(""))
+        .otherwise(expr(
+          "concat_ws(' ', slice(w, CAST(GREATEST(first_pos - 3, 1) AS INT), " +
+            "CAST(LEAST(first_pos + 3, size(w)) " +
+            "- GREATEST(first_pos - 3, 1) + 1 AS INT)))")))
+      .select(col("term"), col("rank"), col("doc_id"),
+        col("first_pos").cast(LongType).as("first_pos"), col("snippet"))
+  }
+
+  val hybridSnippetsSql: String =
+    s"""WITH hyb AS (SELECT * FROM ($hybridRrfSql) x),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |j AS (
+       |  SELECT h.term, h.rank, h.doc_id, a,
+       |         COALESCE(list_position(a, h.term), 0) AS p0
+       |  FROM hyb h JOIN w ON w.doc_id = h.doc_id)
+       |SELECT term, rank, doc_id, CAST(p0 AS BIGINT) AS first_pos,
+       |       CASE WHEN p0 = 0 THEN ''
+       |            ELSE array_to_string(
+       |              a[GREATEST(p0 - 3, 1) : LEAST(p0 + 3, len(a))], ' ')
+       |       END AS snippet
+       |FROM j""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf _,
     "stream_hybrid_rrf" -> streamHybridRrf _,
-    "text_hybrid_rerank" -> hybridRerank _)
+    "text_hybrid_rerank" -> hybridRerank _,
+    "text_hybrid_snippets" -> hybridSnippets _)
 
   def oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
     "stream_hybrid_rrf" -> hybridRrfSql,
-    "text_hybrid_rerank" -> hybridRerankSql)
+    "text_hybrid_rerank" -> hybridRerankSql,
+    "text_hybrid_snippets" -> hybridSnippetsSql)
 }

@@ -612,6 +612,18 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("rerank/snippet stages: the candidate set broadcasts into the corpus scan") {
+    // the expensive per-pair pass must touch ONLY candidate documents:
+    // the <= terms*5 candidate relation joins the corpus as the
+    // broadcast build side; a sort-merge there would shuffle the whole
+    // corpus for a 50-row probe set
+    for (qn <- Seq("text_hybrid_rerank", "text_hybrid_snippets")) {
+      val p = planOf(qn)
+      assert(p.contains("BroadcastHashJoin"), s"$qn\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"), s"$qn\n${p.take(3000)}")
+    }
+  }
+
   test("unpartitioned Windows appear only over limit-bounded or allowlisted-bounded inputs (ADVICE r14)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
