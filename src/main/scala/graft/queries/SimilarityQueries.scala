@@ -565,7 +565,8 @@ object SimilarityQueries {
     * probe identically. */
   private def probeLayout(s: SparkSession,
                           layout: graft.sources.IvfIndex.Layout,
-                          d: String, nprobe: Int): DataFrame = {
+                          d: String, nprobe: Int,
+                          extraFilter: Column = lit(true)): DataFrame = {
     val q = withEmb(s, d).filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"))
     // route: score the ncells-row centroid table against the query
@@ -580,7 +581,8 @@ object SimilarityQueries {
     // probe: static IN-filter on the partition column → the scan plans
     // with PartitionFilters and reads only the probed cell directories
     s.read.parquet(layout.vectors)
-      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0 &&
+        extraFilter)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         round(dot(col("emb"), col("qemb")) / (norm(col("emb")) * norm(col("qemb"))), 6)
@@ -604,6 +606,30 @@ object SimilarityQueries {
 
   def annIvfIndexed(s: SparkSession, d: String): DataFrame =
     annIvfIndexedProbe(s, d, 1)
+
+  /** FILTERED vector search — the attribute-predicate composition
+    * every production vector store must answer ("nearest neighbors
+    * WHERE lang = 'en'"), and the classic correctness trap: POST-
+    * filtering an unfiltered top-k loses recall (a selective predicate
+    * can empty the unfiltered head entirely), so the predicate must
+    * apply BEFORE the top-k gate, inside the probed cells. Here the
+    * PRE-filter composes with the persisted layout's partition
+    * pruning: the scan still reads only the nprobe routed cell
+    * directories, the predicate (a deterministic stand-in attribute,
+    * vec_id mod 3 = 1 — a real deployment filters any metadata column
+    * riding the layout) filters rows inside those cells at the scan,
+    * and the exact cosine top-5 ranks ONLY qualifying vectors. The
+    * oracle replicates route→filter→rank declaratively, so a hash
+    * match pins the filter's position in the pipeline — wrongly
+    * post-filtered results rank vectors the predicate forbids and
+    * cannot match. nprobe = 2 (the selective filter thins each cell,
+    * so filtered search probes wider — the standard production
+    * compensation). */
+  def annIvfFiltered(s: SparkSession, d: String): DataFrame =
+    probeLayout(s, sharedIvfLayout(s, d), d, nprobe = 2,
+      extraFilter = col("vec_id") % 3 === 1)
+
+  val annIvfFilteredSql: String = annIvfProbeSql(2, "e.vec_id % 3 = 1")
 
   /** Streaming index ingest: the embeddings arrive as a STREAM, each
     * micro-batch assigns its vectors' cells (a narrow projection — at
@@ -879,7 +905,8 @@ object SimilarityQueries {
        |${arm("ivfpq_rerank", "ivfpqrr")}""".stripMargin
   }
 
-  private def annIvfProbeSql(nprobe: Int): String =
+  private def annIvfProbeSql(nprobe: Int,
+                             predicateSql: String = "TRUE"): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
       |g AS (
       |  SELECT label, CAST(t.i AS BIGINT) dim,
@@ -901,7 +928,8 @@ object SimilarityQueries {
       |best AS (SELECT label FROM scored ORDER BY csim DESC, label LIMIT $nprobe),
       |cand AS (
       |  SELECT e.vec_id, e.label, e.emb FROM e
-      |  JOIN best ON e.label = best.label WHERE e.vec_id <> 0)
+      |  JOIN best ON e.label = best.label
+      |  WHERE e.vec_id <> 0 AND $predicateSql)
       |SELECT vec_id, label,
       |  round(
       |    list_sum(list_transform(generate_series(1, $EmbeddingDim), i -> emb[i]*qemb[i])) /
@@ -1445,6 +1473,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> annIvf _,
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
+    "sim_ann_filtered" -> annIvfFiltered _,
     "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_ivf_retrain" -> ivfRetrainProbe _,
     "stream_ivf_retrain" -> streamIvfRetrain _,
@@ -1470,6 +1499,7 @@ object SimilarityQueries {
     "sim_ann_ivf" -> annIvfSql,
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> annIvfSql,
+    "sim_ann_filtered" -> annIvfFilteredSql,
     "stream_ivf_ingest" -> annIvfSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "stream_ivf_retrain" -> ivfRetrainSql,
