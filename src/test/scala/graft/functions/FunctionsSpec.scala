@@ -207,6 +207,30 @@ class FunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LONG-scored top-k aggregator == sort-take under any partitioning (r15)") {
+    import spark.implicits._
+    val topk = udaf(new TopKByScoreLong(5))
+    val rnd = new Random(1503)
+    (1 to 15).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // include scores past 2^53 — the exactness regime the Double
+      // variant cannot represent (the r14 advice case), plus duplicate
+      // scores for the id tie-break
+      val rows = (0 until n).map(i =>
+        (if (rnd.nextBoolean()) rnd.nextInt(8).toLong
+         else (1L << 53) + rnd.nextInt(8), i.toLong))
+      val got = rows.toDF("score", "id")
+        .withColumn("k", lit(1)).repartition(4)
+        .groupBy($"k").agg(topk($"score", $"id").as("top"))
+        .select($"top.scores", $"top.ids")
+        .collect()(0)
+      val (gs, gi) = (got.getSeq[Long](0), got.getSeq[Long](1))
+      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(5)
+      assert(gs.zip(gi) == expected.map { case (s, i) => (s, i) },
+        s"rows=$rows")
+    }
+  }
+
   test("Md5Key.column equals a JVM MessageDigest reference for random strings") {
     // the shared hash key underpins every reproducible-sampling
     // operator AND its DuckDB twin — pin the Spark spelling against an
