@@ -167,6 +167,66 @@ object SimilarityQueries {
     } finally { e.unpersist(blocking = false); () }
   }
 
+  /** SEMANTIC decontamination — the embedding-space tier of the
+    * decontamination family (n-gram overlap → exact spans → THIS):
+    * paraphrased or translated benchmark leakage shares no 5-gram
+    * with the eval suite, but its embedding sits next to a benchmark
+    * vector. Train vectors (the %20 split convention of
+    * `curate_decontaminate`) are flagged when their cosine to ANY
+    * benchmark vector reaches the threshold; candidates come ONLY
+    * from the sign-LSH bucket join (the [[cosNearDup]] blocking — a
+    * train vector meets benchmark vectors in its own bucket, never
+    * all-pairs), so at 100 TB the comparison count is corpus ×
+    * (bench-per-bucket), not corpus × bench. τ here is 0.2 — the
+    * synthetic embeddings carry no true cross-split near-dups, so the
+    * fixture exercises the full flag path at a low τ; production sets
+    * τ ≈ 0.9 with the identical plan. Output: each flagged train
+    * vector with its benchmark-hit count and maximum similarity (the
+    * triage fields a decontamination review queue sorts by). */
+  def decontamSemantic(s: SparkSession, d: String): DataFrame = {
+    val bucketF = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), bucketF.as("bucket"))
+    val bench = e.filter(col("vec_id") % 20 === 0)
+      .select(col("bucket").as("bbucket"), col("embedding").as("bemb"))
+    e.filter(col("vec_id") % 20 =!= 0)
+      .join(bench, col("bucket") === col("bbucket"))
+      .withColumn("cos",
+        round(graft.functions.GraftFunctions.cosineSim(s,
+          col("embedding"), col("bemb")), 6))
+      .filter(col("cos") >= 0.2)
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        max(col("cos")).as("max_cos"))
+  }
+
+  val decontamSemanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] emb,
+       |    concat(
+       |      CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+       |      CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) bucket
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT t.vec_id, round(
+       |    list_sum(list_transform(generate_series(1, $EmbeddingDim),
+       |      i -> t.emb[i]*b.emb[i])) /
+       |    (sqrt(list_sum(list_transform(t.emb, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS c
+       |  FROM e t JOIN e b
+       |    ON t.bucket = b.bucket AND t.vec_id % 20 <> 0
+       |   AND b.vec_id % 20 = 0)
+       |SELECT vec_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       |       MAX(c) AS max_cos
+       |FROM p WHERE c >= 0.2 GROUP BY vec_id""".stripMargin
+
   /** Near-dup THRESHOLD SWEEP — the tuning curve a pipeline runs
     * before committing to a dedup cutoff: for every cosine decile
     * band over the sign-LSH candidate pairs ([[cosNearDup]]'s bucket
@@ -1474,6 +1534,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2 _,
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "sim_ann_filtered" -> annIvfFiltered _,
+    "curate_decontam_semantic" -> decontamSemantic _,
     "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_ivf_retrain" -> ivfRetrainProbe _,
     "stream_ivf_retrain" -> streamIvfRetrain _,
@@ -1500,6 +1561,7 @@ object SimilarityQueries {
     "sim_ann_ivf_probe2" -> annIvfProbe2Sql,
     "sim_ann_ivf_indexed" -> annIvfSql,
     "sim_ann_filtered" -> annIvfFilteredSql,
+    "curate_decontam_semantic" -> decontamSemanticSql,
     "stream_ivf_ingest" -> annIvfSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "stream_ivf_retrain" -> ivfRetrainSql,
