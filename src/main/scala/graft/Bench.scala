@@ -67,6 +67,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+    // Second, COMPUTE-BOUND calibration probe (VERDICT r15 next #8):
+    // q1 is scan-bound, so it does not track compute-bound box drift —
+    // the r13/r14/r15 driver-vs-quiet-box episodes all moved
+    // compute-heavy fixtures while q1 held steady, leaving the drift
+    // attributable only from prose. This probe is a fixed scan-free
+    // arithmetic fold (4M rows x 64-step LCG fold over all cores,
+    // zero I/O, deterministic result), min-of-5 like q1; cross-round
+    // ratios of compute-heavy queries divide by THIS number.
+    val calibrationCpu = (1 to 5).map { _ =>
+      sweep()
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 22, 1, 32)
+        .selectExpr("aggregate(sequence(0, 63), id, " +
+          "(acc, x) -> (acc * 48271L + x) % 2147483647L) AS h")
+        .selectExpr("sum(h)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // optional args: run only queries whose name contains any arg
     // (driver passes none → full suite)
@@ -109,12 +127,20 @@ object Bench {
       // reported stat stays the MIN over all runs (the contention-
       // immune cross-round comparison number — a median would still
       // carry sustained ambient load), with medians alongside.
+      // Escalation gates on the CONFIGURED run count, not the
+      // successful-run count (ADVICE r15): with SPARK_GRAFT_BENCH_RUNS
+      // >= 5 the guard is already amortized by the base runs, but a
+      // query with FAILED runs must not sneak into escalation off 2
+      // samples when the operator asked for more — so the decision is
+      // `runsPerQuery < escalateRuns`, and the log line records how
+      // many of the base runs actually succeeded.
       val times =
-        if (first.size >= 2 && first.size < escalateRuns &&
+        if (first.size >= 2 && runsPerQuery < escalateRuns &&
             median(first) > first.min * 1.5) {
           escalated += name
           System.err.println(f"[bench] $name%s variance guard: " +
-            f"min=${first.min}%.2f median=${median(first)}%.2f — " +
+            f"min=${first.min}%.2f median=${median(first)}%.2f " +
+            s"(${first.size}/$runsPerQuery runs succeeded) — " +
             s"escalating to $escalateRuns runs")
           first ++ (first.size until escalateRuns).flatMap(_ => run())
         } else first
@@ -147,6 +173,7 @@ object Bench {
     val meta = s""""failed":$failedJson,"runs":$runsPerQuery,""" +
       s""""escalated":$escalatedJson,""" +
       s""""calibration_q1_sec":$calibration,""" +
+      s""""calibration_cpu_sec":$calibrationCpu,""" +
       s""""heap_max_mb":$maxHeapMb,"sf":"$sfDir""""
     val outFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))

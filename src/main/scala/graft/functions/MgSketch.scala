@@ -109,6 +109,25 @@ final class MgBuf extends Serializable {
       m.put(e.getKey,
         if (c == null) e.getValue else java.lang.Long.valueOf(c + e.getValue))
     }
+    shrinkTo(k)
+  }
+
+  /** [[mergeFrom]] over a SCALA map — the rollup path's per-row input
+    * ([[MgSketchMergeAgg.reduce]] receives decoded Map[String, Long]
+    * sketch columns). Iterating the scala map directly avoids the
+    * per-row O(k) java-HashMap copy the r15 ADVICE flagged (the
+    * allocation the MgBuf change was meant to eliminate). */
+  def mergeFrom(other: scala.collection.Map[String, Long], k: Int): Unit = {
+    other.foreachEntry { (t, c) =>
+      val cur = m.get(t)
+      m.put(t, if (cur == null) c else cur + c)
+    }
+    shrinkTo(k)
+  }
+
+  /** The Agarwal-merge shrink: if over k counters, subtract the
+    * (k+1)-th largest count from all and drop non-positives. */
+  private def shrinkTo(k: Int): Unit = {
     if (m.size > k) {
       val vals = new Array[Long](m.size)
       var i = 0
@@ -136,7 +155,19 @@ final class MgBuf extends Serializable {
 /** Typed Aggregator over the item column; SQL-reachable as
   * `mg_sketch_64` (GraftSql registration). Buffer is the mutable
   * [[MgBuf]] (kryo at shuffle boundaries only); the output stays the
-  * encoder-friendly Map[String, Long]. */
+  * encoder-friendly Map[String, Long].
+  *
+  * STATE-FORMAT NOTE (ADVICE r15): the r15 switch of bufferEncoder
+  * from ExpressionEncoder[Map] to Encoders.kryo[MgBuf] changed the
+  * streaming aggregation STATE schema (map<string,bigint> → binary),
+  * so a checkpoint persisted by a pre-r15 build of an mg_sketch
+  * streaming aggregation (e.g. stream_mg_topk) cannot resume against
+  * this one — Spark state schema validation rejects the mismatch
+  * loudly at restart, it does not corrupt. All catalog checkpoints
+  * are ephemeral scratch dirs, so nothing in this repo is affected; a
+  * deployment that persists such checkpoints must drain the old query
+  * (EMIT FINAL its state) and start the new build from fresh state,
+  * the standard stateful-upgrade path. */
 class MgSketchAgg(k: Int)
     extends Aggregator[String, MgBuf, Map[String, Long]] {
   require(k >= 1, s"Misra-Gries needs k >= 1, got $k")
@@ -171,11 +202,7 @@ class MgSketchMergeAgg(k: Int)
   override def zero: MgBuf = new MgBuf
 
   override def reduce(b: MgBuf, sk: Map[String, Long]): MgBuf = {
-    if (sk != null) {
-      val jm = new java.util.HashMap[String, java.lang.Long]()
-      sk.foreach { case (t, c) => jm.put(t, c) }
-      b.mergeFrom(jm, k)
-    }
+    if (sk != null) b.mergeFrom(sk, k) // scala-map overload: no copy
     b
   }
 

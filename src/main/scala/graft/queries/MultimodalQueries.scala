@@ -486,7 +486,8 @@ object MultimodalQueries {
     * hamming verify runs at compaction time on the flagged set. Zero
     * bands never register (no signal — the batch exclusion, same
     * reason). Oracle: the EXISTS-earlier spelling over the same band
-    * CTE. */
+    * CTE — parity relies on arrival order = doc_id order (see the
+    * ordering note on [[StreamingQueries.neardupCore]]). */
   def streamPhashNearDup(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(s"$d/documents.parquet").schema
     val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
@@ -653,7 +654,8 @@ object MultimodalQueries {
     * narrow per-row pass, so it plans on the unbounded source
     * directly; non-zero bands claim (band_no, band_val) buckets
     * first-wins, later collisions flag with their collided-band
-    * count. */
+    * count. Oracle parity relies on arrival order = doc_id order (the
+    * ordering note on [[StreamingQueries.neardupCore]]). */
   def streamAudioFp(s: SparkSession, d: String): DataFrame = {
     val raw = s.read.parquet(s"$d/documents.parquet").schema
     val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")

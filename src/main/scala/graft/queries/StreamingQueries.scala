@@ -326,7 +326,22 @@ object StreamingQueries {
 
   /** The stateful first-wins bucket registry over ANY
     * (doc_id, band, sig) stream; emits every band row with its dup
-    * flag. Package-visible so the spec drives it batch-by-batch. */
+    * flag. Package-visible so the spec drives it batch-by-batch.
+    *
+    * ORDERING NOTE (ADVICE r15), binding on every consumer
+    * (stream_neardup, stream_mm_phash, stream_mm_audio_fp): the
+    * bucket claim is ARRIVAL-order first-wins across micro-batches
+    * (within one batch the doc_id sort below makes it deterministic),
+    * while the shared oracles gate on `b.doc_id < a.doc_id`. The two
+    * agree exactly when arrival order is doc_id order — true for the
+    * single-parquet-file fixtures, and true in production whenever
+    * the ingest key is monotone (the Kafka-offset convention this
+    * registry models: the FIRST-ingested payload is the canonical
+    * one, by design). A multi-file or reordered replay would flag a
+    * different — valid, but non-oracle-matching — member of each
+    * collision set; a deployment wanting id-canonical claims instead
+    * of ingest-canonical ones runs the batch verify (min-doc_id per
+    * bucket) at compaction, as the batch twins do. */
   private[graft] def neardupCore(bands: DataFrame): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
