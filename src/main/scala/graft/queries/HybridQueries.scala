@@ -363,9 +363,16 @@ object HybridQueries {
     * over ≤5 rows. A real cross-encoder swaps the fold for a
     * partition-batched model call ([[MultimodalQueries.embedStub]]'s
     * mapPartitions shape); nothing else changes. */
-  def hybridRerank(s: SparkSession, d: String): DataFrame = {
-    val cand = hybridRrf(s, d)
-      .select(col("term"), col("doc_id"), col("rrf_score"))
+  def hybridRerank(s: SparkSession, d: String): DataFrame =
+    rerankOver(s, d, hybridRrf(s, d)
+      .select(col("term"), col("doc_id"), col("rrf_score")))
+
+  /** The rerank stage over ANY (term, doc_id, rrf_score) candidate
+    * relation — shared by the batch query and the streaming twin's
+    * finalize, so the candidate-broadcast-into-corpus-scan shape and
+    * the scorer have one spelling. */
+  private def rerankOver(s: SparkSession, d: String,
+                         cand: DataFrame): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
       .join(broadcast(cand), Seq("doc_id"))
@@ -377,7 +384,6 @@ object HybridQueries {
           .orderBy(col("ce_score").desc, col("doc_id"))).cast(LongType))
       .select(col("term"), col("rank"), col("doc_id"), col("ce_score"),
         col("rrf_score"))
-  }
 
   val hybridRerankSql: String =
     s"""WITH hyb AS (SELECT * FROM ($hybridRrfSql) x),
@@ -439,15 +445,170 @@ object HybridQueries {
        |       END AS snippet
        |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Multi-vector LATE-INTERACTION retrieval (VERDICT r15 next #1) —
+  // the ColBERT tier (Khattab & Zaharia, SIGIR 2020) between the
+  // bi-encoder (one vector per doc — the IVF dense leg) and the
+  // cross-encoder rerank (joint scoring of the raw pair): query and
+  // document are each a BAG of token vectors, and the score is
+  //   MaxSim(q, d) = Σ_{qt ∈ q.tokens} max_{dt ∈ d.tokens} ⟨E(qt), E(dt)⟩
+  // — every query token finds its best-matching document token. The
+  // token embedder E here is ONE deterministic md5-grid function
+  // applied to BOTH sides (the qvecExpr discipline): identical token
+  // strings get identical vectors, so an exact lexical hit dominates
+  // its query token's max — precisely the late-interaction behavior
+  // (token-level exact+soft matching) the tier exists for. Query
+  // tokens are the term itself (token 0) plus three deterministic
+  // expansion tokens term#1..term#3; document tokens are the doc's
+  // first 8 words. All dots are exact BIGINT (|dot| ≤ 64·10^12, far
+  // inside the grid bound), so both engines agree bit-for-bit.
+  // ---------------------------------------------------------------
+
+  /** Query-token count (token 0 = the term, 1..3 = expansions). */
+  private val QTokens = 4
+  /** Document tokens scored per candidate (the doc's first words —
+    * a real deployment stores one vector per token up to a cap). */
+  private val DTokens = 8
+
+  /** The token embedder E(x)[i], as a SQL fragment over the string
+    * expression `x` and dim variable `i` — the md5 grid of
+    * [[qvecExpr]] keyed on '@' so token vectors and the dense leg's
+    * query vectors never collide. */
+  private def tokVecSql(x: String): String =
+    s"transform(sequence(0, ${Dim - 1}), vi -> " +
+      s"CAST(conv(substring(md5(concat($x, '@', CAST(vi AS STRING))), 1, 8), " +
+      "16, 10) AS BIGINT) % 2000001 - 1000000)"
+
+  /** The per-row MaxSim score over columns (term, w): both token-
+    * vector matrices are bound EXACTLY ONCE via the single-element-
+    * array lambda trick (the [[MultimodalQueries.audioFpBands]]
+    * CollapseProject discipline — inlined spellings re-derive the
+    * 8×64-md5 document matrix once per query token). */
+  private def maxsimExpr: Column = expr(
+    "element_at(transform(array(" +
+      s"transform(slice(w, 1, $DTokens), t -> ${tokVecSql("t")})), dv -> " +
+    "element_at(transform(array(" +
+      s"transform(sequence(0, ${QTokens - 1}), k -> ${tokVecSql(
+        "IF(k = 0, term, concat(term, '#', CAST(k AS STRING)))")})), qv -> " +
+    "aggregate(qv, 0L, (acc, q) -> acc + array_max(transform(dv, dvec -> " +
+      "aggregate(zip_with(q, dvec, (xa, xb) -> xa * xb), 0L, " +
+      "(sacc, sx) -> sacc + sx))))" +
+    "), 1)), 1)")
+
+  /** The MaxSim scoring + per-term rank over ANY (term, doc_id, w)
+    * candidate relation — one spelling for the batch query and the
+    * streaming twin's in-flight scorer. */
+  private def maxsimRank(cand: DataFrame): DataFrame =
+    cand
+      .withColumn("maxsim", maxsimExpr)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("maxsim").desc, col("doc_id"))).cast(LongType))
+      .select(col("term"), col("rank"), col("doc_id"), col("maxsim"))
+
+  /** Late-interaction scoring of the hybrid candidates: the ≤ terms×5
+    * candidate set broadcasts INTO the corpus scan (only candidates
+    * pay the token-matrix pass, however large the corpus — the
+    * [[hybridRerank]] shape), the per-pair MaxSim is a narrow per-row
+    * fold (never corpus × tokens: the token relation is materialized
+    * per candidate row, not joined), and the final rank is a per-term
+    * window over ≤5 rows. */
+  def maxsim(s: SparkSession, d: String): DataFrame = {
+    val cand = hybridRrf(s, d).select(col("term"), col("doc_id"))
+    maxsimRank(Tables.documents(s, d)
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(cand), Seq("doc_id")))
+  }
+
+  /** E(x)[i] in the oracle's dialect. */
+  private def tokVecDuck(x: String): String =
+    s"('0x' || substr(md5($x || '@' || CAST(vi AS VARCHAR)), 1, 8))::BIGINT " +
+      "% 2000001 - 1000000"
+
+  val maxsimSql: String =
+    s"""WITH hyb AS (SELECT * FROM ($hybridRrfSql) x),
+       |w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |cand AS (
+       |  SELECT h.term, h.doc_id, a[1:$DTokens] AS dtoks
+       |  FROM hyb h JOIN w ON w.doc_id = h.doc_id),
+       |scored AS (
+       |  SELECT term, doc_id,
+       |    list_sum(list_transform(
+       |      list_transform(generate_series(0, ${QTokens - 1}),
+       |        k -> CASE WHEN k = 0 THEN term
+       |             ELSE term || '#' || CAST(k AS VARCHAR) END),
+       |      q -> list_max(list_transform(dtoks, t ->
+       |        list_sum(list_transform(generate_series(0, ${Dim - 1}), vi ->
+       |          (${tokVecDuck("q")}) * (${tokVecDuck("t")}))))))) AS maxsim
+       |  FROM cand)
+       |SELECT term,
+       |       CAST(row_number() OVER (PARTITION BY term
+       |         ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+       |       doc_id, CAST(maxsim AS BIGINT) AS maxsim
+       |FROM scored""".stripMargin
+
+  /** Streaming twin — late-interaction scoring AT INGEST: the
+    * candidate list is the published serving artifact (fixed across
+    * the run, the [[streamHybridRrf]] routing-table convention — in
+    * production, the retrieval tier's current candidate snapshot),
+    * broadcast stream-static under every micro-batch; each arriving
+    * candidate document is MaxSim-scored IN FLIGHT (the token
+    * matrices and the Σmax fold are a narrow per-row pass — no
+    * state, no shuffle, append mode), and the per-term rank runs at
+    * finalize over the drained ≤ terms×5 score rows. Finite input ⇒
+    * the scored relation equals the batch join's, so the SAME oracle
+    * verifies the streaming composition. */
+  def streamMaxsim(s: SparkSession, d: String): DataFrame = {
+    val cand = hybridRrf(s, d).select(col("term"), col("doc_id"))
+      .localCheckpoint()
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val scored = docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .join(broadcast(cand), Seq("doc_id"))
+      .withColumn("maxsim", maxsimExpr)
+      .select(col("term"), col("doc_id"), col("maxsim"))
+    StreamingQueries.runToTable(scored, "append")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("maxsim").desc, col("doc_id"))).cast(LongType))
+      .select(col("term"), col("rank"), col("doc_id"), col("maxsim"))
+  }
+
+  /** Streaming hybrid RERANK (VERDICT r15 next #5) — the full
+    * streaming retrieval stack closed end-to-end: BOTH retrievers are
+    * built by streaming ingest ([[streamHybridRrf]] — per-term
+    * LONG-pack posting heads + replay-idempotent IVF cell appends,
+    * with the checkpoint-recovery proofs of CheckpointRecoverySpec
+    * behind the head state), and the cross-encoder rerank runs at
+    * FINALIZE over the recovered candidate heads: the fused ≤ terms×5
+    * candidate list broadcasts into the corpus scan exactly as the
+    * batch [[hybridRerank]] (only candidates pay the expensive
+    * per-pair pass). Finite input ⇒ the candidate set equals the
+    * batch twin's, so the SAME rerank oracle verifies the whole
+    * streaming composition. */
+  def streamHybridRerank(s: SparkSession, d: String): DataFrame =
+    rerankOver(s, d,
+      streamHybridRrf(s, d).select(col("term"), col("doc_id"),
+        col("rrf_score")))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hybrid_rrf" -> hybridRrf _,
     "stream_hybrid_rrf" -> streamHybridRrf _,
     "text_hybrid_rerank" -> hybridRerank _,
-    "text_hybrid_snippets" -> hybridSnippets _)
+    "stream_hybrid_rerank" -> streamHybridRerank _,
+    "text_hybrid_snippets" -> hybridSnippets _,
+    "text_maxsim" -> maxsim _,
+    "stream_maxsim" -> streamMaxsim _)
 
   def oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
     "stream_hybrid_rrf" -> hybridRrfSql,
     "text_hybrid_rerank" -> hybridRerankSql,
-    "text_hybrid_snippets" -> hybridSnippetsSql)
+    "stream_hybrid_rerank" -> hybridRerankSql,
+    "text_hybrid_snippets" -> hybridSnippetsSql,
+    "text_maxsim" -> maxsimSql,
+    "stream_maxsim" -> maxsimSql)
 }

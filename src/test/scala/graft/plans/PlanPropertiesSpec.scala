@@ -617,7 +617,8 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the <= terms*5 candidate relation joins the corpus as the
     // broadcast build side; a sort-merge there would shuffle the whole
     // corpus for a 50-row probe set
-    for (qn <- Seq("text_hybrid_rerank", "text_hybrid_snippets")) {
+    for (qn <- Seq("text_hybrid_rerank", "text_hybrid_snippets",
+        "text_maxsim")) {
       val p = planOf(qn)
       assert(p.contains("BroadcastHashJoin"), s"$qn\n${p.take(3000)}")
       assert(!p.contains("CartesianProduct"), s"$qn\n${p.take(3000)}")

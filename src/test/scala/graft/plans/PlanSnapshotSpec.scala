@@ -114,7 +114,12 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "text_phrase_ngram" -> Sig(3, 0, 0),
     "text_proximity" -> Sig(4, 0, 0),
     "mm_audio_fp" -> Sig(2, 0, 0),
-    "sketch_mg_sliding" -> Sig(4, 0, 0))
+    "sketch_mg_sliding" -> Sig(4, 0, 0),
+    // r16: text_maxsim = the hybrid candidate pipeline (its Sig) plus
+    // the candidate-broadcast-into-corpus-scan scoring stage and one
+    // per-term rank window shuffle — the MaxSim fold itself is a
+    // narrow per-row pass and must add NO join beyond the broadcast.
+    "text_maxsim" -> Sig(10, 1, 1))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
