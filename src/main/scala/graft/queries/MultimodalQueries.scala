@@ -776,6 +776,220 @@ object MultimodalQueries {
       .toDF()
   }
 
+  // ---------------------------------------------------------------
+  // Video / frame-sequence near-dup (VERDICT r15 next #4) — the last
+  // modality gap: image (r14) and audio (r15) near-dup are closed;
+  // video adds the TEMPORAL dimension. A video is a FRAME SEQUENCE
+  // (the [[frameSample]] schema a real pipeline produces with ffmpeg:
+  // one row per sampled frame); each frame gets an 8-bit perceptual
+  // signature (the aHash idea pooled to 8 cells), and the blocking
+  // keys are TEMPORAL 2-SHINGLES of the signature sequence: band j =
+  // sig_j·256 + sig_{j+1} over the first 5 frames — a candidate must
+  // match two CONSECUTIVE frames' signatures exactly, so a still
+  // image shared between unrelated videos never blocks, and the
+  // concatenation is bitwise locality-preserving, so the hamming
+  // verify leg stays meaningful ([[bandedNearDup]], unchanged: banded
+  // equi-join candidates, popcount <= 6 gate, never all-pairs; the
+  // middle frames appear in two bands, so their diffs count twice —
+  // deliberate temporal weighting). The real leg ([[videoFingerprint]])
+  // consumes real decoded frames via ImageIO (proven on in-memory
+  // PNG sequences in MultimodalCodecSpec); the catalog leg runs the
+  // identical shingle/band math over a deterministic stand-in (5
+  // token-slice "frames", per-frame sig from an md5-bucketed 8-cell
+  // grid — the corpus has no real video bytes and the DuckDB oracle
+  // must reproduce the decode).
+  // ---------------------------------------------------------------
+
+  /** The (doc_id, band_no, band_val) video-fingerprint band relation —
+    * a NARROW per-row pass (the whole signature sequence is a property
+    * of one document), one spelling for the batch query and the
+    * streaming registry. Bind-once discipline throughout (the
+    * [[audioFpBands]] CollapseProject trap):
+    *   cids : one 3-bit cell id per token (md5 grid)
+    *   sigs : 5 per-frame 8-bit signatures (cell count*8 > frame len)
+    *   out  : 4 temporal 2-shingle bands sig_j·256 + sig_{j+1} */
+  private[graft] def videoFpBands(docs0: DataFrame): DataFrame =
+    docs0
+      .select(col("doc_id"),
+        graft.functions.TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        "element_at(transform(array(" +
+          "transform(w, t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) " +
+          "AS BIGINT) % 8)), cids -> " +
+        "element_at(transform(array(" +
+          "transform(sequence(0, 4), f -> " +
+          "element_at(transform(array(slice(cids, " +
+          "CAST(f * size(cids) DIV 5 AS INT) + 1, " +
+          "CAST((f + 1) * size(cids) DIV 5 - f * size(cids) DIV 5 AS INT)))," +
+          " fr -> " +
+          "aggregate(sequence(0, 7), 0L, (acc, cc) -> acc + " +
+          "IF(size(filter(fr, x -> x = CAST(cc AS BIGINT))) * 8 > size(fr), " +
+          "shiftleft(1L, cc), 0L))), 1))), sigs -> " +
+        "transform(sequence(0, 3), j -> " +
+          "element_at(sigs, j + 1) * 256 + element_at(sigs, j + 2))" +
+        "), 1)), 1)"))
+        .as(Seq("band_no", "band_val")))
+      .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
+        col("band_val"))
+
+  /** Video near-dup pairs over the temporal-shingle bands — the
+    * [[bandedNearDup]] pipeline, unchanged. */
+  def videoNearDup(s: SparkSession, d: String): DataFrame =
+    bandedNearDup(videoFpBands(graft.sources.Tables.documents(s, d)))
+
+  private val videoFpBandsCteSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |cid AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS n,
+       |         list_transform(a, t ->
+       |           ('0x' || substr(md5(t), 1, 8))::BIGINT % 8) AS c
+       |  FROM w WHERE len(a) >= 1),
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, 4), f ->
+       |           list_sum(list_transform(generate_series(0, 7), cc ->
+       |             CASE WHEN len(list_filter(
+       |                    c[CAST(f * n // 5 + 1 AS BIGINT) :
+       |                      CAST((f + 1) * n // 5 AS BIGINT)],
+       |                    x -> x = cc)) * 8
+       |                  > ((f + 1) * n // 5 - f * n // 5)
+       |                  THEN (1 << CAST(cc AS INT)) ELSE 0 END))) AS s
+       |  FROM cid),
+       |bands AS (
+       |  SELECT doc_id, CAST(t.j AS BIGINT) AS band_no,
+       |         CAST(s[t.j + 1] * 256 + s[t.j + 2] AS BIGINT) AS band_val
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j) t)""".stripMargin
+
+  val videoNearDupSql: String =
+    s"""$videoFpBandsCteSql,
+       |h AS (
+       |  SELECT doc_id,
+       |         COALESCE(MAX(CASE WHEN band_no=0 THEN band_val END), 0) AS b0,
+       |         COALESCE(MAX(CASE WHEN band_no=1 THEN band_val END), 0) AS b1,
+       |         COALESCE(MAX(CASE WHEN band_no=2 THEN band_val END), 0) AS b2,
+       |         COALESCE(MAX(CASE WHEN band_no=3 THEN band_val END), 0) AS b3
+       |  FROM bands GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_no = b.band_no AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.band_val <> 0)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |         AS BIGINT) AS hamming
+       |FROM cand c JOIN h x ON x.doc_id = c.doc_a
+       |            JOIN h y ON y.doc_id = c.doc_b
+       |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+       |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+       |    <= $HammingMax""".stripMargin
+
+  /** Streaming twin — the ingest-time video near-dup gate, exactly the
+    * [[streamAudioFp]] shape ([[videoFpBands]] is a narrow per-row
+    * pass): non-zero temporal-shingle bands claim (band_no, band_val)
+    * buckets first-wins, later collisions flag with their collided-
+    * band count. Oracle parity relies on arrival order = doc_id order
+    * (the ordering note on [[StreamingQueries.neardupCore]]). */
+  def streamVideoFp(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val bands = videoFpBands(docs)
+      .filter(col("band_val") =!= 0L)
+      .select(col("doc_id"), col("band_no").cast("int").as("band"),
+        col("band_val").cast(StringType).as("sig"))
+    StreamingQueries.runToTable(
+        StreamingQueries.neardupCore(bands), "append")
+      .filter(col("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+  }
+
+  val streamVideoFpSql: String =
+    s"""$videoFpBandsCteSql
+       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands
+       |FROM bands a
+       |WHERE a.band_val <> 0
+       |  AND EXISTS (SELECT 1 FROM bands b
+       |              WHERE b.band_no = a.band_no
+       |                AND b.band_val = a.band_val AND b.band_val <> 0
+       |                AND b.doc_id < a.doc_id)
+       |GROUP BY a.doc_id""".stripMargin
+
+  /** 8-bit per-frame strip signature from REAL pixels: pool luma into
+    * 8 vertical strips, bit = strip mean > global mean — the 1-D aHash
+    * a frame-level perceptual pass uses when the per-frame budget is
+    * 8 bits (the 64-bit [[imageAHash]] is the single-image tier). */
+  private[graft] def frameStripSig(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val strips = new Array[Long](8)
+    val counts = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xff) * 299L +
+          ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+        val i = x * 8 / w
+        strips(i) += luma
+        counts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = strips.indices.map(i =>
+      if (counts(i) == 0) 0L else strips(i) / counts(i))
+    val mu = means.sum / 8
+    var sig = 0L
+    means.zipWithIndex.foreach { case (m, i) => if (m > mu) sig |= 1L << i }
+    sig
+  }
+
+  case class FrameSig(doc_id: Long, frame_no: Long, sig: Long)
+
+  /** REAL video fingerprint: consumes the decoded-frame relation a
+    * production pipeline emits (one row per sampled frame — the
+    * [[frameSample]] schema with real image bytes), computes each
+    * frame's [[frameStripSig]] via ImageIO (partition-batched like
+    * [[imageMeta]]; undecodable frames degrade to sig 0), orders the
+    * first 5 frames per video, and emits the same temporal 2-shingle
+    * band relation as [[videoFpBands]] — ready for [[bandedNearDup]].
+    * Videos with fewer than 5 sampled frames are skipped (no full
+    * shingle window). Exercised on real in-memory PNG frame sequences
+    * in MultimodalCodecSpec. */
+  def videoFingerprint(frames: DataFrame, idCol: String, frameNoCol: String,
+                       payloadCol: String): DataFrame = {
+    val s = frames.sparkSession
+    import s.implicits._
+    val sigs = frames
+      .select(col(idCol).cast(LongType), col(frameNoCol).cast(LongType),
+        col(payloadCol).cast(BinaryType))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, fno, bytes) =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        FrameSig(id, fno,
+          if (img == null || img.getWidth < 1 || img.getHeight < 1) 0L
+          else frameStripSig(img))
+      })
+      .toDF()
+    sigs.groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(frame_no, sig)))," +
+        " x -> x.sig)").as("s"))
+      .filter(size(col("s")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> " +
+          "element_at(s, j + 1) * 256 + element_at(s, j + 2))"))
+        .as(Seq("band_no", "band_val")))
+      .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
+        col("band_val"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_modality_card" -> modalityCard _,
     "mm_resolution_gate" -> resolutionGate _,
@@ -785,7 +999,9 @@ object MultimodalQueries {
     "mm_phash_neardup" -> phashNearDup _,
     "stream_mm_phash" -> streamPhashNearDup _,
     "mm_audio_fp" -> audioFpNearDup _,
-    "stream_mm_audio_fp" -> streamAudioFp _)
+    "stream_mm_audio_fp" -> streamAudioFp _,
+    "mm_video_neardup" -> videoNearDup _,
+    "stream_mm_video" -> streamVideoFp _)
 
   def oracles: Map[String, String] = Map(
     "mm_modality_card" -> modalityCardSql,
@@ -796,5 +1012,7 @@ object MultimodalQueries {
     "mm_phash_neardup" -> phashNearDupSql,
     "stream_mm_phash" -> streamPhashNearDupSql,
     "mm_audio_fp" -> audioFpNearDupSql,
-    "stream_mm_audio_fp" -> streamAudioFpSql)
+    "stream_mm_audio_fp" -> streamAudioFpSql,
+    "mm_video_neardup" -> videoNearDupSql,
+    "stream_mm_video" -> streamVideoFpSql)
 }

@@ -201,6 +201,67 @@ object SimilarityQueries {
         max(col("cos")).as("max_cos"))
   }
 
+  /** Streaming twin of [[decontamSemantic]] (VERDICT r15 next #2) —
+    * completing both-modes symmetry for all five decontamination
+    * tiers: semantic contamination is flagged AT INGEST, as train
+    * vectors arrive. The benchmark side is a STATIC artifact (the
+    * frozen eval suite's vectors with their sign-LSH buckets — built
+    * once, exactly [[streamDecontamSpan]]'s convention for the 5-gram
+    * tier), broadcast stream-static under every micro-batch; each
+    * arriving train vector meets ONLY the benchmark vectors in its
+    * own bucket (the [[cosNearDup]] blocking — per-row work bounded
+    * by bench-per-bucket, never corpus × bench), the exact cosine
+    * verify runs in-flight, and the per-vector evidence (hit count +
+    * max similarity — the triage fields) folds in an UPDATE-mode
+    * grouped aggregation whose state is one (count, max) pair per
+    * FLAGGED vector: bounded by contamination volume, not corpus
+    * size. Finite input ⇒ the hit relation equals the batch join's,
+    * so the SAME oracle verifies the streaming composition. */
+  def streamDecontamSemantic(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField,
+      StructType}
+    val bucketF = concat((1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0, "1").otherwise("0")): _*)
+    val bench = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 20 === 0)
+      .select(bucketF.as("bbucket"), col("embedding").as("bemb"))
+      .localCheckpoint()
+    val raw = s.read.parquet(s"$d/embeddings.parquet").schema
+    val train = s.readStream.schema(raw)
+      .parquet(s"$d/{embeddings}.parquet")
+      .filter(col("vec_id") % 20 =!= 0)
+      .withColumn("bucket", bucketF)
+    val agg = train
+      .join(broadcast(bench), col("bucket") === col("bbucket"))
+      .withColumn("cos",
+        round(graft.functions.GraftFunctions.cosineSim(s,
+          col("embedding"), col("bemb")), 6))
+      .filter(col("cos") >= 0.2)
+      .groupBy(col("vec_id").as("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bench_hits"),
+        max(col("cos")).as("max_cos"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bench_hits", LongType),
+      StructField("max_cos", DoubleType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "doc_id")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try {
+      q.processAllAvailable()
+      store.df(s).localCheckpoint()
+    } finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+  }
+
   val decontamSemanticSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] emb,
@@ -1535,6 +1596,7 @@ object SimilarityQueries {
     "sim_ann_ivf_indexed" -> annIvfIndexed _,
     "sim_ann_filtered" -> annIvfFiltered _,
     "curate_decontam_semantic" -> decontamSemantic _,
+    "stream_decontam_semantic" -> streamDecontamSemantic _,
     "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_ivf_retrain" -> ivfRetrainProbe _,
     "stream_ivf_retrain" -> streamIvfRetrain _,
@@ -1562,6 +1624,7 @@ object SimilarityQueries {
     "sim_ann_ivf_indexed" -> annIvfSql,
     "sim_ann_filtered" -> annIvfFilteredSql,
     "curate_decontam_semantic" -> decontamSemanticSql,
+    "stream_decontam_semantic" -> decontamSemanticSql,
     "stream_ivf_ingest" -> annIvfSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "stream_ivf_retrain" -> ivfRetrainSql,

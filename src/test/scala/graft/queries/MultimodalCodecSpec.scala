@@ -195,6 +195,35 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1 to 4).forall(i => got(4L).getLong(i) == 0L))
   }
 
+  test("real video fingerprint: a one-frame edit stays within the hamming gate, a different sequence never blocks") {
+    import spark.implicits._
+    // three 5-frame "videos" of real PNG frames: #2 copies #1 with a
+    // small edit in frame 2 only (bands 0 and 3 — the shingles not
+    // touching frame 2 — stay identical, so the pair still BLOCKS,
+    // and the middle-frame diff is counted by the hamming verify);
+    // #3 is different content throughout (no consecutive-frame
+    // signature shingle can match, so it never becomes a candidate)
+    def video(id: Long, seeds: Seq[Int], perturbFrame: Int) =
+      seeds.zipWithIndex.map { case (seed, f) =>
+        (id, f.toLong, renderScene(seed, perturb = f == perturbFrame))
+      }
+    val frames = video(1L, Seq(10, 11, 12, 13, 14), -1) ++
+      video(2L, Seq(10, 11, 12, 13, 14), 2) ++
+      video(3L, Seq(70, 71, 72, 73, 74), -1)
+    val bands = MultimodalQueries.videoFingerprint(
+      frames.toDF("doc_id", "frame_no", "payload").repartition(3),
+      "doc_id", "frame_no", "payload")
+    // non-trivial signatures: real frames must set band bits
+    assert(bands.filter(bands("band_val") =!= 0L).count() > 0)
+    val pairs = MultimodalQueries.bandedNearDup(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)),
+      s"one-frame edit failed to block: $pairs")
+    assert(pairs((1L, 2L)) <= 6, s"near-dup too far: ${pairs((1L, 2L))}")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"distinct sequences blocked: $pairs")
+  }
+
   test("columnar audioFpBands equals the scalar walshBands spelling on the same samples") {
     import spark.implicits._
     // the catalog leg's md5 stand-in samples, recomputed scalar-side:
