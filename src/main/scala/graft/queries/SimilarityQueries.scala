@@ -752,6 +752,45 @@ object SimilarityQueries {
 
   val annIvfFilteredSql: String = annIvfProbeSql(2, "e.vec_id % 3 = 1")
 
+  /** IVF TOMBSTONE maintenance (VERDICT r15 next #6) — the dedup
+    * pipeline's removals feeding the index lifecycle: publish the
+    * corpus as v1, take the SemDeDup flags ([[dedupSemantic]]'s
+    * is_dup = 1 set — the actual dedup operator, not a stand-in) as
+    * tombstones, [[graft.sources.IvfIndex.deleteAndCompact]] them into
+    * v2 (routing table carried over unchanged — deletes do not
+    * retrain; atomic `_CURRENT` swap), VACUUM the retired v1, and
+    * probe the compacted index. The oracle re-derives route →
+    * rank-over-REMAINING declaratively (the dedup SQL names the dead
+    * set), so a hash match proves the whole maintenance cycle —
+    * publish → delete → compact → swap → vacuum → probe — returns
+    * exactly what the math says the post-delete index must. The
+    * recall-after-delete assertion (probe-1 equals the exact top-5 of
+    * the remaining corpus on the boundary fixture) lives in
+    * IvfRetrainSpec, the [[annRecall]] protocol. */
+  def ivfDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-ivf-del-")
+    try {
+      val e = withEmb(s, d)
+      graft.sources.IvfIndex.publish(root,
+        centroidArrays(s, d), e.withColumn("cell", col("label")))
+      val dead = dedupSemantic(s, d).filter(col("is_dup") === 1L)
+        .select(col("vec_id"))
+      val layout = graft.sources.IvfIndex.deleteAndCompact(s, root, dead)
+      val vacuumed = graft.sources.IvfIndex.vacuumVersions(root, keepLast = 1)
+      require(vacuumed.nonEmpty,
+        s"vacuum reclaimed nothing after the compact under $root")
+      probeLayout(s, layout, d, nprobe = 1).localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
+  /** Route over the UNCHANGED full-corpus routing table, rank only
+    * the surviving vectors — the dead set spelled by the dedup SQL. */
+  lazy val ivfDeleteSql: String =
+    s"""WITH dd AS (
+       |  SELECT vec_id FROM ($dedupSemanticSql) z WHERE is_dup = 1)
+       |SELECT * FROM (${annIvfProbeSql(1,
+            "e.vec_id NOT IN (SELECT vec_id FROM dd)")}) y""".stripMargin
+
   /** Streaming index ingest: the embeddings arrive as a STREAM, each
     * micro-batch assigns its vectors' cells (a narrow projection — at
     * retrain-fixed centroids the assignment is per-row work) and
@@ -1599,6 +1638,7 @@ object SimilarityQueries {
     "stream_decontam_semantic" -> streamDecontamSemantic _,
     "stream_ivf_ingest" -> streamIvfIngest _,
     "sim_ivf_retrain" -> ivfRetrainProbe _,
+    "sim_ivf_delete" -> ivfDeleteProbe _,
     "stream_ivf_retrain" -> streamIvfRetrain _,
     "sim_ann_recall" -> annRecall _,
     "sim_hard_negatives" -> hardNegatives _,
@@ -1627,6 +1667,7 @@ object SimilarityQueries {
     "stream_decontam_semantic" -> decontamSemanticSql,
     "stream_ivf_ingest" -> annIvfSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
+    "sim_ivf_delete" -> ivfDeleteSql,
     "stream_ivf_retrain" -> ivfRetrainSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_hard_negatives" -> hardNegativesSql,

@@ -300,6 +300,36 @@ object IvfIndex {
     }
   }
 
+  /** TOMBSTONE maintenance (VERDICT r15 next #6) — the third index
+    * lifecycle verb after append and retrain: DELETE a set of vec_ids
+    * (typically the dedup pipeline's removals — SemDeDup flags feeding
+    * the vector store) and COMPACT the layout so probes stop paying
+    * for dead rows. Published as the next version: the routing table
+    * is carried over UNCHANGED (deletes do not retrain — the cells'
+    * geometry is unaffected, only their contents thin; the drift
+    * monitor decides separately whether the thinned means warrant a
+    * retrain), the vectors are rewritten cell-partitioned minus the
+    * tombstoned ids, and the `_CURRENT` pointer swaps atomically, so
+    * in-flight probes keep their consistent pre-delete snapshot and
+    * [[vacuumVersions]] reclaims it after the retention window — the
+    * same crash/reader contract as a retrain publish.
+    *
+    * Scale shape: ONE anti-join of the layout against the tombstone
+    * set (keyed on vec_id — at 100 TB the tombstones broadcast or
+    * bloom-prune exactly like the decontamination joins) and one
+    * partitioned rewrite. Production batches deletes and compacts on
+    * a cadence; each call pays a full-layout rewrite by design — that
+    * is what reclaims the space. */
+  def deleteAndCompact(s: org.apache.spark.sql.SparkSession, root: String,
+                       tombstones: DataFrame): Layout = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentLayout(root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val kept = layoutVectors(s, cur)
+      .join(tombstones.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    publish(root, s.read.parquet(cur.centroids), kept)
+  }
+
   /** Reclaim retired versions, keeping the newest `keepLast` (the
     * current version always survives: keepLast is clamped to ≥ 1).
     * Safe against in-flight readers only to the extent of the

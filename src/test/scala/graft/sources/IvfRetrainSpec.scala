@@ -191,6 +191,48 @@ class IvfRetrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oldC.toSeq != newC.toSeq)
   }
 
+  test("deleteAndCompact: tombstones vanish, routing holds, probe-1 recall over the remaining corpus is exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    // start from the RETRAINED layout, where probe-1 is exact
+    IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
+    val (v2, retrained) = IvfIndex.maybeRetrain(spark, root, 100L)
+    assert(retrained)
+    val before = probe1(v2)
+    assert(before.toSet === exactTop5.toSet)
+    // tombstone two of the query's current top-5 (the dedup-removal
+    // shape: flagged ids handed to the index lifecycle)
+    val dead = Seq(before(0), before(2))
+    val v3 = IvfIndex.deleteAndCompact(spark, root,
+      dead.toDF("vec_id"))
+    assert(v3.vectors.contains("v3"))
+    assert(IvfIndex.currentLayout(root).contains(v3))
+    // the routing table is carried over UNCHANGED (deletes don't retrain)
+    val c2 = spark.read.parquet(v2.centroids).orderBy("label")
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1)))
+    val c3 = spark.read.parquet(v3.centroids).orderBy("label")
+      .collect().map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1)))
+    assert(c2.toSeq === c3.toSeq)
+    // dead ids are physically gone from the layout
+    assert(spark.read.parquet(v3.vectors)
+      .filter(col("vec_id").isin(dead: _*)).count() === 0)
+    // recall-after-delete, the sim_ann_recall protocol: probe-1 equals
+    // the exact top-5 of the REMAINING corpus
+    val q = Seq(Tuple1(vec(queryDeg))).toDF("qemb")
+    val exactRemaining = corpus.filter(!col("vec_id").isin(dead: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cos(col("emb"), col("qemb")).as("csim"))
+      .orderBy(col("csim").desc, col("vec_id")).limit(5)
+      .collect().toSeq.map(_.getLong(0))
+    val after = probe1(v3)
+    assert(after === exactRemaining, s"after=$after exact=$exactRemaining")
+    assert(after.toSet.intersect(dead.toSet).isEmpty)
+    // vacuum reclaims both retired versions; the compacted one survives
+    val vics = IvfIndex.vacuumVersions(root, keepLast = 1)
+    assert(vics.size === 2)
+    assert(probe1(IvfIndex.currentLayout(root).get) === after)
+  }
+
   test("vacuumVersions keeps the newest keepLast and deletes the rest") {
     val root = freshRoot()
     val v1 = IvfIndex.publish(root, staleCentroids, assigned(staleCentroids))
