@@ -246,6 +246,12 @@ object ConnectorDdl {
   private val describeRe =
     (s"""(?is)\\s*DESCRIBE\\s+$nameRe\\s*;?\\s*""").r
   private val showQueriesRe = """(?is)\s*SHOW\s+QUERIES\s*;?\s*""".r
+  // SHOW QUERIES EXTENDED: per-query state-size metrics from
+  // StreamingQueryProgress (graft.streaming.QueryMetrics) — the
+  // capacity-planning view; spec-verified, oracle-excluded (bytes are
+  // store-layout-dependent)
+  private val showQueriesExtRe =
+    """(?is)\s*SHOW\s+QUERIES\s+EXTENDED\s*;?\s*""".r
   // ksql CLI `SHOW TOPICS`: the session's relations (the offline topic
   // analogs) plus every topic a registered sink connector exports
   private val showTopicsRe = """(?is)\s*SHOW\s+TOPICS\s*;?\s*""".r
@@ -1507,7 +1513,8 @@ object ConnectorDdl {
        | defineRe(_*) | undefineRe(_*) | showVariablesRe(_*)
        | runScriptRe(_*) | describeConnectorRe(_*) | showPluginsRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
-       | describeRe(_*) | showQueriesRe(_*) | terminateRe(_*)
+       | describeRe(_*) | showQueriesRe(_*) | showQueriesExtRe(_*)
+       | terminateRe(_*)
        | pauseRe(_*) | resumeRe(_*) | alterRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
        | insertValuesRe(_*) | insertSelectRe(_*)
@@ -1705,6 +1712,8 @@ object ConnectorDdl {
         spark.table(name).schema.fields.toSeq
           .map(f => (name.toLowerCase, kind, f.name, f.dataType.sql))
           .toDF("name", "kind", "field", "type")
+      case showQueriesExtRe() =>
+        graft.streaming.QueryMetrics.extended(spark)
       case showQueriesRe() =>
         // ksql SHOW QUERIES: the session's running persistent queries,
         // plus paused-but-resumable registrations (QueryControl)

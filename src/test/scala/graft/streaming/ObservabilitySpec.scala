@@ -87,4 +87,47 @@ class ObservabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ()
     }
   }
+
+  test("SHOW QUERIES EXTENDED: per-query state rows/bytes from progress (VERDICT r15 #7)") {
+    import spark.implicits._
+    val in = MemoryStream[Long](spark)
+    // a stateful aggregation with a KNOWN state cardinality: one state
+    // row per distinct key — the deterministic field the view must get
+    // exactly right (bytes are store-layout-dependent: only sign-pinned)
+    val q = in.toDF()
+      .select((col("value") % 7).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ext_state_sink")
+      .outputMode("update").start()
+    try {
+      in.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      val ext = graft.GraftSql.sql(spark, "SHOW QUERIES EXTENDED;")
+      assert(ext.columns.toSeq === Seq("query_id", "name", "status",
+        "batch_id", "state_operators", "state_rows", "state_bytes",
+        "input_rows"))
+      val row = ext.collect()
+        .find(_.getAs[String]("name") == "ext_state_sink")
+        .getOrElse(fail("query missing from SHOW QUERIES EXTENDED"))
+      assert(row.getAs[String]("status") === "RUNNING")
+      assert(row.getAs[Long]("batch_id") >= 0L)
+      assert(row.getAs[Long]("state_operators") === 1L)
+      // 7 distinct keys -> exactly 7 state rows
+      assert(row.getAs[Long]("state_rows") === 7L)
+      assert(row.getAs[Long]("state_bytes") > 0L)
+      assert(row.getAs[Long]("input_rows") === 100L)
+      // growth under new KEYS, stability under repeated ones — the
+      // leak-vs-steady-state distinction the view exists to make
+      in.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      val again = graft.GraftSql.sql(spark, "SHOW QUERIES EXTENDED;")
+        .collect().find(_.getAs[String]("name") == "ext_state_sink").get
+      assert(again.getAs[Long]("state_rows") === 7L,
+        "repeated keys must not grow state")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ext_state_sink")
+      ()
+    }
+  }
 }
