@@ -754,12 +754,18 @@ object SimilarityQueries {
 
   /** IVF TOMBSTONE maintenance (VERDICT r15 next #6) — the dedup
     * pipeline's removals feeding the index lifecycle: publish the
-    * corpus as v1, take the SemDeDup flags ([[dedupSemantic]]'s
-    * is_dup = 1 set — the actual dedup operator, not a stand-in) as
-    * tombstones, [[graft.sources.IvfIndex.deleteAndCompact]] them into
-    * v2 (routing table carried over unchanged — deletes do not
-    * retrain; atomic `_CURRENT` swap), VACUUM the retired v1, and
-    * probe the compacted index. The oracle re-derives route →
+    * corpus as v1, take the SemDeDup flags as tombstones,
+    * [[graft.sources.IvfIndex.deleteAndCompact]] them into v2
+    * (routing table carried over unchanged — deletes do not retrain;
+    * atomic `_CURRENT` swap), VACUUM the retired v1, and probe the
+    * compacted index. The tombstone feed is [[dedupSemanticLsh]] —
+    * the SCALE path of the SemDeDup family, deliberately: the exact
+    * all-pairs-per-cluster variant is quadratic in cluster size (the
+    * documented r12 decade cliff, 1.5 s → 155 s for 10× vectors —
+    * measured again at 29× HERE when this query briefly fed from it),
+    * while the banded-LSH variant is the one a production maintenance
+    * job would run; both are catalog-verified operators, so the feed
+    * stays oracle-exact. The oracle re-derives route →
     * rank-over-REMAINING declaratively (the dedup SQL names the dead
     * set), so a hash match proves the whole maintenance cycle —
     * publish → delete → compact → swap → vacuum → probe — returns
@@ -773,7 +779,7 @@ object SimilarityQueries {
       val e = withEmb(s, d)
       graft.sources.IvfIndex.publish(root,
         centroidArrays(s, d), e.withColumn("cell", col("label")))
-      val dead = dedupSemantic(s, d).filter(col("is_dup") === 1L)
+      val dead = dedupSemanticLsh(s, d).filter(col("is_dup") === 1L)
         .select(col("vec_id"))
       val layout = graft.sources.IvfIndex.deleteAndCompact(s, root, dead)
       val vacuumed = graft.sources.IvfIndex.vacuumVersions(root, keepLast = 1)
@@ -787,7 +793,7 @@ object SimilarityQueries {
     * the surviving vectors — the dead set spelled by the dedup SQL. */
   lazy val ivfDeleteSql: String =
     s"""WITH dd AS (
-       |  SELECT vec_id FROM ($dedupSemanticSql) z WHERE is_dup = 1)
+       |  SELECT vec_id FROM ($dedupSemanticLshSql) z WHERE is_dup = 1)
        |SELECT * FROM (${annIvfProbeSql(1,
             "e.vec_id NOT IN (SELECT vec_id FROM dd)")}) y""".stripMargin
 
