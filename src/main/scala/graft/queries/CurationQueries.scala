@@ -416,6 +416,40 @@ object CurationQueries {
     exciseWith(Tables.documents(s, d), spans)
   }
 
+  /** Streaming twin of [[exciseRepeated]] — corpus-internal span
+    * dedup at INGEST time, the streaming Lee et al. 2022: each
+    * arriving document's positioned 5-grams run through the
+    * first-claim registry ([[StreamingQueries.claimCore]] — the first
+    * document to carry a gram claims it, one long of state per
+    * distinct gram; within-doc repeats never self-flag, matching the
+    * batch owner election's ≥2-distinct-docs rule), and a later
+    * document's claimed positions are flagged in flight. At finalize
+    * the flagged positions island-merge and excise through the same
+    * shared consumer as the batch tier. Under doc_id-ordered arrival
+    * (the single-file fixture; the ordering note on
+    * [[StreamingQueries.neardupCore]]) first-claim ≡ lowest-doc_id
+    * ownership, so the SAME oracle verifies the composition. */
+  def streamExciseRepeated(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val stream = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val grams = stream
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(w) - 5), i -> " +
+          "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"))
+        .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("g").as("sig"))
+    val flagged = StreamingQueries.runToTable(
+        StreamingQueries.claimCore(grams), "append")
+      .filter(col("dup"))
+      .select(col("doc_id"), col("pos"))
+    val spans = spanIslands(flagged).groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    exciseWith(Tables.documents(s, d), spans)
+  }
+
   val exciseRepeatedSql: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS a
@@ -1661,6 +1695,7 @@ object CurationQueries {
     "stream_decontam_span" -> streamDecontamSpan _,
     "curate_excise_spans" -> exciseSpans _,
     "curate_excise_repeated" -> exciseRepeated _,
+    "stream_excise_repeated" -> streamExciseRepeated _,
     "curate_neyman_alloc" -> neymanAlloc _,
     "curate_decontam_overlap" -> decontamOverlap _,
     "curate_zorder_layout" -> zorderLayout _,
@@ -1695,6 +1730,7 @@ object CurationQueries {
     "stream_decontam_span" -> decontamSpanSql,
     "curate_excise_spans" -> exciseSpansSql,
     "curate_excise_repeated" -> exciseRepeatedSql,
+    "stream_excise_repeated" -> exciseRepeatedSql,
     "curate_neyman_alloc" -> neymanAllocSql,
     "curate_decontam_overlap" -> decontamOverlapSql,
     "curate_zorder_layout" -> zorderLayoutSql,

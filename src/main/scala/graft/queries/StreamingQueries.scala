@@ -365,6 +365,40 @@ object StreamingQueries {
       }.toDF("doc_id", "band", "dup")
   }
 
+  /** First-claim registry keyed on the SIGNATURE alone — the
+    * [[neardupCore]] discipline (same ordering note, binding here
+    * too) for CONTENT claims rather than bucket collisions: the
+    * first-arriving document claims the signature, every LATER
+    * document's occurrence is flagged, and a payload column (a token
+    * position) rides through untouched. Repeats WITHIN the claiming
+    * document are NOT flagged (`minSeen < id` is strict) — the
+    * ≥2-distinct-docs rule of the batch owner election. State: ONE
+    * long per distinct signature — per-content-item state, the
+    * streaming dedup registry's inherent footprint (production backs
+    * it with the RocksDB provider and fronts hot paths with a bloom,
+    * exactly as the batch tier fronts its join). */
+  private[graft] def claimCore(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    rows.select(col("doc_id"), col("pos"), col("sig"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(Long, Long, String)],
+         st: GroupState[Long]) =>
+          var minSeen = st.getOption.getOrElse(Long.MaxValue)
+          val out = it.toSeq.sortBy(r => (r._1, r._2)).map {
+            case (id, pos, _) =>
+              val dup = minSeen < id
+              if (id < minSeen) minSeen = id
+              (id, pos, dup)
+          }
+          st.update(minSeen)
+          out.iterator
+      }.toDF("doc_id", "pos", "dup")
+  }
+
   val streamNeardupSql: String =
     s"""WITH ${DedupQueries.bandsCteSql}
       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands

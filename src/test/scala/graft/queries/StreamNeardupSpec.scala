@@ -66,6 +66,48 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("claimCore: content claims flag later DOCS only, never within-doc repeats; payload rides") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, Long, String)]
+    val ckpt = StreamingQueries.scratchDir("claim-spec-")
+    val q = StreamingQueries.claimCore(
+        in.toDF().toDF("doc_id", "pos", "sig"))
+      .writeStream.outputMode("append").format("memory")
+      .option("checkpointLocation", ckpt)
+      .queryName("claim_inc").start()
+    def flags(): Map[(Long, Long), Boolean] = {
+      q.processAllAvailable()
+      spark.table("claim_inc").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    }
+    try {
+      // batch 1: doc 10 claims gram G at two of ITS OWN positions —
+      // within-doc repeats never self-flag (the >=2-distinct-docs
+      // rule); doc 20's occurrence is a later DOC -> flagged, with
+      // its position payload intact
+      in.addData((10L, 3L, "G"), (10L, 9L, "G"), (20L, 0L, "G"))
+      val f1 = flags()
+      assert(f1((10L, 3L)) == false && f1((10L, 9L)) == false)
+      assert(f1((20L, 0L)) == true)
+      // batch 2: a smaller doc arrives late — takes the claim without
+      // being flagged (arrival-order registry, the neardupCore note)
+      in.addData((5L, 1L, "G"))
+      assert(flags()((5L, 1L)) == false)
+      // batch 3: the old owner's NEW occurrence is now a later doc
+      // than claim-holder 5 -> flagged; an unrelated gram is clean
+      in.addData((10L, 40L, "G"), (10L, 41L, "H"))
+      val f3 = flags()
+      assert(f3((10L, 40L)) == true)
+      assert(f3((10L, 41L)) == false)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("claim_inc")
+      spark.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+  }
+
   test("bucket-registry state survives a query restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
