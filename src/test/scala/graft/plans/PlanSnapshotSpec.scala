@@ -119,7 +119,14 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the candidate-broadcast-into-corpus-scan scoring stage and one
     // per-term rank window shuffle — the MaxSim fold itself is a
     // narrow per-row pass and must add NO join beyond the broadcast.
-    "text_maxsim" -> Sig(10, 1, 1))
+    "text_maxsim" -> Sig(10, 1, 1),
+    // r16: excise_repeated = gram-keyed owner election + hits join +
+    // per-doc islands + the (deliberately unhinted) excision join;
+    // video near-dup = the shared bandedNearDup skeleton over the
+    // narrow per-row band pass (mm_audio_fp's Sig shape + the two
+    // verify-leg joins resolved as broadcasts at this SF)
+    "curate_excise_repeated" -> Sig(3, 0, 0),
+    "mm_video_neardup" -> Sig(2, 0, 0))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
