@@ -577,6 +577,163 @@ object HybridQueries {
       .select(col("term"), col("rank"), col("doc_id"), col("maxsim"))
   }
 
+  // ---------------------------------------------------------------
+  // CORPUS-SCALE late interaction (the PLAID idea, Santhanam et al.
+  // 2022): [[maxsim]] scores only the hybrid candidates; this variant
+  // retrieves by MaxSim over the WHOLE corpus without ever scoring
+  // the whole corpus — the two-stage shape every production late-
+  // interaction store uses: (1) a CHEAP token-bucket collision
+  // shortlist (query-token and document-token vectors bucketed by the
+  // 8-bit sign pattern of their first 8 dims — the annSignLsh rule;
+  // identical token strings share a bucket BY CONSTRUCTION, so a doc
+  // containing the query term lexically is always a candidate), and
+  // (2) the exact MaxSim re-rank on the ≤100-per-term shortlist only.
+  // The bucket rule is deterministic, so the DuckDB oracle replicates
+  // the approximation EXACTLY — a verified approximate retriever, the
+  // dedup_semantic_lsh precedent.
+  // ---------------------------------------------------------------
+
+  /** Shortlist size per term for the exact re-rank stage. */
+  private val ShortK = 100
+
+  /** 8-bit sign bucket of a token string's embedding, as a SQL
+    * fragment over string expression `x` — only the first 8 dims of
+    * E(x) are ever computed (8 md5 per token, not 64). */
+  private def tokBucketSql(x: String): String =
+    s"array_join(transform(sequence(0, 7), vi -> " +
+      s"IF(CAST(conv(substring(md5(concat($x, '@', CAST(vi AS STRING))), " +
+      "1, 8), 16, 10) AS BIGINT) % 2000001 - 1000000 >= 0, '1', '0')), '')"
+
+  /** The 40-row (term, bucket) query-token relation — broadcast
+    * everywhere it joins. */
+  private def qtokBuckets(q: DataFrame): DataFrame =
+    q.select(col("term"), explode(sequence(lit(0), lit(QTokens - 1)))
+        .as("k"))
+      .withColumn("qs",
+        expr("IF(k = 0, term, concat(term, '#', CAST(k AS STRING)))"))
+      .select(col("term"), expr(tokBucketSql("qs")).as("bucket"))
+
+  /** The per-position document token relation with its sign bucket —
+    * a narrow per-row pass (one spelling for batch and stream). */
+  private def docTokBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(s"slice(w, 1, $DTokens)")).as(Seq("p", "tok")))
+      .select(col("doc_id"), expr(tokBucketSql("tok")).as("bucket"))
+
+  /** Shortlist + exact re-rank over ANY (term, doc_id) hit relation:
+    * per-(term, doc) collision counts, the k-bounded LONG top-100
+    * (tie-break packed as hits·2^33 − doc_id — exact for doc_id <
+    * 2^33, the corpus-id grid bound, documented like the BM25 pack),
+    * then the exact MaxSim on shortlisted docs only (broadcast into
+    * the corpus scan) and the top-5 gate. */
+  private def shortlistAndRank(s: SparkSession, d: String,
+                               hits: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScoreLong(ShortK))
+    val short = hits
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("h"))
+      .withColumn("ord", expr("h * 8589934592L - doc_id"))
+      .groupBy(col("term"))
+      .agg(topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("term"), explode(col("top.ids")).as("doc_id"))
+    maxsimRank(Tables.documents(s, d)
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+        .join(broadcast(short), Seq("doc_id")))
+      .filter(col("rank") <= RetrievalQueries.K)
+  }
+
+  /** Corpus-scale MaxSim retrieval: bucket-collision shortlist over
+    * every document token, exact late-interaction re-rank on the
+    * shortlist, top-5 per term. Never corpus × query-tokens beyond
+    * the bucket equi-join; never exact-scores more than ShortK docs
+    * per term, at any corpus size. */
+  def maxsimCorpus(s: SparkSession, d: String): DataFrame = {
+    val qt = qtokBuckets(qsel(s, d))
+    val hits = docTokBuckets(Tables.documents(s, d))
+      .join(broadcast(qt), Seq("bucket"))
+      .select(col("term"), col("doc_id"))
+    shortlistAndRank(s, d, hits)
+  }
+
+  /** Streaming twin — candidate generation AT INGEST: the query
+    * workload's token buckets are the published serving artifact
+    * (fixed across the run), broadcast stream-static; each arriving
+    * document's token buckets probe them in flight (narrow pass + a
+    * broadcast-hash join per micro-batch — no state, append mode),
+    * and the drained hit rows feed the same shortlist + exact-re-rank
+    * finalize as the batch twin. Finite input ⇒ identical hit
+    * relation ⇒ the SAME oracle verifies the composition. */
+  def streamMaxsimCorpus(s: SparkSession, d: String): DataFrame = {
+    val qt = qtokBuckets(qsel(s, d)).localCheckpoint()
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val hits = docTokBuckets(docs)
+      .join(broadcast(qt), Seq("bucket"))
+      .select(col("term"), col("doc_id"))
+    shortlistAndRank(s, d, StreamingQueries.runToTable(hits, "append"))
+  }
+
+  private def tokBucketDuck(x: String): String =
+    s"array_to_string(list_transform(generate_series(0, 7), vi -> " +
+      s"CASE WHEN ('0x' || substr(md5($x || '@' || CAST(vi AS VARCHAR)), " +
+      "1, 8))::BIGINT % 2000001 - 1000000 >= 0 THEN '1' ELSE '0' END), '')"
+
+  val maxsimCorpusSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tw AS (SELECT doc_id, unnest(a) AS term FROM w),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tw GROUP BY 1, 2),
+       |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |q0 AS (
+       |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM dfr),
+       |qsel AS (SELECT term FROM q0
+       |         WHERE r BETWEEN ${RetrievalQueries.RankLo}
+       |           AND ${RetrievalQueries.RankHi}),
+       |qtb AS (
+       |  SELECT term,
+       |         ${tokBucketDuck(
+              "(CASE WHEN k = 0 THEN term ELSE term || '#' || CAST(k AS VARCHAR) END)")}
+       |           AS bucket
+       |  FROM qsel, (SELECT unnest(generate_series(0, ${QTokens - 1})) AS k) kk),
+       |dt AS (
+       |  SELECT doc_id, a[t.p] AS tok
+       |  FROM w, (SELECT unnest(generate_series(1, $DTokens)) AS p) t
+       |  WHERE len(a) >= t.p),
+       |dtb AS (SELECT doc_id, ${tokBucketDuck("tok")} AS bucket FROM dt),
+       |hits AS (
+       |  SELECT q.term, d.doc_id, COUNT(*) AS h
+       |  FROM dtb d JOIN qtb q USING (bucket) GROUP BY 1, 2),
+       |short AS (
+       |  SELECT term, doc_id FROM (
+       |    SELECT term, doc_id,
+       |           row_number() OVER (PARTITION BY term
+       |             ORDER BY h DESC, doc_id) AS rn
+       |    FROM hits) WHERE rn <= $ShortK),
+       |cand AS (
+       |  SELECT s.term, s.doc_id, a[1:$DTokens] AS dtoks
+       |  FROM short s JOIN w ON w.doc_id = s.doc_id),
+       |scored AS (
+       |  SELECT term, doc_id,
+       |    list_sum(list_transform(
+       |      list_transform(generate_series(0, ${QTokens - 1}),
+       |        k -> CASE WHEN k = 0 THEN term
+       |             ELSE term || '#' || CAST(k AS VARCHAR) END),
+       |      q -> list_max(list_transform(dtoks, t ->
+       |        list_sum(list_transform(generate_series(0, ${Dim - 1}), vi ->
+       |          (${tokVecDuck("q")}) * (${tokVecDuck("t")}))))))) AS maxsim
+       |  FROM cand)
+       |SELECT term, rank, doc_id, maxsim FROM (
+       |  SELECT term,
+       |         CAST(row_number() OVER (PARTITION BY term
+       |           ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank,
+       |         doc_id, CAST(maxsim AS BIGINT) AS maxsim
+       |  FROM scored)
+       |WHERE rank <= ${RetrievalQueries.K}""".stripMargin
+
   /** Streaming hybrid RERANK (VERDICT r15 next #5) — the full
     * streaming retrieval stack closed end-to-end: BOTH retrievers are
     * built by streaming ingest ([[streamHybridRrf]] — per-term
@@ -601,7 +758,9 @@ object HybridQueries {
     "stream_hybrid_rerank" -> streamHybridRerank _,
     "text_hybrid_snippets" -> hybridSnippets _,
     "text_maxsim" -> maxsim _,
-    "stream_maxsim" -> streamMaxsim _)
+    "stream_maxsim" -> streamMaxsim _,
+    "text_maxsim_corpus" -> maxsimCorpus _,
+    "stream_maxsim_corpus" -> streamMaxsimCorpus _)
 
   def oracles: Map[String, String] = Map(
     "text_hybrid_rrf" -> hybridRrfSql,
@@ -610,5 +769,7 @@ object HybridQueries {
     "stream_hybrid_rerank" -> hybridRerankSql,
     "text_hybrid_snippets" -> hybridSnippetsSql,
     "text_maxsim" -> maxsimSql,
-    "stream_maxsim" -> maxsimSql)
+    "stream_maxsim" -> maxsimSql,
+    "text_maxsim_corpus" -> maxsimCorpusSql,
+    "stream_maxsim_corpus" -> maxsimCorpusSql)
 }

@@ -618,7 +618,7 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast build side; a sort-merge there would shuffle the whole
     // corpus for a 50-row probe set
     for (qn <- Seq("text_hybrid_rerank", "text_hybrid_snippets",
-        "text_maxsim")) {
+        "text_maxsim", "text_maxsim_corpus")) {
       val p = planOf(qn)
       assert(p.contains("BroadcastHashJoin"), s"$qn\n${p.take(3000)}")
       assert(!p.contains("CartesianProduct"), s"$qn\n${p.take(3000)}")

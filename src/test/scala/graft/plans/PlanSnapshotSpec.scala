@@ -126,7 +126,13 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // narrow per-row band pass (mm_audio_fp's Sig shape + the two
     // verify-leg joins resolved as broadcasts at this SF)
     "curate_excise_repeated" -> Sig(3, 0, 0),
-    "mm_video_neardup" -> Sig(2, 0, 0))
+    "mm_video_neardup" -> Sig(2, 0, 0),
+    // corpus-scale MaxSim: bucket equi-join (broadcast of the 40-row
+    // query-token relation) + two-phase hit counts + the k-bounded
+    // top-100 + the shortlist-broadcast exact stage + rank windows —
+    // the exact MaxSim fold itself must add no join beyond the
+    // shortlist broadcast
+    "text_maxsim_corpus" -> Sig(7, 0, 0))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")

@@ -224,6 +224,39 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"distinct sequences blocked: $pairs")
   }
 
+  test("columnar videoFpBands equals an independent scalar recompute of the shingle math") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (2L, "one two three four"), // shorter than 5 frames' worth
+      (3L, "solo"))               // single token
+    val df = texts.toDF("doc_id", "text")
+    val colSide = MultimodalQueries.videoFpBands(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5u32(t: String): Long = {
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    texts.foreach { case (id, text) =>
+      val cids = text.trim.split("\\s+").map(t => md5u32(t) % 8)
+      val n = cids.length
+      val sigs = (0 until 5).map { f =>
+        val fr = cids.slice(f * n / 5, (f + 1) * n / 5)
+        (0 until 8).map { c =>
+          if (fr.count(_ == c) * 8 > fr.length) 1L << c else 0L
+        }.sum
+      }
+      (0 to 3).foreach { j =>
+        val want = sigs(j) * 256 + sigs(j + 1)
+        assert(colSide((id, j.toLong)) == want,
+          s"doc $id band $j: columnar ${colSide((id, j.toLong))} vs scalar $want")
+      }
+    }
+  }
+
   test("columnar audioFpBands equals the scalar walshBands spelling on the same samples") {
     import spark.implicits._
     // the catalog leg's md5 stand-in samples, recomputed scalar-side:
