@@ -1136,7 +1136,127 @@ object RetrievalQueries {
         expr("(z.ords + z.ids) DIV 4294967296").as("n_close"))
   }
 
+  /** Pseudo-relevance feedback (RM3-style query expansion — Lavrenko
+    * & Croft 2001; the Anserini/RM3 default shape): retrieval quality
+    * tier ABOVE plain BM25 when the query vocabulary misses relevant
+    * docs. Three passes, all integer-exact:
+    *
+    *   1. FEEDBACK: plain integer BM25 top-[[K]] per query term (the
+    *      [[bm25TopK]] skeleton) — the pseudo-relevant set.
+    *   2. EXPANSION MINING: candidate terms from the feedback docs
+    *      ranked by total tf across the set (desc, term asc — exact
+    *      total order), the query term itself excluded; top-2 per
+    *      query. The candidate relation is FEEDBACK-bounded (the
+    *      vocabulary of ≤[[K]] docs per query), not corpus-bounded, so
+    *      the per-query rank window is bounded by construction.
+    *   3. EXPANDED RETRIEVAL: score = 2·bm25(q, doc) + Σ_e bm25(e,
+    *      doc) (the original term double-weighted on the integer
+    *      grid); a doc matching only expansion terms still scores —
+    *      the recall RM3 exists to add. The ≤3-terms-per-query scoring
+    *      relation picks up each term's df by joining INTO the df
+    *      relation (30 rows out — never a vocabulary broadcast), then
+    *      broadcasts over the posting lists; per-query top-5 is the
+    *      k-bounded LONG aggregator. */
+  def prfExpand(s: SparkSession, d: String): DataFrame = {
+    val tf = tfRel(s, d)
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val q = dfRel.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    // pass 1: feedback docs
+    val fb = tf.join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", ScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("term").as("qterm"), explode(col("top.ids")).as("doc_id"))
+    // pass 2: top-2 expansion terms per query
+    val exp = fb
+      .join(tf.select(col("doc_id"), col("term").as("cterm"), col("tf")),
+        Seq("doc_id"))
+      .filter(col("cterm") =!= col("qterm"))
+      .groupBy(col("qterm"), col("cterm"))
+      .agg(sum(col("tf")).as("stf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qterm"))
+          .orderBy(col("stf").desc, col("cterm"))))
+      .filter(col("rn") <= 2)
+      .select(col("qterm"), col("cterm").as("term"), lit(1L).as("wt"))
+    // pass 3: weighted expanded retrieval
+    val terms = q.select(col("term").as("qterm"), col("term"),
+        lit(2L).as("wt"))
+      .unionByName(exp)
+    val termsWithDf = dfRel.join(broadcast(terms), Seq("term"))
+    tf.join(broadcast(termsWithDf), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wscore", col("wt") * ScoreExpr)
+      .groupBy(col("qterm"), col("doc_id"))
+      .agg(sum(col("wscore")).as("score"))
+      .groupBy(col("qterm"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("qterm").as("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
+  val prfExpandSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |s1 AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score
+       |  FROM tf t JOIN qsel s USING (term) CROSS JOIN n),
+       |fb AS (
+       |  SELECT term AS qterm, doc_id
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score DESC, doc_id) AS rn FROM s1)
+       |  WHERE rn <= $K),
+       |cand AS (
+       |  SELECT f.qterm, t.term AS cterm, SUM(t.tf) AS stf
+       |  FROM fb f JOIN tf t USING (doc_id)
+       |  WHERE t.term <> f.qterm GROUP BY 1, 2),
+       |exp AS (
+       |  SELECT qterm, cterm FROM (
+       |    SELECT qterm, cterm, row_number() OVER (PARTITION BY qterm
+       |      ORDER BY stf DESC, cterm) AS rn FROM cand)
+       |  WHERE rn <= 2),
+       |terms AS (
+       |  SELECT term AS qterm, term, 2 AS wt FROM qsel
+       |  UNION ALL
+       |  SELECT qterm, cterm AS term, 1 AS wt FROM exp),
+       |sc AS (
+       |  SELECT x.qterm, t.doc_id,
+       |         CAST(SUM(x.wt *
+       |           ((((n.n_docs - d.df) * 2 + 1) * 1000000 // (d.df * 2 + 1))
+       |            * ((t.tf * 2000) // (t.tf + 1)))) AS BIGINT) AS score
+       |  FROM terms x JOIN tf t USING (term) JOIN df d USING (term)
+       |  CROSS JOIN n GROUP BY 1, 2)
+       |SELECT qterm AS term, CAST(rn AS BIGINT) AS rank, doc_id, score
+       |FROM (SELECT qterm, doc_id, score,
+       |             row_number() OVER (PARTITION BY qterm
+       |               ORDER BY score DESC, doc_id) AS rn
+       |      FROM sc)
+       |WHERE rn <= $K""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_prf_expand" -> prfExpand _,
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
     "stream_bm25_topk" -> streamBm25TopK _,
@@ -1152,6 +1272,7 @@ object RetrievalQueries {
     "stream_rrf_fusion" -> streamRrfFusion _)
 
   def oracles: Map[String, String] = Map(
+    "text_prf_expand" -> prfExpandSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_conjunctive" -> bm25ConjunctiveSql,
     "stream_bm25_topk" -> bm25TopKSql,

@@ -132,7 +132,12 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // top-100 + the shortlist-broadcast exact stage + rank windows —
     // the exact MaxSim fold itself must add no join beyond the
     // shortlist broadcast
-    "text_maxsim_corpus" -> Sig(7, 0, 0))
+    "text_maxsim_corpus" -> Sig(7, 0, 0),
+    // RM3 PRF: three chained bounded stages — feedback top-5 (the
+    // bm25 skeleton), feedback-bounded expansion mining, and the
+    // 30-row weighted scoring relation broadcast over the postings;
+    // the BNLJs are the two 1-row n_docs broadcasts
+    "text_prf_expand" -> Sig(8, 0, 2))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
