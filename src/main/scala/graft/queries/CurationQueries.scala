@@ -419,20 +419,17 @@ object CurationQueries {
   /** Streaming twin of [[exciseRepeated]] — corpus-internal span
     * dedup at INGEST time, the streaming Lee et al. 2022: each
     * arriving document's positioned 5-grams run through the
-    * first-claim registry ([[StreamingQueries.claimCore]] — the first
-    * document to carry a gram claims it, one long of state per
-    * distinct gram; within-doc repeats never self-flag, matching the
-    * batch owner election's ≥2-distinct-docs rule), and a later
-    * document's claimed positions are flagged in flight. At finalize
-    * the flagged positions island-merge and excise through the same
-    * shared consumer as the batch tier. Under doc_id-ordered arrival
-    * (the single-file fixture; the ordering note on
-    * [[StreamingQueries.neardupCore]]) first-claim ≡ lowest-doc_id
-    * ownership, so the SAME oracle verifies the composition. */
+    * claim-log registry ([[StreamingQueries.claimCore]] — a gram
+    * carried by ≥2 distinct documents releases its occurrence log,
+    * one tuple of state per distinct gram; within-doc repeats never
+    * self-release, matching the batch owner election's
+    * ≥2-distinct-docs rule). At finalize the min-doc_id election
+    * ([[StreamingQueries.electClaims]]) flags every non-owner
+    * occurrence — so the SAME oracle verifies the composition under
+    * ANY arrival order — and the flagged positions island-merge and
+    * excise through the same shared consumer as the batch tier. */
   def streamExciseRepeated(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/documents.parquet").schema
-    val stream = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
-    val grams = stream
+    val grams = StreamingQueries.docStream(s, d)
       .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), posexplode(expr(
@@ -441,10 +438,8 @@ object CurationQueries {
         .as(Seq("pos", "g")))
       .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
         col("g").as("sig"))
-    val flagged = StreamingQueries.runToTable(
-        StreamingQueries.claimCore(grams), "append")
-      .filter(col("dup"))
-      .select(col("doc_id"), col("pos"))
+    val flagged = StreamingQueries.electClaims(StreamingQueries.runToTable(
+      StreamingQueries.claimCore(grams), "append"))
     val spans = spanIslands(flagged).groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
     exciseWith(Tables.documents(s, d), spans)

@@ -634,7 +634,15 @@ object HybridQueries {
     val short = hits
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("h"))
-      .withColumn("ord", expr("h * 8589934592L - doc_id"))
+      // grid-bound guard (ADVICE r16, the neymanAlloc raise_error
+      // discipline): the pack is exact only for 0 <= doc_id < 2^33 —
+      // out-of-grid ids must fail LOUDLY, not silently reorder the
+      // shortlist. One comparison per aggregated (term, doc) row.
+      .withColumn("ord", expr(
+        "IF(doc_id < 0 OR doc_id >= 8589934592L, " +
+          "CAST(raise_error('shortlist pack: doc_id outside [0, 2^33) - " +
+          "remap ids before late-interaction retrieval') AS BIGINT), " +
+          "h * 8589934592L - doc_id)"))
       .groupBy(col("term"))
       .agg(topk(col("ord"), col("doc_id")).as("top"))
       .select(col("term"), explode(col("top.ids")).as("doc_id"))

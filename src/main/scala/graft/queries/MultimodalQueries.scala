@@ -100,8 +100,10 @@ object MultimodalQueries {
             af.getChannels.toLong, frames,
             if (af.getFrameRate > 0) frames / af.getFrameRate.toDouble else -1.0)
         } catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException |
-               _: java.io.IOException =>
+          // NonFatal, not just the checked pair: a malformed payload
+          // must degrade to the sentinel row, never fail the job
+          // (ADVICE r16 — codec paths also throw runtime exceptions)
+          case scala.util.control.NonFatal(_) =>
             AudioMeta(id, bytes.length.toLong, -1.0, -1L, -1L, -1.0)
         }
       })
@@ -277,7 +279,7 @@ object MultimodalQueries {
       .mapPartitions(_.map { case (id, bytes) =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null || img.getWidth < 1 || img.getHeight < 1)
           AHashBands(id, 0L, 0L, 0L, 0L)
         else {
@@ -477,29 +479,27 @@ object MultimodalQueries {
 
   /** Streaming twin of the perceptual near-dup — the INGEST-time
     * gate: as payloads arrive, each of a document's non-zero hash
-    * bands claims its (band_no, band_val) bucket first-wins
-    * ([[StreamingQueries.neardupCore]], the stream_neardup registry —
-    * state per bucket is ONE long); a document whose bucket was
-    * already claimed by an earlier payload is flagged with the count
-    * of its collided bands. This is candidate-level dedup (band
+    * bands registers in its (band_no, band_val) bucket
+    * ([[StreamingQueries.neardupCore]], the stream_neardup claim-log
+    * registry — state per bucket is one tuple); contested buckets
+    * emit their member rows, and the finalize-time min-doc_id
+    * election flags every non-owner with the count of its collided
+    * bands. This is candidate-level dedup (band
     * collision = perceptual near-dup candidate) — the batch query's
     * hamming verify runs at compaction time on the flagged set. Zero
     * bands never register (no signal — the batch exclusion, same
     * reason). Oracle: the EXISTS-earlier spelling over the same band
-    * CTE — parity relies on arrival order = doc_id order (see the
-    * ordering note on [[StreamingQueries.neardupCore]]). */
+    * CTE — matched under ANY arrival order via the claim-log +
+    * finalize-election registry ([[StreamingQueries.neardupCore]] /
+    * [[StreamingQueries.electDupBands]]). */
   def streamPhashNearDup(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/documents.parquet").schema
-    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val docs = StreamingQueries.docStream(s, d)
     val bands = phashBands(docs)
       .filter(col("band_val") =!= 0L)
       .select(col("doc_id"), col("band_no").cast("int").as("band"),
         col("band_val").cast(StringType).as("sig"))
-    StreamingQueries.runToTable(
-        StreamingQueries.neardupCore(bands), "append")
-      .filter(col("dup"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+    StreamingQueries.electDupBands(StreamingQueries.runToTable(
+      StreamingQueries.neardupCore(bands), "append"))
   }
 
   val streamPhashNearDupSql: String =
@@ -654,20 +654,17 @@ object MultimodalQueries {
     * narrow per-row pass, so it plans on the unbounded source
     * directly; non-zero bands claim (band_no, band_val) buckets
     * first-wins, later collisions flag with their collided-band
-    * count. Oracle parity relies on arrival order = doc_id order (the
-    * ordering note on [[StreamingQueries.neardupCore]]). */
+    * count; ownership is the finalize-time min-doc_id election, so
+    * the shared oracle matches under ANY arrival order
+    * ([[StreamingQueries.electDupBands]]). */
   def streamAudioFp(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/documents.parquet").schema
-    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val docs = StreamingQueries.docStream(s, d)
     val bands = audioFpBands(docs)
       .filter(col("band_val") =!= 0L)
       .select(col("doc_id"), col("band_no").cast("int").as("band"),
         col("band_val").cast(StringType).as("sig"))
-    StreamingQueries.runToTable(
-        StreamingQueries.neardupCore(bands), "append")
-      .filter(col("dup"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+    StreamingQueries.electDupBands(StreamingQueries.runToTable(
+      StreamingQueries.neardupCore(bands), "append"))
   }
 
   val streamAudioFpSql: String =
@@ -768,8 +765,9 @@ object MultimodalQueries {
               }
             } finally ais.close()
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException => new Array[Long](4)
+            // NonFatal (ADVICE r16): undecodable payloads degrade to
+            // zero bands (excluded from candidates), never fail the job
+            case scala.util.control.NonFatal(_) => new Array[Long](4)
           }
         AHashBands(id, bands(0), bands(1), bands(2), bands(3))
       })
@@ -892,20 +890,17 @@ object MultimodalQueries {
     * [[streamAudioFp]] shape ([[videoFpBands]] is a narrow per-row
     * pass): non-zero temporal-shingle bands claim (band_no, band_val)
     * buckets first-wins, later collisions flag with their collided-
-    * band count. Oracle parity relies on arrival order = doc_id order
-    * (the ordering note on [[StreamingQueries.neardupCore]]). */
+    * band count; ownership is the finalize-time min-doc_id election,
+    * so the shared oracle matches under ANY arrival order
+    * ([[StreamingQueries.electDupBands]]). */
   def streamVideoFp(s: SparkSession, d: String): DataFrame = {
-    val raw = s.read.parquet(s"$d/documents.parquet").schema
-    val docs = s.readStream.schema(raw).parquet(s"$d/{documents}.parquet")
+    val docs = StreamingQueries.docStream(s, d)
     val bands = videoFpBands(docs)
       .filter(col("band_val") =!= 0L)
       .select(col("doc_id"), col("band_no").cast("int").as("band"),
         col("band_val").cast(StringType).as("sig"))
-    StreamingQueries.runToTable(
-        StreamingQueries.neardupCore(bands), "append")
-      .filter(col("dup"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+    StreamingQueries.electDupBands(StreamingQueries.runToTable(
+      StreamingQueries.neardupCore(bands), "append"))
   }
 
   val streamVideoFpSql: String =
@@ -972,7 +967,7 @@ object MultimodalQueries {
       .mapPartitions(_.map { case (id, fno, bytes) =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         FrameSig(id, fno,
           if (img == null || img.getWidth < 1 || img.getHeight < 1) 0L
           else frameStripSig(img))

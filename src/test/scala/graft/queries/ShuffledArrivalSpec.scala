@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Order-independence gate for every stream consumer of the claim-log
+  * registries (r16 verdict #1 "done" criterion): a MULTI-FILE fixture
+  * whose part files interleave doc_ids (residue classes mod 4,
+  * md5-scrambled within each file), delivered ONE FILE PER
+  * MICRO-BATCH — so arrival order is radically non-monotone in doc_id
+  * across batches — must produce byte-identical results to the batch
+  * min-doc_id owner election. Before the claim-log redesign every one
+  * of these five queries matched its oracle only under doc_id-ordered
+  * single-file arrival. */
+class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("shuffled-arrival")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    dir = StreamingQueries.scratchDir("shuffled-fixture-")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    // 4 part files, each holding one doc_id residue class (so every
+    // file spans the whole id range) scrambled internally by md5 —
+    // any file order + any in-file order is non-monotone in doc_id
+    docs.repartitionByRange(4, pmod(col("doc_id"), lit(4)))
+      .sortWithinPartitions(md5(col("doc_id").cast("string")))
+      .write.parquet(s"$dir/documents.parquet")
+    // one file per micro-batch: true cross-batch out-of-order arrival
+    spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+  }
+
+  override def afterAll(): Unit = {
+    spark.conf.unset("graft.stream.maxFilesPerTrigger")
+    StreamingQueries.deleteRecursively(dir)
+    spark.stop()
+  }
+
+  /** Batch min-owner election over a (doc_id, band-ish, sig-ish) band
+    * relation — the oracle spelling each stream twin must match. */
+  private def batchElection(bands: DataFrame, bandCol: String,
+                            sigCol: String): Set[Seq[Any]] = {
+    val owners = bands.groupBy(col(bandCol), col(sigCol))
+      .agg(min(col("doc_id")).as("min_id"))
+    bands.join(owners, Seq(bandCol, sigCol))
+      .filter(col("doc_id") > col("min_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_dup_bands"))
+      .collect().map(_.toSeq).toSet
+  }
+
+  private def docsBatch: DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  test("fixture really is multi-file and doc_id-shuffled") {
+    val files = new java.io.File(s"$dir/documents.parquet")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, files.mkString(","))
+    // at least one file must be internally non-monotone in doc_id
+    val nonMonotone = files.exists { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      ids.zip(ids.tail).exists { case (a, b) => a > b }
+    }
+    assert(nonMonotone, "shuffle produced sorted files — fixture is too weak")
+  }
+
+  test("stream_neardup matches the batch election under shuffled arrival") {
+    val streamed = StreamingQueries.streamNeardup(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expected = batchElection(DedupQueries.bandRows(docsBatch),
+      "band", "sig")
+    assert(streamed == expected)
+    assert(streamed.nonEmpty, "fixture produced no near-duplicates")
+  }
+
+  test("stream_mm_phash matches the batch election under shuffled arrival") {
+    val streamed = MultimodalQueries.streamPhashNearDup(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expected = batchElection(
+      MultimodalQueries.phashBands(docsBatch)
+        .filter(col("band_val") =!= 0L), "band_no", "band_val")
+    assert(streamed == expected)
+    assert(streamed.nonEmpty, "fixture produced no phash near-duplicates")
+  }
+
+  test("stream_mm_audio_fp matches the batch election under shuffled arrival") {
+    val streamed = MultimodalQueries.streamAudioFp(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expected = batchElection(
+      MultimodalQueries.audioFpBands(docsBatch)
+        .filter(col("band_val") =!= 0L), "band_no", "band_val")
+    assert(streamed == expected)
+  }
+
+  test("stream_mm_video matches the batch election under shuffled arrival") {
+    val streamed = MultimodalQueries.streamVideoFp(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expected = batchElection(
+      MultimodalQueries.videoFpBands(docsBatch)
+        .filter(col("band_val") =!= 0L), "band_no", "band_val")
+    assert(streamed == expected)
+  }
+
+  test("stream_excise_repeated equals the batch excision under shuffled arrival") {
+    val streamed = CurationQueries.streamExciseRepeated(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = CurationQueries.exciseRepeated(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}

@@ -5,11 +5,15 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Incremental contract of the streaming near-dup bucket registry
-  * ([[StreamingQueries.neardupCore]]): first ARRIVAL owns a (band,
-  * sig) bucket — a later-arriving smaller doc_id takes ownership
-  * without re-flagging earlier emissions; within one micro-batch
-  * arrival order is doc_id order; buckets are independent per band. */
+/** Incremental contract of the streaming claim-log registries
+  * ([[StreamingQueries.neardupCore]] / [[StreamingQueries.claimCore]],
+  * order-independent form — r16 verdict #1): a bucket's rows are
+  * retained while sole-owned and released the moment a second
+  * distinct document arrives; the emitted SET is therefore identical
+  * under any arrival order, and the finalize-time min-doc_id election
+  * ([[StreamingQueries.electDupBands]] /
+  * [[StreamingQueries.electClaims]]) reproduces the batch owner
+  * rule exactly. */
 class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -23,7 +27,7 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("first arrival wins; late smaller ids take over silently") {
+  test("claim log releases buckets at contestation; election is min-id") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[(Long, Int, String)]
@@ -33,31 +37,34 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.outputMode("append").format("memory")
       .option("checkpointLocation", ckpt)
       .queryName("neardup_inc").start()
-    def flags(): Map[(Long, Int), Boolean] = {
+    def log(): Set[(Long, Int, String)] = {
       q.processAllAvailable()
       spark.table("neardup_inc").collect()
-        .map(r => (r.getLong(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     }
     try {
-      // batch 1: doc 10 opens bucket (0, "X"); docs 20 < 30 share a
-      // bucket within the batch — in-batch order is doc_id order
+      // batch 1: doc 10 sole-owns bucket (0, "X") — retained, NOT
+      // emitted; docs 20 and 30 contest (0, "Y") within the batch —
+      // both released immediately
       in.addData((10L, 0, "X"), (20L, 0, "Y"), (30L, 0, "Y"))
-      val f1 = flags()
-      assert(f1((10L, 0)) == false)
-      assert(f1((20L, 0)) == false && f1((30L, 0)) == true)
-      // batch 2: doc 5 arrives AFTER doc 10 but has a smaller id — it
-      // is not flagged (nothing earlier-ARRIVED is smaller... the
-      // registry holds 10, and 10 < 5 is false) and takes the bucket
+      assert(log() == Set((20L, 0, "Y"), (30L, 0, "Y")))
+      // batch 2: doc 5 arrives AFTER doc 10 with a smaller id — the
+      // bucket becomes contested, releasing the RETAINED doc-10 row
+      // alongside the arrival (order-independence: nothing was
+      // decided at doc 10's arrival time)
       in.addData((5L, 0, "X"))
-      assert(flags()((5L, 0)) == false)
-      // batch 3: doc 7 now collides with owner 5 → flagged; the same
-      // sig on ANOTHER band is an independent bucket → clean
+      assert(log() == Set((20L, 0, "Y"), (30L, 0, "Y"),
+        (10L, 0, "X"), (5L, 0, "X")))
+      // batch 3: contested buckets pass rows straight through; the
+      // same sig on ANOTHER band is an independent sole-owned bucket
       in.addData((7L, 0, "X"), (7L, 1, "X"))
-      val f3 = flags()
-      assert(f3((7L, 0)) == true)
-      assert(f3((7L, 1)) == false)
-      // earlier emissions never retro-change
-      assert(f3((10L, 0)) == false)
+      val l3 = log()
+      assert(l3.contains((7L, 0, "X")) && !l3.contains((7L, 1, "X")))
+      // finalize election: min-id owners (5 for X, 20 for Y) are not
+      // flagged; every other member counts its collided bands
+      val dup = StreamingQueries.electDupBands(spark.table("neardup_inc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dup == Map(7L -> 1L, 10L -> 1L, 30L -> 1L))
     } finally {
       q.stop()
       spark.catalog.dropTempView("neardup_inc")
@@ -66,7 +73,7 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("claimCore: content claims flag later DOCS only, never within-doc repeats; payload rides") {
+  test("claimCore: within-doc repeats stay retained; election flags non-owners") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val in = MemoryStream[(Long, Long, String)]
@@ -76,30 +83,34 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.outputMode("append").format("memory")
       .option("checkpointLocation", ckpt)
       .queryName("claim_inc").start()
-    def flags(): Map[(Long, Long), Boolean] = {
+    def log(): Set[(Long, Long, String)] = {
       q.processAllAvailable()
       spark.table("claim_inc").collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     }
     try {
-      // batch 1: doc 10 claims gram G at two of ITS OWN positions —
-      // within-doc repeats never self-flag (the >=2-distinct-docs
-      // rule); doc 20's occurrence is a later DOC -> flagged, with
-      // its position payload intact
+      // batch 1: doc 10 carries gram G at two of ITS OWN positions;
+      // doc 20 contests — all three occurrences released with their
+      // position payloads intact
       in.addData((10L, 3L, "G"), (10L, 9L, "G"), (20L, 0L, "G"))
-      val f1 = flags()
-      assert(f1((10L, 3L)) == false && f1((10L, 9L)) == false)
-      assert(f1((20L, 0L)) == true)
-      // batch 2: a smaller doc arrives late — takes the claim without
-      // being flagged (arrival-order registry, the neardupCore note)
+      assert(log() == Set((10L, 3L, "G"), (10L, 9L, "G"), (20L, 0L, "G")))
+      // batch 2: a smaller doc arrives late — released (contested)
       in.addData((5L, 1L, "G"))
-      assert(flags()((5L, 1L)) == false)
-      // batch 3: the old owner's NEW occurrence is now a later doc
-      // than claim-holder 5 -> flagged; an unrelated gram is clean
+      assert(log().contains((5L, 1L, "G")))
+      // batch 3: new G occurrence passes through; gram H sole-owned
+      // by doc 10 (two occurrences, even across batches) — retained
       in.addData((10L, 40L, "G"), (10L, 41L, "H"))
-      val f3 = flags()
-      assert(f3((10L, 40L)) == true)
-      assert(f3((10L, 41L)) == false)
+      in.addData((10L, 55L, "H"))
+      val l3 = log()
+      assert(l3.contains((10L, 40L, "G")))
+      assert(!l3.exists(_._3 == "H"),
+        "within-doc repeats must never release a sole-owned gram")
+      // election: doc 5 owns G; every occurrence in a later doc is
+      // flagged — including the pre-5-arrival doc-10 rows (the batch
+      // min-id rule, order-independent)
+      val flagged = StreamingQueries.electClaims(spark.table("claim_inc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((10L, 3L), (10L, 9L), (20L, 0L), (10L, 40L)))
     } finally {
       q.stop()
       spark.catalog.dropTempView("claim_inc")
@@ -108,21 +119,57 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("bucket-registry state survives a query restart from checkpoint") {
+  test("reversed arrival order yields the same election as sorted arrival") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val batchesFwd = Seq(
+      Seq((5L, 0, "X"), (10L, 0, "X")),
+      Seq((20L, 0, "Y"), (30L, 0, "Y"), (7L, 0, "X")))
+    val batchesRev = Seq(
+      Seq((30L, 0, "Y")),
+      Seq((20L, 0, "Y"), (10L, 0, "X")),
+      Seq((7L, 0, "X")),
+      Seq((5L, 0, "X")))
+    def run(batches: Seq[Seq[(Long, Int, String)]], tag: String) = {
+      val in = MemoryStream[(Long, Int, String)]
+      val ckpt = StreamingQueries.scratchDir(s"neardup-ord-$tag-")
+      val q = StreamingQueries.neardupCore(
+          in.toDF().toDF("doc_id", "band", "sig"))
+        .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckpt)
+        .queryName(s"neardup_ord_$tag").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        StreamingQueries.electDupBands(spark.table(s"neardup_ord_$tag"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(s"neardup_ord_$tag")
+        spark.streams.resetTerminated()
+        StreamingQueries.deleteRecursively(ckpt)
+      }
+    }
+    val fwd = run(batchesFwd, "fwd")
+    val rev = run(batchesRev, "rev")
+    assert(fwd == rev)
+    assert(fwd == Set((7L, 1L), (10L, 1L), (30L, 1L)))
+  }
+
+  test("retained sole-owner rows survive a query restart from checkpoint") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val ckpt = StreamingQueries.scratchDir("neardup-recover-")
-    // memory sinks don't recover; foreachBatch does — collect flags
-    // emitted AFTER the restart only
+    // memory sinks don't recover; foreachBatch does — collect claim
+    // rows emitted AFTER the restart only
     val emitted =
-      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]
     def start(in: MemoryStream[(Long, Int, String)]) =
       StreamingQueries.neardupCore(in.toDF().toDF("doc_id", "band", "sig"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           b.collect().foreach(r =>
-            emitted.add((r.getLong(0), r.getBoolean(2))))
+            emitted.add((r.getLong(0), r.getString(2))))
           ()
         }
         .start()
@@ -132,21 +179,19 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
       feed.addData((10L, 0, "X"))
       q1.processAllAvailable()
     } finally q1.stop()
-    assert(emitted.toArray.toSet == Set((10L, false)), emitted.toString)
-    emitted.clear()
+    // sole-owned bucket: nothing emitted yet — the row is in STATE
+    assert(emitted.isEmpty, emitted.toString)
     // restart from the same checkpoint with a replayable source: the
-    // committed batch re-stages, then a NEW doc collides with the
-    // RECOVERED owner (10) — flagged without doc 10's data ever
-    // rebuilding state post-restart
+    // committed batch re-stages, then a NEW doc contests the bucket —
+    // BOTH rows release, proving the retained row survived recovery
     val feed2 = MemoryStream[(Long, Int, String)]
     feed2.addData((10L, 0, "X")) // replayed committed batch 0
-    feed2.addData((42L, 0, "X")) // new batch: collides with recovered state
+    feed2.addData((42L, 0, "X")) // new batch: contests recovered state
     val q2 = start(feed2)
     try {
       q2.processAllAvailable()
-      // only the new batch emits (batch 0 was committed); the flag
-      // proves the (band, sig) owner survived recovery
-      assert(emitted.toArray.toSet == Set((42L, true)), emitted.toString)
+      assert(emitted.toArray.toSet == Set((10L, "X"), (42L, "X")),
+        emitted.toString)
     } finally {
       q2.stop()
       spark.streams.resetTerminated()
