@@ -1174,6 +1174,18 @@ object RetrievalQueries {
       .groupBy(col("term"))
       .agg(topk(col("score"), col("doc_id")).as("top"))
       .select(col("term").as("qterm"), explode(col("top.ids")).as("doc_id"))
+    prfFinalize(tf, dfRel, q, fb, nDocs)
+  }
+
+  /** RM3 passes 2 + 3 over an already-determined feedback set —
+    * shared by the batch and streaming twins (they differ only in how
+    * pass 1 runs): expansion mining over the ≤terms×[[K]]-doc feedback
+    * relation, then weighted expanded retrieval with df picked up by
+    * joining INTO `dfRel` (≤3·|queries| rows out) and the ≤30-row term
+    * relation broadcast over the posting lists. */
+  private def prfFinalize(tf: DataFrame, dfRel: DataFrame, q: DataFrame,
+                          fb: DataFrame, nDocs: DataFrame): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
     // pass 2: top-2 expansion terms per query
     val exp = fb
       .join(tf.select(col("doc_id"), col("term").as("cterm"), col("tf")),
@@ -1255,8 +1267,73 @@ object RetrievalQueries {
        |      FROM sc)
        |WHERE rn <= $K""".stripMargin
 
+  /** Streaming twin of [[prfExpand]] (r16 verdict #2 — completes
+    * both-modes symmetry for the retrieval-quality tier): pass 1 IS
+    * the [[streamBm25TopK]] state — one update-mode aggregation
+    * maintaining per-term df and the 5-bounded sat-packed posting
+    * head (idf is constant per term, so the sat-desc/doc-asc head
+    * order is exactly pass 1's score order, ties included; recovery
+    * of this head state is proven in CheckpointRecoverySpec). At
+    * finalize the drained heads yield the query selection (df ranks
+    * [[RankLo]]..[[RankHi]]), the feedback sets, and the FULL df
+    * relation; expansion mining + expanded retrieval then run through
+    * the shared [[prfFinalize]], with postings picked up from the
+    * at-rest corpus under the broadcast ≤30-row term relation — the
+    * candidate-broadcast corpus-scan discipline of
+    * stream_hybrid_rerank. Shares `prfExpandSql`. */
+  def streamPrfExpand(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"),
+        col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
+      .select(col("term"), col("doc_id"),
+        (col("sat") * lit(4294967296L) - col("doc_id")).as("ord"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), topk(col("ord"), col("doc_id")).as("top"))
+      .select(col("term"), col("df"),
+        col("top.scores").as("ords"), col("top.ids").as("ids"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ords", ArrayType(LongType)),
+      StructField("ids", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val idx = store.df(s)
+    val dfRel = idx.select(col("term"), col("df"))
+    val qsel = idx
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+    val fb = qsel.select(col("term").as("qterm"),
+      explode(col("ids")).as("doc_id"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    prfFinalize(tfRel(s, d), dfRel, qsel.select(col("term"), col("df")),
+      fb, nDocs)
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_prf_expand" -> prfExpand _,
+    "stream_prf_expand" -> streamPrfExpand _,
     "text_bm25_topk" -> bm25TopK _,
     "text_bm25_conjunctive" -> bm25Conjunctive _,
     "stream_bm25_topk" -> streamBm25TopK _,
@@ -1273,6 +1350,7 @@ object RetrievalQueries {
 
   def oracles: Map[String, String] = Map(
     "text_prf_expand" -> prfExpandSql,
+    "stream_prf_expand" -> prfExpandSql,
     "text_bm25_topk" -> bm25TopKSql,
     "text_bm25_conjunctive" -> bm25ConjunctiveSql,
     "stream_bm25_topk" -> bm25TopKSql,
