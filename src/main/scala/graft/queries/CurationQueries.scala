@@ -1666,8 +1666,174 @@ object CurationQueries {
       |       AS BIGINT) AS at_risk
       |FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""".stripMargin
 
+  // ---------------------------------------------------------------
+  // DSIR-style importance resampling (r16 verdict next #3) — Xie et
+  // al. 2023, "Data Selection for Language Models via Importance
+  // Resampling": score every document by how much its hashed n-gram
+  // distribution looks like a TARGET corpus relative to the raw pool,
+  // then sample with probability proportional to the importance
+  // weight. Everything is exact integer arithmetic: probabilities on
+  // a ppm grid, logs on a 1/16-bit fixed-point log2 grid (the
+  // TVD-over-libm discipline of q_sketch_drift — no transcendental
+  // libm call whose last bit could differ cross-engine), and the
+  // accept draw is the standard md5-u32 fraction.
+  // ---------------------------------------------------------------
+
+  private[graft] val DsirBuckets = 64L
+
+  /** round(2^(-b/16) · 1e6) for b = 0..15 — the fractional rungs of
+    * the keep-probability ladder. Fixed shared constants (spelled
+    * identically in the oracle), so cross-engine equality is exact by
+    * construction. */
+  private[graft] val DsirFrac: Seq[Long] = Seq(
+    1000000L, 957603L, 917004L, 878126L, 840896L, 805245L, 771105L,
+    738413L, 707107L, 677128L, 648420L, 620929L, 594604L, 569394L,
+    545254L, 522137L)
+
+  /** Fixed-point log2 on a 1/16-bit grid, exact in integer ops:
+    * 16·e + (16x >> e) − 16 with e = floor(log2 x) — piecewise-linear
+    * between powers of two (max error ≈ 0.09 bit), exact AT powers of
+    * two. The oracle spells the identical arithmetic via
+    * `length(bin(x)) - 1` and `//`, so both engines grid identically
+    * for every x ≥ 1. */
+  private def flog2(x: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    16L * e + ((16L * x) >> e) - 16L
+  }
+
+  /** The DSIR feature relation inside one row: word unigrams +
+    * bigrams (the paper's default featurization) of the token array
+    * `w` — a pure narrow expression, shared by the stats pass and the
+    * scoring pass. */
+  private def dsirGrams: Column = expr(
+    "concat(w, zip_with(slice(w, 1, greatest(size(w) - 1, 0)), " +
+      "slice(w, 2, greatest(size(w) - 1, 0)), (x, y) -> concat(x, ' ', y)))")
+
+  /** DSIR importance resampling with target = the corpus' English
+    * slice (`lang = 'en'` — the quality-targeted selection a
+    * pretraining mixture runs against a trusted reference corpus).
+    *
+    * Shape, scale-first: ONE gram scan computes raw and target bucket
+    * counts together (the target is a slice, so one pass suffices; a
+    * separate target corpus would be a second bounded agg), collapsing
+    * to exactly [[DsirBuckets]] rows — collected driver-side (bounded
+    * by construction, the ANN-router-collect discipline) and respelled
+    * as a 64-entry literal MAP, so the scoring pass is a PURE NARROW
+    * per-row aggregate over the document's own grams: the corpus never
+    * shuffles, never joins — score, keep-probability and the md5 draw
+    * all evaluate inside the row (the only join in the plan is the
+    * broadcast 1-row max-score normalizer).
+    *
+    * Math, integer-exact end to end: per-bucket log-ratio
+    * lr_b = flog2(ppm_target(b)+1) − flog2(ppm_raw(b)+1) (+1 = add-one
+    * smoothing, zeros never hit the log); per-doc log-weight
+    * score = Σ_grams lr_bucket(gram) — the paper's sum of per-feature
+    * log-ratios on the 1/16-bit grid; acceptance probability
+    * ∝ the true weight 2^(score/16), normalized by the corpus max:
+    * keep_u32 = (2^32 >> Δ/16) · 2^(−(Δ%16)/16), the fractional factor
+    * from the shared [[DsirFrac] ] table — so `md5_u32 < keep_u32` IS
+    * sampling proportional to importance weight, deterministic and
+    * reproducible on any cluster (the md5 discipline of
+    * [[capSources]]). The max-score document keeps with probability 1,
+    * so the result is never empty. */
+  def importanceSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextShingles.tokens(col("text")).as("w"))
+    val stats = docs
+      .select(col("lang"), explode(dsirGrams).as("g"))
+      .select(col("lang"), (Md5Key.column(col("g")) % DsirBuckets).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      .collect() // ≤ DsirBuckets rows — bounded by construction
+    val rTot = math.max(stats.map(_.getLong(1)).sum, 1L)
+    val tTot = math.max(stats.map(_.getLong(2)).sum, 1L)
+    val lr: Map[Long, Long] = (0L until DsirBuckets).map { b =>
+      val row = stats.find(_.getLong(0) == b)
+      val rc = row.fold(0L)(_.getLong(1))
+      val tc = row.fold(0L)(_.getLong(2))
+      b -> (flog2(tc * 1000000L / tTot + 1) - flog2(rc * 1000000L / rTot + 1))
+    }.toMap
+    val lrMap = typedLit(lr)
+    val scored = docs
+      .withColumn("score", aggregate(dsirGrams, lit(0L), (acc, g) =>
+        acc + element_at(lrMap, Md5Key.column(g) % DsirBuckets)))
+      .select(col("doc_id"), col("score"))
+    val mx = scored.agg(max(col("score")).as("smax"))
+    scored.crossJoin(broadcast(mx))
+      .withColumn("delta", col("smax") - col("score"))
+      .withColumn("keep_u32", expr(
+        "IF(delta DIV 16 >= 32, 0L, " +
+          "shiftright(4294967296L, CAST(delta DIV 16 AS INT)) * " +
+          s"element_at(array(${DsirFrac.mkString(", ")}), " +
+          "CAST(delta % 16 AS INT) + 1) DIV 1000000)"))
+      .filter(Md5Key.column(concat(lit("dsir:"),
+        col("doc_id").cast(StringType))) < col("keep_u32"))
+      .select(col("doc_id"), col("score"), col("keep_u32"))
+  }
+
+  val importanceSampleSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_concat(a, list_transform(
+       |           generate_series(1, greatest(len(a) - 1, 0)),
+       |           i -> a[i] || ' ' || a[i+1]))) AS g
+       |  FROM w),
+       |gb AS (
+       |  SELECT doc_id, lang,
+       |         ${Md5Key.sql("g")} % ${DsirBuckets} AS b
+       |  FROM g),
+       |stats AS (
+       |  SELECT b, COUNT(*) AS rc,
+       |         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+       |  FROM gb GROUP BY b),
+       |tot AS (
+       |  SELECT GREATEST(SUM(rc), 1) AS rtot, GREATEST(SUM(tc), 1) AS ttot
+       |  FROM stats),
+       |ratios AS (
+       |  SELECT b, (tc * 1000000) // (SELECT ttot FROM tot) AS tp,
+       |            (rc * 1000000) // (SELECT rtot FROM tot) AS rp
+       |  FROM stats),
+       |lr AS (
+       |  SELECT b,
+       |    (16 * (length(bin(tp + 1)) - 1)
+       |       + (16 * (tp + 1)) // (1::BIGINT << (length(bin(tp + 1)) - 1))
+       |       - 16)
+       |  - (16 * (length(bin(rp + 1)) - 1)
+       |       + (16 * (rp + 1)) // (1::BIGINT << (length(bin(rp + 1)) - 1))
+       |       - 16) AS lr
+       |  FROM ratios),
+       |scored AS (
+       |  SELECT d.doc_id, CAST(COALESCE(SUM(l.lr), 0) AS BIGINT) AS score
+       |  FROM documents d
+       |  LEFT JOIN gb ON gb.doc_id = d.doc_id
+       |  LEFT JOIN lr l ON l.b = gb.b
+       |  GROUP BY d.doc_id),
+       |mx AS (SELECT MAX(score) AS smax FROM scored),
+       |k AS (
+       |  SELECT doc_id, score, (SELECT smax FROM mx) - score AS delta
+       |  FROM scored)
+       |SELECT doc_id, score,
+       |  CASE WHEN delta // 16 >= 32 THEN 0
+       |       ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
+       |             * (list_value(${DsirFrac.mkString(", ")})
+       |                [CAST(delta % 16 AS INT) + 1])) // 1000000
+       |  END AS keep_u32
+       |FROM k
+       |WHERE ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
+       |  < CASE WHEN delta // 16 >= 32 THEN 0
+       |         ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
+       |               * (list_value(${DsirFrac.mkString(", ")})
+       |                  [CAST(delta % 16 AS INT) + 1])) // 1000000
+       |    END""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_kanon_audit" -> kanonAudit _,
+    "curate_importance_sample" -> importanceSample _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -1702,6 +1868,7 @@ object CurationQueries {
     "curate_pack_overflow" -> packOverflow _)
 
   def oracles: Map[String, String] = Map(
+    "curate_importance_sample" -> importanceSampleSql,
     "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,

@@ -502,6 +502,19 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("DSIR importance sampling: 64-entry lr MAP literal inlined, corpus side join- and exchange-free") {
+    val p = planOf("curate_importance_sample")
+    // the scoring pass must be a narrow per-row aggregate over an
+    // inlined literal map — never a gram-keyed join of the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    // only join: the broadcast 1-row max-score normalizer
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("map(keys:"), p.take(3000))
+    // the only exchange is the single-partition merge of the 1-row max
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
   test("table aggregation: snapshot + regroup are both two-phase, join-free") {
     val p = planOf("q_table_agg")
     // exactly the two key exchanges (o_custkey, then last_status) —
