@@ -396,20 +396,8 @@ object MultimodalQueries {
     * Shared by the image/payload perceptual hash and the audio
     * fingerprint, so the no-cartesian discipline has one spelling. */
   private[graft] def bandedNearDup(bands: DataFrame): DataFrame = {
-    val h = bands.groupBy(col("doc_id"))
-      .agg(
-        coalesce(max(when(col("band_no") === 0, col("band_val"))), lit(0L)).as("b0"),
-        coalesce(max(when(col("band_no") === 1, col("band_val"))), lit(0L)).as("b1"),
-        coalesce(max(when(col("band_no") === 2, col("band_val"))), lit(0L)).as("b2"),
-        coalesce(max(when(col("band_no") === 3, col("band_val"))), lit(0L)).as("b3"))
-    val nz = bands.filter(col("band_val") =!= 0L)
-    val cand = nz.select(col("doc_id").as("doc_a"), col("band_no"),
-        col("band_val"))
-      .join(nz.select(col("doc_id").as("doc_b"), col("band_no"),
-        col("band_val")), Seq("band_no", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
+    val h = packBands4(bands)
+    bandedCandidates(bands)
       .join(h.select(col("doc_id").as("doc_a"), col("b0").as("xb0"),
         col("b1").as("xb1"), col("b2").as("xb2"), col("b3").as("xb3")),
         Seq("doc_a"))
@@ -422,6 +410,30 @@ object MultimodalQueries {
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Blocking-candidate generation over ANY (doc_id, band_no,
+    * band_val) relation — the non-zero band equi-join, doc_a < doc_b,
+    * distinct pairs. Extracted from [[bandedNearDup]] so the
+    * cross-modal PAIR operator blocks through the same (and only)
+    * no-cartesian spelling, just over a wider band_no range. */
+  private[graft] def bandedCandidates(bands: DataFrame): DataFrame = {
+    val nz = bands.filter(col("band_val") =!= 0L)
+    nz.select(col("doc_id").as("doc_a"), col("band_no"), col("band_val"))
+      .join(nz.select(col("doc_id").as("doc_b"), col("band_no"),
+        col("band_val")), Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Per-document 4-wide packed band vector (b0..b3, zero-coalesced)
+    * — the popcount operand of every hamming verify. */
+  private[graft] def packBands4(bands: DataFrame): DataFrame =
+    bands.groupBy(col("doc_id"))
+      .agg(
+        coalesce(max(when(col("band_no") === 0, col("band_val"))), lit(0L)).as("b0"),
+        coalesce(max(when(col("band_no") === 1, col("band_val"))), lit(0L)).as("b1"),
+        coalesce(max(when(col("band_no") === 2, col("band_val"))), lit(0L)).as("b2"),
+        coalesce(max(when(col("band_no") === 3, col("band_val"))), lit(0L)).as("b3"))
 
   def phashNearDup(s: SparkSession, d: String): DataFrame =
     bandedNearDup(phashBandsBatch(graft.sources.Tables.documents(s, d)))
@@ -985,6 +997,190 @@ object MultimodalQueries {
         col("band_val"))
   }
 
+  // ---------------------------------------------------------------
+  // Cross-modal PAIR near-dup (r16 verdict next #4) — the
+  // caption-dataset operator: image/audio/video near-dup are each
+  // closed per-modality, but a (text, image) TRAINING PAIR duplicates
+  // whenever EITHER side was copied — same image re-captioned with a
+  // paraphrase, or same caption over a re-encoded image. Candidates
+  // must therefore block on BOTH modalities' bands (one colliding
+  // band from either side), while the verify gate demands BOTH
+  // modalities be close — candidate recall is a union, verified
+  // precision an intersection.
+  // ---------------------------------------------------------------
+
+  /** Text-side 4×16-bit band relation from the 64-bit SimHash — a
+    * pure narrow pass (one native [[graft.functions.SimHash64]] per
+    * row + an in-row unpack), so it plans on batch AND unbounded
+    * sources; band j = bits 16j..16j+15, matching the hi/lo oracle
+    * spelling of `dedup_simhash64_pairs`. */
+  private[graft] def textSimhashBands(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    docs0
+      .select(col("doc_id"),
+        graft.functions.TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64(s, col("__toks")).as("sh"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 3), j -> shiftright(sh, j * 16) & 65535)"))
+        .as(Seq("band_no", "band_val")))
+      .select(col("doc_id"), col("band_no").cast(LongType).as("band_no"),
+        col("band_val"))
+  }
+
+  /** The 8-band pair relation: text simhash bands 0..3, image aHash
+    * bands 4..7 — one relation, one blocking spelling. */
+  private[graft] def pairBands(textBands: DataFrame,
+                               imageBands: DataFrame): DataFrame =
+    textBands.unionByName(
+      imageBands.withColumn("band_no", col("band_no") + lit(4L)))
+
+  /** Maximum text-side hamming for a verified pair — the simhash64
+    * gate (4 bands ⇒ hamming ≤ 3 recall is COMPLETE by pigeonhole). */
+  private[graft] val TextHammingMax = 3L
+
+  /** Batch cross-modal pair near-dup: candidates from the 8-band
+    * union through the shared [[bandedCandidates]] blocking (a
+    * non-zero band colliding in EITHER modality), verify = exact
+    * popcount in BOTH modalities (text ≤ [[TextHammingMax]], image ≤
+    * HammingMax). Emits (doc_a, doc_b, t_hamming, i_hamming). Never
+    * all-pairs at any corpus size — the only data×data join is the
+    * band-keyed equi-join (plan-pinned). */
+  def pairNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    val tb = textSimhashBands(docs)
+    val ib = phashBandsBatch(docs)
+    val th = packBands4(tb)
+    val ih = packBands4(ib)
+    bandedCandidates(pairBands(tb, ib))
+      .join(th.select(col("doc_id").as("doc_a"), col("b0").as("xt0"),
+        col("b1").as("xt1"), col("b2").as("xt2"), col("b3").as("xt3")),
+        Seq("doc_a"))
+      .join(th.select(col("doc_id").as("doc_b"), col("b0").as("yt0"),
+        col("b1").as("yt1"), col("b2").as("yt2"), col("b3").as("yt3")),
+        Seq("doc_b"))
+      .join(ih.select(col("doc_id").as("doc_a"), col("b0").as("xi0"),
+        col("b1").as("xi1"), col("b2").as("xi2"), col("b3").as("xi3")),
+        Seq("doc_a"))
+      .join(ih.select(col("doc_id").as("doc_b"), col("b0").as("yi0"),
+        col("b1").as("yi1"), col("b2").as("yi2"), col("b3").as("yi3")),
+        Seq("doc_b"))
+      .withColumn("t_hamming", expr(
+        "CAST(bit_count(xt0 ^ yt0) + bit_count(xt1 ^ yt1) + " +
+          "bit_count(xt2 ^ yt2) + bit_count(xt3 ^ yt3) AS BIGINT)"))
+      .withColumn("i_hamming", expr(
+        "CAST(bit_count(xi0 ^ yi0) + bit_count(xi1 ^ yi1) + " +
+          "bit_count(xi2 ^ yi2) + bit_count(xi3 ^ yi3) AS BIGINT)"))
+      .filter(col("t_hamming") <= TextHammingMax &&
+        col("i_hamming") <= HammingMax)
+      .select(col("doc_a"), col("doc_b"), col("t_hamming"), col("i_hamming"))
+  }
+
+  /** Streaming twin — the ingest-time pair gate, the
+    * [[streamPhashNearDup]] shape over the 8-band union (both
+    * modality band makers are narrow per-row passes, so they plan on
+    * the unbounded source; the union is a self-union of one stream):
+    * non-zero bands of EITHER modality register in the shared
+    * claim-log registry, and the finalize election flags every
+    * non-owner with its collided-band count. The batch query's
+    * both-modality hamming verify runs at compaction on the flagged
+    * set. */
+  def streamPairNearDup(s: SparkSession, d: String): DataFrame = {
+    val docs = StreamingQueries.docStream(s, d)
+    val bands = pairBands(textSimhashBands(docs), phashBands(docs))
+      .filter(col("band_val") =!= 0L)
+      .select(col("doc_id"), col("band_no").cast("int").as("band"),
+        col("band_val").cast(StringType).as("sig"))
+    StreamingQueries.electDupBands(StreamingQueries.runToTable(
+      StreamingQueries.neardupCore(bands), "append"))
+  }
+
+  /** CTEs through `allb` (the 8-band union) + both packed-signature
+    * relations, shared by the batch and stream pair oracles. Text
+    * CTEs are the `dedup_simhash64_pairs` spelling (t-prefixed to
+    * avoid colliding with the phash CTE names). */
+  private val pairBandsCteSql: String =
+    s"""$phashBandsCteSql,
+       |ttok AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(string_split_regex(trim(text), '\\s+')) t
+       |  FROM documents),
+       |ttv AS (SELECT doc_id,
+       |         ('0x' || substr(md5(t), 1, 8))::BIGINT hi,
+       |         ('0x' || substr(md5(t), 9, 8))::BIGINT lo FROM ttok),
+       |tbits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN SUM(CASE WHEN
+       |           (CASE WHEN b < 32 THEN (lo >> b) ELSE (hi >> (b - 32)) END)
+       |             & 1 = 1
+       |         THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END bt
+       |  FROM ttv, (SELECT unnest(generate_series(0, 63)) b) bs
+       |  GROUP BY doc_id, b),
+       |tsig AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN b < 16 THEN bt << b ELSE 0 END) AS BIGINT) s0,
+       |  CAST(SUM(CASE WHEN b BETWEEN 16 AND 31 THEN bt << (b - 16) ELSE 0 END)
+       |       AS BIGINT) s1,
+       |  CAST(SUM(CASE WHEN b BETWEEN 32 AND 47 THEN bt << (b - 32) ELSE 0 END)
+       |       AS BIGINT) s2,
+       |  CAST(SUM(CASE WHEN b >= 48 THEN bt << (b - 48) ELSE 0 END)
+       |       AS BIGINT) s3
+       |  FROM tbits GROUP BY doc_id),
+       |tband AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS band_no, s0 AS band_val FROM tsig
+       |  UNION ALL SELECT doc_id, 1, s1 FROM tsig
+       |  UNION ALL SELECT doc_id, 2, s2 FROM tsig
+       |  UNION ALL SELECT doc_id, 3, s3 FROM tsig),
+       |allb AS (
+       |  SELECT doc_id, band_no, band_val FROM tband
+       |  UNION ALL
+       |  SELECT doc_id, band_no + 4, band_val FROM bands),
+       |ih AS (
+       |  SELECT doc_id,
+       |         COALESCE(MAX(CASE WHEN band_no=0 THEN band_val END), 0) AS b0,
+       |         COALESCE(MAX(CASE WHEN band_no=1 THEN band_val END), 0) AS b1,
+       |         COALESCE(MAX(CASE WHEN band_no=2 THEN band_val END), 0) AS b2,
+       |         COALESCE(MAX(CASE WHEN band_no=3 THEN band_val END), 0) AS b3
+       |  FROM bands GROUP BY 1)""".stripMargin
+
+  val pairNearDupSql: String =
+    s"""$pairBandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM allb a JOIN allb b
+       |    ON a.band_no = b.band_no AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.band_val <> 0)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(tx.s0, ty.s0)) + bit_count(xor(tx.s1, ty.s1))
+       |          + bit_count(xor(tx.s2, ty.s2)) + bit_count(xor(tx.s3, ty.s3))
+       |         AS BIGINT) AS t_hamming,
+       |       CAST(bit_count(xor(ix.b0, iy.b0)) + bit_count(xor(ix.b1, iy.b1))
+       |          + bit_count(xor(ix.b2, iy.b2)) + bit_count(xor(ix.b3, iy.b3))
+       |         AS BIGINT) AS i_hamming
+       |FROM cand c
+       |  JOIN tsig tx ON tx.doc_id = c.doc_a
+       |  JOIN tsig ty ON ty.doc_id = c.doc_b
+       |  JOIN ih ix ON ix.doc_id = c.doc_a
+       |  JOIN ih iy ON iy.doc_id = c.doc_b
+       |WHERE bit_count(xor(tx.s0, ty.s0)) + bit_count(xor(tx.s1, ty.s1))
+       |    + bit_count(xor(tx.s2, ty.s2)) + bit_count(xor(tx.s3, ty.s3))
+       |    <= $TextHammingMax
+       |  AND bit_count(xor(ix.b0, iy.b0)) + bit_count(xor(ix.b1, iy.b1))
+       |    + bit_count(xor(ix.b2, iy.b2)) + bit_count(xor(ix.b3, iy.b3))
+       |    <= $HammingMax""".stripMargin
+
+  val streamPairNearDupSql: String =
+    s"""$pairBandsCteSql
+       |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_bands
+       |FROM allb a
+       |WHERE a.band_val <> 0
+       |  AND EXISTS (SELECT 1 FROM allb b
+       |              WHERE b.band_no = a.band_no
+       |                AND b.band_val = a.band_val AND b.band_val <> 0
+       |                AND b.doc_id < a.doc_id)
+       |GROUP BY a.doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_modality_card" -> modalityCard _,
     "mm_resolution_gate" -> resolutionGate _,
@@ -993,12 +1189,16 @@ object MultimodalQueries {
     "mm_frame_sample" -> frameSample _,
     "mm_phash_neardup" -> phashNearDup _,
     "stream_mm_phash" -> streamPhashNearDup _,
+    "mm_pair_neardup" -> pairNearDup _,
+    "stream_mm_pair" -> streamPairNearDup _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
     "stream_mm_video" -> streamVideoFp _)
 
   def oracles: Map[String, String] = Map(
+    "mm_pair_neardup" -> pairNearDupSql,
+    "stream_mm_pair" -> streamPairNearDupSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,

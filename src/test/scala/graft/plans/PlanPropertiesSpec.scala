@@ -588,6 +588,15 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("cross-modal pair near-dup: 8-band union blocking, never all-pairs") {
+    val p = planOf("mm_pair_neardup")
+    // candidates come from the unioned text-simhash + image-aHash
+    // band equi-join; both verify legs join on doc ids — any
+    // cartesian/NLJ means the cross-modal blocking collapsed
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("audio fingerprint near-dup: banded equi-join blocking, never all-pairs") {
     val p = planOf("mm_audio_fp")
     // same discipline as the image path: candidates only from the
