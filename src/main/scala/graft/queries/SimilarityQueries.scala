@@ -27,6 +27,9 @@ object SimilarityQueries {
     * with the data. A 768-dim corpus is this one line. */
   private[graft] val EmbeddingDim = 64
 
+  /** Target recall@5 (ppm) for [[annAutoprobe]] — 95%. */
+  private[graft] val AutoprobeTargetPpm = 950000L
+
   private[graft] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -1019,6 +1022,132 @@ object SimilarityQueries {
     * (already pruned) plans plus a 5-row join each. Demonstrates the
     * recall/cost knob directly: probe-2 recall ≥ probe-1 by
     * construction. */
+  /** Recall-targeted nprobe auto-tuning (r16 verdict next #5) — the
+    * serving-config closure of the ANN loop: given a HELD-OUT query
+    * set (vec_ids 0..4, excluded from the corpus) and a target
+    * recall@5 ([[AutoprobeTargetPpm]]), sweep nprobe = 1..ncells and
+    * emit each probe depth's measured recall plus the MINIMAL depth
+    * meeting the target — the number a production store tunes by
+    * hand. Deterministic and fully relational, so the oracle verifies
+    * the whole sweep: per-query centroid ranks assign every corpus
+    * vector its label's probe rank r (a vector is a candidate at
+    * every nprobe ≥ r — the sequence explode), per-(query, nprobe)
+    * top-5 is the k-bounded LONG aggregator on the micro-cosine grid,
+    * and recall@5 joins against the exact top-5 from the same grid.
+    * Cost: corpus × |queries| scored ONCE, then candidate rows fan
+    * out ≤ ncells ways — the sweep is a tuning job over a sample in
+    * production, not a serving path. Driver-side work: the ncells
+    * count (router-collect bound). */
+  def annAutoprobe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withEmb(s, d)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"))
+    val cents = centroidArrays(s, d)
+    val nLabels = cents.count() // ncells rows — the router-collect bound
+    val cm = round(dot(col("emb"), col("qemb")) /
+      (norm(col("emb")) * norm(col("qemb"))) * 1000000).cast("long")
+    val rnk = cents.withColumnRenamed("cemb", "emb")
+      .crossJoin(broadcast(qs))
+      .select(col("label"), col("qid"), cm.as("ccm"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccm").desc, col("label"))))
+      .select(col("qid"), col("label"), col("r"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val scored = e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(qs))
+      .select(col("qid"), col("vec_id"), col("label"), cm.as("cm"))
+    val exact = scored.groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("qid"), explode(col("top.ids")).as("vec_id"))
+    val appx = scored.join(broadcast(rnk), Seq("qid", "label"))
+      .select(col("qid"), col("vec_id"), col("cm"),
+        explode(expr(s"sequence(CAST(r AS BIGINT), ${nLabels}L)")).as("np"))
+      .groupBy(col("qid"), col("np"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("qid"), col("np"), explode(col("top.ids")).as("vec_id"))
+    val hits = appx.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("h"))
+    val rec = s.range(1, nLabels + 1).select(col("id").as("nprobe"))
+      .join(hits, col("nprobe") === col("np"), "left")
+      .select(col("nprobe"),
+        expr("COALESCE(h, 0L) * 1000000L DIV 25").as("recall_ppm"))
+    val chosen = rec.filter(col("recall_ppm") >= AutoprobeTargetPpm)
+      .agg(min(col("nprobe")).as("mn"))
+    rec.crossJoin(broadcast(chosen))
+      .select(col("nprobe"), col("recall_ppm"),
+        (col("recall_ppm") >= AutoprobeTargetPpm).cast("long")
+          .as("meets_target"),
+        coalesce((col("nprobe") === col("mn")).cast("long"), lit(0L))
+          .as("chosen"))
+  }
+
+  val annAutoprobeSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb, label FROM embeddings),
+       |g AS (
+       |  SELECT label, CAST(t.i AS BIGINT) dim,
+       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
+       |  FROM e, (SELECT unnest(generate_series(1, $EmbeddingDim)) i) t),
+       |c AS (
+       |  SELECT label, dim,
+       |         CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
+       |  FROM g GROUP BY label, dim),
+       |carr AS (SELECT label, list(centroid ORDER BY dim) cemb
+       |         FROM c GROUP BY label),
+       |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 5),
+       |rnk AS (
+       |  SELECT qid, label,
+       |         row_number() OVER (PARTITION BY qid ORDER BY ccm DESC, label)
+       |           AS r
+       |  FROM (SELECT q.qid, carr.label,
+       |          CAST(round(
+       |            list_sum(list_transform(generate_series(1, $EmbeddingDim),
+       |              i -> cemb[i]*qemb[i])) /
+       |            (sqrt(list_sum(list_transform(cemb, x -> x*x))) *
+       |             sqrt(list_sum(list_transform(qemb, x -> x*x)))) * 1000000)
+       |            AS BIGINT) AS ccm
+       |        FROM carr, q) z),
+       |sc AS (
+       |  SELECT q.qid, e.vec_id, e.label,
+       |         CAST(round(
+       |           list_sum(list_transform(generate_series(1, $EmbeddingDim),
+       |             i -> emb[i]*qemb[i])) /
+       |           (sqrt(list_sum(list_transform(emb, x -> x*x))) *
+       |            sqrt(list_sum(list_transform(qemb, x -> x*x)))) * 1000000)
+       |           AS BIGINT) AS cm
+       |  FROM e, q WHERE e.vec_id >= 5),
+       |ex AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id)
+       |             rn
+       |    FROM sc) WHERE rn <= 5),
+       |sweep AS (SELECT unnest(generate_series(1,
+       |            (SELECT COUNT(*) FROM carr))) AS np),
+       |ap AS (
+       |  SELECT qid, np, vec_id FROM (
+       |    SELECT s.qid, w.np, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.qid, w.np
+       |             ORDER BY s.cm DESC, s.vec_id) rn
+       |    FROM sc s JOIN rnk k ON k.qid = s.qid AND k.label = s.label
+       |    JOIN sweep w ON k.r <= w.np) WHERE rn <= 5),
+       |hits AS (SELECT np, COUNT(*) h FROM ap JOIN ex USING (qid, vec_id)
+       |         GROUP BY np),
+       |rec AS (
+       |  SELECT CAST(w.np AS BIGINT) AS nprobe,
+       |         CAST(COALESCE(h, 0) * 1000000 // 25 AS BIGINT) AS recall_ppm
+       |  FROM sweep w LEFT JOIN hits ON hits.np = w.np),
+       |ch AS (SELECT MIN(nprobe) mn FROM rec
+       |       WHERE recall_ppm >= $AutoprobeTargetPpm)
+       |SELECT nprobe, recall_ppm,
+       |       CAST(CASE WHEN recall_ppm >= $AutoprobeTargetPpm THEN 1 ELSE 0 END
+       |            AS BIGINT) AS meets_target,
+       |       CAST(CASE WHEN nprobe = (SELECT mn FROM ch) THEN 1 ELSE 0 END
+       |            AS BIGINT) AS chosen
+       |FROM rec""".stripMargin
+
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val exact = bruteForceTopK(s, d).limit(5).select(col("vec_id"))
     def recallOf(method: String, ann: DataFrame): DataFrame =
@@ -1647,6 +1776,7 @@ object SimilarityQueries {
     "sim_ivf_delete" -> ivfDeleteProbe _,
     "stream_ivf_retrain" -> streamIvfRetrain _,
     "sim_ann_recall" -> annRecall _,
+    "sim_ann_autoprobe" -> annAutoprobe _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_threshold_sweep" -> thresholdSweep _,
@@ -1676,6 +1806,7 @@ object SimilarityQueries {
     "sim_ivf_delete" -> ivfDeleteSql,
     "stream_ivf_retrain" -> ivfRetrainSql,
     "sim_ann_recall" -> annRecallSql,
+    "sim_ann_autoprobe" -> annAutoprobeSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_threshold_sweep" -> thresholdSweepSql,
