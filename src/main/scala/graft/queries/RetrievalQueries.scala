@@ -1331,6 +1331,214 @@ object RetrievalQueries {
       fb, nDocs)
   }
 
+  // ---------------------------------------------------------------
+  // Dirichlet-smoothed query likelihood (r16 verdict stretch #7) —
+  // Zhai & Lafferty 2001, the OTHER standard lexical scorer next to
+  // BM25: p(t|d) smoothed by the collection model,
+  // (tf + mu·p(t|C)) / (dl + mu). Ranking per query term needs no
+  // log (log is monotone in the single-term quotient), so the
+  // integer respelling is one exact division chain: the collection
+  // probability grids to ppm FIRST (p_ppm = ctf·1e6 DIV c_tot,
+  // bounded <= 1e6 at ANY corpus size), then
+  // score = (tf·1e6 + mu·p_ppm)·1000 DIV (dl + mu) — every
+  // intermediate below ~1e13 however large the corpus, the BM25
+  // grid-bound discipline without a rescale clause.
+  // ---------------------------------------------------------------
+
+  /** Dirichlet smoothing pseudo-count (tokens) — the standard
+    * mu ≈ 2000 default. */
+  private[queries] val DirichletMu = 2000L
+
+  /** Integer Dirichlet-QL score over materialized tf/dl/p_ppm. */
+  private val QlScoreExpr: Column = expr(
+    s"(tf * 1000000 + $DirichletMu * p_ppm) * 1000 DIV (dl + $DirichletMu)")
+
+  /** Top-5 documents per mid-frequency query term under Dirichlet
+    * query likelihood. Same scale shape as [[bm25TopK]]: bounded
+    * TakeOrdered term selection; each query term's collection
+    * frequency picked up by joining INTO the ctf relation (10 rows
+    * out — never a vocabulary broadcast), the 1-row corpus-token
+    * stat broadcast; per-term top-5 via the k-bounded LONG
+    * aggregator. */
+  def qlDirichlet(s: SparkSession, d: String): DataFrame = {
+    val tf = tfDlRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val stats = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(sum(col("dl")).as("c_tot"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"))
+    val qs = ctf.join(broadcast(q), Seq("term"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    tf.join(broadcast(qs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("p_ppm", expr("ctf * 1000000 DIV c_tot"))
+      .withColumn("score", QlScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
+  private val qlCtesSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(a) AS BIGINT) AS dl, unnest(a) AS term
+       |  FROM w),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+       |       FROM tok GROUP BY 1, 2, 3),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf
+       |        FROM tf GROUP BY term),
+       |q AS (
+       |  SELECT term, df,
+       |         row_number() OVER (ORDER BY df DESC, term) AS r
+       |  FROM df),
+       |qsel AS (SELECT term, df FROM q WHERE r BETWEEN $RankLo AND $RankHi),
+       |qs AS (SELECT qsel.term, qsel.df, ctf.ctf
+       |       FROM qsel JOIN ctf ON ctf.term = qsel.term)""".stripMargin
+
+  val qlDirichletSql: String =
+    s"""$qlCtesSql,
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(CAST(len(a) AS BIGINT)) AS BIGINT) AS c_tot
+       |  FROM w),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (t.tf * 1000000
+       |            + $DirichletMu * ((c.ctf * 1000000) // n.c_tot)) * 1000
+       |           // (t.dl + $DirichletMu) AS score
+       |  FROM tf t JOIN qs c ON c.term = t.term CROSS JOIN stats n)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(score AS BIGINT) AS score
+       |FROM (SELECT term, doc_id, score,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY score DESC, doc_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $K""".stripMargin
+
+  /** Three-leg reciprocal-rank fusion — [[rrfFusion]]'s two lexical
+    * lists (b = 0 BM25, full BM25) plus the Dirichlet-QL list: the
+    * classic multi-scorer ensemble, one scored relation, three
+    * k-bounded heads, chained full-outer fuse. Same shape, same
+    * oracle discipline. */
+  def rrfFusion3(s: SparkSession, d: String): DataFrame = {
+    val tf = tfDlRel(s, d)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ctf = tf.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val stats = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"),
+        sum(col("dl")).as("c_tot"))
+    val q = df.orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("df"))
+    val qs = ctf.join(broadcast(q), Seq("term"))
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(ListK))
+    val scored = tf.join(broadcast(qs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("p_ppm", expr("ctf * 1000000 DIV c_tot"))
+    def listOf(score: Column, rankName: String): DataFrame = scored
+      .withColumn("score", score)
+      .groupBy(col("term"))
+      .agg(topk20(col("score"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(col("top.ids")).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as(rankName))
+    val a = listOf(ScoreExpr, "rank_a")
+    val b = listOf(FullScoreExpr, "rank_b")
+    val c = listOf(QlScoreExpr, "rank_c")
+    val topk5 = udaf(new graft.functions.TopKByScoreLong(K))
+    a.join(b, Seq("term", "doc_id"), "full")
+      .withColumn("rrf2",
+        coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
+      .join(c, Seq("term", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(col("rrf2"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_c)"), lit(0L)))
+      .groupBy(col("term"))
+      .agg(topk5(col("rrf"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("rrf_score"))
+  }
+
+  val rrfFusion3Sql: String =
+    s"""$qlCtesSql,
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |         CAST(SUM(CAST(len(a) AS BIGINT)) * 1000 // COUNT(*) AS BIGINT)
+       |           AS davg,
+       |         CAST(SUM(CAST(len(a) AS BIGINT)) AS BIGINT) AS c_tot
+       |  FROM w),
+       |scored AS (
+       |  SELECT t.term, t.doc_id,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((t.tf * 2000) // (t.tf + 1)) AS score_a,
+       |         (((n.n_docs - s.df) * 2 + 1) * 1000000 // (s.df * 2 + 1))
+       |           * ((22 * t.tf * n.davg * 1000)
+       |              // (10 * t.tf * n.davg + 3 * n.davg + 9000 * t.dl))
+       |           AS score_b,
+       |         (t.tf * 1000000
+       |            + $DirichletMu * ((s.ctf * 1000000) // n.c_tot)) * 1000
+       |           // (t.dl + $DirichletMu) AS score_c
+       |  FROM tf t JOIN qs s ON s.term = t.term CROSS JOIN stats n),
+       |la AS (
+       |  SELECT term, doc_id, rn AS rank_a
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_a DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= $ListK),
+       |lb AS (
+       |  SELECT term, doc_id, rn AS rank_b
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_b DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= $ListK),
+       |lc AS (
+       |  SELECT term, doc_id, rn AS rank_c
+       |  FROM (SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |          ORDER BY score_c DESC, doc_id) AS rn FROM scored)
+       |  WHERE rn <= $ListK),
+       |f2 AS (
+       |  SELECT COALESCE(la.term, lb.term) AS term,
+       |         COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+       |         COALESCE(1000000 // ($RrfK + rank_a), 0)
+       |           + COALESCE(1000000 // ($RrfK + rank_b), 0) AS rrf2
+       |  FROM la FULL JOIN lb
+       |    ON la.term = lb.term AND la.doc_id = lb.doc_id),
+       |fused AS (
+       |  SELECT COALESCE(f2.term, lc.term) AS term,
+       |         COALESCE(f2.doc_id, lc.doc_id) AS doc_id,
+       |         COALESCE(rrf2, 0)
+       |           + COALESCE(1000000 // ($RrfK + rank_c), 0) AS rrf
+       |  FROM f2 FULL JOIN lc
+       |    ON f2.term = lc.term AND f2.doc_id = lc.doc_id)
+       |SELECT term, CAST(rn AS BIGINT) AS rank, doc_id,
+       |       CAST(rrf AS BIGINT) AS rrf_score
+       |FROM (SELECT term, doc_id, rrf,
+       |             row_number() OVER (PARTITION BY term
+       |               ORDER BY rrf DESC, doc_id) AS rn
+       |      FROM fused)
+       |WHERE rn <= $K""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_prf_expand" -> prfExpand _,
     "stream_prf_expand" -> streamPrfExpand _,
@@ -1346,6 +1554,8 @@ object RetrievalQueries {
     "stream_phrase_match" -> streamPhraseMatch _,
     "stream_proximity" -> streamProximity _,
     "text_rrf_fusion" -> rrfFusion _,
+    "text_ql_dirichlet" -> qlDirichlet _,
+    "text_rrf_fusion3" -> rrfFusion3 _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
   def oracles: Map[String, String] = Map(
@@ -1363,5 +1573,7 @@ object RetrievalQueries {
     "stream_phrase_match" -> phraseMatchSql,
     "stream_proximity" -> proximitySql,
     "text_rrf_fusion" -> rrfFusionSql,
+    "text_ql_dirichlet" -> qlDirichletSql,
+    "text_rrf_fusion3" -> rrfFusion3Sql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }
