@@ -1737,10 +1737,20 @@ object CurationQueries {
     * [[capSources]]). The max-score document keeps with probability 1,
     * so the result is never empty. */
   def importanceSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        TextShingles.tokens(col("text")).as("w"))
-    val stats = docs
+    val scored = dsirScored(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      dsirLrMap(s, d))
+    val mx = scored.agg(max(col("score")).as("smax"))
+    dsirKeep(scored.crossJoin(broadcast(mx)))
+  }
+
+  /** The per-bucket log-ratio table derived from the AT-REST corpus —
+    * ≤ [[DsirBuckets]] rows collected driver-side (bounded by
+    * construction, the ANN-router-collect discipline), arithmetic in
+    * exact Long ops identical to the oracle spelling. */
+  private[graft] def dsirLrMap(s: SparkSession, d: String): Map[Long, Long] = {
+    val stats = Tables.documents(s, d)
+      .select(col("lang"), TextShingles.tokens(col("text")).as("w"))
       .select(col("lang"), explode(dsirGrams).as("g"))
       .select(col("lang"), (Md5Key.column(col("g")) % DsirBuckets).as("b"))
       .groupBy(col("b"))
@@ -1749,19 +1759,30 @@ object CurationQueries {
       .collect() // ≤ DsirBuckets rows — bounded by construction
     val rTot = math.max(stats.map(_.getLong(1)).sum, 1L)
     val tTot = math.max(stats.map(_.getLong(2)).sum, 1L)
-    val lr: Map[Long, Long] = (0L until DsirBuckets).map { b =>
+    (0L until DsirBuckets).map { b =>
       val row = stats.find(_.getLong(0) == b)
       val rc = row.fold(0L)(_.getLong(1))
       val tc = row.fold(0L)(_.getLong(2))
       b -> (flog2(tc * 1000000L / tTot + 1) - flog2(rc * 1000000L / rTot + 1))
     }.toMap
+  }
+
+  /** Narrow per-row DSIR scoring over any (doc_id, text) relation —
+    * batch or unbounded — against an inlined 64-entry lr map. */
+  private[graft] def dsirScored(docs0: DataFrame,
+                                lr: Map[Long, Long]): DataFrame = {
     val lrMap = typedLit(lr)
-    val scored = docs
+    docs0
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
       .withColumn("score", aggregate(dsirGrams, lit(0L), (acc, g) =>
         acc + element_at(lrMap, Md5Key.column(g) % DsirBuckets)))
       .select(col("doc_id"), col("score"))
-    val mx = scored.agg(max(col("score")).as("smax"))
-    scored.crossJoin(broadcast(mx))
+  }
+
+  /** The importance-proportional keep filter over a scored relation
+    * carrying `smax` — the 2^(−Δ/16) ladder + md5-u32 draw. */
+  private def dsirKeep(scored: DataFrame): DataFrame =
+    scored
       .withColumn("delta", col("smax") - col("score"))
       .withColumn("keep_u32", expr(
         "IF(delta DIV 16 >= 32, 0L, " +
@@ -1771,6 +1792,26 @@ object CurationQueries {
       .filter(Md5Key.column(concat(lit("dsir:"),
         col("doc_id").cast(StringType))) < col("keep_u32"))
       .select(col("doc_id"), col("score"), col("keep_u32"))
+
+  /** Streaming twin of [[importanceSample]] — DSIR the way it
+    * DEPLOYS: the target-vs-raw log-ratio model and the max-score
+    * normalizer are PARAMETERS pinned from the previous corpus
+    * snapshot (the avgdl-parameter discipline of streamBm25Full);
+    * each arriving document then scores, normalizes and draws
+    * entirely inside its own row — a stateless append stream, no
+    * state at any corpus size. On the finite fixture the pinned
+    * parameters equal the batch pass's, so the SAME oracle verifies
+    * the composition. */
+  def streamImportanceSample(s: SparkSession, d: String): DataFrame = {
+    val lr = dsirLrMap(s, d)
+    val smax = dsirScored(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), lr)
+      .agg(max(col("score"))).collect().head.getLong(0) // ONE scalar
+    val stream = StreamingQueries.docStream(s, d)
+      .select(col("doc_id"), col("text"))
+    StreamingQueries.runToTable(
+      dsirKeep(dsirScored(stream, lr).withColumn("smax", lit(smax))),
+      "append")
   }
 
   val importanceSampleSql: String =
@@ -1834,6 +1875,7 @@ object CurationQueries {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_kanon_audit" -> kanonAudit _,
     "curate_importance_sample" -> importanceSample _,
+    "stream_importance_sample" -> streamImportanceSample _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -1869,6 +1911,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "curate_importance_sample" -> importanceSampleSql,
+    "stream_importance_sample" -> importanceSampleSql,
     "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,

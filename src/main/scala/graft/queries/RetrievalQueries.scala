@@ -1428,6 +1428,70 @@ object RetrievalQueries {
        |      FROM scored)
        |WHERE rn <= $K""".stripMargin
 
+  /** Streaming twin of [[qlDirichlet]] — incremental maintenance of
+    * the QL scorer's SUFFICIENT STATISTICS: one update-mode
+    * aggregation per term carries (df, ctf), O(1) state per distinct
+    * term (no posting head — a QL head cannot be maintained in-stream
+    * because every document's score moves with the evolving
+    * collection model). At finalize the drained stats yield the
+    * query selection (df ranks), each query's collection frequency,
+    * and the corpus token total (Σ ctf — fully stream-derived, no
+    * pinned parameter), and the bounded scoring pass runs over the
+    * at-rest postings under the broadcast 10-row query relation (the
+    * stream_prf_expand finalize discipline). Same oracle. */
+  def streamQlDirichlet(s: SparkSession, d: String): DataFrame = {
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("term"),
+        col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .select(col("term"), col("tf"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ctf", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val idx = store.df(s)
+    val stats = idx.agg(sum(col("ctf")).as("c_tot"))
+    val qs = idx
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("ctf"))
+    val topk = udaf(new graft.functions.TopKByScoreLong(K))
+    tfDlRel(s, d).join(broadcast(qs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("p_ppm", expr("ctf * 1000000 DIV c_tot"))
+      .withColumn("score", QlScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk(col("score"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("score"))
+  }
+
   /** Three-leg reciprocal-rank fusion — [[rrfFusion]]'s two lexical
     * lists (b = 0 BM25, full BM25) plus the Dirichlet-QL list: the
     * classic multi-scorer ensemble, one scored relation, three
@@ -1555,6 +1619,7 @@ object RetrievalQueries {
     "stream_proximity" -> streamProximity _,
     "text_rrf_fusion" -> rrfFusion _,
     "text_ql_dirichlet" -> qlDirichlet _,
+    "stream_ql_dirichlet" -> streamQlDirichlet _,
     "text_rrf_fusion3" -> rrfFusion3 _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
@@ -1574,6 +1639,7 @@ object RetrievalQueries {
     "stream_proximity" -> proximitySql,
     "text_rrf_fusion" -> rrfFusionSql,
     "text_ql_dirichlet" -> qlDirichletSql,
+    "stream_ql_dirichlet" -> qlDirichletSql,
     "text_rrf_fusion3" -> rrfFusion3Sql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }
