@@ -723,6 +723,107 @@ object RetrievalQueries {
         col("z.scores").cast(LongType).as("rrf_score"))
   }
 
+  /** Streaming twin of [[rrfFusion3]] — the [[streamRrfFusion]] state
+    * (two k-bounded LONG-pack posting heads per term) widened with
+    * the QL sufficient statistics (df, ctf — the
+    * [[streamQlDirichlet]] state) in the SAME update-mode row, so
+    * per-term state stays O(2k + 2) however long the stream runs. At
+    * finalize legs a/b unpack from the drained heads (idf constant
+    * per term ⇒ head order is list order, ties included), leg c —
+    * which cannot head-maintain in-stream (every doc's QL score moves
+    * with the evolving collection model) — scores the at-rest
+    * postings under the drained per-term ctf and the fully
+    * stream-derived token total Σ ctf, and the three lists fuse
+    * through the same chained full-outer RRF. Same oracle as the
+    * batch 3-leg fusion. */
+  def streamRrfFusion3(s: SparkSession, d: String): DataFrame = {
+    val topk20 = udaf(new graft.functions.TopKByScoreLong(ListK))
+    val dAvg = Tables.documents(s, d)
+      .select(size(TextShingles.tokens(col("text"))).cast(LongType).as("dl"))
+      .agg(expr("SUM(dl) * 1000 DIV COUNT(*)").as("D"))
+      .collect().head.getLong(0) // bounded: ONE corpus stat
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("dl"),
+        explode(array_distinct(col("w"))).as("term"), col("w"))
+      .withColumn("tf", size(filter(col("w"), t => t === col("term")))
+        .cast(LongType))
+      .withColumn("D", lit(dAvg))
+      .withColumn("sat", expr("tf * 2000 DIV (tf + 1)"))
+      .withColumn("tfn", tfnPermille(22, 10, 3, 9000))
+      .select(col("term"), col("doc_id"), col("tf"),
+        (col("sat") * lit(4294967296L) - col("doc_id")).as("ord_a"),
+        (col("tfn") * lit(4294967296L) - col("doc_id")).as("ord_b"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"),
+        topk20(col("ord_a"), col("doc_id")).as("ta"),
+        topk20(col("ord_b"), col("doc_id")).as("tb"))
+      .select(col("term"), col("df"), col("ctf"),
+        col("ta.ids").as("ids_a"), col("tb.ids").as("ids_b"))
+    val schema = StructType(Seq(
+      StructField("term", StringType),
+      StructField("df", LongType),
+      StructField("ctf", LongType),
+      StructField("ids_a", ArrayType(LongType)),
+      StructField("ids_b", ArrayType(LongType))))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val idx = store.df(s)
+    val stats = idx.agg(sum(col("ctf")).as("c_tot"))
+    val qsel = idx
+      .orderBy(col("df").desc, col("term")).limit(RankHi)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") >= RankLo)
+      .select(col("term"), col("ctf"), col("ids_a"), col("ids_b"))
+    def ranksOf(idsCol: String, rankName: String): DataFrame = qsel
+      .select(col("term"), posexplode(col(idsCol)).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as(rankName))
+    val lc = tfDlRel(s, d)
+      .join(broadcast(qsel.select(col("term"), col("ctf"))), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("p_ppm", expr("ctf * 1000000 DIV c_tot"))
+      .withColumn("score", QlScoreExpr)
+      .groupBy(col("term"))
+      .agg(topk20(col("score"), col("doc_id")).as("top"))
+      .select(col("term"), posexplode(col("top.ids")).as(Seq("p", "doc_id")))
+      .select(col("term"), col("doc_id"),
+        (col("p") + 1).cast(LongType).as("rank_c"))
+    val topk5 = udaf(new graft.functions.TopKByScoreLong(K))
+    ranksOf("ids_a", "rank_a")
+      .join(ranksOf("ids_b", "rank_b"), Seq("term", "doc_id"), "full")
+      .withColumn("rrf2",
+        coalesce(expr(s"1000000 DIV ($RrfK + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_b)"), lit(0L)))
+      .join(lc, Seq("term", "doc_id"), "full")
+      .withColumn("rrf",
+        coalesce(col("rrf2"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + rank_c)"), lit(0L)))
+      .groupBy(col("term"))
+      .agg(topk5(col("rrf"), col("doc_id")).as("top"))
+      .select(col("term"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("pos", "z")))
+      .select(col("term"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        col("z.scores").cast(LongType).as("rrf_score"))
+  }
+
   // ---------------------------------------------------------------
   // n-term phrases + proximity windows (VERDICT r14 next-round #2):
   // [[phraseMatch]] answers exactly 2-term phrases; a 3+-term phrase
@@ -1621,6 +1722,7 @@ object RetrievalQueries {
     "text_ql_dirichlet" -> qlDirichlet _,
     "stream_ql_dirichlet" -> streamQlDirichlet _,
     "text_rrf_fusion3" -> rrfFusion3 _,
+    "stream_rrf_fusion3" -> streamRrfFusion3 _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
   def oracles: Map[String, String] = Map(
@@ -1641,5 +1743,6 @@ object RetrievalQueries {
     "text_ql_dirichlet" -> qlDirichletSql,
     "stream_ql_dirichlet" -> qlDirichletSql,
     "text_rrf_fusion3" -> rrfFusion3Sql,
+    "stream_rrf_fusion3" -> rrfFusion3Sql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }
