@@ -66,6 +66,139 @@ object DedupQueries {
     } finally { sh.unpersist(blocking = false); () }
   }
 
+  // ---------------------------------------------------------------
+  // LSH banding auto-tune — the dedup-side twin of sim_ann_autoprobe:
+  // the (bands × rows) split of a fixed minhash budget is the knob a
+  // production dedup pipeline sets by folklore; this derives it FROM
+  // THE DATA. For each (b, r) with b·r = 16, the classic S-curve
+  // P(collide | s) = 1 − (1 − s^r)^b is evaluated on every MEASURED
+  // pair similarity (the shared-shingle candidate relation with its
+  // exact Jaccard on a ppm grid — never all-pairs), giving the
+  // config's expected recall over true duplicates (j ≥ 0.8, the
+  // family's dup threshold) and expected false-candidate rate over
+  // non-duplicates. All integer: exponents are powers of two, so
+  // s^r / (1−s^r)^b are repeated-squaring ladders with a ppm
+  // re-grid per step — identical arithmetic both engines.
+  // ---------------------------------------------------------------
+
+  /** Target expected recall (ppm) for [[lshAutotune]] — 95%. */
+  private[queries] val LshRecallTargetPpm = 950000L
+
+  /** Expected recall / false-candidate sweep over the 5 banding
+    * splits of a 16-hash minhash budget, with the MINIMAL band count
+    * meeting [[LshRecallTargetPpm]] flagged (bands are the per-doc
+    * state/IO cost; recall rises with b, so min-b-meeting-target is
+    * the cheapest safe config). Pair similarities are measured, not
+    * assumed: the shared-shingle candidate relation (the
+    * dedup_ngram_jaccard blocking — bounded by shingle collisions at
+    * any corpus size; in production this runs over a corpus sample)
+    * with exact integer Jaccard j_ppm = i·10^6 DIV (|A|+|B|−i). */
+  def lshAutotune(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", N).persist()
+    try {
+      val sizes = docs
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+      val pj = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("i * 1000000 DIV (sa.n + sb.n - i)").as("j"))
+      val cfg = s.createDataFrame(Seq(
+          (16L, 1L), (8L, 2L), (4L, 4L), (2L, 8L), (1L, 16L)))
+        .toDF("bands", "rows_per_band")
+      val agg = pj.crossJoin(broadcast(cfg))
+        .withColumn("j2", expr("j * j DIV 1000000"))
+        .withColumn("j4", expr("j2 * j2 DIV 1000000"))
+        .withColumn("j8", expr("j4 * j4 DIV 1000000"))
+        .withColumn("j16", expr("j8 * j8 DIV 1000000"))
+        .withColumn("q", expr("1000000 - (CASE rows_per_band " +
+          "WHEN 1 THEN j WHEN 2 THEN j2 WHEN 4 THEN j4 " +
+          "WHEN 8 THEN j8 ELSE j16 END)"))
+        .withColumn("q2", expr("q * q DIV 1000000"))
+        .withColumn("q4", expr("q2 * q2 DIV 1000000"))
+        .withColumn("q8", expr("q4 * q4 DIV 1000000"))
+        .withColumn("q16", expr("q8 * q8 DIV 1000000"))
+        .withColumn("p", expr("1000000 - (CASE bands " +
+          "WHEN 1 THEN q WHEN 2 THEN q2 WHEN 4 THEN q4 " +
+          "WHEN 8 THEN q8 ELSE q16 END)"))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(
+          expr("SUM(IF(j >= 800000, p, 0L)) DIV " +
+            "GREATEST(SUM(IF(j >= 800000, 1L, 0L)), 1L)")
+            .as("exp_recall_ppm"),
+          expr("SUM(IF(j < 800000, p, 0L)) DIV " +
+            "GREATEST(SUM(IF(j < 800000, 1L, 0L)), 1L)")
+            .as("exp_fp_ppm"))
+      val chosen = agg.filter(col("exp_recall_ppm") >= LshRecallTargetPpm)
+        .agg(min(col("bands")).as("mb"))
+      agg.crossJoin(broadcast(chosen))
+        .select(col("bands"), col("rows_per_band"),
+          col("exp_recall_ppm"), col("exp_fp_ppm"),
+          (col("exp_recall_ppm") >= LshRecallTargetPpm).cast("long")
+            .as("meets_target"),
+          coalesce((col("bands") === col("mb")).cast("long"), lit(0L))
+            .as("chosen"))
+        .localCheckpoint()
+    } finally { sh.unpersist(blocking = false); () }
+  }
+
+  val lshAutotuneSql: String =
+    s"""WITH ${graft.functions.TextShingles.shingleCte5Sql()},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pj AS (
+       |  SELECT doc_a, doc_b, (i * 1000000) // (sa.n + sb.n - i) AS j
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b),
+       |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8),
+       |                              (1, 16)) AS t(bands, rows_per_band)),
+       |l1 AS (SELECT pj.*, cfg.bands, cfg.rows_per_band,
+       |              (j * j) // 1000000 AS j2
+       |       FROM pj CROSS JOIN cfg),
+       |l2 AS (SELECT *, (j2 * j2) // 1000000 AS j4 FROM l1),
+       |l3 AS (SELECT *, (j4 * j4) // 1000000 AS j8 FROM l2),
+       |l4 AS (SELECT *, (j8 * j8) // 1000000 AS j16 FROM l3),
+       |qq AS (SELECT *, 1000000 - (CASE rows_per_band
+       |         WHEN 1 THEN j WHEN 2 THEN j2 WHEN 4 THEN j4
+       |         WHEN 8 THEN j8 ELSE j16 END) AS q FROM l4),
+       |m1 AS (SELECT *, (q * q) // 1000000 AS q2 FROM qq),
+       |m2 AS (SELECT *, (q2 * q2) // 1000000 AS q4 FROM m1),
+       |m3 AS (SELECT *, (q4 * q4) // 1000000 AS q8 FROM m2),
+       |m4 AS (SELECT *, (q8 * q8) // 1000000 AS q16 FROM m3),
+       |pp AS (SELECT doc_a, doc_b, j, bands, rows_per_band,
+       |         1000000 - (CASE bands
+       |           WHEN 1 THEN q WHEN 2 THEN q2 WHEN 4 THEN q4
+       |           WHEN 8 THEN q8 ELSE q16 END) AS p FROM m4),
+       |agg AS (
+       |  SELECT bands, rows_per_band,
+       |    CAST(SUM(CASE WHEN j >= 800000 THEN p ELSE 0 END)
+       |         // GREATEST(SUM(CASE WHEN j >= 800000 THEN 1 ELSE 0 END), 1)
+       |         AS BIGINT) AS exp_recall_ppm,
+       |    CAST(SUM(CASE WHEN j < 800000 THEN p ELSE 0 END)
+       |         // GREATEST(SUM(CASE WHEN j < 800000 THEN 1 ELSE 0 END), 1)
+       |         AS BIGINT) AS exp_fp_ppm
+       |  FROM pp GROUP BY bands, rows_per_band),
+       |ch AS (SELECT MIN(bands) mb FROM agg
+       |       WHERE exp_recall_ppm >= $LshRecallTargetPpm)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       |       exp_recall_ppm, exp_fp_ppm,
+       |       CAST(CASE WHEN exp_recall_ppm >= $LshRecallTargetPpm
+       |            THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+       |       CAST(CASE WHEN bands = (SELECT mb FROM ch) THEN 1 ELSE 0 END
+       |            AS BIGINT) AS chosen
+       |FROM agg""".stripMargin
+
   /** Exact dedup: group by content hash, keep the lowest doc_id.
     * Equivalent of dropDuplicates(text) but emits the dedup decision
     * (hash → survivor + multiplicity) so it is sink-agnostic. */
@@ -727,6 +860,7 @@ object DedupQueries {
     "dedup_components_twostar" -> componentsTwoStar _,
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_lsh_autotune" -> lshAutotune _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -740,6 +874,7 @@ object DedupQueries {
     "dedup_components_twostar" -> componentsSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_lsh_autotune" -> lshAutotuneSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
