@@ -825,6 +825,81 @@ object RetrievalQueries {
   }
 
   // ---------------------------------------------------------------
+  // In-engine retrieval evaluation — the harness a retrieval stack
+  // ships with: given a relevance set, score every system on MRR and
+  // nDCG@5 so a ranking change is a diffable number, not a vibe. The
+  // relevance set here is the 3-leg fusion consensus (rank r ⇒ graded
+  // rel 6−r) — the ensemble-agreement evaluation used when no human
+  // qrels exist. log2 discounts are FIXED ppm literals (1e6/log2(i+1),
+  // i = 1..5), so no runtime libm call exists to drift cross-engine;
+  // every metric is exact integer arithmetic on the ppm grid.
+  // ---------------------------------------------------------------
+
+  /** round(1e6 / log2(i+1)) for ranks 1..5 — shared literal table. */
+  private val NdcgDiscount = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+  /** Ideal DCG for a 5-deep graded qrels list (rels 5..1 in order). */
+  private val IdcgPpm: Long =
+    (0 until 5).map(i => (5L - i) * NdcgDiscount(i)).sum
+
+  /** MRR and nDCG@5 (ppm) for each lexical system — b = 0 BM25, full
+    * BM25, Dirichlet QL — against the fusion-consensus qrels. Reuses
+    * the systems' OWN catalog queries as the ranked lists (no second
+    * spelling to drift) and joins each against the ≤50-row qrels
+    * relation; per-term reciprocal rank is MAX(1e6 DIV rank) over
+    * relevant hits, per-term nDCG is the literal-discount dot product
+    * over the fixed ideal. Output: one row per system. */
+  def retrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val qrels = rrfFusion3(s, d)
+      .select(col("term"), col("doc_id"), (lit(6L) - col("rank")).as("rel"))
+    val disc = s"element_at(array(${NdcgDiscount.mkString(", ")}), " +
+      "CAST(rank AS INT))"
+    def evalSys(name: String, list: DataFrame): DataFrame =
+      list.select(col("term"), col("rank"), col("doc_id"))
+        .join(broadcast(qrels), Seq("term", "doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .groupBy(col("term"))
+        .agg(
+          coalesce(max(when(col("rel") > 0, expr("1000000 DIV rank"))),
+            lit(0L)).as("rr"),
+          sum(col("rel") * expr(disc)).as("dcg"))
+        .agg(expr(s"SUM(rr) DIV ${RankHi - RankLo + 1}").as("mrr_ppm"),
+          expr(s"SUM(dcg * 1000000 DIV $IdcgPpm) DIV ${RankHi - RankLo + 1}")
+            .as("ndcg_ppm"))
+        .select(lit(name).as("system"), col("mrr_ppm"), col("ndcg_ppm"))
+    evalSys("bm25_b0", bm25TopK(s, d))
+      .unionAll(evalSys("bm25_full", bm25Full(s, d)))
+      .unionAll(evalSys("ql_dirichlet", qlDirichlet(s, d)))
+  }
+
+  /** lazy: references oracle vals declared later in the file. */
+  lazy val retrievalMetricsSql: String =
+    s"""WITH qr AS (
+       |  SELECT term, doc_id, 6 - rank AS rel FROM ($rrfFusion3Sql) f),
+       |sys AS (
+       |  SELECT 'bm25_b0' AS system, term, rank, doc_id
+       |  FROM ($bm25TopKSql) a
+       |  UNION ALL
+       |  SELECT 'bm25_full', term, rank, doc_id FROM ($bm25FullSql) b
+       |  UNION ALL
+       |  SELECT 'ql_dirichlet', term, rank, doc_id FROM ($qlDirichletSql) c),
+       |j AS (
+       |  SELECT s.system, s.term, s.rank, COALESCE(qr.rel, 0) AS rel
+       |  FROM sys s LEFT JOIN qr
+       |    ON qr.term = s.term AND qr.doc_id = s.doc_id),
+       |pt AS (
+       |  SELECT system, term,
+       |    COALESCE(MAX(CASE WHEN rel > 0 THEN 1000000 // rank END), 0) AS rr,
+       |    CAST(SUM(rel * (list_value(${NdcgDiscount.mkString(", ")})
+       |                    [CAST(rank AS INT)])) AS BIGINT) AS dcg
+       |  FROM j GROUP BY system, term)
+       |SELECT system,
+       |  CAST(SUM(rr) // ${RankHi - RankLo + 1} AS BIGINT) AS mrr_ppm,
+       |  CAST(SUM(dcg * 1000000 // $IdcgPpm) // ${RankHi - RankLo + 1}
+       |       AS BIGINT) AS ndcg_ppm
+       |FROM pt GROUP BY system""".stripMargin
+
+  // ---------------------------------------------------------------
   // n-term phrases + proximity windows (VERDICT r14 next-round #2):
   // [[phraseMatch]] answers exactly 2-term phrases; a 3+-term phrase
   // is the SAME positional index with one more chained (doc_id,
@@ -1723,6 +1798,7 @@ object RetrievalQueries {
     "stream_ql_dirichlet" -> streamQlDirichlet _,
     "text_rrf_fusion3" -> rrfFusion3 _,
     "stream_rrf_fusion3" -> streamRrfFusion3 _,
+    "text_retrieval_metrics" -> retrievalMetrics _,
     "stream_rrf_fusion" -> streamRrfFusion _)
 
   def oracles: Map[String, String] = Map(
@@ -1744,5 +1820,6 @@ object RetrievalQueries {
     "stream_ql_dirichlet" -> qlDirichletSql,
     "text_rrf_fusion3" -> rrfFusion3Sql,
     "stream_rrf_fusion3" -> rrfFusion3Sql,
+    "text_retrieval_metrics" -> retrievalMetricsSql,
     "stream_rrf_fusion" -> rrfFusionSql)
 }
