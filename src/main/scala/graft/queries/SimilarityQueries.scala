@@ -1363,9 +1363,14 @@ object SimilarityQueries {
     * agg with map-side partials (shuffle carries ≤ 8 rows per
     * vector); the ADC total is one grouped sum; top-10 is a
     * TakeOrdered. The corpus never shuffles raw vectors. */
-  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame =
+    pqAdcOver(s, d, nSub = 8)
+
+  /** [[pqAdcTopK]] parameterized by the subspace count — the knob
+    * [[pqAutotune]] sweeps (same codebook convention, same exact
+    * integer spelling at every split). */
+  private def pqAdcOver(s: SparkSession, d: String, nSub: Int): DataFrame = {
     val e = withEmb(s, d)
-    val nSub = 8
     val subDim = EmbeddingDim / nSub
     // (vec_id, sub, subv): the corpus split into subvectors
     def subvectors(df: DataFrame): DataFrame = df
@@ -1405,8 +1410,9 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  val pqAdcTopKSql: String = {
-    val nSub = 8
+  val pqAdcTopKSql: String = pqAdcSqlFor(nSub = 8)
+
+  private def pqAdcSqlFor(nSub: Int): String = {
     val subDim = EmbeddingDim / nSub
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] emb FROM embeddings),
        |sv AS (
@@ -1438,6 +1444,60 @@ object SimilarityQueries {
        |WHERE enc.vec_id <> 0
        |GROUP BY enc.vec_id, enc.label
        |ORDER BY adc_micros DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Target recall@5 (ppm) for [[pqAutotune]]. */
+  private[queries] val PqRecallTargetPpm = 600000L
+
+  /** PQ compression auto-tune — the third member of the serving-loop
+    * tuner family (nprobe: [[annAutoprobe]]; LSH banding:
+    * DedupQueries.lshAutotune): sweep the subspace count
+    * m ∈ {2, 4, 8, 16} (bytes per vector ∝ m — fewer subspaces is
+    * MORE compression and worse recall), measure each config's ADC
+    * top-5 recall against the exact top-5, and flag the MINIMAL m
+    * (maximal compression) meeting the target — the
+    * memory-vs-quality knob a production PQ deployment sets by
+    * benchmark. Every arm is the verified [[pqAdcTopK]] machinery at
+    * a different split; deterministic ⇒ one oracle verifies the
+    * whole sweep. */
+  def pqAutotune(s: SparkSession, d: String): DataFrame = {
+    val exact = bruteForceTopK(s, d).limit(5).select(col("vec_id"))
+    val arms = Seq(2, 4, 8, 16).map { m =>
+      pqAdcOver(s, d, m).limit(5)
+        .select(col("vec_id")).join(exact, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m.toLong).as("n_sub"),
+          expr("hits * 1000000 DIV 5").as("recall_ppm"))
+    }.reduce(_ unionAll _)
+    val chosen = arms.filter(col("recall_ppm") >= PqRecallTargetPpm)
+      .agg(min(col("n_sub")).as("mn"))
+    arms.crossJoin(broadcast(chosen))
+      .select(col("n_sub"), col("recall_ppm"),
+        (col("recall_ppm") >= PqRecallTargetPpm).cast("long")
+          .as("meets_target"),
+        coalesce((col("n_sub") === col("mn")).cast("long"), lit(0L))
+          .as("chosen"))
+  }
+
+  lazy val pqAutotuneSql: String = {
+    def armSql(m: Int): String =
+      s"""SELECT CAST($m AS BIGINT) AS n_sub,
+         |  CAST(COUNT(*) * 1000000 // 5 AS BIGINT) AS recall_ppm
+         |FROM (SELECT vec_id FROM (${pqAdcSqlFor(m)}) t$m
+         |      ORDER BY adc_micros DESC, vec_id LIMIT 5) a$m
+         |JOIN ex ON a$m.vec_id = ex.vec_id""".stripMargin
+    s"""WITH ex AS (SELECT vec_id FROM ($bruteForceTopKSql) x
+       |            ORDER BY cos_sim DESC, vec_id LIMIT 5),
+       |agg AS (
+       |${Seq(2, 4, 8, 16).map(armSql).mkString("\nUNION ALL\n")}),
+       |ch AS (SELECT MIN(n_sub) mn FROM agg
+       |       WHERE recall_ppm >= $PqRecallTargetPpm)
+       |SELECT n_sub, recall_ppm,
+       |       CAST(CASE WHEN recall_ppm >= $PqRecallTargetPpm THEN 1 ELSE 0 END
+       |            AS BIGINT) AS meets_target,
+       |       CAST(CASE WHEN n_sub = (SELECT mn FROM ch) THEN 1 ELSE 0 END
+       |            AS BIGINT) AS chosen
+       |FROM agg""".stripMargin
   }
 
   /** IVF-PQ composed index — the standard production ANN layout when
@@ -1777,6 +1837,7 @@ object SimilarityQueries {
     "stream_ivf_retrain" -> streamIvfRetrain _,
     "sim_ann_recall" -> annRecall _,
     "sim_ann_autoprobe" -> annAutoprobe _,
+    "sim_pq_autotune" -> pqAutotune _,
     "sim_hard_negatives" -> hardNegatives _,
     "sim_cos_neardup" -> cosNearDup _,
     "sim_threshold_sweep" -> thresholdSweep _,
@@ -1807,6 +1868,7 @@ object SimilarityQueries {
     "stream_ivf_retrain" -> ivfRetrainSql,
     "sim_ann_recall" -> annRecallSql,
     "sim_ann_autoprobe" -> annAutoprobeSql,
+    "sim_pq_autotune" -> pqAutotuneSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_cos_neardup" -> cosNearDupSql,
     "sim_threshold_sweep" -> thresholdSweepSql,
