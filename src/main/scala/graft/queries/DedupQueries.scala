@@ -199,6 +199,71 @@ object DedupQueries {
        |            AS BIGINT) AS chosen
        |FROM agg""".stripMargin
 
+  /** Containment threshold (ppm) — the smaller document must share
+    * ≥90% of its shingles to count as contained. */
+  private[queries] val ContainPpm = 900000L
+
+  /** Asymmetric near-dup by SET CONTAINMENT (Broder): Jaccard misses
+    * the small-document-inside-big-document case entirely (a 100-line
+    * doc fully embedded in a 10k-line doc has Jaccard ≈ 0.01), but
+    * for training data the contained doc is pure duplication and
+    * should drop. For every shared-shingle candidate pair this emits
+    * the pairs whose SMALLER side is ≥[[ContainPpm]] contained in the
+    * larger — doc_inner (the contained one, the drop candidate),
+    * doc_outer, both measures on the exact ppm grid, and the
+    * `asymmetric` flag marking pairs BELOW the family's 0.8 Jaccard
+    * gate, i.e. the duplication only this operator catches. Blocking
+    * is the same shared-shingle candidate join as the Jaccard tier —
+    * never all-pairs. */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sh = TextShingles.shingleHashSet(docs, "doc_id", "text", N).persist()
+    try {
+      val sizes = docs
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("containment_ppm",
+          expr("i * 1000000 DIV LEAST(sa.n, sb.n)"))
+        .withColumn("jaccard_ppm", expr("i * 1000000 DIV (sa.n + sb.n - i)"))
+        .filter(col("containment_ppm") >= ContainPpm)
+        .select(
+          expr("IF(sa.n <= sb.n, doc_a, doc_b)").as("doc_inner"),
+          expr("IF(sa.n <= sb.n, doc_b, doc_a)").as("doc_outer"),
+          col("containment_ppm"), col("jaccard_ppm"),
+          (col("jaccard_ppm") < 800000L).cast("long").as("asymmetric"))
+        .localCheckpoint()
+    } finally { sh.unpersist(blocking = false); () }
+  }
+
+  val containmentSql: String =
+    s"""WITH ${graft.functions.TextShingles.shingleCte5Sql()},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pj AS (
+       |  SELECT doc_a, doc_b, sa.n na, sb.n nb,
+       |         (i * 1000000) // LEAST(sa.n, sb.n) AS containment_ppm,
+       |         (i * 1000000) // (sa.n + sb.n - i) AS jaccard_ppm
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_inner,
+       |       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_outer,
+       |       CAST(containment_ppm AS BIGINT) AS containment_ppm,
+       |       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       |       CAST(CASE WHEN jaccard_ppm < 800000 THEN 1 ELSE 0 END AS BIGINT)
+       |         AS asymmetric
+       |FROM pj WHERE containment_ppm >= $ContainPpm""".stripMargin
+
   /** Exact dedup: group by content hash, keep the lowest doc_id.
     * Equivalent of dropDuplicates(text) but emits the dedup decision
     * (hash → survivor + multiplicity) so it is sink-agnostic. */
@@ -861,6 +926,7 @@ object DedupQueries {
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_lsh_autotune" -> lshAutotune _,
+    "dedup_containment" -> containment _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -875,6 +941,7 @@ object DedupQueries {
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_lsh_autotune" -> lshAutotuneSql,
+    "dedup_containment" -> containmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

@@ -114,6 +114,18 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == expected)
   }
 
+  test("stream_mm_pair matches the batch election under shuffled arrival") {
+    val streamed = MultimodalQueries.streamPairNearDup(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val expected = batchElection(
+      MultimodalQueries.pairBands(
+        MultimodalQueries.textSimhashBands(docsBatch),
+        MultimodalQueries.phashBands(docsBatch))
+        .filter(col("band_val") =!= 0L), "band_no", "band_val")
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_excise_repeated equals the batch excision under shuffled arrival") {
     val streamed = CurationQueries.streamExciseRepeated(spark, dir)
       .collect().map(_.toSeq).toSet
