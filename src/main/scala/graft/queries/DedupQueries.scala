@@ -199,6 +199,34 @@ object DedupQueries {
        |            AS BIGINT) AS chosen
        |FROM agg""".stripMargin
 
+  /** Cross-source contamination matrix — WHICH source copies WHICH:
+    * every verified near-dup pair ([[ngramJaccard]], j ≥ 0.8) keyed
+    * by (canonical side's source, duplicate side's source) with the
+    * lower doc_id as canonical (the family's survivor rule). This is
+    * the drill-down a data team reads after [[rateBySource]] says
+    * "source X is 30% duplicated" — whether X copies itself (internal
+    * boilerplate) or mirrors source Y (a licensing/provenance
+    * problem). Cost: the already-verified pair relation plus two
+    * doc_id-keyed source pickups; output ≤ |sources|² rows. */
+  def crossSourceMatrix(s: SparkSession, d: String): DataFrame = {
+    val srcs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    ngramJaccard(s, d)
+      .join(srcs.select(col("doc_id").as("doc_a"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  lazy val crossSourceMatrixSql: String = // lazy: ngramJaccardSql declared below
+    s"""SELECT da.source AS src_canonical, db.source AS src_dup,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM ($ngramJaccardSql) p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY da.source, db.source""".stripMargin
+
   /** Containment threshold (ppm) — the smaller document must share
     * ≥90% of its shingles to count as contained. */
   private[queries] val ContainPpm = 900000L
@@ -927,6 +955,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_lsh_autotune" -> lshAutotune _,
     "dedup_containment" -> containment _,
+    "dedup_cross_source" -> crossSourceMatrix _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -942,6 +971,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_lsh_autotune" -> lshAutotuneSql,
     "dedup_containment" -> containmentSql,
+    "dedup_cross_source" -> crossSourceMatrixSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
