@@ -340,7 +340,13 @@ object StreamingQueries {
     * distinct document arrives, after which every member row passes
     * straight through. State per bucket: (contested, sole doc_id,
     * retained-row count) — one tuple, O(1); emitted rows leave state
-    * forever. Package-visible so the spec drives it batch-by-batch. */
+    * forever. STATE-FORMAT NOTE: r17 widened the per-bucket state
+    * from a bare Long (min id) to this tuple — a checkpoint written
+    * by the r16 registry does not restore into it (the MgSketch kryo
+    * break class; throwaway fixture checkpoints are unaffected, a
+    * production upgrade drains or restarts the query). Same applies
+    * to [[claimCore]]. Package-visible so the spec drives it
+    * batch-by-batch. */
   private[graft] def neardupCore(bands: DataFrame): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
