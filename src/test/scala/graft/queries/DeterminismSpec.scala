@@ -64,7 +64,13 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // pair-count partitioning), and the classifier (hash
                 // buckets + integer sums)
                 "curate_zorder_layout", "text_bpe_train",
-                "text_classifier_score", "sim_threshold_sweep"))
+                "text_classifier_score", "sim_threshold_sweep",
+                // round 17: the DSIR draw (md5-u32 vs a score-derived
+                // ladder) and both tuner sweeps (measured-similarity /
+                // measured-recall aggregates + a min-config election)
+                // are reproducibility-critical serving configs
+                "curate_importance_sample", "dedup_lsh_autotune",
+                "sim_ann_autoprobe"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
