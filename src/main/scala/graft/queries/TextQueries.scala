@@ -215,6 +215,56 @@ object TextQueries {
       |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) t FROM documents)
       |GROUP BY t ORDER BY n DESC, term LIMIT 20""".stripMargin
 
+  /** Per-document keyterms by TF-IDF — the tagging/labeling primitive
+    * (what distinguishes THIS document from the corpus): per-doc term
+    * frequency times the family's integer idf
+    * (((N − df)·2 + 1)·10^6 DIV (df·2 + 1) — the RetrievalQueries
+    * spelling), top-3 terms per document by (score desc, term asc).
+    * Scale shape: tf is a per-doc grouped count (map-side partials),
+    * df one vocabulary-keyed agg; the tf–df join is term-keyed (both
+    * sides already hashed on term — TF-IDF's inherent shuffle); the
+    * per-doc top-3 is a doc-keyed window over each document's OWN
+    * vocabulary (bounded per key). Output: 3 rows per document. */
+  def docKeyterms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(
+        "tf * (((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("score"))
+  }
+
+  val docKeytermsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT t.doc_id, t.term,
+      |         t.tf * (((n.n_docs - d.df) * 2 + 1) * 1000000
+      |                 // (d.df * 2 + 1)) AS score
+      |  FROM tf t JOIN df d USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term,
+      |       CAST(score AS BIGINT) AS score
+      |FROM (SELECT doc_id, term, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, term) AS rn
+      |      FROM sc)
+      |WHERE rn <= 3""".stripMargin
+
   /** Heavy hitters through a COUNT-MIN SKETCH, with the sketch's
     * error contract verified in-query. The scale design is the point:
     * at 100 TB the sketch is the only O(1)-state way to ask "how
@@ -1088,6 +1138,7 @@ object TextQueries {
     "text_repetition" -> repetition _,
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
+    "text_doc_keyterms" -> docKeyterms _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_bpe_pairs" -> bpePairs _,
     "text_bpe_train" -> bpeTrain _,
@@ -1116,6 +1167,7 @@ object TextQueries {
     "text_repetition" -> repetitionSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
+    "text_doc_keyterms" -> docKeytermsSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_train" -> bpeTrainSql,
