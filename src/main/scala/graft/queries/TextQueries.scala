@@ -265,6 +265,57 @@ object TextQueries {
       |      FROM sc)
       |WHERE rn <= 3""".stripMargin
 
+  /** Streaming twin of [[docKeyterms]] — incremental df maintenance:
+    * one update-mode aggregation keyed on term counts each term's
+    * document frequency as documents arrive (every doc arrives once,
+    * so row count IS df — the streamBm25TopK discipline; O(1) state
+    * per distinct term). At finalize the per-doc tf relation over the
+    * at-rest corpus joins the DRAINED df (term-keyed — TF-IDF's
+    * inherent shuffle) with the 1-row doc-count stat (the
+    * streamBm25Full parameter discipline) and the scoring/window run
+    * exactly as the batch twin. Same oracle. */
+  def streamDocKeyterms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = s.read.parquet(s"$d/documents.parquet").schema
+    val postings = s.readStream.schema(raw)
+      .parquet(s"$d/{documents}.parquet")
+      .select(col("doc_id"), explode(array_distinct(toks)).as("term"))
+    val agg = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val schema = StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "term")
+    val ckpt = StreamingQueries.scratchDir("graft-sq-")
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      StreamingQueries.deleteRecursively(ckpt)
+    }
+    val df = store.df(s)
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr(
+        "tf * (((n_docs - df) * 2 + 1) * 1000000 DIV (df * 2 + 1))"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+        col("term"), col("score"))
+  }
+
   /** Heavy hitters through a COUNT-MIN SKETCH, with the sketch's
     * error contract verified in-query. The scale design is the point:
     * at 100 TB the sketch is the only O(1)-state way to ask "how
@@ -1139,6 +1190,7 @@ object TextQueries {
     "text_pii_scrub" -> piiScrub _,
     "text_top_terms" -> topTerms _,
     "text_doc_keyterms" -> docKeyterms _,
+    "stream_doc_keyterms" -> streamDocKeyterms _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_bpe_pairs" -> bpePairs _,
     "text_bpe_train" -> bpeTrain _,
@@ -1168,6 +1220,7 @@ object TextQueries {
     "text_pii_scrub" -> piiScrubSql,
     "text_top_terms" -> topTermsSql,
     "text_doc_keyterms" -> docKeytermsSql,
+    "stream_doc_keyterms" -> docKeytermsSql,
     "text_heavy_hitters" -> heavyHittersSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_bpe_train" -> bpeTrainSql,
