@@ -1043,7 +1043,9 @@ object MultimodalQueries {
     * union through the shared [[bandedCandidates]] blocking (a
     * non-zero band colliding in EITHER modality), verify = exact
     * popcount in BOTH modalities (text ≤ [[TextHammingMax]], image ≤
-    * HammingMax). Emits (doc_a, doc_b, t_hamming, i_hamming). Never
+    * HammingMax) AND a non-zero packed signature on both sides of
+    * each gate — absent media must not verify as similar media.
+    * Emits (doc_a, doc_b, t_hamming, i_hamming). Never
     * all-pairs at any corpus size — the only data×data join is the
     * band-keyed equi-join (plan-pinned). */
   def pairNearDup(s: SparkSession, d: String): DataFrame = {
@@ -1072,7 +1074,17 @@ object MultimodalQueries {
         "CAST(bit_count(xi0 ^ yi0) + bit_count(xi1 ^ yi1) + " +
           "bit_count(xi2 ^ yi2) + bit_count(xi3 ^ yi3) AS BIGINT)"))
       .filter(col("t_hamming") <= TextHammingMax &&
-        col("i_hamming") <= HammingMax)
+        col("i_hamming") <= HammingMax &&
+        // a modality only counts as "close" when BOTH sides carry a
+        // real signature (ADVICE r17): two missing/undecodable images
+        // pack all-zero aHash bands, so their i_hamming of 0 is
+        // absence agreeing with absence, not visual similarity —
+        // without this gate an imageless pair verifies cross-modal on
+        // text evidence alone (and symmetrically for empty text)
+        expr("(xt0 | xt1 | xt2 | xt3) <> 0") &&
+        expr("(yt0 | yt1 | yt2 | yt3) <> 0") &&
+        expr("(xi0 | xi1 | xi2 | xi3) <> 0") &&
+        expr("(yi0 | yi1 | yi2 | yi3) <> 0"))
       .select(col("doc_a"), col("doc_b"), col("t_hamming"), col("i_hamming"))
   }
 
@@ -1168,7 +1180,11 @@ object MultimodalQueries {
        |    <= $TextHammingMax
        |  AND bit_count(xor(ix.b0, iy.b0)) + bit_count(xor(ix.b1, iy.b1))
        |    + bit_count(xor(ix.b2, iy.b2)) + bit_count(xor(ix.b3, iy.b3))
-       |    <= $HammingMax""".stripMargin
+       |    <= $HammingMax
+       |  AND (tx.s0 | tx.s1 | tx.s2 | tx.s3) <> 0
+       |  AND (ty.s0 | ty.s1 | ty.s2 | ty.s3) <> 0
+       |  AND (ix.b0 | ix.b1 | ix.b2 | ix.b3) <> 0
+       |  AND (iy.b0 | iy.b1 | iy.b2 | iy.b3) <> 0""".stripMargin
 
   val streamPairNearDupSql: String =
     s"""$pairBandsCteSql

@@ -71,7 +71,8 @@ object StreamingQueries {
         .queryName(name).start()
     }
     try {
-      q.processAllAvailable()
+      try q.processAllAvailable()
+      catch { case e: Throwable => throw translateStateDecode(e) }
       s.table(name).localCheckpoint()
     } finally {
       q.stop()
@@ -79,6 +80,38 @@ object StreamingQueries {
       s.streams.resetTerminated()
       deleteRecursively(ckpt)
     }
+  }
+
+  /** State-format break detection (ADVICE r17): the claim registries
+    * ([[neardupCore]]/[[claimCore]]) widened their per-key state in
+    * r17 (bare Long → tuple), so a checkpoint written by the r16
+    * binary fails to restore with an opaque deserialization error deep
+    * in the state-store layer. Translate that failure class into an
+    * explicit instruction instead of letting the raw decode error
+    * surface. Non-decode failures pass through untouched. */
+  private def translateStateDecode(e: Throwable): Throwable = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(16).toSeq
+    val decodeLike = chain.exists {
+      case _: ClassCastException | _: java.io.InvalidClassException |
+           _: ArrayIndexOutOfBoundsException |
+           _: java.io.StreamCorruptedException => true
+      case c => Option(c.getMessage).exists(m =>
+        m.contains("InvalidUnsafeRow") || m.contains("delta file") ||
+          m.contains("Error reading state") ||
+          m.contains("STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE") ||
+          m.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"))
+    }
+    val statefulStream = chain.exists(c => Option(c.getMessage).exists(m =>
+      m.contains("state") || m.contains("State")))
+    if (decodeLike && statefulStream)
+      new IllegalStateException(
+        "stateful stream failed to restore its checkpoint state — if " +
+          "this checkpoint was written by a pre-r17 binary, the claim-" +
+          "registry state format widened (bare Long -> (contested, " +
+          "sole, pend) tuple) and cannot restore: drain the query on " +
+          "the old binary or restart from a fresh checkpoint", e)
+    else e
   }
 
   private[graft] def deleteRecursively(path: String): Unit =
@@ -409,15 +442,34 @@ object StreamingQueries {
     * pos) occurrence of a signature carried by ≥2 distinct documents;
     * [[electClaims]] then flags the non-owner occurrences. Within-doc
     * repeats of a sole-owned signature stay retained (never released,
-    * never flagged) — the ≥2-distinct-docs rule of the batch owner
-    * election. State per signature: (contested, sole doc_id, retained
-    * positions) — the retained array is bounded by one document's
-    * occurrences of one gram and empties permanently at contestation;
+    * never flagged) UP TO [[ClaimPendCap]] positions — beyond the cap,
+    * overflow positions SPILL straight into the claim log (ADVICE
+    * r17: a pathological document repeating one gram must not inflate
+    * the state store, nor pay a quadratic re-concat per batch). The
+    * spill is election-lossless: a sole-owner row reaches
+    * [[electClaims]] identically whether replayed at contestation or
+    * released early — if the signature stays sole-owned its rows all
+    * carry the owner's doc_id (never flagged, `>` is strict), and if
+    * it is contested later every row is in the log either way. The
+    * log is therefore collision rows plus at most the per-key
+    * overflow. State per signature: (contested, sole doc_id, ≤cap
+    * retained positions), emptying permanently at contestation;
     * post-contestation state is O(1) per distinct signature, the
     * streaming dedup registry's inherent footprint (production backs
     * it with the RocksDB provider and fronts hot paths with a bloom,
     * exactly as the batch tier fronts its join). */
-  private[graft] def claimCore(rows: DataFrame): DataFrame = {
+  /** Retained-position bound per sole-owned signature in
+    * [[claimCore]] — far above any real document's repeats of one
+    * gram; overflow spills to the log (see the claimCore scaladoc for
+    * why the spill cannot change the election). Package-visible so
+    * the spec can drive past it with a small bound. */
+  private[graft] val ClaimPendCap: Int = 512
+
+  private[graft] def claimCore(rows: DataFrame): DataFrame =
+    claimCoreBounded(rows, ClaimPendCap)
+
+  private[graft] def claimCoreBounded(rows: DataFrame,
+                                      pendCap: Int): DataFrame = {
     val s = rows.sparkSession
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -442,7 +494,16 @@ object StreamingQueries {
               contested = true; soleDoc = -1L; pend = Array.empty[Long]
             } else if (rows.nonEmpty) {
               soleDoc = docs.head
-              pend = pend ++ rows.map(_._2)
+              val incoming = rows.map(_._2)
+              val room = math.max(pendCap - pend.length, 0)
+              if (incoming.size <= room) pend = pend ++ incoming
+              else {
+                val (keep, spill) = incoming.splitAt(room)
+                pend = pend ++ keep
+                // overflow spills to the log — election-lossless (see
+                // scaladoc); state stays ≤ pendCap positions per key
+                spill.foreach(p => out += ((soleDoc, p, sig)))
+              }
             }
           }
           st.update((contested, soleDoc, pend))

@@ -119,6 +119,56 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("claimCore pend cap: overflow spills to the log, election unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // one document repeating one gram past the cap — the pathological
+    // state-inflation shape (ADVICE r17); cap = 2 so the third and
+    // fourth positions must spill to the log while still sole-owned
+    val batches = Seq(
+      Seq((10L, 1L, "G"), (10L, 2L, "G"), (10L, 3L, "G")),
+      Seq((10L, 4L, "G")),
+      Seq((5L, 9L, "G")))
+    def run(cap: Int, tag: String) = {
+      val in = MemoryStream[(Long, Long, String)]
+      val ckpt = StreamingQueries.scratchDir(s"claim-cap-$tag-")
+      val q = StreamingQueries.claimCoreBounded(
+          in.toDF().toDF("doc_id", "pos", "sig"), cap)
+        .writeStream.outputMode("append").format("memory")
+        .option("checkpointLocation", ckpt)
+        .queryName(s"claim_cap_$tag").start()
+      try {
+        val mids = batches.map { b =>
+          in.addData(b: _*); q.processAllAvailable()
+          spark.table(s"claim_cap_$tag").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val flagged = StreamingQueries
+          .electClaims(spark.table(s"claim_cap_$tag"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (mids, flagged)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(s"claim_cap_$tag")
+        spark.streams.resetTerminated()
+        StreamingQueries.deleteRecursively(ckpt)
+      }
+    }
+    val (midsCapped, flaggedCapped) = run(2, "c2")
+    // after batch 1 the spill is visible (position 3 only — 1 and 2
+    // are retained under the cap); after batch 2 position 4 spilled
+    assert(midsCapped(0) == Set((10L, 3L)))
+    assert(midsCapped(1) == Set((10L, 3L), (10L, 4L)))
+    // contestation replays exactly the retained rows — the final log
+    // holds every occurrence once
+    assert(midsCapped(2) ==
+      Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (5L, 9L)))
+    // the election is identical to the effectively-uncapped run
+    val (_, flaggedWide) = run(1 << 20, "wide")
+    assert(flaggedCapped == flaggedWide)
+    assert(flaggedCapped == Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+  }
+
   test("reversed arrival order yields the same election as sorted arrival") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

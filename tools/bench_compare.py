@@ -59,23 +59,30 @@ def main() -> int:
         print("no common queries", file=sys.stderr)
         return 2
 
-    q1 = new["calibration_q1_sec"] / old["calibration_q1_sec"]
+    # a zero-time artifact entry (a probe or query rounded to 0.0)
+    # would otherwise divide by zero when only the other side clears
+    # the floor — clamp every denominator to a nanosecond
+    def safe(x):
+        return max(x, 1e-9)
+
+    q1 = new["calibration_q1_sec"] / safe(old["calibration_q1_sec"])
     # the cpu probe landed in r16 — older artifacts fall back to q1
     if "calibration_cpu_sec" in old and "calibration_cpu_sec" in new:
-        cpu = new["calibration_cpu_sec"] / old["calibration_cpu_sec"]
+        cpu = new["calibration_cpu_sec"] / safe(old["calibration_cpu_sec"])
     else:
         print("warn: cpu calibration missing in an artifact; "
               "falling back to q1", file=sys.stderr)
         cpu = q1
+    q1, cpu = safe(q1), safe(cpu)
     tot_old = sum(oq[q] for q in common)
     tot_new = sum(nq[q] for q in common)
-    raw_total = tot_new / tot_old
+    raw_total = tot_new / safe(tot_old)
 
     movers = []
     for q in common:
         if oq[q] < a.floor and nq[q] < a.floor:
             continue
-        raw = nq[q] / oq[q]
+        raw = nq[q] / safe(oq[q])
         cal = min(raw / q1, raw / cpu)  # friendlier calibration
         if cal >= a.threshold:
             movers.append({"query": q, "old_sec": round(oq[q], 3),
