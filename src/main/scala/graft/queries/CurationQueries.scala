@@ -1474,6 +1474,80 @@ object CurationQueries {
        |FROM documents""".stripMargin
   }
 
+  /** The split-bucket draw shared by [[datasetSplit]] and
+    * [[leakageSplit]] — md5 under the `split:` seed prefix, 98/1/1. */
+  private def splitBucket(key: Column): Column =
+    Md5Key.column(concat(lit("split:"), key.cast(StringType))) % 100
+
+  private def splitName(bucket: Column): Column =
+    when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test")
+
+  /** Leakage-aware train/val/test split (r17 verdict #1) — the split
+    * every serious pretraining pipeline actually needs: [[datasetSplit]]
+    * buckets each doc_id independently, so the two sides of a verified
+    * near-dup pair can land in train AND test — internal train/eval
+    * leakage that the benchmark-decontamination ladder never sees.
+    * Here the UNIT of assignment is the near-dup COMPONENT
+    * ([[DedupQueries.components]] — LSH candidates → Jaccard ≥ 0.8
+    * verification → min-label clusters): every member buckets by the
+    * md5 of its component REPRESENTATIVE, so verified duplicates land
+    * in the same split by construction (LeakageSplitSpec pins zero
+    * cross-split verified pairs). Singletons fall back to their own
+    * doc_id under the same `split:` seed — on a dup-free corpus this
+    * reduces exactly to [[datasetSplit]]'s assignment. `leaked_before`
+    * flags docs whose component STRADDLES ≥2 naive per-doc splits —
+    * the leakage the naive split would have shipped, made auditable.
+    *
+    * Scale shape: the component relation is dup-cluster-sized (tiny
+    * next to the corpus); the straddle flag is a grouped min/max over
+    * THAT relation only (singletons cannot straddle), and the corpus
+    * itself pays one narrow md5 projection plus two doc_id/component-
+    * keyed equi-joins against the small relation — no window over the
+    * corpus, no corpus shuffle beyond the join. */
+  def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    val comps = graft.queries.DedupQueries.components(s, d)
+    val straddle = comps
+      .select(col("component"),
+        splitName(splitBucket(col("doc_id"))).as("ns"))
+      .groupBy(col("component"))
+      .agg((min(col("ns")) =!= max(col("ns"))).cast(LongType).as("lb"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+      .join(straddle, col("component_id") === straddle("component"), "left")
+      .select(col("doc_id"),
+        splitName(splitBucket(col("component_id"))).as("split"),
+        col("component_id"),
+        coalesce(col("lb"), lit(0L)).as("leaked_before"))
+  }
+
+  /** Embeds [[DedupQueries.componentsSql]] so the cluster spelling
+    * cannot drift from the verified-pair miner. */
+  lazy val leakageSplitSql: String = {
+    val repB = s"${Md5Key.sql("'split:' || CAST(component_id AS VARCHAR)")} % 100"
+    val docB = s"${Md5Key.sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100"
+    val docSplit =
+      s"CASE WHEN $docB < 98 THEN 'train' WHEN $docB = 98 THEN 'val' " +
+        "ELSE 'test' END"
+    s"""WITH cc AS (SELECT * FROM (${DedupQueries.componentsSql}) x),
+       |r AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |ns AS (
+       |  SELECT component,
+       |         CASE WHEN MIN($docSplit) <> MAX($docSplit) THEN 1 ELSE 0 END
+       |           AS lb
+       |  FROM cc GROUP BY component)
+       |SELECT r.doc_id,
+       |  CASE WHEN $repB < 98 THEN 'train'
+       |       WHEN $repB = 98 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(r.component_id AS BIGINT) AS component_id,
+       |  CAST(COALESCE(ns.lb, 0) AS BIGINT) AS leaked_before
+       |FROM r LEFT JOIN ns ON ns.component = r.component_id""".stripMargin
+  }
+
   /** Dense, contiguous, deterministic global row IDs (0..N−1) in a
     * total order — the shard/example-ID assignment every training-data
     * export needs — WITHOUT the single-partition collapse a bare
@@ -1881,6 +1955,7 @@ object CurationQueries {
     "curate_stable_ids" -> stableIds _,
     "curate_weighted_sample" -> weightedSample _,
     "curate_dataset_split" -> datasetSplit _,
+    "curate_leakage_split" -> leakageSplit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -1918,6 +1993,7 @@ object CurationQueries {
     "curate_stable_ids" -> stableIdsSql,
     "curate_weighted_sample" -> weightedSampleSql,
     "curate_dataset_split" -> datasetSplitSql,
+    "curate_leakage_split" -> leakageSplitSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,
