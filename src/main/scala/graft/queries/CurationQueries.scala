@@ -1818,18 +1818,27 @@ object CurationQueries {
     dsirKeep(scored.crossJoin(broadcast(mx)))
   }
 
-  /** The per-bucket log-ratio table derived from the AT-REST corpus —
-    * ≤ [[DsirBuckets]] rows collected driver-side (bounded by
+  /** The per-bucket log-ratio table over ANY (text) raw pool and ANY
+    * (text) target corpus — the published DSIR recipe's general form
+    * (r17 verdict #2: the target need not be a slice of the pool).
+    * Both sides ride ONE union scan with membership flags, collapsing
+    * to ≤ [[DsirBuckets]] rows collected driver-side (bounded by
     * construction, the ANN-router-collect discipline), arithmetic in
     * exact Long ops identical to the oracle spelling. */
-  private[graft] def dsirLrMap(s: SparkSession, d: String): Map[Long, Long] = {
-    val stats = Tables.documents(s, d)
-      .select(col("lang"), TextShingles.tokens(col("text")).as("w"))
-      .select(col("lang"), explode(dsirGrams).as("g"))
-      .select(col("lang"), (Md5Key.column(col("g")) % DsirBuckets).as("b"))
+  private[graft] def dsirLrMapOver(raw: DataFrame,
+                                   target: DataFrame): Map[Long, Long] = {
+    val tagged = raw.select(col("text"), lit(1L).as("in_raw"),
+        lit(0L).as("in_target"))
+      .unionAll(target.select(col("text"), lit(0L).as("in_raw"),
+        lit(1L).as("in_target")))
+    val stats = tagged
+      .select(TextShingles.tokens(col("text")).as("w"),
+        col("in_raw"), col("in_target"))
+      .select(explode(dsirGrams).as("g"), col("in_raw"), col("in_target"))
+      .select((Md5Key.column(col("g")) % DsirBuckets).as("b"),
+        col("in_raw"), col("in_target"))
       .groupBy(col("b"))
-      .agg(count(lit(1)).as("rc"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      .agg(sum(col("in_raw")).as("rc"), sum(col("in_target")).as("tc"))
       .collect() // ≤ DsirBuckets rows — bounded by construction
     val rTot = math.max(stats.map(_.getLong(1)).sum, 1L)
     val tTot = math.max(stats.map(_.getLong(2)).sum, 1L)
@@ -1839,6 +1848,17 @@ object CurationQueries {
       val tc = row.fold(0L)(_.getLong(2))
       b -> (flog2(tc * 1000000L / tTot + 1) - flog2(rc * 1000000L / rTot + 1))
     }.toMap
+  }
+
+  /** [[dsirLrMapOver]] with raw = the whole corpus and target = its
+    * English slice — [[importanceSample]]'s quality-targeted
+    * selection, numerically identical to the pre-generalization
+    * one-scan spelling (the slice's gram counts are the same whether
+    * flagged in-scan or unioned in). */
+  private[graft] def dsirLrMap(s: SparkSession, d: String): Map[Long, Long] = {
+    val docs = Tables.documents(s, d)
+    dsirLrMapOver(docs.select(col("text")),
+      docs.filter(col("lang") === "en").select(col("text")))
   }
 
   /** Narrow per-row DSIR scoring over any (doc_id, text) relation —
@@ -1887,6 +1907,109 @@ object CurationQueries {
       dsirKeep(dsirScored(stream, lr).withColumn("smax", lit(smax))),
       "append")
   }
+
+  /** DSIR against an EXTERNAL target corpus (r17 verdict #2) — the
+    * published recipe's actual deployment shape: the raw pool (the
+    * trainable documents, `doc_id % 20 <> 0`) is scored against a
+    * SEPARATE trusted corpus (the benchmark holdout slice,
+    * `doc_id % 20 = 0` — the same eval relation the decontamination
+    * ladder guards), not against its own language slice. Target docs
+    * are never scored or sampled — selecting eval data into training
+    * is exactly what the rest of the pipeline exists to prevent; they
+    * only contribute the 64-bucket target distribution. Same
+    * integer-exact ladder, same narrow corpus-side scoring pass, same
+    * bounded driver collect as [[importanceSample]] — only the stats
+    * pass's two relations differ. */
+  def importanceTarget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val raw = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+    val scored = dsirScored(raw, dsirLrMapOver(raw.select(col("text")), target))
+    val mx = scored.agg(max(col("score")).as("smax"))
+    dsirKeep(scored.crossJoin(broadcast(mx)))
+  }
+
+  /** Streaming twin of [[importanceTarget]] — the external-target
+    * log-ratio model and max-score normalizer pinned as parameters,
+    * then a stateless per-row score/normalize/draw over the arriving
+    * raw pool (target-slice arrivals pass the registry untouched —
+    * filtered before scoring). */
+  def streamImportanceTarget(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val raw = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val lr = dsirLrMapOver(raw.select(col("text")),
+      docs.filter(col("doc_id") % 20 === 0).select(col("text")))
+    val smax = dsirScored(raw, lr)
+      .agg(max(col("score"))).collect().head.getLong(0) // ONE scalar
+    val stream = StreamingQueries.docStream(s, d)
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    StreamingQueries.runToTable(
+      dsirKeep(dsirScored(stream, lr).withColumn("smax", lit(smax))),
+      "append")
+  }
+
+  val importanceTargetSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         unnest(list_concat(a, list_transform(
+       |           generate_series(1, greatest(len(a) - 1, 0)),
+       |           i -> a[i] || ' ' || a[i+1]))) AS g
+       |  FROM w),
+       |gb AS (
+       |  SELECT doc_id,
+       |         ${Md5Key.sql("g")} % ${DsirBuckets} AS b
+       |  FROM g),
+       |stats AS (
+       |  SELECT b,
+       |         SUM(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS rc,
+       |         SUM(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS tc
+       |  FROM gb GROUP BY b),
+       |tot AS (
+       |  SELECT GREATEST(SUM(rc), 1) AS rtot, GREATEST(SUM(tc), 1) AS ttot
+       |  FROM stats),
+       |ratios AS (
+       |  SELECT b, (tc * 1000000) // (SELECT ttot FROM tot) AS tp,
+       |            (rc * 1000000) // (SELECT rtot FROM tot) AS rp
+       |  FROM stats),
+       |lr AS (
+       |  SELECT b,
+       |    (16 * (length(bin(tp + 1)) - 1)
+       |       + (16 * (tp + 1)) // (1::BIGINT << (length(bin(tp + 1)) - 1))
+       |       - 16)
+       |  - (16 * (length(bin(rp + 1)) - 1)
+       |       + (16 * (rp + 1)) // (1::BIGINT << (length(bin(rp + 1)) - 1))
+       |       - 16) AS lr
+       |  FROM ratios),
+       |scored AS (
+       |  SELECT d.doc_id, CAST(COALESCE(SUM(l.lr), 0) AS BIGINT) AS score
+       |  FROM documents d
+       |  LEFT JOIN gb ON gb.doc_id = d.doc_id
+       |  LEFT JOIN lr l ON l.b = gb.b
+       |  WHERE d.doc_id % 20 <> 0
+       |  GROUP BY d.doc_id),
+       |mx AS (SELECT MAX(score) AS smax FROM scored),
+       |k AS (
+       |  SELECT doc_id, score, (SELECT smax FROM mx) - score AS delta
+       |  FROM scored)
+       |SELECT doc_id, score,
+       |  CASE WHEN delta // 16 >= 32 THEN 0
+       |       ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
+       |             * (list_value(${DsirFrac.mkString(", ")})
+       |                [CAST(delta % 16 AS INT) + 1])) // 1000000
+       |  END AS keep_u32
+       |FROM k
+       |WHERE ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
+       |  < CASE WHEN delta // 16 >= 32 THEN 0
+       |         ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
+       |               * (list_value(${DsirFrac.mkString(", ")})
+       |                  [CAST(delta % 16 AS INT) + 1])) // 1000000
+       |    END""".stripMargin
 
   val importanceSampleSql: String =
     s"""WITH w AS (
@@ -1950,6 +2073,8 @@ object CurationQueries {
     "curate_kanon_audit" -> kanonAudit _,
     "curate_importance_sample" -> importanceSample _,
     "stream_importance_sample" -> streamImportanceSample _,
+    "curate_importance_target" -> importanceTarget _,
+    "stream_importance_target" -> streamImportanceTarget _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -1987,6 +2112,8 @@ object CurationQueries {
   def oracles: Map[String, String] = Map(
     "curate_importance_sample" -> importanceSampleSql,
     "stream_importance_sample" -> importanceSampleSql,
+    "curate_importance_target" -> importanceTargetSql,
+    "stream_importance_target" -> importanceTargetSql,
     "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,

@@ -515,6 +515,19 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
   }
 
+  test("external-target DSIR keeps the corpus side join- and exchange-free") {
+    val p = planOf("curate_importance_target")
+    // same discipline as curate_importance_sample: the external
+    // target only changes WHICH relations feed the driver-side
+    // 64-bucket stats — the scored pool must still see an inlined
+    // literal map, no gram-keyed join, no corpus exchange
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("map(keys:"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
   test("table aggregation: snapshot + regroup are both two-phase, join-free") {
     val p = planOf("q_table_agg")
     // exactly the two key exchanges (o_custkey, then last_status) —

@@ -70,7 +70,11 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // measured-recall aggregates + a min-config election)
                 // are reproducibility-critical serving configs
                 "curate_importance_sample", "dedup_lsh_autotune",
-                "sim_ann_autoprobe"))
+                "sim_ann_autoprobe",
+                // round 18: the external-target DSIR draw and the
+                // component-keyed split assignment (leakage-auditing
+                // flags included) are likewise rebuild-critical
+                "curate_importance_target", "curate_leakage_split"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
