@@ -270,6 +270,76 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got=${got.size} rows, expected=${expected.size}")
   }
 
+  test("claim registries' widened tuple state survives RocksDB across batches (r17 #3)") {
+    // the r17 rework widened the per-key state to (Boolean, Long, Int)
+    // in neardupCore and (Boolean, Long, Array[Long]) in claimCore —
+    // the array-bearing tuple is exactly the shape most likely to hit
+    // a product-encoder edge under the production provider. Drive both
+    // cores with a contestation SPANNING a micro-batch boundary, so
+    // the retained sole-owner state must round-trip through RocksDB
+    // before its release.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+
+    // --- neardupCore: (contested, sole, nPend) ---
+    val nIn = MemoryStream[(Long, Int, String)]
+    val nName = s"rocks_ndc_${System.nanoTime()}"
+    val nQ = graft.queries.StreamingQueries.neardupCore(
+        nIn.toDF().toDF("doc_id", "band", "sig"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName(nName).start()
+    try {
+      nIn.addData((10L, 0, "X"), (10L, 0, "X")) // sole-owned ×2 → state
+      nQ.processAllAvailable()
+      assert(spark.table(nName).isEmpty) // retained, nothing emitted
+      nIn.addData((5L, 0, "X")) // batch 2 contests RocksDB-held state
+      nQ.processAllAvailable()
+      val log = spark.table(nName).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSeq
+      assert(log.sorted == Seq((5L, "X"), (10L, "X"), (10L, "X")),
+        log.toString)
+      val dup = graft.queries.StreamingQueries
+        .electDupBands(spark.table(nName))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(dup == Map(10L -> 2L), dup.toString)
+    } finally {
+      nQ.stop()
+      spark.catalog.dropTempView(nName)
+      spark.streams.resetTerminated()
+    }
+
+    // --- claimCore: (contested, sole, retained positions) incl. the
+    // pend-cap spill path, across the same boundary ---
+    val cIn = MemoryStream[(Long, Long, String)]
+    val cName = s"rocks_clc_${System.nanoTime()}"
+    val cQ = graft.queries.StreamingQueries.claimCoreBounded(
+        cIn.toDF().toDF("doc_id", "pos", "sig"), pendCap = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(cName).start()
+    try {
+      cIn.addData((10L, 1L, "G"), (10L, 2L, "G"), (10L, 3L, "G"))
+      cQ.processAllAvailable()
+      // positions 1,2 retained in the RocksDB array; 3 spilled
+      assert(spark.table(cName).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 3L)))
+      cIn.addData((5L, 9L, "G")) // contests: the recovered array replays
+      cQ.processAllAvailable()
+      val log = spark.table(cName).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(log == Set((10L, 1L), (10L, 2L), (10L, 3L), (5L, 9L)))
+      val flagged = graft.queries.StreamingQueries
+        .electClaims(spark.table(cName))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((10L, 1L), (10L, 2L), (10L, 3L)))
+    } finally {
+      cQ.stop()
+      spark.catalog.dropTempView(cName)
+      spark.streams.resetTerminated()
+    }
+  }
+
   test("stream_pattern_match CEP automaton state survives RocksDB across batches") {
     // the constant-space NFA state (phase + flags + counters) is held
     // per user in RocksDB; the final table must equal the batch
