@@ -350,6 +350,56 @@ object StreamingQueries {
       runToTable(neardupCore(DedupQueries.bandRows(docs)), "append"))
   }
 
+  /** Streaming cross-source contamination matrix (r17 verdict #6) —
+    * the ingest-time twin of [[DedupQueries.crossSourceMatrix]],
+    * sharing its oracle EXACTLY. The trick is what the registry is
+    * keyed on: each document's distinct 5-gram SHINGLES (band 0,
+    * sig = shingle hash), so the drained claim log is precisely the
+    * occurrences of shingles carried by ≥2 documents — the only rows
+    * the batch ngramJaccard intersection ever counts (a shingle unique
+    * to one doc can't contribute to any pair). The log SET is
+    * arrival-order invariant ([[neardupCore]]'s retain-until-
+    * contested discipline), so the finalize-time pair reconstruction
+    * — a sig-keyed self-join counting shared shingles — reproduces
+    * the batch inter relation bit-for-bit under any file order; the
+    * per-doc shingle-set size and source ride a stateless narrow
+    * append stream (each doc arrives once). Verify = exact Jaccard
+    * ≥ 0.8 on the reconstructed counts, rollup = (canonical source,
+    * duplicate source) counts. State: O(1) per distinct shingle —
+    * the streaming dedup registry's inherent footprint; the log is
+    * the same shared-shingle relation the batch join shuffles, built
+    * incrementally. */
+  def streamCrossSource(s: SparkSession, d: String): DataFrame = {
+    val docs = docStream(s, d)
+    val shingles = graft.functions.TextShingles
+      .shingleHashSet(docs, "doc_id", "text", 5)
+      .select(col("doc_id"), lit(0).as("band"),
+        col("sh").cast(StringType).as("sig"))
+    val log = runToTable(neardupCore(shingles), "append")
+    val prof = runToTable(
+      docs.select(col("doc_id"), col("source"),
+        graft.functions.TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.HashedShingles(s, col("__toks"), 5)).as("n")),
+      "append")
+    // renamed projections before the self-join (memory-sink views
+    // can't deduplicate shared attributes on their own)
+    val a = log.select(col("doc_id").as("doc_a"), col("sig").as("a_sig"))
+    val b = log.select(col("doc_id").as("doc_b"), col("sig").as("b_sig"))
+    val inter = a.join(b,
+        col("a_sig") === col("b_sig") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(prof.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(prof.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.8)
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Streaming parquet read of the documents table, honoring the
     * session conf `graft.stream.maxFilesPerTrigger` when set — the
     * test hook that forces multi-micro-batch, file-at-a-time delivery
@@ -1757,6 +1807,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAgg _,
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
+    "stream_cross_source" -> streamCrossSource _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
@@ -1793,6 +1844,7 @@ object StreamingQueries {
     "stream_session_agg" -> sessionAggSql,
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
+    "stream_cross_source" -> DedupQueries.crossSourceMatrixSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,

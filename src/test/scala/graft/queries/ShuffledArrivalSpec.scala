@@ -126,6 +126,19 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_cross_source equals the batch matrix under shuffled arrival") {
+    // the seventh registry consumer (r17 verdict #6): the shingle-
+    // keyed claim log must reconstruct the exact ngramJaccard pair
+    // relation — and thus the same (canonical, dup) source counts —
+    // under file-at-a-time, doc_id-shuffled delivery
+    val streamed = StreamingQueries.streamCrossSource(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = DedupQueries.crossSourceMatrix(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_excise_repeated equals the batch excision under shuffled arrival") {
     val streamed = CurationQueries.streamExciseRepeated(spark, dir)
       .collect().map(_.toSeq).toSet
