@@ -842,31 +842,51 @@ object RetrievalQueries {
   private val IdcgPpm: Long =
     (0 until 5).map(i => (5L - i) * NdcgDiscount(i)).sum
 
-  /** MRR and nDCG@5 (ppm) for each lexical system — b = 0 BM25, full
-    * BM25, Dirichlet QL — against the fusion-consensus qrels. Reuses
-    * the systems' OWN catalog queries as the ranked lists (no second
+  /** MRR, nDCG@5, MAP@5 and recall@5 (all ppm — MAP/recall widened in
+    * r18, verdict #7) for each lexical system — b = 0 BM25, full BM25,
+    * Dirichlet QL — against the fusion-consensus qrels. Reuses the
+    * systems' OWN catalog queries as the ranked lists (no second
     * spelling to drift) and joins each against the ≤50-row qrels
     * relation; per-term reciprocal rank is MAX(1e6 DIV rank) over
     * relevant hits, per-term nDCG is the literal-discount dot product
-    * over the fixed ideal. Output: one row per system. */
+    * over the fixed ideal, per-term AP@5 is Σ P@r over relevant ranks
+    * (P@r = cumulative hits · 1e6 DIV r, a 5-row window) normalized by
+    * min(|relevant|, 5), and recall@5 is hits · 1e6 DIV |relevant|.
+    * Every division floors on the ppm grid in a fixed order, spelled
+    * identically in the oracle. Output: one row per system. */
   def retrievalMetrics(s: SparkSession, d: String): DataFrame = {
     val qrels = rrfFusion3(s, d)
       .select(col("term"), col("doc_id"), (lit(6L) - col("rank")).as("rel"))
+    val nrel = qrels.groupBy(col("term"))
+      .agg(count(lit(1)).cast(LongType).as("nrel"))
     val disc = s"element_at(array(${NdcgDiscount.mkString(", ")}), " +
       "CAST(rank AS INT))"
+    val cumW = Window.partitionBy(col("term")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def evalSys(name: String, list: DataFrame): DataFrame =
       list.select(col("term"), col("rank"), col("doc_id"))
         .join(broadcast(qrels), Seq("term", "doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("ch",
+          sum((col("rel") > 0).cast(LongType)).over(cumW))
         .groupBy(col("term"))
         .agg(
           coalesce(max(when(col("rel") > 0, expr("1000000 DIV rank"))),
             lit(0L)).as("rr"),
-          sum(col("rel") * expr(disc)).as("dcg"))
+          sum(col("rel") * expr(disc)).as("dcg"),
+          coalesce(sum(when(col("rel") > 0,
+            expr("ch * 1000000 DIV rank"))), lit(0L)).as("sp"),
+          max(col("ch")).as("nh"))
+        .join(broadcast(nrel), Seq("term"))
         .agg(expr(s"SUM(rr) DIV ${RankHi - RankLo + 1}").as("mrr_ppm"),
           expr(s"SUM(dcg * 1000000 DIV $IdcgPpm) DIV ${RankHi - RankLo + 1}")
-            .as("ndcg_ppm"))
-        .select(lit(name).as("system"), col("mrr_ppm"), col("ndcg_ppm"))
+            .as("ndcg_ppm"),
+          expr(s"SUM(sp DIV LEAST(nrel, 5)) DIV ${RankHi - RankLo + 1}")
+            .as("map_ppm"),
+          expr(s"SUM(nh * 1000000 DIV nrel) DIV ${RankHi - RankLo + 1}")
+            .as("recall_ppm"))
+        .select(lit(name).as("system"), col("mrr_ppm"), col("ndcg_ppm"),
+          col("map_ppm"), col("recall_ppm"))
     evalSys("bm25_b0", bm25TopK(s, d))
       .unionAll(evalSys("bm25_full", bm25Full(s, d)))
       .unionAll(evalSys("ql_dirichlet", qlDirichlet(s, d)))
@@ -883,21 +903,34 @@ object RetrievalQueries {
        |  SELECT 'bm25_full', term, rank, doc_id FROM ($bm25FullSql) b
        |  UNION ALL
        |  SELECT 'ql_dirichlet', term, rank, doc_id FROM ($qlDirichletSql) c),
+       |qn AS (SELECT term, COUNT(*) AS nrel FROM qr GROUP BY term),
        |j AS (
        |  SELECT s.system, s.term, s.rank, COALESCE(qr.rel, 0) AS rel
        |  FROM sys s LEFT JOIN qr
        |    ON qr.term = s.term AND qr.doc_id = s.doc_id),
+       |jc AS (
+       |  SELECT *, SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY system, term ORDER BY rank) AS ch
+       |  FROM j),
        |pt AS (
        |  SELECT system, term,
        |    COALESCE(MAX(CASE WHEN rel > 0 THEN 1000000 // rank END), 0) AS rr,
        |    CAST(SUM(rel * (list_value(${NdcgDiscount.mkString(", ")})
-       |                    [CAST(rank AS INT)])) AS BIGINT) AS dcg
-       |  FROM j GROUP BY system, term)
+       |                    [CAST(rank AS INT)])) AS BIGINT) AS dcg,
+       |    COALESCE(SUM(CASE WHEN rel > 0 THEN (ch * 1000000) // rank END), 0)
+       |      AS sp,
+       |    MAX(ch) AS nh
+       |  FROM jc GROUP BY system, term),
+       |pn AS (SELECT pt.*, qn.nrel FROM pt JOIN qn ON qn.term = pt.term)
        |SELECT system,
        |  CAST(SUM(rr) // ${RankHi - RankLo + 1} AS BIGINT) AS mrr_ppm,
        |  CAST(SUM(dcg * 1000000 // $IdcgPpm) // ${RankHi - RankLo + 1}
-       |       AS BIGINT) AS ndcg_ppm
-       |FROM pt GROUP BY system""".stripMargin
+       |       AS BIGINT) AS ndcg_ppm,
+       |  CAST(SUM(sp // LEAST(nrel, 5)) // ${RankHi - RankLo + 1}
+       |       AS BIGINT) AS map_ppm,
+       |  CAST(SUM(nh * 1000000 // nrel) // ${RankHi - RankLo + 1}
+       |       AS BIGINT) AS recall_ppm
+       |FROM pn GROUP BY system""".stripMargin
 
   // ---------------------------------------------------------------
   // n-term phrases + proximity windows (VERDICT r14 next-round #2):

@@ -66,6 +66,53 @@ class RetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
       .sortBy(_._1).toSeq
 
+  test("MAP@5 and recall@5 match an independent recomputation (r17 #7)") {
+    // hand-compute the widened metrics in plain Scala longs from the
+    // systems' own ranked lists + the fusion-consensus qrels — an
+    // independent third spelling next to the Spark query and the
+    // DuckDB oracle, floored in the same fixed order
+    val sf = "/root/testdata/sf0.001"
+    val nTerms = 10L // RankLo..RankHi query terms
+    val qrels = Catalog.queries("text_rrf_fusion3")(spark, sf)
+      .select("term", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val nrel = qrels.groupBy(_._1).map { case (t, s) => t -> s.size.toLong }
+    def handEval(listName: String): (Long, Long) = {
+      val byTerm = Catalog.queries(listName)(spark, sf)
+        .select("term", "rank", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      var apSum = 0L
+      var recSum = 0L
+      byTerm.foreach { case (t, rows) =>
+        var ch = 0L
+        var sp = 0L
+        rows.sortBy(_._2).foreach { case (_, rank, doc) =>
+          if (qrels.contains((t, doc))) {
+            ch += 1
+            sp += ch * 1000000L / rank
+          }
+        }
+        apSum += sp / math.min(nrel(t), 5L)
+        recSum += ch * 1000000L / nrel(t)
+      }
+      (apSum / nTerms, recSum / nTerms)
+    }
+    val got = Catalog.queries("text_retrieval_metrics")(spark, sf)
+      .select("system", "map_ppm", "recall_ppm").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val systems = Map("bm25_b0" -> "text_bm25_topk",
+      "bm25_full" -> "text_bm25_full", "ql_dirichlet" -> "text_ql_dirichlet")
+    systems.foreach { case (sys, q) =>
+      assert(got(sys) == handEval(q), s"$sys metrics diverged")
+    }
+    // the consensus members must retrieve a real share of the qrels
+    got.values.foreach { case (map5, rec5) =>
+      assert(map5 > 0L && map5 <= 1000000L)
+      assert(rec5 > 0L && rec5 <= 1000000L)
+    }
+  }
+
   test("batch top-5 breaks the sat(62)=sat(63) tie by doc_id asc") {
     assert(top5("text_bm25_topk") ==
       Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 10L))
