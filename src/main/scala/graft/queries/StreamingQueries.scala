@@ -1299,6 +1299,47 @@ object StreamingQueries {
         col("nt").as("n_docs"))
   }
 
+  /** Streaming tokenizer-fertility drift monitor (r17 verdict #8
+    * stretch, stream half): the per-document fertility BUCKET is a
+    * pure narrow expression ([[TextQueries.fertilityBuckets]] plans
+    * on the unbounded source), so (source, bucket) counts accumulate
+    * under update-mode aggregation — state = one counter per live
+    * pair, the categorical sketch of [[streamLangDrift]] — and the
+    * TVD-vs-global finalize ([[TextQueries.fertilityTvd]], shared
+    * with the batch gate) runs OUTSIDE the stream on the stored
+    * counts. Finite input ⇒ equals the batch text_fertility_drift
+    * oracle. */
+  def streamFertilityDrift(s: SparkSession, d: String): DataFrame = {
+    val agg = TextQueries.fertilityBuckets(
+        docStream(s, d).select(col("source"), col("text")))
+      .groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("ct"))
+      // NUL-separated composite store key — see streamLangDrift
+      .withColumn("pair",
+        concat_ws("\u0000", col("source"), col("bkt").cast(StringType)))
+    val schema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("bkt", LongType),
+      StructField("ct", LongType),
+      StructField("pair", StringType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "pair")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) => store.upsert(b) }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    TextQueries.fertilityTvd(
+      store.df(s).select(col("source"), col("bkt"), col("ct")))
+  }
+
   /** Streaming symbolic similarity: the SAME SAX automaton emits each
     * series' distinct trigram VOCABULARY (≤64 words by construction —
     * the 4-letter alphabet closes the key space), and pairwise
@@ -1824,6 +1865,7 @@ object StreamingQueries {
     "stream_sax_motif" -> streamSaxMotif _,
     "stream_sax_similarity" -> streamSaxSimilarity _,
     "stream_lang_drift" -> streamLangDrift _,
+    "stream_fertility_drift" -> streamFertilityDrift _,
     "stream_static_join" -> streamStaticJoin _,
     "stream_hopping_agg" -> hoppingAgg _,
     "stream_insert_into" -> streamInsertInto _,
@@ -1861,6 +1903,7 @@ object StreamingQueries {
     "stream_sax_motif" -> BatchSqlQueries3.saxMotifSql,
     "stream_sax_similarity" -> BatchSqlQueries3.saxSimilaritySql,
     "stream_lang_drift" -> CurationQueries.langDriftSql,
+    "stream_fertility_drift" -> TextQueries.fertilityDriftSql,
     "stream_static_join" -> streamStaticJoinSql,
     "stream_hopping_agg" -> BatchSqlQueries.hoppingAggSql,
     "stream_insert_into" -> streamInsertIntoSql,

@@ -707,6 +707,99 @@ object TextQueries {
        |FROM p GROUP BY lang""".stripMargin
   }
 
+  /** Fertility-bucket width (milli-tokens-per-word per bucket) for
+    * [[fertilityDrift]] — quarter-token granularity: fine enough that
+    * a tokenizer-mix shift moves mass across buckets, coarse enough
+    * that the bucket relation stays tiny. */
+  private[queries] val FertilityBucketMilli = 250L
+
+  /** Per-document (source, fertility bucket) relation shared by the
+    * batch and streaming drift gates — a pure narrow pass (the
+    * [[bpeEncode]] fixed-merge encoder inside one row expression), so
+    * it plans on batch AND unbounded sources. */
+  private[queries] def fertilityBuckets(docs: DataFrame): DataFrame = {
+    val repW = "concat('  ', array_join(split(w, ''), '  '), '  ')"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"split(trim($chained), '  ')"
+    docs
+      .select(col("source"), toks.as("toks"))
+      .selectExpr("source",
+        s"CAST(aggregate(transform(toks, w -> size($encW)), 0, " +
+          "(acc, x) -> acc + x) AS BIGINT) AS __t",
+        "CAST(size(toks) AS BIGINT) AS __w")
+      .select(col("source"),
+        expr(s"(__t * 1000 DIV __w) DIV $FertilityBucketMilli").as("bkt"))
+  }
+
+  /** TVD finalize over ANY (source, bkt, ct) count relation — shared
+    * by the batch gate and the streaming twin's stored counts; the
+    * exact-arithmetic spelling of [[CurationQueries.langDrift]]
+    * (Σ|ct·Ng − cg·Nt| in BIGINT, one IEEE division to normalize). */
+  private[queries] def fertilityTvd(t: DataFrame): DataFrame = {
+    val nt = t.groupBy(col("source")).agg(sum(col("ct")).as("nt"))
+    val g = t.groupBy(col("bkt")).agg(sum(col("ct")).as("cg"))
+      .crossJoin(t.agg(sum(col("ct")).as("ng")))
+    nt.crossJoin(broadcast(g))
+      .join(t, Seq("source", "bkt"), "left")
+      .na.fill(0L, Seq("ct"))
+      .groupBy(col("source"), col("nt"), col("ng"))
+      .agg(sum(abs(col("ct") * col("ng") - col("cg") * col("nt")))
+        .as("tvd_scaled"))
+      .select(col("source"), col("tvd_scaled"),
+        (col("tvd_scaled") / (lit(2.0) * col("nt") * col("ng"))).as("tvd"),
+        col("nt").as("n_docs"))
+  }
+
+  /** Per-source tokenizer-FERTILITY drift gate (r17 verdict #8
+    * stretch) — the tokenizer-health monitor a production corpus runs
+    * continuously: each document's subword fertility
+    * (milli-tokens-per-word under the frozen [[bpeEncode]] merges)
+    * buckets on a [[FertilityBucketMilli]] grid, and each source's
+    * bucket distribution is scored by total-variation distance
+    * against the global mix — the categorical drift machinery of
+    * `curate_lang_drift` composed with the BPE fertility relation. A
+    * source whose new crawl suddenly tokenizes worse (code, another
+    * language, mojibake) moves mass to high buckets and trips the
+    * gate long before eval loss would. Everything after the narrow
+    * per-doc encode is |sources|×|buckets| rows. */
+  def fertilityDrift(s: SparkSession, d: String): DataFrame =
+    fertilityTvd(fertilityBuckets(Tables.documents(s, d))
+      .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("ct")))
+
+  val fertilityDriftSql: String = {
+    val repW = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    val chained = EncoderMerges.foldLeft(repW) { case (acc, (x, y)) =>
+      s"replace($acc, ' $x  $y ', ' $x$y ')"
+    }
+    val encW = s"string_split(trim($chained), '  ')"
+    s"""WITH t0 AS (
+       |  SELECT source, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |p AS (SELECT source,
+       |        CAST(list_sum(list_transform(toks, w -> len($encW)))
+       |          AS BIGINT) AS t,
+       |        CAST(len(toks) AS BIGINT) AS w
+       |      FROM t0),
+       |b AS (SELECT source,
+       |        ((t * 1000) // w) // $FertilityBucketMilli AS bkt
+       |      FROM p),
+       |t AS (SELECT source, bkt, COUNT(*) AS ct FROM b GROUP BY source, bkt),
+       |nt AS (SELECT source, SUM(ct) AS nt FROM t GROUP BY source),
+       |g AS (SELECT bkt, SUM(ct) AS cg FROM t GROUP BY bkt),
+       |ng AS (SELECT SUM(ct) AS ng FROM t),
+       |j AS (
+       |  SELECT n.source, n.nt, gg.ng,
+       |         abs(COALESCE(t.ct, 0) * gg.ng - g.cg * n.nt) AS term
+       |  FROM nt n CROSS JOIN g CROSS JOIN ng gg
+       |  LEFT JOIN t ON t.source = n.source AND t.bkt = g.bkt)
+       |SELECT source, CAST(SUM(term) AS BIGINT) AS tvd_scaled,
+       |       CAST(SUM(term) AS BIGINT) / (2.0::DOUBLE * nt * ng) AS tvd,
+       |       CAST(nt AS BIGINT) AS n_docs
+       |FROM j GROUP BY source, nt, ng""".stripMargin
+  }
+
   /** Hashed-feature LINEAR CLASSIFIER inference — the fasttext-style
     * quality/domain filter every pretraining pipeline runs per
     * document, as one narrow codegen'd expression (zero shuffle, zero
@@ -1197,6 +1290,7 @@ object TextQueries {
     "text_bpe_encode" -> bpeEncode _,
     "text_classifier_score" -> classifierScore _,
     "text_bpe_fertility" -> bpeFertility _,
+    "text_fertility_drift" -> fertilityDrift _,
     "text_char_entropy" -> charEntropy _,
     "text_char_entropy_native" -> charEntropyNative _,
     "text_vocab_coverage" -> vocabCoverage _,
@@ -1227,6 +1321,7 @@ object TextQueries {
     "text_bpe_encode" -> bpeEncodeSql,
     "text_classifier_score" -> classifierScoreSql,
     "text_bpe_fertility" -> bpeFertilitySql,
+    "text_fertility_drift" -> fertilityDriftSql,
     "text_char_entropy" -> charEntropySql,
     "text_char_entropy_native" -> charEntropySql,
     "text_vocab_coverage" -> vocabCoverageSql,
