@@ -1197,6 +1197,177 @@ object MultimodalQueries {
        |                AND b.doc_id < a.doc_id)
        |GROUP BY a.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Cross-modal retrieval (r17 verdict #4) — the serving composition
+  // the pair-dedup tier feeds: text-QUERY vectors probed against the
+  // IMAGE-embedding IVF index, CLIP-style. The encoders are the
+  // deterministic [[embedStub]] feature map (the aligned-encoder
+  // stand-in this container allows — the Spark plumbing is the real
+  // 100 TB path: a published cell-partitioned layout, an O(ncells)
+  // routing table, partition-pruned probes, k-bounded top-k). The
+  // coarse quantizer is the ONE-HOT codebook: assignment by argmax
+  // dimension IS nearest-one-hot-centroid in cosine (cos(x, e_c) =
+  // x_c / |x|), so cell assignment, batch routing (score the stored
+  // codebook) and stream routing (a pure row expression — top-nprobe
+  // dims) are provably the same quantizer, and the oracle spells all
+  // three relationally.
+  // ---------------------------------------------------------------
+
+  /** Number of one-hot cells (= embedding dims) and probe width. */
+  private[graft] val CrossmodalCells = 8
+  private[graft] val CrossmodalProbe = 2
+
+  /** The md5 feature-map embedding of [[embedStub]] as a single
+    * column expression (8 doubles in [0,1]) — usable on batch AND
+    * unbounded sources. */
+  private[graft] def stubEmb(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = md5(c)
+    transform(sequence(lit(1), lit(CrossmodalCells)), i =>
+      round(conv(substring(h, i * 2 - 1, lit(2)), 16, 10)
+        .cast(DoubleType) / 255.0, 6))
+  }
+
+  /** Build (memoized per corpus) the image-side IVF layout: corpus =
+    * docs with doc_id ≥ 5 (doc_id < 5 are the held-out text queries),
+    * embedding = the stub image encoder over the payload, cell =
+    * argmax dimension (first max wins — `array_position` and DuckDB
+    * `list_position` agree), centroid table = the one-hot codebook. */
+  private[graft] def crossmodalLayout(
+      s: SparkSession, d: String): graft.sources.IvfIndex.Layout = {
+    val codebook = s.range(1, CrossmodalCells + 1)
+      .select(col("id").cast(IntegerType).as("label"))
+      .withColumn("cemb", expr(
+        s"transform(sequence(1, $CrossmodalCells), " +
+          "i -> IF(i = label, 1.0D, 0.0D))"))
+    val corpus = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") >= 5)
+      .select(col("doc_id"), stubEmb(col("text")).as("emb"))
+      .withColumn("cell",
+        array_position(col("emb"), array_max(col("emb"))).cast(IntegerType))
+    graft.sources.IvfIndex.ensure(s"$d::crossmodal", codebook, corpus)
+  }
+
+  /** Batch cross-modal top-5: route each text query through the
+    * stored codebook (ncells rows — the router-collect bound), prune
+    * the vector scan to the probed cell DIRECTORIES (a static
+    * `cell IN` filter → `PartitionFilters`, pinned in
+    * PlanPropertiesSpec), score exact micro-grid cosine inside the
+    * probed cells only, and take the k-bounded LONG top-5 per query.
+    * Routing compares UNROUNDED csim (= qemb[label]/|qemb| against a
+    * one-hot centroid), so the oracle's rank-by-dim-value spelling is
+    * exactly equivalent; label asc breaks exact ties. */
+  def crossmodalTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val layout = crossmodalLayout(s, d)
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    val routed = s.read.parquet(layout.centroids)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("label"),
+        (SimilarityQueries.dot(col("cemb"), col("qemb")) /
+          (SimilarityQueries.norm(col("cemb")) *
+            SimilarityQueries.norm(col("qemb")))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("label"))))
+      .filter(col("rn") <= CrossmodalProbe)
+      .select(col("qid"), col("label"))
+    val probed = routed.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ ncells — router bound
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    s.read.parquet(layout.vectors)
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(routed), col("cell") === col("label"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
+  }
+
+  /** Streaming twin — queries ARRIVE, the index serves: each arriving
+    * text query routes with a PURE ROW expression (its top-nprobe
+    * dimensions — the same one-hot quantizer the batch router scores,
+    * so provably the same cells), explodes into (qid, cell) probe
+    * rows, stream–static joins the published cell layout, and the
+    * per-query top-5 accumulates in the k-bounded LONG head. */
+  def streamCrossmodalTopK(s: SparkSession, d: String): DataFrame = {
+    val layout = crossmodalLayout(s, d)
+    val vecs = s.read.parquet(layout.vectors)
+      .select(col("doc_id"), col("emb"), col("cell"))
+    val q = StreamingQueries.docStream(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+      // top-nprobe dims by (value desc, dim asc): sort (−value, dim)
+      // structs ascending — narrow, so it plans on the unbounded source
+      .withColumn("cell", explode(expr(
+        s"""slice(transform(array_sort(transform(sequence(1, $CrossmodalCells),
+           |  i -> struct(-element_at(qemb, i) AS negv, i AS dim))),
+           |  x -> x.dim),
+           |1, $CrossmodalProbe)""".stripMargin)))
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val heads = q.join(vecs, Seq("cell"))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+    StreamingQueries.runToTable(heads, "complete")
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
+  }
+
+  val crossmodalTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, emb, list_position(emb, list_max(emb)) AS cell
+       |  FROM e WHERE doc_id >= 5),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |r AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, d.i AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY q.qemb[d.i] DESC, d.i) AS rn
+       |    FROM q, (SELECT unnest(generate_series(1, $CrossmodalCells)) i) d)
+       |  WHERE rn <= $CrossmodalProbe),
+       |sc AS (
+       |  SELECT r.qid, c.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(c.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM r JOIN c ON c.cell = r.cell
+       |  JOIN q ON q.qid = r.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, cm AS cos_micro
+       |FROM (
+       |  SELECT qid, doc_id, cm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_modality_card" -> modalityCard _,
     "mm_resolution_gate" -> resolutionGate _,
@@ -1207,6 +1378,8 @@ object MultimodalQueries {
     "stream_mm_phash" -> streamPhashNearDup _,
     "mm_pair_neardup" -> pairNearDup _,
     "stream_mm_pair" -> streamPairNearDup _,
+    "mm_crossmodal_topk" -> crossmodalTopK _,
+    "stream_mm_crossmodal" -> streamCrossmodalTopK _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1215,6 +1388,8 @@ object MultimodalQueries {
   def oracles: Map[String, String] = Map(
     "mm_pair_neardup" -> pairNearDupSql,
     "stream_mm_pair" -> streamPairNearDupSql,
+    "mm_crossmodal_topk" -> crossmodalTopKSql,
+    "stream_mm_crossmodal" -> crossmodalTopKSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,

@@ -92,6 +92,11 @@ object StreamingQueries {
   private def translateStateDecode(e: Throwable): Throwable = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(16).toSeq
+    // the failure must actually ORIGINATE in the state-store layer —
+    // a decode-shaped exception thrown by query expressions (e.g. an
+    // out-of-bounds array index in user logic) must surface untouched
+    val stateFrame = chain.exists(_.getStackTrace.exists(f =>
+      f.getClassName.contains("sql.execution.streaming.state")))
     val decodeLike = chain.exists {
       case _: ClassCastException | _: java.io.InvalidClassException |
            _: ArrayIndexOutOfBoundsException |
@@ -102,9 +107,7 @@ object StreamingQueries {
           m.contains("STATE_STORE_KEY_SCHEMA_NOT_COMPATIBLE") ||
           m.contains("STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE"))
     }
-    val statefulStream = chain.exists(c => Option(c.getMessage).exists(m =>
-      m.contains("state") || m.contains("State")))
-    if (decodeLike && statefulStream)
+    if (decodeLike && stateFrame)
       new IllegalStateException(
         "stateful stream failed to restore its checkpoint state — if " +
           "this checkpoint was written by a pre-r17 binary, the claim-" +

@@ -231,6 +231,22 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("cross-modal retrieval scans only the probed cell partitions of the image index") {
+    val p = planOf("mm_crossmodal_topk")
+    // text queries probe the published image-embedding layout — the
+    // vector scan must prune on the cell partition column at planning
+    // time (r17 verdict #4 done-criterion)
+    assert(p.contains("graft-ivf"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cell")),
+      p.take(3000))
+    // routing + query relations broadcast; candidates only from the
+    // pruned index — never a corpus-sized join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.toLowerCase.contains("partial_topkbyscore"), p.take(3000))
+  }
+
   test("IVF-PQ probe scans only the probed cells' CODE partitions — compressed domain") {
     val p = planOf("sim_ann_ivfpq")
     // the candidate side reads the persisted pqcodes layout, pruned on
