@@ -1504,14 +1504,20 @@ object CurationQueries {
     * itself pays one narrow md5 projection plus two doc_id/component-
     * keyed equi-joins against the small relation — no window over the
     * corpus, no corpus shuffle beyond the join. */
-  def leakageSplit(s: SparkSession, d: String): DataFrame = {
-    val comps = graft.queries.DedupQueries.components(s, d)
+  def leakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitOver(Tables.documents(s, d))
+
+  /** [[leakageSplit]] over ANY (doc_id, text) relation — the
+    * streaming corpus build assigns splits to the accumulated staged
+    * documents the same way it clusters them. */
+  private[graft] def leakageSplitOver(docs: DataFrame): DataFrame = {
+    val comps = graft.queries.DedupQueries.componentsOver(docs)
     val straddle = comps
       .select(col("component"),
         splitName(splitBucket(col("doc_id"))).as("ns"))
       .groupBy(col("component"))
       .agg((min(col("ns")) =!= max(col("ns"))).cast(LongType).as("lb"))
-    Tables.documents(s, d).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component_id"))
@@ -1521,6 +1527,20 @@ object CurationQueries {
         col("component_id"),
         coalesce(col("lb"), lit(0L)).as("leaked_before"))
   }
+
+  /** Streaming twin of [[leakageSplit]] — the ingest-time shape every
+    * corpus-build twin in this engine uses: documents STAGE through
+    * the append stream (cheap, idempotent, per-batch), and the
+    * O(staged) component clustering + split election runs at
+    * compaction over the accumulated set — split assignment is a
+    * corpus-level decision (a late-arriving duplicate can re-home its
+    * whole component), so a per-row streaming assignment would be
+    * semantically wrong, not merely slower. Finite input ⇒ equals the
+    * batch oracle. */
+  def streamLeakageSplit(s: SparkSession, d: String): DataFrame =
+    leakageSplitOver(StreamingQueries.runToTable(
+      StreamingQueries.docStream(s, d).select(col("doc_id"), col("text")),
+      "append"))
 
   /** Embeds [[DedupQueries.componentsSql]] so the cluster spelling
     * cannot drift from the verified-pair miner. */
@@ -2081,6 +2101,7 @@ object CurationQueries {
     "curate_weighted_sample" -> weightedSample _,
     "curate_dataset_split" -> datasetSplit _,
     "curate_leakage_split" -> leakageSplit _,
+    "stream_leakage_split" -> streamLeakageSplit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -2121,6 +2142,7 @@ object CurationQueries {
     "curate_weighted_sample" -> weightedSampleSql,
     "curate_dataset_split" -> datasetSplitSql,
     "curate_leakage_split" -> leakageSplitSql,
+    "stream_leakage_split" -> leakageSplitSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,

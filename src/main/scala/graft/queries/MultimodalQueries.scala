@@ -1334,6 +1334,74 @@ object MultimodalQueries {
         expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
   }
 
+  /** Measured recall@5 of the probed cross-modal retrieval against
+    * the exact brute-force top-5 per text query — the number a
+    * CLIP-style serving deployment actually tracks (the [[annRecall]]
+    * discipline applied to the cross-modal index): the exact pass is
+    * a one-off EVAL job over the corpus, the probed pass is the
+    * served [[crossmodalTopK]] itself, and the join is ≤ 25 rows.
+    * Emits (qid, hits, recall_ppm) for every held-out query. */
+  def crossmodalRecall(s: SparkSession, d: String): DataFrame = {
+    val layout = crossmodalLayout(s, d)
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val exact = s.read.parquet(layout.vectors)
+      .select(col("doc_id"), col("emb"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"), explode(col("top.ids")).as("doc_id"))
+    val hits = crossmodalTopK(s, d).select(col("qid"), col("doc_id"))
+      .join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr("COALESCE(h, 0L) * 1000000 DIV 5").as("recall_ppm"))
+  }
+
+  /** Shares the [[crossmodalTopKSql]] CTE chain so the probed and
+    * exact spellings cannot drift. */
+  lazy val crossmodalRecallSql: String =
+    s"""WITH pr AS (SELECT * FROM ($crossmodalTopKSql) x),
+       |e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c AS (SELECT doc_id, emb FROM e WHERE doc_id >= 5),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |scx AS (
+       |  SELECT q.qid, c.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(c.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM c, q),
+       |ex AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |    FROM scx) WHERE rn <= 5),
+       |h AS (SELECT pr.qid, COUNT(*) AS h
+       |      FROM pr JOIN ex ON ex.qid = pr.qid AND ex.doc_id = pr.doc_id
+       |      GROUP BY pr.qid)
+       |SELECT q.qid,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM q LEFT JOIN h ON h.qid = q.qid""".stripMargin
+
   val crossmodalTopKSql: String =
     s"""WITH e AS (
        |  SELECT doc_id,
@@ -1380,6 +1448,7 @@ object MultimodalQueries {
     "stream_mm_pair" -> streamPairNearDup _,
     "mm_crossmodal_topk" -> crossmodalTopK _,
     "stream_mm_crossmodal" -> streamCrossmodalTopK _,
+    "mm_crossmodal_recall" -> crossmodalRecall _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1390,6 +1459,7 @@ object MultimodalQueries {
     "stream_mm_pair" -> streamPairNearDupSql,
     "mm_crossmodal_topk" -> crossmodalTopKSql,
     "stream_mm_crossmodal" -> crossmodalTopKSql,
+    "mm_crossmodal_recall" -> crossmodalRecallSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,

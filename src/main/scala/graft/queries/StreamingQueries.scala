@@ -373,6 +373,27 @@ object StreamingQueries {
     * the same shared-shingle relation the batch join shuffles, built
     * incrementally. */
   def streamCrossSource(s: SparkSession, d: String): DataFrame = {
+    val (inter, prof) = shingleClaimRelations(s, d)
+    inter
+      .join(prof.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(prof.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.8)
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The shingle-keyed registry machinery shared by
+    * [[streamCrossSource]] and [[streamContainment]]: runs the
+    * order-independent claim registry over each arriving document's
+    * distinct 5-gram shingles, drains the log, and reconstructs (a)
+    * the exact shared-shingle intersection relation
+    * (doc_a, doc_b, i) — identical to the batch miners' `inter` CTE —
+    * and (b) the stateless per-doc profile (doc_id, source, n =
+    * shingle-set size). */
+  private def shingleClaimRelations(s: SparkSession,
+                                    d: String): (DataFrame, DataFrame) = {
     val docs = docStream(s, d)
     val shingles = graft.functions.TextShingles
       .shingleHashSet(docs, "doc_id", "text", 5)
@@ -393,14 +414,31 @@ object StreamingQueries {
         col("a_sig") === col("b_sig") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
+    (inter, prof)
+  }
+
+  /** Streaming asymmetric-containment gate — the ingest-time twin of
+    * [[DedupQueries.containment]] (Broder ≥90% small-in-big), sharing
+    * its oracle exactly: the shingle claim log reconstructs the
+    * shared-shingle intersection, the profile stream supplies the
+    * set sizes, and the containment/jaccard ppm grid and the
+    * inner/outer election are the batch spellings verbatim. */
+  def streamContainment(s: SparkSession, d: String): DataFrame = {
+    val (inter, prof) = shingleClaimRelations(s, d)
     inter
-      .join(prof.select(col("doc_id").as("doc_a"), col("n").as("na"),
-        col("source").as("src_canonical")), Seq("doc_a"))
-      .join(prof.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-        col("source").as("src_dup")), Seq("doc_b"))
-      .filter(col("i") * 1.0 / (col("na") + col("nb") - col("i")) >= 0.8)
-      .groupBy(col("src_canonical"), col("src_dup"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .join(prof.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(prof.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment_ppm",
+        expr("i * 1000000 DIV LEAST(na, nb)"))
+      .withColumn("jaccard_ppm", expr("i * 1000000 DIV (na + nb - i)"))
+      .filter(col("containment_ppm") >= DedupQueries.ContainPpm)
+      .select(
+        expr("IF(na <= nb, doc_a, doc_b)").as("doc_inner"),
+        expr("IF(na <= nb, doc_b, doc_a)").as("doc_outer"),
+        col("containment_ppm"), col("jaccard_ppm"),
+        (col("jaccard_ppm") < 800000L).cast(LongType).as("asymmetric"))
   }
 
   /** Streaming parquet read of the documents table, honoring the
@@ -1852,6 +1890,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
     "stream_cross_source" -> streamCrossSource _,
+    "stream_containment" -> streamContainment _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
@@ -1890,6 +1929,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
     "stream_cross_source" -> DedupQueries.crossSourceMatrixSql,
+    "stream_containment" -> DedupQueries.containmentSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
