@@ -1542,6 +1542,57 @@ object CurationQueries {
       StreamingQueries.docStream(s, d).select(col("doc_id"), col("text")),
       "append"))
 
+  /** Split-leakage AUDIT — the measurement that justifies
+    * [[leakageSplit]] in a data card: for every verified near-dup
+    * pair ([[DedupQueries.ngramJaccard]], the corpus-wide j ≥ 0.8
+    * relation), does the pair straddle two splits under (a) the naive
+    * per-doc assignment and (b) the component assignment? One row per
+    * method with total pairs and cross-split pairs — the number a
+    * release review reads (naive > 0 on any corpus with near-dups;
+    * component = 0 for every pair the clustering covers, and a
+    * non-zero here would surface a candidate-recall gap rather than
+    * hide it). Cost: the verified pair relation plus four doc_id-keyed
+    * split pickups; output = 2 rows. */
+  def splitLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.queries.DedupQueries.ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    def straddleOf(method: String, splits: DataFrame): DataFrame =
+      pairs
+        .join(splits.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), Seq("doc_a"))
+        .join(splits.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("sa") =!= col("sb")).cast(LongType)).as("n_cross_split"))
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_cross_split"))
+    straddleOf("naive", datasetSplit(s, d).select(col("doc_id"), col("split")))
+      .unionAll(straddleOf("component",
+        leakageSplit(s, d).select(col("doc_id"), col("split"))))
+  }
+
+  /** Composes the pair, naive-split and component-split oracles. */
+  lazy val splitLeakageAuditSql: String =
+    s"""WITH pr AS (
+       |  SELECT doc_a, doc_b FROM (${DedupQueries.ngramJaccardSql}) p),
+       |ns AS (SELECT doc_id, split FROM ($datasetSplitSql) a),
+       |cs AS (SELECT doc_id, split FROM ($leakageSplitSql) b),
+       |j AS (
+       |  SELECT 'naive' AS method,
+       |    CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END AS x
+       |  FROM pr
+       |  JOIN ns na ON na.doc_id = pr.doc_a
+       |  JOIN ns nb ON nb.doc_id = pr.doc_b
+       |  UNION ALL
+       |  SELECT 'component',
+       |    CASE WHEN ca.split <> cb.split THEN 1 ELSE 0 END
+       |  FROM pr
+       |  JOIN cs ca ON ca.doc_id = pr.doc_a
+       |  JOIN cs cb ON cb.doc_id = pr.doc_b)
+       |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(x) AS BIGINT) AS n_cross_split
+       |FROM j GROUP BY method""".stripMargin
+
   /** Embeds [[DedupQueries.componentsSql]] so the cluster spelling
     * cannot drift from the verified-pair miner. */
   lazy val leakageSplitSql: String = {
@@ -2102,6 +2153,7 @@ object CurationQueries {
     "curate_dataset_split" -> datasetSplit _,
     "curate_leakage_split" -> leakageSplit _,
     "stream_leakage_split" -> streamLeakageSplit _,
+    "curate_split_leakage_audit" -> splitLeakageAudit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -2143,6 +2195,7 @@ object CurationQueries {
     "curate_dataset_split" -> datasetSplitSql,
     "curate_leakage_split" -> leakageSplitSql,
     "stream_leakage_split" -> leakageSplitSql,
+    "curate_split_leakage_audit" -> splitLeakageAuditSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,

@@ -137,7 +137,18 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     // bm25 skeleton), feedback-bounded expansion mining, and the
     // 30-row weighted scoring relation broadcast over the postings;
     // the BNLJs are the two 1-row n_docs broadcasts
-    "text_prf_expand" -> Sig(8, 0, 2))
+    "text_prf_expand" -> Sig(8, 0, 2),
+    // r18 rows. crossmodal's 1 BNLJ is the ≤5-query-vector broadcast
+    // into the pruned index scan; importance_target's is the 1-row
+    // max-score normalizer; fertility_drift's 2 are the broadcast
+    // global-mix and 1-row total stat attaches (the langDrift
+    // pattern); leakage_split's returned stage is the split scoring
+    // over the checkpointed component relation — one doc_id join.
+    "mm_crossmodal_topk" -> Sig(2, 0, 1),
+    "curate_leakage_split" -> Sig(1, 0, 0),
+    "curate_importance_target" -> Sig(1, 0, 1),
+    "text_fertility_drift" -> Sig(5, 0, 2),
+    "mm_pair_neardup" -> Sig(7, 0, 0))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
