@@ -1368,6 +1368,129 @@ object MultimodalQueries {
         expr("COALESCE(h, 0L) * 1000000 DIV 5").as("recall_ppm"))
   }
 
+  /** Recall target for [[crossmodalAutoprobe]] — 95%, the
+    * sim_ann_autoprobe discipline. */
+  private[graft] val CrossmodalTargetPpm = 950000L
+
+  /** Recall-targeted nprobe auto-tune for the cross-modal index —
+    * every index this engine publishes ships its tuner: sweep
+    * nprobe = 1..[[CrossmodalCells]], measure recall@5 of the probed
+    * retrieval against the exact top-5 for the held-out text queries,
+    * elect the minimal depth meeting [[CrossmodalTargetPpm]]. Uses
+    * the prefix-merge sweep spelling from day one (the r17-verdict-#5
+    * discipline): each (query, probe-rank) cell reduces to its top-5
+    * once, and per-depth results merge those ≤5-row partial tops —
+    * corpus rows are scored once, never replicated per depth. */
+  def crossmodalAutoprobe(s: SparkSession, d: String): DataFrame = {
+    val layout = crossmodalLayout(s, d)
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    // probe rank of every cell per query — the one-hot router as a
+    // pure row expression (value desc, dim asc), exploded to rows
+    val rnk = q.select(col("qid"), col("qemb"), posexplode(expr(
+        s"""transform(array_sort(transform(sequence(1, $CrossmodalCells),
+           |  i -> struct(-element_at(qemb, i) AS negv, i AS dim))),
+           |  x -> x.dim)""".stripMargin))
+        .as(Seq("p", "cell")))
+      .select(col("qid"), col("qemb"), col("cell"),
+        (col("p") + 1).cast(LongType).as("r"))
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val scored = s.read.parquet(layout.vectors)
+      .join(broadcast(rnk), Seq("cell"))
+      .select(col("qid"), col("r"), col("doc_id"), cm.as("cm"))
+    val exact = scored.groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"), explode(col("top.ids")).as("doc_id"))
+    val perRank = scored.groupBy(col("qid"), col("r"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"), col("r"),
+        explode(arrays_zip(col("top.scores"), col("top.ids"))).as("z"))
+      .select(col("qid"), col("r"), col("z.scores").as("pk"),
+        col("z.ids").as("doc_id"))
+    val appx = perRank
+      .select(col("qid"), col("pk"), col("doc_id"),
+        explode(expr(s"sequence(r, ${CrossmodalCells}L)")).as("np"))
+      .groupBy(col("qid"), col("np"))
+      .agg(topk(col("pk"), col("doc_id")).as("top"))
+      .select(col("qid"), col("np"), explode(col("top.ids")).as("doc_id"))
+    val hits = appx.join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("np")).agg(count(lit(1)).as("h"))
+    val rec = s.range(1, CrossmodalCells + 1).select(col("id").as("nprobe"))
+      .join(hits, col("nprobe") === col("np"), "left")
+      .select(col("nprobe"),
+        expr("COALESCE(h, 0L) * 1000000L DIV 25").as("recall_ppm"))
+    val chosen = rec.filter(col("recall_ppm") >= CrossmodalTargetPpm)
+      .agg(min(col("nprobe")).as("mn"))
+    rec.crossJoin(broadcast(chosen))
+      .select(col("nprobe"), col("recall_ppm"),
+        (col("recall_ppm") >= CrossmodalTargetPpm).cast(LongType)
+          .as("meets_target"),
+        coalesce((col("nprobe") === col("mn")).cast(LongType), lit(0L))
+          .as("chosen"))
+  }
+
+  val crossmodalAutoprobeSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, emb, list_position(emb, list_max(emb)) AS cell
+       |  FROM e WHERE doc_id >= 5),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |rnk AS (
+       |  SELECT qid, cell,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY qv DESC, cell) AS r
+       |  FROM (SELECT q.qid, d.i AS cell, q.qemb[d.i] AS qv
+       |        FROM q, (SELECT unnest(generate_series(1,
+       |          $CrossmodalCells)) i) d) z),
+       |sc AS (
+       |  SELECT q.qid, c.doc_id, c.cell,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(c.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM c, q),
+       |ex AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |    FROM sc) WHERE rn <= 5),
+       |sweep AS (SELECT unnest(generate_series(1, $CrossmodalCells)) AS np),
+       |ap AS (
+       |  SELECT qid, np, doc_id FROM (
+       |    SELECT s.qid, w.np, s.doc_id,
+       |      row_number() OVER (PARTITION BY s.qid, w.np
+       |        ORDER BY s.cm DESC, s.doc_id) rn
+       |    FROM sc s
+       |    JOIN rnk k ON k.qid = s.qid AND k.cell = s.cell
+       |    JOIN sweep w ON k.r <= w.np) WHERE rn <= 5),
+       |hits AS (SELECT np, COUNT(*) h FROM ap
+       |         JOIN ex USING (qid, doc_id) GROUP BY np),
+       |rec AS (
+       |  SELECT CAST(w.np AS BIGINT) AS nprobe,
+       |         CAST(COALESCE(h, 0) * 1000000 // 25 AS BIGINT) AS recall_ppm
+       |  FROM sweep w LEFT JOIN hits ON hits.np = w.np),
+       |ch AS (SELECT MIN(nprobe) mn FROM rec
+       |       WHERE recall_ppm >= $CrossmodalTargetPpm)
+       |SELECT nprobe, recall_ppm,
+       |  CAST(CASE WHEN recall_ppm >= $CrossmodalTargetPpm
+       |       THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+       |  CAST(CASE WHEN nprobe = (SELECT mn FROM ch) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS chosen
+       |FROM rec""".stripMargin
+
   /** Shares the [[crossmodalTopKSql]] CTE chain so the probed and
     * exact spellings cannot drift. */
   lazy val crossmodalRecallSql: String =
@@ -1449,6 +1572,7 @@ object MultimodalQueries {
     "mm_crossmodal_topk" -> crossmodalTopK _,
     "stream_mm_crossmodal" -> streamCrossmodalTopK _,
     "mm_crossmodal_recall" -> crossmodalRecall _,
+    "mm_crossmodal_autoprobe" -> crossmodalAutoprobe _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1460,6 +1584,7 @@ object MultimodalQueries {
     "mm_crossmodal_topk" -> crossmodalTopKSql,
     "stream_mm_crossmodal" -> crossmodalTopKSql,
     "mm_crossmodal_recall" -> crossmodalRecallSql,
+    "mm_crossmodal_autoprobe" -> crossmodalAutoprobeSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,

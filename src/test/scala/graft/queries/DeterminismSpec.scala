@@ -74,7 +74,8 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // round 18: the external-target DSIR draw and the
                 // component-keyed split assignment (leakage-auditing
                 // flags included) are likewise rebuild-critical
-                "curate_importance_target", "curate_leakage_split"))
+                "curate_importance_target", "curate_leakage_split",
+                "mm_crossmodal_autoprobe"))
     test(s"$q is identical under different shuffle partitioning") {
       val base = Catalog.queries(q)(spark, sf)
       val schema = base.schema
