@@ -1944,9 +1944,9 @@ object CurationQueries {
       .select(col("doc_id"), col("score"))
   }
 
-  /** The importance-proportional keep filter over a scored relation
-    * carrying `smax` — the 2^(−Δ/16) ladder + md5-u32 draw. */
-  private def dsirKeep(scored: DataFrame): DataFrame =
+  /** The 2^(−Δ/16) ladder over a scored relation carrying `smax` —
+    * attaches `delta` and `keep_u32` (the weight on the u32 grid). */
+  private def dsirWeights(scored: DataFrame): DataFrame =
     scored
       .withColumn("delta", col("smax") - col("score"))
       .withColumn("keep_u32", expr(
@@ -1954,9 +1954,49 @@ object CurationQueries {
           "shiftright(4294967296L, CAST(delta DIV 16 AS INT)) * " +
           s"element_at(array(${DsirFrac.mkString(", ")}), " +
           "CAST(delta % 16 AS INT) + 1) DIV 1000000)"))
+
+  /** The importance-proportional keep filter over a scored relation
+    * carrying `smax` — the ladder + md5-u32 draw. */
+  private def dsirKeep(scored: DataFrame): DataFrame =
+    dsirWeights(scored)
       .filter(Md5Key.column(concat(lit("dsir:"),
         col("doc_id").cast(StringType))) < col("keep_u32"))
       .select(col("doc_id"), col("score"), col("keep_u32"))
+
+  /** DSIR EFFECTIVE SAMPLE SIZE — the weight-degeneracy diagnostic an
+    * importance-resampling deployment reports next to its sample:
+    * ESS = (Σw)² / Σw² over the normalized weights (here the u32-grid
+    * `keep_u32`, coarsened to a 1024-level grid: v = keep_u32 DIV 2²²
+    * keeps Σv² within BIGINT out to ~10¹² documents, and the max-score
+    * document always lands on the top level so Σv² > 0 by
+    * construction). An ESS ratio near 1 means the target barely
+    * reweights the pool; near 1/n means a handful of documents carry
+    * all the mass and the sample is degenerate — retune before
+    * training on it. Sums are exact BIGINTs; the two ratios are each
+    * ONE IEEE division of exact integers (the langDrift discipline),
+    * so the row hash-verifies. One narrow scoring pass + one global
+    * aggregate; output = 1 row. */
+  def importanceEss(s: SparkSession, d: String): DataFrame = {
+    val scored = dsirScored(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      dsirLrMap(s, d))
+    val mx = scored.agg(max(col("score")).as("smax"))
+    dsirWeights(scored.crossJoin(broadcast(mx)))
+      .select(
+        (Md5Key.column(concat(lit("dsir:"),
+          col("doc_id").cast(StringType))) < col("keep_u32"))
+          .cast(LongType).as("kept"),
+        expr("keep_u32 DIV 4194304").as("v"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("v")).as("w_sum"),
+        sum(col("v") * col("v")).as("w_sq_sum"))
+      .select(col("n_docs"), col("n_kept"), col("w_sum"), col("w_sq_sum"),
+        expr("CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / " +
+          "CAST(w_sq_sum AS DOUBLE)").as("ess"),
+        expr("CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / " +
+          "(CAST(w_sq_sum AS DOUBLE) * n_docs)").as("ess_ratio"))
+  }
 
   /** Streaming twin of [[importanceSample]] — DSIR the way it
     * DEPLOYS: the target-vs-raw log-ratio model and the max-score
@@ -2082,8 +2122,11 @@ object CurationQueries {
        |                  [CAST(delta % 16 AS INT) + 1])) // 1000000
        |    END""".stripMargin
 
-  val importanceSampleSql: String =
-    s"""WITH w AS (
+  /** CTE chain through `k` (doc_id, score, delta vs the max) — ONE
+    * spelling shared by [[importanceSampleSql]] and
+    * [[importanceEssSql]]. */
+  private val dsirKCtesSql: String =
+    s"""w AS (
        |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS a
        |  FROM documents),
        |g AS (
@@ -2125,20 +2168,46 @@ object CurationQueries {
        |mx AS (SELECT MAX(score) AS smax FROM scored),
        |k AS (
        |  SELECT doc_id, score, (SELECT smax FROM mx) - score AS delta
-       |  FROM scored)
-       |SELECT doc_id, score,
-       |  CASE WHEN delta // 16 >= 32 THEN 0
+       |  FROM scored)""".stripMargin
+
+  /** The 2^(−Δ/16) ladder as one SQL expression over `delta`. */
+  private val dsirKeepU32Sql: String =
+    s"""CASE WHEN delta // 16 >= 32 THEN 0
        |       ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
        |             * (list_value(${DsirFrac.mkString(", ")})
        |                [CAST(delta % 16 AS INT) + 1])) // 1000000
-       |  END AS keep_u32
+       |  END""".stripMargin
+
+  val importanceSampleSql: String =
+    s"""WITH $dsirKCtesSql
+       |SELECT doc_id, score,
+       |  $dsirKeepU32Sql AS keep_u32
        |FROM k
        |WHERE ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
-       |  < CASE WHEN delta // 16 >= 32 THEN 0
-       |         ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
-       |               * (list_value(${DsirFrac.mkString(", ")})
-       |                  [CAST(delta % 16 AS INT) + 1])) // 1000000
-       |    END""".stripMargin
+       |  < $dsirKeepU32Sql""".stripMargin
+
+  /** Shares [[dsirKCtesSql]] + [[dsirKeepU32Sql]] with the sample. */
+  val importanceEssSql: String =
+    s"""WITH $dsirKCtesSql,
+       |kk AS (
+       |  SELECT doc_id,
+       |    $dsirKeepU32Sql AS keep_u32
+       |  FROM k)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
+       |                < keep_u32 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(keep_u32 // 4194304) AS BIGINT) AS w_sum,
+       |  CAST(SUM((keep_u32 // 4194304) * (keep_u32 // 4194304))
+       |       AS BIGINT) AS w_sq_sum,
+       |  CAST(SUM(keep_u32 // 4194304) AS DOUBLE)
+       |    * CAST(SUM(keep_u32 // 4194304) AS DOUBLE)
+       |    / CAST(SUM((keep_u32 // 4194304) * (keep_u32 // 4194304))
+       |           AS DOUBLE) AS ess,
+       |  CAST(SUM(keep_u32 // 4194304) AS DOUBLE)
+       |    * CAST(SUM(keep_u32 // 4194304) AS DOUBLE)
+       |    / (CAST(SUM((keep_u32 // 4194304) * (keep_u32 // 4194304))
+       |            AS DOUBLE) * COUNT(*)) AS ess_ratio
+       |FROM kk""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_kanon_audit" -> kanonAudit _,
@@ -2146,6 +2215,7 @@ object CurationQueries {
     "stream_importance_sample" -> streamImportanceSample _,
     "curate_importance_target" -> importanceTarget _,
     "stream_importance_target" -> streamImportanceTarget _,
+    "curate_importance_ess" -> importanceEss _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -2187,6 +2257,7 @@ object CurationQueries {
     "stream_importance_sample" -> importanceSampleSql,
     "curate_importance_target" -> importanceTargetSql,
     "stream_importance_target" -> importanceTargetSql,
+    "curate_importance_ess" -> importanceEssSql,
     "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,
