@@ -139,6 +139,15 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_containment equals the batch gate under shuffled arrival") {
+    val streamed = StreamingQueries.streamContainment(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = DedupQueries.containment(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_excise_repeated equals the batch excision under shuffled arrival") {
     val streamed = CurationQueries.streamExciseRepeated(spark, dir)
       .collect().map(_.toSeq).toSet
