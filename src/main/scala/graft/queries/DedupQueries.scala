@@ -417,6 +417,56 @@ object DedupQueries {
       |  UNION ALL SELECT doc_id, 2, h4 || ',' || h5 FROM mh
       |  UNION ALL SELECT doc_id, 3, h6 || ',' || h7 FROM mh)""".stripMargin
 
+  /** INCREMENTAL near-dup — the production ingest shape a published
+    * corpus actually runs: a newly-arrived DELTA (here the
+    * `doc_id % 10 = 9` slice, standing in for today's crawl) is
+    * checked against the AT-REST corpus without ever re-mining
+    * rest-vs-rest pairs. Candidates come from the MinHash band join
+    * of delta bands against at-rest bands ONLY — at 100 TB the
+    * at-rest band relation is the STORED signature index (built once,
+    * the IvfIndex discipline applied to dedup), so the per-ingest
+    * cost is O(delta + collisions), not O(corpus²) and not even
+    * O(corpus): the at-rest side is an equi-join pickup on the band
+    * key. Verification is the shared exact-Jaccard machinery over the
+    * candidate pairs. Emits every verified (delta doc, at-rest
+    * duplicate, jaccard) — the reject/route decision an ingest gate
+    * applies before a delta document ever enters the corpus. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rest = bandRows(docs.filter(col("doc_id") % 10 =!= 9))
+      .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val delta = bandRows(docs.filter(col("doc_id") % 10 === 9))
+      .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val cand = rest.join(delta, Seq("band", "sig"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardPairs(docs, candidates = Some(cand), threshold = 0.8)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("jaccard"))
+  }
+
+  /** Composes [[bandsCteSql]] with the shared shingle spelling — the
+    * componentsSql assembly, restricted to delta×at-rest candidates. */
+  val incrementalSql: String =
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT o.doc_id AS da, n.doc_id AS db
+       |  FROM bands o JOIN bands n
+       |    ON o.band = n.band AND o.sig = n.sig
+       |  WHERE o.doc_id % 10 <> 9 AND n.doc_id % 10 = 9),
+       |${graft.functions.TextShingles.shingleFromTokSql},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, COUNT(*) i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.da
+       |  JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+       |  GROUP BY c.da, c.db)
+       |SELECT db AS doc_id, da AS dup_of, i*1.0/(sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE i*1.0/(sa.n + sb.n - i) >= 0.8""".stripMargin
+
   val minhashLshSql: String =
     s"""WITH $bandsCteSql
       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -957,6 +1007,7 @@ object DedupQueries {
     "dedup_containment" -> containment _,
     "dedup_cross_source" -> crossSourceMatrix _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_incremental" -> incremental _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash64_pairs" -> simhash64Pairs _)
@@ -973,6 +1024,7 @@ object DedupQueries {
     "dedup_containment" -> containmentSql,
     "dedup_cross_source" -> crossSourceMatrixSql,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_incremental" -> incrementalSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash64_pairs" -> simhash64PairsSql)
