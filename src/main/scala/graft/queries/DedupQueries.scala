@@ -433,13 +433,22 @@ object DedupQueries {
     * applies before a delta document ever enters the corpus. */
   def incremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val rest = bandRows(docs.filter(col("doc_id") % 10 =!= 9))
+    incrementalOver(docs.filter(col("doc_id") % 10 === 9),
+      docs.filter(col("doc_id") % 10 =!= 9))
+  }
+
+  /** The delta-vs-at-rest gate over ANY delta/rest (doc_id, text)
+    * relations — the streaming twin runs THIS per micro-batch. */
+  private[graft] def incrementalOver(delta: DataFrame,
+                                     rest: DataFrame): DataFrame = {
+    val rb = bandRows(rest)
       .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val delta = bandRows(docs.filter(col("doc_id") % 10 === 9))
+    val db = bandRows(delta)
       .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    val cand = rest.join(delta, Seq("band", "sig"))
+    val cand = rb.join(db, Seq("band", "sig"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardPairs(docs, candidates = Some(cand), threshold = 0.8)
+    jaccardPairs(rest.unionByName(delta), candidates = Some(cand),
+        threshold = 0.8)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
         col("jaccard"))
   }

@@ -1340,6 +1340,48 @@ object StreamingQueries {
         col("nt").as("n_docs"))
   }
 
+  /** Streaming incremental dedup gate — [[DedupQueries.incremental]]
+    * the way it DEPLOYS: each arriving micro-batch of delta documents
+    * is gated against the AT-REST corpus inside its own batch (a
+    * foreachBatch epoch running the shared [[DedupQueries
+    * .incrementalOver]] — band join against the stored signature
+    * relation, exact-Jaccard verify), and verified rejections upsert
+    * into the result snapshot keyed on the pair, so a replayed epoch
+    * is idempotent. No cross-batch state at all: the gate's only
+    * lookup side is the at-rest corpus, which is exactly what makes
+    * the production shape scale — per-ingest cost is
+    * O(batch + collisions) regardless of history length. Finite
+    * input ⇒ equals the batch oracle. */
+  def streamIncremental(s: SparkSession, d: String): DataFrame = {
+    val rest = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 9)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dup_of", LongType),
+      StructField("jaccard", DoubleType),
+      StructField("pair", StringType)))
+    val store = new graft.streaming.SnapshotStore(schema, keyField = "pair")
+    val ckpt = shmCheckpoint()
+    val q = graft.util.Confs.withShufflePartitions(s, 8) {
+      docStream(s, d).writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val delta = b.filter(col("doc_id") % 10 === 9)
+          store.upsert(DedupQueries.incrementalOver(delta, rest)
+            .withColumn("pair", concat_ws("\u0000",
+              col("doc_id").cast(StringType),
+              col("dup_of").cast(StringType))))
+        }
+        .start()
+    }
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      s.streams.resetTerminated()
+      deleteRecursively(ckpt)
+    }
+    store.df(s).select(col("doc_id"), col("dup_of"), col("jaccard"))
+  }
+
   /** Streaming tokenizer-fertility drift monitor (r17 verdict #8
     * stretch, stream half): the per-document fertility BUCKET is a
     * pure narrow expression ([[TextQueries.fertilityBuckets]] plans
@@ -1891,6 +1933,7 @@ object StreamingQueries {
     "stream_neardup" -> streamNeardup _,
     "stream_cross_source" -> streamCrossSource _,
     "stream_containment" -> streamContainment _,
+    "stream_incremental" -> streamIncremental _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
@@ -1930,6 +1973,7 @@ object StreamingQueries {
     "stream_neardup" -> streamNeardupSql,
     "stream_cross_source" -> DedupQueries.crossSourceMatrixSql,
     "stream_containment" -> DedupQueries.containmentSql,
+    "stream_incremental" -> DedupQueries.incrementalSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,
