@@ -855,8 +855,12 @@ object RetrievalQueries {
     * Every division floors on the ppm grid in a fixed order, spelled
     * identically in the oracle. Output: one row per system. */
   def retrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    // materialize the ≤50-row qrels ONCE: it feeds every system's
+    // relevance join AND the per-term |relevant| counts — without the
+    // checkpoint the 3-leg fusion pipeline would re-run per use
     val qrels = rrfFusion3(s, d)
       .select(col("term"), col("doc_id"), (lit(6L) - col("rank")).as("rel"))
+      .localCheckpoint()
     val nrel = qrels.groupBy(col("term"))
       .agg(count(lit(1)).cast(LongType).as("nrel"))
     val disc = s"element_at(array(${NdcgDiscount.mkString(", ")}), " +
