@@ -231,6 +231,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       p.take(2000))
   }
 
+  test("incremental dedup: delta x at-rest band equi-join only, never all-pairs") {
+    val p = planOf("dedup_incremental")
+    // candidates must come from the (band, sig) equi-join of delta
+    // bands against at-rest bands; verification joins on doc ids — a
+    // cartesian/NLJ would mean the ingest gate degenerated to
+    // delta x corpus comparison
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("cross-modal retrieval scans only the probed cell partitions of the image index") {
     val p = planOf("mm_crossmodal_topk")
     // text queries probe the published image-embedding layout — the
