@@ -1257,44 +1257,8 @@ object MultimodalQueries {
     * Routing compares UNROUNDED csim (= qemb[label]/|qemb| against a
     * one-hot centroid), so the oracle's rank-by-dim-value spelling is
     * exactly equivalent; label asc breaks exact ties. */
-  def crossmodalTopK(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val layout = crossmodalLayout(s, d)
-    val q = graft.sources.Tables.documents(s, d)
-      .filter(col("doc_id") < 5)
-      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
-    val routed = s.read.parquet(layout.centroids)
-      .crossJoin(broadcast(q))
-      .select(col("qid"), col("label"),
-        (SimilarityQueries.dot(col("cemb"), col("qemb")) /
-          (SimilarityQueries.norm(col("cemb")) *
-            SimilarityQueries.norm(col("qemb")))).as("csim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("csim").desc, col("label"))))
-      .filter(col("rn") <= CrossmodalProbe)
-      .select(col("qid"), col("label"))
-    val probed = routed.select(col("label")).distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ ncells — router bound
-    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
-      (SimilarityQueries.norm(col("emb")) *
-        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
-    val topk = udaf(new graft.functions.TopKByScoreLong(5))
-    s.read.parquet(layout.vectors)
-      .filter(col("cell").isin(probed: _*))
-      .join(broadcast(routed), col("cell") === col("label"))
-      .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("doc_id"), cm.as("cm"))
-      .groupBy(col("qid"))
-      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
-        col("doc_id")).as("top"))
-      .select(col("qid"),
-        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
-          .as(Seq("p", "z")))
-      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
-        col("z.ids").as("doc_id"),
-        expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
-  }
+  def crossmodalTopK(s: SparkSession, d: String): DataFrame =
+    crossmodalProbe(s, d, nprobe = CrossmodalProbe, extraFilter = lit(true))
 
   /** Streaming twin — queries ARRIVE, the index serves: each arriving
     * text query routes with a PURE ROW expression (its top-nprobe
@@ -1367,6 +1331,96 @@ object MultimodalQueries {
         coalesce(col("h"), lit(0L)).as("hits"),
         expr("COALESCE(h, 0L) * 1000000 DIV 5").as("recall_ppm"))
   }
+
+  /** FILTERED cross-modal search — the attribute-predicate
+    * composition ("nearest images WHERE <metadata>") on the published
+    * index, the [[SimilarityQueries.annIvfFiltered]] discipline: the
+    * predicate (deterministic stand-in `doc_id % 3 = 1`) applies
+    * BEFORE the top-k gate, inside the probed cells, so selective
+    * filters cannot silently empty a post-filtered head; the scan
+    * still prunes to the probed cell directories, and nprobe widens
+    * to 3 (the standard filtered-search compensation — the predicate
+    * thins each cell). Same routing, scoring and head machinery as
+    * [[crossmodalTopK]]. */
+  def crossmodalFiltered(s: SparkSession, d: String): DataFrame =
+    crossmodalProbe(s, d, nprobe = 3,
+      extraFilter = col("doc_id") % 3 === 1)
+
+  /** Shared probe body of [[crossmodalTopK]] (nprobe =
+    * [[CrossmodalProbe]], no predicate) and [[crossmodalFiltered]]. */
+  private def crossmodalProbe(s: SparkSession, d: String, nprobe: Int,
+      extraFilter: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val layout = crossmodalLayout(s, d)
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    val routed = s.read.parquet(layout.centroids)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("label"),
+        (SimilarityQueries.dot(col("cemb"), col("qemb")) /
+          (SimilarityQueries.norm(col("cemb")) *
+            SimilarityQueries.norm(col("qemb")))).as("csim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("csim").desc, col("label"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("label"))
+    val probed = routed.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ ncells — router bound
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    s.read.parquet(layout.vectors)
+      .filter(col("cell").isin(probed: _*) && extraFilter)
+      .join(broadcast(routed), col("cell") === col("label"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"),
+        posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+          .as(Seq("p", "z")))
+      .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+        col("z.ids").as("doc_id"),
+        expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
+  }
+
+  val crossmodalFilteredSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, emb, list_position(emb, list_max(emb)) AS cell
+       |  FROM e WHERE doc_id >= 5),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |r AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, d.i AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY q.qemb[d.i] DESC, d.i) AS rn
+       |    FROM q, (SELECT unnest(generate_series(1, $CrossmodalCells)) i) d)
+       |  WHERE rn <= 3),
+       |sc AS (
+       |  SELECT r.qid, c.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(c.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM r JOIN c ON c.cell = r.cell AND c.doc_id % 3 = 1
+       |  JOIN q ON q.qid = r.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, cm AS cos_micro
+       |FROM (
+       |  SELECT qid, doc_id, cm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
 
   /** Recall target for [[crossmodalAutoprobe]] — 95%, the
     * sim_ann_autoprobe discipline. */
@@ -1573,6 +1627,7 @@ object MultimodalQueries {
     "stream_mm_crossmodal" -> streamCrossmodalTopK _,
     "mm_crossmodal_recall" -> crossmodalRecall _,
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobe _,
+    "mm_crossmodal_filtered" -> crossmodalFiltered _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1585,6 +1640,7 @@ object MultimodalQueries {
     "stream_mm_crossmodal" -> crossmodalTopKSql,
     "mm_crossmodal_recall" -> crossmodalRecallSql,
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobeSql,
+    "mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
