@@ -1998,6 +1998,18 @@ object CurationQueries {
           "(CAST(w_sq_sum AS DOUBLE) * n_docs)").as("ess_ratio"))
   }
 
+  /** Pin the DSIR max-score normalizer: ONE driver scalar, guarded —
+    * on an empty scorable pool max(score) is NULL and a bare
+    * getLong(0) would surface as an opaque NPE at query-build time
+    * (ADVICE r18); an empty pool is a configuration error, so say so. */
+  private def pinnedSmax(scored: DataFrame): Long = {
+    val row = scored.agg(max(col("score"))).collect().head // ONE scalar
+    Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(
+      throw new IllegalStateException(
+        "DSIR raw pool is empty: no documents to score, cannot pin the " +
+          "max-score normalizer"))
+  }
+
   /** Streaming twin of [[importanceSample]] — DSIR the way it
     * DEPLOYS: the target-vs-raw log-ratio model and the max-score
     * normalizer are PARAMETERS pinned from the previous corpus
@@ -2009,9 +2021,8 @@ object CurationQueries {
     * the composition. */
   def streamImportanceSample(s: SparkSession, d: String): DataFrame = {
     val lr = dsirLrMap(s, d)
-    val smax = dsirScored(
-        Tables.documents(s, d).select(col("doc_id"), col("text")), lr)
-      .agg(max(col("score"))).collect().head.getLong(0) // ONE scalar
+    val smax = pinnedSmax(dsirScored(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), lr))
     val stream = StreamingQueries.docStream(s, d)
       .select(col("doc_id"), col("text"))
     StreamingQueries.runToTable(
@@ -2052,8 +2063,7 @@ object CurationQueries {
       .select(col("doc_id"), col("text"))
     val lr = dsirLrMapOver(raw.select(col("text")),
       docs.filter(col("doc_id") % 20 === 0).select(col("text")))
-    val smax = dsirScored(raw, lr)
-      .agg(max(col("score"))).collect().head.getLong(0) // ONE scalar
+    val smax = pinnedSmax(dsirScored(raw, lr))
     val stream = StreamingQueries.docStream(s, d)
       .filter(col("doc_id") % 20 =!= 0)
       .select(col("doc_id"), col("text"))

@@ -437,21 +437,74 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 =!= 9))
   }
 
-  /** The delta-vs-at-rest gate over ANY delta/rest (doc_id, text)
-    * relations — the streaming twin runs THIS per micro-batch. */
-  private[graft] def incrementalOver(delta: DataFrame,
-                                     rest: DataFrame): DataFrame = {
-    val rb = bandRows(rest)
-      .select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+  /** The STORED at-rest signature index: the three relations the
+    * incremental gate looks up — MinHash band rows (the candidate
+    * key), shingle rows (the verify key) and shingle-set sizes (the
+    * Jaccard denominator). Derived once from the at-rest corpus; the
+    * streaming twin persists them to a scratch layout (the IvfIndex
+    * stored-index discipline) so no micro-batch ever re-derives a
+    * corpus-side relation (ADVICE r18). */
+  private[graft] final case class RestIndex(bands: DataFrame,
+                                            shingles: DataFrame,
+                                            sizes: DataFrame)
+
+  /** Derive the at-rest index relations from the corpus — ONE narrow
+    * signature pass + one shingle pass; pay once per index build. */
+  private[graft] def restIndexOf(rest: DataFrame): RestIndex = {
+    val s = rest.sparkSession
+    RestIndex(
+      bands = bandRows(rest)
+        .select(col("doc_id").as("doc_a"), col("band"), col("sig")),
+      shingles = TextShingles.shingleHashSet(rest, "doc_id", "text", N),
+      sizes = rest
+        .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n")))
+  }
+
+  /** The delta-vs-at-rest gate against a PRE-BUILT [[RestIndex]]: only
+    * delta-side derivations run here — delta bands for the candidate
+    * equi-join, delta shingles/sizes for the verify leg; every
+    * at-rest touch is an equi-join pickup on the stored relations, so
+    * per-ingest cost is O(delta + collisions) with the corpus-side
+    * work genuinely paid once at index build. */
+  private[graft] def incrementalAgainst(delta: DataFrame,
+                                        idx: RestIndex): DataFrame = {
+    val s = delta.sparkSession
     val db = bandRows(delta)
       .select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    val cand = rb.join(db, Seq("band", "sig"))
+    val cand = idx.bands.join(db, Seq("band", "sig"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardPairs(rest.unionByName(delta), candidates = Some(cand),
-        threshold = 0.8)
+    val dSh = TextShingles.shingleHashSet(delta, "doc_id", "text", N)
+      .select(col("doc_id").as("__db"), col("sh").as("__bsh"))
+    val dSizes = delta
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+    cand
+      .join(idx.shingles.select(col("doc_id").as("doc_a"),
+        col("sh").as("__ash")), Seq("doc_a"))
+      .join(dSh, col("doc_b") === col("__db") && col("__ash") === col("__bsh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(idx.sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(dSizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") * 1.0 / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
       .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
         col("jaccard"))
   }
+
+  /** The delta-vs-at-rest gate over ANY delta/rest (doc_id, text)
+    * relations — builds the index relations inline (the batch shape;
+    * the streaming twin builds the index ONCE and calls
+    * [[incrementalAgainst]] per micro-batch). */
+  private[graft] def incrementalOver(delta: DataFrame,
+                                     rest: DataFrame): DataFrame =
+    incrementalAgainst(delta, restIndexOf(rest))
 
   /** Composes [[bandsCteSql]] with the shared shingle spelling — the
     * componentsSql assembly, restricted to delta×at-rest candidates. */

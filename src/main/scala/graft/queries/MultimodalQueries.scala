@@ -260,7 +260,13 @@ object MultimodalQueries {
   // payload edits.
   // ---------------------------------------------------------------
 
-  case class AHashBands(id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+  /** `decoded` is the EXPLICIT presence flag from the decode stage
+    * (ADVICE r18): an all-zero band pack is ambiguous — it can mean
+    * "payload absent/undecodable" OR a genuinely uniform image whose
+    * every cell sits at the mean — so downstream absence gates must
+    * read this flag, never infer absence from zero signatures. */
+  case class AHashBands(id: Long, b0: Long, b1: Long, b2: Long, b3: Long,
+                        decoded: Boolean)
 
   /** REAL perceptual hash: decode via ImageIO, average-pool the luma
     * plane to an 8×8 grid, aHash bit = cell mean > global mean, the
@@ -281,7 +287,7 @@ object MultimodalQueries {
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           catch { case scala.util.control.NonFatal(_) => null }
         if (img == null || img.getWidth < 1 || img.getHeight < 1)
-          AHashBands(id, 0L, 0L, 0L, 0L)
+          AHashBands(id, 0L, 0L, 0L, 0L, decoded = false)
         else {
           // average-pool luma to 8x8: each cell averages its pixel block
           val cells = new Array[Long](64)
@@ -308,7 +314,8 @@ object MultimodalQueries {
           means.zipWithIndex.foreach { case (m, i) =>
             if (m > mu) bands(i / 16) |= 1L << (i % 16)
           }
-          AHashBands(id, bands(0), bands(1), bands(2), bands(3))
+          AHashBands(id, bands(0), bands(1), bands(2), bands(3),
+            decoded = true)
         }
       })
       .toDF()
@@ -747,6 +754,7 @@ object MultimodalQueries {
     audio.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        var decoded = false
         val bands =
           try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -773,6 +781,7 @@ object MultimodalQueries {
                   samples(i) = sm.toLong
                   i += 1
                 }
+                decoded = true
                 walshBands(samples)
               }
             } finally ais.close()
@@ -781,7 +790,7 @@ object MultimodalQueries {
             // zero bands (excluded from candidates), never fail the job
             case scala.util.control.NonFatal(_) => new Array[Long](4)
           }
-        AHashBands(id, bands(0), bands(1), bands(2), bands(3))
+        AHashBands(id, bands(0), bands(1), bands(2), bands(3), decoded)
       })
       .toDF()
   }
@@ -1043,8 +1052,13 @@ object MultimodalQueries {
     * union through the shared [[bandedCandidates]] blocking (a
     * non-zero band colliding in EITHER modality), verify = exact
     * popcount in BOTH modalities (text ≤ [[TextHammingMax]], image ≤
-    * HammingMax) AND a non-zero packed signature on both sides of
-    * each gate — absent media must not verify as similar media.
+    * HammingMax) AND an EXPLICIT presence flag on both sides of each
+    * gate — absent media must not verify as similar media. Presence
+    * is carried from the feature/decode stage (ADVICE r18: has_text =
+    * non-blank text, has_image = the payload yields ≥1 grid feature —
+    * the stand-in for [[AHashBands.decoded]] on real bytes) rather
+    * than inferred from an all-zero packed signature, which would
+    * silently drop genuinely-uniform-but-identical media pairs.
     * Emits (doc_a, doc_b, t_hamming, i_hamming). Never
     * all-pairs at any corpus size — the only data×data join is the
     * band-keyed equi-join (plan-pinned). */
@@ -1054,7 +1068,17 @@ object MultimodalQueries {
     val ib = phashBandsBatch(docs)
     val th = packBands4(tb)
     val ih = packBands4(ib)
+    // explicit modality-presence flags from the feature stage — a
+    // per-row narrow projection, joined like the signature relations
+    val pres = docs.select(col("doc_id"),
+      (length(trim(col("text"))) > 0).as("has_text"),
+      (size(graft.functions.TextShingles.tokens(col("text"))) >= 2)
+        .as("has_image"))
     bandedCandidates(pairBands(tb, ib))
+      .join(pres.select(col("doc_id").as("doc_a"), col("has_text").as("hta"),
+        col("has_image").as("hia")), Seq("doc_a"))
+      .join(pres.select(col("doc_id").as("doc_b"), col("has_text").as("htb"),
+        col("has_image").as("hib")), Seq("doc_b"))
       .join(th.select(col("doc_id").as("doc_a"), col("b0").as("xt0"),
         col("b1").as("xt1"), col("b2").as("xt2"), col("b3").as("xt3")),
         Seq("doc_a"))
@@ -1075,16 +1099,15 @@ object MultimodalQueries {
           "bit_count(xi2 ^ yi2) + bit_count(xi3 ^ yi3) AS BIGINT)"))
       .filter(col("t_hamming") <= TextHammingMax &&
         col("i_hamming") <= HammingMax &&
-        // a modality only counts as "close" when BOTH sides carry a
-        // real signature (ADVICE r17): two missing/undecodable images
-        // pack all-zero aHash bands, so their i_hamming of 0 is
-        // absence agreeing with absence, not visual similarity —
-        // without this gate an imageless pair verifies cross-modal on
-        // text evidence alone (and symmetrically for empty text)
-        expr("(xt0 | xt1 | xt2 | xt3) <> 0") &&
-        expr("(yt0 | yt1 | yt2 | yt3) <> 0") &&
-        expr("(xi0 | xi1 | xi2 | xi3) <> 0") &&
-        expr("(yi0 | yi1 | yi2 | yi3) <> 0"))
+        // a modality only counts as "close" when BOTH sides actually
+        // CARRY it (ADVICE r17/r18): two missing/undecodable images
+        // agree at hamming 0 — absence agreeing with absence, not
+        // visual similarity — so an imageless pair must not verify on
+        // text evidence alone (and symmetrically for blank text). The
+        // gate reads the explicit presence flags, not the packed
+        // signatures: an all-zero signature from genuinely uniform
+        // present media is still real media
+        col("hta") && col("htb") && col("hia") && col("hib"))
       .select(col("doc_a"), col("doc_b"), col("t_hamming"), col("i_hamming"))
   }
 
@@ -1162,7 +1185,11 @@ object MultimodalQueries {
        |  FROM allb a JOIN allb b
        |    ON a.band_no = b.band_no AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id
-       |  WHERE a.band_val <> 0)
+       |  WHERE a.band_val <> 0),
+       |pres AS (
+       |  SELECT doc_id, length(trim(text)) > 0 AS has_text,
+       |         len(string_split_regex(trim(text), '\\s+')) >= 2 AS has_image
+       |  FROM documents)
        |SELECT doc_a, doc_b,
        |       CAST(bit_count(xor(tx.s0, ty.s0)) + bit_count(xor(tx.s1, ty.s1))
        |          + bit_count(xor(tx.s2, ty.s2)) + bit_count(xor(tx.s3, ty.s3))
@@ -1175,16 +1202,16 @@ object MultimodalQueries {
        |  JOIN tsig ty ON ty.doc_id = c.doc_b
        |  JOIN ih ix ON ix.doc_id = c.doc_a
        |  JOIN ih iy ON iy.doc_id = c.doc_b
+       |  JOIN pres pa ON pa.doc_id = c.doc_a
+       |  JOIN pres pb ON pb.doc_id = c.doc_b
        |WHERE bit_count(xor(tx.s0, ty.s0)) + bit_count(xor(tx.s1, ty.s1))
        |    + bit_count(xor(tx.s2, ty.s2)) + bit_count(xor(tx.s3, ty.s3))
        |    <= $TextHammingMax
        |  AND bit_count(xor(ix.b0, iy.b0)) + bit_count(xor(ix.b1, iy.b1))
        |    + bit_count(xor(ix.b2, iy.b2)) + bit_count(xor(ix.b3, iy.b3))
        |    <= $HammingMax
-       |  AND (tx.s0 | tx.s1 | tx.s2 | tx.s3) <> 0
-       |  AND (ty.s0 | ty.s1 | ty.s2 | ty.s3) <> 0
-       |  AND (ix.b0 | ix.b1 | ix.b2 | ix.b3) <> 0
-       |  AND (iy.b0 | iy.b1 | iy.b2 | iy.b3) <> 0""".stripMargin
+       |  AND pa.has_text AND pb.has_text
+       |  AND pa.has_image AND pb.has_image""".stripMargin
 
   val streamPairNearDupSql: String =
     s"""$pairBandsCteSql

@@ -149,6 +149,10 @@ class MultimodalCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((1 to 4).exists(i => got(1L).getLong(i) != 0L))
     // undecodable payloads degrade to all-zero bands (never block)
     assert((1 to 4).forall(i => got(4L).getLong(i) == 0L))
+    // and carry the EXPLICIT presence flag (ADVICE r18) — absence is
+    // a decode-stage fact, not an all-zero-signature inference
+    assert(!got(4L).getBoolean(5))
+    assert((1L to 3L).forall(id => got(id).getBoolean(5)))
   }
 
   /** A structured tone: a sum of two square waves (periods p1, p2

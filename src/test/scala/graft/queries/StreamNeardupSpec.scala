@@ -167,6 +167,15 @@ class StreamNeardupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (_, flaggedWide) = run(1 << 20, "wide")
     assert(flaggedCapped == flaggedWide)
     assert(flaggedCapped == Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L)))
+    // cap = 0 — every position spills and pend stays empty, so
+    // ownership must be remembered through soleDoc itself (ADVICE r18:
+    // inferring it from pend.nonEmpty forgets the owner and a later
+    // second document never contests)
+    val (midsZero, flaggedZero) = run(0, "c0")
+    assert(midsZero(0) == Set((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(midsZero(2).contains((5L, 9L)),
+      "a second document must still contest a spill-everything key")
+    assert(flaggedZero == flaggedWide)
   }
 
   test("reversed arrival order yields the same election as sorted arrival") {
