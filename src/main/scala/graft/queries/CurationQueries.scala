@@ -1510,8 +1510,16 @@ object CurationQueries {
   /** [[leakageSplit]] over ANY (doc_id, text) relation — the
     * streaming corpus build assigns splits to the accumulated staged
     * documents the same way it clusters them. */
-  private[graft] def leakageSplitOver(docs: DataFrame): DataFrame = {
-    val comps = graft.queries.DedupQueries.componentsOver(docs)
+  private[graft] def leakageSplitOver(docs: DataFrame): DataFrame =
+    leakageSplitFromComps(docs,
+      graft.queries.DedupQueries.componentsOver(docs))
+
+  /** The split-assignment half of [[leakageSplitOver]], over an
+    * ALREADY-CLUSTERED component relation — the audit builds its
+    * components from the pair relation it also joins directly, so the
+    * (dominant) pair mining runs once (VERDICT r18 #5). */
+  private[graft] def leakageSplitFromComps(docs: DataFrame,
+                                           comps: DataFrame): DataFrame = {
     val straddle = comps
       .select(col("component"),
         splitName(splitBucket(col("doc_id"))).as("ns"))
@@ -1551,11 +1559,28 @@ object CurationQueries {
     * release review reads (naive > 0 on any corpus with near-dups;
     * component = 0 for every pair the clustering covers, and a
     * non-zero here would surface a candidate-recall gap rather than
-    * hide it). Cost: the verified pair relation plus four doc_id-keyed
-    * split pickups; output = 2 rows. */
+    * hide it). Cost: ONE verified-pair mining pass (VERDICT r18 #5 —
+    * the full shared-shingle relation is mined once and feeds BOTH
+    * the audit join and, intersected with the LSH candidate pairs,
+    * the component builder: an LSH-verified pair is exactly a
+    * shared-shingle-verified pair that also collides in a band, so
+    * the semi-join reproduces `componentsOver`'s input without a
+    * second shingle-intersection pass) plus four doc_id-keyed split
+    * pickups; output = 2 rows. */
   def splitLeakageAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    // the dominant cost, paid once: all shared-shingle pairs at
+    // j >= 0.8 (localCheckpoint'ed inside jaccardPairs)
     val pairs = graft.queries.DedupQueries.ngramJaccard(s, d)
       .select(col("doc_a"), col("doc_b"))
+    // componentsOver's input, recovered by intersection: verified
+    // pairs that also share an LSH band (the candidate join is the
+    // cheap narrow-signature pass; the expensive verify is NOT re-run)
+    val lshPairs = pairs.join(
+      graft.queries.DedupQueries.minhashLshOver(docs),
+      Seq("doc_a", "doc_b"))
+    val compSplit = leakageSplitFromComps(docs,
+      graft.queries.DedupQueries.componentsOfPairs(lshPairs))
     def straddleOf(method: String, splits: DataFrame): DataFrame =
       pairs
         .join(splits.select(col("doc_id").as("doc_a"),
@@ -1568,7 +1593,7 @@ object CurationQueries {
           col("n_cross_split"))
     straddleOf("naive", datasetSplit(s, d).select(col("doc_id"), col("split")))
       .unionAll(straddleOf("component",
-        leakageSplit(s, d).select(col("doc_id"), col("split"))))
+        compSplit.select(col("doc_id"), col("split"))))
   }
 
   /** Composes the pair, naive-split and component-split oracles. */

@@ -700,8 +700,7 @@ object DedupQueries {
 
   /** [[components]] over ANY (doc_id, text) relation — the streaming
     * corpus build clusters the accumulated staged documents. */
-  private[graft] def componentsOver(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
+  private[graft] def componentsOver(docs: DataFrame): DataFrame =
     // Production dedup-cluster pipeline: LSH band candidates first
     // (narrow signature pass + tiny join), exact Jaccard verification
     // only on the candidates, then cluster. Avoids mining all
@@ -709,9 +708,17 @@ object DedupQueries {
     // jaccardPairs returns an eagerly localCheckpoint'ed relation, so
     // the pair mining already ran at full parallelism and carries no
     // lineage back to the corpus scan.
-    val pairs = jaccardPairs(docs,
+    componentsOfPairs(jaccardPairs(docs,
         candidates = Some(minhashLshOver(docs)), threshold = 0.8)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The min-label clustering half of [[componentsOver]], over an
+    * ALREADY-MINED verified pair relation — callers that need the
+    * pair relation for their own joins (the split-leakage audit) mine
+    * it once and feed it here instead of paying a second mining pass
+    * (VERDICT r18 #5). */
+  private[graft] def componentsOfPairs(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
     // the propagation loop runs over the (tiny) node/edge relations:
     // wide shuffles per iteration are pure overhead, so pin them small
     // (at larger cluster scale: size to the edge relation, not the
