@@ -227,6 +227,40 @@ object DedupQueries {
        |JOIN documents db ON db.doc_id = p.doc_b
        |GROUP BY da.source, db.source""".stripMargin
 
+  /** The BANDED cross-source matrix oracle — [[crossSourceMatrixSql]]
+    * with candidates restricted to MinHash band collisions (the
+    * deterministic banding the streaming bounded-state twin's registry
+    * keys on, spelled relationally: the `dedup_semantic_lsh`
+    * approximate-but-verifiable precedent). Composes [[bandsCteSql]]
+    * (which defines `tok`) with the shared shingle spelling, exactly
+    * the [[incrementalSql]] assembly. */
+  lazy val crossSourceBandedSql: String =
+    s"""WITH $bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |${graft.functions.TextShingles.shingleFromTokSql},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) i
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |vp AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE i*1.0/(sa.n + sb.n - i) >= 0.8)
+       |SELECT da.source AS src_canonical, db.source AS src_dup,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM vp
+       |JOIN documents da ON da.doc_id = vp.doc_a
+       |JOIN documents db ON db.doc_id = vp.doc_b
+       |GROUP BY da.source, db.source""".stripMargin
+
   /** Containment threshold (ppm) — the smaller document must share
     * ≥90% of its shingles to count as contained. */
   private[queries] val ContainPpm = 900000L

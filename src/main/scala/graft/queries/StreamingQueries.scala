@@ -368,10 +368,11 @@ object StreamingQueries {
     * per-doc shingle-set size and source ride a stateless narrow
     * append stream (each doc arrives once). Verify = exact Jaccard
     * ≥ 0.8 on the reconstructed counts, rollup = (canonical source,
-    * duplicate source) counts. State: O(1) per distinct shingle —
-    * the streaming dedup registry's inherent footprint; the log is
-    * the same shared-shingle relation the batch join shuffles, built
-    * incrementally. */
+    * duplicate source) counts. State: O(1) per distinct shingle ≈
+    * O(total corpus tokens) — EXACT at that cost; this is the
+    * compaction-time path. The 100×-scale ingest shape is
+    * [[streamCrossSourceBanded]], whose registry keys on MinHash
+    * bands (state O(docs × bands)) at LSH candidate recall. */
   def streamCrossSource(s: SparkSession, d: String): DataFrame = {
     val (inter, prof) = shingleClaimRelations(s, d)
     inter
@@ -439,6 +440,52 @@ object StreamingQueries {
         expr("IF(na <= nb, doc_b, doc_a)").as("doc_outer"),
         col("containment_ppm"), col("jaccard_ppm"),
         (col("jaccard_ppm") < 800000L).cast(LongType).as("asymmetric"))
+  }
+
+  /** BOUNDED-STATE streaming contamination matrix (r18 verdict #1) —
+    * the 100×-scale spelling of [[streamCrossSource]]: the ingest
+    * registry keys on each document's MinHash BAND rows (4 per doc —
+    * [[DedupQueries.bandRows]], the `stream_neardup` footprint), so
+    * state-store cardinality is O(docs × bands) instead of the exact
+    * twin's O(distinct corpus shingles) ≈ O(total tokens). The drained
+    * claim log holds every member row of every contested bucket
+    * (order-invariant SET, [[neardupCore]]), so its band/sig-keyed
+    * self-join reproduces the batch LSH candidate relation exactly;
+    * the exact-Jaccard verify + source rollup then run at COMPACTION
+    * over the staged corpus — candidates only, never all-pairs. The
+    * banding is deterministic and replicated relationally in the
+    * DuckDB oracle ([[DedupQueries.crossSourceBandedSql]] — the
+    * `dedup_semantic_lsh` approximate-but-verifiable precedent):
+    * approximate vs the full shared-shingle matrix only in LSH recall,
+    * exact w.r.t. its own published banding. The exact shingle-keyed
+    * twins remain catalog rows as compaction-time paths; THIS is the
+    * shape a 100 TB ingest deploys. */
+  def streamCrossSourceBanded(s: SparkSession, d: String): DataFrame = {
+    val docs = docStream(s, d)
+    // registry state: one O(1) tuple per distinct (band, sig) bucket —
+    // ≤ 4 buckets contributed per document, a hard bound
+    val log = runToTable(neardupCore(DedupQueries.bandRows(docs)), "append")
+    val a = log.select(col("doc_id").as("doc_a"), col("band").as("a_band"),
+      col("sig").as("a_sig"))
+    val b = log.select(col("doc_id").as("doc_b"), col("band").as("b_band"),
+      col("sig").as("b_sig"))
+    val cand = a.join(b,
+        col("a_band") === col("b_band") && col("a_sig") === col("b_sig") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // compaction-time verify over the staged corpus (stateless append
+    // stage — each doc arrives once): exact Jaccard on the banded
+    // candidates only, then the source rollup
+    val staged = runToTable(
+      docs.select(col("doc_id"), col("text"), col("source")), "append")
+    DedupQueries.jaccardPairs(staged.select(col("doc_id"), col("text")),
+        candidates = Some(cand), threshold = 0.8)
+      .join(staged.select(col("doc_id").as("doc_a"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(staged.select(col("doc_id").as("doc_b"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 
   /** Streaming parquet read of the documents table, honoring the
@@ -1958,6 +2005,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedup _,
     "stream_neardup" -> streamNeardup _,
     "stream_cross_source" -> streamCrossSource _,
+    "stream_cross_source_banded" -> streamCrossSourceBanded _,
     "stream_containment" -> streamContainment _,
     "stream_incremental" -> streamIncremental _,
     "stream_bpe_pairs" -> streamBpePairs _,
@@ -1998,6 +2046,7 @@ object StreamingQueries {
     "stream_dedup" -> streamDedupSql,
     "stream_neardup" -> streamNeardupSql,
     "stream_cross_source" -> DedupQueries.crossSourceMatrixSql,
+    "stream_cross_source_banded" -> DedupQueries.crossSourceBandedSql,
     "stream_containment" -> DedupQueries.containmentSql,
     "stream_incremental" -> DedupQueries.incrementalSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,

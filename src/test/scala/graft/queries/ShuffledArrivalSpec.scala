@@ -156,4 +156,45 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stream_cross_source_banded equals its banded batch relation under shuffled arrival") {
+    // the ninth registry consumer (r18 verdict #1): the MinHash-banded
+    // registry's drained log must reproduce the batch LSH candidate
+    // relation — and thus the banded matrix — under file-at-a-time,
+    // doc_id-shuffled delivery
+    val streamed = StreamingQueries.streamCrossSourceBanded(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = docsBatch
+    val batch = DedupQueries.jaccardPairs(
+        docs.select(col("doc_id"), col("text")),
+        candidates = Some(DedupQueries.minhashLshOver(docs)),
+        threshold = 0.8)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("banded registry state cardinality is O(docs x bands), orders below the shingle-keyed twin") {
+    // the state-footprint contrast (r18 verdict #1 done-criterion):
+    // the exact twin keys one state tuple per DISTINCT CORPUS SHINGLE;
+    // the banded twin one per distinct MinHash (band, sig) bucket —
+    // hard-bounded by 4 x docs regardless of document length
+    val docs = docsBatch
+    val nDocs = docs.count()
+    val shingleKeys = graft.functions.TextShingles
+      .shingleHashSet(docs, "doc_id", "text", 5)
+      .select("sh").distinct().count()
+    val bandKeys = DedupQueries.bandRows(docs)
+      .select("band", "sig").distinct().count()
+    assert(bandKeys <= 4 * nDocs,
+      s"banded keys $bandKeys exceed the 4x$nDocs bound")
+    assert(bandKeys * 10 < shingleKeys,
+      s"expected >=10x contrast: banded $bandKeys vs shingle $shingleKeys")
+  }
 }
