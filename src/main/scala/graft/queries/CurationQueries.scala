@@ -1644,6 +1644,142 @@ object CurationQueries {
        |FROM r LEFT JOIN ns ON ns.component = r.component_id""".stripMargin
   }
 
+  /** TEMPORAL holdout split (r18 verdict #2) — the OTHER split every
+    * pretraining pipeline runs: train on the past, evaluate on the
+    * future, with a hard cutoff at 80% of the ingest sequence (the
+    * corpus fixture's ingest time is its doc_id — the reference's
+    * event-time discipline applied to corpus curation; a real
+    * pipeline substitutes the crawl timestamp). The naive per-doc
+    * cutoff ships a leak the hash-bucketed splits never see: a FUTURE
+    * near-duplicate of a train document lands in eval, and the model
+    * is scored on paraphrases of its own training data. Here the unit
+    * of assignment is again the near-dup COMPONENT: every member
+    * takes the side of its component's EARLIEST document (= the
+    * min-label representative), so a future near-dup of a train doc
+    * is pulled INTO train (it adds no eval-safe information) and an
+    * all-future component stays eval intact. Emits both assignments
+    * plus `leaked_naive` — 1 for every member of a component the pure
+    * cutoff would have straddled (the audit's drill-down).
+    *
+    * Scale shape: the cutoff is one MAX aggregate broadcast as a
+    * 1-row relation; the component relation is dup-cluster-sized; the
+    * corpus pays two small equi-joins — no corpus window, no corpus
+    * shuffle beyond the joins (the [[leakageSplit]] shape). */
+  def temporalSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    temporalSplitFrom(docs,
+      graft.queries.DedupQueries.componentsOver(docs))
+  }
+
+  /** The assignment half of [[temporalSplit]] over a pre-clustered
+    * component relation — the audit feeds it components built from
+    * the pair relation it also joins directly (the
+    * [[splitLeakageAudit]] single-mining discipline). */
+  private[graft] def temporalSplitFrom(docs: DataFrame,
+                                       comps: DataFrame): DataFrame = {
+    val mx = docs.agg(expr("max(doc_id) * 8 DIV 10").as("cutoff"))
+    val straddle = comps.crossJoin(broadcast(mx))
+      .select(col("component"),
+        (col("doc_id") <= col("cutoff")).cast(LongType).as("tr"))
+      .groupBy(col("component"))
+      .agg((min(col("tr")) =!= max(col("tr"))).cast(LongType).as("lb"))
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component_id"))
+      .crossJoin(broadcast(mx))
+      .join(straddle, col("component_id") === straddle("component"), "left")
+      .select(col("doc_id"),
+        when(col("component_id") <= col("cutoff"), "train")
+          .otherwise("eval").as("split"),
+        when(col("doc_id") <= col("cutoff"), "train")
+          .otherwise("eval").as("naive_split"),
+        col("component_id"),
+        coalesce(col("lb"), lit(0L)).as("leaked_naive"))
+  }
+
+  /** Temporal-leakage AUDIT (r18 verdict #2) — the two numbers a
+    * release review reads next to a time-cutoff split: of all
+    * verified near-dup pairs (the corpus-wide j ≥ 0.8 relation), how
+    * many straddle the cutoff under (a) the pure per-doc cutoff —
+    * each one a future paraphrase of training data shipped into eval
+    * — and (b) the component-aware assignment (0 for every pair the
+    * clustering covers; non-zero surfaces a candidate-recall gap).
+    * Pair mining runs ONCE and feeds both the audit join and the
+    * component builder (the [[splitLeakageAudit]] factoring). */
+  def temporalAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(s, d)
+    val pairs = graft.queries.DedupQueries.ngramJaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+    val lshPairs = pairs.join(
+      graft.queries.DedupQueries.minhashLshOver(docs),
+      Seq("doc_a", "doc_b"))
+    val split = temporalSplitFrom(docs,
+        graft.queries.DedupQueries.componentsOfPairs(lshPairs))
+      .select(col("doc_id"), col("split"), col("naive_split"))
+      .localCheckpoint()
+    def straddleOf(method: String, byCol: String): DataFrame =
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col(byCol).as("sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col(byCol).as("sb")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("sa") =!= col("sb")).cast(LongType)).as("n_cross_split"))
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_cross_split"))
+    straddleOf("naive", "naive_split")
+      .unionAll(straddleOf("component", "split"))
+  }
+
+  /** Embeds [[DedupQueries.componentsSql]] — the [[leakageSplitSql]]
+    * assembly with the hash buckets swapped for the ingest-time
+    * cutoff. */
+  lazy val temporalSplitSql: String =
+    s"""WITH cc AS (SELECT * FROM (${DedupQueries.componentsSql}) x),
+       |mx AS (SELECT (max(doc_id) * 8) // 10 AS cutoff FROM documents),
+       |r AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component_id
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |ns AS (
+       |  SELECT component,
+       |         CASE WHEN MIN(CASE WHEN doc_id <= (SELECT cutoff FROM mx)
+       |                           THEN 1 ELSE 0 END)
+       |                <> MAX(CASE WHEN doc_id <= (SELECT cutoff FROM mx)
+       |                           THEN 1 ELSE 0 END)
+       |              THEN 1 ELSE 0 END AS lb
+       |  FROM cc GROUP BY component)
+       |SELECT r.doc_id,
+       |  CASE WHEN r.component_id <= (SELECT cutoff FROM mx)
+       |       THEN 'train' ELSE 'eval' END AS split,
+       |  CASE WHEN r.doc_id <= (SELECT cutoff FROM mx)
+       |       THEN 'train' ELSE 'eval' END AS naive_split,
+       |  CAST(r.component_id AS BIGINT) AS component_id,
+       |  CAST(COALESCE(ns.lb, 0) AS BIGINT) AS leaked_naive
+       |FROM r LEFT JOIN ns ON ns.component = r.component_id""".stripMargin
+
+  /** Composes the pair and temporal-split oracles. */
+  lazy val temporalAuditSql: String =
+    s"""WITH pr AS (
+       |  SELECT doc_a, doc_b FROM (${DedupQueries.ngramJaccardSql}) p),
+       |ts AS (SELECT doc_id, split, naive_split
+       |       FROM ($temporalSplitSql) b),
+       |j AS (
+       |  SELECT 'naive' AS method,
+       |    CASE WHEN na.naive_split <> nb.naive_split THEN 1 ELSE 0 END AS x
+       |  FROM pr
+       |  JOIN ts na ON na.doc_id = pr.doc_a
+       |  JOIN ts nb ON nb.doc_id = pr.doc_b
+       |  UNION ALL
+       |  SELECT 'component',
+       |    CASE WHEN ca.split <> cb.split THEN 1 ELSE 0 END
+       |  FROM pr
+       |  JOIN ts ca ON ca.doc_id = pr.doc_a
+       |  JOIN ts cb ON cb.doc_id = pr.doc_b)
+       |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(x) AS BIGINT) AS n_cross_split
+       |FROM j GROUP BY method""".stripMargin
+
   /** Dense, contiguous, deterministic global row IDs (0..N−1) in a
     * total order — the shard/example-ID assignment every training-data
     * export needs — WITHOUT the single-partition collapse a bare
@@ -2259,6 +2395,8 @@ object CurationQueries {
     "curate_leakage_split" -> leakageSplit _,
     "stream_leakage_split" -> streamLeakageSplit _,
     "curate_split_leakage_audit" -> splitLeakageAudit _,
+    "curate_temporal_split" -> temporalSplit _,
+    "curate_temporal_audit" -> temporalAudit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -2302,6 +2440,8 @@ object CurationQueries {
     "curate_leakage_split" -> leakageSplitSql,
     "stream_leakage_split" -> leakageSplitSql,
     "curate_split_leakage_audit" -> splitLeakageAuditSql,
+    "curate_temporal_split" -> temporalSplitSql,
+    "curate_temporal_audit" -> temporalAuditSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,
