@@ -2213,6 +2213,44 @@ object CurationQueries {
     dsirKeep(scored.crossJoin(broadcast(mx)))
   }
 
+  /** Streaming ESS monitor (r18 verdict #6) — the weight-degeneracy
+    * gauge a DEPLOYED DSIR filter actually watches at ingest: the
+    * log-ratio model and max-score normalizer are pinned parameters
+    * (the [[streamImportanceSample]] discipline), each arriving
+    * document computes its kept flag and 1024-grid weight ENTIRELY
+    * inside its own row, and the four exact-BIGINT running sums
+    * (n_docs, n_kept, Σv, Σv²) accumulate under a global streaming
+    * aggregate — state is ONE tuple of four longs at any corpus size.
+    * The two IEEE ratios are computed OUTSIDE the stream from the
+    * drained sums (each one division of exact integers, the
+    * [[importanceEss]] discipline), so the row hash-verifies against
+    * the shared oracle. */
+  def streamImportanceEss(s: SparkSession, d: String): DataFrame = {
+    val lr = dsirLrMap(s, d)
+    val smax = pinnedSmax(dsirScored(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), lr))
+    val stream = StreamingQueries.docStream(s, d)
+      .select(col("doc_id"), col("text"))
+    val perRow = dsirWeights(
+        dsirScored(stream, lr).withColumn("smax", lit(smax)))
+      .select(
+        (Md5Key.column(concat(lit("dsir:"),
+          col("doc_id").cast(StringType))) < col("keep_u32"))
+          .cast(LongType).as("kept"),
+        expr("keep_u32 DIV 4194304").as("v"))
+    val sums = perRow
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("v")).as("w_sum"),
+        sum(col("v") * col("v")).as("w_sq_sum"))
+    StreamingQueries.runToTable(sums, "complete")
+      .select(col("n_docs"), col("n_kept"), col("w_sum"), col("w_sq_sum"),
+        expr("CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / " +
+          "CAST(w_sq_sum AS DOUBLE)").as("ess"),
+        expr("CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / " +
+          "(CAST(w_sq_sum AS DOUBLE) * n_docs)").as("ess_ratio"))
+  }
+
   /** Streaming twin of [[importanceTarget]] — the external-target
     * log-ratio model and max-score normalizer pinned as parameters,
     * then a stateless per-row score/normalize/draw over the arriving
@@ -2387,6 +2425,7 @@ object CurationQueries {
     "curate_importance_target" -> importanceTarget _,
     "stream_importance_target" -> streamImportanceTarget _,
     "curate_importance_ess" -> importanceEss _,
+    "stream_importance_ess" -> streamImportanceEss _,
     "curate_lang_drift" -> langDrift _,
     "curate_sketch_trim" -> sketchTrim _,
     "curate_stable_ids" -> stableIds _,
@@ -2431,6 +2470,7 @@ object CurationQueries {
     "curate_importance_target" -> importanceTargetSql,
     "stream_importance_target" -> importanceTargetSql,
     "curate_importance_ess" -> importanceEssSql,
+    "stream_importance_ess" -> importanceEssSql,
     "curate_kanon_audit" -> kanonAuditSql,
     "curate_lang_drift" -> langDriftSql,
     "curate_sketch_trim" -> sketchTrimSql,

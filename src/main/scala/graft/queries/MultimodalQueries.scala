@@ -1293,9 +1293,30 @@ object MultimodalQueries {
     * so provably the same cells), explodes into (qid, cell) probe
     * rows, stream–static joins the published cell layout, and the
     * per-query top-5 accumulates in the k-bounded LONG head. */
-  def streamCrossmodalTopK(s: SparkSession, d: String): DataFrame = {
+  def streamCrossmodalTopK(s: SparkSession, d: String): DataFrame =
+    streamCrossmodalProbe(s, d, nprobe = CrossmodalProbe,
+      extraFilter = lit(true))
+
+  /** STREAMING filtered cross-modal search (r18 verdict #7) — the
+    * predicate-inside-probe discipline of [[crossmodalFiltered]] on
+    * the arriving-query stream twin: the attribute predicate applies
+    * to the STATIC vector side BEFORE the stream–static join and the
+    * top-k gate (a post-filtered head loses recall under selective
+    * predicates), and nprobe widens to 3 — the same filtered-search
+    * compensation as the batch row, sharing its oracle exactly. */
+  def streamCrossmodalFiltered(s: SparkSession, d: String): DataFrame =
+    streamCrossmodalProbe(s, d, nprobe = 3,
+      extraFilter = col("doc_id") % 3 === 1)
+
+  /** Shared probe body of [[streamCrossmodalTopK]] and
+    * [[streamCrossmodalFiltered]]. */
+  private def streamCrossmodalProbe(s: SparkSession, d: String, nprobe: Int,
+      extraFilter: org.apache.spark.sql.Column): DataFrame = {
     val layout = crossmodalLayout(s, d)
+    // the predicate thins the static side at the scan, before any
+    // join or head — the pre-filter position the oracle pins
     val vecs = s.read.parquet(layout.vectors)
+      .filter(extraFilter)
       .select(col("doc_id"), col("emb"), col("cell"))
     val q = StreamingQueries.docStream(s, d)
       .filter(col("doc_id") < 5)
@@ -1306,7 +1327,7 @@ object MultimodalQueries {
         s"""slice(transform(array_sort(transform(sequence(1, $CrossmodalCells),
            |  i -> struct(-element_at(qemb, i) AS negv, i AS dim))),
            |  x -> x.dim),
-           |1, $CrossmodalProbe)""".stripMargin)))
+           |1, $nprobe)""".stripMargin)))
     val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
       (SimilarityQueries.norm(col("emb")) *
         SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
@@ -1655,6 +1676,7 @@ object MultimodalQueries {
     "mm_crossmodal_recall" -> crossmodalRecall _,
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobe _,
     "mm_crossmodal_filtered" -> crossmodalFiltered _,
+    "stream_mm_crossmodal_filtered" -> streamCrossmodalFiltered _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1668,6 +1690,7 @@ object MultimodalQueries {
     "mm_crossmodal_recall" -> crossmodalRecallSql,
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobeSql,
     "mm_crossmodal_filtered" -> crossmodalFilteredSql,
+    "stream_mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
