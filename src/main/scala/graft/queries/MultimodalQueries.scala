@@ -1261,19 +1261,26 @@ object MultimodalQueries {
     * argmax dimension (first max wins — `array_position` and DuckDB
     * `list_position` agree), centroid table = the one-hot codebook. */
   private[graft] def crossmodalLayout(
-      s: SparkSession, d: String): graft.sources.IvfIndex.Layout = {
-    val codebook = s.range(1, CrossmodalCells + 1)
+      s: SparkSession, d: String): graft.sources.IvfIndex.Layout =
+    graft.sources.IvfIndex.ensure(s"$d::crossmodal",
+      crossmodalCodebook(s), crossmodalCorpus(s, d))
+
+  /** The one-hot routing table — one row per cell. */
+  private def crossmodalCodebook(s: SparkSession): DataFrame =
+    s.range(1, CrossmodalCells + 1)
       .select(col("id").cast(IntegerType).as("label"))
       .withColumn("cemb", expr(
         s"transform(sequence(1, $CrossmodalCells), " +
           "i -> IF(i = label, 1.0D, 0.0D))"))
-    val corpus = graft.sources.Tables.documents(s, d)
+
+  /** The image-side corpus with its cell assignment (argmax dim =
+    * nearest one-hot centroid). */
+  private def crossmodalCorpus(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(s, d)
       .filter(col("doc_id") >= 5)
       .select(col("doc_id"), stubEmb(col("text")).as("emb"))
       .withColumn("cell",
         array_position(col("emb"), array_max(col("emb"))).cast(IntegerType))
-    graft.sources.IvfIndex.ensure(s"$d::crossmodal", codebook, corpus)
-  }
 
   /** Batch cross-modal top-5: route each text query through the
     * stored codebook (ncells rows — the router-collect bound), prune
@@ -1397,9 +1404,20 @@ object MultimodalQueries {
   /** Shared probe body of [[crossmodalTopK]] (nprobe =
     * [[CrossmodalProbe]], no predicate) and [[crossmodalFiltered]]. */
   private def crossmodalProbe(s: SparkSession, d: String, nprobe: Int,
-      extraFilter: org.apache.spark.sql.Column): DataFrame = {
+      extraFilter: org.apache.spark.sql.Column): DataFrame =
+    crossmodalProbeOver(s, d, crossmodalLayout(s, d), nprobe, extraFilter,
+      vecIdCol = "doc_id")
+
+  /** The probe over ANY published crossmodal layout — the delete
+    * lifecycle probes the compacted version it just published (whose
+    * vector rows carry the shared lifecycle verbs' `vec_id` key).
+    * Package-visible so CrossmodalLifecycleSpec can probe a compacted
+    * layout exhaustively for its recall-restored assertion. */
+  private[graft] def crossmodalProbeOver(s: SparkSession, d: String,
+      layout: graft.sources.IvfIndex.Layout, nprobe: Int,
+      extraFilter: org.apache.spark.sql.Column,
+      vecIdCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val layout = crossmodalLayout(s, d)
     val q = graft.sources.Tables.documents(s, d)
       .filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
@@ -1421,6 +1439,10 @@ object MultimodalQueries {
         SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
     val topk = udaf(new graft.functions.TopKByScoreLong(5))
     s.read.parquet(layout.vectors)
+      .withColumn("doc_id", col(vecIdCol)) // no-op on the memoized layout
+      // the lifecycle layout carries the shared verbs' `label` payload
+      // column — drop it so the routed side's label is unambiguous
+      .drop("label")
       .filter(col("cell").isin(probed: _*) && extraFilter)
       .join(broadcast(routed), col("cell") === col("label"))
       .join(broadcast(q), Seq("qid"))
@@ -1435,6 +1457,81 @@ object MultimodalQueries {
         col("z.ids").as("doc_id"),
         expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
   }
+
+  /** Crossmodal index DELETE lifecycle (r18 verdict #3) — the
+    * [[SimilarityQueries.ivfDeleteProbe]] tombstone cycle applied to
+    * the served cross-modal layout: publish the image corpus as v1
+    * (routing table = the one-hot codebook), take the IMAGE near-dup
+    * tier's removals as tombstones ([[phashNearDup]]'s later-doc
+    * sides — the maintenance feed a CLIP-style index actually gets
+    * from its dedup pipeline), [[graft.sources.IvfIndex
+    * .deleteAndCompact]] them into v2 (routing table carried over
+    * unchanged — deletes do not retrain; atomic `_CURRENT` swap),
+    * VACUUM the retired v1, and serve top-5 from the compacted index.
+    * The oracle re-derives route → rank-over-REMAINING declaratively
+    * (the dedup SQL names the dead set), so a hash match proves the
+    * whole publish → delete → compact → swap → vacuum → probe cycle.
+    * The recall-restored assertion (exhaustive-probe equality with
+    * the exact top-5 of the remaining corpus, zero tombstones served)
+    * lives in CrossmodalLifecycleSpec. */
+  def crossmodalDelete(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-mm-del-")
+    try {
+      graft.sources.IvfIndex.publish(root, crossmodalCodebook(s),
+        crossmodalCorpus(s, d)
+          .select(col("doc_id").as("vec_id"), lit(0).as("label"),
+            col("emb"), col("cell")))
+      val dead = phashNearDup(s, d)
+        .select(col("doc_b").as("vec_id")).distinct()
+      val layout = graft.sources.IvfIndex.deleteAndCompact(s, root, dead)
+      val vacuumed =
+        graft.sources.IvfIndex.vacuumVersions(root, keepLast = 1)
+      require(vacuumed.nonEmpty,
+        s"vacuum reclaimed nothing after the compact under $root")
+      crossmodalProbeOver(s, d, layout, nprobe = CrossmodalProbe,
+        extraFilter = lit(true), vecIdCol = "vec_id").localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
+  /** Route over the UNCHANGED one-hot routing table, rank only the
+    * surviving vectors — the dead set spelled by the image near-dup
+    * oracle. */
+  lazy val crossmodalDeleteSql: String =
+    s"""WITH dd AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM ($phashNearDupSql) z),
+       |e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, emb, list_position(emb, list_max(emb)) AS cell
+       |  FROM e WHERE doc_id >= 5
+       |    AND doc_id NOT IN (SELECT doc_id FROM dd)),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |r AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, d.i AS cell,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY q.qemb[d.i] DESC, d.i) AS rn
+       |    FROM q, (SELECT unnest(generate_series(1, $CrossmodalCells)) i) d)
+       |  WHERE rn <= $CrossmodalProbe),
+       |sc AS (
+       |  SELECT r.qid, c.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(c.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM r JOIN c ON c.cell = r.cell
+       |  JOIN q ON q.qid = r.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, cm AS cos_micro
+       |FROM (
+       |  SELECT qid, doc_id, cm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
 
   val crossmodalFilteredSql: String =
     s"""WITH e AS (
@@ -1677,6 +1774,7 @@ object MultimodalQueries {
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobe _,
     "mm_crossmodal_filtered" -> crossmodalFiltered _,
     "stream_mm_crossmodal_filtered" -> streamCrossmodalFiltered _,
+    "mm_crossmodal_delete" -> crossmodalDelete _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1691,6 +1789,7 @@ object MultimodalQueries {
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobeSql,
     "mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "stream_mm_crossmodal_filtered" -> crossmodalFilteredSql,
+    "mm_crossmodal_delete" -> crossmodalDeleteSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
