@@ -1416,17 +1416,23 @@ object MultimodalQueries {
   private[graft] def crossmodalProbeOver(s: SparkSession, d: String,
       layout: graft.sources.IvfIndex.Layout, nprobe: Int,
       extraFilter: org.apache.spark.sql.Column,
-      vecIdCol: String): DataFrame = {
+      vecIdCol: String, roundRoute: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = graft.sources.Tables.documents(s, d)
       .filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    // routing score: UNROUNDED against the one-hot codebook (cos(x,
+    // e_c) = x_c/|x| — the oracle's rank-by-dim spelling is exactly
+    // equivalent); ROUND-6 against a trained codebook (the
+    // probeLayout/assignCells grid, so both engines rank identical
+    // values)
+    val rawCsim = SimilarityQueries.dot(col("cemb"), col("qemb")) /
+      (SimilarityQueries.norm(col("cemb")) *
+        SimilarityQueries.norm(col("qemb")))
     val routed = s.read.parquet(layout.centroids)
       .crossJoin(broadcast(q))
       .select(col("qid"), col("label"),
-        (SimilarityQueries.dot(col("cemb"), col("qemb")) /
-          (SimilarityQueries.norm(col("cemb")) *
-            SimilarityQueries.norm(col("qemb")))).as("csim"))
+        (if (roundRoute) round(rawCsim, 6) else rawCsim).as("csim"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("csim").desc, col("label"))))
@@ -1567,6 +1573,235 @@ object MultimodalQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
        |  FROM sc) WHERE rn <= 5""".stripMargin
 
+  /** Trained-codebook cell count — deliberately ≠ [[CrossmodalCells]]
+    * (the embedding dim), proving the serving path is not wedded to
+    * the one-hot cells-equal-dims trick. */
+  private[graft] val CrossmodalTrainedK = 6
+
+  /** Cross-modal retrieval through a TRAINED coarse quantizer (r18
+    * verdict #4) — the serving path off the one-hot trick: seed the
+    * codebook with the first [[CrossmodalTrainedK]] image embeddings
+    * (k ≠ dims — realistic decoupled cell counts), publish v1 with
+    * every vector homed by nearest seed (the shared
+    * [[SimilarityQueries.assignCells]] round-6/tie-cid spelling), run
+    * the drift-gated Lloyd completion ([[graft.sources.IvfIndex
+    * .maybeRetrain]] — exact 1e-6-grid cell means, re-home, atomic
+    * publish as v2), and serve top-5 by routing queries through the
+    * TRAINED centroids (round-6 cosine, label-asc ties). The oracle
+    * spells the whole lifecycle relationally — seed assignment → grid
+    * means → re-assignment → route → rank — so the hash match proves
+    * the trained-centroid geometry end-to-end (the ivfRetrainSql
+    * protocol on the cross-modal index). */
+  def crossmodalTrained(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-mm-train-")
+    try {
+      val layout = publishTrainedCrossmodal(s, d, root)
+      crossmodalProbeOver(s, d, layout, nprobe = CrossmodalProbe,
+        extraFilter = lit(true), vecIdCol = "vec_id", roundRoute = true)
+        .localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
+  /** Seed-publish + drift-gated Lloyd completion of the trained
+    * cross-modal layout under `root` — shared by the trained top-k and
+    * its nprobe tuner. */
+  private def publishTrainedCrossmodal(s: SparkSession, d: String,
+                                       root: String)
+      : graft.sources.IvfIndex.Layout = {
+    val corpus = crossmodalCorpus(s, d).drop("cell")
+      .select(col("doc_id").as("vec_id"), lit(0).as("label"), col("emb"))
+    val seeds = corpus.filter(col("vec_id") < 5 + CrossmodalTrainedK)
+      .select((col("vec_id") - 5).cast(IntegerType).as("cid"),
+        col("emb").as("cemb"))
+    graft.sources.IvfIndex.publish(root,
+      seeds.select(col("cid").as("label"), col("cemb")),
+      graft.queries.SimilarityQueries.assignCells(corpus, seeds))
+    val (layout, retrained) =
+      graft.sources.IvfIndex.maybeRetrain(s, root, thresholdMicros = 0L)
+    require(retrained, s"seed codebook did not drift under $d")
+    layout
+  }
+
+  /** nprobe RE-ELECTION for the trained codebook (r18 verdict #4,
+    * second half) — the [[crossmodalAutoprobe]] prefix-merge sweep
+    * with the router swapped for the trained-centroid ranking
+    * (round-6 cosine, cid-asc ties — the same quantizer the trained
+    * top-k serves through), over depths 1..[[CrossmodalTrainedK]]:
+    * changing the codebook changes the recall curve, so the tuner
+    * must re-run against the geometry it will serve. */
+  def crossmodalTrainedAutoprobe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = StreamingQueries.scratchDir("graft-mm-tap-")
+    try {
+      val layout = publishTrainedCrossmodal(s, d, root)
+      val q = graft.sources.Tables.documents(s, d)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+      val rnk = s.read.parquet(layout.centroids)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("qemb"), col("label").as("cell"),
+          round(SimilarityQueries.dot(col("cemb"), col("qemb")) /
+            (SimilarityQueries.norm(col("cemb")) *
+              SimilarityQueries.norm(col("qemb"))), 6).as("csim"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("csim").desc, col("cell"))).cast(LongType))
+        .select(col("qid"), col("qemb"), col("cell"), col("r"))
+      val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+        (SimilarityQueries.norm(col("emb")) *
+          SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+      val scored = s.read.parquet(layout.vectors)
+        .withColumn("doc_id", col("vec_id")).drop("label")
+        .join(broadcast(rnk), Seq("cell"))
+        .select(col("qid"), col("r"), col("doc_id"), cm.as("cm"))
+      autoprobeSweepFrom(s, scored, CrossmodalTrainedK).localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
+  /** The trained-codebook CTE chain — stub embeddings, seed
+    * assignment, 1e-6-grid Lloyd means, re-assignment — shared by
+    * [[crossmodalTrainedSql]] and [[crossmodalTrainedAutoprobeSql]]
+    * so the training spelling cannot drift between the server and its
+    * tuner. Yields `q` (queries), `carr` (trained centroids) and `a2`
+    * (the re-homed corpus). */
+  private val crossmodalTrainedCtesSql: String =
+    s"""e AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |c0 AS (SELECT doc_id, emb FROM e WHERE doc_id >= 5),
+       |q AS (SELECT doc_id AS qid, emb AS qemb FROM e WHERE doc_id < 5),
+       |seeds AS (
+       |  SELECT CAST(doc_id - 5 AS INT) cid, emb cemb
+       |  FROM c0 WHERE doc_id < 5 + $CrossmodalTrainedK),
+       |s1 AS (
+       |  SELECT c0.doc_id, c0.emb, s.cid,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c0.emb[i] * s.cemb[i])) /
+       |      (sqrt(list_sum(list_transform(c0.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(s.cemb, x -> x*x)))), 6) csim
+       |  FROM c0 CROSS JOIN seeds s),
+       |a1 AS (
+       |  SELECT doc_id, emb, cid FROM (
+       |    SELECT doc_id, emb, cid,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY csim DESC, cid) rn
+       |    FROM s1) WHERE rn = 1),
+       |g AS (
+       |  SELECT cid, CAST(t.i AS BIGINT) dim,
+       |         CAST(floor(emb[t.i] * 1000000) AS BIGINT) gx
+       |  FROM a1, (SELECT unnest(generate_series(1, $CrossmodalCells)) i) t),
+       |km AS (
+       |  SELECT cid, dim,
+       |         CAST(SUM(gx) AS DOUBLE)/(COUNT(*)*1000000.0) AS centroid
+       |  FROM g GROUP BY cid, dim),
+       |carr AS (SELECT cid, list(centroid ORDER BY dim) cemb
+       |         FROM km GROUP BY cid),
+       |s2 AS (
+       |  SELECT c0.doc_id, c0.emb, c.cid,
+       |    round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> c0.emb[i] * c.cemb[i])) /
+       |      (sqrt(list_sum(list_transform(c0.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(c.cemb, x -> x*x)))), 6) csim
+       |  FROM c0 CROSS JOIN carr c),
+       |a2 AS (
+       |  SELECT doc_id, emb, cid FROM (
+       |    SELECT doc_id, emb, cid,
+       |      row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY csim DESC, cid) rn
+       |    FROM s2) WHERE rn = 1)""".stripMargin
+
+  /** Seed-assign → 1e-6-grid Lloyd means → re-assign → route → rank,
+    * spelled declaratively (the kmeansStepSql/ivfRetrainSql grid and
+    * tie rules over the stub embeddings). */
+  lazy val crossmodalTrainedSql: String =
+    s"""WITH $crossmodalTrainedCtesSql,
+       |r AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        round(
+       |          list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |            i -> c.cemb[i] * q.qemb[i])) /
+       |          (sqrt(list_sum(list_transform(c.cemb, x -> x*x))) *
+       |           sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 6) DESC,
+       |        c.cid) rn
+       |    FROM q, carr c) WHERE rn <= $CrossmodalProbe),
+       |sc AS (
+       |  SELECT r.qid, a2.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> a2.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(a2.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM r JOIN a2 ON a2.cid = r.cid
+       |  JOIN q ON q.qid = r.qid)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, cm AS cos_micro
+       |FROM (
+       |  SELECT qid, doc_id, cm,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
+
+  /** The sweep over the trained geometry — shares
+    * [[crossmodalTrainedCtesSql]] with the server, then ranks every
+    * trained centroid per query (round-6 cosine, cid-asc) and runs
+    * the recall sweep over depths 1..[[CrossmodalTrainedK]]. */
+  lazy val crossmodalTrainedAutoprobeSql: String =
+    s"""WITH $crossmodalTrainedCtesSql,
+       |rnk AS (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      round(
+       |        list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |          i -> c.cemb[i] * q.qemb[i])) /
+       |        (sqrt(list_sum(list_transform(c.cemb, x -> x*x))) *
+       |         sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 6) DESC,
+       |      c.cid) AS r
+       |  FROM q, carr c),
+       |sc AS (
+       |  SELECT q.qid, a2.doc_id, a2.cid,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> a2.emb[i] * q.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(a2.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM a2, q),
+       |ex AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |    FROM sc) WHERE rn <= 5),
+       |sweep AS (
+       |  SELECT unnest(generate_series(1, $CrossmodalTrainedK)) AS np),
+       |ap AS (
+       |  SELECT qid, np, doc_id FROM (
+       |    SELECT s.qid, w.np, s.doc_id,
+       |      row_number() OVER (PARTITION BY s.qid, w.np
+       |        ORDER BY s.cm DESC, s.doc_id) rn
+       |    FROM sc s
+       |    JOIN rnk k ON k.qid = s.qid AND k.cid = s.cid
+       |    JOIN sweep w ON k.r <= w.np) WHERE rn <= 5),
+       |hits AS (SELECT np, COUNT(*) h FROM ap
+       |         JOIN ex USING (qid, doc_id) GROUP BY np),
+       |rec AS (
+       |  SELECT CAST(w.np AS BIGINT) AS nprobe,
+       |         CAST(COALESCE(h, 0) * 1000000 // 25 AS BIGINT) AS recall_ppm
+       |  FROM sweep w LEFT JOIN hits ON hits.np = w.np),
+       |ch AS (SELECT MIN(nprobe) mn FROM rec
+       |       WHERE recall_ppm >= $CrossmodalTargetPpm)
+       |SELECT nprobe, recall_ppm,
+       |  CAST(CASE WHEN recall_ppm >= $CrossmodalTargetPpm
+       |       THEN 1 ELSE 0 END AS BIGINT) AS meets_target,
+       |  CAST(CASE WHEN nprobe = (SELECT mn FROM ch) THEN 1 ELSE 0 END
+       |       AS BIGINT) AS chosen
+       |FROM rec""".stripMargin
+
   /** Recall target for [[crossmodalAutoprobe]] — 95%, the
     * sim_ann_autoprobe discipline. */
   private[graft] val CrossmodalTargetPpm = 950000L
@@ -1601,6 +1836,16 @@ object MultimodalQueries {
     val scored = s.read.parquet(layout.vectors)
       .join(broadcast(rnk), Seq("cell"))
       .select(col("qid"), col("r"), col("doc_id"), cm.as("cm"))
+    autoprobeSweepFrom(s, scored, CrossmodalCells)
+  }
+
+  /** The prefix-merge recall sweep over ANY (qid, r, doc_id, cm)
+    * scored relation — shared by the one-hot and trained-codebook
+    * tuners (one spelling of the r17-#5 k-bounded selection-monoid
+    * merge). `ncells` bounds the swept depths. */
+  private def autoprobeSweepFrom(s: SparkSession, scored: DataFrame,
+                                 ncells: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
     val exact = scored.groupBy(col("qid"))
       .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
         col("doc_id")).as("top"))
@@ -1614,13 +1859,13 @@ object MultimodalQueries {
         col("z.ids").as("doc_id"))
     val appx = perRank
       .select(col("qid"), col("pk"), col("doc_id"),
-        explode(expr(s"sequence(r, ${CrossmodalCells}L)")).as("np"))
+        explode(expr(s"sequence(r, ${ncells}L)")).as("np"))
       .groupBy(col("qid"), col("np"))
       .agg(topk(col("pk"), col("doc_id")).as("top"))
       .select(col("qid"), col("np"), explode(col("top.ids")).as("doc_id"))
     val hits = appx.join(exact, Seq("qid", "doc_id"))
       .groupBy(col("np")).agg(count(lit(1)).as("h"))
-    val rec = s.range(1, CrossmodalCells + 1).select(col("id").as("nprobe"))
+    val rec = s.range(1, ncells + 1).select(col("id").as("nprobe"))
       .join(hits, col("nprobe") === col("np"), "left")
       .select(col("nprobe"),
         expr("COALESCE(h, 0L) * 1000000L DIV 25").as("recall_ppm"))
@@ -1775,6 +2020,8 @@ object MultimodalQueries {
     "mm_crossmodal_filtered" -> crossmodalFiltered _,
     "stream_mm_crossmodal_filtered" -> streamCrossmodalFiltered _,
     "mm_crossmodal_delete" -> crossmodalDelete _,
+    "mm_crossmodal_trained" -> crossmodalTrained _,
+    "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobe _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -1790,6 +2037,8 @@ object MultimodalQueries {
     "mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "stream_mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "mm_crossmodal_delete" -> crossmodalDeleteSql,
+    "mm_crossmodal_trained" -> crossmodalTrainedSql,
+    "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobeSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
