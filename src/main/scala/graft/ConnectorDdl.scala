@@ -252,6 +252,11 @@ object ConnectorDdl {
   // store-layout-dependent)
   private val showQueriesExtRe =
     """(?is)\s*SHOW\s+QUERIES\s+EXTENDED\s*;?\s*""".r
+  // SHOW STATE STORES: the per-operator drill-down of SHOW QUERIES
+  // EXTENDED (one row per stateful operator of every active query) —
+  // spec-verified, oracle-excluded like the EXTENDED view
+  private val showStateStoresRe =
+    """(?is)\s*SHOW\s+STATE\s+STORES\s*;?\s*""".r
   // ksql CLI `SHOW TOPICS`: the session's relations (the offline topic
   // analogs) plus every topic a registered sink connector exports
   private val showTopicsRe = """(?is)\s*SHOW\s+TOPICS\s*;?\s*""".r
@@ -1514,7 +1519,7 @@ object ConnectorDdl {
        | runScriptRe(_*) | describeConnectorRe(_*) | showPluginsRe(_*)
        | showStreamsRe(_*) | streamDefRe(_*) | showTablesRe(_*)
        | describeRe(_*) | showQueriesRe(_*) | showQueriesExtRe(_*)
-       | terminateRe(_*)
+       | showStateStoresRe(_*) | terminateRe(_*)
        | pauseRe(_*) | resumeRe(_*) | alterRe(_*)
        | printRe(_*) | explainRe(_*) | showTopicsRe(_*)
        | insertValuesRe(_*) | insertSelectRe(_*)
@@ -1714,6 +1719,8 @@ object ConnectorDdl {
           .toDF("name", "kind", "field", "type")
       case showQueriesExtRe() =>
         graft.streaming.QueryMetrics.extended(spark)
+      case showStateStoresRe() =>
+        graft.streaming.QueryMetrics.stateStores(spark)
       case showQueriesRe() =>
         // ksql SHOW QUERIES: the session's running persistent queries,
         // plus paused-but-resumable registrations (QueryControl)

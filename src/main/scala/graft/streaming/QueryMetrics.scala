@@ -50,4 +50,37 @@ object QueryMetrics {
     (active ++ paused).toDF("query_id", "name", "status", "batch_id",
       "state_operators", "state_rows", "state_bytes", "input_rows")
   }
+
+  /** `SHOW STATE STORES` (r18 verdict #8 stretch) — the PER-OPERATOR
+    * drill-down of [[extended]]: one row per stateful operator of
+    * every active query, from the same
+    * [[org.apache.spark.sql.streaming.StreamingQueryProgress]]
+    * `stateOperators` array, keeping the operator's position
+    * (`op_index`) so repeated operator names stay distinguishable.
+    * This is the row an operator sizes a RocksDB fleet from: WHICH
+    * stage of a multi-stage query holds the state (a stream-stream
+    * join's buffers vs the downstream aggregation's counters),
+    * whether updates or removals dominate a batch
+    * (`rows_updated`/`rows_removed` — watermark eviction showing up
+    * as removals is healthy; zero removals under TTL expectations is
+    * the leak), and the per-store footprint. Queries with no
+    * completed batch contribute no rows (no progress to read).
+    * Oracle-excluded like [[extended]] (bytes are store-layout- and
+    * JVM-dependent); the deterministic fields are pinned in
+    * ObservabilitySpec against a known stateful query. */
+  def stateStores(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.streams.active.toSeq.flatMap { q =>
+      val p = Option(q.lastProgress)
+      val batch = p.map(_.batchId).getOrElse(-1L)
+      p.map(_.stateOperators.toSeq).getOrElse(Nil).zipWithIndex.map {
+        case (op, i) =>
+          (q.id.toString, Option(q.name).getOrElse(""), batch,
+            i.toLong, Option(op.operatorName).getOrElse(""),
+            op.numRowsTotal, op.memoryUsedBytes,
+            op.numRowsUpdated, op.numRowsRemoved)
+      }
+    }.toDF("query_id", "name", "batch_id", "op_index", "operator",
+      "state_rows", "state_bytes", "rows_updated", "rows_removed")
+  }
 }

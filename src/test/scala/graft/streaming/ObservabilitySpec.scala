@@ -130,4 +130,51 @@ class ObservabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       ()
     }
   }
+
+  test("SHOW STATE STORES: per-operator state drill-down (r18 verdict #8)") {
+    import spark.implicits._
+    val in = MemoryStream[Long](spark)
+    // TWO stateful operators in one query — dedup (one state row per
+    // distinct value) feeding an aggregation (one per group key) — so
+    // the per-operator view must attribute each store to its stage,
+    // which the per-query EXTENDED totals cannot
+    val q = in.toDF()
+      .select((col("value") % 12).as("v"))
+      .dropDuplicates("v")
+      .groupBy((col("v") % 5).as("k")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ss_sink")
+      .outputMode("update").start()
+    try {
+      in.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      val st = graft.GraftSql.sql(spark, "SHOW STATE STORES;")
+      assert(st.columns.toSeq === Seq("query_id", "name", "batch_id",
+        "op_index", "operator", "state_rows", "state_bytes",
+        "rows_updated", "rows_removed"))
+      val rows = st.collect().filter(_.getAs[String]("name") == "ss_sink")
+        .sortBy(_.getAs[Long]("op_index"))
+      assert(rows.length === 2, rows.mkString(", "))
+      rows.foreach { r =>
+        assert(r.getAs[String]("operator").nonEmpty)
+        assert(r.getAs[Long]("state_bytes") > 0L)
+      }
+      // one store holds the 12 dedup values, the other the 5 group
+      // keys (progress order of the two operators is plan-dependent —
+      // assert the multiset)
+      assert(rows.map(_.getAs[Long]("state_rows")).sorted.toSeq ===
+        Seq(5L, 12L))
+      // the drill-down must reconcile with the per-query totals
+      val ext = graft.GraftSql.sql(spark, "SHOW QUERIES EXTENDED;")
+        .collect().find(_.getAs[String]("name") == "ss_sink").get
+      assert(ext.getAs[Long]("state_operators") === 2L)
+      assert(rows.map(_.getAs[Long]("state_rows")).sum ===
+        ext.getAs[Long]("state_rows"))
+      assert(rows.map(_.getAs[Long]("state_bytes")).sum ===
+        ext.getAs[Long]("state_bytes"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ss_sink")
+      ()
+    }
+  }
 }
