@@ -1698,6 +1698,21 @@ object CurationQueries {
         coalesce(col("lb"), lit(0L)).as("leaked_naive"))
   }
 
+  /** Streaming twin of [[temporalSplit]] — the [[streamLeakageSplit]]
+    * shape: documents STAGE through the append stream, and the
+    * cutoff election + component clustering + assignment run at
+    * compaction over the accumulated set (split assignment is a
+    * corpus-level decision: a late-arriving future near-dup re-homes
+    * its whole component, so a per-row streaming assignment would be
+    * semantically wrong). Finite input ⇒ equals the batch oracle. */
+  def streamTemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val staged = StreamingQueries.runToTable(
+      StreamingQueries.docStream(s, d).select(col("doc_id"), col("text")),
+      "append")
+    temporalSplitFrom(staged,
+      graft.queries.DedupQueries.componentsOver(staged))
+  }
+
   /** Temporal-leakage AUDIT (r18 verdict #2) — the two numbers a
     * release review reads next to a time-cutoff split: of all
     * verified near-dup pairs (the corpus-wide j ≥ 0.8 relation), how
@@ -2435,6 +2450,7 @@ object CurationQueries {
     "stream_leakage_split" -> streamLeakageSplit _,
     "curate_split_leakage_audit" -> splitLeakageAudit _,
     "curate_temporal_split" -> temporalSplit _,
+    "stream_temporal_split" -> streamTemporalSplit _,
     "curate_temporal_audit" -> temporalAudit _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
@@ -2481,6 +2497,7 @@ object CurationQueries {
     "stream_leakage_split" -> leakageSplitSql,
     "curate_split_leakage_audit" -> splitLeakageAuditSql,
     "curate_temporal_split" -> temporalSplitSql,
+    "stream_temporal_split" -> temporalSplitSql,
     "curate_temporal_audit" -> temporalAuditSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,

@@ -1802,6 +1802,71 @@ object MultimodalQueries {
        |       AS BIGINT) AS chosen
        |FROM rec""".stripMargin
 
+  /** Measured recall@5 of the TRAINED-codebook retrieval against the
+    * exact brute-force top-5 — the [[crossmodalRecall]] gauge re-run
+    * for the trained geometry: changing the quantizer changes the
+    * recall curve, so the served configuration's number must be
+    * measured against the index it actually routes through. */
+  def crossmodalTrainedRecall(s: SparkSession, d: String): DataFrame = {
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val exact = crossmodalCorpus(s, d)
+      .select(col("doc_id"), col("emb"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"), explode(col("top.ids")).as("doc_id"))
+    val hits = crossmodalTrained(s, d).select(col("qid"), col("doc_id"))
+      .join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr("COALESCE(h, 0L) * 1000000 DIV 5").as("recall_ppm"))
+  }
+
+  /** Shares [[crossmodalTrainedSql]] as the probed relation — the
+    * crossmodalRecallSql assembly over the trained spelling. */
+  lazy val crossmodalTrainedRecallSql: String =
+    s"""WITH pr AS (SELECT * FROM ($crossmodalTrainedSql) x),
+       |ee AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |cc AS (SELECT doc_id, emb FROM ee WHERE doc_id >= 5),
+       |qq AS (SELECT doc_id AS qid, emb AS qemb FROM ee WHERE doc_id < 5),
+       |scx AS (
+       |  SELECT qq.qid, cc.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> cc.emb[i] * qq.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(cc.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(qq.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM cc, qq),
+       |ex AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |    FROM scx) WHERE rn <= 5),
+       |h AS (SELECT pr.qid, COUNT(*) AS h
+       |      FROM pr JOIN ex ON ex.qid = pr.qid AND ex.doc_id = pr.doc_id
+       |      GROUP BY pr.qid)
+       |SELECT qq.qid,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM qq LEFT JOIN h ON h.qid = qq.qid""".stripMargin
+
   /** Recall target for [[crossmodalAutoprobe]] — 95%, the
     * sim_ann_autoprobe discipline. */
   private[graft] val CrossmodalTargetPpm = 950000L
@@ -2022,6 +2087,7 @@ object MultimodalQueries {
     "mm_crossmodal_delete" -> crossmodalDelete _,
     "mm_crossmodal_trained" -> crossmodalTrained _,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobe _,
+    "mm_crossmodal_trained_recall" -> crossmodalTrainedRecall _,
     "mm_audio_fp" -> audioFpNearDup _,
     "stream_mm_audio_fp" -> streamAudioFp _,
     "mm_video_neardup" -> videoNearDup _,
@@ -2039,6 +2105,7 @@ object MultimodalQueries {
     "mm_crossmodal_delete" -> crossmodalDeleteSql,
     "mm_crossmodal_trained" -> crossmodalTrainedSql,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobeSql,
+    "mm_crossmodal_trained_recall" -> crossmodalTrainedRecallSql,
     "mm_modality_card" -> modalityCardSql,
     "mm_resolution_gate" -> resolutionGateSql,
     "mm_media_meta" -> mediaMetaSql,
