@@ -2157,7 +2157,13 @@ object CurationQueries {
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       dsirLrMap(s, d))
     val mx = scored.agg(max(col("score")).as("smax"))
-    dsirWeights(scored.crossJoin(broadcast(mx)))
+    essOf(dsirWeights(scored.crossJoin(broadcast(mx))))
+  }
+
+  /** The ESS aggregate over a [[dsirWeights]]-laddered relation — one
+    * spelling shared by the self-target and external-target gauges. */
+  private def essOf(weighted: DataFrame): DataFrame =
+    weighted
       .select(
         (Md5Key.column(concat(lit("dsir:"),
           col("doc_id").cast(StringType))) < col("keep_u32"))
@@ -2172,7 +2178,6 @@ object CurationQueries {
           "CAST(w_sq_sum AS DOUBLE)").as("ess"),
         expr("CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / " +
           "(CAST(w_sq_sum AS DOUBLE) * n_docs)").as("ess_ratio"))
-  }
 
   /** Pin the DSIR max-score normalizer: ONE driver scalar, guarded —
     * on an empty scorable pool max(score) is NULL and a bare
@@ -2286,8 +2291,11 @@ object CurationQueries {
       "append")
   }
 
-  val importanceTargetSql: String =
-    s"""WITH w AS (
+  /** CTE chain through `k` for the EXTERNAL-target variant — one
+    * spelling shared by [[importanceTargetSql]] and
+    * [[importanceTargetEssSql]] (the dsirKCtesSql discipline). */
+  private val dsirTargetKCtesSql: String =
+    s"""w AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
        |  FROM documents),
        |g AS (
@@ -2331,20 +2339,39 @@ object CurationQueries {
        |mx AS (SELECT MAX(score) AS smax FROM scored),
        |k AS (
        |  SELECT doc_id, score, (SELECT smax FROM mx) - score AS delta
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** Composes [[dsirTargetKCtesSql]] with the shared ladder — the
+    * importanceSampleSql assembly over the external-target chain.
+    * Lazy: [[dsirKeepU32Sql]] is declared below. */
+  lazy val importanceTargetSql: String =
+    s"""WITH $dsirTargetKCtesSql
        |SELECT doc_id, score,
-       |  CASE WHEN delta // 16 >= 32 THEN 0
-       |       ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
-       |             * (list_value(${DsirFrac.mkString(", ")})
-       |                [CAST(delta % 16 AS INT) + 1])) // 1000000
-       |  END AS keep_u32
+       |  $dsirKeepU32Sql AS keep_u32
        |FROM k
        |WHERE ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
-       |  < CASE WHEN delta // 16 >= 32 THEN 0
-       |         ELSE ((4294967296::BIGINT >> CAST(delta // 16 AS INT))
-       |               * (list_value(${DsirFrac.mkString(", ")})
-       |                  [CAST(delta % 16 AS INT) + 1])) // 1000000
-       |    END""".stripMargin
+       |  < $dsirKeepU32Sql""".stripMargin
+
+  /** ESS of the EXTERNAL-target DSIR filter — the
+    * [[importanceEss]] degeneracy gauge for the configuration
+    * [[importanceTarget]] actually deploys: a trusted holdout can
+    * reweight the pool far more sharply than the self-target mix, so
+    * its ESS is the one to watch. Shares [[dsirTargetKCtesSql]] with
+    * the sample and the ESS aggregate tail with the self-target
+    * gauge. */
+  def importanceTargetEss(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val raw = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val target = docs.filter(col("doc_id") % 20 === 0).select(col("text"))
+    val scored = dsirScored(raw, dsirLrMapOver(raw.select(col("text")), target))
+    val mx = scored.agg(max(col("score")).as("smax"))
+    essOf(dsirWeights(scored.crossJoin(broadcast(mx))))
+  }
+
+  lazy val importanceTargetEssSql: String =
+    s"""WITH $dsirTargetKCtesSql,
+       |$dsirEssTailSql""".stripMargin
 
   /** CTE chain through `k` (doc_id, score, delta vs the max) — ONE
     * spelling shared by [[importanceSampleSql]] and
@@ -2410,10 +2437,11 @@ object CurationQueries {
        |WHERE ${Md5Key.sql("'dsir:' || CAST(doc_id AS VARCHAR)")}
        |  < $dsirKeepU32Sql""".stripMargin
 
-  /** Shares [[dsirKCtesSql]] + [[dsirKeepU32Sql]] with the sample. */
-  val importanceEssSql: String =
-    s"""WITH $dsirKCtesSql,
-       |kk AS (
+  /** The ESS aggregate tail over any CTE chain ending in `k` — one
+    * spelling shared by [[importanceEssSql]] and
+    * [[importanceTargetEssSql]]. */
+  private lazy val dsirEssTailSql: String =
+    s"""kk AS (
        |  SELECT doc_id,
        |    $dsirKeepU32Sql AS keep_u32
        |  FROM k)
@@ -2433,12 +2461,18 @@ object CurationQueries {
        |            AS DOUBLE) * COUNT(*)) AS ess_ratio
        |FROM kk""".stripMargin
 
+  /** Shares [[dsirKCtesSql]] + the ESS tail with the sample. */
+  lazy val importanceEssSql: String =
+    s"""WITH $dsirKCtesSql,
+       |$dsirEssTailSql""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_kanon_audit" -> kanonAudit _,
     "curate_importance_sample" -> importanceSample _,
     "stream_importance_sample" -> streamImportanceSample _,
     "curate_importance_target" -> importanceTarget _,
     "stream_importance_target" -> streamImportanceTarget _,
+    "curate_importance_target_ess" -> importanceTargetEss _,
     "curate_importance_ess" -> importanceEss _,
     "stream_importance_ess" -> streamImportanceEss _,
     "curate_lang_drift" -> langDrift _,
@@ -2485,6 +2519,7 @@ object CurationQueries {
     "stream_importance_sample" -> importanceSampleSql,
     "curate_importance_target" -> importanceTargetSql,
     "stream_importance_target" -> importanceTargetSql,
+    "curate_importance_target_ess" -> importanceTargetEssSql,
     "curate_importance_ess" -> importanceEssSql,
     "stream_importance_ess" -> importanceEssSql,
     "curate_kanon_audit" -> kanonAuditSql,

@@ -540,6 +540,79 @@ object DedupQueries {
                                      rest: DataFrame): DataFrame =
     incrementalAgainst(delta, restIndexOf(rest))
 
+  /** INCREMENTAL containment — the ingest gate for the duplication
+    * only [[containment]] catches (small-doc-inside-big-doc, where
+    * Jaccard and MinHash banding both collapse): each arriving delta
+    * document joins the STORED at-rest shingle relation directly
+    * (shared-shingle candidates — bounded by collisions, the
+    * containment tier's own blocking; banding is NOT usable here
+    * because an asymmetric pair's MinHash signatures disagree almost
+    * everywhere, which is exactly why the streaming containment twin
+    * stays a compaction-time path), verifies Broder containment on
+    * the exact ppm grid against the stored sizes, and emits the
+    * routing decision: `delta_inner` = 1 means the arriving doc is
+    * the contained one (reject/dedup), 0 means it SUPERSEDES an
+    * at-rest doc (route to replace). Per-ingest cost: O(delta tokens
+    * + collisions); the at-rest side is two equi-join pickups on the
+    * stored index — no registry, no cross-batch state. */
+  def incrementalContainment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalContainmentAgainst(docs.filter(col("doc_id") % 10 === 9),
+      restIndexOf(docs.filter(col("doc_id") % 10 =!= 9)))
+  }
+
+  /** The containment gate against a pre-built [[RestIndex]] — the
+    * streaming twin runs THIS per micro-batch against the stored
+    * layout. */
+  private[graft] def incrementalContainmentAgainst(
+      delta: DataFrame, idx: RestIndex): DataFrame = {
+    val s = delta.sparkSession
+    val dSh = TextShingles.shingleHashSet(delta, "doc_id", "text", N)
+      .select(col("doc_id").as("doc_b"), col("sh"))
+    val dSizes = delta
+      .select(col("doc_id"), TextShingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(graft.functions.HashedShingles(s, col("__toks"), N)).as("n"))
+    idx.shingles.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(dSh, Seq("sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(idx.sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(dSizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment_ppm",
+        expr("i * 1000000 DIV LEAST(na, nb)"))
+      .withColumn("jaccard_ppm", expr("i * 1000000 DIV (na + nb - i)"))
+      .filter(col("containment_ppm") >= ContainPpm)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("dup_of"),
+        col("containment_ppm"), col("jaccard_ppm"),
+        (col("nb") <= col("na")).cast(LongType).as("delta_inner"))
+  }
+
+  /** Shared-shingle delta×rest candidates + the containment grid. */
+  val incrementalContainmentSql: String =
+    s"""WITH ${graft.functions.TextShingles.shingleCte5Sql()},
+       |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) i
+       |  FROM sh a JOIN sh b ON a.sh = b.sh
+       |  WHERE a.doc_id % 10 <> 9 AND b.doc_id % 10 = 9
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pj AS (
+       |  SELECT doc_a, doc_b, sa.n na, sb.n nb,
+       |         (i * 1000000) // LEAST(sa.n, sb.n) AS containment_ppm,
+       |         (i * 1000000) // (sa.n + sb.n - i) AS jaccard_ppm
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT doc_b AS doc_id, doc_a AS dup_of,
+       |       CAST(containment_ppm AS BIGINT) AS containment_ppm,
+       |       CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+       |       CAST(CASE WHEN nb <= na THEN 1 ELSE 0 END AS BIGINT)
+       |         AS delta_inner
+       |FROM pj WHERE containment_ppm >= $ContainPpm""".stripMargin
+
   /** Composes [[bandsCteSql]] with the shared shingle spelling — the
     * componentsSql assembly, restricted to delta×at-rest candidates. */
   val incrementalSql: String =
@@ -1111,6 +1184,7 @@ object DedupQueries {
     "dedup_cross_source" -> crossSourceMatrix _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_incremental" -> incremental _,
+    "dedup_incremental_containment" -> incrementalContainment _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash64_pairs" -> simhash64Pairs _)
@@ -1128,6 +1202,7 @@ object DedupQueries {
     "dedup_cross_source" -> crossSourceMatrixSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_containment" -> incrementalContainmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash64_pairs" -> simhash64PairsSql)

@@ -1409,7 +1409,40 @@ object StreamingQueries {
     * derivation after the build: per-ingest cost is
     * O(batch + collisions) regardless of history length. Finite
     * input ⇒ equals the batch oracle. */
-  def streamIncremental(s: SparkSession, d: String): DataFrame = {
+  def streamIncremental(s: SparkSession, d: String): DataFrame =
+    streamRestGate(s, d,
+      valueFields = Seq(StructField("doc_id", LongType),
+        StructField("dup_of", LongType), StructField("jaccard", DoubleType)),
+      gate = DedupQueries.incrementalAgainst)
+
+  /** Streaming twin of [[DedupQueries.incrementalContainment]] — the
+    * [[streamIncremental]] stored-index shape with the containment
+    * gate: shared-shingle candidates against the stored shingle
+    * relation, Broder ppm verify against the stored sizes, and the
+    * `delta_inner` routing decision per arriving document. No
+    * registry, no cross-batch state — this is the INGEST-time answer
+    * for asymmetric duplication (the shingle-keyed
+    * [[streamContainment]] stays the compaction-time exact twin;
+    * MinHash banding cannot cover asymmetric pairs, so the bounded
+    * ingest path is the stored-index join, not a banded registry). */
+  def streamIncrementalContainment(s: SparkSession, d: String): DataFrame =
+    streamRestGate(s, d,
+      valueFields = Seq(StructField("doc_id", LongType),
+        StructField("dup_of", LongType),
+        StructField("containment_ppm", LongType),
+        StructField("jaccard_ppm", LongType),
+        StructField("delta_inner", LongType)),
+      gate = DedupQueries.incrementalContainmentAgainst)
+
+  /** The shared delta-vs-stored-index ingest harness: build the
+    * at-rest signature index ONCE into a scratch parquet layout, gate
+    * each arriving micro-batch's delta slice against it with `gate`,
+    * and upsert the (doc_id, dup_of)-keyed verdicts into the snapshot
+    * (replay-idempotent). `valueFields` must start with doc_id and
+    * dup_of (the upsert key). */
+  private def streamRestGate(s: SparkSession, d: String,
+      valueFields: Seq[StructField],
+      gate: (DataFrame, DedupQueries.RestIndex) => DataFrame): DataFrame = {
     val rest = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 9)
     // build the stored at-rest index ONCE: three parquet relations in
     // a scratch layout — at 100 TB this is the published signature
@@ -1426,11 +1459,7 @@ object StreamingQueries {
       bands = s.read.parquet(bandsP),
       shingles = s.read.parquet(shP),
       sizes = s.read.parquet(sizesP))
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("dup_of", LongType),
-      StructField("jaccard", DoubleType),
-      StructField("pair", StringType)))
+    val schema = StructType(valueFields :+ StructField("pair", StringType))
     val store = new graft.streaming.SnapshotStore(schema, keyField = "pair")
     val ckpt = shmCheckpoint()
     val q = graft.util.Confs.withShufflePartitions(s, 8) {
@@ -1438,7 +1467,7 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (b: DataFrame, _: Long) =>
           val delta = b.filter(col("doc_id") % 10 === 9)
-          store.upsert(DedupQueries.incrementalAgainst(delta, stored)
+          store.upsert(gate(delta, stored)
             .withColumn("pair", concat_ws("\u0000",
               col("doc_id").cast(StringType),
               col("dup_of").cast(StringType))))
@@ -1452,7 +1481,7 @@ object StreamingQueries {
       deleteRecursively(ckpt)
       deleteRecursively(idxRoot.toString)
     }
-    store.df(s).select(col("doc_id"), col("dup_of"), col("jaccard"))
+    store.df(s).select(valueFields.map(f => col(f.name)): _*)
   }
 
   /** Streaming tokenizer-fertility drift monitor (r17 verdict #8
@@ -2008,6 +2037,7 @@ object StreamingQueries {
     "stream_cross_source_banded" -> streamCrossSourceBanded _,
     "stream_containment" -> streamContainment _,
     "stream_incremental" -> streamIncremental _,
+    "stream_incremental_containment" -> streamIncrementalContainment _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
@@ -2049,6 +2079,8 @@ object StreamingQueries {
     "stream_cross_source_banded" -> DedupQueries.crossSourceBandedSql,
     "stream_containment" -> DedupQueries.containmentSql,
     "stream_incremental" -> DedupQueries.incrementalSql,
+    "stream_incremental_containment" ->
+      DedupQueries.incrementalContainmentSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,

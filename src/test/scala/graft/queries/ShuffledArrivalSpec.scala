@@ -180,6 +180,21 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_incremental_containment equals the batch gate under shuffled arrival") {
+    // no registry here — order independence must come from the stored
+    // at-rest index plus the pair-keyed idempotent upsert alone
+    val streamed = StreamingQueries
+      .streamIncrementalContainment(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val docs = docsBatch
+    val batch = DedupQueries.incrementalContainmentAgainst(
+        docs.filter(col("doc_id") % 10 === 9),
+        DedupQueries.restIndexOf(docs.filter(col("doc_id") % 10 =!= 9)))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture produced no containment rejections")
+  }
+
   test("banded registry state cardinality is O(docs x bands), orders below the shingle-keyed twin") {
     // the state-footprint contrast (r18 verdict #1 done-criterion):
     // the exact twin keys one state tuple per DISTINCT CORPUS SHINGLE;
