@@ -1622,6 +1622,72 @@ object MultimodalQueries {
     layout
   }
 
+  /** Streaming serve through the TRAINED codebook — how a trained
+    * quantizer actually deploys: the routing table is PINNED at query
+    * start (one ≤k-row collect — the router bound; a retrain republishes
+    * and the serving query restarts on the new version, the
+    * `_CURRENT`-pointer contract), embedded as a LITERAL centroid
+    * array, and each arriving text query routes with a pure row
+    * expression — top-nprobe pinned centroids by round-6 cosine,
+    * cid-asc ties, exactly the batch router's grid — then
+    * stream–static joins the published cell layout and accumulates
+    * the k-bounded LONG head. Shares [[crossmodalTrainedSql]]: the
+    * pinned-literal router is provably the same quantizer as the
+    * batch route (identical doubles — `Double.toString` round-trips —
+    * identical left-to-right dot, identical rounding/ties). */
+  def streamCrossmodalTrained(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-mm-strain-")
+    try {
+      val layout = publishTrainedCrossmodal(s, d, root)
+      // pin the routing table: ≤ CrossmodalTrainedK rows
+      val centArr = s.read.parquet(layout.centroids)
+        .select(col("label"), col("cemb")).collect()
+        .map { r =>
+          val cid = r.get(0).asInstanceOf[Number].intValue
+          val emb = r.getSeq[Double](1)
+          s"struct($cid AS cid, array(${emb.map(v => s"${v}D").mkString(", ")}) AS cemb)"
+        }.mkString("array(", ", ", ")")
+      val vecs = s.read.parquet(layout.vectors)
+        .withColumn("doc_id", col("vec_id")).drop("label")
+        .select(col("doc_id"), col("emb"), col("cell"))
+      val q = StreamingQueries.docStream(s, d)
+        .filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+        // pure-row trained router: negated round-6 cosine sorts desc,
+        // cid breaks ties asc (struct sort field order)
+        .withColumn("cell", explode(expr(
+          s"""slice(transform(array_sort(transform($centArr,
+             |  c -> struct(
+             |    -round(
+             |      aggregate(zip_with(c.cemb, qemb, (x, y) -> x * y),
+             |        0.0D, (acc, x) -> acc + x) /
+             |      (sqrt(aggregate(transform(c.cemb, x -> x * x),
+             |        0.0D, (acc, x) -> acc + x)) *
+             |       sqrt(aggregate(transform(qemb, x -> x * x),
+             |        0.0D, (acc, x) -> acc + x))), 6) AS negcs,
+             |    c.cid AS cid))),
+             |  x -> x.cid),
+             |1, $CrossmodalProbe)""".stripMargin)))
+      val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+        (SimilarityQueries.norm(col("emb")) *
+          SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+      val topk = udaf(new graft.functions.TopKByScoreLong(5))
+      val heads = q.join(vecs, Seq("cell"))
+        .select(col("qid"), col("doc_id"), cm.as("cm"))
+        .groupBy(col("qid"))
+        .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+          col("doc_id")).as("top"))
+      StreamingQueries.runToTable(heads, "complete")
+        .select(col("qid"),
+          posexplode(arrays_zip(col("top.scores"), col("top.ids")))
+            .as(Seq("p", "z")))
+        .select(col("qid"), (col("p") + 1).cast(LongType).as("rank"),
+          col("z.ids").as("doc_id"),
+          expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
+        .localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
+
   /** nprobe RE-ELECTION for the trained codebook (r18 verdict #4,
     * second half) — the [[crossmodalAutoprobe]] prefix-merge sweep
     * with the router swapped for the trained-centroid ranking
@@ -2086,6 +2152,7 @@ object MultimodalQueries {
     "stream_mm_crossmodal_filtered" -> streamCrossmodalFiltered _,
     "mm_crossmodal_delete" -> crossmodalDelete _,
     "mm_crossmodal_trained" -> crossmodalTrained _,
+    "stream_mm_crossmodal_trained" -> streamCrossmodalTrained _,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobe _,
     "mm_crossmodal_trained_recall" -> crossmodalTrainedRecall _,
     "mm_audio_fp" -> audioFpNearDup _,
@@ -2104,6 +2171,7 @@ object MultimodalQueries {
     "stream_mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "mm_crossmodal_delete" -> crossmodalDeleteSql,
     "mm_crossmodal_trained" -> crossmodalTrainedSql,
+    "stream_mm_crossmodal_trained" -> crossmodalTrainedSql,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobeSql,
     "mm_crossmodal_trained_recall" -> crossmodalTrainedRecallSql,
     "mm_modality_card" -> modalityCardSql,
