@@ -1464,6 +1464,75 @@ object MultimodalQueries {
         expr("(z.scores + z.ids) DIV 4294967296").as("cos_micro"))
   }
 
+  /** Measured recall@5 of FILTERED cross-modal search against the
+    * exact brute-force top-5 over the QUALIFYING corpus — the gauge
+    * that justifies the nprobe-widening compensation: a selective
+    * predicate thins every probed cell, so filtered recall is the
+    * number that degrades first, and it must be measured against the
+    * filtered ground truth (comparing against unfiltered exact top-5
+    * would conflate predicate selectivity with index recall). */
+  def crossmodalFilteredRecall(s: SparkSession, d: String): DataFrame = {
+    val q = graft.sources.Tables.documents(s, d)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), stubEmb(col("text")).as("qemb"))
+    val cm = round(SimilarityQueries.dot(col("emb"), col("qemb")) /
+      (SimilarityQueries.norm(col("emb")) *
+        SimilarityQueries.norm(col("qemb"))) * 1000000).cast(LongType)
+    val topk = udaf(new graft.functions.TopKByScoreLong(5))
+    val exact = crossmodalCorpus(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("emb"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("doc_id"), cm.as("cm"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cm") * lit(4294967296L) - col("doc_id"),
+        col("doc_id")).as("top"))
+      .select(col("qid"), explode(col("top.ids")).as("doc_id"))
+    val hits = crossmodalFiltered(s, d).select(col("qid"), col("doc_id"))
+      .join(exact, Seq("qid", "doc_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    q.select(col("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h"), lit(0L)).as("hits"),
+        expr("COALESCE(h, 0L) * 1000000 DIV 5").as("recall_ppm"))
+  }
+
+  /** Probed relation = [[crossmodalFilteredSql]]; exact side filters
+    * the corpus BEFORE its rank (the filtered ground truth). */
+  lazy val crossmodalFilteredRecallSql: String =
+    s"""WITH pr AS (SELECT * FROM ($crossmodalFilteredSql) x),
+       |ee AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, $CrossmodalCells),
+       |      i -> round((('0x' || substr(md5(text), 2*i-1, 2))::INT)
+       |                 / 255.0, 6)) AS emb
+       |  FROM documents),
+       |cc AS (SELECT doc_id, emb FROM ee
+       |       WHERE doc_id >= 5 AND doc_id % 3 = 1),
+       |qq AS (SELECT doc_id AS qid, emb AS qemb FROM ee WHERE doc_id < 5),
+       |scx AS (
+       |  SELECT qq.qid, cc.doc_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, $CrossmodalCells),
+       |        i -> cc.emb[i] * qq.qemb[i])) /
+       |      (sqrt(list_sum(list_transform(cc.emb, x -> x*x))) *
+       |       sqrt(list_sum(list_transform(qq.qemb, x -> x*x)))) * 1000000)
+       |      AS BIGINT) AS cm
+       |  FROM cc, qq),
+       |ex AS (
+       |  SELECT qid, doc_id FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
+       |    FROM scx) WHERE rn <= 5),
+       |h AS (SELECT pr.qid, COUNT(*) AS h
+       |      FROM pr JOIN ex ON ex.qid = pr.qid AND ex.doc_id = pr.doc_id
+       |      GROUP BY pr.qid)
+       |SELECT qq.qid,
+       |  CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.h, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+       |FROM qq LEFT JOIN h ON h.qid = qq.qid""".stripMargin
+
   /** Crossmodal index DELETE lifecycle (r18 verdict #3) — the
     * [[SimilarityQueries.ivfDeleteProbe]] tombstone cycle applied to
     * the served cross-modal layout: publish the image corpus as v1
@@ -2150,6 +2219,7 @@ object MultimodalQueries {
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobe _,
     "mm_crossmodal_filtered" -> crossmodalFiltered _,
     "stream_mm_crossmodal_filtered" -> streamCrossmodalFiltered _,
+    "mm_crossmodal_filtered_recall" -> crossmodalFilteredRecall _,
     "mm_crossmodal_delete" -> crossmodalDelete _,
     "mm_crossmodal_trained" -> crossmodalTrained _,
     "stream_mm_crossmodal_trained" -> streamCrossmodalTrained _,
@@ -2169,6 +2239,7 @@ object MultimodalQueries {
     "mm_crossmodal_autoprobe" -> crossmodalAutoprobeSql,
     "mm_crossmodal_filtered" -> crossmodalFilteredSql,
     "stream_mm_crossmodal_filtered" -> crossmodalFilteredSql,
+    "mm_crossmodal_filtered_recall" -> crossmodalFilteredRecallSql,
     "mm_crossmodal_delete" -> crossmodalDeleteSql,
     "mm_crossmodal_trained" -> crossmodalTrainedSql,
     "stream_mm_crossmodal_trained" -> crossmodalTrainedSql,

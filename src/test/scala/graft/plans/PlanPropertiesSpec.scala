@@ -241,6 +241,16 @@ class PlanPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("incremental containment: delta x at-rest shingle equi-join only, never all-pairs") {
+    val p = planOf("dedup_incremental_containment")
+    // candidates must come from the shared-shingle equi-join of delta
+    // shingles against the stored at-rest shingle relation;
+    // verification joins on doc ids — a cartesian/NLJ would mean the
+    // gate degenerated to delta x corpus comparison
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("cross-modal retrieval scans only the probed cell partitions of the image index") {
     val p = planOf("mm_crossmodal_topk")
     // text queries probe the published image-embedding layout — the

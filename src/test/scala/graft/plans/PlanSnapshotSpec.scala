@@ -148,7 +148,19 @@ class PlanSnapshotSpec extends AnyFunSuite with BeforeAndAfterAll {
     "curate_leakage_split" -> Sig(1, 0, 0),
     "curate_importance_target" -> Sig(1, 0, 1),
     "text_fertility_drift" -> Sig(5, 0, 2),
-    "mm_pair_neardup" -> Sig(7, 0, 0))
+    "mm_pair_neardup" -> Sig(7, 0, 0),
+    // r19 rows. temporal_split's 2 BNLJs are the 1-row cutoff
+    // broadcasts (corpus leg + straddle leg); the audit's four SMJs
+    // are the four doc_id split pickups over the checkpointed split
+    // relation — corpus-sized at scale, so an equi-join that shuffles
+    // is the RIGHT 100 TB shape (a broadcast hint here would OOM the
+    // driver on a real corpus); the containment gate's single shuffle
+    // is the candidate groupBy over the shingle equi-join;
+    // target_ess's BNLJ is the 1-row max-score normalizer.
+    "curate_temporal_split" -> Sig(2, 0, 2),
+    "curate_temporal_audit" -> Sig(8, 4, 0),
+    "dedup_incremental_containment" -> Sig(1, 0, 0),
+    "curate_importance_target_ess" -> Sig(2, 0, 1))
 
   test("no expensive query gains a shuffle / SMJ / NLJ vs the pinned snapshot") {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_REGEN").contains("1")
