@@ -1243,6 +1243,104 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("keep_u32"))
   }
 
+  /** Per-source token budget for [[tokenBudget]] — small enough that
+    * every SF's sources truncate (the drop branch is exercised) while
+    * the highest-quality tier still survives (the keep branch too). */
+  private[graft] val QualityBudgetTokens = 1024L
+
+  /** QUALITY-RANKED token budget — the selection rule a curated
+    * pretraining mixture actually ships: within each source, admit
+    * documents in (quality tier desc, doc_id) order until the source's
+    * token budget is exhausted — the best [[QualityBudgetTokens]]
+    * tokens of every source, not a random draw ([[capSources]]) and
+    * not a hand-set rate ([[mixSources]]). The rank key is the shared
+    * banded quality score ([[TextQueries.qualityScoreCol]]) lifted to
+    * an exact integer grid (×4 → {1,2,3,4}), so ordering and the
+    * running token sum are pure BIGINT — no double ever reaches a
+    * comparison.
+    *
+    * Scale shape: the per-source running sum is the [[packShardsOver]]
+    * two-level prefix sum with bucket key (source, tier, doc_id div W)
+    * — the local windows hold ≤ W rows each, the offsets branch is
+    * corpus/W tiny rows broadcast back, and ordering correctness needs
+    * only that (tier desc, bucket asc) refines the admission order. No
+    * corpus-wide single-task window, no corpus sort: one hash shuffle
+    * + one broadcast join at any corpus size. Emits EVERY doc with its
+    * inclusive running total and the kept verdict (the audit view; a
+    * production run filters `kept = 1`). */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOver(Tables.documents(s, d))
+
+  /** [[tokenBudget]] over ANY (doc_id, source, text) relation — the
+    * streaming twin feeds the staged corpus (budget admission is a
+    * corpus-level decision: a late high-quality arrival evicts the
+    * marginal admitted doc, so per-row streaming assignment would be
+    * semantically wrong — the [[streamLeakageSplit]] compaction
+    * discipline). */
+  private[graft] def tokenBudgetOver(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsIn.select(col("doc_id"), col("source"),
+      size(TextShingles.tokens(col("text"))).cast(LongType).as("n_tokens"),
+      (TextQueries.qualityScoreCol * 4).cast(LongType).as("qlvl"))
+    val bucketed = docs.withColumn("__bkt",
+      expr(s"doc_id div $PackBucketDocs"))
+    val wLocal = Window.partitionBy(col("source"), col("qlvl"), col("__bkt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__before",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wOff = Window.partitionBy(col("source"))
+      .orderBy(col("qlvl").desc, col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col("source"), col("qlvl"), col("__bkt"))
+      .agg(sum(col("n_tokens")).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(wOff), lit(0L)))
+      .select(col("source"), col("qlvl"), col("__bkt"), col("__offset"))
+    val cum = col("__offset") + col("__before") + col("n_tokens")
+    local.join(broadcast(offsets), Seq("source", "qlvl", "__bkt"))
+      .select(col("doc_id"), col("source"), col("qlvl"), col("n_tokens"),
+        cum.as("cum_tokens"),
+        (cum <= QualityBudgetTokens).cast(LongType).as("kept"))
+  }
+
+  /** Streaming twin of [[tokenBudget]] — documents stage through the
+    * append stream; ranking + admission run at compaction. Finite
+    * input ⇒ equals the batch oracle. */
+  def streamTokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetOver(StreamingQueries.runToTable(
+      StreamingQueries.docStream(s, d)
+        .select(col("doc_id"), col("source"), col("text")),
+      "append"))
+
+  /** One plain window spelling — the two-level Spark prefix sum must
+    * reproduce it exactly (ties impossible: doc_id is unique). */
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) n,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> list_contains(['the','and','of','to','a','in','is'], x)))
+       |      AS BIGINT) stopn
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, n AS n_tokens,
+       |    CAST((CASE WHEN n BETWEEN 50 AND 500 THEN 0.5 ELSE 0.25 END +
+       |          CASE WHEN stopn*1.0/n > 0.02 THEN 0.5 ELSE 0.0 END) * 4
+       |      AS BIGINT) AS qlvl
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, source, qlvl, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |                        ORDER BY qlvl DESC, doc_id) AS cum
+       |  FROM q)
+       |SELECT doc_id, source, qlvl, n_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens,
+       |  CAST(CASE WHEN cum <= $QualityBudgetTokens THEN 1 ELSE 0 END
+       |    AS BIGINT) AS kept
+       |FROM c""".stripMargin
+
   /** Token budget for the temperature mix (larger than [[CapTokens]]
     * so small sources land UNDER their α-boosted targets and keep
     * everything — both branches of the min exercised). */
@@ -1722,9 +1820,25 @@ object CurationQueries {
     * clustering covers; non-zero surfaces a candidate-recall gap).
     * Pair mining runs ONCE and feeds both the audit join and the
     * component builder (the [[splitLeakageAudit]] factoring). */
-  def temporalAudit(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.sources.Tables.documents(s, d)
-    val pairs = graft.queries.DedupQueries.ngramJaccard(s, d)
+  def temporalAudit(s: SparkSession, d: String): DataFrame =
+    temporalAuditOver(graft.sources.Tables.documents(s, d))
+
+  /** Streaming twin of [[temporalAudit]] — the [[streamTemporalSplit]]
+    * compaction discipline extended to the audit: documents stage
+    * through the append stream, and BOTH the pair mining and the two
+    * split assignments run at compaction over the accumulated set
+    * (the audit joins corpus-level relations on both sides, so no
+    * earlier stage can be pinned per-row). Finite input ⇒ equals the
+    * batch oracle. */
+  def streamTemporalAudit(s: SparkSession, d: String): DataFrame =
+    temporalAuditOver(StreamingQueries.runToTable(
+      StreamingQueries.docStream(s, d).select(col("doc_id"), col("text")),
+      "append"))
+
+  /** [[temporalAudit]] over ANY (doc_id, text) relation. */
+  private[graft] def temporalAuditOver(docs: DataFrame): DataFrame = {
+    val pairs = graft.queries.DedupQueries
+      .jaccardPairs(docs, candidates = None, threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
     val lshPairs = pairs.join(
       graft.queries.DedupQueries.minhashLshOver(docs),
@@ -2486,6 +2600,9 @@ object CurationQueries {
     "curate_temporal_split" -> temporalSplit _,
     "stream_temporal_split" -> streamTemporalSplit _,
     "curate_temporal_audit" -> temporalAudit _,
+    "stream_temporal_audit" -> streamTemporalAudit _,
+    "curate_token_budget" -> tokenBudget _,
+    "stream_token_budget" -> streamTokenBudget _,
     "curate_shard_manifest" -> shardManifest _,
     "curate_corpus_delta" -> corpusDelta _,
     "curate_chunk_docs" -> chunkDocs _,
@@ -2534,6 +2651,9 @@ object CurationQueries {
     "curate_temporal_split" -> temporalSplitSql,
     "stream_temporal_split" -> temporalSplitSql,
     "curate_temporal_audit" -> temporalAuditSql,
+    "stream_temporal_audit" -> temporalAuditSql,
+    "curate_token_budget" -> tokenBudgetSql,
+    "stream_token_budget" -> tokenBudgetSql,
     "curate_shard_manifest" -> shardManifestSql,
     "curate_corpus_delta" -> corpusDeltaSql,
     "curate_chunk_docs" -> chunkDocsSql,

@@ -613,15 +613,17 @@ object DedupQueries {
        |         AS delta_inner
        |FROM pj WHERE containment_ppm >= $ContainPpm""".stripMargin
 
-  /** Composes [[bandsCteSql]] with the shared shingle spelling — the
-    * componentsSql assembly, restricted to delta×at-rest candidates. */
-  val incrementalSql: String =
+  /** The delta-vs-at-rest gate oracle parameterized on the candidate
+    * predicate — [[incrementalSql]] instantiates the plain ingest
+    * gate, [[indexDeleteSql]] the same gate with the tombstoned
+    * takedown slice excluded from the at-rest side. */
+  private def incrementalGateSql(candWhere: String): String =
     s"""WITH $bandsCteSql,
        |cand AS (
        |  SELECT DISTINCT o.doc_id AS da, n.doc_id AS db
        |  FROM bands o JOIN bands n
        |    ON o.band = n.band AND o.sig = n.sig
-       |  WHERE o.doc_id % 10 <> 9 AND n.doc_id % 10 = 9),
+       |  WHERE $candWhere),
        |${graft.functions.TextShingles.shingleFromTokSql},
        |sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
        |inter AS (
@@ -635,6 +637,58 @@ object DedupQueries {
        |JOIN sizes sa ON sa.doc_id = da
        |JOIN sizes sb ON sb.doc_id = db
        |WHERE i*1.0/(sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  /** Composes [[bandsCteSql]] with the shared shingle spelling — the
+    * componentsSql assembly, restricted to delta×at-rest candidates. */
+  val incrementalSql: String =
+    incrementalGateSql("o.doc_id % 10 <> 9 AND n.doc_id % 10 = 9")
+
+  /** The takedown slice: at-rest documents removed from the published
+    * corpus (right-to-be-forgotten / license revocation). `%10 = 7`
+    * stands in for an arbitrary takedown LIST — the implementation
+    * only ever sees it as a (doc_id) relation, never as a predicate. */
+  private[graft] def tombstonesOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+
+  /** Serve-time tombstone view of a stored [[RestIndex]]: the band
+    * relation anti-joined against the takedown list. Only the band leg
+    * needs masking — the shingle/size legs are only ever picked up via
+    * a candidate's `doc_a`, and no candidate can name a tombstoned doc
+    * once its bands are masked. The anti-join broadcasts the (small)
+    * tombstone relation, so serving cost is unchanged: the index is
+    * NOT rebuilt on takedown. */
+  private[graft] def tombstoneServe(idx: RestIndex,
+                                    tombstones: DataFrame): RestIndex =
+    idx.copy(bands = idx.bands.join(
+      broadcast(tombstones.select(col("doc_id").as("doc_a"))),
+      Seq("doc_a"), "left_anti"))
+
+  /** INDEX TAKEDOWN lifecycle — the `sim_ivf_delete` discipline
+    * applied to the at-rest dedup signature index: a slice of the
+    * published corpus is taken down (GDPR erasure, license
+    * revocation), and the ingest gate must stop suppressing new
+    * documents on the strength of documents that no longer exist.
+    * Between takedown and the next index compaction the gate serves
+    * through [[tombstoneServe]] — a broadcast anti-join of the
+    * tombstone list against the stored band relation; compaction then
+    * rebuilds the index from the surviving corpus, and the spec pins
+    * that the tombstone-masked serve equals the rebuilt index's
+    * verdicts exactly (`DedupHygieneSpec`). Emits the gate relation
+    * under takedown: every (delta doc, surviving at-rest duplicate,
+    * jaccard) — pairs whose only witness was tombstoned are GONE,
+    * which is precisely the unblocking a takedown must produce. */
+  def indexDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val rest = docs.filter(col("doc_id") % 10 =!= 9)
+    incrementalAgainst(docs.filter(col("doc_id") % 10 === 9),
+      tombstoneServe(restIndexOf(rest), tombstonesOf(rest)))
+  }
+
+  /** [[incrementalSql]] with the takedown slice excluded from the
+    * at-rest candidate side — the oracle for the tombstone-masked
+    * serve (and, by the spec's equality, for the compacted rebuild). */
+  val indexDeleteSql: String = incrementalGateSql(
+    "o.doc_id % 10 <> 9 AND o.doc_id % 10 <> 7 AND n.doc_id % 10 = 9")
 
   val minhashLshSql: String =
     s"""WITH $bandsCteSql
@@ -1185,6 +1239,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_incremental" -> incremental _,
     "dedup_incremental_containment" -> incrementalContainment _,
+    "dedup_index_delete" -> indexDelete _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_simhash64_pairs" -> simhash64Pairs _)
@@ -1203,6 +1258,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_containment" -> incrementalContainmentSql,
+    "dedup_index_delete" -> indexDeleteSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_simhash64_pairs" -> simhash64PairsSql)

@@ -1850,10 +1850,13 @@ object MultimodalQueries {
        |        ORDER BY csim DESC, cid) rn
        |    FROM s2) WHERE rn = 1)""".stripMargin
 
-  /** Seed-assign → 1e-6-grid Lloyd means → re-assign → route → rank,
-    * spelled declaratively (the kmeansStepSql/ivfRetrainSql grid and
-    * tie rules over the stub embeddings). */
-  lazy val crossmodalTrainedSql: String =
+  /** The trained serve parameterized on probe depth and corpus
+    * predicate — [[crossmodalTrainedSql]] instantiates the plain
+    * serve, [[crossmodalTrainedFilteredSql]] the filtered one (same
+    * predicate-inside-probe + nprobe-widening discipline as the
+    * one-hot [[crossmodalFilteredSql]]). */
+  private def crossmodalTrainedServeSql(nprobe: Int,
+                                        corpusPred: String): String =
     s"""WITH $crossmodalTrainedCtesSql,
        |r AS (
        |  SELECT qid, cid FROM (
@@ -1865,7 +1868,7 @@ object MultimodalQueries {
        |          (sqrt(list_sum(list_transform(c.cemb, x -> x*x))) *
        |           sqrt(list_sum(list_transform(q.qemb, x -> x*x)))), 6) DESC,
        |        c.cid) rn
-       |    FROM q, carr c) WHERE rn <= $CrossmodalProbe),
+       |    FROM q, carr c) WHERE rn <= $nprobe),
        |sc AS (
        |  SELECT r.qid, a2.doc_id,
        |    CAST(round(
@@ -1874,13 +1877,43 @@ object MultimodalQueries {
        |      (sqrt(list_sum(list_transform(a2.emb, x -> x*x))) *
        |       sqrt(list_sum(list_transform(q.qemb, x -> x*x)))) * 1000000)
        |      AS BIGINT) AS cm
-       |  FROM r JOIN a2 ON a2.cid = r.cid
+       |  FROM r JOIN a2 ON a2.cid = r.cid AND ($corpusPred)
        |  JOIN q ON q.qid = r.qid)
        |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, cm AS cos_micro
        |FROM (
        |  SELECT qid, doc_id, cm,
        |    row_number() OVER (PARTITION BY qid ORDER BY cm DESC, doc_id) rn
        |  FROM sc) WHERE rn <= 5""".stripMargin
+
+  /** Seed-assign → 1e-6-grid Lloyd means → re-assign → route → rank,
+    * spelled declaratively (the kmeansStepSql/ivfRetrainSql grid and
+    * tie rules over the stub embeddings). */
+  lazy val crossmodalTrainedSql: String =
+    crossmodalTrainedServeSql(CrossmodalProbe, "TRUE")
+
+  /** FILTERED serve through the trained codebook — completes the
+    * trained serving matrix (topk / filtered / recall / autoprobe):
+    * the attribute predicate applies inside the probed cells BEFORE
+    * the top-k gate, and nprobe widens to 3 exactly as in the one-hot
+    * [[crossmodalFiltered]]. */
+  lazy val crossmodalTrainedFilteredSql: String =
+    crossmodalTrainedServeSql(3, "a2.doc_id % 3 = 1")
+
+  /** [[crossmodalFiltered]] re-run through the TRAINED quantizer —
+    * the filtered-search discipline (predicate inside the probe,
+    * nprobe = 3) must survive a codebook swap unchanged: routing is
+    * the trained round-6 grid, serving still prunes to probed cells,
+    * and the oracle spells the whole lifecycle + filtered serve
+    * relationally. */
+  def crossmodalTrainedFiltered(s: SparkSession, d: String): DataFrame = {
+    val root = StreamingQueries.scratchDir("graft-mm-trainf-")
+    try {
+      val layout = publishTrainedCrossmodal(s, d, root)
+      crossmodalProbeOver(s, d, layout, nprobe = 3,
+        extraFilter = col("doc_id") % 3 === 1, vecIdCol = "vec_id",
+        roundRoute = true).localCheckpoint()
+    } finally StreamingQueries.deleteRecursively(root)
+  }
 
   /** The sweep over the trained geometry — shares
     * [[crossmodalTrainedCtesSql]] with the server, then ranks every
@@ -2222,6 +2255,7 @@ object MultimodalQueries {
     "mm_crossmodal_filtered_recall" -> crossmodalFilteredRecall _,
     "mm_crossmodal_delete" -> crossmodalDelete _,
     "mm_crossmodal_trained" -> crossmodalTrained _,
+    "mm_crossmodal_trained_filtered" -> crossmodalTrainedFiltered _,
     "stream_mm_crossmodal_trained" -> streamCrossmodalTrained _,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobe _,
     "mm_crossmodal_trained_recall" -> crossmodalTrainedRecall _,
@@ -2242,6 +2276,7 @@ object MultimodalQueries {
     "mm_crossmodal_filtered_recall" -> crossmodalFilteredRecallSql,
     "mm_crossmodal_delete" -> crossmodalDeleteSql,
     "mm_crossmodal_trained" -> crossmodalTrainedSql,
+    "mm_crossmodal_trained_filtered" -> crossmodalTrainedFilteredSql,
     "stream_mm_crossmodal_trained" -> crossmodalTrainedSql,
     "mm_crossmodal_trained_autoprobe" -> crossmodalTrainedAutoprobeSql,
     "mm_crossmodal_trained_recall" -> crossmodalTrainedRecallSql,

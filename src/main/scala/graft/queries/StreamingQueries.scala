@@ -1434,6 +1434,24 @@ object StreamingQueries {
         StructField("delta_inner", LongType)),
       gate = DedupQueries.incrementalContainmentAgainst)
 
+  /** Streaming twin of [[DedupQueries.indexDelete]] — the takedown
+    * lifecycle AT INGEST: the stored at-rest index is built once, the
+    * takedown list is a (doc_id) tombstone relation, and every
+    * micro-batch's gate serves through the broadcast tombstone
+    * anti-join ([[DedupQueries.tombstoneServe]]) — the hot path never
+    * rebuilds the index on takedown; compaction rebuilds it from the
+    * surviving corpus later (the batch row's spec-pinned equality,
+    * `DedupHygieneSpec`). Delta documents whose only at-rest witness
+    * was taken down pass the gate — the unblocking erasure must
+    * produce. */
+  def streamIndexDelete(s: SparkSession, d: String): DataFrame =
+    streamRestGate(s, d,
+      valueFields = Seq(StructField("doc_id", LongType),
+        StructField("dup_of", LongType), StructField("jaccard", DoubleType)),
+      gate = (delta, idx) => DedupQueries.incrementalAgainst(delta,
+        DedupQueries.tombstoneServe(idx, DedupQueries.tombstonesOf(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 9)))))
+
   /** The shared delta-vs-stored-index ingest harness: build the
     * at-rest signature index ONCE into a scratch parquet layout, gate
     * each arriving micro-batch's delta slice against it with `gate`,
@@ -2038,6 +2056,7 @@ object StreamingQueries {
     "stream_containment" -> streamContainment _,
     "stream_incremental" -> streamIncremental _,
     "stream_incremental_containment" -> streamIncrementalContainment _,
+    "stream_index_delete" -> streamIndexDelete _,
     "stream_bpe_pairs" -> streamBpePairs _,
     "stream_classifier_score" -> streamClassifierScore _,
     "stream_vocab_oov" -> streamVocabOov _,
@@ -2081,6 +2100,7 @@ object StreamingQueries {
     "stream_incremental" -> DedupQueries.incrementalSql,
     "stream_incremental_containment" ->
       DedupQueries.incrementalContainmentSql,
+    "stream_index_delete" -> DedupQueries.indexDeleteSql,
     "stream_bpe_pairs" -> TextQueries.bpePairsSql,
     "stream_classifier_score" -> TextQueries.classifierScoreSql,
     "stream_vocab_oov" -> TextQueries.vocabCoverageSql,

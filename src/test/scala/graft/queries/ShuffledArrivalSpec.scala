@@ -195,6 +195,23 @@ class ShuffledArrivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.nonEmpty, "fixture produced no containment rejections")
   }
 
+  test("stream_index_delete equals the rebuilt-index gate under shuffled arrival") {
+    // takedown twin: tombstone masking happens per micro-batch on the
+    // stored index, so shuffled delta arrival must still reproduce the
+    // batch rebuild over the surviving corpus
+    val streamed = StreamingQueries.streamIndexDelete(spark, dir)
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = docsBatch
+    val batch = DedupQueries.incrementalOver(
+        docs.filter(col("doc_id") % 10 === 9),
+        docs.filter(col("doc_id") % 10 =!= 9 && col("doc_id") % 10 =!= 7))
+      .select(col("doc_id"), col("dup_of")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("banded registry state cardinality is O(docs x bands), orders below the shingle-keyed twin") {
     // the state-footprint contrast (r18 verdict #1 done-criterion):
     // the exact twin keys one state tuple per DISTINCT CORPUS SHINGLE;

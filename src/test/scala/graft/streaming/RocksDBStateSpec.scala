@@ -270,6 +270,30 @@ class RocksDBStateSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got=${got.size} rows, expected=${expected.size}")
   }
 
+  test("stream_cross_source_banded matches its batch matrix under RocksDB state") {
+    // the bounded-state contamination registry (r18 verdict #1) in its
+    // production configuration: the O(docs × bands) claim registry
+    // holds its (band, sig) buckets in RocksDB; the compaction rollup
+    // must equal the batch LSH-banded matrix
+    val d = "/root/testdata/sf0.001"
+    val got = graft.queries.StreamingQueries
+      .streamCrossSourceBanded(spark, d)
+      .collect().map(_.toSeq).toSet
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val expected = graft.queries.DedupQueries.jaccardPairs(
+        docs.select(col("doc_id"), col("text")),
+        candidates = Some(graft.queries.DedupQueries.minhashLshOver(docs)),
+        threshold = 0.8)
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("source").as("src_canonical")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("source").as("src_dup")), Seq("doc_b"))
+      .groupBy(col("src_canonical"), col("src_dup"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("claim registries' widened tuple state survives RocksDB across batches (r17 #3)") {
     // the r17 rework widened the per-key state to (Boolean, Long, Int)
     // in neardupCore and (Boolean, Long, Array[Long]) in claimCore —
