@@ -52,6 +52,20 @@ object Bench {
       spark.catalog.listTables().collect()
         .filter(_.isTemporary)
         .foreach(t => spark.catalog.dropTempView(t.name))
+      // Release finished queries' localCheckpoint blocks DETERMINISTICALLY:
+      // ContextCleaner only frees them after a JVM GC collects the owning
+      // frames, so in a 357-query × 3-run suite the block manager ratchets
+      // to GBs of dead blocks and unified-memory pressure inflates later
+      // stateful queries (r19 baseline: stream_tumbling_final 1.5 s → 6.2 s
+      // purely from suite position; a forced-GC A/B recovered it to 1.3 s).
+      // Every persistent RDD reachable here belongs to a COMPLETED query —
+      // each catalog fn re-derives its frames per call — so unpersisting
+      // between runs can never invalidate in-flight data. Explicit
+      // unpersist beats leaning on System.gc(): it frees the blocks without
+      // full-collection side effects (the gc-every-query A/B slowed batch
+      // queries ~10% via codegen-class/code-cache churn).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       if (usedHeapMb() > gcThresholdMb) System.gc()
     }
 

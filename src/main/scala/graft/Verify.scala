@@ -54,6 +54,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the finished query's localCheckpoint blocks now instead of
+      // waiting for a GC-driven ContextCleaner pass (same inter-query
+      // hygiene as Bench.sweep — every persistent RDD here belongs to a
+      // completed query, so this can never invalidate in-flight data)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
